@@ -1,0 +1,247 @@
+"""Inverted-index construction as a Spark DataFrame pipeline.
+
+Replaces the reference's serial indexing loop (reference:
+indexing/TrecDocIndexer.java:151-168 — one thread feeding a Lucene
+IndexWriter doc by doc) with a distributed build:
+
+    documents ──analyze (Arrow UDF / codegen'd split)──▶ (doc_id, tokens)
+       ├──▶ doc_stats  (doc_len, sha256, broadcastable scalars N/avgdl)
+       └──▶ explode ──▶ hash-agg (doc_id, term) -> tf     [map-side partial]
+                 └──▶ shuffle by term  == Lucene's segment merge
+                        ├──▶ term_stats (df, cf)
+                        └──▶ per-(term, salt) sorted, delta+varbyte-encoded
+                             posting blobs with per-block max-tf impacts
+
+The only cluster-wide data movement is the shuffle by term; skewed
+high-df terms (code corpora: 'the', 'license', 'import'...) are salted
+into ``num_salt_shards`` sub-lists so no single reducer owns a monster
+posting list (salting criterion: df > salt_df_threshold).
+
+Doc-length is denormalized into the flat postings (term, doc_id, tf,
+doc_len) so BM25 scoring needs NO join against doc_stats at query time —
+the analogue of Lucene keeping norms alongside postings.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analysis import AnalyzerConfig, simple_tokens, tokens_udf
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    analyzer: AnalyzerConfig = AnalyzerConfig()
+    # terms with df above this are split into num_salt_shards sub-lists;
+    # default tuned for the sandbox — at cluster scale set ~avg_partition_rows
+    salt_df_threshold: int = 100_000
+    num_salt_shards: int = 16
+    block_size: int = 128  # docs per impact block inside a posting blob
+    num_term_partitions: int = 32
+
+
+@dataclass(frozen=True)
+class CollectionStats:
+    """Driver-side scalars, embedded as literals into scoring plans
+    (the 'broadcast document-length/avgdl statistics' of the design —
+    scalar literals fold into codegen, cheaper than a broadcast join)."""
+
+    n_docs: int
+    total_tokens: int
+    vocab_size: int
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.n_docs if self.n_docs else 0.0
+
+
+@dataclass
+class InvertedIndex:
+    """Handle over the index tables (all lazy DataFrames)."""
+
+    doc_stats: DataFrame     # doc_id, doc_len, content_sha256
+    postings: DataFrame      # term, doc_id, tf, doc_len   (flat view)
+    term_stats: DataFrame    # term, df, cf
+    stats: CollectionStats
+    config: IndexConfig
+    blobs: DataFrame | None = None  # term, salt, blob... (compressed view)
+
+
+def tokenize(
+    docs: DataFrame,
+    cfg: AnalyzerConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """documents -> (doc_id, tokens array<string>).
+
+    ``simple`` mode stays fully JVM-side (whole-stage codegen, no Arrow
+    hop); other modes run the Arrow-vectorized analyzer UDF.
+    """
+    if cfg.mode == "simple" and not cfg.stopwords:
+        toks = simple_tokens(content_col)
+    elif cfg.mode == "simple":
+        stop_arr = F.array(*[F.lit(w) for w in sorted(cfg.stopwords)])
+        toks = F.array_except(simple_tokens(content_col), stop_arr)
+    else:
+        toks = tokens_udf(cfg)(F.col(content_col))
+    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
+
+
+def assign_doc_ids(
+    docs: DataFrame,
+    key_cols: list[str],
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic dense doc_id assignment without a global sort.
+
+    A single global ``zipWithIndex``/``row_number() OVER (ORDER BY ...)``
+    serializes on one reducer at 10^12-row scale. Instead: hash-bucket by
+    the natural key, sort *within* each bucket, and offset each bucket by
+    the cumulative count of the buckets before it (one tiny driver-side
+    action over ``num_buckets`` rows). Same input -> same ids, any cluster
+    size, no single-node bottleneck.
+    """
+    key = F.concat_ws("", *[F.col(c) for c in key_cols])
+    bucketed = docs.withColumn(
+        "_bucket", F.pmod(F.xxhash64(key), F.lit(num_buckets)).cast("int")
+    ).withColumn("_key", key)
+    counts = (
+        bucketed.groupBy("_bucket").count().orderBy("_bucket").collect()
+    )
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_bucket"]] = acc
+        acc += row["count"]
+    spark = docs.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_bucket int, _offset long"
+    )
+    w = Window.partitionBy("_bucket").orderBy("_key")
+    return (
+        bucketed.join(F.broadcast(offsets_df), "_bucket")
+        .withColumn(
+            "doc_id",
+            (F.col("_offset") + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .drop("_bucket", "_offset", "_key")
+    )
+
+
+def build_doc_stats(
+    docs: DataFrame,
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """doc_id, doc_len (post-stop token count — Lucene-norm analogue,
+    exact int64 instead of the 1-byte lossy SmallFloat), content_sha256
+    (the per-row ingest invariant)."""
+    lens = tokens.select(
+        "doc_id", F.size("tokens").cast("long").alias("doc_len")
+    )
+    shas = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("content_sha256"),
+    )
+    return lens.join(shas, "doc_id")
+
+
+def build_flat_postings(tokens: DataFrame) -> DataFrame:
+    """(doc_id, tokens) -> (term, doc_id, tf, doc_len).
+
+    ``explode`` + hash aggregate; Catalyst plans this with a map-side
+    partial count before the shuffle, so the wire carries (doc_id, term,
+    partial_tf), not raw tokens. doc_len rides along via a grouping key
+    (constant per doc_id — no extra join, no second shuffle).
+    """
+    with_len = tokens.withColumn("doc_len", F.size("tokens").cast("long"))
+    return (
+        with_len.select(
+            "doc_id", "doc_len", F.explode("tokens").alias("term")
+        )
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", "doc_len")
+    )
+
+
+def build_term_stats(flat_postings: DataFrame) -> DataFrame:
+    """term -> (df, cf): the term-dictionary statistics BM25/LM need.
+    (reference reads these from the Lucene index: docFreq/totalTermFreq,
+    e.g. feedback/RelevanceModelIId.java:154-156)."""
+    return flat_postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def collect_collection_stats(
+    doc_stats: DataFrame, term_stats: DataFrame
+) -> CollectionStats:
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
+    ).collect()[0]
+    vocab = term_stats.count()
+    return CollectionStats(
+        n_docs=int(row["n"] or 0),
+        total_tokens=int(row["tot"] or 0),
+        vocab_size=int(vocab),
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    cfg: IndexConfig | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    compress: bool = False,
+    cache: bool = True,
+) -> InvertedIndex:
+    """End-to-end index build. With ``compress=True`` also materializes
+    the delta+varbyte blob table (see operators/wand.py for the reader)."""
+    cfg = cfg or IndexConfig()
+    toks = tokenize(docs, cfg.analyzer, id_col, content_col)
+    if cache:
+        toks = toks.persist()
+    doc_stats = build_doc_stats(docs, toks, id_col, content_col)
+    flat = build_flat_postings(toks)
+    if cache:
+        flat = flat.persist()
+    term_stats = build_term_stats(flat)
+    if cache:
+        term_stats = term_stats.persist()
+    stats = collect_collection_stats(doc_stats, term_stats)
+    idx = InvertedIndex(
+        doc_stats=doc_stats,
+        postings=flat,
+        term_stats=term_stats,
+        stats=stats,
+        config=cfg,
+    )
+    if compress:
+        from .wand import build_compressed_postings
+
+        idx.blobs = build_compressed_postings(idx)
+    return idx
+
+
+def idf_lucene(df_col, n_docs: int):
+    """Lucene-8 BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def idf_dump(index: InvertedIndex) -> DataFrame:
+    """term -> log(N/df) dump (reference: retriever/MsMarcoTopDocs.java:64-76)."""
+    return index.term_stats.select(
+        "term",
+        F.log(F.lit(float(index.stats.n_docs)) / F.col("df")).alias("idf"),
+    )

@@ -1,0 +1,182 @@
+"""Batch top-k retrieval: BM25 / LM-Dirichlet / LM-Jelinek-Mercer.
+
+The reference runs queries one at a time in a sequential loop over a
+Lucene searcher (reference: retriever/TrecDocRetriever.java:181-225,
+similarity selection at :306-308). Here ALL queries are scored in one
+distributed pass:
+
+    query terms (tiny)  ──────────────┐ broadcast
+    term_stats  ──semi-join──▶ df/cf ─┤ broadcast
+    postings (term, doc_id, tf, doc_len) ──join──▶ per-(qid,doc) partial
+        scores [map-side partial agg] ──shuffle by (qid,doc_id)──▶ sum
+        ──▶ per-qid top-k (rank window)
+
+The postings side is the only large input; the query side is always
+broadcast, so the scan is a broadcast hash semi-join — no shuffle of the
+index. Collection scalars (N, avgdl, total_cf) are folded in as literals.
+
+Default BM25 parameters k1=0.7, b=0.3 (the engine's configured defaults
+per the build target; Lucene's own defaults 1.2/0.75 are one kwarg away).
+Lucene-8 BM25 formula (public): idf = ln(1+(N-df+0.5)/(df+0.5));
+per-term score = boost * idf * tf / (tf + k1*(1-b+b*dl/avgdl)).
+Ties break score desc, then doc_id asc (Lucene's internal-docID order,
+reference comparator retriever/ScoreDocComparator.java:15-21).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.analysis import AnalyzerConfig, analyze_text
+from .indexer import InvertedIndex, idf_lucene
+
+BM25_K1_DEFAULT = 0.7
+BM25_B_DEFAULT = 0.3
+
+
+@dataclass(frozen=True)
+class Similarity:
+    kind: str = "bm25"  # bm25 | lmdir | lmjm
+    k1: float = BM25_K1_DEFAULT
+    b: float = BM25_B_DEFAULT
+    mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
+    lam: float = 0.4     # LM-Jelinek-Mercer lambda (reference uses 0.4/0.6)
+
+
+def queries_to_terms(
+    spark: SparkSession,
+    queries: list[tuple[str, str]],
+    cfg: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """[(qid, text)] -> DataFrame(qid, term, weight) — analyzed with the
+    SAME analyzer as the index (reference parses queries through the index
+    analyzer, trec/TRECQueryParser.java:64-67). Disjunctive (OR) semantics
+    with per-term weight 1.0; duplicate query terms keep their multiplicity
+    as summed weight (a TermQuery per occurrence in a boolean OR)."""
+    cfg = cfg or AnalyzerConfig()
+    rows = []
+    for qid, text in queries:
+        for t in analyze_text(text, cfg):
+            rows.append((qid, t, 1.0))
+    return spark.createDataFrame(
+        rows, "qid string, term string, weight double"
+    ).groupBy("qid", "term").agg(F.sum("weight").alias("weight"))
+
+
+def _per_posting_score(sim: Similarity, stats, qt_cols):
+    """Column expression for one (query-term, posting) pair's contribution."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    w = F.col("weight")
+    if sim.kind == "bm25":
+        norm = tf + F.lit(sim.k1) * (
+            F.lit(1.0 - sim.b) + F.lit(sim.b) * dl / F.lit(stats.avgdl)
+        )
+        return w * F.col("idf") * tf / norm
+    if sim.kind == "lmdir":
+        # Lucene LMDirichletSimilarity (public formula):
+        # log(1 + tf/(mu*P(t|C))) + log(mu/(dl+mu)), floored at 0 per term
+        p_c = F.col("cf").cast("double") / F.lit(float(stats.total_tokens))
+        raw = F.log(F.lit(1.0) + tf / (F.lit(sim.mu) * p_c)) + F.log(
+            F.lit(sim.mu) / (dl + F.lit(sim.mu))
+        )
+        return w * F.greatest(raw, F.lit(0.0))
+    if sim.kind == "lmjm":
+        # Lucene LMJelinekMercerSimilarity: log(1 + ((1-l)/l)*(tf/dl)/P(t|C))
+        p_c = F.col("cf").cast("double") / F.lit(float(stats.total_tokens))
+        return w * F.log(
+            F.lit(1.0)
+            + F.lit((1.0 - sim.lam) / sim.lam) * (tf / dl) / p_c
+        )
+    raise ValueError(f"unknown similarity: {sim.kind}")
+
+
+def score_queries(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k: int = 1000,
+    sim: Similarity | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Score all queries in one pass -> (qid, doc_id, rank, score).
+
+    query_terms: (qid, term[, weight]) — always the broadcast side.
+    ``conjunctive=True`` keeps only docs matching ALL query terms
+    (posting-list intersection semantics, done as a count filter on the
+    aggregated matches — the relational form of a sorted-list intersect).
+    """
+    sim = sim or Similarity()
+    if "weight" not in query_terms.columns:
+        query_terms = query_terms.withColumn("weight", F.lit(1.0))
+
+    # prune the term dictionary to the query's terms, then broadcast both
+    qt = query_terms
+    ts = index.term_stats.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    qt_enriched = qt.join(F.broadcast(ts), "term").withColumn(
+        "idf", idf_lucene(F.col("df"), index.stats.n_docs)
+    )
+    n_query_terms = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+
+    contrib = _per_posting_score(sim, index.stats, qt_enriched.columns)
+    matched = (
+        index.postings.join(F.broadcast(qt_enriched), "term")
+        .select("qid", "doc_id", contrib.alias("contrib"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+        )
+    )
+    if conjunctive:
+        matched = matched.join(F.broadcast(n_query_terms), "qid").filter(
+            F.col("n_matched") == F.col("n_terms")
+        )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
+def to_trec_run(
+    run: DataFrame,
+    run_name: str = "luc4ir_spark",
+    docid_map: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, doc_id, rank, score) -> TREC 6-column run rows
+    ``qid Q0 docid rank score runid`` (reference writer:
+    retriever/TrecDocRetriever.java:281-295; standard 6-col layout as in
+    the committed res.txt). ``docid_map``: (doc_id, docid_str)."""
+    out = run
+    if docid_map is not None:
+        out = out.join(docid_map, "doc_id").withColumn(
+            "docid", F.col("docid_str")
+        )
+    else:
+        out = out.withColumn("docid", F.col("doc_id").cast("string"))
+    return out.select(
+        "qid",
+        F.lit("Q0").alias("q0"),
+        "docid",
+        "rank",
+        F.col("score").cast("float").alias("score"),
+        F.lit(run_name).alias("runid"),
+    ).orderBy("qid", "rank")
+
+
+def fetch_topk_docs(
+    run: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Join top-k back to stored content (reference:
+    TrecDocRetriever.java:283-285 reader.document() per hit)."""
+    return run.join(docs, run.doc_id == F.col(id_col), "inner")
