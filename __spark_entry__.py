@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from luc4ir_spark.functions.analysis import AnalyzerConfig
 from luc4ir_spark.operators import indexer as ix
 from luc4ir_spark.operators import retrieval as rt
+from luc4ir_spark.operators import wand as wd
 
 SIMPLE = AnalyzerConfig(mode="simple")
 K1, B = rt.BM25_K1_DEFAULT, rt.BM25_B_DEFAULT
@@ -170,6 +171,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_conjunctive(spark, sf):
         return _bm25_run(spark, sf, conjunctive=True)
 
+    def bm25_topk_wand(spark, sf):
+        # block-max WAND over delta+varbyte compressed postings; must be
+        # rank- and score-identical to the exhaustive bm25_topk, so it
+        # shares that SQL oracle.
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = wd.score_queries_wand(idx, qt, k=TOPK)
+        return run.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
     def index_to_tsv(spark, sf):
         # reference: retriever/IndexToTsvConverter.java:33-55
         return _docs(spark, sf).select(
@@ -190,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_dump": idf_dump,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
+        "bm25_topk_wand": bm25_topk_wand,
         "index_to_tsv": index_to_tsv,
         "doc_lookup": doc_lookup,
     }
@@ -215,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
+        "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "index_to_tsv": "SELECT doc_id, text AS content FROM documents",
         "doc_lookup": (
             "SELECT doc_id, lang, n_chars FROM documents"

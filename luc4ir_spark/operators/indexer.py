@@ -89,6 +89,9 @@ def tokenize(
         stop_arr = F.array(*[F.lit(w) for w in sorted(cfg.stopwords)])
         toks = F.array_except(simple_tokens(content_col), stop_arr)
     else:
+        from ..deploy import ensure_package_on_executors
+
+        ensure_package_on_executors(docs.sparkSession)
         toks = tokens_udf(cfg)(F.col(content_col))
     return docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
 

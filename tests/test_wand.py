@@ -1,0 +1,126 @@
+"""Block-max WAND == exhaustive scoring (property-style, fixed seeds),
+including under salting — the SURVEY §5 unit plan's core invariant."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from luc4ir_spark.functions.analysis import AnalyzerConfig
+from luc4ir_spark.operators import indexer as ix
+from luc4ir_spark.operators import retrieval as rt
+from luc4ir_spark.operators.wand import (
+    build_compressed_postings,
+    score_queries_wand,
+)
+
+SIMPLE = AnalyzerConfig(mode="simple")
+
+
+def synth_docs(n_docs: int, vocab: int, seed: int):
+    """Zipf-ish random docs with varying lengths (ties unlikely)."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.1
+    probs /= probs.sum()
+    docs = []
+    for d in range(n_docs):
+        length = int(rng.integers(8, 80))
+        toks = rng.choice(words, size=length, p=probs)
+        docs.append((d, " ".join(toks)))
+    return docs
+
+
+def _index_for(spark, docs, block_size=16, salt_threshold=10**9, shards=1):
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    cfg = ix.IndexConfig(
+        analyzer=SIMPLE,
+        block_size=block_size,
+        salt_df_threshold=salt_threshold,
+        num_salt_shards=shards,
+    )
+    return ix.build_index(df, cfg)
+
+
+def _compare(spark, idx, queries, k, sim=None):
+    qt = rt.queries_to_terms(spark, queries, SIMPLE)
+    exhaustive = rt.score_queries(idx, qt, k=k, sim=sim).collect()
+    wand = score_queries_wand(idx, qt, k=k, sim=sim).collect()
+    ex = {}
+    for r in exhaustive:
+        ex.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    wd = {}
+    for r in wand:
+        wd.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    assert set(ex) == set(wd)
+    for qid in ex:
+        e = sorted(ex[qid])
+        w = sorted(wd[qid])
+        assert [t[1] for t in e] == [t[1] for t in w], (
+            f"{qid}: doc order {[t[1] for t in e]} vs {[t[1] for t in w]}"
+        )
+        for (_, _, se), (_, _, sw) in zip(e, w):
+            assert sw == pytest.approx(se, rel=1e-9, abs=1e-12)
+
+
+QUERIES = [
+    ("q1", "w0 w3"),
+    ("q2", "w1 w7 w19"),
+    ("q3", "w42"),
+    ("q4", "w0 w0 w2"),  # duplicate term -> weight 2
+]
+
+
+@pytest.mark.parametrize("seed", [7, 13])
+def test_wand_matches_exhaustive(spark, seed):
+    docs = synth_docs(120, 60, seed)
+    idx = _index_for(spark, docs)
+    _compare(spark, idx, QUERIES, k=15)
+
+
+def test_wand_full_depth(spark):
+    """k >= n_docs: every matched doc returned, identical ordering."""
+    docs = synth_docs(60, 30, 3)
+    idx = _index_for(spark, docs)
+    _compare(spark, idx, QUERIES, k=100)
+
+
+def test_wand_salted_matches_unsalted(spark):
+    docs = synth_docs(150, 40, 11)
+    idx_plain = _index_for(spark, docs)
+    idx_salted = _index_for(spark, docs, salt_threshold=5, shards=4)
+    qt = rt.queries_to_terms(spark, QUERIES, SIMPLE)
+    a = score_queries_wand(idx_plain, qt, k=20).collect()
+    b = score_queries_wand(idx_salted, qt, k=20).collect()
+    ka = sorted((r["qid"], r["rank"], r["doc_id"]) for r in a)
+    kb = sorted((r["qid"], r["rank"], r["doc_id"]) for r in b)
+    assert ka == kb
+    # salting actually happened: some term has >1 shard
+    n_shards = (
+        idx_salted.blobs.groupBy("term")
+        .agg(F.countDistinct("salt").alias("s"))
+        .agg(F.max("s"))
+        .collect()[0][0]
+    )
+    assert n_shards > 1
+
+
+def test_wand_lm_similarities(spark):
+    docs = synth_docs(80, 30, 5)
+    idx = _index_for(spark, docs)
+    for kind in ("lmdir", "lmjm"):
+        _compare(spark, idx, QUERIES[:2], k=10, sim=rt.Similarity(kind=kind))
+
+
+def test_compressed_postings_consistent_with_flat(spark):
+    docs = synth_docs(100, 30, 9)
+    idx = _index_for(spark, docs, block_size=8)
+    blobs = build_compressed_postings(idx)
+    tot = blobs.agg(F.sum("n_docs")).collect()[0][0]
+    assert tot == idx.postings.count()
+    # per-term df preserved
+    by_term = {
+        r["term"]: r["n"]
+        for r in blobs.groupBy("term").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    for r in idx.term_stats.collect():
+        assert by_term[r["term"]] == r["df"]
