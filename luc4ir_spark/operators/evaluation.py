@@ -1,0 +1,200 @@
+"""IR evaluation as DataFrame aggregates over run × qrels.
+
+Replaces the reference's per-query accumulator loops (reference:
+evaluator/AllRetrievedResults.java:58-118, evaluator/RetrievedResults.
+java:49-156) with one distributed pass: a broadcast-friendly left join
+run ⟕ qrels on (qid, docid) followed by window aggregates. At a million
+queries this is a single shuffle by qid; the reference's approach is a
+driver-side HashMap.
+
+Metrics (per query + macro average):
+- recall            numRelRet / totalRel          (RetrievedResults.java:145-156)
+- RR / MRR          1 / first relevant rank; the reference's loop lacks
+                    a break so it returns 1/LAST relevant rank
+                    (RetrievedResults.java:49-57) — we implement the
+                    correct first-rank MRR by default and keep the quirk
+                    behind ``quirk_last_rel=True`` for parity studies
+- AP / MAP          Σ_relevant (numRelSeen@rank / rank) / totalRel
+                    (RetrievedResults.java:59-77)
+- P@k               relevant in top k / k         (RetrievedResults.java:133-143)
+- DCG / nDCG@k      DCG = Σ rel/log2(rank+1); ideal list built from the
+                    RETRIEVED list's rel>0 docs sorted by rel desc (the
+                    reference's "ret" mode, RetrievedResults.java:79-131)
+                    or from ALL judged docs (standard mode)
+- RR histogram      5 buckets over (0,1] + bucket 0 for no-hit
+                    (AllRetrievedResults.java:70-88)
+
+Binary vs graded: ``rel_threshold`` binarizes rel >= t as relevant for
+recall/RR/AP/P@k (the reference's evaluate.graded switch); nDCG uses the
+graded rel values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_run_qrels(run: DataFrame, qrels: DataFrame) -> DataFrame:
+    """E1: attach rel to each run row (0 when unjudged). qrels is almost
+    always the small side -> broadcast hash join, no shuffle of the run."""
+    q = qrels.select("qid", "docid", "rel")
+    return run.join(F.broadcast(q), ["qid", "docid"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0.0))
+    )
+
+
+def per_query_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    p_at: int = 5,
+    ndcg_at: int = 10,
+    rel_threshold: float = 1.0,
+    ideal_from_retrieved: bool = True,
+    quirk_last_rel: bool = False,
+) -> DataFrame:
+    """-> (qid, num_ret, num_rel, num_rel_ret, recall, rr, ap, p_at_k,
+    dcg, ndcg) — one row per query in the run."""
+    judged = join_run_qrels(run, qrels)
+    is_rel = (F.col("rel") >= rel_threshold).cast("double")
+    judged = judged.withColumn("is_rel", is_rel)
+
+    w_rank = Window.partitionBy("qid").orderBy("rank")
+    judged = judged.withColumn(
+        "cum_rel", F.sum("is_rel").over(w_rank)
+    ).withColumn(
+        "gain",
+        F.col("rel") / F.log2(F.col("rank").cast("double") + F.lit(1.0)),
+    )
+
+    # ideal ranking for nDCG ("ret" mode): retrieved docs by rel desc
+    w_ideal = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("rank").asc()
+    )
+    judged = judged.withColumn(
+        "ideal_rank", F.row_number().over(w_ideal)
+    ).withColumn(
+        "ideal_gain",
+        F.col("rel")
+        / F.log2(F.col("ideal_rank").cast("double") + F.lit(1.0)),
+    )
+
+    rel_rank_agg = (
+        F.max(F.when(F.col("is_rel") > 0, F.col("rank")))
+        if quirk_last_rel
+        else F.min(F.when(F.col("is_rel") > 0, F.col("rank")))
+    )
+
+    per_q = judged.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("num_ret"),
+        F.sum("is_rel").cast("long").alias("num_rel_ret"),
+        rel_rank_agg.alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                F.col("is_rel") > 0,
+                F.col("cum_rel") / F.col("rank").cast("double"),
+            )
+        ).alias("ap_num"),
+        F.sum(
+            F.when(F.col("rank") <= p_at, F.col("is_rel")).otherwise(0.0)
+        ).alias("p_num"),
+        F.sum(
+            F.when(F.col("rank") <= ndcg_at, F.col("gain")).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_rank") <= ndcg_at, F.col("ideal_gain")
+            ).otherwise(0.0)
+        ).alias("idcg"),
+    )
+
+    totals = qrels.filter(F.col("rel") >= rel_threshold).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("num_rel")
+    )
+    if not ideal_from_retrieved:
+        # standard nDCG: ideal from ALL judged docs (graded), not just
+        # the retrieved ones
+        w_all = Window.partitionBy("qid").orderBy(F.col("rel").desc())
+        ideal_all = (
+            qrels.filter(F.col("rel") > 0)
+            .withColumn("irank", F.row_number().over(w_all))
+            .filter(F.col("irank") <= ndcg_at)
+            .groupBy("qid")
+            .agg(
+                F.sum(
+                    F.col("rel")
+                    / F.log2(F.col("irank").cast("double") + F.lit(1.0))
+                ).alias("idcg_all")
+            )
+        )
+        per_q = per_q.join(F.broadcast(ideal_all), "qid", "left").withColumn(
+            "idcg", F.coalesce(F.col("idcg_all"), F.lit(0.0))
+        ).drop("idcg_all")
+
+    return (
+        per_q.join(F.broadcast(totals), "qid", "left")
+        .withColumn("num_rel", F.coalesce(F.col("num_rel"), F.lit(0)))
+        .select(
+            "qid",
+            "num_ret",
+            "num_rel",
+            "num_rel_ret",
+            F.when(
+                F.col("num_rel") > 0,
+                F.col("num_rel_ret") / F.col("num_rel").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("recall"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("rr"),
+            F.when(
+                F.col("num_rel") > 0,
+                F.coalesce(F.col("ap_num"), F.lit(0.0))
+                / F.col("num_rel").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("ap"),
+            (F.col("p_num") / F.lit(float(p_at))).alias(f"p_at_{p_at}"),
+            F.col("dcg"),
+            F.when(
+                F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+            ).otherwise(F.lit(0.0)).alias("ndcg"),
+        )
+    )
+
+
+def macro_metrics(per_query: DataFrame, p_at: int = 5) -> DataFrame:
+    """Macro averages over queries (reference prints these:
+    AllRetrievedResults.java:105-118)."""
+    return per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("num_queries"),
+        F.avg("recall").alias("recall"),
+        F.avg("rr").alias("mrr"),
+        F.avg("ap").alias("map"),
+        F.avg(f"p_at_{p_at}").alias(f"avg_p_at_{p_at}"),
+        F.avg("ndcg").alias("avg_ndcg"),
+    )
+
+
+def evaluate(
+    run: DataFrame, qrels: DataFrame, p_at: int = 5, ndcg_at: int = 10,
+    **kw,
+) -> DataFrame:
+    return macro_metrics(
+        per_query_metrics(run, qrels, p_at=p_at, ndcg_at=ndcg_at, **kw),
+        p_at=p_at,
+    )
+
+
+def rr_histogram(per_query: DataFrame, n_bins: int = 5) -> DataFrame:
+    """Bucket counts of RR (reference: AllRetrievedResults.java:70-88):
+    bucket 0 = no relevant found; otherwise ceil(rr * n_bins) in 1..n."""
+    bucket = F.when(F.col("rr") <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.ceil(F.col("rr") * n_bins).cast("int"), F.lit(n_bins)
+        )
+    )
+    return (
+        per_query.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("bucket")
+    )

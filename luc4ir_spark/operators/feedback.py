@@ -1,0 +1,368 @@
+"""Pseudo-relevance feedback: relevance models, KL rerank, query
+expansion, diversity rerank, clarity — the reference's second-pass
+operators over the top-k (reference: feedback/*, wired at
+retriever/TrecDocRetriever.java:201-258).
+
+All operators work on the run (qid, doc_id, rank, score) plus the flat
+postings table, which doubles as the forward term-vector store: the
+reference stores per-doc term vectors in its index
+(indexing/TrecDocIndexer.java:212) and walks them via getTermVector
+(feedback/RetrievedDocsTermStats.java:79-108); here the same
+(term, doc_id, tf, doc_len) rows serve both directions — the inverted
+access is a join on term, the forward access a join on doc_id.
+
+Scale shape: every operator is (top-m docs per query) ⋈ postings — the
+join output is bounded by |queries| × m × avg_doc_vocab, shuffled by
+qid; the postings side is semi-join-pruned by the top-doc set first.
+
+Estimators (reference: feedback/RelevanceModelIId.java:90-129,
+RelevanceModelConditional.java:24-48):
+- mixTfIdf(w, D) = lam*tf(w,D)/|D| + (1-lam)*df_top(w)/sumDf
+  (df_top over the top-m pool; lam default 1.0 per the reference's
+  generated retrieve.properties fdbk.lambda=1)
+- rm_cond:  P(w|R) = sum_D mixTfIdf(w,D) * sim(D) / sumSim
+- rm_iid:   P(w|R) ∝ lam*tf_pool(w)/sumTf + (1-lam)*df_top(w)/sumDf
+  (the reference multiplies by a per-query constant query-likelihood
+  factor which normalization cancels; we normalize, so it is dropped)
+Both are normalized to sum to 1 per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .indexer import InvertedIndex
+
+KL_EPS = 1e-4  # reference floors P(w|D) at 1e-4 (KLDivReranker.java:25-52)
+
+
+def topdocs_term_stats(
+    index: InvertedIndex, run: DataFrame, num_top_docs: int = 10
+) -> DataFrame:
+    """F1: explode the top-m docs of each query into per-(qid, term, doc)
+    rows with tf, doc_len, sim (reference:
+    feedback/RetrievedDocsTermStats.java:52-110)."""
+    top = run.filter(F.col("rank") <= num_top_docs).select(
+        "qid", "doc_id", F.col("score").alias("sim")
+    )
+    return index.postings.join(top, "doc_id").select(
+        "qid", "term", "doc_id", "tf", "doc_len", "sim"
+    )
+
+
+def relevance_model(
+    index: InvertedIndex,
+    run: DataFrame,
+    num_top_docs: int = 10,
+    lam: float = 1.0,
+    variant: str = "rlm_cond",
+) -> DataFrame:
+    """-> (qid, term, wt) with sum(wt)=1 per qid. variant: rlm_cond
+    (reference default, retrieve_trecd45.sh rlm.type) or rlm_iid."""
+    dt = topdocs_term_stats(index, run, num_top_docs)
+
+    per_q = dt.groupBy("qid").agg(
+        F.sum(F.col("tf")).alias("sum_tf_pool"),
+        F.count(F.lit(1)).cast("double").alias("sum_df"),  # Σ_w df_top(w)
+    )
+    sims = (
+        run.filter(F.col("rank") <= num_top_docs)
+        .groupBy("qid")
+        .agg(F.sum("score").alias("sum_sim"))
+    )
+    df_top = dt.groupBy("qid", "term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df_top"),
+        F.sum("tf").cast("double").alias("tf_pool"),
+    )
+
+    if variant == "rlm_cond":
+        wt = (
+            dt.join(df_top, ["qid", "term"])
+            .join(F.broadcast(per_q), "qid")
+            .join(F.broadcast(sims), "qid")
+            .withColumn(
+                "mix",
+                F.lit(lam) * F.col("tf") / F.col("doc_len")
+                + F.lit(1.0 - lam) * F.col("df_top") / F.col("sum_df"),
+            )
+            .withColumn("contrib", F.col("mix") * F.col("sim") / F.col("sum_sim"))
+            .groupBy("qid", "term")
+            .agg(F.sum("contrib").alias("wt_raw"))
+        )
+    elif variant == "rlm_iid":
+        wt = (
+            df_top.join(F.broadcast(per_q), "qid")
+            .withColumn(
+                "wt_raw",
+                F.lit(lam) * F.col("tf_pool") / F.col("sum_tf_pool")
+                + F.lit(1.0 - lam) * F.col("df_top") / F.col("sum_df"),
+            )
+            .select("qid", "term", "wt_raw")
+        )
+    else:
+        raise ValueError(f"unknown relevance model variant: {variant}")
+
+    norms = wt.groupBy("qid").agg(F.sum("wt_raw").alias("z"))
+    return wt.join(F.broadcast(norms), "qid").select(
+        "qid", "term", (F.col("wt_raw") / F.col("z")).alias("wt")
+    )
+
+
+def kl_divergence_rerank(
+    index: InvertedIndex,
+    run: DataFrame,
+    rlm: DataFrame,
+    num_top_docs: int = 10,
+) -> DataFrame:
+    """F4: rerank the top-m docs ASCENDING by
+    KL(RLM || doc LM) = Σ_w wt·ln(wt / P(w|D)), P(w|D)=tf/|D| floored at
+    1e-4 (reference: feedback/KLDivReranker.java:25-52; ascending sort
+    at :48)."""
+    docs = run.filter(F.col("rank") <= num_top_docs).select("qid", "doc_id")
+    # (qid, w) × (qid, doc): bounded by |rlm vocab| × m per query
+    pairs = rlm.join(docs, "qid")
+    tf = index.postings.select("term", "doc_id", "tf", "doc_len")
+    joined = pairs.join(tf, ["term", "doc_id"], "left").withColumn(
+        "p_wd",
+        F.greatest(
+            F.coalesce(F.col("tf") / F.col("doc_len"), F.lit(0.0)),
+            F.lit(KL_EPS),
+        ),
+    )
+    kl = joined.groupBy("qid", "doc_id").agg(
+        F.sum(F.col("wt") * F.log(F.col("wt") / F.col("p_wd"))).alias("kl")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("kl").asc(), F.col("doc_id").asc())
+    return kl.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "qid", "doc_id", "rank", F.col("kl").alias("score")
+    )
+
+
+def expand_query(
+    rlm: DataFrame,
+    query_terms: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    num_expansion_terms: int = 10,
+    fb_weight: float = 0.2,
+) -> DataFrame:
+    """Q5/F9: RLM query expansion (reference:
+    feedback/RelevanceModelIId.java:164-235): candidate terms weighted
+    RLM-wt × ln(N/df), normalized; top ``num_expansion_terms`` NON-
+    original terms get weight fb_weight·wt; original terms get
+    (1-fb_weight)/|q|. Returns (qid, term, weight) for a re-retrieval
+    pass with retrieval.score_queries."""
+    orig = query_terms.select("qid", "term").distinct()
+    cand = (
+        rlm.join(orig, ["qid", "term"], "left_anti")
+        .join(F.broadcast(term_stats.select("term", "df")), "term")
+        .withColumn(
+            "wtidf", F.col("wt") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        )
+    )
+    z = cand.groupBy("qid").agg(F.sum("wtidf").alias("z"))
+    cand = cand.join(F.broadcast(z), "qid").withColumn(
+        "wnorm", F.col("wtidf") / F.col("z")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("wnorm").desc(), F.col("term").asc()
+    )
+    new_terms = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= num_expansion_terms)
+        .select(
+            "qid", "term", (F.lit(fb_weight) * F.col("wnorm")).alias("weight")
+        )
+    )
+    n_orig = orig.groupBy("qid").agg(F.count(F.lit(1)).alias("nq"))
+    orig_w = orig.join(F.broadcast(n_orig), "qid").select(
+        "qid", "term", (F.lit(1.0 - fb_weight) / F.col("nq")).alias("weight")
+    )
+    return orig_w.unionByName(new_terms)
+
+
+def query_clarity(
+    rlm: DataFrame, term_stats: DataFrame, total_tokens: int
+) -> DataFrame:
+    """F6: clarity = KL(RLM || collection LM), collection model
+    cf/total (reference: feedback/RelevanceModelIId.java:136-160)."""
+    return (
+        rlm.join(F.broadcast(term_stats.select("term", "cf")), "term")
+        .withColumn("p_coll", F.col("cf") / F.lit(float(total_tokens)))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.col("wt") * F.log(F.col("wt") / F.col("p_coll"))
+            ).alias("clarity")
+        )
+    )
+
+
+def query_query_similarity(
+    rlm_a: DataFrame, rlm_b: DataFrame
+) -> DataFrame:
+    """F7: Jensen-Shannon divergence between two queries' relevance
+    models (reference: retriever/TrecDocRetriever.java:109-175 — mean of
+    KL(p||avg), KL(q||avg) over the merged vocabularies)."""
+    a = rlm_a.select("qid", "term", F.col("wt").alias("pa"))
+    b = rlm_b.select(F.col("qid").alias("qid_b"), "term", F.col("wt").alias("pb"))
+    # all (qid, qid_b) pairs, merged vocab per pair, missing side -> 0
+    pairs = a.select("qid").distinct().crossJoin(b.select("qid_b").distinct())
+    a_full = pairs.join(a, "qid")
+    b_full = pairs.join(b, "qid_b")
+    merged = (
+        a_full.join(b_full, ["qid", "qid_b", "term"], "full")
+        .withColumn("pa0", F.coalesce("pa", F.lit(0.0)))
+        .withColumn("pb0", F.coalesce("pb", F.lit(0.0)))
+        .withColumn("avg", (F.col("pa0") + F.col("pb0")) / 2.0)
+    )
+    kl_a = F.sum(
+        F.when(
+            F.col("pa0") > 0, F.col("pa0") * F.log(F.col("pa0") / F.col("avg"))
+        ).otherwise(0.0)
+    )
+    kl_b = F.sum(
+        F.when(
+            F.col("pb0") > 0, F.col("pb0") * F.log(F.col("pb0") / F.col("avg"))
+        ).otherwise(0.0)
+    )
+    return merged.groupBy("qid", "qid_b").agg(
+        ((kl_a + kl_b) / 2.0).alias("js_divergence")
+    )
+
+
+def diversity_rerank(
+    index: InvertedIndex,
+    run: DataFrame,
+    num_rerank: int = 5,
+) -> DataFrame:
+    """F5: greedy diversity rerank (reference:
+    feedback/DiversityReranker.java:66-141): iteratively select the doc
+    maximizing retrieval-score / (1 + cosine(doc LM, selected pool LM)),
+    folding each selection's LM into the pool; final score is 1/rank
+    (the reference overwrites scores with reciprocal rank at :137).
+
+    Inherently sequential per query -> per-qid ``applyInPandas`` over at
+    most k docs/query (never a scale hazard: group size is bounded by
+    the run depth, not the corpus)."""
+    from ..deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(run.sparkSession)
+    docs = run.select("qid", "doc_id", "rank", "score")
+    tv = index.postings.select("doc_id", "term", "tf")
+    joined = docs.join(tv, "doc_id").select(
+        "qid", "doc_id", "rank", "score", "term", "tf"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["qid"].iloc[0]
+        terms = {t: i for i, t in enumerate(pdf["term"].unique())}
+        docs_meta = (
+            pdf[["doc_id", "rank", "score"]]
+            .drop_duplicates("doc_id")
+            .sort_values("rank")
+        )
+        mat = np.zeros((len(docs_meta), len(terms)))
+        did_to_row = {d: i for i, d in enumerate(docs_meta["doc_id"])}
+        for r in pdf.itertuples(index=False):
+            mat[did_to_row[r.doc_id], terms[r.term]] = r.tf
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        base = docs_meta["score"].to_numpy().astype(float)
+        n = len(docs_meta)
+        k = min(num_rerank, n)
+        selected: list[int] = []
+        pool = np.zeros(len(terms))
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(k):
+            pn = np.linalg.norm(pool)
+            sim = unit @ (pool / pn) if pn > 0 else np.zeros(n)
+            gain = np.where(remaining, base / (1.0 + np.maximum(sim, 0)), -np.inf)
+            pick = int(np.argmax(gain))
+            selected.append(pick)
+            remaining[pick] = False
+            pool = pool + mat[pick]
+        # unselected docs keep their relative order after the selected
+        tail = [i for i in range(n) if remaining[i]]
+        order = selected + tail
+        out_ids = docs_meta["doc_id"].to_numpy()[order]
+        ranks = np.arange(1, n + 1)
+        return pd.DataFrame(
+            {
+                "qid": [qid] * n,
+                "doc_id": out_ids,
+                "rank": ranks,
+                "score": 1.0 / ranks,  # reference sets 1/rank
+            }
+        )
+
+    return joined.groupBy("qid").applyInPandas(
+        rerank, "qid string, doc_id long, rank long, score double"
+    )
+
+
+def hyperbolic_rerank(
+    index: InvertedIndex,
+    run: DataFrame,
+    rlm: DataFrame,
+    num_top_docs: int = 10,
+    curvature: float = 1.0,
+) -> DataFrame:
+    """F8: hyperbolic-embedding rerank (reference:
+    retriever/HyperbolicRetriever.java:29-226, vector algebra 67-144):
+    lift the query RLM vector and each doc's LM vector onto the
+    hyperboloid x0 = sqrt(1 + ||x||^2 / K^2) and rank ASCENDING by the
+    Minkowski geodesic distance acosh(x0*y0 - <x, y>).
+
+    Per-qid numpy kernel over <= num_top_docs docs (bounded group)."""
+    from ..deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(run.sparkSession)
+    docs = run.filter(F.col("rank") <= num_top_docs).select("qid", "doc_id")
+    tv = index.postings.select("doc_id", "term", "tf", "doc_len")
+    doc_vecs = docs.join(tv, "doc_id").select(
+        "qid", "doc_id", "term", (F.col("tf") / F.col("doc_len")).alias("p")
+    )
+    joined = doc_vecs.join(
+        rlm.select("qid", "term", "wt"), ["qid", "term"], "full"
+    ).filter(F.col("qid").isNotNull())
+
+    K2 = curvature * curvature
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["qid"].iloc[0]
+        pdf = pdf.assign(
+            wt=pdf["wt"].astype(float).fillna(0.0),
+            p=pdf["p"].astype(float).fillna(0.0),
+        )
+        terms = {t: i for i, t in enumerate(pdf["term"].unique())}
+        qvec = np.zeros(len(terms))
+        for r in pdf.drop_duplicates("term").itertuples(index=False):
+            qvec[terms[r.term]] = r.wt
+        doc_rows = pdf[pdf["doc_id"].notna()]
+        doc_ids = doc_rows["doc_id"].unique().astype("int64")
+        mat = np.zeros((len(doc_ids), len(terms)))
+        did = {d: i for i, d in enumerate(doc_ids)}
+        for r in doc_rows.itertuples(index=False):
+            mat[did[int(r.doc_id)], terms[r.term]] = r.p
+        q0 = np.sqrt(1.0 + (qvec @ qvec) / K2)
+        d0 = np.sqrt(1.0 + np.einsum("ij,ij->i", mat, mat) / K2)
+        inner = q0 * d0 - mat @ qvec
+        dist = np.arccosh(np.maximum(inner, 1.0))
+        order = np.lexsort((doc_ids, dist))
+        return pd.DataFrame(
+            {
+                "qid": [qid] * len(doc_ids),
+                "doc_id": doc_ids[order].astype("int64"),
+                "rank": np.arange(1, len(doc_ids) + 1),
+                "score": dist[order],
+            }
+        )
+
+    return joined.groupBy("qid").applyInPandas(
+        rerank, "qid string, doc_id long, rank long, score double"
+    )

@@ -1,0 +1,158 @@
+"""Evaluator metrics vs hand-computed values (FIXTURES.md §5), including
+the reference's last-vs-first RR quirk documented as a mode."""
+
+import math
+
+import pytest
+
+from luc4ir_spark.operators import evaluation as ev
+
+RUN = [
+    # qid, docid, rank
+    ("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+    ("q1", "d4", 4), ("q1", "d5", 5),
+    ("q2", "d1", 1), ("q2", "d2", 2), ("q2", "d3", 3),
+]
+QRELS = [
+    ("q1", "0", "d2", 1.0), ("q1", "0", "d4", 1.0),
+    ("q1", "0", "d9", 1.0), ("q1", "0", "d5", 0.0),
+    ("q2", "0", "d9", 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    run = spark.createDataFrame(
+        RUN, "qid string, docid string, rank long"
+    )
+    qrels = spark.createDataFrame(
+        QRELS, "qid string, iter string, docid string, rel double"
+    )
+    return run, qrels
+
+
+def test_per_query_metrics(spark, frames):
+    run, qrels = frames
+    rows = {
+        r["qid"]: r
+        for r in ev.per_query_metrics(run, qrels, p_at=5, ndcg_at=10).collect()
+    }
+    q1 = rows["q1"]
+    assert q1["num_rel"] == 3 and q1["num_rel_ret"] == 2
+    assert q1["recall"] == pytest.approx(2 / 3)
+    assert q1["rr"] == pytest.approx(0.5)  # first rel at rank 2
+    assert q1["ap"] == pytest.approx((1 / 2 + 2 / 4) / 3)
+    assert q1["p_at_5"] == pytest.approx(2 / 5)
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert q1["dcg"] == pytest.approx(dcg)
+    assert q1["ndcg"] == pytest.approx(dcg / idcg)
+    q2 = rows["q2"]
+    assert q2["num_rel_ret"] == 0
+    assert q2["recall"] == 0.0 and q2["rr"] == 0.0
+    assert q2["ap"] == 0.0 and q2["ndcg"] == 0.0
+
+
+def test_rr_quirk_mode(spark, frames):
+    """The reference returns 1/LAST relevant rank (missing break,
+    RetrievedResults.java:49-57); we implement correct MRR by default
+    and the quirk behind a flag."""
+    run, qrels = frames
+    quirk = {
+        r["qid"]: r["rr"]
+        for r in ev.per_query_metrics(
+            run, qrels, quirk_last_rel=True
+        ).collect()
+    }
+    assert quirk["q1"] == pytest.approx(1 / 4)  # last rel at rank 4
+
+
+def test_macro(spark, frames):
+    run, qrels = frames
+    m = ev.evaluate(run, qrels, p_at=5, ndcg_at=10).collect()[0]
+    assert m["num_queries"] == 2
+    assert m["recall"] == pytest.approx((2 / 3 + 0) / 2)
+    assert m["mrr"] == pytest.approx(0.25)
+    assert m["map"] == pytest.approx(((0.5 + 0.5) / 3) / 2)
+
+
+def test_graded_ndcg_standard_ideal(spark):
+    run = spark.createDataFrame(
+        [("g1", "a", 1), ("g1", "b", 2)], "qid string, docid string, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("g1", "0", "b", 2.0), ("g1", "0", "c", 3.0)],
+        "qid string, iter string, docid string, rel double",
+    )
+    r = ev.per_query_metrics(
+        run, qrels, ndcg_at=10, ideal_from_retrieved=False,
+        rel_threshold=1.0,
+    ).collect()[0]
+    dcg = 2.0 / math.log2(3)
+    idcg = 3.0 / math.log2(2) + 2.0 / math.log2(3)
+    assert r["ndcg"] == pytest.approx(dcg / idcg)
+
+
+def test_rr_histogram(spark, frames):
+    run, qrels = frames
+    pq = ev.per_query_metrics(run, qrels)
+    hist = {r["bucket"]: r["n"] for r in ev.rr_histogram(pq).collect()}
+    # q1 rr=0.5 -> ceil(2.5)=3; q2 rr=0 -> bucket 0
+    assert hist == {0: 1, 3: 1}
+
+
+def test_trec_roundtrip(spark, tmp_path, frames):
+    from luc4ir_spark.sources import trec
+
+    run, qrels = frames
+    full = run.withColumn("q0", run.qid * 0).selectExpr(
+        "qid", "'Q0' as q0", "docid", "rank",
+        "cast(1.0/rank as double) as score", "'r1' as runid",
+    )
+    path = str(tmp_path / "run.txt")
+    trec.write_run(full, path)
+    back = trec.read_run(spark, path)
+    assert back.count() == len(RUN)
+    assert back.filter("q0 = 'Q0'").count() == len(RUN)
+    got = {
+        (r["qid"], r["docid"]): r["rank"] for r in back.collect()
+    }
+    for qid, docid, rank in RUN:
+        assert got[(qid, docid)] == rank
+
+
+def test_qrels_reader(spark, tmp_path):
+    from luc4ir_spark.sources import trec
+
+    p = tmp_path / "qrels.txt"
+    p.write_text("q1 0 d2 1\nq1 0 d5 0\n\nq2 0 d9 2\n")
+    df = trec.read_qrels(spark, str(p))
+    rows = {(r["qid"], r["docid"]): r["rel"] for r in df.collect()}
+    assert rows == {("q1", "d2"): 1.0, ("q1", "d5"): 0.0, ("q2", "d9"): 2.0}
+
+
+def test_trec_topics_parser():
+    from luc4ir_spark.sources.trec import parse_trec_topics_text
+
+    xml = """
+<top>
+<num> Number: 401
+<title> foreign minorities, Germany
+<desc> Description:
+What language and cultural differences impede integration?
+<narr> Narrative:
+Relevant items are about minorities.
+</top>
+<top>
+<num> Number: 402
+<title> behavioral genetics
+<desc> Description: d2
+<narr> Narrative: n2
+</top>
+"""
+    topics = parse_trec_topics_text(xml)
+    assert len(topics) == 2
+    assert topics[0]["qid"] == "401"
+    assert topics[0]["title"] == "foreign minorities, Germany"
+    assert "integration" in topics[0]["desc"]
+    assert topics[1]["qid"] == "402"

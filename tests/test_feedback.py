@@ -1,0 +1,193 @@
+"""Feedback stack vs pure-Python brute-force oracles on a tiny corpus."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from luc4ir_spark.functions.analysis import AnalyzerConfig
+from luc4ir_spark.operators import feedback as fb
+from luc4ir_spark.operators import indexer as ix
+from luc4ir_spark.operators import retrieval as rt
+
+SIMPLE = AnalyzerConfig(mode="simple")
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry date cherry"),
+    (2, "apple apple apple fig"),
+    (3, "grape fig date banana"),
+    (4, "cherry cherry cherry cherry"),
+]
+QUERIES = [("f1", "apple cherry"), ("f2", "banana")]
+M = 3  # feedback depth
+
+
+def brute_run(k1=0.7, b=0.3, k=10):
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(DOCS)
+    dls = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    dfm = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfm[t] = dfm.get(t, 0) + 1
+    run = {}
+    for qid, qtext in QUERIES:
+        scores = {}
+        for d, ts in toks.items():
+            s, hit = 0.0, False
+            for qt in set(qtext.split()):
+                tf = ts.count(qt)
+                if tf == 0:
+                    continue
+                hit = True
+                idf = math.log(1 + (n - dfm[qt] + 0.5) / (dfm[qt] + 0.5))
+                s += idf * tf / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+            if hit:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        run[qid] = ranked
+    return run
+
+
+def brute_rm_cond(run, lam=1.0, m=M):
+    toks = {d: t.split() for d, t in DOCS}
+    out = {}
+    for qid, ranked in run.items():
+        top = ranked[:m]
+        sum_sim = sum(s for _, s in top)
+        # df over the top-doc pool + sumDf
+        df_top, sum_df = {}, 0
+        for d, _ in top:
+            for t in set(toks[d]):
+                df_top[t] = df_top.get(t, 0) + 1
+        sum_df = sum(df_top.values())
+        wt = {}
+        for d, sim in top:
+            dl = len(toks[d])
+            for t in set(toks[d]):
+                mix = lam * toks[d].count(t) / dl + (1 - lam) * df_top[t] / sum_df
+                wt[t] = wt.get(t, 0.0) + mix * sim / sum_sim
+        z = sum(wt.values())
+        out[qid] = {t: w / z for t, w in wt.items()}
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, content string")
+    idx = ix.build_index(df, ix.IndexConfig(analyzer=SIMPLE))
+    qt = rt.queries_to_terms(spark, QUERIES, SIMPLE)
+    run = rt.score_queries(idx, qt, k=10)
+    return idx, qt, run
+
+
+@pytest.mark.parametrize("lam", [1.0, 0.6])
+def test_rm_cond_matches_brute_force(spark, setup, lam):
+    idx, qt, run = setup
+    oracle = brute_rm_cond(brute_run(), lam=lam)
+    got = fb.relevance_model(idx, run, num_top_docs=M, lam=lam)
+    rows = got.collect()
+    for r in rows:
+        assert r["wt"] == pytest.approx(oracle[r["qid"]][r["term"]], rel=1e-9)
+    for qid, terms in oracle.items():
+        assert len([r for r in rows if r["qid"] == qid]) == len(terms)
+    # weights normalized
+    sums = {r["qid"]: 0.0 for r in rows}
+    for r in rows:
+        sums[r["qid"]] += r["wt"]
+    for s in sums.values():
+        assert s == pytest.approx(1.0)
+
+
+def test_rm_iid_normalized(spark, setup):
+    idx, qt, run = setup
+    got = fb.relevance_model(idx, run, num_top_docs=M, variant="rlm_iid")
+    sums = (
+        got.groupBy("qid").agg(F.sum("wt").alias("s")).collect()
+    )
+    for r in sums:
+        assert r["s"] == pytest.approx(1.0)
+
+
+def test_kl_rerank_matches_brute_force(spark, setup):
+    idx, qt, run = setup
+    rlm = fb.relevance_model(idx, run, num_top_docs=M)
+    got = fb.kl_divergence_rerank(idx, run, rlm, num_top_docs=M).collect()
+    oracle_rm = brute_rm_cond(brute_run())
+    toks = {d: t.split() for d, t in DOCS}
+    for qid, ranked in brute_run().items():
+        kls = {}
+        for d, _ in ranked[:M]:
+            dl = len(toks[d])
+            kl = 0.0
+            for w, wt in oracle_rm[qid].items():
+                p_wd = max(toks[d].count(w) / dl, fb.KL_EPS)
+                kl += wt * math.log(wt / p_wd)
+            kls[d] = kl
+        exp_order = sorted(kls.items(), key=lambda kv: (kv[1], kv[0]))
+        got_q = sorted(
+            [(r["rank"], r["doc_id"], r["score"]) for r in got if r["qid"] == qid]
+        )
+        assert [g[1] for g in got_q] == [d for d, _ in exp_order]
+        for (_, _, s), (_, kl) in zip(got_q, exp_order):
+            assert s == pytest.approx(kl, rel=1e-9)
+
+
+def test_expand_query(spark, setup):
+    idx, qt, run = setup
+    rlm = fb.relevance_model(idx, run, num_top_docs=M)
+    exp = fb.expand_query(
+        rlm, qt, idx.term_stats, idx.stats.n_docs,
+        num_expansion_terms=2, fb_weight=0.2,
+    ).collect()
+    f1 = [r for r in exp if r["qid"] == "f1"]
+    orig = {r["term"]: r["weight"] for r in f1 if r["term"] in ("apple", "cherry")}
+    assert orig["apple"] == pytest.approx(0.8 / 2)
+    assert orig["cherry"] == pytest.approx(0.8 / 2)
+    new = [r for r in f1 if r["term"] not in ("apple", "cherry")]
+    assert 0 < len(new) <= 2
+    assert all(r["weight"] > 0 for r in new)
+    # expanded weighted query is scoreable
+    run2 = rt.score_queries(
+        idx, spark.createDataFrame(exp), k=5
+    )
+    assert run2.count() > 0
+
+
+def test_clarity_and_js(spark, setup):
+    idx, qt, run = setup
+    rlm = fb.relevance_model(idx, run, num_top_docs=M)
+    clarity = fb.query_clarity(rlm, idx.term_stats, idx.stats.total_tokens)
+    for r in clarity.collect():
+        assert r["clarity"] > -1e-9  # KL >= 0
+    js = fb.query_query_similarity(rlm, rlm).collect()
+    vals = {(r["qid"], r["qid_b"]): r["js_divergence"] for r in js}
+    for (a, b), v in vals.items():
+        assert v == pytest.approx(vals[(b, a)], rel=1e-9)  # symmetric
+        if a == b:
+            assert v == pytest.approx(0.0, abs=1e-12)
+        assert v >= -1e-12
+
+
+def test_diversity_rerank(spark, setup):
+    idx, qt, run = setup
+    out = fb.diversity_rerank(idx, run, num_rerank=3).collect()
+    base = {(r["qid"], r["doc_id"]): r for r in run.collect()}
+    by_qid = {}
+    for r in out:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_qid.items():
+        rows.sort(key=lambda r: r["rank"])
+        # permutation of the original docs, ranks 1..n, scores 1/rank
+        orig_docs = {d for (q, d) in base if q == qid}
+        assert {r["doc_id"] for r in rows} == orig_docs
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["score"] == pytest.approx(1.0 / r["rank"])
+        # first selection is the top-scored doc (empty pool -> sim 0)
+        top_doc = min(
+            ((q, d) for (q, d) in base if q == qid),
+            key=lambda kd: base[kd]["rank"],
+        )[1]
+        assert rows[0]["doc_id"] == top_doc
