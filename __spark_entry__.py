@@ -25,11 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from luc4ir_spark.functions.analysis import AnalyzerConfig
-from luc4ir_spark.operators import indexer as ix
-from luc4ir_spark.operators import retrieval as rt
+from luc4ir_spark.functions.analysis import AnalyzerConfig, simple_tokens
+from luc4ir_spark.operators import annsearch as ann
+from luc4ir_spark.operators import dedup as dd
 from luc4ir_spark.operators import evaluation as ev
 from luc4ir_spark.operators import feedback as fb
+from luc4ir_spark.operators import indexer as ix
+from luc4ir_spark.operators import retrieval as rt
+from luc4ir_spark.operators import textstats as ts
 from luc4ir_spark.operators import wand as wd
 
 SIMPLE = AnalyzerConfig(mode="simple")
@@ -272,6 +275,147 @@ FROM kl
 """
 
 
+# --------------------------------------------- pipeline-op oracle SQL
+
+JACCARD_T = 0.95
+
+_SHINGLES = "sh AS (SELECT DISTINCT doc_id, term FROM toks)"
+_SIDS = (
+    "ids AS (SELECT term, dense_rank() OVER (ORDER BY term)::BIGINT AS sid"
+    " FROM (SELECT DISTINCT term FROM toks))"
+)
+
+
+def _minhash_params_values() -> str:
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dd.MINHASH_PARAMS[:8])
+    )
+    return f"params(hash_id, a, b) AS (VALUES {rows})"
+
+
+_JACCARD_SQL = f"""
+WITH {_TOKS}, {_SHINGLES},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
+  FROM sh x JOIN sh y ON x.term = y.term AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {JACCARD_T}
+"""
+
+_MINHASH_SQL = f"""
+WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()}
+SELECT sh.doc_id, p.hash_id,
+       min((p.a * ids.sid + p.b) % {dd.MERSENNE_P})::BIGINT AS min_hash
+FROM sh JOIN ids USING (term) CROSS JOIN params p
+GROUP BY 1, 2
+"""
+
+_SIMHASH_SQL = f"""
+WITH {_TOKS}, {_SHINGLES}, {_SIDS},
+h AS (
+  SELECT sh.doc_id,
+         (1203077 * ids.sid + 52512857) % {dd.MERSENNE_P} AS h
+  FROM sh JOIN ids USING (term)
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) % 2 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+),
+perbit AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM perbit GROUP BY doc_id
+"""
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.cv, q.qv)
+         / (sqrt(list_dot_product(c.cv, c.cv))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM c CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM s
+)
+SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
+"""
+
+_MARKERS_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ts.LANG_MARKERS[lang])
+    for lang in sorted(ts.LANG_MARKERS)
+}
+
+_QUALITY_SQL = f"""
+WITH {_TOKS},
+counts AS (SELECT doc_id, count(*)::DOUBLE AS n_tok FROM toks GROUP BY 1),
+stops AS (
+  SELECT doc_id, count(DISTINCT term)::DOUBLE AS n_stop
+  FROM toks WHERE term IN ({_MARKERS_SQL["en"]}) GROUP BY 1
+),
+base AS (
+  SELECT doc_id, length(text)::DOUBLE AS n_char,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))::DOUBLE AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT b.doc_id, coalesce(c.n_tok, 0) AS n_tok, b.n_char, b.n_alpha,
+         b.n_punct, coalesce(s.n_stop, 0) AS n_stop
+  FROM base b LEFT JOIN counts c USING (doc_id) LEFT JOIN stops s USING (doc_id)
+)
+SELECT doc_id, n_tok::BIGINT AS n_tokens,
+  round(CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0 END, 4) AS alpha_ratio,
+  round(CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0 END, 4) AS punct_ratio,
+  round(CASE WHEN least(n_tok, 10) > 0 THEN n_stop / least(n_tok, 10) ELSE 0 END, 4) AS stop_ratio,
+  round(CASE WHEN n_tok > 0 THEN n_alpha / n_tok ELSE 0 END, 4) AS mean_word_len,
+  round(0.3 * least(n_tok / 20.0, 1.0)
+      + 0.3 * (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0 END)
+      + 0.2 * (CASE WHEN least(n_tok, 10) > 0 THEN n_stop / least(n_tok, 10) ELSE 0 END)
+      + 0.2 * (1.0 - least((CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0 END) * 5.0, 1.0)),
+    4) AS quality
+FROM m
+"""
+
+_LANGID_SQL = f"""
+WITH {_TOKS},
+hits AS (
+  SELECT doc_id,
+    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["de"]}) THEN term END) AS de_h,
+    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["en"]}) THEN term END) AS en_h,
+    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["es"]}) THEN term END) AS es_h,
+    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["fr"]}) THEN term END) AS fr_h
+  FROM toks GROUP BY 1
+),
+m AS (
+  SELECT d.doc_id, coalesce(h.de_h, 0) AS de_h, coalesce(h.en_h, 0) AS en_h,
+         coalesce(h.es_h, 0) AS es_h, coalesce(h.fr_h, 0) AS fr_h
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id,
+  CASE WHEN greatest(de_h, en_h, es_h, fr_h) < 1 THEN 'und'
+       WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
+       WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+       WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+       ELSE 'fr' END AS lang_guess,
+  greatest(de_h, en_h, es_h, fr_h)::BIGINT AS marker_hits
+FROM m
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -369,6 +513,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"),
         )
 
+    def _tokens(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", simple_tokens("text").alias("tokens")
+        )
+
+    def _emb(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    def exact_dedup(spark, sf):
+        # digest groups over the corpus (reference has no dedup; this is
+        # the training-pipeline op over the same table)
+        return (
+            _docs(spark, sf)
+            .select("doc_id", F.md5("text").alias("digest"))
+            .groupBy("digest")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("doc_id").alias("keep_doc_id"),
+            )
+        )
+
+    def jaccard_pairs(spark, sf):
+        out = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
+        return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+    def minhash_signatures(spark, sf):
+        return dd.minhash_signatures(_tokens(spark, sf), num_hashes=8)
+
+    def simhash_fingerprints(spark, sf):
+        return dd.simhash(_tokens(spark, sf), num_bits=32)
+
+    def ann_cosine_topk(spark, sf):
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.cosine_topk(emb, queries, k=5)
+        return out.select(
+            "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+        )
+
+    def ann_lsh_topk(spark, sf):
+        # approximate path: rows-only check (no SQL oracle — bucketing
+        # uses seeded random hyperplanes)
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ann.lsh_cosine_topk(emb, queries, k=5, n_tables=4)
+
+    def minhash_lsh_pairs(spark, sf):
+        # LSH candidate generation + exact verify: rows-only check (the
+        # verified pairs are a subset of jaccard_pairs by construction)
+        return dd.minhash_lsh_pairs(
+            _tokens(spark, sf), num_hashes=8, band_size=2,
+            threshold=JACCARD_T,
+        )
+
+    def token_count(spark, sf):
+        return ts.token_count(_docs(spark, sf), content_col="text")
+
+    def quality_score(spark, sf):
+        return ts.quality_score(_docs(spark, sf), content_col="text")
+
+    def lang_id(spark, sf):
+        return ts.language_id(_docs(spark, sf), content_col="text")
+
+    def doc_fingerprint(spark, sf):
+        return ts.doc_fingerprint(_docs(spark, sf), content_col="text")
+
+    def embedding_norms(spark, sf):
+        emb = ann.with_norm(_emb(spark, sf))
+        return emb.select("vec_id", F.round("norm", 4).alias("norm"))
+
     def index_to_tsv(spark, sf):
         # reference: retriever/IndexToTsvConverter.java:33-55
         return _docs(spark, sf).select(
@@ -395,6 +613,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_rerank": kl_rerank,
         "index_to_tsv": index_to_tsv,
         "doc_lookup": doc_lookup,
+        "exact_dedup": exact_dedup,
+        "jaccard_pairs": jaccard_pairs,
+        "minhash_signatures": minhash_signatures,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_fingerprints": simhash_fingerprints,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "token_count": token_count,
+        "quality_score": quality_score,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "embedding_norms": embedding_norms,
     }
 
 
@@ -426,5 +656,35 @@ def oracle_sql() -> dict[str, str]:
         "doc_lookup": (
             "SELECT doc_id, lang, n_chars FROM documents"
             " WHERE doc_id IN (3, 7, 11)"
+        ),
+        "exact_dedup": (
+            "SELECT md5(text) AS digest, count(*)::BIGINT AS n_docs,"
+            " min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
+        ),
+        "jaccard_pairs": _JACCARD_SQL,
+        "minhash_signatures": _MINHASH_SQL,
+        "simhash_fingerprints": _SIMHASH_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "token_count": (
+            "SELECT doc_id,"
+            " len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+            "     x -> x <> ''))::BIGINT AS ws_tokens,"
+            " len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            "     x -> x <> ''))::BIGINT AS word_tokens,"
+            " length(text)::BIGINT AS n_chars FROM documents"
+        ),
+        "quality_score": _QUALITY_SQL,
+        "lang_id": _LANGID_SQL,
+        "doc_fingerprint": (
+            "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+            " AS term FROM documents)"
+            " SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term))"
+            " AS fingerprint FROM t GROUP BY doc_id"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, round(sqrt(list_dot_product("
+            "embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm"
+            " FROM embeddings"
         ),
     }

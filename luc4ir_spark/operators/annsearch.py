@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- ``cosine_topk``: exact brute-force — query set broadcast against the
+  corpus, dot products via JVM-side higher-order functions (zip_with +
+  aggregate, no Python), per-query top-k window. The correctness
+  baseline; O(|queries| × |corpus|) but embarrassingly parallel and
+  shuffle-free until the final per-query k-merge.
+- ``lsh_cosine_topk``: random-hyperplane LSH — sign-bit bucket key from
+  a fixed seeded plane matrix; candidates = same-bucket (multi-probe:
+  optionally same bucket in any of several independent tables); exact
+  cosine re-rank inside buckets. The 100 TB path: the corpus join
+  becomes an equi-join on bucket keys.
+
+Norms are precomputed per row so the scan projects (id, vec, norm) once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "norm"
+) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn("_vd", v).withColumn(
+        out_col, F.sqrt(_dot(F.col("_vd"), F.col("_vd")))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, rank, cosine).
+    ``queries``: (query_id, embedding). Query side is broadcast; ties
+    break cosine desc then vec_id asc. Self-matches (same id) are NOT
+    excluded — filter upstream if undesired."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+        vec_col,
+    ).select("vec_id", F.col("_vd").alias("cv"), F.col("norm").alias("cn"))
+    q = with_norm(
+        queries.select(F.col("query_id"), F.col(vec_col)), vec_col
+    ).select("query_id", F.col("_vd").alias("qv"), F.col("norm").alias("qn"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_expr(vec_col, planes: list[list[float]]):
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, 1).otherwise(0)
+        bits.append((bit * (2**i)).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign buckets, ``n_tables``
+    independent tables unioned for recall, exact cosine re-rank within
+    candidates. Returns (query_id, vec_id, rank, cosine)."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col
+    ).select("vec_id", F.col("_vd").alias("cv"), F.col("norm").alias("cn"))
+    q = with_norm(
+        queries.select("query_id", F.col(vec_col)), vec_col
+    ).select("query_id", F.col("_vd").alias("qv"), F.col("norm").alias("qn"))
+
+    cand_parts = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + 1000 * t)
+        cb = c.withColumn("bucket", _bucket_expr("cv", planes)).withColumn(
+            "table", F.lit(t)
+        )
+        qb = q.withColumn("bucket", _bucket_expr("qv", planes)).withColumn(
+            "table", F.lit(t)
+        )
+        cand_parts.append(
+            cb.join(F.broadcast(qb), ["table", "bucket"]).select(
+                "query_id", "vec_id", "cv", "cn", "qv", "qn"
+            )
+        )
+    cands = cand_parts[0]
+    for part in cand_parts[1:]:
+        cands = cands.unionByName(part)
+    cands = cands.dropDuplicates(["query_id", "vec_id"])
+    scored = cands.withColumn(
+        "cosine",
+        _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )

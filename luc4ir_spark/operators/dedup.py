@@ -1,0 +1,307 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Beyond the reference's IR core: the operations a 100 TB training-data
+pipeline runs over the same corpus table. All are pure DataFrame
+compositions (no Python in the hot path) designed around bounded shuffle
+fan-out:
+
+- exact:    hash-groupBy on a content digest — one shuffle on the digest
+- n-gram/token Jaccard: inverted join on shingles with a df cap so
+  ubiquitous shingles don't explode the candidate-pair join (the same
+  skew concern as high-df terms in the index build)
+- MinHash + LSH: signature = min over k permutation hashes of the
+  shingle-id set; banding buckets candidates so the pair join touches
+  only same-bucket docs; candidates verified with exact Jaccard
+- SimHash: per-bit weighted majority over shingle hashes -> 64-bit
+  fingerprint; near-dups = small Hamming distance
+
+Determinism: shingle ids come from ``dense_rank`` over the sorted
+distinct shingle set (reproducible in ANSI SQL — no engine-specific
+string hash), and permutation hashes are (a*x + b) mod p with fixed
+seeds, so the DuckDB oracle can replay every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+# fixed (a, b) parameter table for permutation hashes, seed=42-ish;
+# generated once, embedded as literals so SQL oracles can embed them too
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1203077, 52512857), (442549, 102051253), (730087, 21053237),
+    (105331, 183270443), (1909177, 8033339), (238727, 66050159),
+    (1047169, 31109963), (691529, 141274129), (333791, 9102337),
+    (1823017, 54129829), (563779, 77232917), (1300237, 3034303),
+    (879203, 118092013), (207023, 90014591), (1556683, 47038369),
+    (412081, 160034479),
+]
+
+
+def tokens_or_shingles(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    shingle_size: int = 1,
+) -> DataFrame:
+    """(doc_id, tokens) -> distinct (doc_id, shingle) rows.
+    shingle_size=1 -> token set; >1 -> word n-gram shingle set."""
+    if shingle_size <= 1:
+        sh = F.explode(tokens_col).alias("shingle")
+    else:
+        n = shingle_size
+        grams = F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))
+            ),
+            lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
+        )
+        sh = F.explode(grams).alias("shingle")
+    return docs.select("doc_id", sh).distinct()
+
+
+def exact_duplicates(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on a content digest -> (digest, n_docs, doc_ids,
+    keep_doc_id) for groups with more than one member. One hash-shuffle;
+    digest grouping beats grouping on raw content (shuffle carries 32
+    bytes/row, not documents)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.col(content_col)).alias("digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_ids(shingles: DataFrame) -> DataFrame:
+    """Assign deterministic dense integer ids to shingles: dense_rank
+    over the sorted distinct shingle vocabulary. Vocabulary-sized sort —
+    at extreme scale swap for a hash id; rank keeps the SQL oracle
+    exact."""
+    vocab = shingles.select("shingle").distinct()
+    w = Window.orderBy("shingle")
+    ids = vocab.withColumn(
+        "shingle_id", F.dense_rank().over(w).cast("long")
+    )
+    return shingles.join(ids, "shingle")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    shingle_size: int = 1,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs token/n-gram Jaccard >= threshold via inverted join:
+    pairs sharing a shingle -> intersection counts -> |A|+|B|-c union.
+    ``max_shingle_df`` drops shingles present in more than that many docs
+    before pairing (skew guard: a stop-shingle in every doc would square
+    the corpus)."""
+    sh = tokens_or_shingles(docs, tokens_col, shingle_size)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("set_size")
+    )
+    if max_shingle_df is not None:
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        sh = sh.join(
+            dfc.filter(F.col("sdf") <= max_shingle_df), "shingle"
+        ).select("doc_id", "shingle")
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _hash_params_df(spark, num_hashes: int) -> DataFrame:
+    params = MINHASH_PARAMS[:num_hashes]
+    if num_hashes > len(MINHASH_PARAMS):
+        raise ValueError(f"at most {len(MINHASH_PARAMS)} hashes supported")
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(params)],
+        "hash_id int, a long, b long",
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    num_hashes: int = 8,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """-> (doc_id, hash_id, min_hash): MinHash signature rows.
+    h_i(x) = (a_i * shingle_id + b_i) mod p, signature = per-doc min."""
+    sh = shingle_ids(tokens_or_shingles(docs, tokens_col, shingle_size))
+    spark = docs.sparkSession
+    params = _hash_params_df(spark, num_hashes)
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .withColumn(
+            "h",
+            (F.col("a") * F.col("shingle_id") + F.col("b"))
+            % F.lit(MERSENNE_P),
+        )
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("h").alias("min_hash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_size: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the signature (num_hashes /
+    band_size bands), bucket-join docs agreeing on a full band, then
+    VERIFY candidates with exact Jaccard >= threshold. The bucket join
+    replaces the quadratic all-pairs with |docs per identical band
+    bucket| fan-out."""
+    sig = minhash_signatures(docs, tokens_col, num_hashes, shingle_size)
+    banded = sig.withColumn(
+        "band", (F.col("hash_id") / band_size).cast("int")
+    )
+    band_key = banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("hash_id", "min_hash"))
+                ),
+                lambda s: s["min_hash"].cast("string"),
+            ),
+            "_",
+        ).alias("bucket")
+    )
+    l = band_key.select(F.col("doc_id").alias("a"), "band", "bucket")
+    r = band_key.select(F.col("doc_id").alias("b"), "band", "bucket")
+    cands = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (join back to shingle sets)
+    sh = tokens_or_shingles(docs, tokens_col, shingle_size)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cands.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    num_bits: int = 32,
+    hash_a: int = 1203077,
+    hash_b: int = 52512857,
+) -> DataFrame:
+    """-> (doc_id, simhash): per-bit weighted majority fingerprint.
+    Each distinct shingle votes tf=1 per bit of h(shingle_id); bit set
+    iff the +1/-1 vote sum is positive. Near-dups share most bits."""
+    sh = shingle_ids(tokens_or_shingles(docs, tokens_col, 1))
+    hashed = sh.withColumn(
+        "h",
+        (F.lit(hash_a) * F.col("shingle_id") + F.lit(hash_b))
+        % F.lit(MERSENNE_P),
+    )
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("shiftright(h, bit) % 2 = 1"), 1).otherwise(-1),
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int = 3, num_bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance. Candidate generation
+    buckets on bit-chunks (pigeonhole: distance <= d -> some chunk of
+    d+1 chunks matches exactly), then verifies the true distance."""
+    n_chunks = max_hamming + 1
+    chunk_bits = max(1, num_bits // n_chunks)
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(
+            f"shiftright(simhash, chunk * {chunk_bits})"
+            f" % shiftleft(cast(1 as bigint), {chunk_bits})"
+        ),
+    )
+    l = chunks.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
+        "chunk", "chunk_val",
+    )
+    r = chunks.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
+        "chunk", "chunk_val",
+    )
+    cands = (
+        l.join(r, ["chunk", "chunk_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return cands.withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")

@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step is STUBBED (no image/audio codecs in this environment):
+``decode_image``/``decode_audio`` raise NotImplementedError unless the
+deterministic fake decoder is selected — but everything AROUND the
+decode is real and tested: the schema contract, Arrow batch shapes,
+``mapInPandas`` iteration, partition sizing for large binaries, and the
+feature-vector output layout a downstream ANN/dedup stage consumes.
+
+Schema contract:
+    media(doc_id long, kind string, media binary,
+          meta struct<mime string, width int, height int,
+                      duration_ms int, sample_rate int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_feature(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decoder+encoder: hash the bytes
+    into a unit vector. Same blob -> same vector, so downstream dedup /
+    ANN stages are testable end-to-end."""
+    h = hashlib.sha256(blob or b"").digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
+
+
+def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
+    """Real decoder NOT available in this environment (no image codec
+    libraries baked in); the production implementation plugs in here.
+    ``fake=True`` routes to the deterministic stand-in."""
+    if fake:
+        return _fake_feature(blob)
+    raise NotImplementedError(
+        "image decoding requires an image codec library (not present); "
+        "use fake=True for the deterministic test double"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    kind: str | None = None,
+    fake_decoder: bool = True,
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """media table -> (doc_id, kind, n_bytes, feature array<double>).
+
+    ``mapInPandas`` so each Arrow batch of binaries is processed
+    column-at-a-time; partition sizing guidance: keep
+    spark.sql.files.maxPartitionBytes modest (<=64 MB) when media blobs
+    are large so a batch of decoded frames fits executor memory."""
+    from ..deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    if kind is not None:
+        media = media.filter(F.col("kind") == kind)
+    media = media.select("doc_id", "kind", "media")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_feature(b, dim) if fake_decoder else decode_image(b)
+                for b in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["media"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature": [list(map(float, v)) for v in feats],
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, kind string, n_bytes long, feature array<double>",
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, fake_decoder: bool = True
+) -> DataFrame:
+    """Video frame sampling plumbing: expand each video row into frame
+    rows at ``every_ms`` intervals of meta.duration_ms. Frame DECODE is
+    the stub; the row expansion, timestamps, and per-frame feature
+    layout are real."""
+    from ..deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    vids = media.filter(F.col("kind") == "video").select(
+        "doc_id", "media", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    frames = vids.withColumn(
+        "frame_ts_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decoder:
+                raise NotImplementedError(
+                    "video frame decoding requires codec libraries"
+                )
+            feats = [
+                _fake_feature((b or b"") + int(ts).to_bytes(8, "little"))
+                for b, ts in zip(pdf["media"], pdf["frame_ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "feature": [list(map(float, v)) for v in feats],
+                }
+            )
+
+    return frames.select("doc_id", "media", "frame_ts_ms").mapInPandas(
+        run, "doc_id long, frame_ts_ms long, feature array<double>"
+    )

@@ -1,0 +1,138 @@
+"""Text analysis for corpus pipelines: language-id heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure JVM-side column expressions (whole-stage codegen, no
+UDF), each reproducible in ANSI SQL for the oracle gate. They extend the
+reference's analyzer surface (SURVEY §2.2) with the per-document
+statistics a training-data pipeline filters on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import simple_tokens
+
+# tiny per-language function-word sets for the n-gram/stopword-ratio
+# language heuristic (public common function words)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "den", "von", "ein"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"],
+}
+
+
+def token_count(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace tokens, word tokens (BPE-ish [a-z0-9]+ pieces), chars."""
+    c = F.col(content_col)
+    ws = F.size(
+        F.array_remove(F.split(F.trim(c), r"\s+"), "")
+    ).cast("long")
+    words = F.size(simple_tokens(c)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        words.alias("word_tokens"),
+        F.length(c).cast("long").alias("n_chars"),
+    )
+
+
+def _ratio(cnt: Column, total: Column) -> Column:
+    return F.when(total > 0, cnt / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite quality heuristics: length, alpha ratio, punctuation
+    density, stopword ratio, mean word length; plus a single [0,1] score
+    blending them. Filters like score >= 0.5 prune boilerplate/garbage."""
+    c = F.col(content_col)
+    toks = simple_tokens(c)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    n_punct = F.length(
+        F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}]", "")
+    ).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("double")
+    alpha_ratio = _ratio(n_alpha, n_char)
+    punct_ratio = _ratio(n_punct, n_char)
+    stop_ratio = _ratio(n_stop, F.least(n_tok, F.lit(10.0)))
+    mean_wlen = F.when(n_tok > 0, n_alpha / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Function-word-ratio language guess over LANG_MARKERS: the language
+    whose marker set intersects the token set most wins; ties break by
+    language code; below ``min_hits`` -> 'und'. A cheap, deterministic
+    stand-in for a real langid model, but the Spark shape (token-set
+    intersections in codegen, no UDF) is the production shape."""
+    toks = F.array_distinct(simple_tokens(F.col(content_col)))
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hit_cols.append(
+            F.struct(
+                F.size(F.array_intersect(toks, arr)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (hits desc, lang asc): array_max on (hits, reversed-lang)
+    # is awkward; sort_array desc on struct gives (max hits, max lang) —
+    # so negate the tie field by sorting asc on (-hits, lang)
+    best = F.sort_array(
+        F.array(*[
+            F.struct(
+                (-h["hits"]).alias("neg_hits"), h["lang"].alias("lang"),
+                h["hits"].alias("hits"),
+            )
+            for h in hit_cols
+        ])
+    )[0]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] >= min_hits, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        best["hits"].cast("long").alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (bag-of-words identity — catches reshuffled /
+    re-wrapped duplicates that exact hashing misses)."""
+    toks = F.array_sort(F.array_distinct(simple_tokens(F.col(content_col))))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+    )

@@ -1,0 +1,223 @@
+"""Training-data pipeline operators: dedup, ANN search, text stats,
+multimodal plumbing — each vs a pure-Python brute-force oracle."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from luc4ir_spark.functions.analysis import simple_tokens
+from luc4ir_spark.operators import annsearch, dedup, multimodal, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (2, "quick brown fox jumps over a lazy dog today"),   # near dup
+    (3, "completely different content about spark sql engines"),
+    (4, "spark sql engines about completely different content"),  # same bag as 3
+    (5, "unrelated short text"),
+]
+
+
+def tok(t):
+    return t.lower().split()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, content string")
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark, docs_df):
+    return docs_df.select(
+        "doc_id", simple_tokens("content").alias("tokens")
+    )
+
+
+def test_exact_duplicates(spark, docs_df):
+    out = dedup.exact_duplicates(docs_df).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["doc_ids"] == [0, 1]
+    assert g["keep_doc_id"] == 0 and g["n_docs"] == 2
+
+
+def brute_jaccard(a, b):
+    sa, sb = set(tok(a)), set(tok(b))
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_jaccard_pairs(spark, tokens_df):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(tokens_df, threshold=0.5).collect()
+    }
+    exp = {}
+    for (i, ta), (j, tb) in itertools.combinations(DOCS, 2):
+        jc = brute_jaccard(ta, tb)
+        if jc >= 0.5:
+            exp[(i, j)] = jc
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v)
+
+
+def test_minhash_lsh_finds_near_dups(spark, tokens_df):
+    pairs = dedup.minhash_lsh_pairs(
+        tokens_df, num_hashes=8, band_size=2, threshold=0.5
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in found  # exact dups always collide
+    # verified jaccard values are exact
+    for r in pairs:
+        assert r["jaccard"] == pytest.approx(
+            brute_jaccard(DOCS[r["a"]][1], DOCS[r["b"]][1])
+        )
+    # no false positives below threshold survive verification
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_signature_shape(spark, tokens_df):
+    sig = dedup.minhash_signatures(tokens_df, num_hashes=8).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], set()).add(r["hash_id"])
+    assert all(v == set(range(8)) for v in by_doc.values())
+    # identical docs -> identical signatures
+    s0 = sorted((r["hash_id"], r["min_hash"]) for r in sig if r["doc_id"] == 0)
+    s1 = sorted((r["hash_id"], r["min_hash"]) for r in sig if r["doc_id"] == 1)
+    assert s0 == s1
+
+
+def test_simhash(spark, tokens_df):
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(tokens_df).collect()}
+    assert sims[0] == sims[1]  # identical token sets
+    assert sims[3] == sims[4]  # same bag of words
+    pairs = dedup.simhash_pairs(
+        dedup.simhash(tokens_df), max_hamming=3
+    ).collect()
+    found = {(r["a"], r["b"]): r["hamming"] for r in pairs}
+    assert found[(0, 1)] == 0
+    assert found[(3, 4)] == 0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = annsearch.cosine_topk(embeddings, queries, k=5).collect()
+    norms = np.linalg.norm(mat, axis=1)
+    for qi in range(3):
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = np.lexsort((ids, -cos))[:5]
+        exp_ids = ids[order].tolist()
+        rows = sorted(
+            [r for r in got if r["query_id"] == qi], key=lambda r: r["rank"]
+        )
+        assert [r["vec_id"] for r in rows] == exp_ids
+        for r, ei in zip(rows, order):
+            assert r["cosine"] == pytest.approx(cos[ei], rel=1e-9)
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = annsearch.cosine_topk(embeddings, queries, k=5).collect()
+    approx = annsearch.lsh_cosine_topk(
+        embeddings, queries, k=5, n_planes=6, n_tables=4, dim=64
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # self-match (cosine 1.0) must always be found; overall recall decent
+    hits = total = 0
+    for q, es in exact_sets.items():
+        assert q in approx_sets[q]
+        hits += len(es & approx_sets.get(q, set()))
+        total += len(es)
+    assert hits / total >= 0.4, f"LSH recall too low: {hits}/{total}"
+
+
+def test_token_count(spark, docs_df):
+    out = {r["doc_id"]: r for r in textstats.token_count(docs_df).collect()}
+    for d, t in DOCS:
+        assert out[d]["ws_tokens"] == len(t.split())
+        assert out[d]["word_tokens"] == len(tok(t))
+        assert out[d]["n_chars"] == len(t)
+
+
+def test_quality_score_bounds(spark, docs_df):
+    for r in textstats.quality_score(docs_df).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and it is happy"),
+            (1, "el gato y la casa de los vecinos en madrid"),
+            (2, "der hund ist nicht mit den kindern"),
+            (3, "xyzzy qwerty asdf"),
+        ],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in textstats.language_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_doc_fingerprint_order_insensitive(spark, docs_df):
+    out = {
+        r["doc_id"]: r["fingerprint"]
+        for r in textstats.doc_fingerprint(docs_df).collect()
+    }
+    assert out[3] == out[4]  # same bag of words, different order
+    assert out[0] != out[3]
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (0, "image", b"\x89PNGfakebytes0", ("image/png", 10, 10, None, None)),
+        (1, "image", b"\x89PNGfakebytes1", ("image/png", 20, 20, None, None)),
+        (2, "image", b"\x89PNGfakebytes0", ("image/png", 10, 10, None, None)),
+        (3, "video", b"RIFFfakevideo", ("video/avi", 64, 48, 3500, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, kind="image").collect()
+    assert len(feats) == 3
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[0]["feature"] == by_id[2]["feature"]  # deterministic
+    assert by_id[0]["feature"] != by_id[1]["feature"]
+    assert len(by_id[0]["feature"]) == multimodal.FEATURE_DIM
+    assert by_id[0]["n_bytes"] == len(b"\x89PNGfakebytes0")
+    # real decoder path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", fake=False)
+
+
+def test_frame_sampling(spark):
+    rows = [(3, "video", b"RIFFfakevideo", ("video/avi", 64, 48, 3500, None))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
+    f0 = [r for r in frames if r["frame_ts_ms"] == 0][0]
+    f1 = [r for r in frames if r["frame_ts_ms"] == 1000][0]
+    assert f0["feature"] != f1["feature"]  # per-frame features differ
