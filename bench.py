@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine operations at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
+
+Workloads (all end-to-end actions, cold plans):
+  index_build_simple   tokenize+postings+stats, JVM-only tokenizer
+  index_build_english  same with the Porter/stop Arrow-UDF analyzer
+  compress_postings    delta+varbyte blob build (salted)
+  bm25_batch           50 queries x k=1000, exhaustive DataFrame path
+  wand_batch           same 50 queries over compressed blobs (WAND)
+  eval_metrics         run x pseudo-qrels metric aggregates
+  minhash_lsh          MinHash-LSH near-dup pairs over the corpus
+  ann_topk             50-query exact cosine top-10 over embeddings
+  textstats            quality + lang-id + fingerprint full pass
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from luc4ir_spark.functions.analysis import AnalyzerConfig
+from luc4ir_spark.operators import annsearch as ann
+from luc4ir_spark.operators import dedup as dd
+from luc4ir_spark.operators import evaluation as ev
+from luc4ir_spark.operators import indexer as ix
+from luc4ir_spark.operators import retrieval as rt
+from luc4ir_spark.operators import textstats as tstat
+from luc4ir_spark.operators import wand as wd
+from luc4ir_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+K = 1000
+N_QUERIES = 50
+
+BASE_TERMS = [
+    "spark", "join", "window", "stream", "hash", "table", "merge",
+    "filter", "sort", "query", "data", "batch", "row", "scan", "agg",
+    "value", "key", "fast", "slow", "part", "line", "order", "small",
+    "big", "column", "customer",
+]
+
+
+def make_queries(n: int) -> list[tuple[str, str]]:
+    out = []
+    for i in range(n):
+        terms = [
+            BASE_TERMS[(i * 3 + j) % len(BASE_TERMS)]
+            for j in range(2 + (i % 3))
+        ]
+        out.append((f"b{i}", " ".join(terms)))
+    return out
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="luc4ir_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs = docs.persist()
+    n_docs = docs.count()
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = emb.persist()
+    emb.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {"n_docs": n_docs, "cpus": CPUS}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        res = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return res
+
+    simple_cfg = ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    english_cfg = ix.IndexConfig(analyzer=AnalyzerConfig(mode="english"))
+
+    # ---- index builds
+    def build_simple():
+        idx = ix.build_index(docs, simple_cfg, content_col="text")
+        idx.postings.count()
+        return idx
+
+    idx = timed("index_build_simple", build_simple)
+    extra["index_docs_per_sec"] = round(
+        n_docs / timings["index_build_simple"], 1
+    )
+    extra["n_postings"] = idx.postings.count()
+
+    def build_english():
+        e = ix.build_index(docs, english_cfg, content_col="text", cache=False)
+        return e.postings.count()
+
+    timed("index_build_english", build_english)
+
+    # ---- compression
+    def compress():
+        idx.blobs = wd.build_compressed_postings(idx)
+        idx.blobs = idx.blobs.persist()
+        return idx.blobs.count()
+
+    timed("compress_postings", compress)
+
+    # ---- retrieval
+    queries = make_queries(N_QUERIES)
+    qt = rt.queries_to_terms(
+        spark, queries, AnalyzerConfig(mode="simple")
+    ).persist()
+    qt.count()
+
+    run_holder = {}
+
+    def bm25_batch():
+        run = rt.score_queries(idx, qt, k=K)
+        run = run.persist()
+        n = run.count()
+        run_holder["run"] = run
+        return n
+
+    timed("bm25_batch", bm25_batch)
+    extra["bm25_queries_per_sec"] = round(
+        N_QUERIES / timings["bm25_batch"], 2
+    )
+
+    def wand_batch():
+        return wd.score_queries_wand(idx, qt, k=K).count()
+
+    timed("wand_batch", wand_batch)
+
+    # ---- evaluation
+    def eval_metrics():
+        run = run_holder["run"].withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        qrels = run.select(
+            "qid", "docid",
+            F.when(F.col("doc_id") % 6 == 0, 1.0).otherwise(0.0).alias("rel"),
+        )
+        return ev.per_query_metrics(run, qrels).count()
+
+    timed("eval_metrics", eval_metrics)
+
+    # ---- pipeline ops
+    tokens = docs.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "").alias(
+            "tokens"
+        ),
+    )
+
+    def minhash_lsh():
+        # the synthetic corpus has a ~31-term vocabulary, so it genuinely
+        # contains ~190k >=0.95-Jaccard pairs at sf0.1 — wide bands
+        # (2 bands of 8) keep the candidate set near the true pair set
+        return dd.minhash_lsh_pairs(
+            tokens, num_hashes=16, band_size=8, threshold=0.95
+        ).count()
+
+    timed("minhash_lsh", minhash_lsh)
+
+    def ann_topk():
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ann.cosine_topk(emb, q, k=10).count()
+
+    timed("ann_topk", ann_topk)
+
+    def textstats():
+        a = tstat.quality_score(docs, content_col="text").count()
+        b = tstat.language_id(docs, content_col="text").count()
+        c = tstat.doc_fingerprint(docs, content_col="text").count()
+        return a + b + c
+
+    timed("textstats", textstats)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: object = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "engine_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

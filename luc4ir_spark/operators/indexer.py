@@ -27,11 +27,17 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, replace
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.analysis import AnalyzerConfig, simple_tokens, tokens_udf
+from ..functions.analysis import (
+    AnalyzerConfig,
+    analyze_series,
+    simple_tokens,
+    tokens_udf,
+)
 
 
 @dataclass(frozen=True)
@@ -174,6 +180,48 @@ def build_flat_postings(tokens: DataFrame) -> DataFrame:
     )
 
 
+def extract_postings_arrow(
+    docs: DataFrame,
+    cfg: AnalyzerConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(docs) -> (term, doc_id, tf, doc_len): tokenization AND per-doc
+    term-frequency extraction in ONE Arrow kernel.
+
+    The explode-then-groupBy route materializes every token occurrence
+    as a JVM string row (|tokens| rows) before the map-side partial agg
+    — at high parallelism the allocation rate turns the build GC-bound.
+    Here the Counter runs inside the pandas UDF, so only the already-
+    aggregated (term, doc_id, tf) triples (~|distinct terms per doc|)
+    cross Arrow, and no groupBy is needed before the term shuffle.
+    This is the default path for UDF-analyzed modes."""
+    from collections import Counter
+
+    from ..deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def extract(batches):
+        for pdf in batches:
+            token_lists = analyze_series(pdf[content_col], cfg)
+            ids, terms, tfs, dls = [], [], [], []
+            for doc_id, toks in zip(pdf[id_col], token_lists):
+                cnt = Counter(toks)
+                n = len(toks)
+                ids.extend([doc_id] * len(cnt))
+                dls.extend([n] * len(cnt))
+                terms.extend(cnt.keys())
+                tfs.extend(cnt.values())
+            yield pd.DataFrame(
+                {"term": terms, "doc_id": ids, "tf": tfs, "doc_len": dls}
+            )
+
+    return docs.select(id_col, content_col).mapInPandas(
+        extract, "term string, doc_id long, tf int, doc_len long"
+    )
+
+
 def build_term_stats(flat_postings: DataFrame) -> DataFrame:
     """term -> (df, cf): the term-dictionary statistics BM25/LM need.
     (reference reads these from the Lucene index: docFreq/totalTermFreq,
@@ -207,15 +255,37 @@ def build_index(
     cache: bool = True,
 ) -> InvertedIndex:
     """End-to-end index build. With ``compress=True`` also materializes
-    the delta+varbyte blob table (see operators/wand.py for the reader)."""
+    the delta+varbyte blob table (see operators/wand.py for the reader).
+
+    Memory shape: tokenization runs exactly ONCE (its output feeds the
+    postings aggregation directly and is never cached — persisting the
+    raw token arrays evicts everything else and thrashes at high
+    parallelism); only the compact flat-postings table is persisted.
+    doc_len is derived back out of the postings (it rides the groupBy
+    key), so docs are re-scanned only for the cheap sha projection."""
     cfg = cfg or IndexConfig()
-    toks = tokenize(docs, cfg.analyzer, id_col, content_col)
-    if cache:
-        toks = toks.persist()
-    doc_stats = build_doc_stats(docs, toks, id_col, content_col)
-    flat = build_flat_postings(toks)
+    if cfg.analyzer.mode == "simple":
+        # pure-JVM tokenizer: explode + codegen'd partial agg
+        toks = tokenize(docs, cfg.analyzer, id_col, content_col)
+        flat = build_flat_postings(toks)
+    else:
+        # Arrow-analyzed modes: tf extraction inside the UDF (see
+        # extract_postings_arrow — avoids the JVM token-explode)
+        flat = extract_postings_arrow(docs, cfg.analyzer, id_col, content_col)
     if cache:
         flat = flat.persist()
+    # doc_len per doc from the postings themselves (constant per doc_id);
+    # left join keeps zero-token docs with doc_len 0
+    lens = flat.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+    doc_stats = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.sha2(F.col(content_col), 256).alias("content_sha256"),
+        )
+        .join(lens, "doc_id", "left")
+        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+        .select("doc_id", "doc_len", "content_sha256")
+    )
     term_stats = build_term_stats(flat)
     if cache:
         term_stats = term_stats.persist()

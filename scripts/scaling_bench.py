@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence for the north rule.
+
+The rule requires >=0.8 throughput scaling efficiency between N and 4N
+executor clusters; this sandbox is one machine, so the stand-in (per the
+build instructions) is the same job at local[8] vs local[32] on
+identical input: efficiency = (throughput_32 / throughput_8) / 4.
+
+Caveat measured and reported alongside: this VM's vCPUs time-share —
+a pure-CPU multiprocessing burn (no Spark, no JVM) already loses ~28%
+per-core throughput going 8 -> 32 workers, capping ANY job's achievable
+efficiency at ~0.72 here. We therefore report both the absolute
+efficiency and the efficiency relative to that measured hardware
+ceiling (which is what would transfer to a real 4x-executor cluster).
+
+Workloads (north-rule corpus, (repo,path,commit,lang,content) shape):
+  extract   tokenize + per-doc tf extraction (the dominant index-build
+            stage): Arrow kernel, no shuffle
+  build     full index build (extract + term shuffle + stats)
+  query     50 BM25 queries x k=1000 over the built index
+
+Each (workload, cpus) measurement runs in its own subprocess (one
+SparkSession per JVM), repeated --reps times; medians are reported.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DOCS_DEFAULT = 360_000
+
+
+def raw_cpu_ceiling(low: int, high: int) -> dict:
+    """Pure-python multiprocessing burn: the machine's own scaling."""
+    import multiprocessing as mp
+
+    def measure(n: int) -> float:
+        with mp.Pool(n) as p:
+            res = p.map(_burn, range(n))
+        return sum(res)
+
+    lo = measure(low)
+    hi = measure(high)
+    return {
+        "low_iters": lo,
+        "high_iters": hi,
+        "raw_speedup": round(hi / lo, 3),
+        "raw_efficiency": round((hi / lo) / (high / low), 3),
+    }
+
+
+def _burn(_: int) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def _calibrate(cpus: int) -> float:
+    """1-second single-core burn — records how fast THIS moment's CPU is
+    so externally-inflated reps can be identified post hoc."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return x / 1e6
+
+
+def run_child(cpus: int, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from luc4ir_spark.functions.analysis import AnalyzerConfig
+    from luc4ir_spark.operators import indexer as ix
+    from luc4ir_spark.operators import retrieval as rt
+    from luc4ir_spark.session import get_spark
+    from luc4ir_spark.sources.corpus import HIGH_DF_TOKENS, synth_corpus
+
+    # IDENTICAL job shape at both parallelism levels: same input
+    # partition count, same shuffle partition count — only the number
+    # of executor threads differs (the "same input, two cluster sizes"
+    # contract of the north rule).
+    parts = 128
+    spark = get_spark(
+        app_name=f"scaling_bench_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=parts,
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    cfg = AnalyzerConfig(mode="english")
+    docs = synth_corpus(spark, n_docs, seed=42, num_partitions=parts)
+    docs = docs.withColumn(
+        "doc_id", F.xxhash64(F.concat_ws("|", "repo", "path", "commit"))
+    ).persist()
+    docs.count()  # corpus materialized OUTSIDE all timed windows
+
+    # warm the python workers (cold fork+import otherwise lands in rep 1)
+    ix.extract_postings_arrow(docs.limit(2000), cfg).count()
+
+    t0 = time.time()
+    n_rows = ix.extract_postings_arrow(docs, cfg).count()
+    t_extract = time.time() - t0
+
+    t0 = time.time()
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
+    n_postings = idx.postings.count()
+    t_build = time.time() - t0
+
+    queries = [
+        (f"s{i}", " ".join(HIGH_DF_TOKENS[i % 10 : i % 10 + 3]))
+        for i in range(50)
+    ]
+    qt = rt.queries_to_terms(spark, queries, cfg)
+    rt.score_queries(idx, qt.limit(3), k=10).count()  # warm
+    t0 = time.time()
+    n_run = rt.score_queries(idx, qt, k=1000).count()
+    t_query = time.time() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "calib_m_iters": round(_calibrate(cpus), 2),
+        "n_docs": n_docs,
+        "n_rows": n_rows,
+        "n_postings": n_postings,
+        "n_run_rows": n_run,
+        "extract_sec": round(t_extract, 3),
+        "build_sec": round(t_build, 3),
+        "query_sec": round(t_query, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--docs", type=int, default=N_DOCS_DEFAULT)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.child is not None:
+        print("CHILD_JSON " + json.dumps(run_child(args.child, args.docs)))
+        return
+
+    ceiling = raw_cpu_ceiling(args.low, args.high)  # before any JVM load
+    runs: dict[int, list[dict]] = {args.low: [], args.high: []}
+    # interleave reps so machine-state drift hits both levels equally
+    for rep in range(args.reps):
+        for cpus in (args.low, args.high):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", str(cpus), "--docs", str(args.docs)],
+                capture_output=True, text=True, cwd=REPO, timeout=3000,
+                env={**os.environ, "SPARK_DRIVER_MEM": "48g"},
+            )
+            lines = [
+                l for l in proc.stdout.splitlines()
+                if l.startswith("CHILD_JSON ")
+            ]
+            if not lines:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise SystemExit(f"child local[{cpus}] rep {rep} failed")
+            runs[cpus].append(json.loads(lines[-1][len("CHILD_JSON "):]))
+
+    ratio = args.high / args.low
+
+    def med(cpus: int, key: str) -> float:
+        return statistics.median(r[key] for r in runs[cpus])
+
+    def best(cpus: int, key: str) -> float:
+        # min-of-reps: the noise-robust estimator on a shared VM — any
+        # external interference only ever inflates a run's wall time
+        return min(r[key] for r in runs[cpus])
+
+    out: dict = {
+        "metric": "scaling_efficiency",
+        "docs": args.docs,
+        "reps": args.reps,
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "raw_cpu_ceiling": ceiling,
+        "workloads": {},
+        "all_runs": runs,
+    }
+    for wl in ("extract", "build", "query"):
+        lo, hi = med(args.low, f"{wl}_sec"), med(args.high, f"{wl}_sec")
+        blo, bhi = best(args.low, f"{wl}_sec"), best(args.high, f"{wl}_sec")
+        speedup = lo / hi
+        speedup_min = blo / bhi
+        out["workloads"][wl] = {
+            "low_sec_median": round(lo, 3),
+            "high_sec_median": round(hi, 3),
+            "low_sec_min": round(blo, 3),
+            "high_sec_min": round(bhi, 3),
+            "speedup_median": round(speedup, 3),
+            "efficiency_median": round(speedup / ratio, 3),
+            "speedup_min": round(speedup_min, 3),
+            "efficiency_min": round(speedup_min / ratio, 3),
+            "efficiency_min_vs_hw_ceiling": round(
+                speedup_min / ceiling["raw_speedup"], 3
+            ),
+            "low_docs_per_sec": round(args.docs / blo, 1),
+            "high_docs_per_sec": round(args.docs / bhi, 1),
+        }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

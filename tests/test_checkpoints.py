@@ -1,0 +1,162 @@
+"""Resumability (SURVEY §5 item 5): kill after partial completion ->
+rerun -> identical final index; lineage invalidation; streaming
+incremental index == batch index."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from luc4ir_spark.functions.analysis import AnalyzerConfig
+from luc4ir_spark.operators import indexer as ix
+from luc4ir_spark.operators import retrieval as rt
+from luc4ir_spark.plans import checkpoints as cp
+from luc4ir_spark.sources.corpus import synth_corpus
+from luc4ir_spark.streaming.incremental_index import (
+    open_incremental_index,
+    start_incremental_index,
+)
+
+SIMPLE = AnalyzerConfig(mode="simple")
+CFG = ix.IndexConfig(analyzer=SIMPLE)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return synth_corpus(spark, 300, seed=42).withColumn(
+        "doc_id",
+        F.xxhash64(F.concat_ws("|", "repo", "path", "commit")),
+    ).persist()
+
+
+def _postings_map(spark, out_dir):
+    rows = spark.read.parquet(os.path.join(out_dir, "postings")).collect()
+    return sorted((r["term"], r["doc_id"], r["tf"], r["doc_len"]) for r in rows)
+
+
+def test_corpus_deterministic(spark):
+    a = synth_corpus(spark, 50, seed=42).orderBy("path").collect()
+    b = synth_corpus(spark, 50, seed=42, num_partitions=3).orderBy("path").collect()
+    assert a == b  # partitioning-independent
+    c = synth_corpus(spark, 50, seed=7).orderBy("path").collect()
+    assert a != c  # seed-sensitive
+    # shape contract (north-rule input_hint)
+    assert set(a[0].asDict().keys()) == {
+        "repo", "path", "commit", "lang", "content"
+    }
+    # per-doc unique token present
+    assert any("uniq_" in r["content"] for r in a)
+
+
+def test_interrupted_build_resumes_identically(spark, docs, tmp_path):
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "partial")
+
+    logs: list[str] = []
+    cp.build_index_checkpointed(
+        docs, full_dir, CFG, num_slices=4, log=logs.append
+    )
+
+    # simulate a crash: run, then surgically mark slices 2,3 incomplete
+    # and delete their output (as if the job died mid-flight)
+    cp.build_index_checkpointed(
+        docs, part_dir, CFG, num_slices=4, log=logs.append
+    )
+    manifest_path = os.path.join(part_dir, "manifest.json")
+    with open(manifest_path) as fh:
+        m = json.load(fh)
+    m["completed_slices"] = [0, 1]
+    m["completed_stages"] = ["doc_stats"]  # term_stats must rerun too
+    with open(manifest_path, "w") as fh:
+        json.dump(m, fh)
+    import shutil
+
+    shutil.rmtree(os.path.join(part_dir, "postings", "slice=2"))
+    shutil.rmtree(os.path.join(part_dir, "postings", "slice=3"))
+    shutil.rmtree(os.path.join(part_dir, "term_stats"))
+
+    logs.clear()
+    cp.build_index_checkpointed(
+        docs, part_dir, CFG, num_slices=4, log=logs.append
+    )
+    # only slices 2,3 re-ran; doc_stats skipped
+    assert any("doc_stats: already complete" in l for l in logs)
+    assert any("postings_slice_2" in l for l in logs)
+    assert any("postings_slice_3" in l for l in logs)
+    assert not any("postings_slice_0" in l for l in logs)
+
+    assert _postings_map(spark, part_dir) == _postings_map(spark, full_dir)
+    idx_a = cp.read_index(spark, full_dir, CFG)
+    idx_b = cp.read_index(spark, part_dir, CFG)
+    assert idx_a.stats == idx_b.stats
+
+
+def test_noop_rerun_skips_everything(spark, docs, tmp_path):
+    out = str(tmp_path / "idx")
+    logs: list[str] = []
+    cp.build_index_checkpointed(docs, out, CFG, num_slices=2, log=logs.append)
+    logs.clear()
+    m = cp.build_index_checkpointed(
+        docs, out, CFG, num_slices=2, log=logs.append
+    )
+    assert any("already complete" in l for l in logs)
+    assert any("all slices complete" in l for l in logs)
+    assert sorted(m["completed_slices"]) == [0, 1]
+    # metrics were recorded with throughput
+    assert m["metrics"]["doc_stats"]["rows_per_sec"] is not None
+
+
+def test_lineage_mismatch_rebuilds(spark, docs, tmp_path):
+    out = str(tmp_path / "idx2")
+    cp.build_index_checkpointed(docs, out, CFG, num_slices=2)
+    changed = docs.limit(200)
+    logs: list[str] = []
+    cp.build_index_checkpointed(
+        changed, out, CFG, num_slices=2, log=logs.append
+    )
+    assert any("lineage mismatch" in l for l in logs)
+    idx = cp.read_index(spark, out, CFG)
+    assert idx.stats.n_docs == 200
+
+
+def test_checkpointed_index_retrieves(spark, docs, tmp_path):
+    out = str(tmp_path / "idx3")
+    cp.build_index_checkpointed(docs, out, CFG, num_slices=2)
+    idx = cp.read_index(spark, out, CFG)
+    qt = rt.queries_to_terms(spark, [("c1", "import return license")], SIMPLE)
+    assert rt.score_queries(idx, qt, k=5).count() == 5
+
+
+def test_streaming_incremental_equals_batch(spark, tmp_path):
+    docs = synth_corpus(spark, 120, seed=9).withColumn(
+        "doc_id", F.xxhash64("path")
+    ).select("doc_id", "content").persist()
+    in_dir = str(tmp_path / "incoming")
+    idx_dir = str(tmp_path / "stream_idx")
+    os.makedirs(in_dir)
+
+    # two arrival waves
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    q = start_incremental_index(spark, in_dir, idx_dir, CFG)
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    q2 = start_incremental_index(spark, in_dir, idx_dir, CFG)
+    q2.awaitTermination(120)
+
+    streamed = open_incremental_index(spark, idx_dir, CFG)
+    batch = ix.build_index(docs, CFG)
+    assert streamed.stats == batch.stats
+    a = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in streamed.postings.collect()
+    )
+    b = sorted(
+        (r["term"], r["doc_id"], r["tf"]) for r in batch.postings.collect()
+    )
+    assert a == b
+    # and it answers queries identically
+    qt = rt.queries_to_terms(spark, [("s1", "import license")], SIMPLE)
+    ra = rt.score_queries(streamed, qt, k=10).collect()
+    rb = rt.score_queries(batch, qt, k=10).collect()
+    assert sorted(map(str, ra)) == sorted(map(str, rb))
