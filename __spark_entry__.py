@@ -275,6 +275,123 @@ FROM kl
 """
 
 
+# --------------------------------------------- LM similarity oracle SQL
+
+MU = 2000.0
+LAM = 0.4
+
+
+def _lm_sql(kind: str) -> str:
+    if kind == "lmdir":
+        term_score = (
+            f"greatest(ln(1.0 + tf.tf / ({MU} * dft.cf / s.total_tokens))"
+            f" + ln({MU} / (dl.doc_len + {MU})), 0.0)"
+        )
+    else:  # lmjm
+        term_score = (
+            f"ln(1.0 + ({(1.0 - LAM) / LAM}) * (tf.tf * 1.0 / dl.doc_len)"
+            f" / (dft.cf * 1.0 / s.total_tokens))"
+        )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id, sum({term_score}) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# --------------------------------------------- verbose-qsel oracle SQL
+
+VERBOSE_QUERIES: list[tuple[str, str]] = [
+    ("v1", "slow scan of giant data table with window agg and filter plans"),
+    ("v2", "spark join"),  # shorter than the window -> keep all terms
+    ("v3", "zzz yyy stream hash xxx www batch"),  # OOV terms idf=0
+]
+
+
+def _verbose_values() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in VERBOSE_QUERIES)
+    return f"vq(qid, text) AS (VALUES {rows})"
+
+
+_QSEL_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_verbose_values()},
+vt AS (
+  SELECT qid, unnest(l) AS term, unnest(range(len(l)))::INT AS pos
+  FROM (SELECT qid, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), x -> x <> '') AS l FROM vq) lists
+),
+widf AS (
+  SELECT vt.qid, vt.pos, vt.term,
+         coalesce(ln(s.n_docs * 1.0 / dft.df), 0.0) AS idf
+  FROM vt LEFT JOIN dft USING (term) CROSS JOIN stats s
+),
+win AS (
+  SELECT *, avg(idf) OVER w AS win_score, count(*) OVER w AS win_len,
+         count(*) OVER (PARTITION BY qid) AS n
+  FROM widf
+  WINDOW w AS (PARTITION BY qid ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+),
+elig AS (SELECT * FROM win WHERE win_len = 3 OR (n < 3 AND pos = 0)),
+best AS (
+  SELECT qid, pos AS start FROM (
+    SELECT qid, pos, row_number() OVER (PARTITION BY qid
+           ORDER BY win_score DESC, pos ASC) AS rn FROM elig
+  ) WHERE rn = 1
+)
+SELECT DISTINCT vt.qid, vt.term
+FROM vt JOIN best USING (qid)
+WHERE vt.pos >= best.start AND vt.pos < best.start + 3
+"""
+
+_RR_HIST_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+{_QRELS_SQL},
+joined AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS is_rel
+  FROM run r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = CAST(qr.docid AS BIGINT)
+),
+perq AS (
+  SELECT qid,
+         CASE WHEN min(CASE WHEN is_rel > 0 THEN rank END) IS NOT NULL
+              THEN 1.0 / min(CASE WHEN is_rel > 0 THEN rank END)
+              ELSE 0.0 END AS rr
+  FROM joined GROUP BY qid
+)
+SELECT CASE WHEN rr <= 0 THEN 0
+            ELSE least(ceil(rr * 5)::INT, 5) END AS bucket,
+       count(*)::BIGINT AS n
+FROM perq GROUP BY 1
+"""
+
+
 # --------------------------------------------- pipeline-op oracle SQL
 
 JACCARD_T = 0.95
@@ -490,6 +607,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("ndcg", 4).alias("ndcg"),
         )
 
+    def _lm_run(spark, sf, kind):
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        sim = rt.Similarity(kind=kind, mu=MU, lam=LAM)
+        run = rt.score_queries(idx, qt, k=TOPK, sim=sim)
+        return run.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def lmdir_topk(spark, sf):
+        # LM-Dirichlet similarity (reference alternative at
+        # retriever/TrecDocRetriever.java:306, mu=2000)
+        return _lm_run(spark, sf, "lmdir")
+
+    def lmjm_topk(spark, sf):
+        # LM-Jelinek-Mercer (reference: MsMarcoTopDocs.java:82, lambda=.4)
+        return _lm_run(spark, sf, "lmjm")
+
+    def verbose_qsel(spark, sf):
+        # max-avg-idf sliding-window verbose-query reduction
+        # (reference: qsel/QuerySelector.java:69-96)
+        from luc4ir_spark.functions.analysis import simple_tokens as st
+        from luc4ir_spark.operators import qsel
+
+        idx = _index(spark, sf)
+        vq = spark.createDataFrame(
+            VERBOSE_QUERIES, "qid string, text string"
+        ).select("qid", st("text").alias("tokens"))
+        out = qsel.select_verbose_query_terms(
+            vq, idx.term_stats, idx.stats.n_docs, window_size=3
+        )
+        return out.select("qid", "term")
+
+    def rr_histogram(spark, sf):
+        # reciprocal-rank bucket histogram (reference:
+        # evaluator/AllRetrievedResults.java:70-88)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        pq = ev.per_query_metrics(run, _pseudo_qrels(spark, sf))
+        return ev.rr_histogram(pq).select(
+            F.col("bucket").cast("int").alias("bucket"), "n"
+        )
+
     def rm_weights(spark, sf):
         # RM-conditional relevance model over bm25 top-3 (fdbk.lambda=1
         # default; reference feedback/RelevanceModelConditional.java:24-48)
@@ -609,6 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_topk_wand": bm25_topk_wand,
         "eval_metrics": eval_metrics,
+        "lmdir_topk": lmdir_topk,
+        "lmjm_topk": lmjm_topk,
+        "verbose_qsel": verbose_qsel,
+        "rr_histogram": rr_histogram,
         "rm_weights": rm_weights,
         "kl_rerank": kl_rerank,
         "index_to_tsv": index_to_tsv,
@@ -650,6 +819,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "eval_metrics": _EVAL_SQL,
+        "lmdir_topk": _lm_sql("lmdir"),
+        "lmjm_topk": _lm_sql("lmjm"),
+        "verbose_qsel": _QSEL_SQL,
+        "rr_histogram": _RR_HIST_SQL,
         "rm_weights": _RM_SQL,
         "kl_rerank": _KL_SQL,
         "index_to_tsv": "SELECT doc_id, text AS content FROM documents",

@@ -1,0 +1,163 @@
+"""Doc parsers, destemmer, samplers, quantization, DocVector kernels,
+RCD char-n-gram BLEU."""
+
+import gzip
+import math
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from luc4ir_spark.functions import docvector as dv
+from luc4ir_spark.operators import utilsops as uo
+from luc4ir_spark.sources import docparsers as dp
+
+SGML = b"""<DOC>
+<DOCNO> FT911-1 </DOCNO>
+<HEADLINE>Some headline</HEADLINE>
+<TEXT>First document body text.</TEXT>
+</DOC>
+<DOC>
+<DOCNO>FT911-2</DOCNO>
+<TEXT>Second document, more text here.</TEXT>
+</DOC>
+"""
+
+
+def test_trec_sgml_parser(spark, tmp_path):
+    d = tmp_path / "coll" / "sub"
+    d.mkdir(parents=True)
+    (d / "file1.sgml").write_bytes(SGML)
+    with gzip.open(d / "file2.sgml.gz", "wb") as fh:
+        fh.write(SGML.replace(b"FT911", b"FT912"))
+    df = dp.read_trec_sgml(spark, str(tmp_path / "coll"))
+    rows = {r["docid"]: r["content"] for r in df.collect()}
+    assert set(rows) == {"FT911-1", "FT911-2", "FT912-1", "FT912-2"}
+    assert "First document body text." in rows["FT911-1"]
+    assert "headline" in rows["FT911-1"].lower()
+    assert "<" not in rows["FT911-1"]  # tags stripped
+
+
+def test_tar_gz_source(spark, tmp_path):
+    coll = tmp_path / "arch"
+    coll.mkdir()
+    f1 = tmp_path / "a.sgml"
+    f1.write_bytes(SGML)
+    f2 = tmp_path / "plain.txt"
+    f2.write_text("plain text doc")
+    hidden = tmp_path / ".hidden"
+    hidden.write_text("should be skipped")
+    with tarfile.open(coll / "c.tar.gz", "w:gz") as tf:
+        tf.add(f1, arcname="docs/a.sgml")
+        tf.add(f2, arcname="docs/plain.txt")
+        tf.add(hidden, arcname="docs/.hidden")
+    df = dp.read_tar_gz(spark, str(coll))
+    rows = {r["docid"]: r["content"] for r in df.collect()}
+    assert "FT911-1" in rows and "FT911-2" in rows
+    assert rows["docs/plain.txt"] == "plain text doc"
+    assert not any(".hidden" in k for k in rows)
+
+
+def test_annotated_lines(spark, tmp_path):
+    d = tmp_path / "anno"
+    d.mkdir()
+    (d / "f.txt").write_text(
+        "<pno>W1</pno>\nline one\nline two</p>\n"
+        "<pno>W2</pno>\nonly line</p>\n"
+    )
+    df = dp.read_annotated_lines(spark, str(d))
+    rows = {r["docid"]: r["content"] for r in df.collect()}
+    assert rows == {"W1": "line one line two", "W2": "only line"}
+
+
+def test_tsv_docs(spark, tmp_path):
+    p = tmp_path / "docs.tsv"
+    p.write_text("d1\tfirst text\nd2\tsecond text\n")
+    df = dp.read_tsv_docs(spark, str(p))
+    rows = {r["docid"]: r["content"] for r in df.collect()}
+    assert rows == {"d1": "first text", "d2": "second text"}
+
+
+def test_destemmer(spark):
+    # reference probe: babi -> babies (alphabetically-first match wins)
+    stems = spark.createDataFrame(
+        [("babi",), ("comput",), ("zzz",)], "stem string"
+    )
+    vocab = spark.createDataFrame(
+        [("baby",), ("babies",), ("computers",), ("computing",), ("cat",)],
+        "word string",
+    )
+    out = {r["stem"]: r["word"] for r in uo.destem(stems, vocab).collect()}
+    assert out == {"babi": "babies", "comput": "computers"}  # zzz: no match
+
+
+def test_samplers(spark):
+    df = spark.range(100).withColumn("w", (F.col("id") + 1).cast("double"))
+    s1 = uo.sample_uniform(df, 10, seed=1)
+    assert s1.count() == 10
+    assert s1.select("id").distinct().count() == 10
+    a = sorted(r["id"] for r in uo.sample_uniform(df, 10, seed=1).collect())
+    b = sorted(r["id"] for r in uo.sample_uniform(df, 10, seed=1).collect())
+    assert a == b  # deterministic
+    s2 = uo.sample_weighted(df, 20, "w", seed=3)
+    assert s2.count() == 20
+
+
+def test_quantize_doc_len(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [0, 1, 17, 31, 32, 100, 1000, 123456]], "dl long"
+    )
+    out = {
+        r["dl"]: r["q"]
+        for r in df.select(
+            "dl", uo.quantize_doc_len(F.col("dl")).alias("q")
+        ).collect()
+    }
+    for v in (0, 1, 17, 31):
+        assert out[v] == v  # exact below 2^(m+1)
+    for v in (100, 1000, 123456):
+        assert out[v] <= v
+        assert (v - out[v]) / v < 1 / 16  # coarse but bounded error
+    # monotone
+    vals = [out[k] for k in sorted(out)]
+    assert vals == sorted(vals)
+
+
+def test_docvector_kernels():
+    a = ["x", "x", "y"]
+    b = ["x", "y", "z"]
+    assert dv.cosine(a, a) == pytest.approx(1.0)
+    exp = (2 * 1 + 1 * 1) / (math.sqrt(5) * math.sqrt(3))
+    assert dv.cosine(a, b) == pytest.approx(exp)
+    assert dv.jaccard(a, b) == pytest.approx(2 / 3)
+    assert dv.bleu_precision(a, b) == pytest.approx(2 / 3)  # x clipped to 1
+    assert dv.rouge_recall(a, b) == pytest.approx(2 / 3)
+    m = dv.meteor(a, b)
+    assert 0 < m <= 1
+    assert dv.meteor(a, a) == pytest.approx(1.0)
+    idf = {"x": 0.1, "y": 2.0, "z": 2.0}
+    assert dv.idf_cosine(a, b, idf) < dv.cosine(a, b)  # x down-weighted...
+    assert dv.idf_cosine(a, a, idf) == pytest.approx(1.0)
+
+
+def test_rcd_char_bleu():
+    assert dv.rcd_char_bleu("same text", "same text") == pytest.approx(
+        (3 + 4 + 5) / 12.0
+    )
+    assert dv.rcd_char_bleu("abcdef", "uvwxyz") == 0.0
+    mid = dv.rcd_char_bleu("the quick brown fox", "the quick red fox")
+    assert 0 < mid < 1
+
+
+def test_rcd_evaluate(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("g1", "identical span", "identical span"),
+            ("g1", "totally different", "identical span"),
+            ("g2", "abcabc", "zzzzzz"),
+        ],
+        "grp string, pred string, ref string",
+    )
+    # grouped: g1 takes its best match (1.0), g2 is 0 -> mean = 0.5
+    out = dv.rcd_evaluate(pairs, group_col="grp").collect()[0]
+    assert out["bleu"] == pytest.approx(0.5 * (3 + 4 + 5) / 12.0, abs=1e-9)
