@@ -305,6 +305,53 @@ def diversity_rerank(
     )
 
 
+def retrieve_with_feedback(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k: int = 1000,
+    sim=None,
+    num_top_docs: int = 10,
+    lam: float = 1.0,
+    variant: str = "rlm_cond",
+    rerank: str = "kl",
+    expand: bool = False,
+    num_expansion_terms: int = 10,
+    fb_weight: float = 0.2,
+) -> DataFrame:
+    """F9: the reference's full feedback flow in one composition
+    (reference: retriever/TrecDocRetriever.java:181-258 — retrieve ->
+    estimate RLM on the top docs -> KL-rerank them -> optionally expand
+    the query and re-retrieve at full depth).
+
+    Returns the final run (qid, doc_id, rank, score). With
+    ``expand=True`` the result is a full re-retrieval with the weighted
+    expanded query; otherwise the KL-reranked feedback docs are spliced
+    ahead of the remaining first-pass results (reference keeps the tail
+    ranks unchanged below the reranked head)."""
+    from .retrieval import score_queries
+
+    first = score_queries(index, query_terms, k=k, sim=sim).persist()
+    rlm = relevance_model(
+        index, first, num_top_docs=num_top_docs, lam=lam, variant=variant
+    )
+    if expand:
+        expanded = expand_query(
+            rlm,
+            query_terms,
+            index.term_stats,
+            index.stats.n_docs,
+            num_expansion_terms=num_expansion_terms,
+            fb_weight=fb_weight,
+        )
+        return score_queries(index, expanded, k=k, sim=sim)
+    if rerank == "kl":
+        head = kl_divergence_rerank(index, first, rlm, num_top_docs)
+    else:
+        raise ValueError(f"unknown rerank: {rerank}")
+    tail = first.filter(F.col("rank") > num_top_docs)
+    return head.unionByName(tail).select("qid", "doc_id", "rank", "score")
+
+
 def hyperbolic_rerank(
     index: InvertedIndex,
     run: DataFrame,

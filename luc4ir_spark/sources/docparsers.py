@@ -172,6 +172,64 @@ def read_annotated_lines(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, OUT_SCHEMA)
 
 
+def read_generic_xml(
+    spark: SparkSession,
+    path: str,
+    doc_tag: str = "doc",
+    id_tag: str = "docno",
+    content_tags: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """S5: configurable-tag XML corpora (reference:
+    indexing/GenericSAXParserHandler.java:84-145, properties
+    sax.docstart / sax.docid / sax.content_tags): each ``doc_tag``
+    element is a document, id from ``id_tag``, content concatenated
+    from ``content_tags`` in document order."""
+    from ..deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    files = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true"
+    ).load(path).select("path", "content")
+    doc_re = re.compile(
+        rf"<{doc_tag}[\s>].*?</{doc_tag}>".encode(), re.S | re.I
+    )
+    id_re = re.compile(
+        rf"<{id_tag}[^>]*>\s*(.*?)\s*</{id_tag}>".encode(), re.S | re.I
+    )
+    content_res = [
+        re.compile(rf"<{t}[^>]*>(.*?)</{t}>".encode(), re.S | re.I)
+        for t in content_tags
+    ]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[str, str, str]] = []
+            for fname, data in zip(pdf["path"], pdf["content"]):
+                blob = _maybe_gunzip(fname, bytes(data))
+                for m in doc_re.finditer(blob):
+                    block = m.group(0)
+                    idm = id_re.search(block)
+                    if not idm:
+                        continue
+                    parts = []
+                    for cre in content_res:
+                        for cm in cre.finditer(block):
+                            parts.append(
+                                TAG_RE.sub(b" ", cm.group(1)).decode(
+                                    "utf-8", "replace"
+                                )
+                            )
+                    text = re.sub(r"\s+", " ", " ".join(parts)).strip()
+                    rows.append(
+                        (idm.group(1).decode("utf-8", "replace"), text, fname)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["docid", "content", "source_file"]
+            )
+
+    return files.mapInPandas(parse, OUT_SCHEMA)
+
+
 def read_tsv_docs(spark: SparkSession, path: str) -> DataFrame:
     """``docid \\t text`` one doc per line (reference:
     TrecDocIndexer.java:259-279) — native distributed CSV read."""
