@@ -1,0 +1,109 @@
+"""Cross-cutting invariants: the per-row content sha256 (input_hint),
+stopword-only queries, empty corpus, and hypothesis property tests for
+the posting codec."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from luc4ir_spark.functions.analysis import AnalyzerConfig
+from luc4ir_spark.functions.codec import (
+    decode_posting_list,
+    encode_posting_list,
+    varbyte_decode,
+    varbyte_encode,
+)
+from luc4ir_spark.operators import indexer as ix
+from luc4ir_spark.operators import retrieval as rt
+from luc4ir_spark.sources.corpus import synth_corpus
+
+
+def test_content_sha256_invariant(spark):
+    """input_hint: per-row content sha256 equality — the digest stored
+    at ingest must equal an independently computed digest of the same
+    row after the pipeline ran."""
+    docs = synth_corpus(spark, 100, seed=42).withColumn(
+        "doc_id", F.xxhash64("path")
+    )
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=AnalyzerConfig()))
+    stored = {
+        r["doc_id"]: r["content_sha256"] for r in idx.doc_stats.collect()
+    }
+    for r in docs.collect():
+        expect = hashlib.sha256(r["content"].encode()).hexdigest()
+        assert stored[r["doc_id"]] == expect
+
+
+def test_stopword_only_query_returns_nothing(spark):
+    """FIXTURES.md: a stopword-only query must return 0 hits (all its
+    terms are removed by the analyzer)."""
+    docs = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "a dog is there")],
+        "doc_id long, content string",
+    )
+    en = AnalyzerConfig()  # default english: stop set active
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=en))
+    qt = rt.queries_to_terms(spark, [("s1", "the and of is")], en)
+    assert qt.count() == 0
+    assert rt.score_queries(idx, qt, k=10).count() == 0
+
+
+def test_empty_corpus_build(spark):
+    docs = spark.createDataFrame([], "doc_id long, content string")
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=AnalyzerConfig()))
+    assert idx.stats.n_docs == 0
+    assert idx.stats.avgdl == 0.0
+    qt = rt.queries_to_terms(spark, [("q", "anything")], AnalyzerConfig())
+    assert rt.score_queries(idx, qt, k=5).count() == 0
+
+
+def test_zero_length_docs_kept_in_doc_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "real content here"), (1, ""), (2, "   ")],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=AnalyzerConfig()))
+    lens = {r["doc_id"]: r["doc_len"] for r in idx.doc_stats.collect()}
+    assert lens[1] == 0 and lens[2] == 0
+    assert idx.stats.n_docs == 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), max_size=300)
+)
+def test_varbyte_roundtrip_property(values):
+    arr = np.array(values, dtype=np.int64)
+    out, used = varbyte_decode(varbyte_encode(arr))
+    assert used == len(varbyte_encode(arr))
+    np.testing.assert_array_equal(out.astype(np.int64), arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),  # n postings
+    st.integers(min_value=1, max_value=64),   # block size
+    st.integers(min_value=0, max_value=2**31),
+    st.randoms(use_true_random=False),
+)
+def test_posting_list_roundtrip_property(n, block_size, base, rnd):
+    gaps = np.array([rnd.randint(1, 1000) for _ in range(n)], dtype=np.int64)
+    doc_ids = base + np.cumsum(gaps)
+    tfs = np.array([rnd.randint(1, 500) for _ in range(n)], dtype=np.int64)
+    dls = np.array([rnd.randint(1, 10_000) for _ in range(n)], dtype=np.int64)
+    blob, d = encode_posting_list(doc_ids, tfs, dls, block_size=block_size)
+    ids2, tfs2, dls2 = decode_posting_list(blob, d)
+    np.testing.assert_array_equal(ids2, doc_ids)
+    np.testing.assert_array_equal(tfs2, tfs)
+    np.testing.assert_array_equal(dls2, dls)
+    # impact directory invariants hold for every block
+    nb = d.offsets.size
+    for b in range(nb):
+        lo, hi = b * block_size, min((b + 1) * block_size, n)
+        assert d.max_tf[b] == tfs[lo:hi].max()
+        assert d.min_dl[b] == dls[lo:hi].min()
+        assert d.last_doc[b] == doc_ids[hi - 1]
