@@ -50,8 +50,11 @@ def parse_trec_topics_text(xml_text: str) -> list[dict]:
     topics = []
     for block in re.findall(r"<top>(.*?)</top>", xml_text, re.S | re.I):
         def field(tag: str) -> str:
+            # TREC topics come both as classic SGML (no closing tags;
+            # a field runs until the next field opens) and as well-
+            # formed XML (</num> etc.) — stop at either
             m = re.search(
-                rf"<{tag}>(.*?)(?=<num>|<title>|<desc>|<narr>|$)",
+                rf"<{tag}>(.*?)(?=</?(?:num|title|desc|narr)\b|$)",
                 block,
                 re.S | re.I,
             )
