@@ -118,12 +118,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# the driver runs every queries() entry in one session — memoize the
+# built (and persisted) index per (session, sf_dir) so 29 gate queries
+# share one index build instead of 29
+_INDEX_CACHE: dict[tuple[int, str], ix.InvertedIndex] = {}
+
+
 def _index(spark: SparkSession, sf_dir: str) -> ix.InvertedIndex:
-    cfg = ix.IndexConfig(analyzer=SIMPLE)
-    return ix.build_index(
-        _docs(spark, sf_dir), cfg, id_col="doc_id", content_col="text",
-        cache=False,
-    )
+    key = (id(spark), sf_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        cfg = ix.IndexConfig(analyzer=SIMPLE)
+        idx = ix.build_index(
+            _docs(spark, sf_dir), cfg, id_col="doc_id", content_col="text",
+            cache=True,
+        )
+        _INDEX_CACHE[key] = idx
+    return idx
 
 
 def _bm25_run(spark: SparkSession, sf_dir: str, conjunctive: bool) -> DataFrame:
