@@ -759,6 +759,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprint(spark, sf):
         return ts.doc_fingerprint(_docs(spark, sf), content_col="text")
 
+    def embedding_near_dups(spark, sf):
+        # embedding-cosine near-dup pairs (training-pipeline dedup
+        # modality over the embeddings table)
+        out = ann.cosine_near_dup_pairs(_emb(spark, sf), threshold=0.4)
+        return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
     def embedding_norms(spark, sf):
         emb = ann.with_norm(_emb(spark, sf))
         return emb.select("vec_id", F.round("norm", 4).alias("norm"))
@@ -800,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "embedding_near_dups": embedding_near_dups,
         "token_count": token_count,
         "quality_score": quality_score,
         "lang_id": lang_id,
@@ -865,6 +872,15 @@ def oracle_sql() -> dict[str, str]:
             " AS term FROM documents)"
             " SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term))"
             " AS fingerprint FROM t GROUP BY doc_id"
+        ),
+        "embedding_near_dups": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+            " sqrt(list_dot_product(embedding::DOUBLE[],"
+            " embedding::DOUBLE[])) AS n FROM embeddings)"
+            " SELECT a.vec_id AS a, b.vec_id AS b,"
+            " round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cosine"
+            " FROM c a JOIN c b ON a.vec_id < b.vec_id"
+            " WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.4"
         ),
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_dot_product("

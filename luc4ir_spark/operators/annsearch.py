@@ -71,6 +71,46 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) for all
+    pairs with cosine >= threshold, a < b.
+
+    Brute-force all-pairs via a block-nested join (each side bucketed
+    into ``block_size`` ranges so one task compares two bounded blocks,
+    never the whole matrix). For corpora where O(n^2) is prohibitive,
+    generate candidates with ``lsh_cosine_topk`` buckets first and
+    verify with this same cosine expression."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
+    ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    c = c.withColumn("blk", (F.col("vid") / block_size).cast("long"))
+    a = c.select(
+        F.col("vid").alias("a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), F.col("blk").alias("blk_a"),
+    )
+    b = c.select(
+        F.col("vid").alias("b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), F.col("blk").alias("blk_b"),
+    )
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).filter(
+        F.col("a") < F.col("b")
+    )
+    return (
+        pairs.withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -285,6 +285,112 @@ def wand_topk_kernel(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
     return out
 
 
+class _TermList:
+    """Per-term compressed list handle for the vectorized kernel."""
+
+    __slots__ = ("buf", "dirs", "score_fn", "lb", "ub", "cache")
+
+    def __init__(self, blob, dirs: BlockDirectory, score_fn):
+        self.buf = np.frombuffer(blob, dtype=np.uint8)
+        self.dirs = dirs
+        self.score_fn = score_fn
+        # conservative lower bound of each block's first doc: the
+        # previous block's last doc + 1 (exact enough for overlap tests)
+        self.lb = np.empty_like(dirs.last_doc)
+        self.lb[0] = -(1 << 62)
+        if dirs.last_doc.size > 1:
+            self.lb[1:] = dirs.last_doc[:-1] + 1
+        self.ub = score_fn(
+            dirs.max_tf.astype(np.float64), dirs.min_dl.astype(np.float64)
+        )
+        self.cache: dict[int, tuple] = {}
+
+    def decode(self, b: int):
+        got = self.cache.get(b)
+        if got is None:
+            got = decode_block(self.buf, self.dirs, b)
+            self.cache[b] = got
+        return got
+
+
+def blockmax_topk_kernel(
+    terms: list[_TermList], k: int, blocks_per_window: int = 8
+) -> list[tuple[int, float]]:
+    """Vectorized block-max scorer: the doc-id space is windowed on the
+    union of block boundaries; a window whose summed per-term block
+    upper bounds cannot beat the heap floor theta is skipped WITHOUT
+    decoding; surviving windows are scored with numpy (decode -> mask ->
+    per-term kernel -> np.add.at accumulate) and only candidates at or
+    above theta touch the Python heap. Identical results to exhaustive
+    scoring (ties: score desc, doc_id asc), ~numpy-speed per posting
+    instead of a per-doc Python pivot loop."""
+    if not terms:
+        return []
+    boundaries = np.unique(
+        np.concatenate([t.dirs.last_doc for t in terms])
+    )
+    his = boundaries[blocks_per_window - 1 :: blocks_per_window]
+    if his.size == 0 or his[-1] != boundaries[-1]:
+        his = np.append(his, boundaries[-1])
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    lo = -(1 << 62)
+    for hi in his:
+        # per-term overlapping block ranges + UB sum for the window
+        ranges = []
+        ub_sum = 0.0
+        for t in terms:
+            b0 = int(np.searchsorted(t.dirs.last_doc, lo, side="right"))
+            b1 = int(np.searchsorted(t.lb, hi, side="right"))
+            if b1 > b0:
+                ranges.append((t, b0, b1))
+                ub_sum += float(t.ub[b0:b1].max())
+        theta = heap[0][0] if len(heap) >= k else -math.inf
+        if not ranges or ub_sum < theta:
+            lo = hi
+            continue
+        ids_parts, sc_parts = [], []
+        for t, b0, b1 in ranges:
+            for b in range(b0, b1):
+                ids, tfs, dls = t.decode(b)
+                mask = (ids > lo) & (ids <= hi)
+                if mask.any():
+                    ids_parts.append(ids[mask])
+                    sc_parts.append(
+                        t.score_fn(
+                            tfs[mask].astype(np.float64),
+                            dls[mask].astype(np.float64),
+                        )
+                    )
+        lo = hi
+        if not ids_parts:
+            continue
+        cat_ids = np.concatenate(ids_parts)
+        u, inv = np.unique(cat_ids, return_inverse=True)
+        scores = np.zeros(u.size)
+        np.add.at(scores, inv, np.concatenate(sc_parts))
+        # only candidates that can enter the heap reach Python
+        theta = heap[0][0] if len(heap) >= k else -math.inf
+        if theta > -math.inf:
+            cand = np.flatnonzero(scores >= theta)
+        else:
+            cand = np.arange(scores.size)
+        # (score desc, doc asc): among equal scores the smallest doc
+        # comes first, so once one candidate fails the heap test every
+        # later one fails too and the break below is safe
+        order = cand[np.lexsort((u[cand], -scores[cand]))]
+        for i in order:
+            entry = (float(scores[i]), -int(u[i]))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            else:
+                break
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
 def score_queries_wand(
     index: InvertedIndex,
     query_terms: DataFrame,
@@ -316,7 +422,7 @@ def score_queries_wand(
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["qid"].iloc[0]
-        cursors = []
+        term_lists = []
         for row in pdf.itertuples(index=False):
             dirs = BlockDirectory(
                 offsets=np.asarray(row.blk_offsets, dtype=np.int64),
@@ -326,8 +432,8 @@ def score_queries_wand(
                 min_dl=np.asarray(row.blk_min_dl, dtype=np.int64),
             )
             fn = make_kernel(float(row.idf), float(row.weight), float(row.cf))
-            cursors.append(_Cursor(row.blob, dirs, fn))
-        top = wand_topk_kernel(cursors, k)
+            term_lists.append(_TermList(row.blob, dirs, fn))
+        top = blockmax_topk_kernel(term_lists, k)
         return pd.DataFrame(
             {
                 "qid": [qid] * len(top),

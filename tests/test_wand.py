@@ -111,6 +111,53 @@ def test_wand_lm_similarities(spark):
         _compare(spark, idx, QUERIES[:2], k=10, sim=rt.Similarity(kind=kind))
 
 
+def test_docatatime_kernel_equals_blockmax_kernel():
+    """The reference doc-at-a-time WAND and the vectorized block-max
+    kernel must produce identical top-k on random lists."""
+    import numpy as np
+
+    from luc4ir_spark.functions.codec import encode_posting_list
+    from luc4ir_spark.operators.wand import (
+        _Cursor,
+        _TermList,
+        blockmax_topk_kernel,
+        wand_topk_kernel,
+    )
+
+    rng = np.random.default_rng(21)
+    for trial in range(5):
+        terms = []
+        cursors = []
+        for t in range(3):
+            n = int(rng.integers(20, 300))
+            ids = np.sort(
+                rng.choice(np.arange(2000, dtype=np.int64), n, replace=False)
+            )
+            tfs = rng.integers(1, 30, n)
+            dls = rng.integers(10, 200, n)
+            blob, d = encode_posting_list(ids, tfs, dls, block_size=16)
+            w = float(rng.uniform(0.5, 2.0))
+
+            def fn(tf, dl, w=w):
+                return w * tf / (tf + 0.7 * (0.7 + 0.3 * dl / 50.0))
+
+            terms.append(_TermList(blob, d, fn))
+            cursors.append(_Cursor(blob, d, fn))
+        for k in (5, 50):
+            a = blockmax_topk_kernel(terms, k)
+            b = wand_topk_kernel(cursors, k)
+            # cursors are stateful: rebuild for the second k
+            cursors = [
+                _Cursor(tl.buf.tobytes(), tl.dirs, tl.score_fn)
+                for tl in terms
+            ]
+            assert [d_ for d_, _ in a] == [d_ for d_, _ in b], (
+                f"trial {trial} k={k}"
+            )
+            for (_, sa), (_, sb) in zip(a, b):
+                assert sa == pytest.approx(sb, rel=1e-12)
+
+
 def test_compressed_postings_consistent_with_flat(spark):
     docs = synth_docs(100, 30, 9)
     idx = _index_for(spark, docs, block_size=8)
