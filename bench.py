@@ -64,10 +64,16 @@ def make_queries(n: int) -> list[tuple[str, str]]:
 
 
 def main() -> None:
+    mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
     spark = get_spark(
         app_name="luc4ir_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        # pinned pre-touched heap: G1 heap-growth dynamics otherwise add
+        # 2-3x run-to-run variance at high thread counts
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+        },
     )
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     docs = docs.persist()

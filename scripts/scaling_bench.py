@@ -96,6 +96,12 @@ def run_child(cpus: int, n_docs: int) -> dict:
         shuffle_partitions=parts,
         extra_conf={
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # pin + pre-touch the heap: G1 heap-growth dynamics caused
+            # 2-3x run-to-run variance on identical 32-thread builds
+            "spark.driver.extraJavaOptions": (
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '48g')}"
+                " -XX:+AlwaysPreTouch"
+            ),
         },
     )
     cfg = AnalyzerConfig(mode="english")
