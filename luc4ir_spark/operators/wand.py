@@ -8,18 +8,18 @@ this module implements it as a custom physical kernel:
 
 Build (``build_compressed_postings``):
     flat postings ──join df──▶ salt assignment (df > threshold ⇒
-    hash(doc_id) % num_salt_shards, else 0) ──shuffle by (term, salt)──▶
+    pmod(doc_id, num_salt_shards), else 0) ──shuffle by (term, salt)──▶
     ``applyInPandas`` encode: sort by doc_id, delta+varbyte blocks,
     per-block (last_doc, max_tf, min_dl) impact directory.
 
     Salting bounds the largest reducer group: a degenerate term occurring
     in every doc of a 10^12-file corpus becomes num_salt_shards
     independently-encoded sub-lists instead of one monster group. Salt
-    shards partition docs by hash(doc_id), so per-shard top-k results are
-    disjoint and merge exactly.
+    shards partition docs by pmod(doc_id, shards) — a modulus, not an
+    opaque hash, so the query kernel can re-derive a doc's shard.
 
 Query (``wand_topk``):
-    query terms ⋈ blobs (broadcast query side) ──groupBy(qid, salt)──▶
+    query terms ⋈ blobs (broadcast query side) ──groupBy(qid, shard)──▶
     ``applyInPandas`` WAND: document-at-a-time pivot loop with a k-heap;
     term upper bounds from the global (max_tf, min_dl) impacts, block
     upper bounds refine at the pivot; blocks are decoded LAZILY — a
@@ -27,6 +27,15 @@ Query (``wand_topk``):
     without touching its bytes. theta is shard-local (safe: shard-local
     theta <= global theta, so pruning is only ever conservative).
     Per-shard top-k then a tiny global per-qid merge.
+
+    Doc sharding is CONSISTENT across all terms of a query: when a query
+    mixes salted (df > threshold) and unsalted terms, the unsalted terms'
+    salt-0 blobs are replicated into every shard and the kernel masks
+    their decoded postings to pmod(doc_id, shards) == shard. Without the
+    mask a doc's per-term contributions would land in different shard
+    groups and the merge would emit duplicate (qid, doc_id) rows with
+    split partial scores. Replication cost is bounded: unsalted means
+    df <= threshold, so only small blobs are duplicated.
 
 Tie semantics match the exhaustive path: score desc, doc_id asc; the
 heap orders by (score, -doc_id) and pruning uses strict ub < theta so
@@ -74,13 +83,16 @@ def build_compressed_postings(
     threshold = cfg.salt_df_threshold
     shards = cfg.num_salt_shards
 
+    # pmod(doc_id, shards), NOT an opaque hash: the scoring kernel must be
+    # able to recompute a doc's shard to mask replicated unsalted blobs
+    # (see module docstring, "consistent doc sharding").
     flat = index.postings.join(
         index.term_stats.select("term", "df"), "term"
     ).withColumn(
         "salt",
         F.when(
             F.col("df") > threshold,
-            F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int"),
+            F.pmod(F.col("doc_id"), F.lit(shards)).cast("int"),
         ).otherwise(F.lit(0)),
     )
 
@@ -286,14 +298,20 @@ def wand_topk_kernel(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
 
 
 class _TermList:
-    """Per-term compressed list handle for the vectorized kernel."""
+    """Per-term compressed list handle for the vectorized kernel.
 
-    __slots__ = ("buf", "dirs", "score_fn", "lb", "ub", "cache")
+    ``keep_mod=(m, r)``: post-decode mask to docs with doc_id % m == r —
+    used when an unsalted term's blob is replicated into shard r of a
+    query whose other terms are doc-sharded by pmod(doc_id, m). Block
+    directory bounds stay valid (they upper-bound any subset)."""
 
-    def __init__(self, blob, dirs: BlockDirectory, score_fn):
+    __slots__ = ("buf", "dirs", "score_fn", "lb", "ub", "cache", "keep_mod")
+
+    def __init__(self, blob, dirs: BlockDirectory, score_fn, keep_mod=None):
         self.buf = np.frombuffer(blob, dtype=np.uint8)
         self.dirs = dirs
         self.score_fn = score_fn
+        self.keep_mod = keep_mod
         # conservative lower bound of each block's first doc: the
         # previous block's last doc + 1 (exact enough for overlap tests)
         self.lb = np.empty_like(dirs.last_doc)
@@ -309,6 +327,11 @@ class _TermList:
         got = self.cache.get(b)
         if got is None:
             got = decode_block(self.buf, self.dirs, b)
+            if self.keep_mod is not None:
+                m, r = self.keep_mod
+                ids, tfs, dls = got
+                keep = ids % m == r
+                got = (ids[keep], tfs[keep], dls[keep])
             self.cache[b] = got
         return got
 
@@ -413,15 +436,41 @@ def score_queries_wand(
     stats = index.stats
     make_kernel = _make_kernel(sim, stats)
 
+    threshold = index.config.salt_df_threshold
+    shards = index.config.num_salt_shards
     qt = (
         query_terms.join(F.broadcast(index.term_stats), "term")
         .withColumn("idf", idf_lucene(F.col("df"), stats.n_docs))
-        .select("qid", "term", "weight", "idf", "cf")
+        .withColumn("salted_term", F.col("df") > F.lit(threshold))
+        .select("qid", "term", "weight", "idf", "cf", "salted_term")
     )
+    # consistent doc sharding (module docstring): if ANY term of a query
+    # is salted, replicate the unsalted terms' salt-0 blobs into every
+    # shard and mask them inside the kernel by pmod(doc_id, shards).
+    # Both flags live on the tiny broadcast query side — no extra pass
+    # over the blob table. Invariant: index.config must be the config the
+    # blobs were built with (the checkpoint manifest fingerprints it).
+    qhas = qt.groupBy("qid").agg(
+        F.max(F.col("salted_term").cast("int")).alias("_qid_salted")
+    )
+    qt = qt.join(qhas, "qid")
     joined = index.blobs.join(F.broadcast(qt), "term")
+    joined = joined.withColumn(
+        "needs_filter",
+        (F.col("_qid_salted") == 1) & ~F.col("salted_term"),
+    ).withColumn(
+        "shard",
+        F.explode(
+            F.when(
+                F.col("needs_filter"),
+                F.sequence(F.lit(0), F.lit(shards - 1)),
+            ).otherwise(F.array(F.col("salt")))
+        ),
+    )
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["qid"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
         term_lists = []
         for row in pdf.itertuples(index=False):
             dirs = BlockDirectory(
@@ -432,7 +481,8 @@ def score_queries_wand(
                 min_dl=np.asarray(row.blk_min_dl, dtype=np.int64),
             )
             fn = make_kernel(float(row.idf), float(row.weight), float(row.cf))
-            term_lists.append(_TermList(row.blob, dirs, fn))
+            keep = (shards, shard) if bool(row.needs_filter) else None
+            term_lists.append(_TermList(row.blob, dirs, fn, keep_mod=keep))
         top = blockmax_topk_kernel(term_lists, k)
         return pd.DataFrame(
             {
@@ -442,7 +492,7 @@ def score_queries_wand(
             }
         )
 
-    shard_tops = joined.groupBy("qid", "salt").applyInPandas(
+    shard_tops = joined.groupBy("qid", "shard").applyInPandas(
         run_shard, "qid string, doc_id long, score double"
     )
     w = Window.partitionBy("qid").orderBy(

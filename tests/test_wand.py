@@ -104,6 +104,38 @@ def test_wand_salted_matches_unsalted(spark):
     assert n_shards > 1
 
 
+def test_wand_mixed_salted_unsalted_terms(spark):
+    """Regression: a query mixing a salted (df > threshold) term with an
+    unsalted (df <= threshold) one must not split a doc's score across
+    shard groups. Before the consistent-sharding fix, the unsalted term's
+    contributions all lived in shard 0 while the salted term's lived in
+    pmod(doc_id, shards), producing duplicate (qid, doc_id) rows with
+    partial scores."""
+    docs = synth_docs(150, 40, 17)
+    # plant a df=2 term in two docs that also contain common terms
+    docs = [
+        (d, text + " rareterm") if d in (0, 97) else (d, text)
+        for d, text in docs
+    ]
+    idx = _index_for(spark, docs, salt_threshold=2, shards=4)
+    mixed = [
+        ("m1", "w0 rareterm"),
+        ("m2", "rareterm"),          # all-unsalted query still works
+        ("m3", "w0 w1 rareterm"),
+    ]
+    _compare(spark, idx, mixed, k=25)
+    # and at full depth there is exactly one row per (qid, doc_id)
+    qt = rt.queries_to_terms(spark, mixed, SIMPLE)
+    full = score_queries_wand(idx, qt, k=1000)
+    dups = (
+        full.groupBy("qid", "doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+
+
 def test_wand_lm_similarities(spark):
     docs = synth_docs(80, 30, 5)
     idx = _index_for(spark, docs)
