@@ -408,8 +408,11 @@ FROM perq GROUP BY 1
 JACCARD_T = 0.95
 
 _SHINGLES = "sh AS (SELECT DISTINCT doc_id, term FROM toks)"
+# hash-based shingle ids: first 60 bits of md5 — replays
+# luc4ir_spark.operators.dedup.shingle_ids(id_mode="hash") exactly
 _SIDS = (
-    "ids AS (SELECT term, dense_rank() OVER (ORDER BY term)::BIGINT AS sid"
+    "ids AS (SELECT term,"
+    " ('0x' || substr(md5(term), 1, 15))::BIGINT AS sid"
     " FROM (SELECT DISTINCT term FROM toks))"
 )
 
@@ -438,7 +441,8 @@ WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {JACCARD_T}
 _MINHASH_SQL = f"""
 WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()}
 SELECT sh.doc_id, p.hash_id,
-       min((p.a * ids.sid + p.b) % {dd.MERSENNE_P})::BIGINT AS min_hash
+       min((p.a * (ids.sid % {dd.MERSENNE_P}) + p.b)
+           % {dd.MERSENNE_P})::BIGINT AS min_hash
 FROM sh JOIN ids USING (term) CROSS JOIN params p
 GROUP BY 1, 2
 """
@@ -447,7 +451,8 @@ _SIMHASH_SQL = f"""
 WITH {_TOKS}, {_SHINGLES}, {_SIDS},
 h AS (
   SELECT sh.doc_id,
-         (1203077 * ids.sid + 52512857) % {dd.MERSENNE_P} AS h
+         (1203077 * (ids.sid % {dd.MERSENNE_P}) + 52512857)
+         % {dd.MERSENNE_P} AS h
   FROM sh JOIN ids USING (term)
 ),
 bits AS (
@@ -460,6 +465,126 @@ SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM perbit GROUP BY doc_id
 """
+
+# --- LSH oracle SQL: replay the seeded hyperplane buckets / MinHash
+# banding as literals so DuckDB reproduces candidate generation exactly
+
+_MINHASH_LSH_SQL = f"""
+WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()},
+sig AS (
+  SELECT sh.doc_id, p.hash_id,
+         min((p.a * (ids.sid % {dd.MERSENNE_P}) + p.b)
+             % {dd.MERSENNE_P})::BIGINT AS min_hash
+  FROM sh JOIN ids USING (term) CROSS JOIN params p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         string_agg(min_hash::VARCHAR, '_' ORDER BY hash_id) AS bucket
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS common
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.term = x.term
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {JACCARD_T}
+"""
+
+
+def _plane_sql_array(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket key as SQL — mirrors annsearch._bucket_expr."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr},"
+        f" {_plane_sql_array(p)}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_tables(n_tables: int = 4, n_planes: int = 8, dim: int = 64,
+                seed: int = 42) -> list[list[list[float]]]:
+    return [
+        ann._planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+
+def _ann_lsh_sql() -> str:
+    buckets = [
+        (_bucket_sql("cv", planes), _bucket_sql("qv", planes))
+        for planes in _lsh_tables()
+    ]
+    c_keys = ", ".join(f"{cb} AS ck{t}" for t, (cb, _) in enumerate(buckets))
+    q_keys = ", ".join(f"{qb} AS qk{t}" for t, (_, qb) in enumerate(buckets))
+    cand_union = " UNION ".join(
+        f"SELECT q.query_id, c.vec_id FROM bc c JOIN bq q ON c.ck{t} = q.qk{t}"
+        for t in range(len(buckets))
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+bc AS (SELECT vec_id, cv, {c_keys} FROM c),
+bq AS (SELECT query_id, qv, {q_keys} FROM q),
+cand AS (SELECT DISTINCT query_id, vec_id FROM ({cand_union})),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_dot_product(c.cv, q.qv)
+         / (sqrt(list_dot_product(c.cv, c.cv))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM cand JOIN c USING (vec_id) JOIN q USING (query_id)
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM s
+)
+SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+def _near_dup_lsh_sql(threshold: float = 0.4) -> str:
+    keys = ", ".join(
+        f"{_bucket_sql('v', planes)} AS k{t}"
+        for t, planes in enumerate(_lsh_tables())
+    )
+    cand_union = " UNION ALL ".join(
+        f"SELECT x.vec_id AS a, y.vec_id AS b FROM b x JOIN b y"
+        f" ON x.k{t} = y.k{t} AND x.vec_id < y.vec_id"
+        for t in range(4)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                       embedding::DOUBLE[])) AS n
+           FROM embeddings),
+b AS (SELECT vec_id, v, {keys} FROM c),
+cand AS (SELECT DISTINCT a, b FROM ({cand_union}))
+SELECT cand.a, cand.b,
+       round(list_dot_product(xa.v, xb.v) / (xa.n * xb.n), 4) AS cosine
+FROM cand
+JOIN c xa ON xa.vec_id = cand.a
+JOIN c xb ON xb.vec_id = cand.b
+WHERE list_dot_product(xa.v, xb.v) / (xa.n * xb.n) >= {threshold}
+"""
+
 
 _ANN_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -731,21 +856,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_lsh_topk(spark, sf):
-        # approximate path: rows-only check (no SQL oracle — bucketing
-        # uses seeded random hyperplanes)
+        # approximate path with an exact oracle: the hyperplanes are
+        # seeded literals, so the SQL replays bucketing bit-for-bit
         emb = _emb(spark, sf)
         queries = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return ann.lsh_cosine_topk(emb, queries, k=5, n_tables=4)
+        out = ann.lsh_cosine_topk(emb, queries, k=5, n_tables=4)
+        return out.select(
+            "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+        )
 
     def minhash_lsh_pairs(spark, sf):
-        # LSH candidate generation + exact verify: rows-only check (the
-        # verified pairs are a subset of jaccard_pairs by construction)
-        return dd.minhash_lsh_pairs(
+        # LSH banding + exact-Jaccard verify; fully deterministic
+        # (fixed (a,b) literals + hash shingle ids), so the SQL oracle
+        # replays banding, candidate join, and verification exactly
+        out = dd.minhash_lsh_pairs(
             _tokens(spark, sf), num_hashes=8, band_size=2,
             threshold=JACCARD_T,
         )
+        return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
     def token_count(spark, sf):
         return ts.token_count(_docs(spark, sf), content_col="text")
@@ -760,9 +890,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ts.doc_fingerprint(_docs(spark, sf), content_col="text")
 
     def embedding_near_dups(spark, sf):
-        # embedding-cosine near-dup pairs (training-pipeline dedup
-        # modality over the embeddings table)
+        # embedding-cosine near-dup pairs, brute-force verification path
+        # (training-pipeline dedup modality over the embeddings table)
         out = ann.cosine_near_dup_pairs(_emb(spark, sf), threshold=0.4)
+        return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+    def embedding_near_dups_lsh(spark, sf):
+        # the corpus-scale default: hyperplane-bucket candidates + exact
+        # cosine verify (sub-quadratic); seeded plane literals make the
+        # SQL oracle exact
+        out = ann.lsh_near_dup_pairs(_emb(spark, sf), threshold=0.4)
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
     def embedding_norms(spark, sf):
@@ -807,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "embedding_near_dups": embedding_near_dups,
+        "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "token_count": token_count,
         "quality_score": quality_score,
         "lang_id": lang_id,
@@ -854,8 +992,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_pairs": _JACCARD_SQL,
         "minhash_signatures": _MINHASH_SQL,
+        "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dups_lsh": _near_dup_lsh_sql(),
         "token_count": (
             "SELECT doc_id,"
             " len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"

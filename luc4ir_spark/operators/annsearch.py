@@ -83,9 +83,10 @@ def cosine_near_dup_pairs(
 
     Brute-force all-pairs via a block-nested join (each side bucketed
     into ``block_size`` ranges so one task compares two bounded blocks,
-    never the whole matrix). For corpora where O(n^2) is prohibitive,
-    generate candidates with ``lsh_cosine_topk`` buckets first and
-    verify with this same cosine expression."""
+    never the whole matrix). This is the small-n / verification path:
+    total work is O(n^2) regardless of blocking. The DEFAULT entry point
+    for corpus-scale near-dup detection is ``lsh_near_dup_pairs`` —
+    hyperplane-bucket candidates + exact-cosine verify, sub-quadratic."""
     c = with_norm(
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
     ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
@@ -103,6 +104,71 @@ def cosine_near_dup_pairs(
     )
     return (
         pairs.withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    log=None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale:
+    (a, b, cosine) with cosine >= threshold, a < b.
+
+    Candidates = pairs sharing a random-hyperplane sign bucket in ANY of
+    ``n_tables`` independent tables (equi-self-join per table on the
+    bucket key — work is sum of squared bucket sizes, not corpus^2);
+    every candidate is then VERIFIED with the exact cosine, so reported
+    values are exact. A true pair is missed only if its vectors disagree
+    on >= 1 of ``n_planes`` sign bits in EVERY table; for cosine >=
+    threshold the per-table agreement probability is
+    (1 - arccos(threshold)/pi)^n_planes, so recall =
+    1 - (1 - p)^n_tables (>= 99 % at the 0.95/8/4 defaults). Buckets are
+    deterministic (seeded plane literals), so a SQL oracle can replay
+    candidate generation exactly. ``log``: optional callable reporting
+    the candidate-pair count (the sub-quadratic evidence).
+
+    Use ``cosine_near_dup_pairs`` (brute force) only for small corpora
+    or as a recall check."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
+    ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    cand_parts = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + 1000 * t)
+        cb = c.withColumn("bucket", _bucket_expr("v", planes))
+        l = cb.select(F.col("vid").alias("a"), "bucket")
+        r = cb.select(F.col("vid").alias("b"), "bucket")
+        cand_parts.append(
+            l.join(r, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+        )
+    cands = cand_parts[0]
+    for part in cand_parts[1:]:
+        cands = cands.unionByName(part)
+    cands = cands.distinct()
+    if log is not None:
+        log(f"lsh_near_dup_pairs: {cands.count()} candidate pairs")
+    ca = c.select(
+        F.col("vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    cb2 = c.select(
+        F.col("vid").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        cands.join(ca, "a")
+        .join(cb2, "b")
+        .withColumn(
             "cosine",
             _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )

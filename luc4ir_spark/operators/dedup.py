@@ -15,10 +15,17 @@ fan-out:
 - SimHash: per-bit weighted majority over shingle hashes -> 64-bit
   fingerprint; near-dups = small Hamming distance
 
-Determinism: shingle ids come from ``dense_rank`` over the sorted
-distinct shingle set (reproducible in ANSI SQL — no engine-specific
-string hash), and permutation hashes are (a*x + b) mod p with fixed
-seeds, so the DuckDB oracle can replay every stage bit-for-bit.
+Determinism: shingle ids are the first 60 bits of md5(shingle) — a
+pure projection (no shuffle, no vocabulary-sized sort) that any SQL
+engine reproduces bit-for-bit (``('0x' || substr(md5(s),1,15))::BIGINT``
+in DuckDB) — and permutation hashes are (a*(x mod p) + b) mod p with
+fixed seeds, so the DuckDB oracle can replay every stage exactly.
+A legacy ``id_mode="rank"`` (dense_rank over the sorted vocabulary)
+exists for tests/debugging only: its global unpartitioned window
+funnels the whole shingle vocabulary through one reducer and must never
+run at scale. 60-bit ids collide with probability ~n^2/2^61 (~0.04 %
+at a 10^6-shingle vocabulary); a collision merges two shingles for
+every doc identically, only marginally perturbing similarity estimates.
 """
 
 from __future__ import annotations
@@ -83,11 +90,24 @@ def exact_duplicates(
     )
 
 
-def shingle_ids(shingles: DataFrame) -> DataFrame:
-    """Assign deterministic dense integer ids to shingles: dense_rank
-    over the sorted distinct shingle vocabulary. Vocabulary-sized sort —
-    at extreme scale swap for a hash id; rank keeps the SQL oracle
-    exact."""
+def shingle_ids(shingles: DataFrame, id_mode: str = "hash") -> DataFrame:
+    """Assign deterministic integer ids to shingles.
+
+    ``id_mode="hash"`` (default, the scale path): first 60 bits of
+    md5(shingle) — a stateless projection, no shuffle, no vocabulary
+    materialization; DuckDB replays it as
+    ``('0x' || substr(md5(shingle), 1, 15))::BIGINT``.
+
+    ``id_mode="rank"`` (tests/debugging ONLY): dense_rank over the
+    sorted distinct vocabulary — a single-reducer global sort that does
+    not survive a billion-shingle corpus."""
+    if id_mode == "hash":
+        return shingles.withColumn(
+            "shingle_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+        )
+    if id_mode != "rank":
+        raise ValueError(f"unknown id_mode: {id_mode}")
     vocab = shingles.select("shingle").distinct()
     w = Window.orderBy("shingle")
     ids = vocab.withColumn(
@@ -96,35 +116,85 @@ def shingle_ids(shingles: DataFrame) -> DataFrame:
     return shingles.join(ids, "shingle")
 
 
+def _perm_hash(a, b, sid):
+    """(a * (sid mod p) + b) mod p — reduce BEFORE multiplying so 60-bit
+    hash ids cannot overflow int64 under ANSI mode (a < 2^21, sid mod p
+    < 2^31 -> product < 2^52)."""
+    return (a * (sid % F.lit(MERSENNE_P)) + b) % F.lit(MERSENNE_P)
+
+
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def jaccard_pairs(
     docs: DataFrame,
     tokens_col: str = "tokens",
     shingle_size: int = 1,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    log=None,
 ) -> DataFrame:
-    """All-pairs token/n-gram Jaccard >= threshold via inverted join:
-    pairs sharing a shingle -> intersection counts -> |A|+|B|-c union.
-    ``max_shingle_df`` drops shingles present in more than that many docs
-    before pairing (skew guard: a stop-shingle in every doc would square
-    the corpus)."""
+    """All-pairs token/n-gram Jaccard >= threshold via inverted join.
+
+    ``max_shingle_df`` (skew guard, ON by default — a stop-shingle in
+    every doc would square the corpus) bounds CANDIDATE generation only:
+    pairs are proposed by shingles with df <= cap, then verified against
+    the FULL shingle sets, so every reported jaccard value is exact. A
+    true pair is missed only if every shingle it shares has df > cap —
+    at a high-threshold dedup setting such a pair shares many shingles
+    and the chance all of them are corpus-wide stop-shingles is
+    negligible; raise the cap (or pass None for the exact-but-quadratic
+    -in-the-worst-key path) if the corpus says otherwise.
+
+    ``log``: optional callable; when set (and the cap is active) a small
+    extra aggregation reports how many distinct shingles the cap
+    dropped — never silently truncate coverage."""
     sh = tokens_or_shingles(docs, tokens_col, shingle_size)
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("set_size")
     )
-    if max_shingle_df is not None:
+    if max_shingle_df is None:
+        cand_sh = sh
+    else:
         dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-        sh = sh.join(
+        if log is not None:
+            n_dropped = dfc.filter(
+                F.col("sdf") > max_shingle_df
+            ).count()
+            log(
+                f"jaccard_pairs: max_shingle_df={max_shingle_df} dropped "
+                f"{n_dropped} distinct shingles from candidate generation"
+            )
+        cand_sh = sh.join(
             dfc.filter(F.col("sdf") <= max_shingle_df), "shingle"
         ).select("doc_id", "shingle")
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
-    )
+    a = cand_sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = cand_sh.select(F.col("doc_id").alias("b"), "shingle")
+    if max_shingle_df is None:
+        # single-pass: the inverted join already sees every shared shingle
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        )
+    else:
+        # candidates from capped shingles; intersection counted over the
+        # FULL sets so the cap cannot bias the reported values
+        cands = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        fa = sh.select(F.col("doc_id").alias("a"), "shingle")
+        fb = sh.select(F.col("doc_id").alias("b"), "shingle")
+        inter = (
+            cands.join(fa, "a")
+            .join(fb, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("set_size").alias("size_b"))
     return (
@@ -157,16 +227,14 @@ def minhash_signatures(
     shingle_size: int = 1,
 ) -> DataFrame:
     """-> (doc_id, hash_id, min_hash): MinHash signature rows.
-    h_i(x) = (a_i * shingle_id + b_i) mod p, signature = per-doc min."""
+    h_i(x) = (a_i * (shingle_id mod p) + b_i) mod p, per-doc min."""
     sh = shingle_ids(tokens_or_shingles(docs, tokens_col, shingle_size))
     spark = docs.sparkSession
     params = _hash_params_df(spark, num_hashes)
     return (
         sh.crossJoin(F.broadcast(params))
         .withColumn(
-            "h",
-            (F.col("a") * F.col("shingle_id") + F.col("b"))
-            % F.lit(MERSENNE_P),
+            "h", _perm_hash(F.col("a"), F.col("b"), F.col("shingle_id"))
         )
         .groupBy("doc_id", "hash_id")
         .agg(F.min("h").alias("min_hash"))
@@ -247,9 +315,7 @@ def simhash(
     iff the +1/-1 vote sum is positive. Near-dups share most bits."""
     sh = shingle_ids(tokens_or_shingles(docs, tokens_col, 1))
     hashed = sh.withColumn(
-        "h",
-        (F.lit(hash_a) * F.col("shingle_id") + F.lit(hash_b))
-        % F.lit(MERSENNE_P),
+        "h", _perm_hash(F.lit(hash_a), F.lit(hash_b), F.col("shingle_id"))
     )
     bits = hashed.select(
         "doc_id",

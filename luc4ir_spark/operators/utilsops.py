@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,30 +39,48 @@ def destem(stems: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-def sample_uniform(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
-    """n rows uniformly without replacement (deterministic given seed)."""
-    w = Window.orderBy(F.xxhash64(F.lit(seed), F.monotonically_increasing_id()))
-    return (
-        df.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n)
-        .drop("_r")
-    )
+def _row_hash(df: DataFrame, seed: int, key_cols: list[str] | None):
+    """Stable per-row hash from row CONTENT (never
+    monotonically_increasing_id, which depends on partition layout —
+    'deterministic given seed' must hold across repartitioning and
+    cluster sizes)."""
+    cols = key_cols or df.columns
+    return F.xxhash64(F.lit(seed), *[F.col(c) for c in cols])
+
+
+def sample_uniform(
+    df: DataFrame, n: int, seed: int = 42, key_cols: list[str] | None = None
+) -> DataFrame:
+    """n rows uniformly without replacement, deterministic given (seed,
+    row content). ORDER BY hash LIMIT n plans as TakeOrderedAndProject
+    (per-partition top-n heap + driver merge of n*partitions rows) — no
+    global sort, no single-reducer window. ``key_cols``: columns that
+    identify a row (default all); rows identical on them tie and the
+    tie-winner among exact duplicates is arbitrary."""
+    key = _row_hash(df, seed, key_cols)
+    return df.withColumn("_k", key).orderBy("_k").limit(n).drop("_k")
 
 
 def sample_weighted(
-    df: DataFrame, n: int, weight_col: str, seed: int = 42
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    seed: int = 42,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Weighted sampling without replacement via the exponential-sort
-    trick (Efraimidis-Spirakis): key = rand()^(1/w); top-n keys."""
-    u = (F.xxhash64(F.lit(seed), F.monotonically_increasing_id())
-         .cast("double") / F.lit(float(2**63)) + 1.0) / 2.0
+    trick (Efraimidis-Spirakis): key = u^(1/w) with u derived from the
+    stable row hash; top-n keys via ORDER BY LIMIT
+    (TakeOrderedAndProject — same no-global-sort shape as
+    ``sample_uniform``)."""
+    u = (_row_hash(df, seed, key_cols).cast("double")
+         / F.lit(float(2**63)) + 1.0) / 2.0
     key = F.pow(u, F.lit(1.0) / F.col(weight_col))
-    w = Window.orderBy(F.desc("_key"))
     return (
-        df.withColumn("_key", key)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n)
-        .drop("_key", "_r")
+        df.withColumn("_k", key)
+        .orderBy(F.desc("_k"))
+        .limit(n)
+        .drop("_k")
     )
 
 

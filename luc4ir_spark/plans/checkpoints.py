@@ -24,6 +24,7 @@ is pure set union, no reconciliation.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -48,8 +49,13 @@ MANIFEST = "manifest.json"
 
 def _config_fingerprint(cfg: IndexConfig) -> str:
     a = cfg.analyzer
+    # stopword CONTENT, not count: two different same-size stop sets must
+    # invalidate the lineage (a stale checkpoint can never leak)
+    stop_hash = hashlib.sha256(
+        "\n".join(sorted(a.stopwords or ())).encode("utf-8")
+    ).hexdigest()[:16]
     return (
-        f"mode={a.mode};stop={len(a.stopwords or ())};lower={a.lowercase};"
+        f"mode={a.mode};stop={stop_hash};lower={a.lowercase};"
         f"salt_df={cfg.salt_df_threshold};shards={cfg.num_salt_shards};"
         f"block={cfg.block_size}"
     )

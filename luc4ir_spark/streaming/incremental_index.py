@@ -3,11 +3,16 @@
 The reference is strictly batch (no streaming anywhere; SURVEY §2.9).
 This module adds the streaming ingest a living corpus needs: new
 document files land in a directory, a Structured Streaming query
-tokenizes each micro-batch and APPENDS its postings/doc-stat rows to the
-index tables via ``foreachBatch`` (exactly-once per batch id on the
-parquet sink through Spark's streaming checkpoint).
+tokenizes each micro-batch and writes its postings/doc-stat rows into a
+``batch_id=<id>``-partitioned parquet layout via ``foreachBatch``.
 
-Append-only postings are sound because (term, doc_id) pairs from new
+Exactly-once RESULT from at-least-once delivery: foreachBatch may replay
+a batch after a failure between the sink write and the checkpoint
+commit, so each write targets the batch's own partition with DYNAMIC
+partition overwrite — a replay overwrites the partial partition instead
+of appending duplicates, making the write idempotent per batch id.
+
+Per-batch partitions are sound because (term, doc_id) pairs from new
 docs never collide with old ones (doc ids are unique); term-level
 statistics (df/cf/N/avgdl) are recomputed lazily at query time from the
 union — the same "segments + merge-on-read" shape Lucene uses, with the
@@ -34,6 +39,45 @@ from ..operators.indexer import (
 DOC_SCHEMA = "doc_id long, content string"
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent micro-batch write: the batch's rows land in their own
+    ``batch_id=<id>`` partition under dynamic overwrite, so a foreachBatch
+    replay (failure after write, before checkpoint commit) overwrites the
+    partial partition instead of double-appending."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def write_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    cfg: IndexConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> None:
+    """One micro-batch -> postings + doc_stats partitions (module-level so
+    replay idempotence is directly testable)."""
+    if batch_df.isEmpty():
+        return
+    toks = tokenize(batch_df, cfg.analyzer, id_col, content_col)
+    flat = build_flat_postings(toks)
+    _write_batch_partition(
+        flat, os.path.join(index_dir, "postings"), batch_id
+    )
+    ds = toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("doc_len")
+    )
+    _write_batch_partition(
+        ds, os.path.join(index_dir, "doc_stats"), batch_id
+    )
+
+
 def start_incremental_index(
     spark: SparkSession,
     input_dir: str,
@@ -52,17 +96,9 @@ def start_incremental_index(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        toks = tokenize(batch_df, cfg.analyzer, id_col, content_col)
-        flat = build_flat_postings(toks)
-        flat.write.mode("append").parquet(
-            os.path.join(index_dir, "postings")
+        write_index_batch(
+            batch_df, batch_id, index_dir, cfg, id_col, content_col
         )
-        ds = toks.select(
-            "doc_id", F.size("tokens").cast("long").alias("doc_len")
-        )
-        ds.write.mode("append").parquet(os.path.join(index_dir, "doc_stats"))
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -78,8 +114,12 @@ def open_incremental_index(
     """Open the streaming-maintained tables as a queryable index;
     term/collection stats recomputed from the current union (merge-on-
     read)."""
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    postings = spark.read.parquet(
+        os.path.join(index_dir, "postings")
+    ).drop("batch_id")
+    doc_stats = spark.read.parquet(
+        os.path.join(index_dir, "doc_stats")
+    ).drop("batch_id")
     term_stats = build_term_stats(postings)
     row = doc_stats.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")

@@ -128,6 +128,41 @@ def test_checkpointed_index_retrieves(spark, docs, tmp_path):
     assert rt.score_queries(idx, qt, k=5).count() == 5
 
 
+def test_streaming_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (failure
+    between sink write and checkpoint commit) must not duplicate
+    postings/doc_stats rows — the batch_id-partitioned dynamic overwrite
+    makes the replay a no-op."""
+    from luc4ir_spark.streaming.incremental_index import write_index_batch
+
+    docs = synth_corpus(spark, 40, seed=5).withColumn(
+        "doc_id", F.xxhash64("path")
+    ).select("doc_id", "content")
+    idx_dir = str(tmp_path / "replay_idx")
+    write_index_batch(docs, 0, idx_dir, CFG)
+    once = open_incremental_index(spark, idx_dir, CFG)
+    n_postings = once.postings.count()
+    n_docs = once.stats.n_docs
+    # replay the SAME batch id (simulated failure-recovery re-delivery)
+    write_index_batch(docs, 0, idx_dir, CFG)
+    twice = open_incremental_index(spark, idx_dir, CFG)
+    assert twice.postings.count() == n_postings
+    assert twice.stats.n_docs == n_docs
+
+
+def test_config_fingerprint_tracks_stopword_content():
+    """Same-size but different stopword sets must change the lineage
+    fingerprint (stale-checkpoint guarantee)."""
+    from luc4ir_spark.functions.analysis import make_config
+
+    a = ix.IndexConfig(analyzer=make_config("simple", stopwords=["alpha", "beta"]))
+    b = ix.IndexConfig(analyzer=make_config("simple", stopwords=["alpha", "gamma"]))
+    assert cp._config_fingerprint(a) != cp._config_fingerprint(b)
+    assert cp._config_fingerprint(a) == cp._config_fingerprint(
+        ix.IndexConfig(analyzer=make_config("simple", stopwords=["beta", "alpha"]))
+    )
+
+
 def test_streaming_incremental_equals_batch(spark, tmp_path):
     docs = synth_corpus(spark, 120, seed=9).withColumn(
         "doc_id", F.xxhash64("path")

@@ -153,6 +153,36 @@ def test_lsh_recall_vs_brute_force(spark, embeddings):
     assert hits / total >= 0.4, f"LSH recall too low: {hits}/{total}"
 
 
+def test_lsh_near_dup_pairs(spark, embeddings):
+    """The sub-quadratic near-dup path: (1) subset of brute force with
+    identical cosines, (2) exact duplicates (cosine 1.0 -> identical
+    buckets in every table) are ALWAYS recovered."""
+    base = embeddings.filter(F.col("vec_id") < 20).select(
+        "vec_id", "embedding"
+    )
+    dupes = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dupes)
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in annsearch.lsh_near_dup_pairs(
+            corpus, threshold=0.98
+        ).collect()
+    }
+    brute = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in annsearch.cosine_near_dup_pairs(
+            corpus, threshold=0.98
+        ).collect()
+    }
+    assert set(got) <= set(brute)
+    for pair, cos in got.items():
+        assert cos == pytest.approx(brute[pair], rel=1e-9)
+    for i in range(20):  # planted exact duplicates always found
+        assert (i, i + 1000) in got
+
+
 def test_token_count(spark, docs_df):
     out = {r["doc_id"]: r for r in textstats.token_count(docs_df).collect()}
     for d, t in DOCS:

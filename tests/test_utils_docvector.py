@@ -99,8 +99,21 @@ def test_samplers(spark):
     a = sorted(r["id"] for r in uo.sample_uniform(df, 10, seed=1).collect())
     b = sorted(r["id"] for r in uo.sample_uniform(df, 10, seed=1).collect())
     assert a == b  # deterministic
+    # ...including across partition layouts (keys hash row CONTENT, not
+    # monotonically_increasing_id)
+    c = sorted(
+        r["id"]
+        for r in uo.sample_uniform(df.repartition(7), 10, seed=1).collect()
+    )
+    assert a == c
     s2 = uo.sample_weighted(df, 20, "w", seed=3)
     assert s2.count() == 20
+    # plan shape: distributed top-n, no single-partition window/sort
+    for sample in (uo.sample_uniform(df, 10, seed=1),
+                   uo.sample_weighted(df, 20, "w", seed=3)):
+        plan = sample._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
 
 
 def test_quantize_doc_len(spark):
