@@ -82,6 +82,86 @@ def test_reference_stopfile_contract():
     assert "foreign" in toks or "germani" in toks  # stems survive
 
 
+def _load_rcd_inputs():
+    """eval.sh's derivation of the pred/rel pairs: pred fields
+    whitespace-joined + lowercased (awk), rel = column 2 of the rel
+    file, pairing by line position; equiv groups = whitespace-split
+    lines of equiv.txt."""
+    preds, rels = {}, {}
+    with open(f"{REF}/rcd/nqc.tsv") as fh:
+        for line in fh:
+            f = line.split()
+            preds[f[0]] = " ".join(f[1:]).lower()
+    with open(f"{REF}/rcd/task1_test.rel") as fh:
+        for line in fh:
+            p = line.rstrip("\n").split("\t")
+            rels[p[0]] = p[1]
+    with open(f"{REF}/rcd/equiv.txt") as fh:
+        groups = [line.split() for line in fh if line.strip()]
+    return {k: (preds[k], rels[k]) for k in preds}, groups
+
+
+def test_rcd_reference_eval_pinned_value():
+    """Char-n-gram BLEU over the reference's OWN committed RCD data
+    (rcd/nqc.tsv x task1_test.rel x equiv.txt), replicating
+    RCDEvaluator.java:90-157 end-to-end including float32 accumulation
+    in HashMap iteration order. Asserted bit-for-bit against
+    RCD_PINNED_BLEU.
+
+    The README's published 0.16270196 (rcd/README.md:23-26) is NOT
+    reproducible from the committed data: rcd/pred_rel.txt — an
+    intermediate of an earlier eval.sh run — records query 43's rel
+    text as 'lords of hell alastor azazel' while task1_test.rel now
+    says 'of hell! Alastor! Azazel!', i.e. the ground truth drifted
+    after the README was written. A grid over stop sets (none /
+    classic 33), tokenization variants, and both rel variants spans
+    0.163..0.185 and brackets but never hits the published value."""
+    import numpy as np
+
+    from luc4ir_spark.functions.docvector import (
+        RCD_PINNED_BLEU,
+        rcd_reference_eval,
+    )
+
+    pred_rel, groups = _load_rcd_inputs()
+    assert len(pred_rel) == 25 and len(groups) == 35
+    got = rcd_reference_eval(pred_rel, groups)
+    assert got == np.float32(RCD_PINNED_BLEU)
+
+
+def test_rcd_spark_operator_matches_reference_eval(spark):
+    """The distributed double-precision rcd_evaluate (group-concat
+    semantics) agrees with the float32 reference evaluator on the real
+    RCD data to float32 noise."""
+    from luc4ir_spark.functions.analysis import AnalyzerConfig, analyze_text
+    from luc4ir_spark.functions.docvector import (
+        RCD_PINNED_BLEU,
+        rcd_evaluate,
+    )
+
+    pred_rel, groups = _load_rcd_inputs()
+    cfg = AnalyzerConfig(mode="standard", stopwords=frozenset())
+
+    def an(s):
+        return " ".join(analyze_text(s, cfg))
+
+    rows, order = [], {}
+    for gi, g in enumerate(groups):
+        if any(q not in pred_rel for q in g):
+            continue
+        for pos, q in enumerate(g):
+            # double-analyzed like the reference (merge re-analyzes)
+            rows.append((gi, pos, an(pred_rel[q][0]), an(pred_rel[q][1])))
+    df = spark.createDataFrame(
+        rows, "grp int, pos int, pred string, ref string"
+    )
+    got = rcd_evaluate(
+        df, pred_col="pred", ref_col="ref", group_col="grp",
+        order_col="pos",
+    ).collect()[0]["bleu"]
+    assert got == pytest.approx(RCD_PINNED_BLEU, abs=5e-7)
+
+
 def test_reference_topics_retrievable_pipeline(spark):
     """Topics -> analyzed query terms with the reference stop list:
     every title yields a usable term set (the avg-title-length anchor in

@@ -165,12 +165,26 @@ def test_rcd_char_bleu():
 def test_rcd_evaluate(spark):
     pairs = spark.createDataFrame(
         [
-            ("g1", "identical span", "identical span"),
-            ("g1", "totally different", "identical span"),
-            ("g2", "abcabc", "zzzzzz"),
+            ("g1", 0, "identical span", "identical span"),
+            ("g1", 1, "totally different", "different totally"),
+            ("g2", 0, "abcabc", "zzzzzz"),
         ],
-        "grp string, pred string, ref string",
+        "grp string, pos int, pred string, ref string",
     )
-    # grouped: g1 takes its best match (1.0), g2 is 0 -> mean = 0.5
-    out = dv.rcd_evaluate(pairs, group_col="grp").collect()[0]
-    assert out["bleu"] == pytest.approx(0.5 * (3 + 4 + 5) / 12.0, abs=1e-9)
+    # grouped: members CONCATENATE in pos order (reference merge
+    # semantics, RCDEvaluator.java:107-133), g2 shares no n-gram -> 0
+    out = dv.rcd_evaluate(
+        pairs, group_col="grp", order_col="pos"
+    ).collect()[0]
+    g1 = dv.rcd_char_bleu(
+        "identical span totally different", "identical span different totally"
+    )
+    assert out["bleu"] == pytest.approx(g1 / 2.0, abs=1e-9)
+    # ungrouped: plain per-row mean
+    flat = dv.rcd_evaluate(pairs.drop("grp", "pos")).collect()[0]
+    exp = (
+        dv.rcd_char_bleu("identical span", "identical span")
+        + dv.rcd_char_bleu("totally different", "different totally")
+        + 0.0
+    ) / 3.0
+    assert flat["bleu"] == pytest.approx(exp, abs=1e-9)
