@@ -710,10 +710,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_topk_wand(spark, sf):
         # block-max WAND over delta+varbyte compressed postings; must be
         # rank- and score-identical to the exhaustive bm25_topk, so it
-        # shares that SQL oracle.
+        # shares that SQL oracle. The salt threshold is set to the
+        # median query-term df so the gate exercises the SALTED path
+        # (doc-sharded blobs + replicated unsalted blobs + in-kernel
+        # masking) end-to-end against the oracle, not just the
+        # single-shard fast path.
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = wd.score_queries_wand(idx, qt, k=TOPK)
+        dfs = sorted(
+            r["df"]
+            for r in idx.term_stats.join(
+                qt.select("term").distinct(), "term", "left_semi"
+            ).collect()
+        )
+        thr = dfs[len(dfs) // 2] if dfs else 0
+        cfg = ix.IndexConfig(
+            analyzer=idx.config.analyzer,
+            salt_df_threshold=int(thr),
+            num_salt_shards=4,
+            block_size=idx.config.block_size,
+            num_term_partitions=idx.config.num_term_partitions,
+        )
+        salted = ix.InvertedIndex(
+            doc_stats=idx.doc_stats,
+            postings=idx.postings,
+            term_stats=idx.term_stats,
+            stats=idx.stats,
+            config=cfg,
+        )
+        run = wd.score_queries_wand(salted, qt, k=TOPK)
         return run.select(
             "qid", "doc_id",
             F.col("rank").cast("long").alias("rank"),

@@ -15,6 +15,7 @@ Workloads (all end-to-end actions, cold plans):
   eval_metrics         run x pseudo-qrels metric aggregates
   minhash_lsh          MinHash-LSH near-dup pairs over the corpus
   ann_topk             50-query exact cosine top-10 over embeddings
+  near_dup_lsh         hyperplane-bucketed embedding near-dup pairs
   textstats            quality + lang-id + fingerprint full pass
 """
 
@@ -184,6 +185,18 @@ def main() -> None:
         return ann.cosine_topk(emb, q, k=10).count()
 
     timed("ann_topk", ann_topk)
+
+    def near_dup_lsh():
+        # sub-quadratic embedding near-dup path: bucket candidates +
+        # exact verify; candidate count recorded as scale evidence
+        cand_counter = []
+        n = ann.lsh_near_dup_pairs(
+            emb, threshold=0.9, log=lambda m: cand_counter.append(m)
+        ).count()
+        extra["near_dup_lsh_log"] = cand_counter
+        return n
+
+    timed("near_dup_lsh", near_dup_lsh)
 
     def textstats():
         a = tstat.quality_score(docs, content_col="text").count()
