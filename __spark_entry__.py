@@ -931,6 +931,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = ann.with_norm(_emb(spark, sf))
         return emb.select("vec_id", F.round("norm", 4).alias("norm"))
 
+    def event_window_stats(spark, sf):
+        # tumbling event-time windows over the events log (the batch
+        # twin of the streaming windowed-agg operator)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.tumbling_window_stats(ev_df, window="1 hour")
+        return out.select(
+            # NTZ window start compared as its canonical string form
+            # (timezone-free; ANSI forbids NTZ -> numeric casts)
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+            F.round("avg_value", 4).alias("avg_value"),
+        )
+
+    def event_sessionize(spark, sf):
+        # gaps-and-islands sessionization per user (30-min gap)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.sessionize(ev_df, gap_seconds=1800.0)
+        return out.select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "start_us",
+            "end_us",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+
+    def frame_sample_plan(spark, sf):
+        # multimodal row-expansion plumbing: synthesize a deterministic
+        # video table from documents (media bytes = text, duration_ms =
+        # n_chars) and emit the sampled frame timeline; the decode stays
+        # a stub, the expansion/schedule is oracle-checked
+        from luc4ir_spark.operators import multimodal as mm
+
+        media = _docs(spark, sf).select(
+            "doc_id",
+            F.lit("video").alias("kind"),
+            F.encode("text", "utf-8").alias("media"),
+            F.struct(
+                F.lit("video/x-fake").alias("mime"),
+                F.lit(0).alias("width"),
+                F.lit(0).alias("height"),
+                F.col("n_chars").cast("int").alias("duration_ms"),
+                F.lit(0).alias("sample_rate"),
+            ).alias("meta"),
+        )
+        out = mm.sample_frames(media, every_ms=100)
+        return out.select("doc_id", "frame_ts_ms")
+
     def index_to_tsv(spark, sf):
         # reference: retriever/IndexToTsvConverter.java:33-55
         return _docs(spark, sf).select(
@@ -975,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
+        "event_window_stats": event_window_stats,
+        "event_sessionize": event_sessionize,
+        "frame_sample_plan": frame_sample_plan,
     }
 
 
@@ -1052,5 +1109,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(sqrt(list_dot_product("
             "embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm"
             " FROM embeddings"
+        ),
+        "event_window_stats": (
+            "SELECT date_trunc('hour', ts)::VARCHAR AS window_start,"
+            " event_type, count(*)::BIGINT AS n_events,"
+            " round(sum(value), 4) AS sum_value,"
+            " round(avg(value), 4) AS avg_value"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "event_sessionize": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+lagged AS (
+  SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e
+),
+flags AS (
+  SELECT *,
+         CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY 1, 2
+""",
+        "frame_sample_plan": (
+            "SELECT doc_id,"
+            " unnest(range(0, greatest(n_chars - 1, 0) + 1, 100))::BIGINT"
+            " AS frame_ts_ms FROM documents"
         ),
     }

@@ -1,0 +1,110 @@
+"""Event-time operators over an append-only event log.
+
+The reference is a static-corpus IR engine with no notion of event
+time; a 100 TB training-data pipeline, however, ingests click/impression
+logs continuously, and these are the two batch-verifiable primitives
+that pipeline needs (their Structured Streaming twins share the same
+expressions — `F.window` is the streaming tumbling window operator, and
+the sessionize expression is what `applyInPandasWithState` would
+maintain incrementally):
+
+- ``tumbling_window_stats``: per (time bucket, event_type) counts and
+  value aggregates. One hash shuffle on a low-cardinality composite key
+  with map-side partial aggregation — the same plan at any scale.
+- ``sessionize``: gaps-and-islands sessionization per user: a lag
+  window PARTITIONED BY user_id (never a global window — per-user
+  partitions bound every sort), a running flag sum to number sessions,
+  then a per-session aggregate.
+
+Both are deterministic and replayed exactly by the DuckDB oracle: event
+times are compared as INTEGER microseconds via timezone-free calendar
+arithmetic (`timestampdiff(MICROSECOND, epoch, ts)` == DuckDB
+`epoch_us(ts)` for naive timestamps) — no float epochs, no session-
+timezone dependence, no ANSI cast restrictions on TIMESTAMP_NTZ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_us(ts_col: str) -> Column:
+    """Timezone-free microseconds since 1970-01-01 00:00:00 for a
+    TIMESTAMP_NTZ (or TIMESTAMP) column — pure calendar arithmetic,
+    allowed under ANSI mode where a direct numeric cast is not."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND,"
+        f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+
+
+def tumbling_window_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """-> (window_start timestamp, event_type, n_events, sum_value,
+    avg_value) per tumbling window. `F.window` is the exact expression
+    a `readStream` variant would use with a watermark."""
+    win = F.window(F.col(ts_col), window)
+    return (
+        events.groupBy(win.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gaps-and-islands sessions: a new session starts when a user's
+    inter-event gap exceeds ``gap_seconds``. -> (user_id, session_id,
+    n_events, start_us, end_us, sum_value) with session bounds as exact
+    integer microseconds; session ids are 1-based per user in time
+    order. All windows are partitioned by user (bounded per-user sorts,
+    no global window); ties broken by event id."""
+    gap_us = int(gap_seconds * 1_000_000)
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        epoch_us(ts_col).alias("t_us"),
+        F.col(value_col).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("t_us").over(w)
+    flagged = base.withColumn(
+        "ns",
+        (prev.isNull() | ((F.col("t_us") - prev) > F.lit(gap_us)))
+        .cast("int"),
+    )
+    with_sid = flagged.withColumn(
+        "session_id", F.sum("ns").over(run).cast("long")
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+            F.sum("value").alias("sum_value"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Event-time operators: hand-computed tumbling windows and sessions."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from luc4ir_spark.operators import eventops as eo
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions (gap > 600 s between e2 and e3)
+        (0, datetime(2024, 1, 1, 0, 0, 0), 1, "click", 1.0),
+        (1, datetime(2024, 1, 1, 0, 5, 0), 1, "view", 2.0),
+        (2, datetime(2024, 1, 1, 0, 9, 59), 1, "click", 3.0),
+        (3, datetime(2024, 1, 1, 1, 0, 0), 1, "click", 4.0),
+        # user 2: one session spanning an hour boundary
+        (4, datetime(2024, 1, 1, 0, 58, 0), 2, "view", 5.0),
+        (5, datetime(2024, 1, 1, 1, 2, 0), 2, "view", 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double"
+    )
+
+
+def test_tumbling_window_stats(spark, events):
+    out = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_events"], r["sum_value"]
+        )
+        for r in eo.tumbling_window_stats(events, "1 hour").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 4.0)
+    assert out[("2024-01-01 00:00:00", "view")] == (2, 7.0)
+    assert out[("2024-01-01 01:00:00", "click")] == (1, 4.0)
+    assert out[("2024-01-01 01:00:00", "view")] == (1, 6.0)
+
+
+def test_sessionize(spark, events):
+    out = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["sum_value"]
+        )
+        for r in eo.sessionize(events, gap_seconds=600.0).collect()
+    }
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00:00 in us
+    # user 1: events at 0/300/599 s form one session; 3600 s a new one
+    assert out[(1, 1)] == (3, base, base + 599_000_000, 6.0)
+    assert out[(1, 2)] == (1, base + 3_600_000_000, base + 3_600_000_000, 4.0)
+    # user 2: 240 s gap stays one session across the hour boundary
+    assert out[(2, 1)] == (2, base + 3_480_000_000, base + 3_720_000_000, 11.0)
+    # windows are per-user partitioned (no global window in the plan)
+    plan = (
+        eo.sessionize(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "No Partition Defined" not in plan
