@@ -69,24 +69,45 @@ def tokens_or_shingles(
 
 
 def exact_duplicates(
-    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_ids_per_group: int | None = 1000,
 ) -> DataFrame:
     """Exact dedup on a content digest -> (digest, n_docs, doc_ids,
     keep_doc_id) for groups with more than one member. One hash-shuffle;
     digest grouping beats grouping on raw content (shuffle carries 32
-    bytes/row, not documents)."""
+    bytes/row, not documents).
+
+    ``max_ids_per_group`` bounds the ``doc_ids`` sample per digest (a
+    degenerate boilerplate document duplicated 10^9 times must not
+    materialize a 10^9-element aggregation buffer on one reducer);
+    ``n_docs`` and ``keep_doc_id`` stay exact for every group. ``None``
+    collects all ids (small-corpus convenience)."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(content_col)).alias("digest"),
+    )
+    if max_ids_per_group is None:
+        kept = hashed
+    else:
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        kept = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_ids_per_group)
+            .drop("_rn")
+        )
+    groups = hashed.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+    ids = kept.groupBy("digest").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids")
+    )
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.md5(F.col(content_col)).alias("digest"),
-        )
-        .groupBy("digest")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
+        groups.join(ids, "digest")
         .filter(F.col("n_docs") > 1)
+        .select("digest", "n_docs", "doc_ids", "keep_doc_id")
     )
 
 

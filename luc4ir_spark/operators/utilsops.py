@@ -22,18 +22,27 @@ from pyspark.sql import functions as F
 
 def destem(stems: DataFrame, vocab: DataFrame) -> DataFrame:
     """stems(stem) x vocab(word) -> (stem, word): the alphabetically
-    first vocabulary word starting with each stem. Bucketed on the
-    first character so Catalyst plans an equi-join (the vocab side
-    shuffles once by bucket), then a startswith filter + min."""
-    s = stems.select("stem").distinct().withColumn(
-        "bucket", F.substring("stem", 1, 1)
-    )
-    v = vocab.select("word").distinct().withColumn(
-        "bucket", F.substring("word", 1, 1)
+    first vocabulary word starting with each stem.
+
+    Planned as an EXACT equi-join: each vocabulary word is expanded to
+    one prefix row per distinct stem length (a handful — Porter stems
+    span ~2..15 chars), then prefix == stem is a plain hash join. Work
+    is |vocab| x |distinct stem lengths| — linear, unlike a
+    first-letter bucket theta-join whose per-letter candidate set is
+    |stems_l| x |vocab_l| (quadratic inside every letter at real
+    vocabulary sizes)."""
+    s = stems.select("stem").distinct()
+    lengths = s.select(F.length("stem").alias("plen")).distinct()
+    v = vocab.select("word").distinct()
+    expanded = (
+        v.crossJoin(F.broadcast(lengths))
+        .filter(F.length("word") >= F.col("plen"))
+        .select(
+            F.expr("substring(word, 1, plen)").alias("stem"), "word"
+        )
     )
     return (
-        s.join(v, "bucket")
-        .filter(F.col("word").startswith(F.col("stem")))
+        s.join(expanded, "stem")
         .groupBy("stem")
         .agg(F.min("word").alias("word"))
     )

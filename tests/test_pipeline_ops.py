@@ -44,6 +44,21 @@ def test_exact_duplicates(spark, docs_df):
     assert g["keep_doc_id"] == 0 and g["n_docs"] == 2
 
 
+def test_exact_duplicates_bounded_ids(spark):
+    """max_ids_per_group caps the per-digest id sample while n_docs and
+    keep_doc_id stay exact (degenerate mega-groups must not blow the
+    aggregation buffer)."""
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(50)] + [(99, "unique")],
+        "doc_id long, content string",
+    )
+    g = dedup.exact_duplicates(docs, max_ids_per_group=5).collect()
+    assert len(g) == 1
+    assert g[0]["n_docs"] == 50
+    assert g[0]["keep_doc_id"] == 0
+    assert g[0]["doc_ids"] == [0, 1, 2, 3, 4]
+
+
 def brute_jaccard(a, b):
     sa, sb = set(tok(a)), set(tok(b))
     return len(sa & sb) / len(sa | sb)
