@@ -267,6 +267,160 @@ WITH {_BM25_RUN_CTES}
 SELECT qid, term, round(wt, 4) AS wt FROM rm
 """
 
+RM_IID_LAM = 0.6  # exercise BOTH mixture terms (lam=1 hides the df part)
+
+_RM_IID_SQL = f"""
+WITH {_BM25_RUN_CTES},
+dt AS (
+  SELECT t.qid, tf.term, tf.doc_id, tf.tf
+  FROM topm t JOIN tf ON tf.doc_id = t.doc_id
+),
+perq AS (
+  SELECT qid, sum(tf) AS sum_tf_pool, count(*)::DOUBLE AS sum_df
+  FROM dt GROUP BY 1
+),
+dftop AS (
+  SELECT qid, term, count(DISTINCT doc_id)::DOUBLE AS df_top,
+         sum(tf)::DOUBLE AS tf_pool
+  FROM dt GROUP BY 1, 2
+),
+raw AS (
+  SELECT d.qid, d.term,
+         {RM_IID_LAM} * d.tf_pool / p.sum_tf_pool
+         + {1.0 - RM_IID_LAM} * d.df_top / p.sum_df AS wt_raw
+  FROM dftop d JOIN perq p USING (qid)
+),
+z AS (SELECT qid, sum(wt_raw) AS z FROM raw GROUP BY 1)
+SELECT r.qid, r.term, round(r.wt_raw / z.z, 4) AS wt
+FROM raw r JOIN z USING (qid)
+"""
+
+_CLARITY_SQL = f"""
+WITH {_BM25_RUN_CTES}
+SELECT rm.qid,
+       round(sum(rm.wt * ln(rm.wt / (dft.cf / s.total_tokens))), 4)
+       AS clarity
+FROM rm JOIN dft USING (term) CROSS JOIN stats s
+GROUP BY 1
+"""
+
+_JSDIV_SQL = f"""
+WITH {_BM25_RUN_CTES},
+qs AS (SELECT DISTINCT qid FROM rm),
+pairs AS (SELECT a.qid, b.qid AS qid_b FROM qs a CROSS JOIN qs b),
+af AS (SELECT p.qid, p.qid_b, rm.term, rm.wt AS pa
+       FROM pairs p JOIN rm ON rm.qid = p.qid),
+bf AS (SELECT p.qid, p.qid_b, rm.term, rm.wt AS pb
+       FROM pairs p JOIN rm ON rm.qid = p.qid_b),
+merged AS (
+  SELECT coalesce(af.qid, bf.qid) AS qid,
+         coalesce(af.qid_b, bf.qid_b) AS qid_b,
+         coalesce(af.pa, 0.0) AS pa0, coalesce(bf.pb, 0.0) AS pb0
+  FROM af FULL JOIN bf
+    ON af.qid = bf.qid AND af.qid_b = bf.qid_b AND af.term = bf.term
+)
+SELECT qid, qid_b,
+       round((sum(CASE WHEN pa0 > 0
+                       THEN pa0 * ln(pa0 / ((pa0 + pb0) / 2)) ELSE 0 END)
+            + sum(CASE WHEN pb0 > 0
+                       THEN pb0 * ln(pb0 / ((pa0 + pb0) / 2)) ELSE 0 END))
+             / 2, 4) AS js_divergence
+FROM merged GROUP BY 1, 2
+"""
+
+_HYPERBOLIC_SQL = f"""
+WITH {_BM25_RUN_CTES},
+dvec AS (
+  SELECT t.qid, t.doc_id, tf.term, tf.tf * 1.0 / dl.doc_len AS p
+  FROM topm t
+  JOIN tf ON tf.doc_id = t.doc_id
+  JOIN dl ON dl.doc_id = t.doc_id
+),
+qnorm AS (SELECT qid, sum(wt * wt) AS q2 FROM rm GROUP BY 1),
+dnorm AS (SELECT qid, doc_id, sum(p * p) AS d2 FROM dvec GROUP BY 1, 2),
+ip AS (
+  SELECT d.qid, d.doc_id, sum(d.p * rm.wt) AS ip
+  FROM dvec d JOIN rm ON rm.qid = d.qid AND rm.term = d.term
+  GROUP BY 1, 2
+),
+inner_ AS (
+  SELECT dn.qid, dn.doc_id,
+         greatest(sqrt(1 + qn.q2) * sqrt(1 + dn.d2)
+                  - coalesce(i.ip, 0.0), 1.0) AS x
+  FROM dnorm dn
+  JOIN qnorm qn USING (qid)
+  LEFT JOIN ip i ON i.qid = dn.qid AND i.doc_id = dn.doc_id
+),
+-- DuckDB has no acosh; ln(x + sqrt(x^2 - 1)) is the identity
+hyp AS (
+  SELECT qid, doc_id, ln(x + sqrt(x * x - 1.0)) AS dist FROM inner_
+)
+SELECT qid, doc_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY dist ASC, doc_id ASC)::BIGINT AS rank,
+       round(dist, 4) AS score
+FROM hyp
+"""
+
+# boosted queries (Q3): explicit per-term weights, OR semantics
+WEIGHTED_QUERIES: list[tuple[str, str, float]] = [
+    ("w1", "spark", 2.0), ("w1", "join", 0.5),
+    ("w2", "hash", 3.0), ("w2", "table", 1.0), ("w2", "merge", 0.25),
+]
+
+
+def _values_weighted() -> str:
+    rows = ", ".join(
+        f"('{q}', '{t}', {w})" for q, t, w in WEIGHTED_QUERIES
+    )
+    return f"q(qid, term, w) AS (VALUES {rows})"
+
+
+_BM25_WEIGHTED_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_weighted()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( q.w * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+# word-bigram shingle jaccard: positions via unnest(range(...)) (DuckDB
+# has no WITH ORDINALITY; the range index replays F.sequence/F.slice)
+BIGRAM_JACCARD_T = 0.8
+
+_JACCARD_BIGRAM_SQL = f"""
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, l[i.i + 1] || ' ' || l[i.i + 2] AS shingle
+  FROM lists, unnest(range(greatest(len(l) - 1, 0))) AS i(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {BIGRAM_JACCARD_T}
+"""
+
 _KL_SQL = f"""
 WITH {_BM25_RUN_CTES},
 kl AS (
@@ -825,6 +979,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         return rlm.select("qid", "term", F.round("wt", 4).alias("wt"))
 
+    def rm1_iid_weights(spark, sf):
+        # RM1 iid relevance model (reference
+        # feedback/RelevanceModelIId.java:90-129) with a mixed lambda so
+        # both the tf-pool and df-pool terms are exercised
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        rlm = fb.relevance_model(
+            idx, run, num_top_docs=FDBK_DOCS, lam=RM_IID_LAM,
+            variant="rlm_iid",
+        )
+        return rlm.select("qid", "term", F.round("wt", 4).alias("wt"))
+
+    def query_clarity(spark, sf):
+        # clarity = KL(RLM || collection LM) (reference
+        # feedback/RelevanceModelIId.java:136-160)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
+        out = fb.query_clarity(rlm, idx.term_stats, idx.stats.total_tokens)
+        return out.select("qid", F.round("clarity", 4).alias("clarity"))
+
+    def qq_jsdiv(spark, sf):
+        # pairwise Jensen-Shannon divergence between query relevance
+        # models (reference retriever/TrecDocRetriever.java:109-175)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
+        out = fb.query_query_similarity(rlm, rlm)
+        return out.select(
+            "qid", "qid_b", F.round("js_divergence", 4).alias("js_divergence")
+        )
+
+    def hyperbolic_rerank(spark, sf):
+        # hyperboloid-lift geodesic rerank of the feedback docs
+        # (reference retriever/HyperbolicRetriever.java:29-226)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
+        out = fb.hyperbolic_rerank(idx, run, rlm, num_top_docs=FDBK_DOCS)
+        return out.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def bm25_weighted(spark, sf):
+        # boosted queries (Q3): explicit per-term weights flow through
+        # the scorer as multiplicative boosts
+        idx = _index(spark, sf)
+        qt = spark.createDataFrame(
+            WEIGHTED_QUERIES, "qid string, term string, weight double"
+        )
+        run = rt.score_queries(idx, qt, k=TOPK)
+        return run.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def jaccard_bigram_pairs(spark, sf):
+        # word-bigram shingles through the same inverted-join pipeline
+        out = dd.jaccard_pairs(
+            _tokens(spark, sf), shingle_size=2, threshold=BIGRAM_JACCARD_T
+        )
+        return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
     def kl_rerank(spark, sf):
         # KL-divergence rerank of the feedback docs (reference
         # feedback/KLDivReranker.java:25-52; ascending KL)
@@ -1012,6 +1236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbose_qsel": verbose_qsel,
         "rr_histogram": rr_histogram,
         "rm_weights": rm_weights,
+        "rm1_iid_weights": rm1_iid_weights,
+        "query_clarity": query_clarity,
+        "qq_jsdiv": qq_jsdiv,
+        "hyperbolic_rerank": hyperbolic_rerank,
+        "bm25_weighted": bm25_weighted,
+        "jaccard_bigram_pairs": jaccard_bigram_pairs,
         "kl_rerank": kl_rerank,
         "index_to_tsv": index_to_tsv,
         "doc_lookup": doc_lookup,
@@ -1062,6 +1292,12 @@ def oracle_sql() -> dict[str, str]:
         "verbose_qsel": _QSEL_SQL,
         "rr_histogram": _RR_HIST_SQL,
         "rm_weights": _RM_SQL,
+        "rm1_iid_weights": _RM_IID_SQL,
+        "query_clarity": _CLARITY_SQL,
+        "qq_jsdiv": _JSDIV_SQL,
+        "hyperbolic_rerank": _HYPERBOLIC_SQL,
+        "bm25_weighted": _BM25_WEIGHTED_SQL,
+        "jaccard_bigram_pairs": _JACCARD_BIGRAM_SQL,
         "kl_rerank": _KL_SQL,
         "index_to_tsv": "SELECT doc_id, text AS content FROM documents",
         "doc_lookup": (
