@@ -740,6 +740,51 @@ WHERE list_dot_product(xa.v, xb.v) / (xa.n * xb.n) >= {threshold}
 """
 
 
+_ANN_IVF_SQL = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                       embedding::DOUBLE[])) AS n
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv, n AS cn
+         FROM c ORDER BY vec_id LIMIT 16),
+casgn AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT c.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cent.cv) / (c.n * cent.cn) DESC,
+                      cent.cid ASC) AS rn
+    FROM c CROSS JOIN cent) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM c WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cid AS cluster FROM (
+    SELECT q.query_id, cent.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cent.cv) / (q.qn * cent.cn) DESC,
+                      cent.cid ASC) AS rn
+    FROM q CROSS JOIN cent) t WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN casgn a ON a.cluster = p.cluster
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos_raw
+  FROM cand
+  JOIN c ON c.vec_id = cand.vec_id
+  JOIN q ON q.query_id = cand.query_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM s
+)
+SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
+"""
+
 _ANN_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 10),
@@ -1116,6 +1161,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def ann_ivf_topk(spark, sf):
+        # IVF coarse-quantizer path: deterministic lowest-id centroids
+        # (SQL-replayable), 4-of-16 probe, exact rerank
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.ivf_cosine_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4
+        )
+        return out.select(
+            "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+        )
+
     def minhash_lsh_pairs(spark, sf):
         # LSH banding + exact-Jaccard verify; fully deterministic
         # (fixed (a,b) literals + hash shingle ids), so the SQL oracle
@@ -1252,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "token_count": token_count,
@@ -1314,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_near_dups_lsh": _near_dup_lsh_sql(),
         "token_count": (
             "SELECT doc_id,"

@@ -177,6 +177,104 @@ def lsh_near_dup_pairs(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    partitions the corpus into centroid-owned lists; each query probes
+    only its ``n_probe`` nearest centroids' lists and exact-reranks the
+    candidates. Returns (query_id, vec_id, rank, cosine).
+
+    The scale shape: assignment is corpus x broadcast(centroids) with a
+    max_by aggregate (map-side, one shuffle by vector id); search is an
+    equi-join on cluster id — each query touches ~n_probe/n_centroids
+    of the corpus instead of all of it.
+
+    ``centroids``: (centroid_id, vector) DataFrame. Default: the
+    ``n_centroids`` lowest-id corpus vectors — DETERMINISTIC (and
+    SQL-replayable for the oracle) but not data-adaptive; production
+    plugs k-means centroids (e.g. pyspark.ml KMeans) into the same
+    plumbing. Ties everywhere break toward the smaller id."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col
+    ).select("vec_id", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    if centroids is None:
+        cent = (
+            c.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("n").alias("cn"),
+            )
+        )
+    else:
+        cent = with_norm(
+            centroids.select(
+                F.col("centroid_id").alias("cid"), F.col(vec_col)
+            ),
+            vec_col,
+        ).select("cid", F.col("_vd").alias("cv"), F.col("norm").alias("cn"))
+
+    def assign(side: DataFrame, id_name: str) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent)).withColumn(
+            "ccos",
+            _dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")),
+        )
+        # argmax by (cosine desc, cid asc) via an order-embedding struct
+        best = scored.groupBy(id_name).agg(
+            F.max(
+                F.struct(
+                    F.col("ccos").alias("s"),
+                    (-F.col("cid")).alias("negcid"),
+                )
+            ).alias("b")
+        )
+        return side.join(
+            best.select(id_name, (-F.col("b.negcid")).alias("cluster")),
+            id_name,
+        )
+
+    corpus_assigned = assign(c, "vec_id")
+    q = with_norm(
+        queries.select("query_id", F.col(vec_col)), vec_col
+    ).select("query_id", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    q_scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", _dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q_scored.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            "query_id",
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+            F.col("cid").alias("cluster"),
+        )
+    )
+    cands = corpus_assigned.join(F.broadcast(probes), "cluster").withColumn(
+        "cosine", _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -168,6 +168,36 @@ def test_lsh_recall_vs_brute_force(spark, embeddings):
     assert hits / total >= 0.4, f"LSH recall too low: {hits}/{total}"
 
 
+def test_ivf_topk(spark, embeddings):
+    """IVF probe path: cosines are exact for returned candidates (agree
+    with brute force), the self-match is always recovered (a query's own
+    cluster is its first probe), and full probing degenerates to the
+    exact result."""
+    queries = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = annsearch.cosine_topk(embeddings, queries, k=5).collect()
+    ivf = annsearch.ivf_cosine_topk(
+        embeddings, queries, k=5, n_centroids=16, n_probe=4
+    ).collect()
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cosine"] == pytest.approx(exact_cos[key], rel=1e-9)
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, found in by_q.items():
+        assert q in found  # self-match (cosine 1.0) always recovered
+    # probing every centroid == exact search
+    full = annsearch.ivf_cosine_topk(
+        embeddings, queries, k=5, n_centroids=16, n_probe=16
+    ).collect()
+    assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in full) == \
+        sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact)
+
+
 def test_lsh_near_dup_pairs(spark, embeddings):
     """The sub-quadratic near-dup path: (1) subset of brute force with
     identical cosines, (2) exact duplicates (cosine 1.0 -> identical
