@@ -7,35 +7,34 @@ full). Spark has no WAND — ``orderBy().limit()`` scores everything — so
 this module implements it as a custom physical kernel:
 
 Build (``build_compressed_postings``):
-    flat postings ──join df──▶ salt assignment (df > threshold ⇒
-    pmod(doc_id, num_salt_shards), else 0) ──shuffle by (term, salt)──▶
-    ``applyInPandas`` encode: sort by doc_id, delta+varbyte blocks,
-    per-block (last_doc, max_tf, min_dl) impact directory.
+    flat postings ──join df──▶ shuffle key (df > threshold ⇒
+    pmod(doc_id, num_salt_shards), else 0) ──shuffle by (term, key)──▶
+    ``applyInPandas`` encode: sort by doc_id, split by
+    pmod(doc_id, num_salt_shards), one delta+varbyte blob + per-block
+    (last_doc, max_tf, min_dl) impact directory PER NON-EMPTY SHARD.
 
-    Salting bounds the largest reducer group: a degenerate term occurring
-    in every doc of a 10^12-file corpus becomes num_salt_shards
-    independently-encoded sub-lists instead of one monster group. Salt
-    shards partition docs by pmod(doc_id, shards) — a modulus, not an
-    opaque hash, so the query kernel can re-derive a doc's shard.
+    Two distinct roles: the SHUFFLE key bounds the largest reducer group
+    (a degenerate term occurring in every doc of a 10^12-file corpus
+    becomes num_salt_shards independently-encoded sub-groups instead of
+    one monster group — only df > salt_df_threshold terms pay the extra
+    key), while the EMITTED blobs are uniformly doc-sharded for every
+    term: blob.salt == pmod(doc_id, shards) for all of a blob's docs.
+    Uniform doc-sharding means all terms of any query agree on which
+    shard owns a doc, so per-shard scoring is exact with NO query-time
+    blob replication or posting masking (a doc's full score accumulates
+    inside its one shard; shard results are disjoint and merge exactly).
 
 Query (``wand_topk``):
-    query terms ⋈ blobs (broadcast query side) ──groupBy(qid, shard)──▶
+    query terms ⋈ blobs (broadcast query side) ──groupBy(qid, salt)──▶
     ``applyInPandas`` WAND: document-at-a-time pivot loop with a k-heap;
     term upper bounds from the global (max_tf, min_dl) impacts, block
     upper bounds refine at the pivot; blocks are decoded LAZILY — a
     block whose upper bound cannot beat the heap floor theta is skipped
     without touching its bytes. theta is shard-local (safe: shard-local
     theta <= global theta, so pruning is only ever conservative).
-    Per-shard top-k then a tiny global per-qid merge.
-
-    Doc sharding is CONSISTENT across all terms of a query: when a query
-    mixes salted (df > threshold) and unsalted terms, the unsalted terms'
-    salt-0 blobs are replicated into every shard and the kernel masks
-    their decoded postings to pmod(doc_id, shards) == shard. Without the
-    mask a doc's per-term contributions would land in different shard
-    groups and the merge would emit duplicate (qid, doc_id) rows with
-    split partial scores. Replication cost is bounded: unsalted means
-    df <= threshold, so only small blobs are duplicated.
+    Per-shard top-k then a tiny global per-qid merge. With shards > 1
+    every query fans out to ``shards`` independent kernel tasks — the
+    intra-query parallelism knob at cluster scale.
 
 Tie semantics match the exhaustive path: score desc, doc_id asc; the
 heap orders by (score, -doc_id) and pruning uses strict ub < theta so
@@ -83,13 +82,13 @@ def build_compressed_postings(
     threshold = cfg.salt_df_threshold
     shards = cfg.num_salt_shards
 
-    # pmod(doc_id, shards), NOT an opaque hash: the scoring kernel must be
-    # able to recompute a doc's shard to mask replicated unsalted blobs
-    # (see module docstring, "consistent doc sharding").
+    # the shuffle key only BOUNDS group sizes (high-df terms pre-split);
+    # the emitted blobs are uniformly doc-sharded by pmod(doc_id, shards)
+    # for EVERY term — see module docstring.
     flat = index.postings.join(
         index.term_stats.select("term", "df"), "term"
     ).withColumn(
-        "salt",
+        "_key",
         F.when(
             F.col("df") > threshold,
             F.pmod(F.col("doc_id"), F.lit(shards)).cast("int"),
@@ -98,27 +97,36 @@ def build_compressed_postings(
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        blob, d = encode_posting_list(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            block_size=bs,
+        ids_all = pdf["doc_id"].to_numpy()
+        # numpy % matches pmod for a positive divisor
+        shard_of = ids_all % shards if shards > 1 else np.zeros(
+            len(ids_all), dtype=np.int64
         )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "salt": [pdf["salt"].iloc[0]],
-                "n_docs": [len(pdf)],
-                "blob": [blob],
-                "blk_offsets": [d.offsets.tolist()],
-                "blk_ndocs": [d.n_docs.tolist()],
-                "blk_last_doc": [d.last_doc.tolist()],
-                "blk_max_tf": [d.max_tf.tolist()],
-                "blk_min_dl": [d.min_dl.tolist()],
-            }
-        )
+        out: dict[str, list] = {
+            "term": [], "salt": [], "n_docs": [], "blob": [],
+            "blk_offsets": [], "blk_ndocs": [], "blk_last_doc": [],
+            "blk_max_tf": [], "blk_min_dl": [],
+        }
+        term = pdf["term"].iloc[0]
+        tfs_all = pdf["tf"].to_numpy()
+        dls_all = pdf["doc_len"].to_numpy()
+        for s in np.unique(shard_of):
+            m = shard_of == s
+            blob, d = encode_posting_list(
+                ids_all[m], tfs_all[m], dls_all[m], block_size=bs
+            )
+            out["term"].append(term)
+            out["salt"].append(int(s))
+            out["n_docs"].append(int(m.sum()))
+            out["blob"].append(blob)
+            out["blk_offsets"].append(d.offsets.tolist())
+            out["blk_ndocs"].append(d.n_docs.tolist())
+            out["blk_last_doc"].append(d.last_doc.tolist())
+            out["blk_max_tf"].append(d.max_tf.tolist())
+            out["blk_min_dl"].append(d.min_dl.tolist())
+        return pd.DataFrame(out)
 
-    return flat.groupBy("term", "salt").applyInPandas(encode, BLOB_SCHEMA)
+    return flat.groupBy("term", "_key").applyInPandas(encode, BLOB_SCHEMA)
 
 
 # --------------------------------------------------------------- scoring
@@ -298,20 +306,14 @@ def wand_topk_kernel(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
 
 
 class _TermList:
-    """Per-term compressed list handle for the vectorized kernel.
+    """Per-term compressed list handle for the vectorized kernel."""
 
-    ``keep_mod=(m, r)``: post-decode mask to docs with doc_id % m == r —
-    used when an unsalted term's blob is replicated into shard r of a
-    query whose other terms are doc-sharded by pmod(doc_id, m). Block
-    directory bounds stay valid (they upper-bound any subset)."""
+    __slots__ = ("buf", "dirs", "score_fn", "lb", "ub", "cache")
 
-    __slots__ = ("buf", "dirs", "score_fn", "lb", "ub", "cache", "keep_mod")
-
-    def __init__(self, blob, dirs: BlockDirectory, score_fn, keep_mod=None):
+    def __init__(self, blob, dirs: BlockDirectory, score_fn):
         self.buf = np.frombuffer(blob, dtype=np.uint8)
         self.dirs = dirs
         self.score_fn = score_fn
-        self.keep_mod = keep_mod
         # conservative lower bound of each block's first doc: the
         # previous block's last doc + 1 (exact enough for overlap tests)
         self.lb = np.empty_like(dirs.last_doc)
@@ -327,11 +329,6 @@ class _TermList:
         got = self.cache.get(b)
         if got is None:
             got = decode_block(self.buf, self.dirs, b)
-            if self.keep_mod is not None:
-                m, r = self.keep_mod
-                ids, tfs, dls = got
-                keep = ids % m == r
-                got = (ids[keep], tfs[keep], dls[keep])
             self.cache[b] = got
         return got
 
@@ -436,41 +433,19 @@ def score_queries_wand(
     stats = index.stats
     make_kernel = _make_kernel(sim, stats)
 
-    threshold = index.config.salt_df_threshold
-    shards = index.config.num_salt_shards
     qt = (
         query_terms.join(F.broadcast(index.term_stats), "term")
         .withColumn("idf", idf_lucene(F.col("df"), stats.n_docs))
-        .withColumn("salted_term", F.col("df") > F.lit(threshold))
-        .select("qid", "term", "weight", "idf", "cf", "salted_term")
+        .select("qid", "term", "weight", "idf", "cf")
     )
-    # consistent doc sharding (module docstring): if ANY term of a query
-    # is salted, replicate the unsalted terms' salt-0 blobs into every
-    # shard and mask them inside the kernel by pmod(doc_id, shards).
-    # Both flags live on the tiny broadcast query side — no extra pass
-    # over the blob table. Invariant: index.config must be the config the
-    # blobs were built with (the checkpoint manifest fingerprints it).
-    qhas = qt.groupBy("qid").agg(
-        F.max(F.col("salted_term").cast("int")).alias("_qid_salted")
-    )
-    qt = qt.join(qhas, "qid")
+    # blobs are uniformly doc-sharded at build time (every term's blob
+    # for shard s holds exactly the docs with pmod(doc_id, shards) == s),
+    # so grouping by (qid, salt) gives each doc's FULL score within its
+    # one shard — no replication, no masking, exact disjoint merge.
     joined = index.blobs.join(F.broadcast(qt), "term")
-    joined = joined.withColumn(
-        "needs_filter",
-        (F.col("_qid_salted") == 1) & ~F.col("salted_term"),
-    ).withColumn(
-        "shard",
-        F.explode(
-            F.when(
-                F.col("needs_filter"),
-                F.sequence(F.lit(0), F.lit(shards - 1)),
-            ).otherwise(F.array(F.col("salt")))
-        ),
-    )
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["qid"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
         term_lists = []
         for row in pdf.itertuples(index=False):
             dirs = BlockDirectory(
@@ -481,8 +456,7 @@ def score_queries_wand(
                 min_dl=np.asarray(row.blk_min_dl, dtype=np.int64),
             )
             fn = make_kernel(float(row.idf), float(row.weight), float(row.cf))
-            keep = (shards, shard) if bool(row.needs_filter) else None
-            term_lists.append(_TermList(row.blob, dirs, fn, keep_mod=keep))
+            term_lists.append(_TermList(row.blob, dirs, fn))
         top = blockmax_topk_kernel(term_lists, k)
         return pd.DataFrame(
             {
@@ -492,7 +466,7 @@ def score_queries_wand(
             }
         )
 
-    shard_tops = joined.groupBy("qid", "shard").applyInPandas(
+    shard_tops = joined.groupBy("qid", "salt").applyInPandas(
         run_shard, "qid string, doc_id long, score double"
     )
     w = Window.partitionBy("qid").orderBy(
