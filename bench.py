@@ -65,7 +65,7 @@ def make_queries(n: int) -> list[tuple[str, str]]:
 
 
 def main() -> None:
-    mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name="luc4ir_spark_bench",
         master=f"local[{CPUS}]",

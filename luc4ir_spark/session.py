@@ -33,7 +33,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 8g execution memory measurably spills/anti-scales at 32 threads
+        # (BENCH/BASELINE.md); the sandbox has 128 GiB — default high,
+        # override with SPARK_DRIVER_MEM when sharing the box
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
