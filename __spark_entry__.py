@@ -396,11 +396,44 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
 """
 
 # word-bigram shingle jaccard: positions via unnest(range(...)) (DuckDB
-# has no WITH ORDINALITY; the range index replays F.sequence/F.slice)
+# has no WITH ORDINALITY; the range index replays F.sequence/F.slice).
+# Candidate generation models the engine's df cap (shingles with df >
+# DEFAULT_MAX_SHINGLE_DF propose no candidates; values verified over the
+# FULL sets), so the gate equivalence holds at any corpus scale, not
+# just while every shingle df stays under the cap.
 BIGRAM_JACCARD_T = 0.8
 
-_JACCARD_BIGRAM_SQL = f"""
-WITH lists AS (
+
+def _jaccard_capped_sql(sh_cte: str, threshold: float) -> str:
+    """Shared candidate-cap + full-verify jaccard SQL over a CTE chain
+    ending in sh(doc_id, shingle) — replays dedup.jaccard_pairs with
+    its default max_shingle_df exactly."""
+    return f"""
+{sh_cte},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+dfc AS (SELECT shingle, count(*)::BIGINT AS sdf FROM sh GROUP BY 1),
+csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)
+        WHERE dfc.sdf <= {dd.DEFAULT_MAX_SHINGLE_DF}),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM csh x JOIN csh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS common
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {threshold}
+"""
+
+
+_JACCARD_BIGRAM_SQL = _jaccard_capped_sql(
+    """WITH lists AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
          '[^a-z0-9]+'), x -> x <> '') AS l
   FROM documents
@@ -408,18 +441,9 @@ WITH lists AS (
 sh AS (
   SELECT DISTINCT doc_id, l[i.i + 1] || ' ' || l[i.i + 2] AS shingle
   FROM lists, unnest(range(greatest(len(l) - 1, 0))) AS i(i)
-),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-  GROUP BY 1, 2
+)""",
+    BIGRAM_JACCARD_T,
 )
-SELECT i.a, i.b,
-       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {BIGRAM_JACCARD_T}
-"""
 
 _KL_SQL = f"""
 WITH {_BM25_RUN_CTES},
@@ -437,6 +461,119 @@ SELECT qid, doc_id,
        row_number() OVER (PARTITION BY qid ORDER BY kl ASC, doc_id ASC)::BIGINT AS rank,
        round(kl, 4) AS score
 FROM kl
+"""
+
+# Q5: RLM query expansion — candidates = RLM terms minus original query
+# terms, weighted wt * ln(N/df), normalized, top-n get fb_weight * wnorm;
+# originals get (1 - fb_weight) / |q| (feedback/RelevanceModelIId.java:
+# 164-235 semantics, implemented at feedback.py::expand_query)
+NUM_EXP_TERMS = 5
+FB_WEIGHT = 0.2
+
+_EXPAND_SQL = f"""
+WITH {_BM25_RUN_CTES},
+orig AS (SELECT DISTINCT qid, term FROM q),
+cand AS (
+  SELECT rm.qid, rm.term,
+         rm.wt * ln(s.n_docs * 1.0 / dft.df) AS wtidf
+  FROM rm JOIN dft USING (term) CROSS JOIN stats s
+  WHERE NOT EXISTS (SELECT 1 FROM orig o
+                    WHERE o.qid = rm.qid AND o.term = rm.term)
+),
+z AS (SELECT qid, sum(wtidf) AS z FROM cand GROUP BY 1),
+newt AS (
+  SELECT qid, term, {FB_WEIGHT} * wnorm AS weight FROM (
+    SELECT c.qid, c.term, c.wtidf / z.z AS wnorm,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY c.wtidf / z.z DESC, c.term ASC) AS rn
+    FROM cand c JOIN z USING (qid)) t
+  WHERE rn <= {NUM_EXP_TERMS}
+),
+nq AS (SELECT qid, count(*)::DOUBLE AS nq FROM orig GROUP BY 1),
+ow AS (SELECT o.qid, o.term, {1.0 - FB_WEIGHT} / nq.nq AS weight
+       FROM orig o JOIN nq USING (qid))
+SELECT qid, term, round(weight, 4) AS weight
+FROM (SELECT * FROM ow UNION ALL SELECT * FROM newt)
+"""
+
+# F9: full feedback flow, rerank mode — the KL-reranked head (top
+# FDBK_DOCS docs, ascending KL) spliced ahead of the untouched
+# first-pass tail (retriever/TrecDocRetriever.java:181-258)
+_FDBK_RERANK_SQL = f"""
+WITH {_BM25_RUN_CTES},
+kl AS (
+  SELECT rm.qid, t.doc_id,
+         sum( rm.wt * ln(rm.wt / greatest(
+             coalesce(tf2.tf / dl2.doc_len, 0.0), 0.0001)) ) AS kl
+  FROM rm
+  JOIN topm t ON rm.qid = t.qid
+  JOIN dl dl2 ON dl2.doc_id = t.doc_id
+  LEFT JOIN tf tf2 ON tf2.term = rm.term AND tf2.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+head AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY kl ASC, doc_id ASC)::BIGINT AS rank,
+         round(kl, 4) AS score
+  FROM kl
+),
+tail AS (
+  SELECT qid, doc_id, rank, round(score, 4) AS score
+  FROM ranked WHERE rank > {FDBK_DOCS} AND rank <= {TOPK}
+)
+SELECT qid, doc_id, rank, score FROM head
+UNION ALL SELECT qid, doc_id, rank, score FROM tail
+"""
+
+# F5: greedy diversity rerank over the top-FDBK_DOCS pool, unrolled
+# (feedback/DiversityReranker.java:66-141). With 3 docs the greedy loop
+# has exactly one non-trivial decision: pick1 is the rank-1 doc (empty
+# pool => gain = retrieval score, maximized at rank 1), pick2 maximizes
+# score / (1 + max(cos(doc, pick1), 0)), pick3 is the remainder; final
+# score is 1/rank (the reference overwrites scores at :137).
+_DIVERSITY_SQL = f"""
+WITH {_BM25_RUN_CTES},
+tv AS (SELECT t.qid, tf.doc_id, tf.term, tf.tf * 1.0 AS tf
+       FROM topm t JOIN tf ON tf.doc_id = t.doc_id),
+nrm AS (SELECT qid, doc_id, sqrt(sum(tf * tf)) AS n FROM tv GROUP BY 1, 2),
+r3 AS (SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= {FDBK_DOCS}),
+p1 AS (SELECT qid, doc_id FROM r3 WHERE rank = 1),
+cos1 AS (
+  SELECT a.qid, a.doc_id, sum(a.tf * b.tf) / (na.n * nb.n) AS c
+  FROM tv a
+  JOIN p1 ON p1.qid = a.qid AND a.doc_id <> p1.doc_id
+  JOIN tv b ON b.qid = a.qid AND b.doc_id = p1.doc_id AND b.term = a.term
+  JOIN nrm na ON na.qid = a.qid AND na.doc_id = a.doc_id
+  JOIN nrm nb ON nb.qid = a.qid AND nb.doc_id = p1.doc_id
+  GROUP BY a.qid, a.doc_id, na.n, nb.n
+),
+gain2 AS (
+  SELECT r.qid, r.doc_id, r.rank,
+         r.score / (1.0 + greatest(coalesce(c1.c, 0.0), 0.0)) AS g
+  FROM r3 r
+  JOIN p1 ON p1.qid = r.qid AND r.doc_id <> p1.doc_id
+  LEFT JOIN cos1 c1 ON c1.qid = r.qid AND c1.doc_id = r.doc_id
+),
+p2 AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY g DESC, rank ASC) AS rn
+    FROM gain2) t WHERE rn = 1
+),
+p3 AS (
+  SELECT r.qid, r.doc_id FROM r3 r
+  JOIN p1 ON p1.qid = r.qid
+  JOIN p2 ON p2.qid = r.qid
+  WHERE r.doc_id <> p1.doc_id AND r.doc_id <> p2.doc_id
+),
+ordered AS (
+  SELECT qid, doc_id, 1::BIGINT AS rank FROM p1
+  UNION ALL SELECT qid, doc_id, 2::BIGINT AS rank FROM p2
+  UNION ALL SELECT qid, doc_id, 3::BIGINT AS rank FROM p3
+)
+SELECT qid, doc_id, rank, round(1.0 / rank, 4) AS score FROM ordered
 """
 
 
@@ -578,19 +715,11 @@ def _minhash_params_values() -> str:
     return f"params(hash_id, a, b) AS (VALUES {rows})"
 
 
-_JACCARD_SQL = f"""
-WITH {_TOKS}, {_SHINGLES},
-sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
-  FROM sh x JOIN sh y ON x.term = y.term AND x.doc_id < y.doc_id
-  GROUP BY 1, 2
+_JACCARD_SQL = _jaccard_capped_sql(
+    f"WITH {_TOKS}, sh AS (SELECT DISTINCT doc_id, term AS shingle"
+    " FROM toks)",
+    JACCARD_T,
 )
-SELECT i.a, i.b,
-       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {JACCARD_T}
-"""
 
 _MINHASH_SQL = f"""
 WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()}
@@ -618,6 +747,63 @@ perbit AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2)
 SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM perbit GROUP BY doc_id
+"""
+
+# 64-bit simhash + capped pigeonhole pairs: the md5-derived 64-bit
+# shingle hash is (hi_signed * 2^32 + lo) over two 32-bit md5 halves —
+# overflow-free arithmetic that reproduces dedup._md5_hash64 exactly
+# (DuckDB's << raises on int64 overflow, so no shifts in the
+# construction; 1 << 63 at accumulate time needs the CASE literal).
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BITS = 64
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // (SIMHASH_MAX_HAMMING + 1)
+
+_SIMHASH64_PAIRS_SQL = f"""
+WITH {_TOKS}, {_SHINGLES},
+h64 AS (
+  SELECT doc_id,
+         (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+         * 4294967296 + lo AS h
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(term), 1, 8))::BIGINT AS lo,
+               ('0x' || substr(md5(term), 9, 8))::BIGINT AS hi
+        FROM sh)
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+  FROM h64 CROSS JOIN
+       (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+),
+perbit AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2),
+sim64 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v <= 0 THEN 0
+                  WHEN bit = 63 THEN -9223372036854775808
+                  ELSE (1::BIGINT << bit) END)::BIGINT AS simhash
+  FROM perbit GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (c.chunk * {SIMHASH_CHUNK_BITS}))
+         & {(1 << SIMHASH_CHUNK_BITS) - 1} AS chunk_val
+  FROM sim64 CROSS JOIN
+       (SELECT unnest(generate_series(0, {SIMHASH_MAX_HAMMING})) AS chunk) c
+),
+bsz AS (SELECT chunk, chunk_val, count(*)::BIGINT AS bn
+        FROM chunks GROUP BY 1, 2),
+kept AS (SELECT ch.doc_id, ch.simhash, ch.chunk, ch.chunk_val
+         FROM chunks ch JOIN bsz USING (chunk, chunk_val)
+         WHERE bsz.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS ha, r.simhash AS hb
+  FROM kept l JOIN kept r
+    ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+   AND l.doc_id < r.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
 """
 
 # --- LSH oracle SQL: replay the seeded hyperplane buckets / MinHash
@@ -842,30 +1028,42 @@ SELECT doc_id, n_tok::BIGINT AS n_tokens,
 FROM m
 """
 
-_LANGID_SQL = f"""
+def _langid_sql() -> str:
+    """Generated from ts.LANG_MARKERS so widening the marker table keeps
+    the oracle in sync; the CASE checks languages in sorted order, which
+    replays the engine's (hits desc, lang asc) tie-break exactly."""
+    langs = sorted(ts.LANG_MARKERS)
+    hit_exprs = ",\n    ".join(
+        f"count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL[lg]})"
+        f" THEN term END) AS {lg}_h"
+        for lg in langs
+    )
+    coal = ", ".join(f"coalesce(h.{lg}_h, 0) AS {lg}_h" for lg in langs)
+    top = "greatest(" + ", ".join(f"{lg}_h" for lg in langs) + ")"
+    cases = "\n       ".join(
+        f"WHEN {lg}_h = {top} THEN '{lg}'" for lg in langs[:-1]
+    )
+    return f"""
 WITH {_TOKS},
 hits AS (
   SELECT doc_id,
-    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["de"]}) THEN term END) AS de_h,
-    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["en"]}) THEN term END) AS en_h,
-    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["es"]}) THEN term END) AS es_h,
-    count(DISTINCT CASE WHEN term IN ({_MARKERS_SQL["fr"]}) THEN term END) AS fr_h
+    {hit_exprs}
   FROM toks GROUP BY 1
 ),
 m AS (
-  SELECT d.doc_id, coalesce(h.de_h, 0) AS de_h, coalesce(h.en_h, 0) AS en_h,
-         coalesce(h.es_h, 0) AS es_h, coalesce(h.fr_h, 0) AS fr_h
+  SELECT d.doc_id, {coal}
   FROM documents d LEFT JOIN hits h USING (doc_id)
 )
 SELECT doc_id,
-  CASE WHEN greatest(de_h, en_h, es_h, fr_h) < 1 THEN 'und'
-       WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
-       WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
-       WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
-       ELSE 'fr' END AS lang_guess,
-  greatest(de_h, en_h, es_h, fr_h)::BIGINT AS marker_hits
+  CASE WHEN {top} < 1 THEN 'und'
+       {cases}
+       ELSE '{langs[-1]}' END AS lang_guess,
+  {top}::BIGINT AS marker_hits
 FROM m
 """
+
+
+_LANGID_SQL = _langid_sql()
 
 
 # ---------------------------------------------------------------- contract
@@ -911,9 +1109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank- and score-identical to the exhaustive bm25_topk, so it
         # shares that SQL oracle. The salt threshold is set to the
         # median query-term df so the gate exercises the SALTED path
-        # (doc-sharded blobs + replicated unsalted blobs + in-kernel
-        # masking) end-to-end against the oracle, not just the
-        # single-shard fast path.
+        # end-to-end against the oracle, not just the single-shard fast
+        # path: every term's blob is uniformly doc-sharded by
+        # pmod(mix(doc_id), shards), each (qid, salt) kernel scores its
+        # disjoint doc set exactly, and the per-qid merge is a trivial
+        # top-k over shard results (no blob replication, no masking).
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
         dfs = sorted(
@@ -1106,6 +1306,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "doc_id",
             F.col("rank").cast("long").alias("rank"),
             F.round("score", 4).alias("score"),
+        )
+
+    def expand_query_terms(spark, sf):
+        # Q5: RLM query expansion -> (qid, term, weight) for the
+        # re-retrieval pass (feedback/RelevanceModelIId.java:164-235)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
+        out = fb.expand_query(
+            rlm, qt, idx.term_stats, idx.stats.n_docs,
+            num_expansion_terms=NUM_EXP_TERMS, fb_weight=FB_WEIGHT,
+        )
+        return out.select("qid", "term", F.round("weight", 4).alias("weight"))
+
+    def feedback_rerank_run(spark, sf):
+        # F9: retrieve -> RLM -> KL-rerank the head, splice the tail
+        # (retriever/TrecDocRetriever.java:181-258, rerank mode)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = fb.retrieve_with_feedback(
+            idx, qt, k=TOPK, num_top_docs=FDBK_DOCS, lam=1.0
+        )
+        return out.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def diversity_rerank(spark, sf):
+        # F5: greedy diversity rerank of the feedback pool (reference
+        # feedback/DiversityReranker.java:66-141); the oracle unrolls
+        # the 3-doc greedy loop stage by stage
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).filter(
+            F.col("rank") <= FDBK_DOCS
+        )
+        out = fb.diversity_rerank(idx, run, num_rerank=FDBK_DOCS)
+        return out.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def simhash_pairs(spark, sf):
+        # 64-bit fingerprints, capped pigeonhole candidate buckets,
+        # exact bit_count(xor) verification
+        sim = dd.simhash(_tokens(spark, sf), num_bits=SIMHASH_BITS)
+        out = dd.simhash_pairs(
+            sim, max_hamming=SIMHASH_MAX_HAMMING, num_bits=SIMHASH_BITS,
+            max_bucket_size=dd.DEFAULT_MAX_BUCKET_SIZE,
+        )
+        return out.select(
+            "a", "b", F.col("hamming").cast("long").alias("hamming")
         )
 
     def _tokens(spark, sf):
@@ -1302,6 +1557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_weighted": bm25_weighted,
         "jaccard_bigram_pairs": jaccard_bigram_pairs,
         "kl_rerank": kl_rerank,
+        "expand_query_terms": expand_query_terms,
+        "feedback_rerank_run": feedback_rerank_run,
+        "diversity_rerank": diversity_rerank,
+        "simhash_pairs": simhash_pairs,
         "index_to_tsv": index_to_tsv,
         "doc_lookup": doc_lookup,
         "exact_dedup": exact_dedup,
@@ -1359,6 +1618,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_weighted": _BM25_WEIGHTED_SQL,
         "jaccard_bigram_pairs": _JACCARD_BIGRAM_SQL,
         "kl_rerank": _KL_SQL,
+        "expand_query_terms": _EXPAND_SQL,
+        "feedback_rerank_run": _FDBK_RERANK_SQL,
+        "diversity_rerank": _DIVERSITY_SQL,
+        "simhash_pairs": _SIMHASH64_PAIRS_SQL,
         "index_to_tsv": "SELECT doc_id, text AS content FROM documents",
         "doc_lookup": (
             "SELECT doc_id, lang, n_chars FROM documents"

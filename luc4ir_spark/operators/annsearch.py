@@ -275,6 +275,49 @@ def ivf_cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train data-adaptive IVF centroids with pyspark.ml KMeans ->
+    (centroid_id, embedding array<double>) ready for
+    ``ivf_cosine_topk(centroids=...)``.
+
+    The scale shape: fit on a bounded sample (``sample_fraction``; at
+    10^9 vectors you train on ~10^6), then assignment/search reuse the
+    broadcast-centroid plumbing — training cost is decoupled from
+    corpus size. Deterministic for a fixed seed + input, but NOT
+    SQL-replayable (Lloyd iterations), so the oracle gate keeps the
+    deterministic lowest-id centroids and this trainer is covered by a
+    recall-vs-exact pytest."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # L2-normalize before fitting: euclidean k-means on unit vectors is
+    # spherical k-means, matching the cosine metric the searcher uses
+    # (training on raw norms misplaces centroids for cosine Voronoi cells)
+    unit = with_norm(corpus.select(F.col(vec_col)), vec_col).select(
+        F.transform(
+            F.col("_vd"), lambda x: x / F.col("norm")
+        ).alias("unit")
+    )
+    feat = unit.select(array_to_vector(F.col("unit")).alias("features"))
+    if sample_fraction is not None:
+        feat = feat.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id int, embedding array<double>"
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

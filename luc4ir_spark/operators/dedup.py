@@ -58,12 +58,18 @@ def tokens_or_shingles(
         sh = F.explode(tokens_col).alias("shingle")
     else:
         n = shingle_size
-        grams = F.transform(
-            F.sequence(
-                F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))
+        # guard: a doc shorter than the shingle size yields NO shingles.
+        # An unguarded F.sequence(0, size - n) infers step -1 when
+        # size < n and the descending index range makes F.slice throw
+        # (INVALID_PARAMETER_VALUE.START) — one empty doc would kill the
+        # whole job.
+        grams = F.when(
+            F.size(tokens_col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens_col) - n),
+                lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
             ),
-            lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
-        )
+        ).otherwise(F.array().cast("array<string>"))
         sh = F.explode(grams).alias("shingle")
     return docs.select("doc_id", sh).distinct()
 
@@ -73,6 +79,7 @@ def exact_duplicates(
     content_col: str = "content",
     id_col: str = "doc_id",
     max_ids_per_group: int | None = 1000,
+    num_salt_shards: int = 16,
 ) -> DataFrame:
     """Exact dedup on a content digest -> (digest, n_docs, doc_ids,
     keep_doc_id) for groups with more than one member. One hash-shuffle;
@@ -83,7 +90,18 @@ def exact_duplicates(
     degenerate boilerplate document duplicated 10^9 times must not
     materialize a 10^9-element aggregation buffer on one reducer);
     ``n_docs`` and ``keep_doc_id`` stay exact for every group. ``None``
-    collects all ids (small-corpus convenience)."""
+    collects all ids (small-corpus convenience).
+
+    The sample is taken in two salted stages so even a degenerate digest
+    never funnels its whole group through one reducer's sort: stage 1
+    keeps the ``max_ids_per_group`` smallest ids per
+    (digest, mix(doc_id) % num_salt_shards) — each reducer sees at most
+    group/S rows — and stage 2 merges the <= S * max survivors per
+    digest (a bounded group by construction). The union of per-salt
+    smallest-m sets contains the global smallest m, so the final sample
+    is identical to the unsalted single-sort result."""
+    from ..functions.hashing import mix_shard_expr
+
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(content_col)).alias("digest"),
@@ -91,9 +109,18 @@ def exact_duplicates(
     if max_ids_per_group is None:
         kept = hashed
     else:
-        w = Window.partitionBy("digest").orderBy("doc_id")
+        salted = hashed.withColumn(
+            "_salt", mix_shard_expr("doc_id", num_salt_shards)
+        )
+        w1 = Window.partitionBy("digest", "_salt").orderBy("doc_id")
+        partial = (
+            salted.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= max_ids_per_group)
+            .drop("_rn", "_salt")
+        )
+        w2 = Window.partitionBy("digest").orderBy("doc_id")
         kept = (
-            hashed.withColumn("_rn", F.row_number().over(w))
+            partial.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= max_ids_per_group)
             .drop("_rn")
         )
@@ -324,29 +351,58 @@ def minhash_lsh_pairs(
     )
 
 
+def _md5_hash64(col):
+    """Full-width 64-bit deterministic hash of a string column, built
+    from two 32-bit md5 halves with overflow-free arithmetic (ANSI-safe;
+    DuckDB replays it as
+    ``(CASE WHEN hi >= 2^31 THEN hi - 2^32 ELSE hi END) * 2^32 + lo``
+    over ``('0x'||substr(md5(x), off, 8))::BIGINT`` halves — verified
+    bit-identical)."""
+    lo = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+    hi_signed = hi - F.when(hi >= F.lit(2**31), F.lit(2**32)).otherwise(
+        F.lit(0)
+    )
+    return hi_signed * F.lit(2**32) + lo
+
+
 def simhash(
     docs: DataFrame,
     tokens_col: str = "tokens",
-    num_bits: int = 32,
+    num_bits: int = 64,
     hash_a: int = 1203077,
     hash_b: int = 52512857,
 ) -> DataFrame:
     """-> (doc_id, simhash): per-bit weighted majority fingerprint.
-    Each distinct shingle votes tf=1 per bit of h(shingle_id); bit set
-    iff the +1/-1 vote sum is positive. Near-dups share most bits."""
-    sh = shingle_ids(tokens_or_shingles(docs, tokens_col, 1))
-    hashed = sh.withColumn(
-        "h", _perm_hash(F.lit(hash_a), F.lit(hash_b), F.col("shingle_id"))
-    )
+    Each distinct shingle votes tf=1 per bit of its hash; bit set iff
+    the +1/-1 vote sum is positive. Near-dups share most bits.
+
+    ``num_bits > 32`` (the 64-bit default) hashes the shingle string
+    with the full-width md5-derived hash (the 31-bit permutation hash
+    would leave bits 31+ permanently unset); <= 32 keeps the legacy
+    (a * sid + b) mod p construction over 60-bit shingle ids."""
+    if num_bits > 32:
+        sh = tokens_or_shingles(docs, tokens_col, 1)
+        hashed = sh.withColumn("h", _md5_hash64("shingle"))
+    else:
+        sh = shingle_ids(tokens_or_shingles(docs, tokens_col, 1))
+        hashed = sh.withColumn(
+            "h", _perm_hash(F.lit(hash_a), F.lit(hash_b), F.col("shingle_id"))
+        )
     bits = hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(num_bits - 1))).alias("bit"),
         "h",
     ).withColumn(
+        # (h >> bit) & 1 — mask, not % 2: an arithmetic shift of a
+        # negative 64-bit hash yields a negative value whose % 2 is -1
         "vote",
-        F.when(F.expr("shiftright(h, bit) % 2 = 1"), 1).otherwise(-1),
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
     )
     per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    # shiftleft(1, 63) wraps to -2^63 (bit ops are exempt from ANSI
+    # overflow checks) — exactly the signed bit pattern we want; each
+    # power appears at most once per doc so the sum cannot overflow
     return per_bit.groupBy("doc_id").agg(
         F.sum(
             F.when(
@@ -356,25 +412,57 @@ def simhash(
     )
 
 
+DEFAULT_MAX_BUCKET_SIZE = 100_000
+
+
 def simhash_pairs(
-    sim: DataFrame, max_hamming: int = 3, num_bits: int = 32
+    sim: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    log=None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance. Candidate generation
-    buckets on bit-chunks (pigeonhole: distance <= d -> some chunk of
-    d+1 chunks matches exactly), then verifies the true distance."""
+    """Near-dup pairs by simhash Hamming distance -> (a, b, hamming).
+    Candidate generation buckets on bit-chunks (pigeonhole: distance
+    <= d -> some chunk of d+1 chunks matches exactly), then verifies
+    the true distance with bit_count(xor).
+
+    Scale shape: with the 64-bit default and max_hamming=3 each of the
+    4 chunks has 16 bits -> 65,536 distinct bucket values per chunk, so
+    the per-bucket self-join is ~(n / 65,536)^2 instead of the old
+    32-bit (n / 256)^2. ``max_bucket_size`` (ON by default) drops
+    pathological buckets — a chunk value shared by half the corpus
+    (e.g. a boilerplate prefix forcing a constant chunk) — from
+    CANDIDATE generation only; reported pairs are always verified
+    exact. ``log``: optional callable reporting how many buckets the
+    cap dropped — never silently truncate coverage."""
     n_chunks = max_hamming + 1
     chunk_bits = max(1, num_bits // n_chunks)
+    mask = (1 << chunk_bits) - 1
     chunks = sim.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
     ).withColumn(
+        # arithmetic shift then low-bit mask == logical shift extract
+        # (identical in DuckDB, whose >> is also arithmetic)
         "chunk_val",
-        F.expr(
-            f"shiftright(simhash, chunk * {chunk_bits})"
-            f" % shiftleft(cast(1 as bigint), {chunk_bits})"
-        ),
+        F.expr(f"shiftright(simhash, chunk * {chunk_bits}) & {mask}"),
     )
+    if max_bucket_size is not None:
+        bsz = chunks.groupBy("chunk", "chunk_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        if log is not None:
+            n_dropped = bsz.filter(F.col("_bn") > max_bucket_size).count()
+            log(
+                f"simhash_pairs: max_bucket_size={max_bucket_size} dropped "
+                f"{n_dropped} pigeonhole buckets from candidate generation"
+            )
+        chunks = chunks.join(
+            bsz.filter(F.col("_bn") <= max_bucket_size),
+            ["chunk", "chunk_val"],
+        ).select("doc_id", "simhash", "chunk", "chunk_val")
     l = chunks.select(
         F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
         "chunk", "chunk_val",

@@ -43,10 +43,17 @@ from ..functions.analysis import (
 @dataclass(frozen=True)
 class IndexConfig:
     analyzer: AnalyzerConfig = AnalyzerConfig()
-    # terms with df above this are split into num_salt_shards sub-lists;
-    # default tuned for the sandbox — at cluster scale set ~avg_partition_rows
+    # terms with df above this get the salted encode shuffle key
     salt_df_threshold: int = 100_000
-    num_salt_shards: int = 16
+    # doc-shard count for compressed blobs. None (default) derives
+    # ceil(max df / target_postings_per_shard) at build time — see
+    # wand.derive_num_salt_shards — so the largest posting list, not a
+    # hand-tuned constant, bounds encode-group size and per-(qid, salt)
+    # query-kernel memory (<= n_query_terms * target postings per task).
+    # Doc ids are mix-hashed (functions/hashing.py) before the modulus,
+    # so structured id spaces (all-even, stride-k) still shard uniformly.
+    num_salt_shards: int | None = None
+    target_postings_per_shard: int = 250_000
     block_size: int = 128  # docs per impact block inside a posting blob
     num_term_partitions: int = 32
 

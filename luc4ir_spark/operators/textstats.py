@@ -15,12 +15,18 @@ from pyspark.sql import functions as F
 from ..functions.analysis import simple_tokens
 
 # tiny per-language function-word sets for the n-gram/stopword-ratio
-# language heuristic (public common function words)
+# language heuristic (public common function words). The language-id
+# oracle SQL is GENERATED from this table (__spark_entry__._langid_sql),
+# so widening it keeps the gate in sync automatically; ties break by
+# language code ascending on both sides.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
     "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "den", "von", "ein"],
     "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"],
+    "it": ["il", "di", "che", "e", "un", "per", "non", "sono", "con", "della"],
+    "nl": ["het", "een", "van", "en", "dat", "op", "te", "niet", "zijn", "voor"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
 }
 
 

@@ -8,10 +8,24 @@ this module implements it as a custom physical kernel:
 
 Build (``build_compressed_postings``):
     flat postings ──join df──▶ shuffle key (df > threshold ⇒
-    pmod(doc_id, num_salt_shards), else 0) ──shuffle by (term, key)──▶
-    ``applyInPandas`` encode: sort by doc_id, split by
-    pmod(doc_id, num_salt_shards), one delta+varbyte blob + per-block
-    (last_doc, max_tf, min_dl) impact directory PER NON-EMPTY SHARD.
+    shard(doc_id), else 0) ──shuffle by (term, key)──▶
+    ``applyInPandas`` encode: sort by doc_id, split by shard(doc_id),
+    one delta+varbyte blob + per-block (last_doc, max_tf, min_dl)
+    impact directory PER NON-EMPTY SHARD.
+
+    shard(doc_id) = pmod(mix(doc_id), shards) where mix is the
+    engine-portable multiplicative hash (functions/hashing.py) — a bare
+    pmod(doc_id, shards) skews or empties shards for structured id
+    spaces (all-even ids, stride-k sequences). The Spark expression and
+    the numpy kernel compute the identical mix, so the shuffle key and
+    the emitted blob shards always agree.
+
+    ``shards`` is auto-derived when IndexConfig.num_salt_shards is None:
+    ceil(max term df / target_postings_per_shard), clamped to [1, 4096]
+    — so a 10^9-df stop-term still becomes bounded encode groups without
+    hand-tuning a cluster constant. Per-(qid, salt) query-task memory is
+    then <= n_query_terms * target_postings_per_shard postings (encoded
+    ~2-6 B each + one decoded block per term at a time).
 
     Two distinct roles: the SHUFFLE key bounds the largest reducer group
     (a degenerate term occurring in every doc of a 10^12-file corpus
@@ -69,6 +83,29 @@ BLOB_SCHEMA = (
 )
 
 
+MAX_SALT_SHARDS = 4096
+
+
+def derive_num_salt_shards(index: InvertedIndex) -> int:
+    """Resolve the shard count: an explicit IndexConfig.num_salt_shards
+    wins; ``None`` derives ceil(max df / target_postings_per_shard),
+    clamped to [1, MAX_SALT_SHARDS] — the largest posting list (not a
+    hand-tuned constant) sizes both the encode groups and the
+    per-(qid, salt) query-kernel memory bound."""
+    cfg = index.config
+    if cfg.num_salt_shards is not None:
+        return cfg.num_salt_shards
+    row = index.term_stats.agg(F.max("df").alias("m")).collect()[0]
+    max_df = int(row["m"] or 0)
+    return max(
+        1,
+        min(
+            MAX_SALT_SHARDS,
+            -(-max_df // max(1, cfg.target_postings_per_shard)),
+        ),
+    )
+
+
 def build_compressed_postings(
     index: InvertedIndex,
     block_size: int | None = None,
@@ -76,30 +113,31 @@ def build_compressed_postings(
     """flat postings -> (term, salt, blob + block directory) table."""
     from ..deploy import ensure_package_on_executors
 
+    from ..functions.hashing import mix_shard_expr, mix_shard_np
+
     ensure_package_on_executors(index.postings.sparkSession)
     cfg = index.config
     bs = block_size or cfg.block_size
     threshold = cfg.salt_df_threshold
-    shards = cfg.num_salt_shards
+    shards = derive_num_salt_shards(index)
 
     # the shuffle key only BOUNDS group sizes (high-df terms pre-split);
-    # the emitted blobs are uniformly doc-sharded by pmod(doc_id, shards)
-    # for EVERY term — see module docstring.
+    # the emitted blobs are uniformly doc-sharded by shard(doc_id) for
+    # EVERY term — see module docstring. The Spark-side key and the
+    # numpy-side shard split below are the SAME mixed-hash function.
     flat = index.postings.join(
         index.term_stats.select("term", "df"), "term"
     ).withColumn(
         "_key",
         F.when(
-            F.col("df") > threshold,
-            F.pmod(F.col("doc_id"), F.lit(shards)).cast("int"),
+            F.col("df") > threshold, mix_shard_expr("doc_id", shards)
         ).otherwise(F.lit(0)),
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         ids_all = pdf["doc_id"].to_numpy()
-        # numpy % matches pmod for a positive divisor
-        shard_of = ids_all % shards if shards > 1 else np.zeros(
+        shard_of = mix_shard_np(ids_all, shards) if shards > 1 else np.zeros(
             len(ids_all), dtype=np.int64
         )
         out: dict[str, list] = {

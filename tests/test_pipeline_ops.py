@@ -95,6 +95,75 @@ def test_minhash_lsh_finds_near_dups(spark, tokens_df):
         assert r["jaccard"] >= 0.5
 
 
+def test_shingles_short_docs(spark):
+    """Docs shorter than the shingle size yield zero shingles instead of
+    crashing (unguarded F.sequence(0, size-n) infers step -1 and
+    F.slice throws on the descending index)."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c"]),
+            (1, ["only"]),          # 1 token < bigram size
+            (2, []),                # empty doc
+            (3, ["a", "b"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    rows = dedup.tokens_or_shingles(docs, shingle_size=2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert got == {0: {"a b", "b c"}, 3: {"a b"}}
+    # and the production consumer path survives a short doc too
+    pairs = dedup.jaccard_pairs(docs, shingle_size=2, threshold=0.5).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(0, 3)}
+
+
+def test_exact_duplicates_salted_two_stage(spark):
+    """The id sample of a degenerate digest is taken per-salt first, so
+    no single reducer sorts the whole group; the final sample is still
+    exactly the smallest max_ids_per_group ids."""
+    docs = spark.createDataFrame(
+        [(i, "boilerplate") for i in range(500)] + [(999, "unique")],
+        "doc_id long, content string",
+    )
+    out = dedup.exact_duplicates(
+        docs, max_ids_per_group=50, num_salt_shards=8
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # stage-1 window partitions by (digest, _salt); stage-2 by digest
+    assert "_salt" in plan and plan.count("Window [") >= 2
+    g = out.collect()
+    assert len(g) == 1
+    assert g[0]["n_docs"] == 500
+    assert g[0]["keep_doc_id"] == 0
+    assert g[0]["doc_ids"] == list(range(50))
+
+
+def test_mix_hash_spark_numpy_parity(spark):
+    from luc4ir_spark.functions import hashing as hx
+
+    ids = np.concatenate(
+        [
+            np.arange(0, 400, 4),
+            -np.arange(1, 100) * 7,
+            np.array([2**62 - 5, -(2**62) + 3]),
+        ]
+    ).astype(np.int64)
+    df = spark.createDataFrame([(int(x),) for x in ids], "x long")
+    got = [
+        r["m"]
+        for r in df.select(hx.mix_id_expr("x").alias("m"))
+        .orderBy(F.monotonically_increasing_id())
+        .collect()
+    ]
+    want = hx.mix_id_np(ids).tolist()
+    assert sorted(got) == sorted(want)
+    # shard distribution on structured (stride-4) ids is uniform
+    shards = hx.mix_shard_np(np.arange(0, 4000, 4, dtype=np.int64), 4)
+    counts = np.bincount(shards, minlength=4)
+    assert counts.min() > 200  # ~250 each; bare pmod would give [1000,0,0,0]
+
+
 def test_minhash_signature_shape(spark, tokens_df):
     sig = dedup.minhash_signatures(tokens_df, num_hashes=8).collect()
     by_doc = {}
@@ -111,12 +180,49 @@ def test_simhash(spark, tokens_df):
     sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(tokens_df).collect()}
     assert sims[0] == sims[1]  # identical token sets
     assert sims[3] == sims[4]  # same bag of words
+    # the 64-bit default actually populates the high 32 bits (the legacy
+    # 31-bit permutation hash left them permanently unset)
+    assert any(v < 0 or v >= 2**32 for v in sims.values())
     pairs = dedup.simhash_pairs(
         dedup.simhash(tokens_df), max_hamming=3
     ).collect()
     found = {(r["a"], r["b"]): r["hamming"] for r in pairs}
     assert found[(0, 1)] == 0
     assert found[(3, 4)] == 0
+
+
+def test_simhash_legacy_32bit(spark, tokens_df):
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(tokens_df, num_bits=31).collect()
+    }
+    assert sims[0] == sims[1]
+    assert all(0 <= v < 2**31 for v in sims.values())
+
+
+def test_simhash_pairs_bucket_cap(spark):
+    """A pathological pigeonhole bucket (one chunk value shared by the
+    whole corpus) is dropped from candidate generation — and reported —
+    instead of driving a near-quadratic self-join."""
+    # chunk 0 (bits 0-15), 2, 3 are 0 for every doc; chunk 1 is distinct
+    sim = spark.createDataFrame(
+        [(i, i << 16) for i in range(40)], "doc_id long, simhash long"
+    )
+    msgs = []
+    capped = dedup.simhash_pairs(
+        sim, max_hamming=3, num_bits=64, max_bucket_size=10,
+        log=msgs.append,
+    ).collect()
+    assert capped == []  # every shared bucket was degenerate -> dropped
+    assert msgs and "dropped 3 pigeonhole buckets" in msgs[0]
+    uncapped = dedup.simhash_pairs(
+        sim, max_hamming=3, num_bits=64, max_bucket_size=None
+    ).collect()
+    # e.g. 1<<16 vs 3<<16 differ in one bit of chunk 1 -> hamming 1
+    assert {(r["a"], r["b"]) for r in uncapped} >= {(1, 3), (2, 3)}
+    for r in uncapped:
+        assert r["hamming"] <= 3
+        assert r["hamming"] == bin((r["a"] << 16) ^ (r["b"] << 16)).count("1")
 
 
 @pytest.fixture(scope="module")
@@ -196,6 +302,39 @@ def test_ivf_topk(spark, embeddings):
     ).collect()
     assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in full) == \
         sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact)
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """pyspark.ml KMeans centroids plugged into the IVF plumbing reach
+    recall@5 >= 0.9 at n_probe=4 on clustered data (the regime IVF is
+    for; the flat-random parquet fixture has no cluster structure, so
+    any 4-of-16 Voronoi probe is capped well below that there)."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((16, 64)) * 4.0
+    rows = []
+    for i in range(480):
+        c = i % 16
+        v = centers[c] + rng.standard_normal(64) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = annsearch.cosine_topk(emb, queries, k=5).collect()
+    cent = annsearch.train_ivf_centroids(emb, n_centroids=16, seed=42)
+    assert cent.count() == 16
+    ivf = annsearch.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cent
+    ).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in ivf:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex
+    ) / len(ex)
+    assert recall >= 0.9, f"recall@5 {recall}"
 
 
 def test_lsh_near_dup_pairs(spark, embeddings):

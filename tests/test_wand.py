@@ -136,6 +136,62 @@ def test_wand_mixed_salted_unsalted_terms(spark):
     assert dups == 0
 
 
+def test_salted_sharding_structured_ids(spark):
+    """Structured doc-id spaces (all ids multiples of the shard count)
+    must still spread across shards: the shard key is pmod(mix(doc_id),
+    shards), not pmod(doc_id, shards) — a bare modulus would put every
+    doc in shard 0, silently losing the reducer bound and all
+    intra-query parallelism."""
+    docs = [(d * 4, text) for d, text in synth_docs(150, 40, 23)]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    cfg = ix.IndexConfig(
+        analyzer=SIMPLE, block_size=16, salt_df_threshold=5,
+        num_salt_shards=4,
+    )
+    idx = ix.build_index(df, cfg)
+    idx.blobs = build_compressed_postings(idx)
+    per_term = (
+        idx.blobs.groupBy("term")
+        .agg(F.countDistinct("salt").alias("s"), F.sum("n_docs").alias("n"))
+        .collect()
+    )
+    high_df = [r for r in per_term if r["n"] > 40]
+    assert high_df and all(r["s"] >= 3 for r in high_df)
+    # and scoring stays exact under the mixed sharding
+    _compare(spark, idx, QUERIES[:2], k=20)
+
+
+def test_derive_num_salt_shards(spark):
+    from luc4ir_spark.operators.wand import derive_num_salt_shards
+
+    ts = spark.createDataFrame(
+        [("the", 10_000_000, 20_000_000), ("rare", 3, 3)],
+        "term string, df long, cf long",
+    )
+
+    def idx_with(cfg):
+        return ix.InvertedIndex(
+            doc_stats=ts, postings=ts, term_stats=ts,
+            stats=ix.CollectionStats(1, 1, 1), config=cfg,
+        )
+
+    # a synthetic ultra-high-df term drives the count well past the old
+    # fixed sandbox constant of 16
+    derived = derive_num_salt_shards(
+        idx_with(ix.IndexConfig(analyzer=SIMPLE))
+    )
+    assert derived == 40  # ceil(1e7 / 250k)
+    # explicit config wins; tiny corpora derive a single shard
+    assert derive_num_salt_shards(
+        idx_with(ix.IndexConfig(analyzer=SIMPLE, num_salt_shards=7))
+    ) == 7
+    assert derive_num_salt_shards(
+        idx_with(
+            ix.IndexConfig(analyzer=SIMPLE, target_postings_per_shard=10**9)
+        )
+    ) == 1
+
+
 def test_wand_lm_similarities(spark):
     docs = synth_docs(80, 30, 5)
     idx = _index_for(spark, docs)
