@@ -78,16 +78,18 @@ def varbyte_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None =
     n = int(is_term.sum())
     if n == 0:
         return np.zeros(0, dtype=np.uint64), 0
-    # value id per byte: 0-based index of the value this byte belongs to
+    # start byte index of each value; per-byte position within its value
+    term_idx = np.flatnonzero(is_term)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = term_idx[:-1] + 1
     vid = np.zeros(b.size, dtype=np.int64)
     vid[1:] = np.cumsum(is_term[:-1])
-    # position of byte within its value: global index - start index of value
-    starts = np.zeros(n, dtype=np.int64)
-    term_idx = np.flatnonzero(is_term)
-    starts[1:] = term_idx[:-1] + 1
     pos = np.arange(b.size, dtype=np.int64) - starts[vid]
-    vals = np.zeros(n, dtype=np.uint64)
-    np.add.at(vals, vid, (b & np.uint64(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
+    shifted = (b & np.uint64(0x7F)).astype(np.uint64) << (
+        7 * pos
+    ).astype(np.uint64)
+    # contiguous segment sum: reduceat is ~10x faster than np.add.at
+    vals = np.add.reduceat(shifted, starts)
     return vals, int(b.size)
 
 
@@ -156,6 +158,54 @@ def decode_block(
     dls, _ = varbyte_decode(buf, off + used1 + used2, cnt)
     doc_ids = np.cumsum(deltas.astype(np.int64))
     return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)
+
+
+def decode_block_range(
+    blob: bytes | np.ndarray,
+    directory: BlockDirectory,
+    b0: int,
+    b1: int,
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode blocks [b0, b1) in ONE varbyte pass -> per-block
+    (doc_ids, tfs, doc_lens).
+
+    Per-block decode pays numpy's fixed per-op overhead ~30x per block
+    (3 streams x ~10 vector ops on ~128-value arrays); a block-max
+    scorer that touches a contiguous run of blocks per window was
+    spending ~1 ms/block on overhead alone. Here the whole byte span is
+    one varbyte_decode (a single set of large-array ops) and the
+    per-block work is just slicing + one cumsum each."""
+    buf = (
+        np.frombuffer(blob, dtype=np.uint8)
+        if not isinstance(blob, np.ndarray)
+        else blob
+    )
+    n_blocks = directory.offsets.size
+    b0 = max(0, b0)
+    b1 = min(n_blocks, b1)
+    if b1 <= b0:
+        return []
+    off = int(directory.offsets[b0])
+    end = int(directory.offsets[b1]) if b1 < n_blocks else buf.size
+    counts = directory.n_docs[b0:b1].astype(np.int64)
+    total = int(counts.sum()) * 3
+    vals, _ = varbyte_decode(buf[off:end], 0, total)
+    out = []
+    p = 0
+    for c in counts:
+        c = int(c)
+        deltas = vals[p : p + c]
+        tfs = vals[p + c : p + 2 * c]
+        dls = vals[p + 2 * c : p + 3 * c]
+        p += 3 * c
+        out.append(
+            (
+                np.cumsum(deltas.astype(np.int64)),
+                tfs.astype(np.int64),
+                dls.astype(np.int64),
+            )
+        )
+    return out
 
 
 def decode_posting_list(

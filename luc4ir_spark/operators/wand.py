@@ -69,6 +69,7 @@ from ..functions.codec import (
     DEFAULT_BLOCK_SIZE,
     BlockDirectory,
     decode_block,
+    decode_block_range,
     encode_posting_list,
     varbyte_decode,
 )
@@ -370,6 +371,23 @@ class _TermList:
             self.cache[b] = got
         return got
 
+    def decode_range(self, b0: int, b1: int) -> None:
+        """Bulk-decode any uncached blocks in [b0, b1) — one varbyte
+        pass per contiguous uncached run instead of ~30 small numpy ops
+        per block (the difference between ~1 ms and ~10 us a block when
+        a window survives pruning)."""
+        run_start = None
+        for b in range(b0, b1 + 1):
+            missing = b < b1 and b not in self.cache
+            if missing and run_start is None:
+                run_start = b
+            elif not missing and run_start is not None:
+                for i, got in enumerate(
+                    decode_block_range(self.buf, self.dirs, run_start, b)
+                ):
+                    self.cache[run_start + i] = got
+                run_start = None
+
 
 def blockmax_topk_kernel(
     terms: list[_TermList], k: int, blocks_per_window: int = 8
@@ -408,6 +426,7 @@ def blockmax_topk_kernel(
             continue
         ids_parts, sc_parts = [], []
         for t, b0, b1 in ranges:
+            t.decode_range(b0, b1)  # bulk varbyte pass for the window
             for b in range(b0, b1):
                 ids, tfs, dls = t.decode(b)
                 mask = (ids > lo) & (ids <= hi)

@@ -135,3 +135,36 @@ def write_run(run: DataFrame, path: str, single_file: bool = True) -> None:
                 )
     else:
         out.write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def write_run_sharded(run: DataFrame, path: str) -> None:
+    """Distributed exact-byte TREC sink: one rank-ascending text shard
+    per qid under ``path/qid=<qid>/`` (repartition by qid -> in-task
+    sort -> dynamic-partition text write; each qid lands in exactly one
+    task, so exactly one part file per qid). No driver collect, no
+    coalesce(1) — the cluster-scale twin of ``write_run(single_file=
+    True)``.
+
+    Byte-exact assembly recipe: concatenate the shards in ascending
+    qid order (lexicographic, matching the single-file writer's
+    ``orderBy("qid")`` on a string column), e.g.
+
+        cat $(ls -d path/qid=*/ | sort)part-*  > run.txt
+
+    Line format is identical (%.6f scores; JVM and CPython format
+    binary doubles to the same 6-decimal string except exact half-way
+    ties, which real scores do not hit)."""
+    line = F.format_string(
+        "%s\t%s\t%s\t%d\t%.6f\t%s",
+        F.col("qid"), F.col("q0"), F.col("docid"),
+        F.col("rank").cast("long"), F.col("score"), F.col("runid"),
+    )
+    (
+        run.select(F.col("qid"), F.col("rank"), line.alias("value"))
+        .repartition("qid")
+        .sortWithinPartitions("qid", "rank")
+        .select("qid", "value")
+        .write.partitionBy("qid")
+        .mode("overwrite")
+        .text(path)
+    )
