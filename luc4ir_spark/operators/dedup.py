@@ -10,7 +10,7 @@ fan-out:
   ubiquitous shingles don't explode the candidate-pair join (the same
   skew concern as high-df terms in the index build)
 - MinHash + LSH: signature = min over k permutation hashes of the
-  shingle-id set; banding buckets candidates so the pair join touches
+  shingle-id set, computed as a zero-shuffle per-doc projection; banding buckets candidates so the pair join touches
   only same-bucket docs; candidates verified with exact Jaccard
 - SimHash: per-bit weighted majority over shingle hashes -> 64-bit
   fingerprint; near-dups = small Hamming distance
@@ -91,7 +91,7 @@ def _verify_pairs_exact(
 ) -> DataFrame:
     """(a, b) candidates -> (a, b, jaccard >= threshold), verified
     against the FULL shingle sets via a JVM array_intersect — each
-    candidate is one codegen'd row op over the two docs' bounded
+    candidate is one JVM row op over the two docs' bounded
     shingle arrays, replacing the explode ⋈ explode ⋈ groupBy plan
     (measured 4x faster at the bench; one shuffle fewer)."""
     arrs = docs.select(
@@ -380,7 +380,7 @@ def simhash(
 
     Computed as a PURE PROJECTION: the per-bit +1/-1 vote sum is
     positive iff more than half the shingle hashes have the bit set, so
-    each bit is one codegen'd array filter-count — no explode over
+    each bit is one JVM array filter-count (higher-order functions run in the JVM expression evaluator — no Python, no shuffle) — no explode over
     (shingles x bits) rows, no groupBy, zero shuffles. Docs with an
     empty shingle set produce no row (matching the old aggregate
     formulation)."""
