@@ -133,6 +133,18 @@ def run_child(cpus: int, n_docs: int) -> dict:
     n_run = rt.score_queries(idx, qt, k=1000).count()
     t_query = time.time() - t0
 
+    # pruned query path: block-max WAND kernels over pre-built blobs —
+    # per-(qid, salt) numpy tasks, the query-time scaling twin of the
+    # Arrow extract stage (blob build excluded from the timed window)
+    from luc4ir_spark.operators import wand as wd
+
+    idx.blobs = wd.build_compressed_postings(idx).persist()
+    idx.blobs.count()
+    wd.score_queries_wand(idx, qt.limit(3), k=10).count()  # warm
+    t0 = time.time()
+    n_wand = wd.score_queries_wand(idx, qt, k=1000).count()
+    t_wand = time.time() - t0
+
     spark.stop()
     return {
         "cpus": cpus,
@@ -141,9 +153,11 @@ def run_child(cpus: int, n_docs: int) -> dict:
         "n_rows": n_rows,
         "n_postings": n_postings,
         "n_run_rows": n_run,
+        "n_wand_rows": n_wand,
         "extract_sec": round(t_extract, 3),
         "build_sec": round(t_build, 3),
         "query_sec": round(t_query, 3),
+        "wand_sec": round(t_wand, 3),
     }
 
 
@@ -200,7 +214,9 @@ def main() -> None:
         "workloads": {},
         "all_runs": runs,
     }
-    for wl in ("extract", "build", "query"):
+    for wl in ("extract", "build", "query", "wand"):
+        if any(f"{wl}_sec" not in r for rs in runs.values() for r in rs):
+            continue
         lo, hi = med(args.low, f"{wl}_sec"), med(args.high, f"{wl}_sec")
         blo, bhi = best(args.low, f"{wl}_sec"), best(args.high, f"{wl}_sec")
         speedup = lo / hi
