@@ -463,24 +463,29 @@ SELECT qid, doc_id,
 FROM kl
 """
 
-# Q5: RLM query expansion — candidates = RLM terms minus original query
-# terms, weighted wt * ln(N/df), normalized, top-n get fb_weight * wnorm;
-# originals get (1 - fb_weight) / |q| (feedback/RelevanceModelIId.java:
-# 164-235 semantics, implemented at feedback.py::expand_query)
+# Q5: RLM query expansion — ALL RLM terms (originals included) weighted
+# wt * ln(N/df); the normalizer z sums over that full set, originals are
+# skipped only at selection (matching RelevanceModelIId.java:164-235,
+# which accumulates the norm before filtering); top-n non-original terms
+# get fb_weight * wnorm, originals (1 - fb_weight) / |q|
+# (feedback.py::expand_query)
 NUM_EXP_TERMS = 5
 FB_WEIGHT = 0.2
 
 _EXPAND_SQL = f"""
 WITH {_BM25_RUN_CTES},
 orig AS (SELECT DISTINCT qid, term FROM q),
-cand AS (
+allt AS (
   SELECT rm.qid, rm.term,
          rm.wt * ln(s.n_docs * 1.0 / dft.df) AS wtidf
   FROM rm JOIN dft USING (term) CROSS JOIN stats s
-  WHERE NOT EXISTS (SELECT 1 FROM orig o
-                    WHERE o.qid = rm.qid AND o.term = rm.term)
 ),
-z AS (SELECT qid, sum(wtidf) AS z FROM cand GROUP BY 1),
+z AS (SELECT qid, sum(wtidf) AS z FROM allt GROUP BY 1),
+cand AS (
+  SELECT a.* FROM allt a
+  WHERE NOT EXISTS (SELECT 1 FROM orig o
+                    WHERE o.qid = a.qid AND o.term = a.term)
+),
 newt AS (
   SELECT qid, term, {FB_WEIGHT} * wnorm AS weight FROM (
     SELECT c.qid, c.term, c.wtidf / z.z AS wnorm,
@@ -526,8 +531,10 @@ SELECT qid, doc_id, rank, score FROM head
 UNION ALL SELECT qid, doc_id, rank, score FROM tail
 """
 
-# F5: greedy diversity rerank over the top-FDBK_DOCS pool, unrolled
-# (feedback/DiversityReranker.java:66-141). With 3 docs the greedy loop
+# F5: greedy diversity rerank over the top-FDBK_DOCS pool, unrolled —
+# the engine's MMR-style gain (score / (1 + cosine(doc, pool)); see
+# feedback.diversity_rerank for how it relates to
+# DiversityReranker.java:66-141). With 3 docs the greedy loop
 # has exactly one non-trivial decision: pick1 is the rank-1 doc (empty
 # pool => gain = retrieval score, maximized at rank 1), pick2 maximizes
 # score / (1 + max(cos(doc, pick1), 0)), pick3 is the remainder; final
@@ -823,9 +830,14 @@ bands AS (
          string_agg(min_hash::VARCHAR, '_' ORDER BY hash_id) AS bucket
   FROM sig GROUP BY doc_id, hash_id // 2
 ),
+bandsz AS (SELECT band, bucket, count(*)::BIGINT AS bn
+           FROM bands GROUP BY 1, 2),
+kept AS (SELECT b.doc_id, b.band, b.bucket
+         FROM bands b JOIN bandsz USING (band, bucket)
+         WHERE bandsz.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE}),
 cands AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM bands l JOIN bands r
+  FROM kept l JOIN kept r
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 ),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
@@ -865,21 +877,31 @@ def _lsh_tables(n_tables: int = 4, n_planes: int = 8, dim: int = 64,
 
 
 def _ann_lsh_sql() -> str:
+    from luc4ir_spark.operators.annsearch import DEFAULT_MAX_BUCKET_SIZE
+
     buckets = [
         (_bucket_sql("cv", planes), _bucket_sql("qv", planes))
         for planes in _lsh_tables()
     ]
     c_keys = ", ".join(f"{cb} AS ck{t}" for t, (cb, _) in enumerate(buckets))
     q_keys = ", ".join(f"{qb} AS qk{t}" for t, (_, qb) in enumerate(buckets))
+    # corpus-side bucket sizes per table (the max_bucket_size cap the
+    # engine applies before the bucket join — recall-only, modeled here)
+    c_sizes = ", ".join(
+        f"count(*) OVER (PARTITION BY ck{t}) AS bn{t}"
+        for t in range(len(buckets))
+    )
     cand_union = " UNION ".join(
-        f"SELECT q.query_id, c.vec_id FROM bc c JOIN bq q ON c.ck{t} = q.qk{t}"
+        f"SELECT q.query_id, c.vec_id FROM bc c JOIN bq q"
+        f" ON c.ck{t} = q.qk{t} AND c.bn{t} <= {DEFAULT_MAX_BUCKET_SIZE}"
         for t in range(len(buckets))
     )
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
-bc AS (SELECT vec_id, cv, {c_keys} FROM c),
+bc0 AS (SELECT vec_id, cv, {c_keys} FROM c),
+bc AS (SELECT *, {c_sizes} FROM bc0),
 bq AS (SELECT query_id, qv, {q_keys} FROM q),
 cand AS (SELECT DISTINCT query_id, vec_id FROM ({cand_union})),
 s AS (
@@ -901,13 +923,22 @@ SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 
 
 def _near_dup_lsh_sql(threshold: float = 0.4) -> str:
+    from luc4ir_spark.operators.annsearch import DEFAULT_MAX_BUCKET_SIZE
+
     keys = ", ".join(
         f"{_bucket_sql('v', planes)} AS k{t}"
         for t, planes in enumerate(_lsh_tables())
     )
+    # per-table bucket sizes: buckets over max_bucket_size are dropped
+    # from candidate generation (both join sides share the bucket, so
+    # one side's predicate suffices) — mirrors the engine's cap
+    sizes = ", ".join(
+        f"count(*) OVER (PARTITION BY k{t}) AS bn{t}" for t in range(4)
+    )
     cand_union = " UNION ALL ".join(
         f"SELECT x.vec_id AS a, y.vec_id AS b FROM b x JOIN b y"
         f" ON x.k{t} = y.k{t} AND x.vec_id < y.vec_id"
+        f" AND x.bn{t} <= {DEFAULT_MAX_BUCKET_SIZE}"
         for t in range(4)
     )
     return f"""
@@ -915,7 +946,8 @@ WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[],
                        embedding::DOUBLE[])) AS n
            FROM embeddings),
-b AS (SELECT vec_id, v, {keys} FROM c),
+b0 AS (SELECT vec_id, v, {keys} FROM c),
+b AS (SELECT *, {sizes} FROM b0),
 cand AS (SELECT DISTINCT a, b FROM ({cand_union}))
 SELECT cand.a, cand.b,
        round(list_dot_product(xa.v, xb.v) / (xa.n * xb.n), 4) AS cosine
@@ -1411,7 +1443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        out = ann.lsh_cosine_topk(emb, queries, k=5, n_tables=4)
+        # n_planes pinned (auto-derivation is corpus-sized) so the plane
+        # literals in the oracle SQL match
+        out = ann.lsh_cosine_topk(emb, queries, k=5, n_planes=8, n_tables=4)
         return out.select(
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
@@ -1462,7 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the corpus-scale default: hyperplane-bucket candidates + exact
         # cosine verify (sub-quadratic); seeded plane literals make the
         # SQL oracle exact
-        out = ann.lsh_near_dup_pairs(_emb(spark, sf), threshold=0.4)
+        out = ann.lsh_near_dup_pairs(
+            _emb(spark, sf), threshold=0.4, n_planes=8
+        )
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
     def embedding_norms(spark, sf):

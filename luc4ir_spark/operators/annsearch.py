@@ -17,9 +17,43 @@ Norms are precomputed per row so the scan projects (id, vec, norm) once.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# bucket-geometry defaults for the hyperplane-LSH operators. 2^n_planes
+# is the bucket count per table, so a FIXED n_planes is a sandbox
+# constant: 8 planes = 256 buckets means ~4M vectors/bucket at 10^9
+# rows — near-quadratic self-joins without any degenerate data. Derive
+# the plane count from the corpus size instead (see derive_n_planes),
+# the same auto-derivation idea as wand.derive_num_salt_shards.
+DEFAULT_TARGET_BUCKET_SIZE = 1024
+MIN_PLANES = 8
+MAX_PLANES = 30  # 2^30 buckets; bucket keys stay well inside int64
+DEFAULT_MAX_BUCKET_SIZE = 100_000
+
+
+def derive_n_planes(
+    corpus_count: int,
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET_SIZE,
+    min_planes: int = MIN_PLANES,
+    max_planes: int = MAX_PLANES,
+) -> int:
+    """Size the hyperplane count from the corpus: the smallest n with
+    expected occupancy corpus_count / 2^n <= target_bucket_size, clamped
+    to [min_planes, max_planes]. 10^6 vectors at the 1024 target -> 10
+    planes; 10^9 -> 20. More planes = smaller buckets = cheaper bucket
+    self-joins but lower per-table recall — callers wanting recall back
+    raise n_tables (recall = 1 - (1-p)^tables) rather than shrinking
+    planes."""
+    if corpus_count <= 0:
+        return min_planes
+    need = math.ceil(
+        math.log2(max(1.0, corpus_count / float(target_bucket_size)))
+    )
+    return max(min_planes, min(max_planes, need))
 
 
 def _dot(a, b):
@@ -115,12 +149,13 @@ def cosine_near_dup_pairs(
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     log=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale:
@@ -134,20 +169,44 @@ def lsh_near_dup_pairs(
     on >= 1 of ``n_planes`` sign bits in EVERY table; for cosine >=
     threshold the per-table agreement probability is
     (1 - arccos(threshold)/pi)^n_planes, so recall =
-    1 - (1 - p)^n_tables (>= 99 % at the 0.95/8/4 defaults). Buckets are
+    1 - (1 - p)^n_tables (>= 99 % at the 0.95/8/4 setting). Buckets are
     deterministic (seeded plane literals), so a SQL oracle can replay
     candidate generation exactly. ``log``: optional callable reporting
     the candidate-pair count (the sub-quadratic evidence).
+
+    ``n_planes=None`` (default) derives the plane count from the corpus
+    size via ``derive_n_planes`` (one scalar count() action) so bucket
+    occupancy tracks the corpus instead of a fixed 2^8 = 256 buckets;
+    pin an explicit value for oracle replay. ``max_bucket_size`` (ON by
+    default) drops oversized hyperplane buckets — a large
+    exact-duplicate vector class lands its whole membership in one
+    bucket per table, turning that bucket's self-join quadratic — from
+    CANDIDATE generation only, with the drop count reported via ``log``;
+    compose with exact dedup upstream when such classes are expected.
 
     Use ``cosine_near_dup_pairs`` (brute force) only for small corpora
     or as a recall check."""
     c = with_norm(
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
     ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    if n_planes is None:
+        n_planes = derive_n_planes(c.count())
+        if log is not None:
+            log(f"lsh_near_dup_pairs: derived n_planes={n_planes}")
     cand_parts = []
+    n_dropped_total = 0
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed + 1000 * t)
         cb = c.withColumn("bucket", _bucket_expr("v", planes))
+        if max_bucket_size is not None:
+            bsz = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+            if log is not None:
+                n_dropped_total += bsz.filter(
+                    F.col("_bn") > max_bucket_size
+                ).count()
+            cb = cb.join(
+                bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
+            ).select("vid", "bucket")
         l = cb.select(F.col("vid").alias("a"), "bucket")
         r = cb.select(F.col("vid").alias("b"), "bucket")
         cand_parts.append(
@@ -158,6 +217,11 @@ def lsh_near_dup_pairs(
         cands = cands.unionByName(part)
     cands = cands.distinct()
     if log is not None:
+        if max_bucket_size is not None:
+            log(
+                f"lsh_near_dup_pairs: max_bucket_size={max_bucket_size} "
+                f"dropped {n_dropped_total} buckets across {n_tables} tables"
+            )
         log(f"lsh_near_dup_pairs: {cands.count()} candidate pairs")
     ca = c.select(
         F.col("vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -339,29 +403,52 @@ def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 2,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    log=None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, ``n_tables``
     independent tables unioned for recall, exact cosine re-rank within
-    candidates. Returns (query_id, vec_id, rank, cosine)."""
+    candidates. Returns (query_id, vec_id, rank, cosine).
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (``derive_n_planes``); pin an explicit value for oracle replay.
+    ``max_bucket_size`` (ON by default) drops oversized CORPUS-side
+    buckets per table from candidate generation (a degenerate
+    duplicate-vector class would otherwise fan every matching query out
+    to the whole class) — recall-only effect, logged via ``log``."""
     c = with_norm(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col
     ).select("vec_id", F.col("_vd").alias("cv"), F.col("norm").alias("cn"))
     q = with_norm(
         queries.select("query_id", F.col(vec_col)), vec_col
     ).select("query_id", F.col("_vd").alias("qv"), F.col("norm").alias("qn"))
+    if n_planes is None:
+        n_planes = derive_n_planes(c.count())
+        if log is not None:
+            log(f"lsh_cosine_topk: derived n_planes={n_planes}")
 
     cand_parts = []
+    n_dropped_total = 0
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed + 1000 * t)
         cb = c.withColumn("bucket", _bucket_expr("cv", planes)).withColumn(
             "table", F.lit(t)
         )
+        if max_bucket_size is not None:
+            bsz = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+            if log is not None:
+                n_dropped_total += bsz.filter(
+                    F.col("_bn") > max_bucket_size
+                ).count()
+            cb = cb.join(
+                bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
+            ).select("vec_id", "cv", "cn", "bucket", "table")
         qb = q.withColumn("bucket", _bucket_expr("qv", planes)).withColumn(
             "table", F.lit(t)
         )
@@ -369,6 +456,11 @@ def lsh_cosine_topk(
             cb.join(F.broadcast(qb), ["table", "bucket"]).select(
                 "query_id", "vec_id", "cv", "cn", "qv", "qn"
             )
+        )
+    if log is not None and max_bucket_size is not None:
+        log(
+            f"lsh_cosine_topk: max_bucket_size={max_bucket_size} dropped "
+            f"{n_dropped_total} corpus buckets across {n_tables} tables"
         )
     cands = cand_parts[0]
     for part in cand_parts[1:]:

@@ -199,6 +199,7 @@ def _bit_test_fn(b):
 
 
 DEFAULT_MAX_SHINGLE_DF = 10_000
+DEFAULT_MAX_BUCKET_SIZE = 100_000
 
 
 def jaccard_pairs(
@@ -312,12 +313,25 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     shingle_size: int = 1,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    log=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (num_hashes /
     band_size bands), bucket-join docs agreeing on a full band, then
     VERIFY candidates with exact Jaccard >= threshold. The bucket join
     replaces the quadratic all-pairs with |docs per identical band
-    bucket| fan-out."""
+    bucket| fan-out.
+
+    ``max_bucket_size`` (default ``DEFAULT_MAX_BUCKET_SIZE``) caps the
+    per-(band, bucket) membership used for CANDIDATE generation — at
+    crawl scale a large exact-duplicate class puts every member in ONE
+    band bucket and makes that bucket's self-join quadratic (10^6
+    identical docs => 5*10^11 candidates). Oversized buckets are dropped
+    from candidate generation with the drop count reported via ``log``;
+    reported jaccard values stay exact (verify runs on full sets). True
+    duplicate classes the cap suppresses are exactly the ones
+    ``exact_duplicates`` already reports — compose both, dedup exact
+    first, when a corpus has degenerate classes. ``None`` disables."""
     sig = minhash_signatures(docs, tokens_col, num_hashes, shingle_size)
     banded = sig.withColumn(
         "band", (F.col("hash_id") / band_size).cast("int")
@@ -333,6 +347,19 @@ def minhash_lsh_pairs(
             "_",
         ).alias("bucket")
     )
+    if max_bucket_size is not None:
+        bsz = band_key.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        if log is not None:
+            n_dropped = bsz.filter(F.col("_bn") > max_bucket_size).count()
+            log(
+                f"minhash_lsh_pairs: max_bucket_size={max_bucket_size} "
+                f"dropped {n_dropped} band buckets from candidate generation"
+            )
+        band_key = band_key.join(
+            bsz.filter(F.col("_bn") <= max_bucket_size), ["band", "bucket"]
+        ).select("doc_id", "band", "bucket")
     l = band_key.select(F.col("doc_id").alias("a"), "band", "bucket")
     r = band_key.select(F.col("doc_id").alias("b"), "band", "bucket")
     cands = (
@@ -418,9 +445,6 @@ def simhash(
         .filter(F.col("_n") > 0)
         .drop("_n")
     )
-
-
-DEFAULT_MAX_BUCKET_SIZE = 100_000
 
 
 def simhash_pairs(

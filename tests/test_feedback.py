@@ -155,6 +155,35 @@ def test_expand_query(spark, setup):
     assert run2.count() > 0
 
 
+def test_retrieve_with_feedback_leaves_no_cached_rdds(spark, setup):
+    """The F9 composition must not accumulate cached first-pass runs
+    across calls (it returns a lazy DataFrame, so a function-scoped
+    persist could never be unpersisted at the right time; the splice
+    relies on ReuseExchange instead)."""
+    idx, qt, _ = setup
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        out = fb.retrieve_with_feedback(idx, qt, k=10, num_top_docs=M)
+        assert out.count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, f"leaked {after - before} cached RDDs"
+
+
+def test_retrieve_with_feedback_splice(spark, setup):
+    """Rerank mode: head = KL-reranked top-M (ascending KL, score=KL),
+    tail = first-pass ranks > M unchanged."""
+    idx, qt, run = setup
+    out = fb.retrieve_with_feedback(idx, qt, k=10, num_top_docs=M)
+    got = {(r["qid"], r["doc_id"]): r for r in out.collect()}
+    first = {(r["qid"], r["doc_id"]): r for r in run.collect()}
+    # same doc set per query; tail rows identical to first pass
+    assert set(got) == set(first)
+    for key, r in first.items():
+        if r["rank"] > M:
+            g = got[key]
+            assert (g["rank"], g["score"]) == (r["rank"], r["score"])
+
+
 def test_clarity_and_js(spark, setup):
     idx, qt, run = setup
     rlm = fb.relevance_model(idx, run, num_top_docs=M)

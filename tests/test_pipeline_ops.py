@@ -95,6 +95,82 @@ def test_minhash_lsh_finds_near_dups(spark, tokens_df):
         assert r["jaccard"] >= 0.5
 
 
+def test_minhash_lsh_bucket_cap(spark):
+    """A dominant exact-duplicate class (the crawl-corpus degenerate
+    case) collapses into ONE band bucket; the cap drops it from
+    candidate generation — and reports it — instead of letting that
+    bucket's self-join go quadratic. Composition contract: those classes
+    are exactly what exact_duplicates reports."""
+    big = [(i, ["common", "boilerplate", "page", "text"]) for i in range(40)]
+    near = [
+        (100, ["alpha", "beta", "gamma", "delta"]),
+        (101, ["alpha", "beta", "gamma", "epsilon"]),
+    ]
+    docs = spark.createDataFrame(
+        big + near, "doc_id long, tokens array<string>"
+    )
+    msgs = []
+    capped = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, max_bucket_size=10, log=msgs.append
+    ).collect()
+    got = {(r["a"], r["b"]) for r in capped}
+    # the duplicate class is suppressed; the small near-dup pair survives
+    assert got == {(100, 101)}
+    assert any("dropped" in m and "band buckets" in m for m in msgs)
+    # candidate work is bounded: no pair involves the degenerate class
+    assert all(a >= 100 for a, _ in got)
+    # uncapped still finds the class (small-corpus exactness unchanged)
+    uncapped = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=40 * 40
+        ).collect()
+    }
+    assert (0, 1) in uncapped and (100, 101) in uncapped
+
+
+def test_derive_n_planes():
+    """Plane count tracks corpus size toward a target bucket occupancy
+    (the fixed 8-plane/256-bucket default was sandbox-sized)."""
+    assert annsearch.derive_n_planes(0) == annsearch.MIN_PLANES
+    assert annsearch.derive_n_planes(5_000) == annsearch.MIN_PLANES
+    assert annsearch.derive_n_planes(10**6) == 10  # > the old 8
+    assert annsearch.derive_n_planes(10**9) == 20
+    assert annsearch.derive_n_planes(10**12) <= annsearch.MAX_PLANES
+    # occupancy contract: corpus / 2^n <= target (when not clamped)
+    for n in (10**6, 10**8, 10**9):
+        p = annsearch.derive_n_planes(n)
+        assert n / 2**p <= annsearch.DEFAULT_TARGET_BUCKET_SIZE
+
+
+def test_lsh_near_dup_bucket_cap(spark, embeddings):
+    """A dominant duplicate-vector class lands in one hyperplane bucket
+    per table; the cap bounds candidate generation and reports drops."""
+    base = embeddings.filter(F.col("vec_id") < 8).select(
+        "vec_id", "embedding"
+    )
+    clones = base.filter(F.col("vec_id") == 0)
+    for j in range(1, 30):
+        clones = clones.unionByName(
+            base.filter(F.col("vec_id") == 0).select(
+                (F.col("vec_id") + 1000 * j).alias("vec_id"), "embedding"
+            )
+        )
+    corpus = base.unionByName(clones.filter(F.col("vec_id") >= 1000))
+    msgs = []
+    capped = annsearch.lsh_near_dup_pairs(
+        corpus, threshold=0.98, n_planes=8, max_bucket_size=10,
+        log=msgs.append,
+    ).collect()
+    # the 30-clone class exceeded the cap in every table -> no pairs
+    # from it; drop count reported
+    assert not any(r["a"] == 0 or r["a"] >= 1000 for r in capped)
+    assert any("dropped" in m and "buckets" in m for m in msgs)
+    # candidate count (logged) stays bounded by cap^2 per bucket
+    cand_msg = [m for m in msgs if "candidate pairs" in m]
+    assert cand_msg
+
+
 def test_shingles_short_docs(spark):
     """Docs shorter than the shingle size yield zero shingles instead of
     crashing (unguarded F.sequence(0, size-n) infers step -1 and
