@@ -6,6 +6,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
 
+Each workload runs $SPARK_GRAFT_REPS times (default 2); "queries" and
+"value" report per-workload MINIMA (noise-robust on this time-shared
+VM — interference only inflates wall time), with every rep's time, the
+medians, and two single-core calibration probes recorded under "extra"
+so an externally-inflated run is attributable from the JSON alone.
+
 Workloads (all end-to-end actions, cold plans):
   index_build_simple   tokenize+postings+stats, JVM-only tokenizer
   index_build_english  same with the Porter/stop Arrow-UDF analyzer
@@ -23,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -42,8 +49,25 @@ from luc4ir_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# min-of-reps: this VM time-shares CPU with external tenants (2-4x
+# wall-time variance on identical jobs — BENCH/BASELINE.md §0), so each
+# workload runs REPS times and the reported per-query number is the MIN
+# (interference only ever inflates wall time). All rep times + medians
+# land in extra for attribution.
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
 K = 1000
 N_QUERIES = 50
+
+
+def calibrate() -> float:
+    """1-second single-core burn (millions of iterations) — how fast
+    THIS moment's CPU is, so externally-inflated runs are identifiable
+    in the recorded JSON (same probe as scripts/scaling_bench.py)."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return round(x / 1e6, 2)
 
 BASE_TERMS = [
     "spark", "join", "window", "stream", "hash", "table", "merge",
@@ -84,12 +108,27 @@ def main() -> None:
     emb.count()
 
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     extra: dict[str, object] = {"n_docs": n_docs, "cpus": CPUS}
+    extra["reps"] = REPS
+    extra["calib_m_iters_pre"] = calibrate()
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        res = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, cleanup=None):
+        """Run ``fn`` REPS times; record min (headline) + all times.
+        ``cleanup(prev_result)`` runs between reps so workloads that
+        persist state don't accumulate cached copies; the LAST rep's
+        result (and its persisted state) is returned for downstream
+        workloads."""
+        res = None
+        times = []
+        for i in range(REPS):
+            if i and cleanup is not None:
+                cleanup(res)
+            t0 = time.time()
+            res = fn()
+            times.append(round(time.time() - t0, 3))
+        rep_times[name] = times
+        timings[name] = min(times)
         return res
 
     simple_cfg = ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
@@ -101,7 +140,11 @@ def main() -> None:
         idx.postings.count()
         return idx
 
-    idx = timed("index_build_simple", build_simple)
+    def drop_index(prev):
+        prev.postings.unpersist()
+        prev.term_stats.unpersist()
+
+    idx = timed("index_build_simple", build_simple, cleanup=drop_index)
     extra["index_docs_per_sec"] = round(
         n_docs / timings["index_build_simple"], 1
     )
@@ -119,7 +162,7 @@ def main() -> None:
         idx.blobs = idx.blobs.persist()
         return idx.blobs.count()
 
-    timed("compress_postings", compress)
+    timed("compress_postings", compress, cleanup=lambda _: idx.blobs.unpersist())
 
     # ---- retrieval
     queries = make_queries(N_QUERIES)
@@ -137,7 +180,11 @@ def main() -> None:
         run_holder["run"] = run
         return n
 
-    timed("bm25_batch", bm25_batch)
+    timed(
+        "bm25_batch",
+        bm25_batch,
+        cleanup=lambda _: run_holder["run"].unpersist(),
+    )
     extra["bm25_queries_per_sec"] = round(
         N_QUERIES / timings["bm25_batch"], 2
     )
@@ -206,6 +253,11 @@ def main() -> None:
 
     timed("textstats", textstats)
 
+    extra["calib_m_iters_post"] = calibrate()
+    extra["queries_all_reps"] = rep_times
+    extra["queries_median"] = {
+        n: round(statistics.median(ts), 3) for n, ts in rep_times.items()
+    }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio codecs in this environment):
-``decode_image``/``decode_audio`` raise NotImplementedError unless the
-deterministic fake decoder is selected — but everything AROUND the
-decode is real and tested: the schema contract, Arrow batch shapes,
-``mapInPandas`` iteration, partition sizing for large binaries, and the
-feature-vector output layout a downstream ANN/dedup stage consumes.
+The decode step probes for a real codec at call time: with Pillow
+importable, ``decode_image`` decodes to a grayscale perceptual-thumbnail
+feature vector; without one (this sandbox bakes no image/audio codecs
+in) it raises NotImplementedError unless the deterministic fake decoder
+is selected. Everything AROUND the decode is real and tested either
+way: the schema contract, Arrow batch shapes, ``mapInPandas``
+iteration, partition sizing for large binaries, and the feature-vector
+output layout a downstream ANN/dedup stage consumes.
 
 Schema contract:
     media(doc_id long, kind string, media binary,
@@ -59,16 +61,48 @@ def _fake_feature(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return vec / n if n > 0 else vec
 
 
-def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
-    """Real decoder NOT available in this environment (no image codec
-    libraries baked in); the production implementation plugs in here.
-    ``fake=True`` routes to the deterministic stand-in."""
+def has_image_codec() -> bool:
+    """True iff a real image codec library (Pillow) is importable in
+    this environment. Probed lazily so the module imports everywhere."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(
+    blob: bytes, fake: bool = False, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """Decode an image blob into a unit feature vector.
+
+    The REAL path (Pillow, when importable): decode, convert to
+    grayscale, resize to a sqrt(dim)-side grid, flatten the pixel
+    intensities, L2-normalize — a deterministic perceptual thumbnail
+    suitable for the downstream near-dup/ANN stages. In environments
+    without an image codec (this sandbox) it raises NotImplementedError;
+    ``fake=True`` routes to the hash-based deterministic stand-in."""
     if fake:
-        return _fake_feature(blob)
-    raise NotImplementedError(
-        "image decoding requires an image codec library (not present); "
-        "use fake=True for the deterministic test double"
+        return _fake_feature(blob, dim)
+    if not has_image_codec():
+        raise NotImplementedError(
+            "image decoding requires Pillow (not importable here); "
+            "use fake=True for the deterministic test double"
+        )
+    import io
+
+    from PIL import Image
+
+    side = max(2, int(round(dim ** 0.5)))
+    img = Image.open(io.BytesIO(blob)).convert("L").resize(
+        (side, side), Image.BILINEAR
     )
+    vec = np.asarray(img, dtype=np.float64).reshape(-1)[:dim]
+    if len(vec) < dim:
+        vec = np.pad(vec, (0, dim - len(vec)))
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
 
 
 def extract_features(

@@ -1,22 +1,39 @@
-"""Structured Streaming windowed event aggregation.
+"""Structured Streaming windowed event aggregation + sessionization.
 
-The streaming twin of ``operators.eventops.tumbling_window_stats``:
-event files land in a directory, a streaming query maintains tumbling
-event-time windows with a WATERMARK for late data, and APPEND mode
-emits each (window, event_type) row exactly once — when the watermark
-passes the window end and the window can no longer change. Until then
-the window stays in the state store (so the newest windows are
-intentionally absent from the sink; they flush on a later trigger once
-newer events advance the watermark).
+The streaming twins of ``operators.eventops``:
 
-Late events older than the watermark are dropped by the engine — the
-standard streaming trade: bounded state for bounded lateness.
+- ``start_windowed_event_counts`` == ``tumbling_window_stats``: a
+  streaming query maintains tumbling event-time windows with a
+  WATERMARK for late data; APPEND mode emits each (window, event_type)
+  row exactly once — when the watermark passes the window end and the
+  window can no longer change. Until then the window stays in the state
+  store (the newest windows are intentionally absent from the sink;
+  they flush on a later trigger once newer events advance the
+  watermark).
+
+- ``start_sessionize_stream`` == ``sessionize``: a custom stateful
+  operator via ``applyInPandasWithState``. Per-user state is ONE open
+  session (sid counter + 4 aggregates — constant bytes per user, never
+  an event buffer); a session closes either when a later event exceeds
+  the gap (emitted immediately — final, because any event that could
+  still extend it would be later than the closer's timestamp minus the
+  gap and therefore in the new session) or when the EVENT-TIME TIMEOUT
+  fires: the watermark passing last_event + gap proves no in-watermark
+  event can extend the session. Emitted rows match the batch operator
+  exactly (same integer-microsecond bounds, same 1-based per-user
+  session numbering) provided each user's events arrive event-time-
+  ordered ACROSS micro-batches; within a batch any order is fine (the
+  kernel sorts). Late events older than the watermark are dropped by
+  the engine — the standard streaming trade: bounded state for bounded
+  lateness.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -62,6 +79,136 @@ def start_windowed_event_counts(
         .format("parquet")
         .option("path", os.path.join(out_dir, "windows"))
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long,"
+    " start_us long, end_us long, sum_value double"
+)
+# next_sid keeps the per-user 1-based numbering across session closes
+# (batch parity); n_events == 0 <=> no open session
+SESSION_STATE_SCHEMA = (
+    "next_sid long, n_events long, start_us long, end_us long,"
+    " sum_value double"
+)
+
+
+def _session_kernel(gap_us: int):
+    """applyInPandasWithState update function for gaps-and-islands
+    sessionization. State per user: the one open session. Emits each
+    CLOSED session exactly once."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state):
+        user_id = int(key[0])
+        if state.exists:
+            next_sid, n_ev, start_us, end_us, sum_v = state.get
+        else:
+            next_sid, n_ev, start_us, end_us, sum_v = 1, 0, 0, 0, 0.0
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # watermark passed end_us + gap: the open session is final
+            if n_ev > 0:
+                closed.append(
+                    (user_id, next_sid, n_ev, start_us, end_us, sum_v)
+                )
+                next_sid += 1
+            state.update((next_sid, 0, 0, 0, 0.0))
+            # no timeout re-armed: the next event for this user re-arms
+        else:
+            parts = []
+            for pdf in pdfs:
+                if len(pdf):
+                    t_us = (
+                        pdf["ts"]
+                        .astype("datetime64[ns]")
+                        .astype("int64")
+                        // 1000
+                    )
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "t": t_us,
+                                "eid": pdf["event_id"],
+                                "v": pdf["value"],
+                            }
+                        )
+                    )
+            if parts:
+                ev = pd.concat(parts).sort_values(["t", "eid"])
+                for t, v in zip(ev["t"].tolist(), ev["v"].tolist()):
+                    if n_ev == 0:
+                        n_ev, start_us, end_us, sum_v = 1, t, t, float(v)
+                    elif t - end_us > gap_us:
+                        closed.append(
+                            (user_id, next_sid, n_ev, start_us, end_us,
+                             sum_v)
+                        )
+                        next_sid += 1
+                        n_ev, start_us, end_us, sum_v = 1, t, t, float(v)
+                    else:
+                        n_ev += 1
+                        end_us = max(end_us, t)
+                        sum_v += float(v)
+                state.update((next_sid, n_ev, start_us, end_us, sum_v))
+                if n_ev > 0:
+                    # fire once the watermark proves no extender can come;
+                    # must be strictly above the current watermark
+                    to_ms = (end_us + gap_us) // 1000 + 1
+                    state.setTimeoutTimestamp(
+                        max(to_ms, state.getCurrentWatermarkMs() + 1)
+                    )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_id", "n_events",
+                    "start_us", "end_us", "sum_value",
+                ],
+            )
+
+    return update
+
+
+def start_sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    gap_seconds: float = 1800.0,
+    watermark: str = "2 hours",
+    schema: str = EVENT_SCHEMA,
+):
+    """Start the streaming sessionizer: parquet event files in
+    ``input_dir`` -> finalized (user_id, session_id, n_events, start_us,
+    end_us, sum_value) rows appended under ``out_dir/sessions``. Open
+    sessions stay in the state store until the watermark passes their
+    end + gap. Returns the StreamingQuery."""
+    gap_us = int(gap_seconds * 1_000_000)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    # same NTZ -> instant cast as the windowed twin (watermarks are only
+    # defined on TIMESTAMP); session tz is UTC so the pandas-side int64
+    # microseconds equal the batch operator's timezone-free epoch_us
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_kernel(gap_us),
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
         .trigger(availableNow=True)
         .start()
     )

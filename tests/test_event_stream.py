@@ -1,14 +1,17 @@
 """Streaming windowed aggregation == batch tumbling_window_stats for
-every watermark-finalized window; unfinalized windows are withheld."""
+every watermark-finalized window; unfinalized windows are withheld.
+Streaming sessionization == batch sessionize for every watermark-
+finalized session; open sessions are withheld."""
 
 import os
 from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from luc4ir_spark.operators.eventops import tumbling_window_stats
+from luc4ir_spark.operators.eventops import sessionize, tumbling_window_stats
 from luc4ir_spark.streaming.event_stream import (
     EVENT_SCHEMA,
+    start_sessionize_stream,
     start_windowed_event_counts,
 )
 
@@ -66,3 +69,70 @@ def test_streamed_windows_match_batch(spark, tmp_path):
     assert got == exp
     # watermark semantics: the sentinel's window is still open -> absent
     assert not any(k[1] == "sentinel" for k in got)
+
+
+def test_streamed_sessions_match_batch(spark, tmp_path):
+    """Three data waves (per-user event-time ordered across waves, mixed
+    within), then sentinel waves to advance the watermark: every real
+    session flushes via gap-close or event-time timeout and matches the
+    batch operator row-for-row; the sentinel user's open session is
+    withheld."""
+    in_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    d = datetime
+    # user 1: two sessions (gap at 02:00); user 2: one long session
+    # (40-min steps < 45-min gap); user 3: single-event session
+    wave1 = [
+        (10, d(2024, 1, 1, 0, 0), 1, "click", 1.0),
+        (11, d(2024, 1, 1, 0, 20), 1, "click", 2.0),
+        (20, d(2024, 1, 1, 0, 5), 2, "view", 1.5),
+        (21, d(2024, 1, 1, 0, 45), 2, "view", 2.5),
+    ]
+    wave2 = [
+        (12, d(2024, 1, 1, 2, 0), 1, "click", 3.0),
+        (22, d(2024, 1, 1, 1, 25), 2, "view", 3.5),
+        (30, d(2024, 1, 1, 1, 0), 3, "buy", 9.0),
+    ]
+    wave3 = [
+        (13, d(2024, 1, 1, 2, 10), 1, "click", 4.0),
+        (23, d(2024, 1, 1, 2, 5), 2, "view", 4.5),
+    ]
+    # two sentinel waves (DISTINCT users, so neither sentinel session
+    # ever closes): the first advances the watermark past every real
+    # session's end + gap; the second's non-empty batch lets the
+    # event-time timeouts actually fire under availableNow
+    sent1 = [(90, d(2024, 1, 2, 0, 0), 9, "sentinel", 0.0)]
+    sent2 = [(91, d(2024, 1, 3, 0, 0), 8, "sentinel", 0.0)]
+
+    for wave in (wave1, wave2, wave3, sent1, sent2):
+        _write(spark, wave, in_dir)
+        q = start_sessionize_stream(
+            spark, in_dir, out_dir,
+            gap_seconds=2700.0, watermark="30 minutes",
+        )
+        q.awaitTermination(120)
+
+    streamed = spark.read.parquet(os.path.join(out_dir, "sessions"))
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["sum_value"]
+        )
+        for r in streamed.collect()
+    }
+    # batch truth includes sent1: user 9's single-event session is
+    # genuinely final once sent2 pushes the watermark past its end + gap
+    # (the engine's no-data micro-batch fires the event-time timeout)
+    batch_df = spark.createDataFrame(
+        wave1 + wave2 + wave3 + sent1, EVENT_SCHEMA
+    )
+    exp = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["sum_value"]
+        )
+        for r in sessionize(batch_df, gap_seconds=2700.0).collect()
+    }
+    assert got == exp
+    # the LAST sentinel's session cannot finalize -> withheld
+    assert not any(u == 8 for (u, _) in got)

@@ -498,9 +498,32 @@ def test_multimodal_features(spark):
     assert by_id[0]["feature"] != by_id[1]["feature"]
     assert len(by_id[0]["feature"]) == multimodal.FEATURE_DIM
     assert by_id[0]["n_bytes"] == len(b"\x89PNGfakebytes0")
-    # real decoder path is an explicit stub
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"x", fake=False)
+    # without a codec library the real path is an explicit, honest error
+    if not multimodal.has_image_codec():
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"x", fake=False)
+
+
+def test_real_image_decode_when_codec_present():
+    """Real Pillow decode path: runs only where Pillow is importable
+    (skipped in codec-less sandboxes — the fake double covers those)."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    img = Image.new("RGB", (32, 32))
+    for x in range(32):
+        for y in range(32):
+            img.putpixel((x, y), (x * 8, y * 8, 0))
+    img.save(buf, format="PNG")
+    vec = multimodal.decode_image(buf.getvalue())
+    assert len(vec) == multimodal.FEATURE_DIM
+    assert abs(float(sum(v * v for v in vec)) - 1.0) < 1e-9  # unit norm
+    # deterministic: same bytes -> same vector
+    vec2 = multimodal.decode_image(buf.getvalue())
+    assert list(vec) == list(vec2)
 
 
 def test_frame_sampling(spark):
