@@ -242,6 +242,10 @@ def build_term_stats(flat_postings: DataFrame) -> DataFrame:
 def collect_collection_stats(
     doc_stats: DataFrame, term_stats: DataFrame
 ) -> CollectionStats:
+    """Collection scalars from MATERIALIZED doc_stats/term_stats tables
+    (the open-an-existing-index path — streaming/checkpoint readers).
+    ``build_index`` itself uses a cheaper derivation (sum(cf) +
+    docs.count()) that never forces the doc_stats join."""
     row = doc_stats.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
     ).collect()[0]
@@ -269,7 +273,13 @@ def build_index(
     raw token arrays evicts everything else and thrashes at high
     parallelism); only the compact flat-postings table is persisted.
     doc_len is derived back out of the postings (it rides the groupBy
-    key), so docs are re-scanned only for the cheap sha projection."""
+    key), so docs are re-scanned only for the cheap sha projection.
+
+    ``docs`` should be cheap to count (a file source — parquet counts
+    from footer metadata — or an already-persisted frame): the stats
+    derivation issues one docs.count(). Expensively-derived corpora
+    (tar.gz parse lineages) go through build_index_checkpointed, which
+    materializes the parse once."""
     cfg = cfg or IndexConfig()
     if cfg.analyzer.mode == "simple":
         # pure-JVM tokenizer: explode + codegen'd partial agg
@@ -296,7 +306,24 @@ def build_index(
     term_stats = build_term_stats(flat)
     if cache:
         term_stats = term_stats.persist()
-    stats = collect_collection_stats(doc_stats, term_stats)
+    # Collection scalars WITHOUT forcing the doc_stats join: total
+    # tokens == sum(cf) (sum of tf == sum of per-doc doc_len, zero-token
+    # docs contribute 0 to both), vocab == term_stats row count — one
+    # action over the tiny term table (which also fills the flat-
+    # postings cache), plus a docs.count() (metadata-cheap on file
+    # sources). The old collect_collection_stats(doc_stats, ...) path
+    # dragged a full content sha2 scan + a postings-sized doc_id shuffle
+    # + a join into the build critical path just to produce these two
+    # scalars — measured as the build stage's scaling bottleneck at
+    # 8 -> 16 cores (doc_stats itself stays available lazily).
+    srow = term_stats.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cf").alias("tot")
+    ).collect()[0]
+    stats = CollectionStats(
+        n_docs=docs.count(),
+        total_tokens=int(srow["tot"] or 0),
+        vocab_size=int(srow["v"] or 0),
+    )
     idx = InvertedIndex(
         doc_stats=doc_stats,
         postings=flat,

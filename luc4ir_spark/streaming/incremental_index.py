@@ -28,11 +28,11 @@ from pyspark.sql import types as T
 
 from ..functions.analysis import AnalyzerConfig
 from ..operators.indexer import (
-    CollectionStats,
     IndexConfig,
     InvertedIndex,
     build_flat_postings,
     build_term_stats,
+    collect_collection_stats,
     tokenize,
 )
 
@@ -121,18 +121,10 @@ def open_incremental_index(
         os.path.join(index_dir, "doc_stats")
     ).drop("batch_id")
     term_stats = build_term_stats(postings)
-    row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
-    ).collect()[0]
-    vocab = term_stats.count()
     return InvertedIndex(
         doc_stats=doc_stats,
         postings=postings,
         term_stats=term_stats,
-        stats=CollectionStats(
-            n_docs=int(row["n"] or 0),
-            total_tokens=int(row["tot"] or 0),
-            vocab_size=int(vocab),
-        ),
+        stats=collect_collection_stats(doc_stats, term_stats),
         config=cfg or IndexConfig(),
     )

@@ -76,7 +76,57 @@ def _calibrate(cpus: int) -> float:
     return x / 1e6
 
 
-def run_child(cpus: int, n_docs: int) -> dict:
+def stage_metrics(spark, since_ms: int) -> list[dict]:
+    """Per-stage executor metrics (run time, GC, shuffle bytes) for
+    stages whose first task launched after ``since_ms`` — the scaling
+    attribution evidence (which stage anti-scales, and is it GC or
+    shuffle). Needs spark.ui.enabled; returns [] otherwise."""
+    import urllib.request
+    from datetime import datetime, timezone
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return []
+    app = spark.sparkContext.applicationId
+    try:
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete"
+            )
+        )
+    except Exception:
+        return []
+
+    def ms(iso: str) -> int:
+        dt = datetime.strptime(
+            iso.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+        )
+        return int(dt.astimezone(timezone.utc).timestamp() * 1000)
+
+    out = []
+    for s in stages:
+        t = s.get("firstTaskLaunchedTime")
+        if not t or ms(t) < since_ms:
+            continue
+        out.append(
+            {
+                "stage_id": s["stageId"],
+                "name": s.get("name", "")[:80],
+                "num_tasks": s.get("numTasks"),
+                "executor_run_ms": s.get("executorRunTime"),
+                "jvm_gc_ms": s.get("jvmGcTime"),
+                "shuffle_read_mb": round(
+                    s.get("shuffleReadBytes", 0) / 1e6, 1
+                ),
+                "shuffle_write_mb": round(
+                    s.get("shuffleWriteBytes", 0) / 1e6, 1
+                ),
+            }
+        )
+    return sorted(out, key=lambda s: -s["executor_run_ms"])[:8]
+
+
+def run_child(cpus: int, n_docs: int, profile: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from luc4ir_spark.functions.analysis import AnalyzerConfig
@@ -102,6 +152,8 @@ def run_child(cpus: int, n_docs: int) -> dict:
                 f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '48g')}"
                 " -XX:+AlwaysPreTouch"
             ),
+            # stage-metric capture for --profile attribution
+            "spark.ui.enabled": "true" if profile else "false",
         },
     )
     cfg = AnalyzerConfig(mode="english")
@@ -117,11 +169,13 @@ def run_child(cpus: int, n_docs: int) -> dict:
     t0 = time.time()
     n_rows = ix.extract_postings_arrow(docs, cfg).count()
     t_extract = time.time() - t0
+    extract_stages = stage_metrics(spark, int(t0 * 1000)) if profile else []
 
     t0 = time.time()
     idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
     n_postings = idx.postings.count()
     t_build = time.time() - t0
+    build_stages = stage_metrics(spark, int(t0 * 1000)) if profile else []
 
     queries = [
         (f"s{i}", " ".join(HIGH_DF_TOKENS[i % 10 : i % 10 + 3]))
@@ -132,6 +186,7 @@ def run_child(cpus: int, n_docs: int) -> dict:
     t0 = time.time()
     n_run = rt.score_queries(idx, qt, k=1000).count()
     t_query = time.time() - t0
+    query_stages = stage_metrics(spark, int(t0 * 1000)) if profile else []
 
     # pruned query path: block-max WAND kernels over pre-built blobs —
     # per-(qid, salt) numpy tasks, the query-time scaling twin of the
@@ -146,8 +201,18 @@ def run_child(cpus: int, n_docs: int) -> dict:
     t_wand = time.time() - t0
 
     spark.stop()
+    prof = (
+        {
+            "extract_stages": extract_stages,
+            "build_stages": build_stages,
+            "query_stages": query_stages,
+        }
+        if profile
+        else {}
+    )
     return {
         "cpus": cpus,
+        **prof,
         "calib_m_iters": round(_calibrate(cpus), 2),
         "n_docs": n_docs,
         "n_rows": n_rows,
@@ -168,10 +233,15 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--profile", action="store_true",
+                    help="record per-stage REST metrics (GC, shuffle)")
     args = ap.parse_args()
 
     if args.child is not None:
-        print("CHILD_JSON " + json.dumps(run_child(args.child, args.docs)))
+        print(
+            "CHILD_JSON "
+            + json.dumps(run_child(args.child, args.docs, args.profile))
+        )
         return
 
     ceiling = raw_cpu_ceiling(args.low, args.high)  # before any JVM load
@@ -179,9 +249,12 @@ def main() -> None:
     # interleave reps so machine-state drift hits both levels equally
     for rep in range(args.reps):
         for cpus in (args.low, args.high):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--child", str(cpus), "--docs", str(args.docs)]
+            if args.profile:
+                cmd.append("--profile")
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", str(cpus), "--docs", str(args.docs)],
+                cmd,
                 capture_output=True, text=True, cwd=REPO, timeout=3000,
                 env={**os.environ, "SPARK_DRIVER_MEM": "48g"},
             )
