@@ -331,21 +331,46 @@ def minhash_lsh_pairs(
     reported jaccard values stay exact (verify runs on full sets). True
     duplicate classes the cap suppresses are exactly the ones
     ``exact_duplicates`` already reports — compose both, dedup exact
-    first, when a corpus has degenerate classes. ``None`` disables."""
-    sig = minhash_signatures(docs, tokens_col, num_hashes, shingle_size)
-    banded = sig.withColumn(
-        "band", (F.col("hash_id") / band_size).cast("int")
+    first, when a corpus has degenerate classes. ``None`` disables.
+
+    Banding is a PURE PROJECTION (like the signatures): each doc's band
+    buckets are concat_ws over the per-band minima, emitted via one
+    row-local explode — no groupBy, so the only shuffles in the whole
+    operator are the candidate equi-join (and the cap's bucket count).
+    Bucket strings are identical to grouping exploded signature rows by
+    (doc_id, band) in hash_id order, which is what the SQL oracle
+    replays."""
+    params = MINHASH_PARAMS[:num_hashes]
+    if num_hashes > len(MINHASH_PARAMS):
+        raise ValueError(f"at most {len(MINHASH_PARAMS)} hashes supported")
+    shset = shingle_set_expr(tokens_col, shingle_size)
+    with_sids = docs.select(
+        "doc_id", F.transform(shset, _shingle_id_expr).alias("_sids")
     )
-    band_key = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("hash_id", "min_hash"))
-                ),
-                lambda s: s["min_hash"].cast("string"),
-            ),
-            "_",
-        ).alias("bucket")
+    mins = [
+        F.array_min(F.transform(F.col("_sids"), _perm_hash_fn(a, b)))
+        for (a, b) in params
+    ]
+    n_bands = -(-num_hashes // band_size)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        m.cast("string")
+                        for m in mins[j * band_size : (j + 1) * band_size]
+                    ],
+                ).alias("bucket"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    band_key = (
+        with_sids.filter(F.size("_sids") > 0)
+        .select("doc_id", F.explode(bands_arr).alias("_b"))
+        .select("doc_id", F.col("_b.band"), F.col("_b.bucket"))
     )
     if max_bucket_size is not None:
         bsz = band_key.groupBy("band", "bucket").agg(
