@@ -207,6 +207,12 @@ def lsh_near_dup_pairs(
             cb = cb.join(
                 bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
             ).select("vid", "bucket")
+        # one explicit shuffle on the join key: ReuseExchange feeds both
+        # self-join sides from a single materialization of the bucket
+        # projection (the cap's bsz side broadcasts, so without this
+        # each side recomputes every plane dot product) and
+        # co-partitions the equi-join
+        cb = cb.repartition("bucket")
         l = cb.select(F.col("vid").alias("a"), "bucket")
         r = cb.select(F.col("vid").alias("b"), "bucket")
         cand_parts.append(

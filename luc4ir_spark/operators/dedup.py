@@ -371,6 +371,13 @@ def minhash_lsh_pairs(
         with_sids.filter(F.size("_sids") > 0)
         .select("doc_id", F.explode(bands_arr).alias("_b"))
         .select("doc_id", F.col("_b.band"), F.col("_b.bucket"))
+        # one explicit shuffle on the join key: ReuseExchange then feeds
+        # BOTH self-join sides (and the cap's bucket count) from this
+        # single materialization — without it each consumer recomputes
+        # the full signature projection — and it carries n_bands
+        # rows/doc, num_hashes/band_size x fewer than shuffling exploded
+        # signature rows, while co-partitioning the equi-join
+        .repartition("band", "bucket")
     )
     if max_bucket_size is not None:
         bsz = band_key.groupBy("band", "bucket").agg(
