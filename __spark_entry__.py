@@ -1537,6 +1537,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("sum_value", 4).alias("sum_value"),
         )
 
+    def event_sessionize_streamed(spark, sf):
+        # the STREAMING sessionizer, end-to-end and deterministic: the
+        # full events table lands as wave 1 plus a far-future sentinel
+        # event (user -1, 2030-01-01); wave 2 is a second sentinel for
+        # the SAME user (2030-02-01) whose >gap arrival closes the
+        # first sentinel session and whose watermark advance flushes
+        # every real session via event-time timeout. The flushed set is
+        # therefore exactly batch-sessionize(events + sentinel 1): all
+        # real sessions plus the first sentinel's single-event session;
+        # only the second sentinel's still-open session is withheld.
+        # The oracle replays that with the batch SQL over
+        # events UNION ALL the first sentinel literal.
+        import tempfile
+        from datetime import datetime
+
+        from luc4ir_spark.streaming.event_stream import (
+            start_sessionize_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_sess_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        sent = [
+            (10**9, datetime(2030, 1, 1), -1, "sentinel", 0.0, ""),
+            (10**9 + 1, datetime(2030, 2, 1), -1, "sentinel", 0.0, ""),
+        ]
+        waves = [
+            ev_df.unionByName(spark.createDataFrame(sent[:1], schema)),
+            spark.createDataFrame(sent[1:], schema),
+        ]
+        for wave in waves:
+            wave.write.mode("append").parquet(in_dir)
+            q = start_sessionize_stream(
+                spark, in_dir, out_dir,
+                gap_seconds=1800.0, schema=schema,
+            )
+            q.awaitTermination(300)
+        out = spark.read.parquet(os.path.join(out_dir, "sessions"))
+        return out.select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "start_us",
+            "end_us",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+
     def frame_sample_plan(spark, sf):
         # multimodal row-expansion plumbing: synthesize a deterministic
         # video table from documents (media bytes = text, duration_ms =
@@ -1616,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
         "event_sessionize": event_sessionize,
+        "event_sessionize_streamed": event_sessionize_streamed,
         "frame_sample_plan": frame_sample_plan,
     }
 
@@ -1715,6 +1768,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+lagged AS (
+  SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e
+),
+flags AS (
+  SELECT *,
+         CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY 1, 2
+""",
+        # streamed == batch over (events + sentinel 1): the second
+        # sentinel only drives flushing and its own open session is the
+        # one row the stream withholds (see the gate's comment)
+        "event_sessionize_streamed": """
+WITH ev AS (
+  SELECT event_id, ts, user_id, value FROM events
+  UNION ALL
+  SELECT 1000000000, TIMESTAMP '2030-01-01 00:00:00', -1, 0.0
+),
+e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM ev),
 lagged AS (
   SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
   FROM e
