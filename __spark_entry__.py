@@ -1580,7 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             q.awaitTermination(300)
         out = spark.read.parquet(os.path.join(out_dir, "sessions"))
-        return out.select(
+        sel = out.select(
             "user_id",
             "session_id",
             "n_events",
@@ -1588,6 +1588,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "end_us",
             F.round("sum_value", 4).alias("sum_value"),
         )
+        # materialize (small: one row per session) so the temp streaming
+        # dirs can be removed before returning the lazy handle
+        rows = sel.collect()
+        res = spark.createDataFrame(rows, sel.schema)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        return res
 
     def frame_sample_plan(spark, sf):
         # multimodal row-expansion plumbing: synthesize a deterministic
