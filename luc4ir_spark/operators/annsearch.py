@@ -172,7 +172,13 @@ def lsh_near_dup_pairs(
     1 - (1 - p)^n_tables (>= 99 % at the 0.95/8/4 setting). Buckets are
     deterministic (seeded plane literals), so a SQL oracle can replay
     candidate generation exactly. ``log``: optional callable reporting
-    the candidate-pair count (the sub-quadratic evidence).
+    the candidate-pair count (the sub-quadratic evidence). Passing
+    ``log`` switches to diagnostics mode: the normed corpus and the
+    deduped candidate set are each materialized ONCE via GC-scoped
+    local checkpoints (dropped automatically when the result DataFrame
+    goes away) so the evidence counts and the verify join share scans;
+    without ``log`` the operator is a single lazy plan with no extra
+    actions.
 
     ``n_planes=None`` (default) derives the plane count from the corpus
     size via ``derive_n_planes`` (one scalar count() action) so bucket
@@ -189,21 +195,34 @@ def lsh_near_dup_pairs(
     c = with_norm(
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
     ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    if log is not None:
+        # diagnostics mode: the normed corpus feeds the derive count,
+        # every table's bucket projection, the dropped-bucket evidence
+        # and both verify sides — materialize it ONCE via a GC-scoped
+        # local checkpoint (storage is freed when the result DataFrame
+        # is dropped; nothing lands in getPersistentRDDs' manual-
+        # lifetime set) instead of rescanning the corpus per consumer.
+        # The production path (log=None) stays a single lazy plan.
+        c = c.localCheckpoint(eager=False)
     if n_planes is None:
         n_planes = derive_n_planes(c.count())
         if log is not None:
             log(f"lsh_near_dup_pairs: derived n_planes={n_planes}")
     cand_parts = []
-    n_dropped_total = 0
+    dropped_parts = []
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed + 1000 * t)
         cb = c.withColumn("bucket", _bucket_expr("v", planes))
         if max_bucket_size is not None:
             bsz = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
             if log is not None:
-                n_dropped_total += bsz.filter(
-                    F.col("_bn") > max_bucket_size
-                ).count()
+                # defer: all tables' dropped-bucket counts are summed in
+                # ONE job after the loop, not one action per table
+                dropped_parts.append(
+                    bsz.filter(F.col("_bn") > max_bucket_size).select(
+                        F.lit(t).alias("t")
+                    )
+                )
             cb = cb.join(
                 bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
             ).select("vid", "bucket")
@@ -223,11 +242,19 @@ def lsh_near_dup_pairs(
         cands = cands.unionByName(part)
     cands = cands.distinct()
     if log is not None:
-        if max_bucket_size is not None:
+        if max_bucket_size is not None and dropped_parts:
+            nd = dropped_parts[0]
+            for part in dropped_parts[1:]:
+                nd = nd.unionByName(part)
+            n_dropped_total = nd.count()
             log(
                 f"lsh_near_dup_pairs: max_bucket_size={max_bucket_size} "
                 f"dropped {n_dropped_total} buckets across {n_tables} tables"
             )
+        # materialize the deduped candidate set once so the evidence
+        # count below and the caller's verify join share it — without
+        # this the whole n_tables-way union+distinct executes twice
+        cands = cands.localCheckpoint()
         log(f"lsh_near_dup_pairs: {cands.count()} candidate pairs")
     ca = c.select(
         F.col("vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -440,7 +467,7 @@ def lsh_cosine_topk(
             log(f"lsh_cosine_topk: derived n_planes={n_planes}")
 
     cand_parts = []
-    n_dropped_total = 0
+    dropped_parts = []
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed + 1000 * t)
         cb = c.withColumn("bucket", _bucket_expr("cv", planes)).withColumn(
@@ -449,9 +476,12 @@ def lsh_cosine_topk(
         if max_bucket_size is not None:
             bsz = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
             if log is not None:
-                n_dropped_total += bsz.filter(
-                    F.col("_bn") > max_bucket_size
-                ).count()
+                # summed across tables in ONE job after the loop
+                dropped_parts.append(
+                    bsz.filter(F.col("_bn") > max_bucket_size).select(
+                        F.lit(t).alias("t")
+                    )
+                )
             cb = cb.join(
                 bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
             ).select("vec_id", "cv", "cn", "bucket", "table")
@@ -464,6 +494,12 @@ def lsh_cosine_topk(
             )
         )
     if log is not None and max_bucket_size is not None:
+        n_dropped_total = 0
+        if dropped_parts:
+            nd = dropped_parts[0]
+            for part in dropped_parts[1:]:
+                nd = nd.unionByName(part)
+            n_dropped_total = nd.count()
         log(
             f"lsh_cosine_topk: max_bucket_size={max_bucket_size} dropped "
             f"{n_dropped_total} corpus buckets across {n_tables} tables"

@@ -169,6 +169,13 @@ def test_lsh_near_dup_bucket_cap(spark, embeddings):
     # candidate count (logged) stays bounded by cap^2 per bucket
     cand_msg = [m for m in msgs if "candidate pairs" in m]
     assert cand_msg
+    # diagnostics mode must agree with the pure-lazy production plan
+    plain = annsearch.lsh_near_dup_pairs(
+        corpus, threshold=0.98, n_planes=8, max_bucket_size=10
+    ).collect()
+    assert sorted((r["a"], r["b"]) for r in capped) == sorted(
+        (r["a"], r["b"]) for r in plain
+    )
 
 
 def test_shingles_short_docs(spark):
