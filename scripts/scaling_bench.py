@@ -126,7 +126,15 @@ def stage_metrics(spark, since_ms: int) -> list[dict]:
     return sorted(out, key=lambda s: -s["executor_run_ms"])[:8]
 
 
-def run_child(cpus: int, n_docs: int, profile: bool = False) -> dict:
+ALL_WORKLOADS = ("extract", "build", "query", "wand")
+
+
+def run_child(
+    cpus: int,
+    n_docs: int,
+    profile: bool = False,
+    workloads: tuple[str, ...] = ALL_WORKLOADS,
+) -> dict:
     from pyspark.sql import functions as F
 
     from luc4ir_spark.functions.analysis import AnalyzerConfig
@@ -166,63 +174,62 @@ def run_child(cpus: int, n_docs: int, profile: bool = False) -> dict:
     # warm the python workers (cold fork+import otherwise lands in rep 1)
     ix.extract_postings_arrow(docs.limit(2000), cfg).count()
 
-    t0 = time.time()
-    n_rows = ix.extract_postings_arrow(docs, cfg).count()
-    t_extract = time.time() - t0
-    extract_stages = stage_metrics(spark, int(t0 * 1000)) if profile else []
+    res: dict = {}
+    prof: dict = {}
 
-    t0 = time.time()
-    idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
-    n_postings = idx.postings.count()
-    t_build = time.time() - t0
-    build_stages = stage_metrics(spark, int(t0 * 1000)) if profile else []
+    if "extract" in workloads:
+        t0 = time.time()
+        res["n_rows"] = ix.extract_postings_arrow(docs, cfg).count()
+        res["extract_sec"] = round(time.time() - t0, 3)
+        if profile:
+            prof["extract_stages"] = stage_metrics(spark, int(t0 * 1000))
+
+    # query + wand need the built index even when "build" isn't timed
+    idx = None
+    if {"build", "query", "wand"} & set(workloads):
+        t0 = time.time()
+        idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
+        res["n_postings"] = idx.postings.count()
+        if "build" in workloads:
+            res["build_sec"] = round(time.time() - t0, 3)
+            if profile:
+                prof["build_stages"] = stage_metrics(spark, int(t0 * 1000))
 
     queries = [
         (f"s{i}", " ".join(HIGH_DF_TOKENS[i % 10 : i % 10 + 3]))
         for i in range(50)
     ]
-    qt = rt.queries_to_terms(spark, queries, cfg)
-    rt.score_queries(idx, qt.limit(3), k=10).count()  # warm
-    t0 = time.time()
-    n_run = rt.score_queries(idx, qt, k=1000).count()
-    t_query = time.time() - t0
-    query_stages = stage_metrics(spark, int(t0 * 1000)) if profile else []
+    qt = rt.queries_to_terms(spark, queries, cfg) if idx is not None else None
 
-    # pruned query path: block-max WAND kernels over pre-built blobs —
-    # per-(qid, salt) numpy tasks, the query-time scaling twin of the
-    # Arrow extract stage (blob build excluded from the timed window)
-    from luc4ir_spark.operators import wand as wd
+    if "query" in workloads:
+        rt.score_queries(idx, qt.limit(3), k=10).count()  # warm
+        t0 = time.time()
+        res["n_run_rows"] = rt.score_queries(idx, qt, k=1000).count()
+        res["query_sec"] = round(time.time() - t0, 3)
+        if profile:
+            prof["query_stages"] = stage_metrics(spark, int(t0 * 1000))
 
-    idx.blobs = wd.build_compressed_postings(idx).persist()
-    idx.blobs.count()
-    wd.score_queries_wand(idx, qt.limit(3), k=10).count()  # warm
-    t0 = time.time()
-    n_wand = wd.score_queries_wand(idx, qt, k=1000).count()
-    t_wand = time.time() - t0
+    if "wand" in workloads:
+        # pruned query path: block-max WAND kernels over pre-built
+        # blobs — per-(qid, salt) numpy tasks, the query-time scaling
+        # twin of the Arrow extract stage (blob build excluded from the
+        # timed window)
+        from luc4ir_spark.operators import wand as wd
+
+        idx.blobs = wd.build_compressed_postings(idx).persist()
+        idx.blobs.count()
+        wd.score_queries_wand(idx, qt.limit(3), k=10).count()  # warm
+        t0 = time.time()
+        res["n_wand_rows"] = wd.score_queries_wand(idx, qt, k=1000).count()
+        res["wand_sec"] = round(time.time() - t0, 3)
 
     spark.stop()
-    prof = (
-        {
-            "extract_stages": extract_stages,
-            "build_stages": build_stages,
-            "query_stages": query_stages,
-        }
-        if profile
-        else {}
-    )
     return {
         "cpus": cpus,
         **prof,
         "calib_m_iters": round(_calibrate(cpus), 2),
         "n_docs": n_docs,
-        "n_rows": n_rows,
-        "n_postings": n_postings,
-        "n_run_rows": n_run,
-        "n_wand_rows": n_wand,
-        "extract_sec": round(t_extract, 3),
-        "build_sec": round(t_build, 3),
-        "query_sec": round(t_query, 3),
-        "wand_sec": round(t_wand, 3),
+        **res,
     }
 
 
@@ -235,12 +242,21 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--profile", action="store_true",
                     help="record per-stage REST metrics (GC, shuffle)")
+    ap.add_argument("--workloads", default=",".join(ALL_WORKLOADS),
+                    help="comma list from extract,build,query,wand — "
+                         "lets a session re-measure just the short "
+                         "workloads at larger --docs")
     args = ap.parse_args()
+    workloads = tuple(
+        w for w in args.workloads.split(",") if w in ALL_WORKLOADS
+    )
 
     if args.child is not None:
         print(
             "CHILD_JSON "
-            + json.dumps(run_child(args.child, args.docs, args.profile))
+            + json.dumps(
+                run_child(args.child, args.docs, args.profile, workloads)
+            )
         )
         return
 
@@ -250,7 +266,8 @@ def main() -> None:
     for rep in range(args.reps):
         for cpus in (args.low, args.high):
             cmd = [sys.executable, os.path.abspath(__file__),
-                   "--child", str(cpus), "--docs", str(args.docs)]
+                   "--child", str(cpus), "--docs", str(args.docs),
+                   "--workloads", ",".join(workloads)]
             if args.profile:
                 cmd.append("--profile")
             proc = subprocess.run(
@@ -287,7 +304,7 @@ def main() -> None:
         "workloads": {},
         "all_runs": runs,
     }
-    for wl in ("extract", "build", "query", "wand"):
+    for wl in ALL_WORKLOADS:
         if any(f"{wl}_sec" not in r for rs in runs.values() for r in rs):
             continue
         lo, hi = med(args.low, f"{wl}_sec"), med(args.high, f"{wl}_sec")
