@@ -32,7 +32,8 @@ Build (``build_compressed_postings``):
     becomes num_salt_shards independently-encoded sub-groups instead of
     one monster group — only df > salt_df_threshold terms pay the extra
     key), while the EMITTED blobs are uniformly doc-sharded for every
-    term: blob.salt == pmod(doc_id, shards) for all of a blob's docs.
+    term: blob.salt == shard(doc_id) (the mix hash above) for all of a
+    blob's docs.
     Uniform doc-sharding means all terms of any query agree on which
     shard owns a doc, so per-shard scoring is exact with NO query-time
     blob replication or posting masking (a doc's full score accumulates
