@@ -445,6 +445,41 @@ sh AS (
     BIGRAM_JACCARD_T,
 )
 
+# eval-set decontamination: word-trigram shingles (same range-unnest
+# recipe as the bigram CTE above), eval side = docs with doc_id % 19
+# == 0, distinct-shingle totals for EVERY doc (short docs keep a row
+# with total 0 — Spark's explode_outer twin)
+_DECONTAM_SQL = """
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         l[i.i + 1] || ' ' || l[i.i + 2] || ' ' || l[i.i + 3] AS shingle
+  FROM lists, unnest(range(greatest(len(l) - 2, 0))) AS i(i)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
+tot AS (
+  SELECT l.doc_id, coalesce(c.n, 0)::BIGINT AS total_shingles
+  FROM lists l LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+  ) c USING (doc_id)
+),
+m AS (
+  SELECT sh.doc_id, count(*)::BIGINT AS matched_shingles
+  FROM sh JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT t.doc_id, t.total_shingles,
+       coalesce(m.matched_shingles, 0)::BIGINT AS matched_shingles,
+       CASE WHEN t.total_shingles > 0
+            THEN round(coalesce(m.matched_shingles, 0)
+                       / t.total_shingles::DOUBLE, 4)
+            ELSE 0.0 END AS contamination
+FROM tot t LEFT JOIN m USING (doc_id)
+"""
+
 _KL_SQL = f"""
 WITH {_BM25_RUN_CTES},
 kl AS (
@@ -1326,6 +1361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
+    def decontaminate(spark, sf):
+        # eval-set decontamination (GPT-3/PaLM-style trigram overlap):
+        # eval corpus = every 19th doc; the train side is never shuffled
+        toks = _tokens(spark, sf)
+        ev = toks.filter(F.col("doc_id") % 19 == 0)
+        return dd.decontaminate(toks, ev, shingle_size=3)
+
     def kl_rerank(spark, sf):
         # KL-divergence rerank of the feedback docs (reference
         # feedback/KLDivReranker.java:25-52; ascending KL)
@@ -1652,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperbolic_rerank": hyperbolic_rerank,
         "bm25_weighted": bm25_weighted,
         "jaccard_bigram_pairs": jaccard_bigram_pairs,
+        "decontaminate": decontaminate,
         "kl_rerank": kl_rerank,
         "expand_query_terms": expand_query_terms,
         "feedback_rerank_run": feedback_rerank_run,
@@ -1714,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperbolic_rerank": _HYPERBOLIC_SQL,
         "bm25_weighted": _BM25_WEIGHTED_SQL,
         "jaccard_bigram_pairs": _JACCARD_BIGRAM_SQL,
+        "decontaminate": _DECONTAM_SQL,
         "kl_rerank": _KL_SQL,
         "expand_query_terms": _EXPAND_SQL,
         "feedback_rerank_run": _FDBK_RERANK_SQL,

@@ -544,3 +544,73 @@ def simhash_pairs(
     return cands.withColumn(
         "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    tokens_col: str = "tokens",
+    shingle_size: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination: per training document, how many of its
+    DISTINCT word n-grams also occur in an evaluation set (the
+    GPT-3/PaLM-style n-gram-overlap contamination check a training
+    pipeline runs before fine-tuning or eval). Beyond the reference's
+    IR core, same family as the dedup operators above.
+
+    Returns (doc_id, total_shingles, matched_shingles, contamination)
+    for EVERY training doc — ``contamination`` is
+    matched/total rounded to 4dp (0.0 for docs too short to have any
+    n-gram); filter ``matched_shingles > 0`` (or a ratio threshold) to
+    drop contaminated docs.
+
+    Scale shape: the eval side is DISTINCT n-grams of the (by
+    definition small) eval corpus, broadcast to every executor — the
+    training corpus is never shuffled. The train side is one scan:
+    distinct-shingle projection (`shingle_set_expr`, no explode of raw
+    tokens beyond the bounded per-doc shingle set), explode_outer (so
+    sub-n-gram-length docs keep a row), broadcast left join, and ONE
+    map-side-combined groupBy whose shuffle carries three longs per
+    doc. For an eval set too large to broadcast pass
+    ``broadcast_eval=False`` (plain shuffled hash join).
+    """
+    ev = (
+        tokens_or_shingles(eval_docs, tokens_col, shingle_size)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    exploded = docs.select(
+        "doc_id",
+        F.size(shingle_set_expr(tokens_col, shingle_size))
+        .cast("long")
+        .alias("total_shingles"),
+        F.explode_outer(shingle_set_expr(tokens_col, shingle_size)).alias(
+            "shingle"
+        ),
+    )
+    counted = (
+        exploded.join(ev, "shingle", "left")
+        .groupBy("doc_id", "total_shingles")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("matched_shingles")
+        )
+    )
+    return counted.select(
+        "doc_id",
+        "total_shingles",
+        "matched_shingles",
+        F.round(
+            F.when(
+                F.col("total_shingles") > 0,
+                F.col("matched_shingles")
+                / F.col("total_shingles").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("contamination"),
+    )

@@ -541,3 +541,40 @@ def test_frame_sampling(spark):
     f0 = [r for r in frames if r["frame_ts_ms"] == 0][0]
     f1 = [r for r in frames if r["frame_ts_ms"] == 1000][0]
     assert f0["feature"] != f1["feature"]  # per-frame features differ
+
+
+def test_decontaminate(spark):
+    # hand-computable corpus: doc 1 IS the eval doc (full overlap),
+    # doc 2 shares one trigram with it, doc 3 shares none, doc 4 is
+    # too short for any trigram (explode_outer must keep its row)
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d"]),        # trigrams: abc, bcd
+            (2, ["x", "a", "b", "c", "y"]),   # xab, abc, bcy -> abc hits
+            (3, ["p", "q", "r", "s"]),        # pqr, qrs -> no hit
+            (4, ["a", "b"]),                  # no trigrams at all
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    ev = docs.filter(F.col("doc_id") == 1)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate(docs, ev, shingle_size=3).collect()
+    }
+    assert len(out) == 4
+    assert (out[1]["total_shingles"], out[1]["matched_shingles"]) == (2, 2)
+    assert out[1]["contamination"] == 1.0
+    assert (out[2]["total_shingles"], out[2]["matched_shingles"]) == (3, 1)
+    assert out[2]["contamination"] == round(1 / 3, 4)
+    assert (out[3]["total_shingles"], out[3]["matched_shingles"]) == (2, 0)
+    assert (out[4]["total_shingles"], out[4]["matched_shingles"]) == (0, 0)
+    assert out[4]["contamination"] == 0.0
+
+
+def test_decontaminate_plan_broadcasts_eval(spark, tokens_df):
+    # the train corpus must never shuffle: eval side broadcast, no
+    # sort-merge join anywhere in the plan
+    out = dedup.decontaminate(tokens_df, tokens_df.limit(2))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
