@@ -1064,6 +1064,46 @@ _MARKERS_SQL = {
     for lang in sorted(ts.LANG_MARKERS)
 }
 
+# Gopher-style repetition signals: mode counts per doc via plain
+# group-by in SQL (the Spark side computes the same numbers with a
+# zero-shuffle sort + fold over each doc's token array)
+_REPETITION_SQL = """
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS l,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, term, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(l) AS term FROM lists) t
+  GROUP BY 1, 2
+),
+topuni AS (SELECT doc_id, max(c)::BIGINT AS topc FROM uni GROUP BY 1),
+big AS (
+  SELECT doc_id, max(c)::BIGINT AS topb FROM (
+    SELECT doc_id, l[i.i + 1] || ' ' || l[i.i + 2] AS bg,
+           count(*)::BIGINT AS c
+    FROM lists, unnest(range(greatest(len(l) - 1, 0))) AS i(i)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT ll.doc_id,
+  len(ll.ls)::BIGINT AS n_lines,
+  CASE WHEN len(ll.ls) > 0
+       THEN round((len(ll.ls) - len(list_distinct(ll.ls)))
+                  / len(ll.ls)::DOUBLE, 4) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(ll.l) > 0
+       THEN round(coalesce(u.topc, 0) / len(ll.l)::DOUBLE, 4)
+       ELSE 0.0 END AS top_unigram_frac,
+  CASE WHEN len(ll.l) - 1 > 0
+       THEN round(coalesce(b.topb, 0) / (len(ll.l) - 1)::DOUBLE, 4)
+       ELSE 0.0 END AS top_bigram_frac
+FROM lists ll
+LEFT JOIN topuni u USING (doc_id)
+LEFT JOIN big b USING (doc_id)
+"""
+
 _QUALITY_SQL = f"""
 WITH {_TOKS},
 counts AS (SELECT doc_id, count(*)::DOUBLE AS n_tok FROM toks GROUP BY 1),
@@ -1522,6 +1562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_score(spark, sf):
         return ts.quality_score(_docs(spark, sf), content_col="text")
 
+    def repetition_stats(spark, sf):
+        return ts.repetition_stats(_docs(spark, sf), content_col="text")
+
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
@@ -1714,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "token_count": token_count,
         "quality_score": quality_score,
+        "repetition_stats": repetition_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
@@ -1789,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
             " length(text)::BIGINT AS n_chars FROM documents"
         ),
         "quality_score": _QUALITY_SQL,
+        "repetition_stats": _REPETITION_SQL,
         "lang_id": _LANGID_SQL,
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("

@@ -142,3 +142,70 @@ def doc_fingerprint(
         F.col(id_col).alias("doc_id"),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
     )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED string array
+    == the count of the most frequent element — computed by a single
+    codegen fold (no explode, no per-doc groupBy). 0 for empty arrays."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", §A1.1 quality heuristics): per document,
+
+    - ``dup_line_frac``    — 1 - distinct/total over non-empty lines
+      (boilerplate pages repeat nav/footer lines verbatim)
+    - ``top_unigram_frac`` — count of the most frequent token / tokens
+    - ``top_bigram_frac``  — count of the most frequent word bigram /
+      bigram slots (n_tokens - 1); overlap-insensitive and bounded [0,1]
+
+    Filters like ``top_unigram_frac > 0.3`` prune degenerate generated
+    or keyword-stuffed text. Everything is a per-doc projection in
+    whole-stage codegen: token mode counts come from a sort + one
+    aggregate fold over the bounded per-doc array (`_max_run`) — no
+    explode, no shuffle, `.explain` shows zero Exchange."""
+    c = F.col(content_col)
+    lines = F.array_remove(F.split(c, "\n"), "")
+    n_lines = F.size(lines).cast("long")
+    dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+
+    toks = simple_tokens(c)
+    n_toks = F.size(toks).cast("long")
+    top_uni = _max_run(F.array_sort(toks))
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bi = _max_run(F.array_sort(bigrams))
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.round(_ratio(dup_lines, n_lines), 4).alias("dup_line_frac"),
+        F.round(_ratio(top_uni, n_toks), 4).alias("top_unigram_frac"),
+        F.round(_ratio(top_bi, n_toks - 1), 4).alias("top_bigram_frac"),
+    )

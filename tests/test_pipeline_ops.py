@@ -578,3 +578,41 @@ def test_decontaminate_plan_broadcasts_eval(spark, tokens_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, one duplicated; "spam" 3 of 6 tokens; bigram
+            # "spam spam" occupies 2 of 5 slots (overlapping runs count
+            # per-slot, not per-char)
+            (1, "spam spam spam x\nfooter\nfooter"),
+            (2, "a b"),       # 2 tokens -> 1 bigram slot, all unique
+            (3, ""),          # empty: every frac 0, no rows lost
+        ],
+        "doc_id long, content string",
+    )
+    out = {
+        r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()
+    }
+    assert len(out) == 3
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == round(1 / 3, 4)
+    # tokens: spam spam spam x footer footer -> top "spam" 3/6
+    assert r1["top_unigram_frac"] == 0.5
+    # bigrams: (spam spam) x2, (spam x), (x footer), (footer footer)
+    assert r1["top_bigram_frac"] == 0.4
+    assert out[2]["top_bigram_frac"] == 1.0  # single slot "a b"
+    assert out[2]["top_unigram_frac"] == 0.5
+    r3 = out[3]
+    assert (r3["n_lines"], r3["dup_line_frac"]) == (0, 0.0)
+    assert (r3["top_unigram_frac"], r3["top_bigram_frac"]) == (0.0, 0.0)
+
+
+def test_repetition_stats_zero_shuffle(spark, docs_df):
+    plan = (
+        textstats.repetition_stats(docs_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
