@@ -136,3 +136,55 @@ def test_streamed_sessions_match_batch(spark, tmp_path):
     assert got == exp
     # the LAST sentinel's session cannot finalize -> withheld
     assert not any(u == 8 for (u, _) in got)
+
+
+def test_streamed_dedup_matches_batch(spark, tmp_path):
+    from luc4ir_spark.operators.dedup import exact_duplicates
+    from luc4ir_spark.streaming.dedup_stream import (
+        DOC_SCHEMA,
+        start_dedup_stream,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    os.makedirs(in_dir)
+
+    # dupes only ACROSS waves (within-wave survivor choice is
+    # arbitrary, see dedup_stream docstring) -> first-wins is
+    # deterministic: the wave-1 doc_id survives
+    wave1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")]
+    wave2 = [(4, "alpha beta"), (5, "zeta"), (6, "gamma delta")]
+    for wave in (wave1, wave2):
+        spark.createDataFrame(wave, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = start_dedup_stream(spark, in_dir, out_dir)
+        q.awaitTermination(120)
+
+    kept = {
+        r["digest"]: r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out_dir, "kept")).collect()
+    }
+    # one survivor per distinct digest; the wave-1 member wins
+    assert sorted(kept.values()) == [1, 2, 3, 5]
+
+    # batch twin agrees: each dup group's keep_doc_id is the survivor
+    all_docs = spark.createDataFrame(wave1 + wave2, DOC_SCHEMA)
+    groups = {
+        r["digest"]: r["keep_doc_id"]
+        for r in exact_duplicates(all_docs).collect()
+    }
+    for digest, keep in groups.items():
+        assert kept[digest] == keep
+
+    # restart with the same checkpoint: seen-set resumes, a replayed
+    # duplicate is NOT re-emitted
+    spark.createDataFrame([(7, "alpha beta"), (8, "eta")], DOC_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_dedup_stream(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    kept2 = {
+        r["digest"]: r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out_dir, "kept")).collect()
+    }
+    assert sorted(kept2.values()) == [1, 2, 3, 5, 8]
