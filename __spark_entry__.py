@@ -763,6 +763,23 @@ _JACCARD_SQL = _jaccard_capped_sql(
     JACCARD_T,
 )
 
+# connected components over the jaccard pair graph: transitive closure
+# via a recursive CTE (labels = reachable node ids; cluster = min),
+# replaying duplicate_clusters' min-label propagation fixpoint
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {_JACCARD_SQL}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS label FROM sym
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN sym e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+FROM reach GROUP BY 1
+"""
+
 _MINHASH_SQL = f"""
 WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()}
 SELECT sh.doc_id, p.hash_id,
@@ -1401,6 +1418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
+    def dup_clusters(spark, sf):
+        # connected components over the near-dup pair graph (cluster
+        # representative = min reachable doc_id)
+        pairs = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
+        return dd.duplicate_clusters(pairs)
+
     def decontaminate(spark, sf):
         # eval-set decontamination (GPT-3/PaLM-style trigram overlap):
         # eval corpus = every 19th doc; the train side is never shuffled
@@ -1738,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_weighted": bm25_weighted,
         "jaccard_bigram_pairs": jaccard_bigram_pairs,
         "decontaminate": decontaminate,
+        "dup_clusters": dup_clusters,
         "kl_rerank": kl_rerank,
         "expand_query_terms": expand_query_terms,
         "feedback_rerank_run": feedback_rerank_run,
@@ -1802,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_weighted": _BM25_WEIGHTED_SQL,
         "jaccard_bigram_pairs": _JACCARD_BIGRAM_SQL,
         "decontaminate": _DECONTAM_SQL,
+        "dup_clusters": _DUP_CLUSTERS_SQL,
         "kl_rerank": _KL_SQL,
         "expand_query_terms": _EXPAND_SQL,
         "feedback_rerank_run": _FDBK_RERANK_SQL,

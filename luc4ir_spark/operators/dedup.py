@@ -614,3 +614,75 @@ def decontaminate(
             4,
         ).alias("contamination"),
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> connected components: (doc_id, cluster_id)
+    with cluster_id = the smallest doc_id reachable through the pair
+    graph. The step a training pipeline runs AFTER any pair operator
+    above (keep one representative per cluster: ``doc_id ==
+    cluster_id``; transitive near-dups collapse even when the endpoints
+    themselves were never compared).
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels; converged when a round changes
+    nothing. Rounds needed = graph diameter — near-dup clusters are
+    near-cliques (diameter 2-3 in practice), so the loop is short;
+    ``max_iter`` bounds adversarial chains (a path graph propagates one
+    hop per round; the loop stops early the round nothing changes).
+    Scale shape: the symmetric edge list is materialized ONCE via
+    localCheckpoint (GC-scoped) and reused by every round; each round
+    is one equi-join + one map-side-combined min-groupBy (label rows
+    only — never documents), and each round's result is
+    localCheckpointed so lineage stays flat. The convergence probe is
+    a limit(1) anti-equality join, not a full count. Only doc_ids that
+    appear in some pair are emitted — every other doc is trivially its
+    own singleton cluster.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    )
+    sym = (
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.withColumnRenamed("a", "node").join(
+            labels, "node"
+        ).select(F.col("b").alias("node"), "cluster_id")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(
+                labels.select(
+                    "node", F.col("cluster_id").alias("_old")
+                ),
+                "node",
+            )
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")

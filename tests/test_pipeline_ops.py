@@ -616,3 +616,31 @@ def test_repetition_stats_zero_shuffle(spark, docs_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_duplicate_clusters(spark):
+    # path graph 1-2-3-4 needs multi-round propagation (diameter 3);
+    # 7-8 is a second component; 9 never appears -> not emitted
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8)], "a long, b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_duplicate_clusters_transitive_via_lsh_pairs(spark, tokens_df):
+    # composes with a real pair operator: every pair's endpoints land
+    # in the same cluster, and cluster ids are cluster minima
+    pairs = dedup.jaccard_pairs(tokens_df, threshold=0.5)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    for r in pairs.collect():
+        assert labels[r["a"]] == labels[r["b"]]
+    for doc, cid in labels.items():
+        assert cid <= doc
+        assert labels[cid] == cid
