@@ -1081,6 +1081,36 @@ _MARKERS_SQL = {
     for lang in sorted(ts.LANG_MARKERS)
 }
 
+def _pii_sql() -> str:
+    """PII-redaction oracle, generated from textstats.PII_PATTERNS so
+    the category list/order can't drift. The gate plants one email, one
+    dotted quad, and one phone per doc (derived from doc_id); each
+    category is counted on the previous stage's redacted text, exactly
+    like the operator."""
+    aug = (
+        "text || ' user' || doc_id::VARCHAR || '@example.com'"
+        " || ' 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+        " || ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')"
+        " || '-2345'"
+    )
+    ctes = [f"s0 AS (SELECT doc_id, {aug} AS t0 FROM documents)"]
+    for i, (name, pat) in enumerate(ts.PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id,"
+            + "".join(f" n_{n}," for n, _ in ts.PII_PATTERNS[:i])
+            + f" len(regexp_extract_all(t{i}, '{pat}'))::BIGINT"
+            f" AS n_{name},"
+            f" regexp_replace(t{i}, '{pat}', '[PII]', 'g') AS t{i + 1}"
+            f" FROM s{i})"
+        )
+    last = len(ts.PII_PATTERNS)
+    names = ", ".join(f"n_{n}" for n, _ in ts.PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {names}, t{last} AS clean FROM s{last}"
+    )
+
+
 # Gopher-style repetition signals: mode counts per doc via plain
 # group-by in SQL (the Spark side computes the same numbers with a
 # zero-shuffle sort + fold over each doc's token array)
@@ -1588,6 +1618,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def repetition_stats(spark, sf):
         return ts.repetition_stats(_docs(spark, sf), content_col="text")
 
+    def pii_redaction(spark, sf):
+        # plant one email / dotted quad / phone per doc (doc_id-derived,
+        # deterministic), then scrub — same augmentation in the oracle
+        d = _docs(spark, sf).withColumn(
+            "text_pii",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(
+                    F.lit("user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+                F.concat(
+                    F.lit("10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+                F.concat(
+                    F.lit("call 555-01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit("-2345"),
+                ),
+            ),
+        )
+        return ts.redact_pii(d, content_col="text_pii")
+
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
@@ -1782,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": token_count,
         "quality_score": quality_score,
         "repetition_stats": repetition_stats,
+        "pii_redaction": pii_redaction,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
@@ -1859,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_score": _QUALITY_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "pii_redaction": _pii_sql(),
         "lang_id": _LANGID_SQL,
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("

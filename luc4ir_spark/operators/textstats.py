@@ -209,3 +209,41 @@ def repetition_stats(
         F.round(_ratio(top_uni, n_toks), 4).alias("top_unigram_frac"),
         F.round(_ratio(top_bi, n_toks - 1), 4).alias("top_bigram_frac"),
     )
+
+
+# PII patterns shared verbatim with the SQL oracle (Java regex and
+# DuckDB RE2 agree on these constructs: classes, \d, \b, {n,}, greedy).
+# Applied in ORDER — ipv4 before phone, or the phone pattern would
+# swallow dotted quads (both engines then disagree-proof by symmetry).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    token: str = "[PII]",
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone-shaped numbers before a
+    corpus is used for training: (doc_id, n_email, n_ipv4, n_phone,
+    clean). ``clean`` is the text with every match replaced by ``token``,
+    categories applied in PII_PATTERNS order; each category is counted
+    on the text AFTER the previous categories were redacted, so a
+    dotted quad never double-counts as a phone. Pure
+    whole-stage-codegen projection (regexp_count + regexp_replace) —
+    no UDF, no shuffle; the per-category counts make drop-vs-redact
+    policy decisions auditable downstream."""
+    clean = F.col(content_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, clean.alias("clean")
+    )

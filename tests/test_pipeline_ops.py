@@ -644,3 +644,35 @@ def test_duplicate_clusters_transitive_via_lsh_pairs(spark, tokens_df):
     for doc, cid in labels.items():
         assert cid <= doc
         assert labels[cid] == cid
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@sub.example.co.uk then ping 192.168.0.1 "
+                "or call +1 (555) 010-2345 now"),
+            (2, "no pii here at all"),
+            # the dotted quad must be counted as ipv4, never re-counted
+            # by the later (greedy) phone pattern
+            (3, "ip 10.0.0.7 twice 10.0.0.8"),
+        ],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in textstats.redact_pii(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1)
+    assert r1["clean"] == "mail [PII] then ping [PII] or call [PII] now"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["clean"] == "no pii here at all"
+    r3 = out[3]
+    assert (r3["n_email"], r3["n_ipv4"], r3["n_phone"]) == (0, 2, 0)
+    assert r3["clean"] == "ip [PII] twice [PII]"
+
+
+def test_redact_pii_zero_shuffle(spark, docs_df):
+    plan = (
+        textstats.redact_pii(docs_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
