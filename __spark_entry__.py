@@ -1220,6 +1220,41 @@ FROM m
 _LANGID_SQL = _langid_sql()
 
 
+def _quality_filter_sql() -> str:
+    """Composite keep/drop oracle: joins the three (already-gated)
+    signal oracles and replays the threshold checks, generated from
+    textstats.QUALITY_FILTER_DEFAULTS so the SQL can't drift from the
+    operator. concat_ws skips NULL CASE arms in both engines, giving
+    identical fixed-order reason lists."""
+    d = ts.QUALITY_FILTER_DEFAULTS
+    langs = ", ".join(f"'{x}'" for x in d["allowed_langs"])
+    checks = ",\n    ".join([
+        f"CASE WHEN n_tokens < {d['min_tokens']} THEN 'short' END",
+        f"CASE WHEN quality < {d['min_quality']} THEN 'low_quality' END",
+        f"CASE WHEN top_unigram_frac > {d['max_top_unigram']}"
+        " THEN 'repetitive' END",
+        f"CASE WHEN dup_line_frac > {d['max_dup_line']}"
+        " THEN 'dup_lines' END",
+        f"CASE WHEN lang_guess NOT IN ({langs}) THEN 'lang' END",
+        f"CASE WHEN mean_word_len < {d['min_word_len']}"
+        f" OR mean_word_len > {d['max_word_len']} THEN 'word_len' END",
+    ])
+    return f"""
+WITH m AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, q.mean_word_len,
+         r.top_unigram_frac, r.dup_line_frac, l.lang_guess
+  FROM ({_QUALITY_SQL}) q
+  JOIN ({_REPETITION_SQL}) r USING (doc_id)
+  JOIN ({_LANGID_SQL}) l USING (doc_id)
+),
+f AS (SELECT m.*, concat_ws(',',
+    {checks}) AS reasons FROM m)
+SELECT doc_id, n_tokens, quality, top_unigram_frac, dup_line_frac,
+       lang_guess, mean_word_len, reasons = '' AS keep, reasons
+FROM f
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1648,6 +1683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def quality_filter(spark, sf):
+        return ts.quality_filter(_docs(spark, sf), content_col="text")
+
     def doc_fingerprint(spark, sf):
         return ts.doc_fingerprint(_docs(spark, sf), content_col="text")
 
@@ -1841,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": repetition_stats,
         "pii_redaction": pii_redaction,
         "lang_id": lang_id,
+        "quality_filter": quality_filter,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -1919,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "pii_redaction": _pii_sql(),
         "lang_id": _LANGID_SQL,
+        "quality_filter": _quality_filter_sql(),
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

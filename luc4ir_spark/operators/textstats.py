@@ -51,13 +51,10 @@ def _ratio(cnt: Column, total: Column) -> Column:
     return F.when(total > 0, cnt / total.cast("double")).otherwise(F.lit(0.0))
 
 
-def quality_score(
-    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
-) -> DataFrame:
-    """Composite quality heuristics: length, alpha ratio, punctuation
-    density, stopword ratio, mean word length; plus a single [0,1] score
-    blending them. Filters like score >= 0.5 prune boilerplate/garbage."""
-    c = F.col(content_col)
+def _quality_cols(c: Column) -> dict[str, Column]:
+    """Un-rounded quality signal columns over a content column; shared
+    by quality_score and quality_filter so thresholds can't drift from
+    the reported metrics."""
     toks = simple_tokens(c)
     n_tok = F.size(toks).cast("double")
     n_char = F.length(c).cast("double")
@@ -78,15 +75,60 @@ def quality_score(
         + F.lit(0.2) * stop_ratio
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0)))
     )
+    return {
+        "n_tok": n_tok,
+        "alpha_ratio": alpha_ratio,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_wlen": mean_wlen,
+        "quality": score,
+    }
+
+
+def quality_score(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite quality heuristics: length, alpha ratio, punctuation
+    density, stopword ratio, mean word length; plus a single [0,1] score
+    blending them. Filters like score >= 0.5 prune boilerplate/garbage."""
+    q = _quality_cols(F.col(content_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(score, 4).alias("quality"),
+        q["n_tok"].cast("long").alias("n_tokens"),
+        F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(q["stop_ratio"], 4).alias("stop_ratio"),
+        F.round(q["mean_wlen"], 4).alias("mean_word_len"),
+        F.round(q["quality"], 4).alias("quality"),
     )
+
+
+def _lang_best(c: Column) -> Column:
+    """Struct (neg_hits, lang, hits) of the winning language for a
+    content column: max marker-set intersection, ties by language code
+    ascending. Shared by language_id and quality_filter."""
+    toks = F.array_distinct(simple_tokens(c))
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hit_cols.append(
+            F.struct(
+                F.size(F.array_intersect(toks, arr)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (hits desc, lang asc): array_max on (hits, reversed-lang)
+    # is awkward; sort_array desc on struct gives (max hits, max lang) —
+    # so negate the tie field by sorting asc on (-hits, lang)
+    return F.sort_array(
+        F.array(*[
+            F.struct(
+                (-h["hits"]).alias("neg_hits"), h["lang"].alias("lang"),
+                h["hits"].alias("hits"),
+            )
+            for h in hit_cols
+        ])
+    )[0]
 
 
 def language_id(
@@ -100,28 +142,7 @@ def language_id(
     language code; below ``min_hits`` -> 'und'. A cheap, deterministic
     stand-in for a real langid model, but the Spark shape (token-set
     intersections in codegen, no UDF) is the production shape."""
-    toks = F.array_distinct(simple_tokens(F.col(content_col)))
-    hit_cols = []
-    for lang in sorted(LANG_MARKERS):
-        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        hit_cols.append(
-            F.struct(
-                F.size(F.array_intersect(toks, arr)).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # argmax by (hits desc, lang asc): array_max on (hits, reversed-lang)
-    # is awkward; sort_array desc on struct gives (max hits, max lang) —
-    # so negate the tie field by sorting asc on (-hits, lang)
-    best = F.sort_array(
-        F.array(*[
-            F.struct(
-                (-h["hits"]).alias("neg_hits"), h["lang"].alias("lang"),
-                h["hits"].alias("hits"),
-            )
-            for h in hit_cols
-        ])
-    )[0]
+    best = _lang_best(F.col(content_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.when(best["hits"] >= min_hits, best["lang"])
@@ -185,7 +206,19 @@ def repetition_stats(
     whole-stage codegen: token mode counts come from a sort + one
     aggregate fold over the bounded per-doc array (`_max_run`) — no
     explode, no shuffle, `.explain` shows zero Exchange."""
-    c = F.col(content_col)
+    r = _repetition_cols(F.col(content_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        r["n_lines"].alias("n_lines"),
+        F.round(r["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(r["top_unigram_frac"], 4).alias("top_unigram_frac"),
+        F.round(r["top_bigram_frac"], 4).alias("top_bigram_frac"),
+    )
+
+
+def _repetition_cols(c: Column) -> dict[str, Column]:
+    """Un-rounded repetition signal columns; shared by repetition_stats
+    and quality_filter."""
     lines = F.array_remove(F.split(c, "\n"), "")
     n_lines = F.size(lines).cast("long")
     dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
@@ -201,14 +234,12 @@ def repetition_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
     top_bi = _max_run(F.array_sort(bigrams))
-
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_lines.alias("n_lines"),
-        F.round(_ratio(dup_lines, n_lines), 4).alias("dup_line_frac"),
-        F.round(_ratio(top_uni, n_toks), 4).alias("top_unigram_frac"),
-        F.round(_ratio(top_bi, n_toks - 1), 4).alias("top_bigram_frac"),
-    )
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": _ratio(dup_lines, n_lines),
+        "top_unigram_frac": _ratio(top_uni, n_toks),
+        "top_bigram_frac": _ratio(top_bi, n_toks - 1),
+    }
 
 
 # PII patterns shared verbatim with the SQL oracle (Java regex and
@@ -246,4 +277,81 @@ def redact_pii(
         clean = F.regexp_replace(clean, pat, token)
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, clean.alias("clean")
+    )
+
+
+# Default thresholds for quality_filter, shared with the generated
+# oracle SQL (__spark_entry__._quality_filter_sql) so the gate and the
+# operator can't drift. Values follow the C4 / Gopher filtering recipes
+# scaled to the synthetic corpus (real crawls would raise min_tokens).
+QUALITY_FILTER_DEFAULTS: dict[str, object] = {
+    "min_tokens": 20,
+    "min_quality": 0.7,
+    "max_top_unigram": 0.15,
+    "max_dup_line": 0.3,
+    "allowed_langs": ("en",),
+    "min_word_len": 2.0,
+    "max_word_len": 12.0,
+}
+
+
+def quality_filter(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_quality: float = 0.7,
+    max_top_unigram: float = 0.15,
+    max_dup_line: float = 0.3,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+) -> DataFrame:
+    """C4/Gopher-style composite keep/drop verdict: one zero-shuffle
+    projection combining the quality, repetition, and language signals
+    (Raffel et al. 2020 §2.2; Rae et al. 2021 §A1.1). Emits the signal
+    values used, a boolean ``keep``, and ``reasons`` — a comma-joined,
+    fixed-order list of failed checks (empty when kept) so drops are
+    auditable rather than silent. Thresholds compare the 4dp-rounded
+    values (what the sibling operators report), keeping the decision
+    reproducible across engines. All three signal families are per-doc
+    codegen projections, so the whole filter runs scan-local: no
+    shuffle, no UDF — at 100 TB this is a map-only pass."""
+    c = F.col(content_col)
+    q = _quality_cols(c)
+    r = _repetition_cols(c)
+    best = _lang_best(c)
+    lang = (
+        F.when(best["hits"] >= 1, best["lang"]).otherwise(F.lit("und"))
+    )
+    n_tokens = q["n_tok"].cast("long")
+    quality = F.round(q["quality"], 4)
+    top_uni = F.round(r["top_unigram_frac"], 4)
+    dup_line = F.round(r["dup_line_frac"], 4)
+    mean_wlen = F.round(q["mean_wlen"], 4)
+    checks = [
+        ("short", n_tokens < F.lit(min_tokens)),
+        ("low_quality", quality < F.lit(min_quality)),
+        ("repetitive", top_uni > F.lit(max_top_unigram)),
+        ("dup_lines", dup_line > F.lit(max_dup_line)),
+        ("lang", ~lang.isin(list(allowed_langs))),
+        (
+            "word_len",
+            (mean_wlen < F.lit(min_word_len))
+            | (mean_wlen > F.lit(max_word_len)),
+        ),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        top_uni.alias("top_unigram_frac"),
+        dup_line.alias("dup_line_frac"),
+        lang.alias("lang_guess"),
+        mean_wlen.alias("mean_word_len"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
     )

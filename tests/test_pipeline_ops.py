@@ -676,3 +676,43 @@ def test_redact_pii_zero_shuffle(spark, docs_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_quality_filter(spark):
+    good = ("the quick brown fox jumps over a lazy dog and it was of "
+            "great joy to all present in that big field for sure; birds "
+            "sang while children played games near old oak trees")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                  # english, long, varied -> keep
+            (2, "x y"),                 # 2 tokens -> short (+ more)
+            (3, "spam " * 40),          # repetitive + no markers
+        ],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_filter(docs).collect()}
+    r1 = out[1]
+    assert r1["keep"] and r1["reasons"] == ""
+    assert r1["lang_guess"] == "en"
+    r2 = out[2]
+    assert not r2["keep"]
+    assert "short" in r2["reasons"].split(",")
+    # reasons keep the fixed check order: short before lang
+    assert r2["reasons"].index("short") < r2["reasons"].index("lang")
+    r3 = out[3]
+    assert not r3["keep"]
+    assert "repetitive" in r3["reasons"].split(",")
+    assert r3["top_unigram_frac"] == 1.0
+    # verdicts agree with the standalone signal operators
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    for d, row in out.items():
+        assert row["quality"] == q[d]["quality"]
+        assert row["n_tokens"] == q[d]["n_tokens"]
+
+
+def test_quality_filter_zero_shuffle(spark, docs_df):
+    plan = (
+        textstats.quality_filter(docs_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
