@@ -1220,6 +1220,48 @@ FROM m
 _LANGID_SQL = _langid_sql()
 
 
+# gate config for the hash-stratified sampler: downsample per language
+_SAMPLE_RATES = {"en": 0.5, "es": 0.2}
+_SAMPLE_SEED = 7
+_SAMPLE_DEFAULT = 0.05
+_SAMPLE_RES = 10000
+
+
+def _sample_stratified_sql() -> str:
+    """Replays utilsops.sample_hash_stratified: the engine-portable mix
+    hash (functions/hashing.py — all intermediates < 2^63, doc_id and
+    seed non-negative so DuckDB's C-style % equals Spark's pmod) and the
+    per-stratum rate thresholds, generated from the same constants."""
+    from luc4ir_spark.functions import hashing as hx
+
+    case = "CASE " + "".join(
+        f"WHEN lang = '{k}' THEN {int(round(v * _SAMPLE_RES))} "
+        for k, v in sorted(_SAMPLE_RATES.items())
+    ) + f"ELSE {int(round(_SAMPLE_DEFAULT * _SAMPLE_RES))} END"
+    bucket = (
+        f"(({hx.MIX_A} * ((doc_id + {_SAMPLE_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P}) % {_SAMPLE_RES}"
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {bucket} < {case}"
+
+
+def _corpus_composition_sql() -> str:
+    """Per-source corpus-mix oracle over the (already-gated) per-doc
+    quality signals; share computed over the aggregated relation."""
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+agg AS (
+  SELECT d.source AS stratum, count(*)::BIGINT AS n_docs,
+         sum(q.n_tokens)::BIGINT AS n_tokens,
+         round(avg(q.quality), 4) AS mean_quality
+  FROM documents d JOIN q USING (doc_id) GROUP BY 1
+)
+SELECT stratum, n_docs, n_tokens, mean_quality,
+       round(n_docs / sum(n_docs) OVER (), 4) AS doc_share
+FROM agg
+"""
+
+
 def _quality_filter_sql() -> str:
     """Composite keep/drop oracle: joins the three (already-gated)
     signal oracles and replays the threshold checks, generated from
@@ -1686,6 +1728,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf), content_col="text")
 
+    def sample_stratified(spark, sf):
+        from luc4ir_spark.operators import utilsops as uo
+
+        return uo.sample_hash_stratified(
+            _docs(spark, sf),
+            rates=_SAMPLE_RATES,
+            stratum_col="lang",
+            seed=_SAMPLE_SEED,
+            default_rate=_SAMPLE_DEFAULT,
+            resolution=_SAMPLE_RES,
+        ).select("doc_id", "lang")
+
+    def corpus_composition(spark, sf):
+        return ts.corpus_composition(
+            _docs(spark, sf), content_col="text", stratum_col="source"
+        )
+
     def doc_fingerprint(spark, sf):
         return ts.doc_fingerprint(_docs(spark, sf), content_col="text")
 
@@ -1880,6 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction,
         "lang_id": lang_id,
         "quality_filter": quality_filter,
+        "sample_stratified": sample_stratified,
+        "corpus_composition": corpus_composition,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -1959,6 +2020,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _pii_sql(),
         "lang_id": _LANGID_SQL,
         "quality_filter": _quality_filter_sql(),
+        "sample_stratified": _sample_stratified_sql(),
+        "corpus_composition": _corpus_composition_sql(),
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -280,6 +280,45 @@ def redact_pii(
     )
 
 
+def corpus_composition(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Corpus-mix report per stratum (source / domain / language shard):
+    doc count, token total, mean quality, and each stratum's share of
+    the corpus — the dashboard a data-mixing pipeline watches while
+    tuning sampling rates. One partial-aggregated groupBy over per-doc
+    codegen signals; the share window runs over the already-aggregated
+    relation (rows = #strata, i.e. tiny at any corpus size), so the
+    only full-data movement is the map-side-combined stratum shuffle."""
+    c = F.col(content_col)
+    q = _quality_cols(c)
+    per_doc = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        q["n_tok"].cast("long").alias("n_tok"),
+        # per-doc 4dp before averaging: the mean is then reproducible
+        # from the (rounded) per-doc quality_score output on any engine
+        F.round(q["quality"], 4).alias("quality"),
+    )
+    agg = per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        "mean_quality",
+        F.round(F.col("n_docs") / total, 4).alias("doc_share"),
+    )
+
+
 # Default thresholds for quality_filter, shared with the generated
 # oracle SQL (__spark_entry__._quality_filter_sql) so the gate and the
 # operator can't drift. Values follow the C4 / Gopher filtering recipes

@@ -93,6 +93,42 @@ def sample_weighted(
     )
 
 
+def sample_hash_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+    resolution: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling by hash bucket: a
+    row survives iff ``pmod(mix(id + seed), resolution) <
+    rate * resolution`` for its stratum's rate. This is the sampler a
+    100 TB pipeline actually wants — a pure scan-local filter (no
+    shuffle, no sort, no count pass), reproducible across runs,
+    cluster sizes, and engines (``mix`` is the engine-portable hash from
+    functions/hashing.py, replayable in plain SQL), and consistent:
+    re-running with a higher rate yields a superset, so corpus mixes
+    can be re-weighted without resampling from scratch. Strata absent
+    from ``rates`` use ``default_rate``. Complements the exact-n
+    samplers above (reference: genutils/UniqueSampler.java:6-47), which
+    need a top-n merge; rate-based is the scalable form for corpus
+    mixing (e.g. downsample boilerplate-heavy sources)."""
+    from ..functions.hashing import mix_id_expr
+
+    thresh = F.lit(int(round(default_rate * resolution)))
+    for k in sorted(rates):
+        thresh = F.when(
+            F.col(stratum_col) == k,
+            F.lit(int(round(rates[k] * resolution))),
+        ).otherwise(thresh)
+    bucket = F.pmod(
+        mix_id_expr(F.col(id_col) + F.lit(seed)), F.lit(resolution)
+    )
+    return df.filter(bucket < thresh)
+
+
 def quantize_doc_len(dl: Column, mantissa_bits: int = 4) -> Column:
     """Lossy 1-byte-style length quantization: values are floored to a
     float with ``mantissa_bits`` of mantissa (exact below

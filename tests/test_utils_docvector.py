@@ -188,3 +188,70 @@ def test_rcd_evaluate(spark):
         + 0.0
     ) / 3.0
     assert flat["bleu"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_sample_hash_stratified(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    got = uo.sample_hash_stratified(df, rates, "lang", seed=3)
+    counts = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # Bernoulli-by-hash: expected 500/100, allow generous slack
+    assert 380 <= counts["en"] <= 620
+    assert 55 <= counts["de"] <= 145
+    # deterministic across partition layouts
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in uo.sample_hash_stratified(
+            df.repartition(7), rates, "lang", seed=3
+        ).collect()
+    )
+    assert a == b
+    # consistency: raising a rate yields a superset (same seed)
+    bigger = sorted(
+        r["doc_id"]
+        for r in uo.sample_hash_stratified(
+            df, {"en": 0.8, "de": 0.3}, "lang", seed=3
+        ).collect()
+    )
+    assert set(a) <= set(bigger)
+    # unknown strata fall back to default_rate (0.0 -> dropped)
+    other = df.withColumn("lang", F.lit("zz"))
+    assert uo.sample_hash_stratified(other, rates, "lang", seed=3).count() == 0
+    # scan-local: a pure filter, no shuffle
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_composition(spark):
+    from luc4ir_spark.operators import textstats as ts_mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "a"),
+            (2, "dogs bark loudly at night", "a"),
+            (3, "x", "b"),
+            (4, "more words here now", "b"),
+        ],
+        "doc_id long, content string, source string",
+    )
+    out = {
+        r["stratum"]: r
+        for r in ts_mod.corpus_composition(docs).collect()
+    }
+    assert out["a"]["n_docs"] == 2 and out["b"]["n_docs"] == 2
+    assert out["a"]["n_tokens"] == 3 + 5
+    assert out["b"]["n_tokens"] == 1 + 4
+    assert out["a"]["doc_share"] == 0.5
+    # mean matches the rounded per-doc quality_score output
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in ts_mod.quality_score(docs).collect()
+    }
+    assert out["a"]["mean_quality"] == round((q[1] + q[2]) / 2, 4)
