@@ -253,6 +253,18 @@ def main() -> None:
 
     timed("textstats", textstats)
 
+    def clean_pipeline():
+        # the round-4 hygiene surface in one pass: composite C4/Gopher
+        # keep/drop verdict, PII scrub, and repetition stats — each a
+        # scan-local zero-shuffle projection, so this times the
+        # map-only corpus-cleaning cost per 5k docs
+        a = tstat.quality_filter(docs, content_col="text").count()
+        b = tstat.redact_pii(docs, content_col="text").count()
+        c = tstat.repetition_stats(docs, content_col="text").count()
+        return a + b + c
+
+    timed("clean_pipeline", clean_pipeline)
+
     extra["calib_m_iters_post"] = calibrate()
     extra["queries_all_reps"] = rep_times
     extra["queries_median"] = {
