@@ -1220,6 +1220,44 @@ FROM m
 _LANGID_SQL = _langid_sql()
 
 
+# gate config for document chunking: small windows so the 5k-token-max
+# synthetic docs produce multi-chunk output (stride = 40 - 8 = 32)
+_CHUNK_TOKENS = 40
+_CHUNK_OVERLAP = 8
+
+
+def _chunk_documents_sql() -> str:
+    """Replays textstats.chunk_documents: whitespace tokens, n_chunks =
+    ceil(max(n_tok - overlap, 1) / stride), 1-based inclusive list
+    slices (DuckDB list_slice clamps the end like Spark's slice clamps
+    length)."""
+    ct, ov = _CHUNK_TOKENS, _CHUNK_OVERLAP
+    stride = ct - ov
+    return rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+         x -> x <> '') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n_tok
+  FROM t WHERE len(toks) > 0
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(ceil(greatest(n_tok - {ov}, 1)
+                           / {stride}.0)::BIGINT)) AS i
+  FROM n
+)
+SELECT doc_id, i::BIGINT AS chunk_idx,
+  len(list_slice(toks, (i * {stride} + 1)::INT,
+      (i * {stride} + {ct})::INT))::BIGINT AS n_chunk_tokens,
+  array_to_string(list_slice(toks, (i * {stride} + 1)::INT,
+      (i * {stride} + {ct})::INT), ' ') AS chunk_text
+FROM e
+"""
+
+
 # gate config for the hash-stratified sampler: downsample per language
 _SAMPLE_RATES = {"en": 0.5, "es": 0.2}
 _SAMPLE_SEED = 7
@@ -1745,6 +1783,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), content_col="text", stratum_col="source"
         )
 
+    def chunk_documents(spark, sf):
+        return ts.chunk_documents(
+            _docs(spark, sf),
+            content_col="text",
+            chunk_tokens=_CHUNK_TOKENS,
+            overlap=_CHUNK_OVERLAP,
+        )
+
     def doc_fingerprint(spark, sf):
         return ts.doc_fingerprint(_docs(spark, sf), content_col="text")
 
@@ -1941,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": quality_filter,
         "sample_stratified": sample_stratified,
         "corpus_composition": corpus_composition,
+        "chunk_documents": chunk_documents,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -2022,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _quality_filter_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "corpus_composition": _corpus_composition_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -280,6 +280,56 @@ def redact_pii(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into sliding windows of ``chunk_tokens``
+    whitespace tokens with ``overlap`` tokens shared between adjacent
+    chunks — the standard pre-tokenization step for fixed-context
+    training corpora. Emits (doc_id, chunk_idx, n_chunk_tokens,
+    chunk_text); empty documents yield no rows; the final chunk is
+    short rather than padded. n_chunks = ceil(max(n_tok - overlap, 1)
+    / stride) with stride = chunk_tokens - overlap, so every token
+    lands in at least one chunk and chunk starts advance uniformly.
+    Pure map-side work: per-doc token array + a generated index array
+    + explode — no shuffle, scales linearly with corpus bytes."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    c = F.col(content_col)
+    toks = F.array_remove(F.split(F.trim(c), r"\s+"), "")
+    n_tok = F.size(toks).cast("long")
+    n_chunks = F.ceil(
+        F.greatest(n_tok - overlap, F.lit(1).cast("long"))
+        / F.lit(float(stride))
+    ).cast("long")
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n_tok.alias("_n"),
+        n_chunks.alias("_nc"),
+    ).filter(F.col("_n") > 0)
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1))
+    chunk = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_idx") * stride + 1).cast("int"),
+        chunk_tokens,
+    )
+    return (
+        per_doc.select("doc_id", "_toks", idx.alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 def corpus_composition(
     docs: DataFrame,
     content_col: str = "content",

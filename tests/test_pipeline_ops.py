@@ -716,3 +716,48 @@ def test_quality_filter_zero_shuffle(spark, docs_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_chunk_documents(spark):
+    words = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    docs = spark.createDataFrame(
+        [
+            (1, words),          # 10 tokens, chunk 4 / overlap 1 -> stride 3
+            (2, "only three words"),
+            (3, "   "),          # whitespace-only: no rows
+        ],
+        "doc_id long, content string",
+    )
+    out = textstats.chunk_documents(
+        docs, chunk_tokens=4, overlap=1
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # ceil(max(10-1,1)/3) = 3 chunks; starts 0,3,6; last clamps to 4
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    # adjacent chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    (c2,) = by_doc[2]
+    assert c2["chunk_text"] == "only three words"
+    assert c2["n_chunk_tokens"] == 3
+    # every token survives chunking (dedup the overlap)
+    seen = set()
+    for r in c1:
+        seen.update(r["chunk_text"].split())
+    assert seen == set(words.split())
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_map_only(spark, docs_df):
+    plan = (
+        textstats.chunk_documents(docs_df, chunk_tokens=40, overlap=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
