@@ -253,6 +253,15 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def redact_col(c: Column, token: str = "[PII]") -> Column:
+    """The scrubbed-text column alone (all PII_PATTERNS applied in
+    order) — for pipelines that need the clean text inline (e.g. the
+    streaming ingest path) without the per-category count columns."""
+    for _, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def redact_pii(
     docs: DataFrame,
     content_col: str = "content",
@@ -406,7 +415,38 @@ def quality_filter(
     reproducible across engines. All three signal families are per-doc
     codegen projections, so the whole filter runs scan-local: no
     shuffle, no UDF — at 100 TB this is a map-only pass."""
-    c = F.col(content_col)
+    f = quality_filter_cols(
+        F.col(content_col),
+        min_tokens=min_tokens,
+        min_quality=min_quality,
+        max_top_unigram=max_top_unigram,
+        max_dup_line=max_dup_line,
+        allowed_langs=allowed_langs,
+        min_word_len=min_word_len,
+        max_word_len=max_word_len,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[f[k].alias(k) for k in (
+            "n_tokens", "quality", "top_unigram_frac", "dup_line_frac",
+            "lang_guess", "mean_word_len", "keep", "reasons",
+        )],
+    )
+
+
+def quality_filter_cols(
+    c: Column,
+    min_tokens: int = 20,
+    min_quality: float = 0.7,
+    max_top_unigram: float = 0.15,
+    max_dup_line: float = 0.3,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+) -> dict[str, Column]:
+    """The quality_filter verdict as raw columns over a content column,
+    for inlining into other plans (the streaming ingest path filters on
+    ``keep`` without materializing a second projection)."""
     q = _quality_cols(c)
     r = _repetition_cols(c)
     best = _lang_best(c)
@@ -433,14 +473,13 @@ def quality_filter(
     reasons = F.concat_ws(
         ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_tokens.alias("n_tokens"),
-        quality.alias("quality"),
-        top_uni.alias("top_unigram_frac"),
-        dup_line.alias("dup_line_frac"),
-        lang.alias("lang_guess"),
-        mean_wlen.alias("mean_word_len"),
-        (reasons == "").alias("keep"),
-        reasons.alias("reasons"),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "quality": quality,
+        "top_unigram_frac": top_uni,
+        "dup_line_frac": dup_line,
+        "lang_guess": lang,
+        "mean_word_len": mean_wlen,
+        "keep": reasons == "",
+        "reasons": reasons,
+    }

@@ -55,3 +55,44 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_hygiene_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str = DOC_SCHEMA,
+):
+    """Full ingest-time hygiene in one stream: exact dedup (stateful
+    first-wins on the content digest, as above) -> C4/Gopher quality
+    gate -> PII scrub, emitting (doc_id, digest, reasons='', clean)
+    rows for documents that survive everything. The filter and scrub
+    are STATELESS codegen projections (textstats.quality_filter_cols /
+    redact_col), so the only streaming state remains the dedup digest
+    set — quality thresholds can change between restarts without state
+    migration. Same-digest docs have identical content, hence identical
+    verdicts, so dedup-then-filter equals filter-then-dedup and the
+    batch twin (exact-dup survivors ∩ quality_filter(keep) + redact) is
+    well-defined regardless of arrival order."""
+    from ..operators import textstats as ts
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    f = ts.quality_filter_cols(F.col("content"))
+    kept = (
+        stream.withColumn("digest", F.md5("content"))
+        .dropDuplicates(["digest"])
+        .where(f["keep"])
+        .select(
+            "doc_id",
+            "digest",
+            ts.redact_col(F.col("content")).alias("clean"),
+        )
+    )
+    return (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "kept"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -188,3 +188,61 @@ def test_streamed_dedup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out_dir, "kept")).collect()
     }
     assert sorted(kept2.values()) == [1, 2, 3, 5, 8]
+
+
+def test_streamed_hygiene_matches_batch(spark, tmp_path):
+    from luc4ir_spark.operators import textstats as ts
+    from luc4ir_spark.operators.dedup import exact_duplicates
+    from luc4ir_spark.streaming.dedup_stream import (
+        DOC_SCHEMA,
+        start_hygiene_stream,
+    )
+
+    g = ("the quick brown fox jumps over a lazy dog and it was of great "
+         "joy to all present in that big field for sure; birds sang "
+         "while children played games near old oak trees")
+    g1 = g + " contact bob@example.com today"
+    g2 = g.replace("quick", "swift").replace("fox", "hare")
+    g3 = g.replace("brown", "golden").replace("dog", "wolf")
+    wave1 = [(1, g1), (2, "x y"), (3, g2)]
+    wave2 = [(4, g1), (5, "spam " * 40), (6, g3)]
+
+    in_dir = str(tmp_path / "hyg_in")
+    out_dir = str(tmp_path / "hyg_out")
+    os.makedirs(in_dir)
+    for wave in (wave1, wave2):
+        spark.createDataFrame(wave, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = start_hygiene_stream(spark, in_dir, out_dir)
+        q.awaitTermination(120)
+
+    kept = {
+        r["doc_id"]: r["clean"]
+        for r in spark.read.parquet(os.path.join(out_dir, "kept")).collect()
+    }
+    # 2/5 fail the quality gate, 4 is a cross-wave dup of 1
+    assert sorted(kept) == [1, 3, 6]
+    assert "[PII]" in kept[1] and "bob@example.com" not in kept[1]
+
+    # batch twin: exact-dup survivors ∩ quality keep, then redact
+    all_docs = spark.createDataFrame(wave1 + wave2, DOC_SCHEMA)
+    dup_losers = {
+        d
+        for r in exact_duplicates(all_docs).collect()
+        for d in r["doc_ids"]
+        if d != r["keep_doc_id"]
+    }
+    verdicts = {
+        r["doc_id"]: r["keep"]
+        for r in ts.quality_filter(all_docs).collect()
+    }
+    batch_clean = {
+        r["doc_id"]: r["clean"] for r in ts.redact_pii(all_docs).collect()
+    }
+    batch_kept = {
+        d: batch_clean[d]
+        for d, keep in verdicts.items()
+        if keep and d not in dup_losers
+    }
+    assert batch_kept == kept
