@@ -884,20 +884,34 @@ bands AS (
 ),
 bandsz AS (SELECT band, bucket, count(*)::BIGINT AS bn
            FROM bands GROUP BY 1, 2),
-kept AS (SELECT b.doc_id, b.band, b.bucket
-         FROM bands b JOIN bandsz USING (band, bucket)
-         WHERE bandsz.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE}),
-cands AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM kept l JOIN kept r
+-- first-collision semantics: each pair is considered exactly once, in
+-- its minimal colliding band; it survives iff THAT band's bucket is
+-- within the max_bucket_size cap (the engine removes capped rows
+-- before the join and suppresses later-band re-emission with an
+-- earlier-bands-differ conjunction)
+allhits AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         min(l.band) AS mband,
+         arg_min(l.bucket, l.band) AS mbucket
+  FROM bands l JOIN bands r
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
 ),
+cands AS (
+  SELECT h.a, h.b FROM allhits h
+  JOIN bandsz s ON s.band = h.mband AND s.bucket = h.mbucket
+  WHERE s.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+),
+-- verification is over the per-doc sets of 60-bit hashed shingle ids
+-- (exactly what the engine intersects); sizes count distinct shingles
+-- (= the engine's size(_sids), one id per distinct shingle)
+dsid AS (SELECT DISTINCT sh.doc_id, ids.sid FROM sh JOIN ids USING (term)),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT c.a, c.b, count(*)::BIGINT AS common
   FROM cands c
-  JOIN sh x ON x.doc_id = c.a
-  JOIN sh y ON y.doc_id = c.b AND y.term = x.term
+  JOIN dsid x ON x.doc_id = c.a
+  JOIN dsid y ON y.doc_id = c.b AND y.sid = x.sid
   GROUP BY 1, 2
 )
 SELECT i.a, i.b,

@@ -326,26 +326,62 @@ def minhash_lsh_pairs(
     per-(band, bucket) membership used for CANDIDATE generation — at
     crawl scale a large exact-duplicate class puts every member in ONE
     band bucket and makes that bucket's self-join quadratic (10^6
-    identical docs => 5*10^11 candidates). Oversized buckets are dropped
-    from candidate generation with the drop count reported via ``log``;
-    reported jaccard values stay exact (verify runs on full sets). True
-    duplicate classes the cap suppresses are exactly the ones
-    ``exact_duplicates`` already reports — compose both, dedup exact
-    first, when a corpus has degenerate classes. ``None`` disables.
+    identical docs => 5*10^11 candidates). Each pair is considered
+    exactly once, in its FIRST colliding band; a pair whose first
+    colliding band bucket is oversized is dropped from candidate
+    generation (drop count reported via ``log`` — a giant dup class
+    collides in every band, so its first band is always the dropped
+    one). True duplicate classes the cap suppresses are exactly the
+    ones ``exact_duplicates`` already reports — compose both, dedup
+    exact first, when a corpus has degenerate classes. ``None``
+    disables the cap (first-collision dedup still applies).
 
-    Banding is a PURE PROJECTION (like the signatures): each doc's band
-    buckets are concat_ws over the per-band minima, emitted via one
-    row-local explode — no groupBy, so the only shuffles in the whole
-    operator are the candidate equi-join (and the cap's bucket count).
-    Bucket strings are identical to grouping exploded signature rows by
-    (doc_id, band) in hash_id order, which is what the SQL oracle
-    replays."""
+    Verification runs over the FULL per-doc sets of 60-bit hashed
+    shingle ids (the same ids minhashing consumes, so the DuckDB oracle
+    replays them exactly): long-array intersects are several times
+    cheaper than string-array intersects, which matters doubly here
+    because filter pushdown inlines the threshold predicate into the
+    join condition and evaluates the intersect per candidate. A 60-bit
+    collision perturbing a jaccard value needs two distinct shingles of
+    one doc pair to collide: P < k^2/2^61 per doc (~1e-10 at 10^4
+    shingles/doc) — the module docstring's collision note applies.
+
+    Plan shape — ONE shuffle total: banding is a pure projection (band
+    buckets are concat_ws over per-band minima, exploded via a LITERAL
+    index array), the row carries the doc's full band array and its
+    shingle-id set through a single explicit
+    ``repartition(band, bucket)``, the bucket-size cap is a window
+    count over that same exchange, and the self-join is an ALIAS
+    self-join of the one keyed relation so the shuffle stage is shared
+    between sides. Verification runs INLINE in the joined row:
+    first-collision dedup is a conjunction of element_at band
+    comparisons (replacing a 2x-candidates DISTINCT shuffle), a
+    size-ratio prune (jaccard >= t forces min(|A|,|B|) >=
+    t*max(|A|,|B|)) skips most intersections, then one JVM
+    array_intersect (replacing two doc-table joins). Trade-off vs
+    verify-by-id: the exchange carries each shingle-id set n_bands
+    times, verify-by-id carries two sets per CANDIDATE — inline wins
+    whenever candidates per doc exceed n_bands, the operating regime
+    of a dedup pass (measured 1.4x end-to-end at the bench, with the
+    candidate+verify tail 2.6x). Bucket strings are identical to
+    grouping exploded signature rows by (doc_id, band) in hash_id
+    order, which is what the SQL oracle replays."""
     params = MINHASH_PARAMS[:num_hashes]
     if num_hashes > len(MINHASH_PARAMS):
         raise ValueError(f"at most {len(MINHASH_PARAMS)} hashes supported")
+    col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     shset = shingle_set_expr(tokens_col, shingle_size)
-    with_sids = docs.select(
-        "doc_id", F.transform(shset, _shingle_id_expr).alias("_sids")
+    # empty-shingle docs produce no rows; test on the RAW token column
+    # (size < shingle_size <=> empty shingle set), never on the computed
+    # shingle/sid arrays — a pushed-down filter on a computed column
+    # inlines (and re-evaluates) the whole interpreted md5 chain
+    base = docs.filter(F.size(col) >= max(shingle_size, 1)).select(
+        "doc_id", shset.alias("_ss")
+    )
+    with_sids = base.select(
+        "doc_id",
+        "_ss",
+        F.transform("_ss", _shingle_id_expr).alias("_sids"),
     )
     mins = [
         F.array_min(F.transform(F.col("_sids"), _perm_hash_fn(a, b)))
@@ -354,55 +390,115 @@ def minhash_lsh_pairs(
     n_bands = -(-num_hashes // band_size)
     bands_arr = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        m.cast("string")
-                        for m in mins[j * band_size : (j + 1) * band_size]
-                    ],
-                ).alias("bucket"),
+            F.concat_ws(
+                "_",
+                *[
+                    m.cast("string")
+                    for m in mins[j * band_size : (j + 1) * band_size]
+                ],
             )
             for j in range(n_bands)
         ]
     )
-    band_key = (
-        with_sids.filter(F.size("_sids") > 0)
-        .select("doc_id", F.explode(bands_arr).alias("_b"))
-        .select("doc_id", F.col("_b.band"), F.col("_b.bucket"))
-        # one explicit shuffle on the join key: ReuseExchange then feeds
-        # BOTH self-join sides (and the cap's bucket count) from this
-        # single materialization — without it each consumer recomputes
-        # the full signature projection — and it carries n_bands
-        # rows/doc, num_hashes/band_size x fewer than shuffling exploded
-        # signature rows, while co-partitioning the equi-join
+    keyed = (
+        with_sids.select("doc_id", "_sids", bands_arr.alias("_bands"))
+        # explode a LITERAL index array, never the computed one: Generate
+        # over an expression forces the whole interpreted HOF chain
+        # (transform/array_min are CodegenFallback) to re-evaluate per
+        # OUTPUT row — measured 6x slower; with a literal generator the
+        # band array is a child column evaluated once per doc
+        .select(
+            "doc_id",
+            "_sids",
+            "_bands",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(n_bands)])
+            ).alias("band"),
+        )
+        .withColumn("bucket", F.element_at("_bands", F.col("band") + 1))
+        # the ONE shuffle: co-partitions the equi-join and lets
+        # ReuseExchange feed the bucket count and both self-join sides
+        # from a single materialization of the signature projection
         .repartition("band", "bucket")
     )
     if max_bucket_size is not None:
-        bsz = band_key.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
+        # bucket size via a WINDOW over the already-repartitioned
+        # relation, not a groupBy+join: a separate aggregation subtree
+        # gets column-pruned below its own exchange, the exchanges stop
+        # being identical, ReuseExchange never fires, and the whole
+        # signature pipeline is recomputed per consumer (measured 3x)
+        wb = Window.partitionBy("band", "bucket")
+        keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
         if log is not None:
-            n_dropped = bsz.filter(F.col("_bn") > max_bucket_size).count()
+            n_dropped = (
+                keyed.filter(F.col("_bn") > max_bucket_size)
+                .select("band", "bucket")
+                .distinct()
+                .count()
+            )
             log(
                 f"minhash_lsh_pairs: max_bucket_size={max_bucket_size} "
                 f"dropped {n_dropped} band buckets from candidate generation"
             )
-        band_key = band_key.join(
-            bsz.filter(F.col("_bn") <= max_bucket_size), ["band", "bucket"]
-        ).select("doc_id", "band", "bucket")
-    l = band_key.select(F.col("doc_id").alias("a"), "band", "bucket")
-    r = band_key.select(F.col("doc_id").alias("b"), "band", "bucket")
-    cands = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+        keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    # ALIAS self-join over the one keyed relation (not two re-derived
+    # projections): the two sides stay plan-identical, so the shuffle
+    # stage is shared at runtime instead of the signature pipeline
+    # materializing once per side. "merge" hint: AQE would otherwise
+    # build one side as a BroadcastExchange, which can never reuse the
+    # shuffle exchange.
+    L, R = keyed.alias("l"), keyed.alias("r")
+    # first-collision dedup: emit the pair only from the lowest band
+    # index where the two docs' buckets agree (exact — every colliding
+    # pair has a unique minimal colliding band). Spelled as a literal
+    # conjunction of element_at comparisons (codegen) rather than
+    # exists(zip_with(slice...)) (interpreted, measured 2x slower)
+    first_hit = F.lit(True)
+    for i in range(n_bands - 1):
+        first_hit = first_hit & (
+            (F.col("l.band") <= i)
+            | (
+                F.element_at(F.col("l._bands"), i + 1)
+                != F.element_at(F.col("r._bands"), i + 1)
+            )
+        )
+    sa, sb = F.size(F.col("l._sids")), F.size(F.col("r._sids"))
+    verified = (
+        L.hint("merge")
+        .join(
+            R.hint("merge"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+            ],
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(first_hit)
+        # size-ratio prune: jaccard >= t requires t*max <= min — skips
+        # the intersect on most non-pairs for high thresholds
+        .filter(sb.cast("double") >= F.lit(threshold) * sa)
+        .filter(sa.cast("double") >= F.lit(threshold) * sb)
+        # project boundary: common/sa/sb become plain attributes, so the
+        # jaccard expression above references the intersect result
+        # instead of re-evaluating it per consumer expression
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            sa.alias("_na"),
+            sb.alias("_nb"),
+            F.size(F.array_intersect(F.col("l._sids"), F.col("r._sids")))
+            .cast("long")
+            .alias("common"),
+        )
     )
-    # verify candidates with exact Jaccard over the full shingle sets
-    return _verify_pairs_exact(
-        cands, docs, tokens_col, shingle_size, threshold
+    return (
+        verified.withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("_na") + F.col("_nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     )
 
 
