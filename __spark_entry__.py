@@ -995,16 +995,17 @@ def _near_dup_lsh_sql(threshold: float = 0.4) -> str:
         f"{_bucket_sql('v', planes)} AS k{t}"
         for t, planes in enumerate(_lsh_tables())
     )
-    # per-table bucket sizes: buckets over max_bucket_size are dropped
-    # from candidate generation (both join sides share the bucket, so
-    # one side's predicate suffices) — mirrors the engine's cap
+    # per-table bucket sizes: first-collision cap semantics — each pair
+    # is considered once, in its minimal colliding table, and survives
+    # iff THAT table's bucket is within max_bucket_size (both join
+    # sides share the bucket, so one side's size suffices)
     sizes = ", ".join(
         f"count(*) OVER (PARTITION BY k{t}) AS bn{t}" for t in range(4)
     )
-    cand_union = " UNION ALL ".join(
-        f"SELECT x.vec_id AS a, y.vec_id AS b FROM b x JOIN b y"
+    hit_union = " UNION ALL ".join(
+        f"SELECT x.vec_id AS a, y.vec_id AS b, {t} AS tbl, x.bn{t} AS bn"
+        f" FROM b x JOIN b y"
         f" ON x.k{t} = y.k{t} AND x.vec_id < y.vec_id"
-        f" AND x.bn{t} <= {DEFAULT_MAX_BUCKET_SIZE}"
         for t in range(4)
     )
     return f"""
@@ -1014,7 +1015,9 @@ WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
            FROM embeddings),
 b0 AS (SELECT vec_id, v, {keys} FROM c),
 b AS (SELECT *, {sizes} FROM b0),
-cand AS (SELECT DISTINCT a, b FROM ({cand_union}))
+allh AS (SELECT a, b, arg_min(bn, tbl) AS first_bn
+         FROM ({hit_union}) GROUP BY a, b),
+cand AS (SELECT a, b FROM allh WHERE first_bn <= {DEFAULT_MAX_BUCKET_SIZE})
 SELECT cand.a, cand.b,
        round(list_dot_product(xa.v, xb.v) / (xa.n * xb.n), 4) AS cosine
 FROM cand

@@ -162,23 +162,27 @@ def lsh_near_dup_pairs(
     (a, b, cosine) with cosine >= threshold, a < b.
 
     Candidates = pairs sharing a random-hyperplane sign bucket in ANY of
-    ``n_tables`` independent tables (equi-self-join per table on the
-    bucket key — work is sum of squared bucket sizes, not corpus^2);
-    every candidate is then VERIFIED with the exact cosine, so reported
-    values are exact. A true pair is missed only if its vectors disagree
-    on >= 1 of ``n_planes`` sign bits in EVERY table; for cosine >=
-    threshold the per-table agreement probability is
-    (1 - arccos(threshold)/pi)^n_planes, so recall =
+    ``n_tables`` independent tables (one alias self-join on the
+    (table, bucket) key — work is sum of squared bucket sizes, not
+    corpus^2); each pair is considered exactly once, in its FIRST
+    colliding table (a conjunction of element_at bucket comparisons —
+    no union + DISTINCT shuffle), and every candidate is VERIFIED with
+    the exact cosine computed inline in the joined row (an explicit
+    element_at sum with the same fold order as zip_with/aggregate, but
+    codegen-able), so reported values are exact. A true pair is missed
+    only if its vectors disagree on >= 1 of ``n_planes`` sign bits in
+    EVERY table; for cosine >= threshold the per-table agreement
+    probability is (1 - arccos(threshold)/pi)^n_planes, so recall =
     1 - (1 - p)^n_tables (>= 99 % at the 0.95/8/4 setting). Buckets are
     deterministic (seeded plane literals), so a SQL oracle can replay
     candidate generation exactly. ``log``: optional callable reporting
     the candidate-pair count (the sub-quadratic evidence). Passing
-    ``log`` switches to diagnostics mode: the normed corpus and the
-    deduped candidate set are each materialized ONCE via GC-scoped
-    local checkpoints (dropped automatically when the result DataFrame
-    goes away) so the evidence counts and the verify join share scans;
-    without ``log`` the operator is a single lazy plan with no extra
-    actions.
+    ``log`` switches to diagnostics mode: the keyed bucket relation and
+    the candidate rows are each materialized ONCE via GC-scoped local
+    checkpoints (dropped automatically when the result DataFrame goes
+    away) so the evidence counts and the verify share scans; without
+    ``log`` the operator is a single lazy plan whose only non-lazy step
+    is the derive count when ``n_planes=None``.
 
     ``n_planes=None`` (default) derives the plane count from the corpus
     size via ``derive_n_planes`` (one scalar count() action) so bucket
@@ -187,90 +191,120 @@ def lsh_near_dup_pairs(
     default) drops oversized hyperplane buckets — a large
     exact-duplicate vector class lands its whole membership in one
     bucket per table, turning that bucket's self-join quadratic — from
-    CANDIDATE generation only, with the drop count reported via ``log``;
-    compose with exact dedup upstream when such classes are expected.
+    CANDIDATE generation: a pair whose FIRST colliding table bucket is
+    oversized is dropped (a degenerate class shares every table's
+    bucket, so its first table is always the dropped one), with the
+    drop count reported via ``log``; compose with exact dedup upstream
+    when such classes are expected.
 
     Use ``cosine_near_dup_pairs`` (brute force) only for small corpora
     or as a recall check."""
     c = with_norm(
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
     ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
-    if log is not None:
-        # diagnostics mode: the normed corpus feeds the derive count,
-        # every table's bucket projection, the dropped-bucket evidence
-        # and both verify sides — materialize it ONCE via a GC-scoped
-        # local checkpoint (storage is freed when the result DataFrame
-        # is dropped; nothing lands in getPersistentRDDs' manual-
-        # lifetime set) instead of rescanning the corpus per consumer.
-        # The production path (log=None) stays a single lazy plan.
-        c = c.localCheckpoint(eager=False)
     if n_planes is None:
         n_planes = derive_n_planes(c.count())
         if log is not None:
             log(f"lsh_near_dup_pairs: derived n_planes={n_planes}")
-    cand_parts = []
-    dropped_parts = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed + 1000 * t)
-        cb = c.withColumn("bucket", _bucket_expr("v", planes))
-        if max_bucket_size is not None:
-            bsz = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-            if log is not None:
-                # defer: all tables' dropped-bucket counts are summed in
-                # ONE job after the loop, not one action per table
-                dropped_parts.append(
-                    bsz.filter(F.col("_bn") > max_bucket_size).select(
-                        F.lit(t).alias("t")
-                    )
-                )
-            cb = cb.join(
-                bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
-            ).select("vid", "bucket")
-        # one explicit shuffle on the join key: ReuseExchange feeds both
-        # self-join sides from a single materialization of the bucket
-        # projection (the cap's bsz side broadcasts, so without this
-        # each side recomputes every plane dot product) and
-        # co-partitions the equi-join
-        cb = cb.repartition("bucket")
-        l = cb.select(F.col("vid").alias("a"), "bucket")
-        r = cb.select(F.col("vid").alias("b"), "bucket")
-        cand_parts.append(
-            l.join(r, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+    tables = [_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    # all tables' bucket keys in one per-row array; the table index is
+    # exploded from a LITERAL array (a Generate over the computed array
+    # would re-evaluate the n_tables * n_planes interpreted plane dots
+    # per output row), and the ONE shuffle on (tbl, bucket) both
+    # co-partitions the self-join and shares the bucket projection
+    # between the cap window and both join sides
+    bkts_arr = F.array(*[_bucket_expr("v", p) for p in tables])
+    keyed = (
+        c.select("vid", "v", "n", bkts_arr.alias("_bkts"))
+        .select(
+            "vid",
+            "v",
+            "n",
+            "_bkts",
+            F.explode(
+                F.array(*[F.lit(t) for t in range(n_tables)])
+            ).alias("tbl"),
         )
-    cands = cand_parts[0]
-    for part in cand_parts[1:]:
-        cands = cands.unionByName(part)
-    cands = cands.distinct()
-    if log is not None:
-        if max_bucket_size is not None and dropped_parts:
-            nd = dropped_parts[0]
-            for part in dropped_parts[1:]:
-                nd = nd.unionByName(part)
-            n_dropped_total = nd.count()
+        .withColumn("bucket", F.element_at("_bkts", F.col("tbl") + 1))
+        .repartition("tbl", "bucket")
+    )
+    if max_bucket_size is not None:
+        # bucket size via a window over the already-partitioned relation
+        # (a groupBy+join subtree gets pruned below its own exchange and
+        # defeats exchange sharing — the whole bucket projection then
+        # recomputes per consumer)
+        wb = Window.partitionBy("tbl", "bucket")
+        keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        if log is not None:
+            keyed = keyed.localCheckpoint(eager=False)
+            n_dropped = (
+                keyed.filter(F.col("_bn") > max_bucket_size)
+                .select("tbl", "bucket")
+                .distinct()
+                .count()
+            )
             log(
                 f"lsh_near_dup_pairs: max_bucket_size={max_bucket_size} "
-                f"dropped {n_dropped_total} buckets across {n_tables} tables"
+                f"dropped {n_dropped} buckets across {n_tables} tables"
             )
-        # materialize the deduped candidate set once so the evidence
-        # count below and the caller's verify join share it — without
-        # this the whole n_tables-way union+distinct executes twice
-        cands = cands.localCheckpoint()
-        log(f"lsh_near_dup_pairs: {cands.count()} candidate pairs")
-    ca = c.select(
-        F.col("vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+        keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    elif log is not None:
+        keyed = keyed.localCheckpoint(eager=False)
+    # ALIAS self-join of the one keyed relation: both sides share the
+    # shuffle stage; "merge" hint keeps AQE from building one side as a
+    # BroadcastExchange (which can never reuse the shuffle exchange)
+    L, R = keyed.alias("l"), keyed.alias("r")
+    # first-collision dedup: emit each pair only from the lowest table
+    # index where the two vectors share a bucket — replaces the
+    # n_tables-way union + DISTINCT shuffle; a pair whose first
+    # colliding table bucket is capped is dropped (the cap semantics)
+    first_hit = F.lit(True)
+    for t in range(n_tables - 1):
+        first_hit = first_hit & (
+            (F.col("l.tbl") <= t)
+            | (
+                F.element_at(F.col("l._bkts"), t + 1)
+                != F.element_at(F.col("r._bkts"), t + 1)
+            )
+        )
+    cand = (
+        L.hint("merge")
+        .join(
+            R.hint("merge"),
+            on=[
+                F.col("l.tbl") == F.col("r.tbl"),
+                F.col("l.bucket") == F.col("r.bucket"),
+            ],
+        )
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .filter(first_hit)
     )
-    cb2 = c.select(
-        F.col("vid").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
+    if log is not None:
+        # materialize the candidate rows once so the evidence count and
+        # the verify below share the join (GC-scoped; the production
+        # log=None path stays a single lazy plan with no extra actions)
+        cand = cand.localCheckpoint()
+        log(f"lsh_near_dup_pairs: {cand.count()} candidate pairs")
+    # verify INLINE in the joined row (replaces two corpus joins): the
+    # dot product is an explicit element_at sum — same left-to-right
+    # fold order as the zip_with/aggregate form bit for bit, but
+    # codegen-able (the HOF form is interpreted and the threshold
+    # filter, pushed into the join condition, evaluates it per
+    # candidate)
+    dot = None
+    for i in range(1, dim + 1):
+        term = F.element_at(F.col("l.v"), i) * F.element_at(F.col("r.v"), i)
+        dot = term if dot is None else dot + term
     return (
-        cands.join(ca, "a")
-        .join(cb2, "b")
-        .withColumn(
-            "cosine",
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        cand.withColumn(
+            "cosine", dot / (F.col("l.n") * F.col("r.n"))
         )
         .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+        .select(
+            F.col("l.vid").alias("a"),
+            F.col("r.vid").alias("b"),
+            "cosine",
+        )
     )
 
 
