@@ -290,18 +290,28 @@ def minhash_signatures(
     )
     sig = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("hash_id"),
-                F.array_min(
-                    F.transform(F.col("_sids"), _perm_hash_fn(a, b))
-                ).alias("min_hash"),
-            )
-            for i, (a, b) in enumerate(params)
+            F.array_min(F.transform(F.col("_sids"), _perm_hash_fn(a, b)))
+            for (a, b) in params
         ]
     )
+    # explode a LITERAL index array, never the computed signature array:
+    # Generate over an expression re-evaluates the interpreted HOF chain
+    # per OUTPUT row (num_hashes x) — with a literal generator the
+    # minima array is a child column evaluated once per doc
     return (
-        with_sids.select("doc_id", F.explode(sig).alias("_s"))
-        .select("doc_id", "_s.hash_id", "_s.min_hash")
+        with_sids.select("doc_id", sig.alias("_sig"))
+        .select(
+            "doc_id",
+            "_sig",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(len(params))])
+            ).alias("hash_id"),
+        )
+        .select(
+            "doc_id",
+            "hash_id",
+            F.element_at("_sig", F.col("hash_id") + 1).alias("min_hash"),
+        )
         .filter(F.col("min_hash").isNotNull())
     )
 
