@@ -71,14 +71,30 @@ def tokens_or_shingles(
     docs: DataFrame,
     tokens_col: str = "tokens",
     shingle_size: int = 1,
+    outer: bool = False,
 ) -> DataFrame:
     """(doc_id, tokens) -> distinct (doc_id, shingle) rows (the exploded
-    view — used where a row-per-shingle inverted join is needed)."""
-    return docs.select(
+    view — used where a row-per-shingle inverted join is needed).
+    ``outer=True`` keeps one null-shingle row for empty shingle sets
+    (explode_outer semantics).
+
+    Exploded via an index sequence + element_at, never explode(<shingle
+    expression>) directly: a Generate whose generator is the computed
+    expression gets the whole (interpreted, for n-grams) shingle chain
+    inlined, while referencing the array from BOTH the generator and
+    the upper project keeps it a child column evaluated once per doc."""
+    base = docs.select(
+        "doc_id", shingle_set_expr(tokens_col, shingle_size).alias("_ss")
+    )
+    # guard: sequence(0, -1) infers a descending step under ANSI and
+    # errors — empty arrays must produce an empty index array
+    idx = F.when(
+        F.size("_ss") > 0, F.sequence(F.lit(0), F.size("_ss") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = F.explode_outer if outer else F.explode
+    return base.select("doc_id", "_ss", ex(idx).alias("_i")).select(
         "doc_id",
-        F.explode(shingle_set_expr(tokens_col, shingle_size)).alias(
-            "shingle"
-        ),
+        F.element_at("_ss", F.col("_i") + 1).alias("shingle"),
     )
 
 
@@ -689,14 +705,21 @@ def decontaminate(
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    exploded = docs.select(
+    # index-sequence explode (see tokens_or_shingles): keeps the n-gram
+    # shingle chain a child column computed once per doc instead of
+    # inlined into the Generate
+    base = docs.select(
+        "doc_id", shingle_set_expr(tokens_col, shingle_size).alias("_ss")
+    )
+    idx = F.when(
+        F.size("_ss") > 0, F.sequence(F.lit(0), F.size("_ss") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = base.select(
+        "doc_id", "_ss", F.explode_outer(idx).alias("_i")
+    ).select(
         "doc_id",
-        F.size(shingle_set_expr(tokens_col, shingle_size))
-        .cast("long")
-        .alias("total_shingles"),
-        F.explode_outer(shingle_set_expr(tokens_col, shingle_size)).alias(
-            "shingle"
-        ),
+        F.size("_ss").cast("long").alias("total_shingles"),
+        F.element_at("_ss", F.col("_i") + 1).alias("shingle"),
     )
     counted = (
         exploded.join(ev, "shingle", "left")
