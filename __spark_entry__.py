@@ -865,6 +865,84 @@ SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cands WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
 """
 
+# gate config for winnowing substring fingerprints: small k/window so
+# the synthetic corpus yields a healthy verified-pair set
+_WINNOW_K = 4
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 2
+_TOP_NGRAMS_K = 25
+
+# winnowing replay: positional k-gram 60-bit md5 ids, window minima
+# (one whole-sequence window when a doc has fewer than W grams),
+# distinct fingerprints; candidates from the df-capped inverted join,
+# verify = distinct shared fingerprints over the FULL sets
+_SUBSTRING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+           i -> ('0x' || substr(md5(array_to_string(
+                  list_slice(toks, i::INT, (i + {_WINNOW_K} - 1)::INT),
+                  ' ')), 1, 15))::BIGINT) AS hs
+  FROM t WHERE len(toks) >= {_WINNOW_K}
+),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {_WINNOW_W} + 1, 1) + 1),
+           i -> list_aggregate(
+                  list_slice(hs, i::INT, (i + {_WINNOW_W} - 1)::INT),
+                  'min'))) AS fps
+  FROM g
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+dfc AS (SELECT fp, count(*)::BIGINT AS fdf FROM fp GROUP BY 1),
+cf AS (SELECT fp.doc_id, fp.fp FROM fp JOIN dfc USING (fp)
+       WHERE fdf <= {dd.DEFAULT_MAX_SHINGLE_DF}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM cf x JOIN cf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, len(fps)::BIGINT AS nf FROM f),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS shared_fps
+  FROM cand c
+  JOIN fp x ON x.doc_id = c.a
+  JOIN fp y ON y.doc_id = c.b AND y.fp = x.fp
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.shared_fps,
+       round(i.shared_fps / least(sa.nf, sb.nf)::DOUBLE, 4) AS overlap
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.shared_fps >= {_WINNOW_MIN_SHARED}
+"""
+
+_TOP_NGRAMS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+           i -> array_to_string(list_slice(toks, i::INT, (i + 1)::INT),
+                ' '))) AS ngram
+  FROM t
+)
+SELECT ngram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS total_count
+FROM g GROUP BY 1
+ORDER BY total_count DESC, ngram ASC
+LIMIT {_TOP_NGRAMS_K}
+"""
+
 # --- LSH oracle SQL: replay the seeded hyperplane buckets / MinHash
 # banding as literals so DuckDB reproduces candidate generation exactly
 
@@ -1690,6 +1768,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_signatures(spark, sf):
         return dd.minhash_signatures(_tokens(spark, sf), num_hashes=8)
 
+    def substring_pairs(spark, sf):
+        # winnowing fingerprints (k-gram hash window minima) + exact
+        # shared-fingerprint verify — the distributed stand-in for
+        # suffix-array exact-substring dedup; fully deterministic
+        # (60-bit md5 gram ids), so the SQL oracle replays winnowing,
+        # the inverted candidate join, and verification exactly
+        out = dd.substring_overlap_pairs(
+            _tokens(spark, sf),
+            k=_WINNOW_K,
+            window=_WINNOW_W,
+            min_shared=_WINNOW_MIN_SHARED,
+        )
+        return out.select(
+            "a", "b", "shared_fps", F.round("overlap", 4).alias("overlap")
+        )
+
+    def top_ngrams(spark, sf):
+        return ts.top_ngrams(
+            _docs(spark, sf), content_col="text", n=2, k=_TOP_NGRAMS_K
+        )
+
     def simhash_fingerprints(spark, sf):
         return dd.simhash(_tokens(spark, sf), num_bits=32)
 
@@ -1989,6 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": exact_dedup,
         "jaccard_pairs": jaccard_pairs,
         "minhash_signatures": minhash_signatures,
+        "substring_pairs": substring_pairs,
+        "top_ngrams": top_ngrams,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_fingerprints": simhash_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2065,6 +2166,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_pairs": _JACCARD_SQL,
         "minhash_signatures": _MINHASH_SQL,
+        "substring_pairs": _SUBSTRING_SQL,
+        "top_ngrams": _TOP_NGRAMS_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_SQL,

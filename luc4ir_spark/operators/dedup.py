@@ -745,6 +745,145 @@ def decontaminate(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): (doc_id, fp) rows where fp ranges
+    over the distinct window-minima of the doc's positional k-gram hash
+    sequence. Guarantee: any shared token substring of length >=
+    k + window - 1 contributes at least one IDENTICAL fingerprint to
+    both docs, so fingerprint overlap detects long verbatim substring
+    reuse — the exact-substring dedup signal of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"
+    (suffix-array substring dedup), re-expressed as a bounded per-doc
+    projection + set ops instead of a global suffix sort (which does
+    not distribute).
+
+    Construction (all one per-doc projection, zero shuffles):
+    positional (NOT distinct) k-grams g_i = tokens[i..i+k-1] joined by
+    a single space; h_i = 60-bit md5 id (the module's shingle-id
+    projection, replayable in any SQL engine); fingerprints =
+    distinct { min(h_i..h_{i+window-1}) } over every window position
+    (one whole-sequence window when the doc has fewer than ``window``
+    grams). Set semantics make the classic rightmost-tie rule
+    irrelevant — equal minima pick the same VALUE. Docs shorter than
+    ``k`` tokens emit no rows. The window minima are computed as
+    slice/array_min per position (O(n*window) per doc — fine for the
+    window sizes fingerprinting uses; an ascending-minima deque kernel
+    is the upgrade path if a corpus needs window >> 32)."""
+    col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = int(window)
+    if k < 1 or w < 1:
+        raise ValueError("k and window must be >= 1")
+    grams = F.when(
+        F.size(col) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(col) - k),
+            lambda i: F.array_join(F.slice(col, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.filter(F.size(col) >= k).select(
+        "doc_id",
+        F.transform(grams, _shingle_id_expr).alias("_hs"),
+    )
+    n_windows = F.greatest(F.size("_hs") - w + 1, F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.array_min(F.slice(F.col("_hs"), i + 1, w)),
+        )
+    )
+    fpd = base.select("doc_id", fps.alias("_fps"))
+    # index-sequence explode (see tokens_or_shingles): keep the hash
+    # chain a once-per-doc child column, never the generator expression
+    idx = F.when(
+        F.size("_fps") > 0, F.sequence(F.lit(0), F.size("_fps") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return fpd.select("doc_id", "_fps", F.explode(idx).alias("_i")).select(
+        "doc_id", F.element_at("_fps", F.col("_i") + 1).alias("fp")
+    )
+
+
+def substring_overlap_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    log=None,
+) -> DataFrame:
+    """Verbatim-substring-overlap pairs via winnowing fingerprints:
+    (a, b, shared_fps, overlap) for doc pairs sharing >= ``min_shared``
+    fingerprints, a < b, overlap = shared / min(|A|, |B|) over the full
+    fingerprint sets. The distributed stand-in for suffix-array exact
+    substring dedup: two docs sharing any verbatim token run of length
+    >= k + window - 1 share a fingerprint, and the shared-fingerprint
+    count grows with the amount of copied text.
+
+    Same candidate/verify split as ``jaccard_pairs``: candidates come
+    from the inverted fingerprint join with ``max_fp_df`` capping
+    ubiquitous fingerprints (a boilerplate sentence fingerprint in
+    every doc would square the corpus; drop count via ``log``;
+    candidate RECALL only), then every candidate is verified against
+    the FULL fingerprint sets (array_intersect of the two docs'
+    fingerprint arrays), so reported counts and ratios are exact."""
+    fps = winnow_fingerprints(docs, tokens_col, k, window)
+    if max_fp_df is None:
+        cand_fp = fps
+    else:
+        dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_fdf"))
+        if log is not None:
+            n_dropped = dfc.filter(F.col("_fdf") > max_fp_df).count()
+            log(
+                f"substring_overlap_pairs: max_fp_df={max_fp_df} dropped "
+                f"{n_dropped} fingerprints from candidate generation"
+            )
+        cand_fp = fps.join(
+            dfc.filter(F.col("_fdf") <= max_fp_df), "fp"
+        ).select("doc_id", "fp")
+    a = cand_fp.select(F.col("doc_id").alias("a"), "fp")
+    b = cand_fp.select(F.col("doc_id").alias("b"), "fp")
+    cands = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verify on the FULL fingerprint arrays (one aggregated array per
+    # doc, grouped from the exploded rows so the winnowing projection
+    # runs once)
+    arrs = fps.groupBy("doc_id").agg(F.collect_set("fp").alias("_fp"))
+    aa = arrs.select(F.col("doc_id").alias("a"), F.col("_fp").alias("_fa"))
+    ab = arrs.select(F.col("doc_id").alias("b"), F.col("_fp").alias("_fb"))
+    verified = (
+        cands.join(aa, "a")
+        .join(ab, "b")
+        .select(
+            "a",
+            "b",
+            F.size("_fa").alias("_na"),
+            F.size("_fb").alias("_nb"),
+            F.size(F.array_intersect("_fa", "_fb"))
+            .cast("long")
+            .alias("shared_fps"),
+        )
+    )
+    return (
+        verified.filter(F.col("shared_fps") >= min_shared)
+        .withColumn(
+            "overlap",
+            F.col("shared_fps")
+            / F.least(F.col("_na"), F.col("_nb")).cast("double"),
+        )
+        .select("a", "b", "shared_fps", "overlap")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "a",

@@ -483,3 +483,54 @@ def quality_filter_cols(
         "keep": reasons == "",
         "reasons": reasons,
     }
+
+
+def top_ngrams(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k positional word n-grams: (ngram, n_docs,
+    total_count) ordered by total_count desc, then ngram asc (a total
+    order, so top-k is deterministic). The corpus-level boilerplate
+    probe that pairs with the per-doc ``repetition_stats`` — ubiquitous
+    n-grams surface shared templates/boilerplate and feed stop-shingle
+    lists for the dedup df caps.
+
+    Tokens are the simple lowercase [a-z0-9]+ split (the `simple`
+    analyzer convention shared with the oracles); n-grams are
+    POSITIONAL (every occurrence counts toward total_count, each doc
+    counts once toward n_docs). Plan: per-doc gram projection exploded
+    via an index sequence, then ONE map-side-combined groupBy and a
+    TakeOrderedAndProject top-k — the only shuffle carries partial
+    (ngram, doc-partial) aggregates, and the k-row result never
+    round-trips the full vocabulary through the driver."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    c = F.col(content_col)
+    toks = F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
+    idx = F.when(
+        F.size("_g") > 0, F.sequence(F.lit(0), F.size("_g") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = base.select(
+        "doc_id", "_g", F.explode(idx).alias("_i")
+    ).select(
+        "doc_id", F.element_at("_g", F.col("_i") + 1).alias("ngram")
+    )
+    agg = exploded.groupBy("ngram").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("total_count"),
+    )
+    return agg.orderBy(
+        F.col("total_count").desc(), F.col("ngram").asc()
+    ).limit(k)

@@ -761,3 +761,115 @@ def test_chunk_documents_map_only(spark, docs_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---- winnowing substring fingerprints ----------------------------------
+
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t.split()) for i, t in rows], "doc_id long, tokens array<string>"
+    )
+
+
+def test_winnow_fingerprints_hand_computed(spark):
+    import hashlib
+
+    from luc4ir_spark.operators import dedup
+
+    toks = "a b c d e f".split()
+    df = _tok_df(spark, [(1, " ".join(toks))])
+    k, w = 2, 3
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    want = sorted(
+        {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    )
+    got = sorted(
+        r.fp
+        for r in dedup.winnow_fingerprints(df, k=k, window=w).collect()
+    )
+    assert got == want
+
+
+def test_winnow_short_docs(spark):
+    from luc4ir_spark.operators import dedup
+
+    df = _tok_df(spark, [(1, "a b"), (2, "a"), (3, "")])
+    # k=3: doc 1 (2 tokens) and shorter produce no fingerprints
+    assert dedup.winnow_fingerprints(df, k=3, window=4).count() == 0
+    # k=2, window much larger than the gram count: exactly ONE window
+    # (the whole sequence) -> one fingerprint for doc 1
+    out = dedup.winnow_fingerprints(df, k=2, window=64).collect()
+    assert [(r.doc_id,) for r in out] == [(1,)]
+
+
+def test_substring_overlap_pairs(spark):
+    from luc4ir_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = _tok_df(
+        spark,
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "zeta eta " + shared + " theta iota"),
+            (3, "completely different words everywhere nothing matches"),
+        ],
+    )
+    out = dedup.substring_overlap_pairs(
+        df, k=4, window=4, min_shared=1
+    ).collect()
+    pairs = {(r.a, r.b): r for r in out}
+    # the two docs sharing a 12-token run must share fingerprints
+    # (guarantee: any shared run >= k + window - 1 = 7 tokens)
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.shared_fps >= 1 and 0 < r.overlap <= 1.0
+    assert all(a != 3 and b != 3 for (a, b) in pairs)
+
+
+def test_substring_overlap_fp_df_cap(spark):
+    from luc4ir_spark.operators import dedup
+
+    # the same boilerplate sentence in EVERY doc: with the cap below the
+    # corpus size, its fingerprints are dropped from candidate
+    # generation and no pairs survive
+    boiler = "this document is provided as is without any warranty"
+    df = _tok_df(spark, [(i, boiler) for i in range(1, 7)])
+    logs = []
+    out = dedup.substring_overlap_pairs(
+        df, k=4, window=4, min_shared=1, max_fp_df=3,
+        log=logs.append,
+    )
+    assert out.count() == 0
+    assert "dropped" in logs[0] and "0" not in logs[0].split("dropped")[1].split()[0]
+    # without the cap the 15 identical pairs all verify at overlap 1.0
+    full = dedup.substring_overlap_pairs(
+        df, k=4, window=4, min_shared=1, max_fp_df=None
+    ).collect()
+    assert len(full) == 15 and all(r.overlap == 1.0 for r in full)
+
+
+def test_top_ngrams(spark):
+    from luc4ir_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),
+            (2, "a b x"),
+            (3, "z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.top_ngrams(
+        df, content_col="text", id_col="doc_id", n=2, k=3
+    ).collect()
+    # positional bigrams: doc 1 = [a b, b a, a b, b a] -> "a b" 2,
+    # "b a" 2; doc 2 adds "a b" 1 and "b x" 1; doc 3 has none
+    assert [(r.ngram, r.n_docs, r.total_count) for r in out] == [
+        ("a b", 2, 3),
+        ("b a", 1, 2),
+        ("b x", 1, 1),
+    ]
