@@ -943,6 +943,55 @@ ORDER BY total_count DESC, ngram ASC
 LIMIT {_TOP_NGRAMS_K}
 """
 
+# cross-corpus LSH join replay: same sig/band CTEs as the self-join
+# oracle, two parity-split sides, per-side bucket sizes, and the
+# first-colliding-band cap on BOTH sides
+_MINHASH_JOIN_SQL = f"""
+WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()},
+sig AS (
+  SELECT sh.doc_id, p.hash_id,
+         min((p.a * (ids.sid % {dd.MERSENNE_P}) + p.b)
+             % {dd.MERSENNE_P})::BIGINT AS min_hash
+  FROM sh JOIN ids USING (term) CROSS JOIN params p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         string_agg(min_hash::VARCHAR, '_' ORDER BY hash_id) AS bucket
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+ba AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+bb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+sza AS (SELECT band, bucket, count(*)::BIGINT AS bn FROM ba GROUP BY 1, 2),
+szb AS (SELECT band, bucket, count(*)::BIGINT AS bn FROM bb GROUP BY 1, 2),
+allhits AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         min(l.band) AS mband,
+         arg_min(l.bucket, l.band) AS mbucket
+  FROM ba l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT h.a, h.b FROM allhits h
+  JOIN sza ON sza.band = h.mband AND sza.bucket = h.mbucket
+  JOIN szb ON szb.band = h.mband AND szb.bucket = h.mbucket
+  WHERE sza.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE} AND szb.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+),
+dsid AS (SELECT DISTINCT sh.doc_id, ids.sid FROM sh JOIN ids USING (term)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS common
+  FROM cands c
+  JOIN dsid x ON x.doc_id = c.a
+  JOIN dsid y ON y.doc_id = c.b AND y.sid = x.sid
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {JACCARD_T}
+"""
+
 # --- LSH oracle SQL: replay the seeded hyperplane buckets / MinHash
 # banding as literals so DuckDB reproduces candidate generation exactly
 
@@ -1768,6 +1817,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_signatures(spark, sf):
         return dd.minhash_signatures(_tokens(spark, sf), num_hashes=8)
 
+    def minhash_join(spark, sf):
+        # cross-corpus fuzzy dedup: the parity split stands in for
+        # "new batch vs existing corpus"; same seeded banding on both
+        # sides, first-colliding-band cap on BOTH sides in the oracle
+        tk = _tokens(spark, sf)
+        out = dd.minhash_lsh_join(
+            tk.filter(F.col("doc_id") % 2 == 0),
+            tk.filter(F.col("doc_id") % 2 == 1),
+            num_hashes=8, band_size=2, threshold=JACCARD_T,
+        )
+        return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
     def substring_pairs(spark, sf):
         # winnowing fingerprints (k-gram hash window minima) + exact
         # shared-fingerprint verify — the distributed stand-in for
@@ -2088,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": exact_dedup,
         "jaccard_pairs": jaccard_pairs,
         "minhash_signatures": minhash_signatures,
+        "minhash_join": minhash_join,
         "substring_pairs": substring_pairs,
         "top_ngrams": top_ngrams,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -2166,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_pairs": _JACCARD_SQL,
         "minhash_signatures": _MINHASH_SQL,
+        "minhash_join": _MINHASH_JOIN_SQL,
         "substring_pairs": _SUBSTRING_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

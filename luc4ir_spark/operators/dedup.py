@@ -332,6 +332,99 @@ def minhash_signatures(
     )
 
 
+def _band_keyed(
+    docs: DataFrame,
+    tokens_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_size: int,
+) -> tuple[DataFrame, int]:
+    """Shared banding projection for the LSH pair/join operators:
+    (doc_id, _sids, _bands, band, bucket) rows, one per (doc, band),
+    already repartitioned on the (band, bucket) join key. Returns
+    (keyed, n_bands).
+
+    All per-doc work is ONE projection: shingle ids, the num_hashes
+    permutation minima, and the concat_ws band buckets. The band index
+    is exploded from a LITERAL array, never the computed one — Generate
+    over an expression forces the whole interpreted HOF chain
+    (transform/array_min are CodegenFallback) to re-evaluate per OUTPUT
+    row, measured 6x slower; with a literal generator the band array is
+    a child column evaluated once per doc. The explicit repartition is
+    the operator's one shuffle: it co-partitions the bucket equi-join
+    and shares the signature materialization between the cap window and
+    the join sides. The empty-shingle filter tests the RAW token column
+    (size < shingle_size <=> empty shingle set) — a pushed-down filter
+    on a computed column would inline and re-evaluate the md5 chain."""
+    params = MINHASH_PARAMS[:num_hashes]
+    if num_hashes > len(MINHASH_PARAMS):
+        raise ValueError(f"at most {len(MINHASH_PARAMS)} hashes supported")
+    col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    shset = shingle_set_expr(tokens_col, shingle_size)
+    base = docs.filter(F.size(col) >= max(shingle_size, 1)).select(
+        "doc_id", shset.alias("_ss")
+    )
+    with_sids = base.select(
+        "doc_id",
+        "_ss",
+        F.transform("_ss", _shingle_id_expr).alias("_sids"),
+    )
+    mins = [
+        F.array_min(F.transform(F.col("_sids"), _perm_hash_fn(a, b)))
+        for (a, b) in params
+    ]
+    n_bands = -(-num_hashes // band_size)
+    bands_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    m.cast("string")
+                    for m in mins[j * band_size : (j + 1) * band_size]
+                ],
+            )
+            for j in range(n_bands)
+        ]
+    )
+    keyed = (
+        with_sids.select("doc_id", "_sids", bands_arr.alias("_bands"))
+        .select(
+            "doc_id",
+            "_sids",
+            "_bands",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(n_bands)])
+            ).alias("band"),
+        )
+        .withColumn("bucket", F.element_at("_bands", F.col("band") + 1))
+        .repartition("band", "bucket")
+    )
+    return keyed, n_bands
+
+
+def _windowed_bucket_cap(
+    keyed: DataFrame, max_bucket_size: int, log, label: str
+) -> DataFrame:
+    """Apply the per-(band, bucket) size cap as a WINDOW over the
+    already-repartitioned relation (a groupBy+join subtree gets
+    column-pruned below its own exchange, the exchanges stop being
+    identical, and the signature pipeline recomputes per consumer)."""
+    wb = Window.partitionBy("band", "bucket")
+    capped = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
+    if log is not None:
+        n_dropped = (
+            capped.filter(F.col("_bn") > max_bucket_size)
+            .select("band", "bucket")
+            .distinct()
+            .count()
+        )
+        log(
+            f"{label}: max_bucket_size={max_bucket_size} "
+            f"dropped {n_dropped} band buckets from candidate generation"
+        )
+    return capped.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     tokens_col: str = "tokens",
@@ -392,81 +485,13 @@ def minhash_lsh_pairs(
     candidate+verify tail 2.6x). Bucket strings are identical to
     grouping exploded signature rows by (doc_id, band) in hash_id
     order, which is what the SQL oracle replays."""
-    params = MINHASH_PARAMS[:num_hashes]
-    if num_hashes > len(MINHASH_PARAMS):
-        raise ValueError(f"at most {len(MINHASH_PARAMS)} hashes supported")
-    col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    shset = shingle_set_expr(tokens_col, shingle_size)
-    # empty-shingle docs produce no rows; test on the RAW token column
-    # (size < shingle_size <=> empty shingle set), never on the computed
-    # shingle/sid arrays — a pushed-down filter on a computed column
-    # inlines (and re-evaluates) the whole interpreted md5 chain
-    base = docs.filter(F.size(col) >= max(shingle_size, 1)).select(
-        "doc_id", shset.alias("_ss")
-    )
-    with_sids = base.select(
-        "doc_id",
-        "_ss",
-        F.transform("_ss", _shingle_id_expr).alias("_sids"),
-    )
-    mins = [
-        F.array_min(F.transform(F.col("_sids"), _perm_hash_fn(a, b)))
-        for (a, b) in params
-    ]
-    n_bands = -(-num_hashes // band_size)
-    bands_arr = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[
-                    m.cast("string")
-                    for m in mins[j * band_size : (j + 1) * band_size]
-                ],
-            )
-            for j in range(n_bands)
-        ]
-    )
-    keyed = (
-        with_sids.select("doc_id", "_sids", bands_arr.alias("_bands"))
-        # explode a LITERAL index array, never the computed one: Generate
-        # over an expression forces the whole interpreted HOF chain
-        # (transform/array_min are CodegenFallback) to re-evaluate per
-        # OUTPUT row — measured 6x slower; with a literal generator the
-        # band array is a child column evaluated once per doc
-        .select(
-            "doc_id",
-            "_sids",
-            "_bands",
-            F.explode(
-                F.array(*[F.lit(j) for j in range(n_bands)])
-            ).alias("band"),
-        )
-        .withColumn("bucket", F.element_at("_bands", F.col("band") + 1))
-        # the ONE shuffle: co-partitions the equi-join and lets
-        # ReuseExchange feed the bucket count and both self-join sides
-        # from a single materialization of the signature projection
-        .repartition("band", "bucket")
+    keyed, n_bands = _band_keyed(
+        docs, tokens_col, num_hashes, band_size, shingle_size
     )
     if max_bucket_size is not None:
-        # bucket size via a WINDOW over the already-repartitioned
-        # relation, not a groupBy+join: a separate aggregation subtree
-        # gets column-pruned below its own exchange, the exchanges stop
-        # being identical, ReuseExchange never fires, and the whole
-        # signature pipeline is recomputed per consumer (measured 3x)
-        wb = Window.partitionBy("band", "bucket")
-        keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        if log is not None:
-            n_dropped = (
-                keyed.filter(F.col("_bn") > max_bucket_size)
-                .select("band", "bucket")
-                .distinct()
-                .count()
-            )
-            log(
-                f"minhash_lsh_pairs: max_bucket_size={max_bucket_size} "
-                f"dropped {n_dropped} band buckets from candidate generation"
-            )
-        keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+        keyed = _windowed_bucket_cap(
+            keyed, max_bucket_size, log, "minhash_lsh_pairs"
+        )
     # ALIAS self-join over the one keyed relation (not two re-derived
     # projections): the two sides stay plan-identical, so the shuffle
     # stage is shared at runtime instead of the signature pipeline
@@ -507,6 +532,92 @@ def minhash_lsh_pairs(
         # project boundary: common/sa/sb become plain attributes, so the
         # jaccard expression above references the intersect result
         # instead of re-evaluating it per consumer expression
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            sa.alias("_na"),
+            sb.alias("_nb"),
+            F.size(F.array_intersect(F.col("l._sids"), F.col("r._sids")))
+            .cast("long")
+            .alias("common"),
+        )
+    )
+    return (
+        verified.withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("_na") + F.col("_nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_join(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    tokens_col: str = "tokens",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_size: int = 1,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    log=None,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup join: (a, b, jaccard) with a
+    from ``docs_a``, b from ``docs_b``, exact jaccard >= threshold —
+    the "dedup the new crawl batch against the existing corpus" /
+    fuzzy-decontamination operator. Same machinery as
+    ``minhash_lsh_pairs`` (one banding projection per side, the same
+    seeded permutation literals so both sides bucket identically, a
+    co-partitioned (band, bucket) equi-join, first-collision band
+    dedup, size-ratio prune, inline 60-bit shingle-id intersect) but
+    across two relations, so there is no a < b constraint and a doc
+    can match on both sides.
+
+    ``max_bucket_size`` caps each side's (band, bucket) membership
+    independently; a pair survives iff, in its FIRST colliding band,
+    BOTH sides' buckets are within the cap (a degenerate duplicate
+    class floods the same band bucket on whichever side carries it).
+    Docs identical across the two inputs report jaccard 1.0 —
+    compose with ``exact_duplicates`` over the union (or an anti-join
+    on digest) first when byte-identical re-crawls dominate."""
+    keyed_a, n_bands = _band_keyed(
+        docs_a, tokens_col, num_hashes, band_size, shingle_size
+    )
+    keyed_b, _ = _band_keyed(
+        docs_b, tokens_col, num_hashes, band_size, shingle_size
+    )
+    if max_bucket_size is not None:
+        keyed_a = _windowed_bucket_cap(
+            keyed_a, max_bucket_size, log, "minhash_lsh_join[a]"
+        )
+        keyed_b = _windowed_bucket_cap(
+            keyed_b, max_bucket_size, log, "minhash_lsh_join[b]"
+        )
+    L, R = keyed_a.alias("l"), keyed_b.alias("r")
+    first_hit = F.lit(True)
+    for i in range(n_bands - 1):
+        first_hit = first_hit & (
+            (F.col("l.band") <= i)
+            | (
+                F.element_at(F.col("l._bands"), i + 1)
+                != F.element_at(F.col("r._bands"), i + 1)
+            )
+        )
+    sa, sb = F.size(F.col("l._sids")), F.size(F.col("r._sids"))
+    verified = (
+        L.hint("merge")
+        .join(
+            R.hint("merge"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+            ],
+        )
+        .filter(first_hit)
+        .filter(sb.cast("double") >= F.lit(threshold) * sa)
+        .filter(sa.cast("double") >= F.lit(threshold) * sb)
         .select(
             F.col("l.doc_id").alias("a"),
             F.col("r.doc_id").alias("b"),

@@ -873,3 +873,35 @@ def test_top_ngrams(spark):
         ("b a", 1, 2),
         ("b x", 1, 1),
     ]
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from luc4ir_spark.operators import dedup
+
+    base = "spark catalyst optimizer rewrites the logical plan "
+    rows_a = [(2 * i, base + f"variant {i}") for i in range(20)]
+    rows_b = [(2 * i + 1, base + f"variant {i}") for i in range(20)]
+    rows_b.append((999, "totally unrelated content about nothing"))
+    df = spark.createDataFrame(
+        rows_a + rows_b, "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "").alias(
+            "tokens"
+        ),
+    )
+    A = df.filter(F.col("doc_id") % 2 == 0)
+    B = df.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.minhash_lsh_join(A, B, threshold=0.5).collect()
+    assert all(r.a % 2 == 0 and r.b % 2 == 1 for r in out)
+    assert all(r.b != 999 for r in out)
+    # the twin docs (same variant i) share 8 of 9 distinct tokens
+    twins = {(r.a, r.b) for r in out}
+    assert all((2 * i, 2 * i + 1) in twins for i in range(20))
+    # identity vs the self-join operator: join(A, A) = self matches
+    # (jaccard 1.0) + both orientations of every pairs(A) row
+    n_pairs = dedup.minhash_lsh_pairs(A, threshold=0.5).count()
+    n_join = dedup.minhash_lsh_join(A, A, threshold=0.5).count()
+    assert n_join == 2 * n_pairs + A.count()
