@@ -992,6 +992,24 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {JACCARD_T}
 """
 
+_VOCAB_COVERAGE_SQL = f"""
+WITH {_TOKS},
+counts AS (
+  SELECT term, count(*)::BIGINT AS count FROM toks GROUP BY 1
+),
+r AS (
+  SELECT term, count,
+         row_number() OVER (ORDER BY count DESC, term ASC)::BIGINT AS rank,
+         sum(count) OVER (ORDER BY count DESC, term ASC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS prefix,
+         sum(count) OVER ()::BIGINT AS total
+  FROM counts
+)
+SELECT rank, term, count,
+       round(prefix / total::DOUBLE, 4) AS cum_share
+FROM r WHERE (prefix - count)::DOUBLE < 0.9 * total::DOUBLE
+"""
+
 # --- LSH oracle SQL: replay the seeded hyperplane buckets / MinHash
 # banding as literals so DuckDB reproduces candidate generation exactly
 
@@ -1845,6 +1863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b", "shared_fps", F.round("overlap", 4).alias("overlap")
         )
 
+    def vocab_coverage(spark, sf):
+        return ts.vocab_coverage(
+            _docs(spark, sf), content_col="text", coverage=0.9
+        )
+
     def top_ngrams(spark, sf):
         return ts.top_ngrams(
             _docs(spark, sf), content_col="text", n=2, k=_TOP_NGRAMS_K
@@ -2152,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_join": minhash_join,
         "substring_pairs": substring_pairs,
         "top_ngrams": top_ngrams,
+        "vocab_coverage": vocab_coverage,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_fingerprints": simhash_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2231,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_join": _MINHASH_JOIN_SQL,
         "substring_pairs": _SUBSTRING_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
+        "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_SQL,

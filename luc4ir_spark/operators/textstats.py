@@ -9,7 +9,7 @@ statistics a training-data pipeline filters on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.analysis import simple_tokens
@@ -534,3 +534,69 @@ def top_ngrams(
     return agg.orderBy(
         F.col("total_count").desc(), F.col("ngram").asc()
     ).limit(k)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    content_col: str = "content",
+    coverage: float = 0.95,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ordered vocabulary with cumulative-coverage cutoff:
+    the smallest prefix of the count-desc (term asc on ties) token
+    vocabulary whose summed counts reach ``coverage`` of the total
+    token mass — the vocab-building step before tokenizer training /
+    OOV analysis. Emits (rank, term, count, cum_share) for the kept
+    prefix; ``min_count`` additionally drops hapax-style noise BEFORE
+    coverage is computed (shares are over the filtered mass, matching
+    tokenizer-training convention).
+
+    Plan: one map-side-combined groupBy over the token explode, then a
+    window cumsum over the count-ordered vocabulary. The window is a
+    single global sort of the VOCABULARY relation (not the corpus) —
+    distinct terms, Zipf-bounded, orders of magnitude smaller than the
+    token stream; the corpus itself is touched by exactly one shuffle
+    of partial (term, count) aggregates."""
+    if not 0 < coverage <= 1:
+        raise ValueError("coverage must be in (0, 1]")
+    c = F.col(content_col)
+    toks = F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
+    base = docs.select(toks.alias("_t"))
+    idx = F.when(
+        F.size("_t") > 0, F.sequence(F.lit(0), F.size("_t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = base.select("_t", F.explode(idx).alias("_i")).select(
+        F.element_at("_t", F.col("_i") + 1).alias("term")
+    )
+    counts = (
+        exploded.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    total = Window.partitionBy()
+    order = Window.partitionBy().orderBy(
+        F.col("count").desc(), F.col("term").asc()
+    )
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select(
+        "term",
+        "count",
+        F.row_number().over(order).cast("long").alias("rank"),
+        F.sum("count").over(w).cast("long").alias("_prefix"),
+        F.sum("count").over(total).cast("long").alias("_total"),
+    )
+    # keep every term up to and INCLUDING the first row reaching the
+    # coverage target: rows whose PREVIOUS prefix mass was still below
+    # it. Integer-domain comparison (prefix - count < coverage * total)
+    # so the cutoff is replayable bit-for-bit in any SQL engine.
+    return ranked.filter(
+        (F.col("_prefix") - F.col("count")).cast("double")
+        < F.lit(float(coverage)) * F.col("_total").cast("double")
+    ).select(
+        "rank",
+        "term",
+        "count",
+        F.round(
+            F.col("_prefix") / F.col("_total").cast("double"), 4
+        ).alias("cum_share"),
+    )

@@ -905,3 +905,29 @@ def test_minhash_lsh_join_cross_corpus(spark):
     n_pairs = dedup.minhash_lsh_pairs(A, threshold=0.5).count()
     n_join = dedup.minhash_lsh_join(A, A, threshold=0.5).count()
     assert n_join == 2 * n_pairs + A.count()
+
+
+def test_vocab_coverage(spark):
+    from luc4ir_spark.operators import textstats
+
+    # counts: a=5, b=3, c=1, d=1 (total 10)
+    df = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "a a b c d")], "doc_id long, text string"
+    )
+    out = textstats.vocab_coverage(
+        df, content_col="text", coverage=0.8
+    ).collect()
+    # prefix masses: a=5 (0.5 < 0.8 -> keep), b=8 (prev 5 < 8 -> keep),
+    # c=9 (prev 8 == 0.8*10 -> STOP, prev not < target)
+    assert [(r.rank, r.term, r["count"], r.cum_share) for r in out] == [
+        (1, "a", 5, 0.5),
+        (2, "b", 3, 0.8),
+    ]
+    # min_count drops the tail BEFORE shares are computed (mass 8)
+    out2 = textstats.vocab_coverage(
+        df, content_col="text", coverage=1.0, min_count=2
+    ).collect()
+    assert [(r.term, r["count"], r.cum_share) for r in out2] == [
+        ("a", 5, 0.625),
+        ("b", 3, 1.0),
+    ]
