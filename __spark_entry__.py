@@ -851,15 +851,23 @@ chunks AS (
 ),
 bsz AS (SELECT chunk, chunk_val, count(*)::BIGINT AS bn
         FROM chunks GROUP BY 1, 2),
-kept AS (SELECT ch.doc_id, ch.simhash, ch.chunk, ch.chunk_val
-         FROM chunks ch JOIN bsz USING (chunk, chunk_val)
-         WHERE bsz.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE}),
-cands AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-         l.simhash AS ha, r.simhash AS hb
-  FROM kept l JOIN kept r
+-- first-collision semantics (mirrors the engine): each pair is
+-- considered once, in its minimal matching chunk, and survives iff
+-- THAT chunk's bucket is within the cap
+allhits AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS ha, r.simhash AS hb,
+         min(l.chunk) AS mchunk,
+         arg_min(l.chunk_val, l.chunk) AS mval
+  FROM chunks l JOIN chunks r
     ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
    AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+cands AS (
+  SELECT h.a, h.b, h.ha, h.hb FROM allhits h
+  JOIN bsz s ON s.chunk = h.mchunk AND s.chunk_val = h.mval
+  WHERE s.bn <= {dd.DEFAULT_MAX_BUCKET_SIZE}
 )
 SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cands WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
@@ -1097,14 +1105,17 @@ def _ann_lsh_sql() -> str:
     c_keys = ", ".join(f"{cb} AS ck{t}" for t, (cb, _) in enumerate(buckets))
     q_keys = ", ".join(f"{qb} AS qk{t}" for t, (_, qb) in enumerate(buckets))
     # corpus-side bucket sizes per table (the max_bucket_size cap the
-    # engine applies before the bucket join — recall-only, modeled here)
+    # engine applies before the bucket join — recall-only, modeled here
+    # with the family-wide FIRST-collision semantics: a pair counts at
+    # its minimal matching table and survives iff THAT table's corpus
+    # bucket is within the cap)
     c_sizes = ", ".join(
         f"count(*) OVER (PARTITION BY ck{t}) AS bn{t}"
         for t in range(len(buckets))
     )
-    cand_union = " UNION ".join(
-        f"SELECT q.query_id, c.vec_id FROM bc c JOIN bq q"
-        f" ON c.ck{t} = q.qk{t} AND c.bn{t} <= {DEFAULT_MAX_BUCKET_SIZE}"
+    hit_union = " UNION ALL ".join(
+        f"SELECT q.query_id, c.vec_id, {t} AS tbl, c.bn{t} AS bn"
+        f" FROM bc c JOIN bq q ON c.ck{t} = q.qk{t}"
         for t in range(len(buckets))
     )
     return f"""
@@ -1114,7 +1125,10 @@ c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
 bc0 AS (SELECT vec_id, cv, {c_keys} FROM c),
 bc AS (SELECT *, {c_sizes} FROM bc0),
 bq AS (SELECT query_id, qv, {q_keys} FROM q),
-cand AS (SELECT DISTINCT query_id, vec_id FROM ({cand_union})),
+allh AS (SELECT query_id, vec_id, arg_min(bn, tbl) AS first_bn
+         FROM ({hit_union}) GROUP BY 1, 2),
+cand AS (SELECT query_id, vec_id FROM allh
+         WHERE first_bn <= {DEFAULT_MAX_BUCKET_SIZE}),
 s AS (
   SELECT cand.query_id, cand.vec_id,
          list_dot_product(c.cv, q.qv)

@@ -488,7 +488,19 @@ def lsh_cosine_topk(
     ``max_bucket_size`` (ON by default) drops oversized CORPUS-side
     buckets per table from candidate generation (a degenerate
     duplicate-vector class would otherwise fan every matching query out
-    to the whole class) — recall-only effect, logged via ``log``."""
+    to the whole class) — recall-only effect, logged via ``log``; each
+    (query, vector) pair is considered exactly once, in its FIRST
+    matching table, and is dropped when that table's corpus bucket is
+    oversized (the uniform cap semantics of the LSH operator family).
+
+    Plan shape — the corpus is NEVER shuffled: all tables' bucket keys
+    come from ONE corpus scan (bucket array + literal table-index
+    explode, map-side), the cap joins back a tiny aggregated
+    (table, bucket, count) relation, queries broadcast with their own
+    bucket arrays, first-collision table dedup is an inline element_at
+    conjunction over the two bucket arrays (replacing the
+    dropDuplicates shuffle of candidate+vector payloads), and the only
+    shuffle of candidate rows is the final per-query top-k window."""
     c = with_norm(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col
     ).select("vec_id", F.col("_vd").alias("cv"), F.col("norm").alias("cn"))
@@ -499,49 +511,71 @@ def lsh_cosine_topk(
         n_planes = derive_n_planes(c.count())
         if log is not None:
             log(f"lsh_cosine_topk: derived n_planes={n_planes}")
-
-    cand_parts = []
-    dropped_parts = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed + 1000 * t)
-        cb = c.withColumn("bucket", _bucket_expr("cv", planes)).withColumn(
-            "table", F.lit(t)
+    tables = [_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    ckeyed = (
+        c.select(
+            "vec_id",
+            "cv",
+            "cn",
+            F.array(*[_bucket_expr("cv", p) for p in tables]).alias("_cb"),
         )
-        if max_bucket_size is not None:
-            bsz = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-            if log is not None:
-                # summed across tables in ONE job after the loop
-                dropped_parts.append(
-                    bsz.filter(F.col("_bn") > max_bucket_size).select(
-                        F.lit(t).alias("t")
-                    )
-                )
-            cb = cb.join(
-                bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
-            ).select("vec_id", "cv", "cn", "bucket", "table")
-        qb = q.withColumn("bucket", _bucket_expr("qv", planes)).withColumn(
-            "table", F.lit(t)
+        .select(
+            "vec_id",
+            "cv",
+            "cn",
+            "_cb",
+            F.explode(
+                F.array(*[F.lit(t) for t in range(n_tables)])
+            ).alias("table"),
         )
-        cand_parts.append(
-            cb.join(F.broadcast(qb), ["table", "bucket"]).select(
-                "query_id", "vec_id", "cv", "cn", "qv", "qn"
+        .withColumn("bucket", F.element_at("_cb", F.col("table") + 1))
+    )
+    if max_bucket_size is not None:
+        bsz = ckeyed.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        if log is not None:
+            n_dropped = bsz.filter(F.col("_bn") > max_bucket_size).count()
+            log(
+                f"lsh_cosine_topk: max_bucket_size={max_bucket_size} dropped "
+                f"{n_dropped} corpus buckets across {n_tables} tables"
             )
+        # the aggregated relation is tiny (distinct buckets) — AQE
+        # broadcasts it back; the corpus side stays un-shuffled
+        ckeyed = ckeyed.join(
+            bsz.filter(F.col("_bn") <= max_bucket_size), ["table", "bucket"]
+        ).select("vec_id", "cv", "cn", "_cb", "table", "bucket")
+    qkeyed = (
+        q.select(
+            "query_id",
+            "qv",
+            "qn",
+            F.array(*[_bucket_expr("qv", p) for p in tables]).alias("_qb"),
         )
-    if log is not None and max_bucket_size is not None:
-        n_dropped_total = 0
-        if dropped_parts:
-            nd = dropped_parts[0]
-            for part in dropped_parts[1:]:
-                nd = nd.unionByName(part)
-            n_dropped_total = nd.count()
-        log(
-            f"lsh_cosine_topk: max_bucket_size={max_bucket_size} dropped "
-            f"{n_dropped_total} corpus buckets across {n_tables} tables"
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "_qb",
+            F.explode(
+                F.array(*[F.lit(t) for t in range(n_tables)])
+            ).alias("table"),
         )
-    cands = cand_parts[0]
-    for part in cand_parts[1:]:
-        cands = cands.unionByName(part)
-    cands = cands.dropDuplicates(["query_id", "vec_id"])
+        .withColumn("bucket", F.element_at("_qb", F.col("table") + 1))
+    )
+    # first-collision table dedup: emit the (query, vector) candidate
+    # only from the lowest table where the bucket keys agree
+    first_hit = F.lit(True)
+    for t in range(n_tables - 1):
+        first_hit = first_hit & (
+            (F.col("table") <= t)
+            | (F.element_at("_cb", t + 1) != F.element_at("_qb", t + 1))
+        )
+    cands = (
+        ckeyed.join(F.broadcast(qkeyed), ["table", "bucket"])
+        .filter(first_hit)
+        .select("query_id", "vec_id", "cv", "cn", "qv", "qn")
+    )
     scored = cands.withColumn(
         "cosine",
         _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),

@@ -730,53 +730,89 @@ def simhash_pairs(
     32-bit (n / 256)^2. ``max_bucket_size`` (ON by default) drops
     pathological buckets — a chunk value shared by half the corpus
     (e.g. a boilerplate prefix forcing a constant chunk) — from
-    CANDIDATE generation only; reported pairs are always verified
-    exact. ``log``: optional callable reporting how many buckets the
-    cap dropped — never silently truncate coverage."""
+    CANDIDATE generation; each pair is considered exactly once, in its
+    FIRST matching chunk (a conjunction of inline chunk-extract
+    comparisons over the two fingerprints — no candidate DISTINCT
+    shuffle), so a pair whose first matching chunk bucket is oversized
+    is dropped. Reported pairs are always verified exact
+    (bit_count(xor)). ``log``: optional callable reporting how many
+    buckets the cap dropped — never silently truncate coverage.
+
+    Plan shape (same as minhash_lsh_pairs): one explicit
+    repartition(chunk, chunk_val) feeds a window bucket-size count and
+    an ALIAS self-join, so the simhash fingerprint projection (the
+    num_bits filter-count HOF chain) materializes once instead of per
+    consumer."""
     n_chunks = max_hamming + 1
     chunk_bits = max(1, num_bits // n_chunks)
     mask = (1 << chunk_bits) - 1
-    chunks = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
-    ).withColumn(
-        # arithmetic shift then low-bit mask == logical shift extract
-        # (identical in DuckDB, whose >> is also arithmetic)
-        "chunk_val",
-        F.expr(f"shiftright(simhash, chunk * {chunk_bits}) & {mask}"),
+    keyed = (
+        sim.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1))
+            ).alias("chunk"),
+        )
+        .withColumn(
+            # arithmetic shift then low-bit mask == logical shift
+            # extract (identical in DuckDB, whose >> is also arithmetic)
+            "chunk_val",
+            F.expr(f"shiftright(simhash, chunk * {chunk_bits}) & {mask}"),
+        )
+        .repartition("chunk", "chunk_val")
     )
     if max_bucket_size is not None:
-        bsz = chunks.groupBy("chunk", "chunk_val").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
+        wb = Window.partitionBy("chunk", "chunk_val")
+        keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
         if log is not None:
-            n_dropped = bsz.filter(F.col("_bn") > max_bucket_size).count()
+            n_dropped = (
+                keyed.filter(F.col("_bn") > max_bucket_size)
+                .select("chunk", "chunk_val")
+                .distinct()
+                .count()
+            )
             log(
                 f"simhash_pairs: max_bucket_size={max_bucket_size} dropped "
                 f"{n_dropped} pigeonhole buckets from candidate generation"
             )
-        chunks = chunks.join(
-            bsz.filter(F.col("_bn") <= max_bucket_size),
-            ["chunk", "chunk_val"],
-        ).select("doc_id", "simhash", "chunk", "chunk_val")
-    l = chunks.select(
-        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
-        "chunk", "chunk_val",
+        keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    L, R = keyed.alias("l"), keyed.alias("r")
+    # first-collision dedup: emit the pair only from the lowest chunk
+    # index where the two fingerprints agree — the earlier chunk values
+    # are re-extracted inline from the carried fingerprints, so no
+    # arrays and no DISTINCT are needed
+    first_hit = F.lit(True)
+    for i in range(n_chunks - 1):
+        first_hit = first_hit & (
+            (F.col("l.chunk") <= i)
+            | (
+                F.expr(f"shiftright(l.simhash, {i * chunk_bits}) & {mask}")
+                != F.expr(f"shiftright(r.simhash, {i * chunk_bits}) & {mask}")
+            )
+        )
+    return (
+        L.hint("merge")
+        .join(
+            R.hint("merge"),
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.chunk_val") == F.col("r.chunk_val"),
+            ],
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(first_hit)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            "hamming",
+        )
     )
-    r = chunks.select(
-        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
-        "chunk", "chunk_val",
-    )
-    cands = (
-        l.join(r, ["chunk", "chunk_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
-        .distinct()
-    )
-    return cands.withColumn(
-        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
 
 
 def decontaminate(
