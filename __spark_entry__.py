@@ -418,11 +418,16 @@ cands AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM csh x JOIN csh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
 ),
+-- verification over the 60-bit hashed shingle-id sets (what the
+-- engine's array_intersect runs on); sizes stay shingle counts
+dsid AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sid
+         FROM sh),
 inter AS (
   SELECT c.a, c.b, count(*)::BIGINT AS common
   FROM cands c
-  JOIN sh x ON x.doc_id = c.a
-  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  JOIN dsid x ON x.doc_id = c.a
+  JOIN dsid y ON y.doc_id = c.b AND y.sid = x.sid
   GROUP BY 1, 2
 )
 SELECT i.a, i.b,

@@ -109,9 +109,15 @@ def _verify_pairs_exact(
     against the FULL shingle sets via a JVM array_intersect — each
     candidate is one JVM row op over the two docs' bounded
     shingle arrays, replacing the explode ⋈ explode ⋈ groupBy plan
-    (measured 4x faster at the bench; one shuffle fewer)."""
+    (measured 4x faster at the bench; one shuffle fewer). The
+    intersect runs over the 60-bit hashed shingle-id arrays, not the
+    strings: long intersects are several times cheaper, and filter
+    pushdown inlines the threshold predicate into the second join's
+    condition where it is evaluated per candidate (the module
+    docstring's collision note bounds the 60-bit caveat)."""
+    shset = shingle_set_expr(tokens_col, shingle_size)
     arrs = docs.select(
-        "doc_id", shingle_set_expr(tokens_col, shingle_size).alias("_ss")
+        "doc_id", F.transform(shset, _shingle_id_expr).alias("_ss")
     )
     aa = arrs.select(F.col("doc_id").alias("a"), F.col("_ss").alias("_sa"))
     ab = arrs.select(F.col("doc_id").alias("b"), F.col("_ss").alias("_sb"))
