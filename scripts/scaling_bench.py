@@ -18,6 +18,10 @@ Workloads (north-rule corpus, (repo,path,commit,lang,content) shape):
             stage): Arrow kernel, no shuffle
   build     full index build (extract + term shuffle + stats)
   query     50 BM25 queries x k=1000 over the built index
+  wand      same queries through the block-max WAND kernel path
+  dedup     MinHash-LSH near-dup pass (16 hashes / 2 bands, 5%
+            injected near-dup fraction) — the round-4 single-shuffle
+            plan shape
 
 Each (workload, cpus) measurement runs in its own subprocess (one
 SparkSession per JVM), repeated --reps times; medians are reported.
@@ -126,7 +130,7 @@ def stage_metrics(spark, since_ms: int) -> list[dict]:
     return sorted(out, key=lambda s: -s["executor_run_ms"])[:8]
 
 
-ALL_WORKLOADS = ("extract", "build", "query", "wand")
+ALL_WORKLOADS = ("extract", "build", "query", "wand", "dedup")
 
 
 def run_child(
@@ -208,6 +212,46 @@ def run_child(
         res["query_sec"] = round(time.time() - t0, 3)
         if profile:
             prof["query_stages"] = stage_metrics(spark, int(t0 * 1000))
+
+    if "dedup" in workloads:
+        # MinHash-LSH near-dup pass over the same corpus: signature
+        # projection + ONE repartition shuffle + alias self-join +
+        # inline verify (the round-4 single-shuffle plan shape). A 5%
+        # injected near-dup fraction (copy + one extra token => jaccard
+        # n/(n+1) >= 0.95 for docs with >= 19 distinct tokens) keeps the
+        # TRUE-pair count linear in n_docs so the timing measures the
+        # operator, not a quadratic pair-emit.
+        from luc4ir_spark.operators import dedup as dd
+
+        tok = F.array_remove(
+            F.split(F.lower(F.col("content")), r"[^a-z0-9_']+"), ""
+        )
+        base_tok = docs.select("doc_id", tok.alias("tokens"))
+        dup_tok = (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            .select(
+                (-F.col("doc_id")).alias("doc_id"),
+                F.concat(tok, F.array(F.lit("neardupmarker"))).alias(
+                    "tokens"
+                ),
+            )
+        )
+        corpus_tok = base_tok.unionByName(dup_tok)
+
+        def _dedup_pass():
+            return dd.minhash_lsh_pairs(
+                corpus_tok, num_hashes=16, band_size=8, threshold=0.95
+            ).count()
+
+        dd.minhash_lsh_pairs(
+            base_tok.limit(2000), num_hashes=16, band_size=8,
+            threshold=0.95,
+        ).count()  # warm
+        t0 = time.time()
+        res["n_dedup_pairs"] = _dedup_pass()
+        res["dedup_sec"] = round(time.time() - t0, 3)
+        if profile:
+            prof["dedup_stages"] = stage_metrics(spark, int(t0 * 1000))
 
     if "wand" in workloads:
         # pruned query path: block-max WAND kernels over pre-built
