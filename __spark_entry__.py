@@ -785,6 +785,29 @@ SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
 FROM reach GROUP BY 1
 """
 
+# deduplicated-corpus materialization: the same component fixpoint,
+# then keep min-doc_id representatives + untouched singletons
+# (replays dedup.dedup_corpus = docs LEFT ANTI JOIN non-representative
+# cluster members)
+_DEDUP_CORPUS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {_JACCARD_SQL}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS label FROM sym
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN sym e ON e.a = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN
+  (SELECT doc_id FROM clusters WHERE cluster_id < doc_id)
+"""
+
 _MINHASH_SQL = f"""
 WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()}
 SELECT sh.doc_id, p.hash_id,
@@ -1750,6 +1773,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
         return dd.duplicate_clusters(pairs)
 
+    def dedup_corpus(spark, sf):
+        # the deduplicated-corpus end artifact: min-doc_id
+        # representative per near-dup component + untouched singletons
+        pairs = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
+        kept = dd.dedup_corpus(_docs(spark, sf), pairs)
+        return kept.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
     def decontaminate(spark, sf):
         # eval-set decontamination (GPT-3/PaLM-style trigram overlap):
         # eval corpus = every 19th doc; the train side is never shuffled
@@ -2181,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_bigram_pairs": jaccard_bigram_pairs,
         "decontaminate": decontaminate,
         "dup_clusters": dup_clusters,
+        "dedup_corpus": dedup_corpus,
         "kl_rerank": kl_rerank,
         "expand_query_terms": expand_query_terms,
         "feedback_rerank_run": feedback_rerank_run,
@@ -2255,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_bigram_pairs": _JACCARD_BIGRAM_SQL,
         "decontaminate": _DECONTAM_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
+        "dedup_corpus": _DEDUP_CORPUS_SQL,
         "kl_rerank": _KL_SQL,
         "expand_query_terms": _EXPAND_SQL,
         "feedback_rerank_run": _FDBK_RERANK_SQL,

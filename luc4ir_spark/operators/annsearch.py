@@ -228,6 +228,15 @@ def lsh_near_dup_pairs(
         .withColumn("bucket", F.element_at("_bkts", F.col("tbl") + 1))
         .repartition("tbl", "bucket")
     )
+    # Lazy local checkpoint BEFORE the self-join fan-out (always, not
+    # just on the diagnostics path): plan dedup gives the join's right
+    # side fresh exprIds and the hyperplane-projection HOF lambdas then
+    # defeat ReuseExchange/AQE stage-reuse canonicalization, so both
+    # sides would re-run the full bucket projection (measured: two full
+    # map stages). The checkpoint materializes the keyed relation once;
+    # LogicalRDD preserves the (tbl, bucket) partitioning so the merge
+    # join adds only per-side sorts. The cap filter below it is a cheap
+    # scan over the materialized RDD, safe to evaluate per join side.
     if max_bucket_size is not None:
         # bucket size via a window over the already-partitioned relation
         # (a groupBy+join subtree gets pruned below its own exchange and
@@ -235,8 +244,8 @@ def lsh_near_dup_pairs(
         # recomputes per consumer)
         wb = Window.partitionBy("tbl", "bucket")
         keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        keyed = keyed.localCheckpoint(eager=False)
         if log is not None:
-            keyed = keyed.localCheckpoint(eager=False)
             n_dropped = (
                 keyed.filter(F.col("_bn") > max_bucket_size)
                 .select("tbl", "bucket")
@@ -248,10 +257,9 @@ def lsh_near_dup_pairs(
                 f"dropped {n_dropped} buckets across {n_tables} tables"
             )
         keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
-    elif log is not None:
+    else:
         keyed = keyed.localCheckpoint(eager=False)
-    # ALIAS self-join of the one keyed relation: both sides share the
-    # shuffle stage; "merge" hint keeps AQE from building one side as a
+    # "merge" hint keeps AQE from building one side as a
     # BroadcastExchange (which can never reuse the shuffle exchange)
     L, R = keyed.alias("l"), keyed.alias("r")
     # first-collision dedup: emit each pair only from the lowest table
@@ -529,6 +537,12 @@ def lsh_cosine_topk(
             ).alias("table"),
         )
         .withColumn("bucket", F.element_at("_cb", F.col("table") + 1))
+        # lazy checkpoint: the bucket projection (n_tables × n_planes
+        # dot products per vector) fans out to the cap aggregation AND
+        # the candidate join; HOF lambda exprIds defeat plan-level
+        # sharing, so without this it re-evaluates per consumer. Still
+        # zero shuffles on the corpus side.
+        .localCheckpoint(eager=False)
     )
     if max_bucket_size is not None:
         bsz = ckeyed.groupBy("table", "bucket").agg(

@@ -414,9 +414,14 @@ def _windowed_bucket_cap(
     """Apply the per-(band, bucket) size cap as a WINDOW over the
     already-repartitioned relation (a groupBy+join subtree gets
     column-pruned below its own exchange, the exchanges stop being
-    identical, and the signature pipeline recomputes per consumer)."""
+    identical, and the signature pipeline recomputes per consumer).
+    The counted relation is lazily localCheckpoint-ed here, BEFORE the
+    optional diagnostic count and the downstream self-join fan-out,
+    so the whole signature+window pipeline materializes exactly once
+    however many consumers follow."""
     wb = Window.partitionBy("band", "bucket")
     capped = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
+    capped = capped.localCheckpoint(eager=False)
     if log is not None:
         n_dropped = (
             capped.filter(F.col("_bn") > max_bucket_size)
@@ -471,14 +476,15 @@ def minhash_lsh_pairs(
     one doc pair to collide: P < k^2/2^61 per doc (~1e-10 at 10^4
     shingles/doc) — the module docstring's collision note applies.
 
-    Plan shape — ONE shuffle total: banding is a pure projection (band
-    buckets are concat_ws over per-band minima, exploded via a LITERAL
-    index array), the row carries the doc's full band array and its
-    shingle-id set through a single explicit
+    Plan shape — ONE shuffle, ONE projection pass: banding is a pure
+    projection (band buckets are concat_ws over per-band minima,
+    exploded via a LITERAL index array), the row carries the doc's
+    full band array and its shingle-id set through a single explicit
     ``repartition(band, bucket)``, the bucket-size cap is a window
-    count over that same exchange, and the self-join is an ALIAS
-    self-join of the one keyed relation so the shuffle stage is shared
-    between sides. Verification runs INLINE in the joined row:
+    count over that same exchange, and the capped relation is lazily
+    localCheckpoint-ed so the alias self-join's two sides read ONE
+    materialization (exchange reuse alone cannot share it — see the
+    inline comment). Verification runs INLINE in the joined row:
     first-collision dedup is a conjunction of element_at band
     comparisons (replacing a 2x-candidates DISTINCT shuffle), a
     size-ratio prune (jaccard >= t forces min(|A|,|B|) >=
@@ -494,16 +500,24 @@ def minhash_lsh_pairs(
     keyed, n_bands = _band_keyed(
         docs, tokens_col, num_hashes, band_size, shingle_size
     )
+    # The keyed relation MUST be localCheckpoint-ed (lazily) before the
+    # self-join fan-out: an alias self-join does NOT share the keyed
+    # subtree — plan dedup gives the right side fresh exprIds, and the
+    # HOF lambdas in the signature chain (NamedLambdaVariable ids)
+    # then defeat ReuseExchange/AQE stage-reuse canonicalization, so
+    # BOTH sides re-run the full tokenize+md5+minima projection
+    # (measured: two full map stages at 60k docs). The checkpoint
+    # (GC-scoped, lineage-flat) materializes it once; LogicalRDD
+    # preserves the (band, bucket) hash partitioning, so the merge
+    # join below adds only per-side sorts, no exchange and no
+    # recompute. "merge" hint: AQE would otherwise build one side as a
+    # BroadcastExchange, which can never reuse the shuffle.
     if max_bucket_size is not None:
-        keyed = _windowed_bucket_cap(
+        keyed = _windowed_bucket_cap(  # checkpoints internally
             keyed, max_bucket_size, log, "minhash_lsh_pairs"
         )
-    # ALIAS self-join over the one keyed relation (not two re-derived
-    # projections): the two sides stay plan-identical, so the shuffle
-    # stage is shared at runtime instead of the signature pipeline
-    # materializing once per side. "merge" hint: AQE would otherwise
-    # build one side as a BroadcastExchange, which can never reuse the
-    # shuffle exchange.
+    else:
+        keyed = keyed.localCheckpoint(eager=False)
     L, R = keyed.alias("l"), keyed.alias("r")
     # first-collision dedup: emit the pair only from the lowest band
     # index where the two docs' buckets agree (exact — every colliding
@@ -771,6 +785,11 @@ def simhash_pairs(
     if max_bucket_size is not None:
         wb = Window.partitionBy("chunk", "chunk_val")
         keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        # lazy checkpoint before the diagnostic count and the self-join
+        # fan-out — see minhash_lsh_pairs: plan dedup + HOF lambda
+        # exprIds defeat exchange reuse, so the upstream simhash
+        # projection would otherwise re-run per consumer
+        keyed = keyed.localCheckpoint(eager=False)
         if log is not None:
             n_dropped = (
                 keyed.filter(F.col("_bn") > max_bucket_size)
@@ -783,6 +802,11 @@ def simhash_pairs(
                 f"{n_dropped} pigeonhole buckets from candidate generation"
             )
         keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    else:
+        # the uncapped path still needs the lazy checkpoint before the
+        # fan-out — the alias self-join re-runs the upstream simhash
+        # HOF projection per side otherwise (see minhash_lsh_pairs)
+        keyed = keyed.localCheckpoint(eager=False)
     L, R = keyed.alias("l"), keyed.alias("r")
     # first-collision dedup: emit the pair only from the lowest chunk
     # index where the two fingerprints agree — the earlier chunk values
@@ -1107,3 +1131,36 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus: connected components over
+    the near-dup pair graph (``duplicate_clusters``), then keep exactly
+    one representative per cluster — the minimum reachable doc_id —
+    plus every untouched singleton. This is the end artifact a
+    training pipeline feeds downstream of any pair operator above
+    (jaccard / minhash-LSH / simhash / substring overlap), collapsing
+    transitive near-dups whose endpoints were never directly compared.
+
+    Scale shape: the drop list (cluster members minus their
+    representatives) is bounded by the number of documents that appear
+    in ANY pair — typically orders of magnitude smaller than the
+    corpus — so the ``left_anti`` join lets AQE broadcast it when
+    small and degrade to a shuffled anti join only when a crawl's dup
+    mass is genuinely huge. The docs relation is scanned once, never
+    widened, and rows stream through untouched (no columns added or
+    dropped)."""
+    clusters = duplicate_clusters(
+        pairs, a_col=a_col, b_col=b_col, max_iter=max_iter
+    )
+    drop = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")

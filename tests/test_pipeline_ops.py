@@ -631,6 +631,22 @@ def test_duplicate_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
 
 
+def test_dedup_corpus_keep_one_per_cluster(spark):
+    # chain 1~2, 2~3 collapses transitively to representative 1 even
+    # though (1,3) was never compared; 7~8 keeps 7; 9 (no pairs) kept
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_corpus(docs, pairs).collect()
+    )
+    assert kept == [1, 7, 9]
+
+
 def test_duplicate_clusters_transitive_via_lsh_pairs(spark, tokens_df):
     # composes with a real pair operator: every pair's endpoints land
     # in the same cluster, and cluster ids are cluster minima
