@@ -69,6 +69,19 @@ def calibrate() -> float:
         x += 1
     return round(x / 1e6, 2)
 
+
+def calibrate_alloc(mb: int = 256) -> float:
+    """Touch ``mb`` MiB of freshly-allocated pages; returns MiB/s. The
+    CPU burn above is blind to the host's page-backing collapse mode
+    (observed 2026-08-18: ~35 MiB/s vs healthy multi-GiB/s while the
+    CPU probe read clean) — a window with a low value here invalidates
+    every Spark timing taken in it."""
+    import numpy as np
+
+    t0 = time.time()
+    np.ones(mb * 131_072, dtype=np.int64)
+    return round(mb / (time.time() - t0), 1)
+
 BASE_TERMS = [
     "spark", "join", "window", "stream", "hash", "table", "merge",
     "filter", "sort", "query", "data", "batch", "row", "scan", "agg",
@@ -112,6 +125,7 @@ def main() -> None:
     extra: dict[str, object] = {"n_docs": n_docs, "cpus": CPUS}
     extra["reps"] = REPS
     extra["calib_m_iters_pre"] = calibrate()
+    extra["calib_alloc_mb_s_pre"] = calibrate_alloc()
 
     def timed(name: str, fn, cleanup=None):
         """Run ``fn`` REPS times; record min (headline) + all times.
@@ -266,6 +280,7 @@ def main() -> None:
     timed("clean_pipeline", clean_pipeline)
 
     extra["calib_m_iters_post"] = calibrate()
+    extra["calib_alloc_mb_s_post"] = calibrate_alloc()
     extra["queries_all_reps"] = rep_times
     extra["queries_median"] = {
         n: round(statistics.median(ts), 3) for n, ts in rep_times.items()

@@ -80,6 +80,23 @@ def _calibrate(cpus: int) -> float:
     return x / 1e6
 
 
+def _calibrate_alloc(mb: int = 256) -> float:
+    """Touch ``mb`` MiB of freshly-allocated pages; returns MiB/s.
+
+    Detects the host page-backing collapse mode the pure-CPU probe is
+    blind to (observed 2026-08-18: backing 4 GiB took 118 s — ~35 MiB/s
+    vs the healthy multi-GiB/s — while _calibrate read a clean 8.3+).
+    Any Spark measurement taken in such a window is invalid: every
+    stage's cost is dominated by faulting fresh executor/shuffle pages,
+    and scaling efficiency collapses for reasons that have nothing to
+    do with the job."""
+    import numpy as np
+
+    t0 = time.time()
+    np.ones(mb * 131_072, dtype=np.int64)  # 8 B × 131072 = 1 MiB
+    return round(mb / (time.time() - t0), 1)
+
+
 def stage_metrics(spark, since_ms: int) -> list[dict]:
     """Per-stage executor metrics (run time, GC, shuffle bytes) for
     stages whose first task launched after ``since_ms`` — the scaling
@@ -272,6 +289,7 @@ def run_child(
         "cpus": cpus,
         **prof,
         "calib_m_iters": round(_calibrate(cpus), 2),
+        "calib_alloc_mb_s": _calibrate_alloc(),
         "n_docs": n_docs,
         **res,
     }
