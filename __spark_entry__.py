@@ -1571,6 +1571,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index(spark, sf)
         return ix.idf_dump(idx).select("term", F.round("idf", 4).alias("idf"))
 
+    def lm_cross_entropy(spark, sf):
+        # CCNet-style quality signal: per-doc cross-entropy under the
+        # corpus unigram LM, straight from the index's term stats
+        idx = _index(spark, sf)
+        return ix.lm_cross_entropy(idx).select(
+            "doc_id", F.round("cross_entropy", 4).alias("cross_entropy")
+        )
+
     def bm25_topk(spark, sf):
         return _bm25_run(spark, sf, conjunctive=False)
 
@@ -2198,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_postings": tf_postings,
         "collection_stats": collection_stats,
         "idf_dump": idf_dump,
+        "lm_cross_entropy": lm_cross_entropy,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_topk_wand": bm25_topk_wand,
@@ -2272,6 +2281,18 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS} "
             "SELECT term, round(ln(s.n_docs / df), 4) AS idf "
             "FROM dft CROSS JOIN stats s"
+        ),
+        "lm_cross_entropy": (
+            f"WITH {_TOKS}, {_TF}, {_DL}, "
+            "cf AS (SELECT term, count(*)::BIGINT AS cf"
+            " FROM toks GROUP BY 1), "
+            "tot AS (SELECT count(*)::DOUBLE AS c FROM toks) "
+            "SELECT tf.doc_id, "
+            "round(-sum(tf.tf * ln(cf.cf / t.c)) / dl.doc_len, 4)"
+            " AS cross_entropy "
+            "FROM tf JOIN cf USING (term)"
+            " JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot t "
+            "GROUP BY tf.doc_id, dl.doc_len"
         ),
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),

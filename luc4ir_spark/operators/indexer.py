@@ -352,3 +352,30 @@ def idf_dump(index: InvertedIndex) -> DataFrame:
         "term",
         F.log(F.lit(float(index.stats.n_docs)) / F.col("df")).alias("idf"),
     )
+
+
+def lm_cross_entropy(index: InvertedIndex) -> DataFrame:
+    """Per-doc cross-entropy under the corpus unigram LM — the
+    index-native analogue of the CCNet quality signal (Wenzek et al.
+    2020 rank crawl text by LM perplexity; with the index's own term
+    stats as the LM this needs no external model):
+
+        H(d) = -(1/|d|) * sum_t tf(t, d) * ln(cf(t) / C)
+
+    Low H = text that looks like the corpus average; high H =
+    rare-token-heavy outliers (binary junk, boilerplate codes). Every
+    indexed term has cf >= 1, so no smoothing is needed for corpus
+    members. -> (doc_id, cross_entropy).
+
+    Plan: postings already carry doc_len, term_stats (|vocab| rows,
+    the small side) joins on the postings' existing term key, and the
+    per-doc reduce is one map-side-combined groupBy — the same shuffle
+    shape as any retrieval scorer; no explode, no UDF."""
+    c = float(index.stats.total_tokens)
+    j = index.postings.join(index.term_stats.select("term", "cf"), "term")
+    return j.groupBy("doc_id").agg(
+        (
+            -F.sum(F.col("tf") * F.log(F.col("cf") / F.lit(c)))
+            / F.max("doc_len")
+        ).alias("cross_entropy")
+    )

@@ -22,6 +22,28 @@ from luc4ir_spark.operators import retrieval as rt
 from luc4ir_spark.sources.corpus import synth_corpus
 
 
+def test_lm_cross_entropy_hand_computed(spark):
+    # corpus "a a b" / "b c": cf(a)=2, cf(b)=2, cf(c)=1, C=5
+    # H(d1) = -(2 ln(2/5) + ln(2/5)) / 3 = -ln(0.4) = 0.9162907
+    # H(d2) = -(ln(2/5) + ln(1/5)) / 2 = 1.2628643
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, content string"
+    )
+    idx = ix.build_index(
+        docs, ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    )
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in ix.lm_cross_entropy(idx).collect()
+    }
+    assert got[1] == pytest.approx(-math.log(0.4), abs=1e-9)
+    assert got[2] == pytest.approx(
+        -(math.log(0.4) + math.log(0.2)) / 2, abs=1e-9
+    )
+
+
 def test_content_sha256_invariant(spark):
     """input_hint: per-row content sha256 equality — the digest stored
     at ingest must equal an independently computed digest of the same
