@@ -27,6 +27,10 @@ every doc identically, only marginally perturbing similarity estimates.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -286,6 +290,72 @@ def _shingle_id_expr(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# engine for the per-doc permutation minima: "sql" = array_min over
+# transform (JVM, but HOFs are CodegenFallback — every element hash is
+# an interpreted expression eval, num_hashes passes per doc), "arrow" =
+# one vectorized numpy kernel per Arrow batch (flatten the batch's sid
+# arrays, one (num_hashes x total) modular product, segmented
+# np.minimum.reduceat). Values are bit-identical: both compute
+# (a * (sid mod p) + b) mod p in int64 (a < 2^21, sid mod p < 2^31 =>
+# products < 2^52, exact in both engines), so the DuckDB oracles are
+# engine-agnostic. Default via $SPARK_GRAFT_MINHASH_ENGINE.
+MINHASH_MINIMA_ENGINE = os.environ.get("SPARK_GRAFT_MINHASH_ENGINE", "sql")
+
+
+def _minima_arrow_udf(num_hashes: int):
+    a = np.array(
+        [p[0] for p in MINHASH_PARAMS[:num_hashes]], dtype=np.int64
+    ).reshape(-1, 1)
+    b = np.array(
+        [p[1] for p in MINHASH_PARAMS[:num_hashes]], dtype=np.int64
+    ).reshape(-1, 1)
+
+    @F.pandas_udf("array<bigint>")
+    def minima(sids: pd.Series) -> pd.Series:
+        n = len(sids)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in sids), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series([None] * n, dtype=object)
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in sids])
+            % MERSENNE_P
+        )
+        prod = (a * flat + b) % MERSENNE_P  # (num_hashes, total)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        mins = np.minimum.reduceat(prod, offs, axis=1)
+        # reduceat returns a bogus value for zero-length segments ->
+        # None (matches array_min over an empty array in the SQL engine)
+        return pd.Series(
+            [
+                mins[:, i].tolist() if lens[i] > 0 else None
+                for i in range(n)
+            ],
+            dtype=object,
+        )
+
+    return minima
+
+
+def minhash_minima_col(sids_col, num_hashes: int, engine: str | None = None):
+    """array<long> column of the ``num_hashes`` permutation minima over
+    a shingle-id array column, computed by the selected engine (see
+    ``MINHASH_MINIMA_ENGINE``). Bit-identical between engines."""
+    engine = engine or MINHASH_MINIMA_ENGINE
+    col = F.col(sids_col) if isinstance(sids_col, str) else sids_col
+    if engine == "arrow":
+        return _minima_arrow_udf(num_hashes)(col)
+    return F.array(
+        *[
+            F.array_min(F.transform(col, _perm_hash_fn(a, b)))
+            for (a, b) in MINHASH_PARAMS[:num_hashes]
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     tokens_col: str = "tokens",
@@ -310,12 +380,7 @@ def minhash_signatures(
     with_sids = docs.select(
         "doc_id", F.transform(shset, _shingle_id_expr).alias("_sids")
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sids"), _perm_hash_fn(a, b)))
-            for (a, b) in params
-        ]
-    )
+    sig = minhash_minima_col("_sids", num_hashes)
     # explode a LITERAL index array, never the computed signature array:
     # Generate over an expression re-evaluates the interpreted HOF chain
     # per OUTPUT row (num_hashes x) — with a literal generator the
@@ -375,25 +440,32 @@ def _band_keyed(
         "_ss",
         F.transform("_ss", _shingle_id_expr).alias("_sids"),
     )
-    mins = [
-        F.array_min(F.transform(F.col("_sids"), _perm_hash_fn(a, b)))
-        for (a, b) in params
-    ]
+    # minima via the selected engine (see minhash_minima_col);
+    # materialized as one array column so the per-band concat_ws below
+    # references attributes, not num_hashes re-evaluations
+    with_mins = with_sids.select(
+        "doc_id",
+        "_sids",
+        minhash_minima_col("_sids", num_hashes).alias("_mins"),
+    )
     n_bands = -(-num_hashes // band_size)
     bands_arr = F.array(
         *[
             F.concat_ws(
                 "_",
                 *[
-                    m.cast("string")
-                    for m in mins[j * band_size : (j + 1) * band_size]
+                    F.element_at(F.col("_mins"), i + 1).cast("string")
+                    for i in range(
+                        j * band_size,
+                        min((j + 1) * band_size, num_hashes),
+                    )
                 ],
             )
             for j in range(n_bands)
         ]
     )
     keyed = (
-        with_sids.select("doc_id", "_sids", bands_arr.alias("_bands"))
+        with_mins.select("doc_id", "_sids", bands_arr.alias("_bands"))
         .select(
             "doc_id",
             "_sids",
