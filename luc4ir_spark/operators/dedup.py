@@ -746,12 +746,50 @@ def _md5_hash64(col):
     return hi_signed * F.lit(2**32) + lo
 
 
+# engine for the per-doc simhash fingerprint: "sql" = num_bits JVM
+# filter-count HOF passes per doc (interpreted), "arrow" = one numpy
+# kernel per Arrow batch (64 vectorized bit-extract + segmented
+# reduceat passes over the batch's flattened hash arrays). Bit
+# semantics are identical: (h >> b) & 1 is the same arithmetic-shift
+# bit extract in int64 on both engines, and the uint64 accumulate +
+# int64 view reproduces the SQL side's -(2^63) top-bit literal.
+SIMHASH_ENGINE = os.environ.get("SPARK_GRAFT_SIMHASH_ENGINE", "sql")
+
+
+def _simhash_arrow_udf(num_bits: int):
+    @F.pandas_udf("bigint")
+    def fp(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        vals = np.zeros(n, dtype=np.uint64)
+        if total:
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in hs]
+            )
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            # per-bit passes keep peak memory at |flat| int64 instead
+            # of a |flat| x num_bits matrix
+            for b in range(num_bits):
+                cnt = np.add.reduceat((flat >> b) & 1, offs)
+                vals |= ((2 * cnt > lens).astype(np.uint64)) << np.uint64(b)
+        out = pd.Series(vals.view(np.int64)).astype(object)
+        out[lens == 0] = None  # matches the SQL engine's empty-set drop
+        return out
+
+    return fp
+
+
 def simhash(
     docs: DataFrame,
     tokens_col: str = "tokens",
     num_bits: int = 64,
     hash_a: int = 1203077,
     hash_b: int = 52512857,
+    engine: str | None = None,
 ) -> DataFrame:
     """-> (doc_id, simhash): per-bit weighted majority fingerprint.
     Each distinct shingle votes tf=1 per bit of its hash; bit set iff
@@ -782,6 +820,14 @@ def simhash(
     with_hs = docs.select("doc_id", hs_expr.alias("_hs"))
     hs = F.col("_hs")
     n = F.size(hs)
+    engine = engine or SIMHASH_ENGINE
+    if engine == "arrow":
+        return (
+            with_hs.select(
+                "doc_id", _simhash_arrow_udf(num_bits)(hs).alias("simhash")
+            )
+            .filter(F.col("simhash").isNotNull())
+        )
     # bit b set iff vote sum > 0 iff 2 * |{h: bit b of h set}| > n.
     # (h >> b) & 1 — mask, not % 2: an arithmetic shift of a negative
     # 64-bit hash yields a negative value whose % 2 is -1. The b=63

@@ -661,6 +661,26 @@ def test_minhash_minima_engines_identical(spark, tokens_df, monkeypatch):
     assert len(sig_sql) > 0 and len(pairs_sql) > 0
 
 
+def test_simhash_engines_identical(spark, tokens_df):
+    # 64-bit (negative hashes, -(2^63) top bit) and 32-bit legacy
+    # constructions must agree bit-for-bit between engines
+    for bits in (64, 32):
+        sql = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(
+                tokens_df, num_bits=bits, engine="sql"
+            ).collect()
+        }
+        arrow = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(
+                tokens_df, num_bits=bits, engine="arrow"
+            ).collect()
+        }
+        assert sql == arrow
+        assert len(sql) > 0
+
+
 def test_dedup_corpus_keep_one_per_cluster(spark):
     # chain 1~2, 2~3 collapses transitively to representative 1 even
     # though (1,3) was never compared; 7~8 keeps 7; 9 (no pairs) kept
