@@ -120,9 +120,12 @@ def _verify_pairs_exact(
     condition where it is evaluated per candidate (the module
     docstring's collision note bounds the 60-bit caveat)."""
     shset = shingle_set_expr(tokens_col, shingle_size)
+    # lazy checkpoint: the md5 sid-array projection feeds BOTH join
+    # sides below, and HOF lambda exprIds defeat plan-level sharing
+    # (see minhash_lsh_pairs) — materialize it once
     arrs = docs.select(
         "doc_id", F.transform(shset, _shingle_id_expr).alias("_ss")
-    )
+    ).localCheckpoint(eager=False)
     aa = arrs.select(F.col("doc_id").alias("a"), F.col("_ss").alias("_sa"))
     ab = arrs.select(F.col("doc_id").alias("b"), F.col("_ss").alias("_sb"))
     return (
@@ -251,10 +254,16 @@ def jaccard_pairs(
     ``log``: optional callable; when set (and the cap is active) a small
     extra aggregation reports how many distinct shingles the cap
     dropped — never silently truncate coverage."""
+    # lazy checkpoints at both fan-outs (see minhash_lsh_pairs: HOF
+    # lambda exprIds defeat plan-level sharing, so every consumer
+    # re-runs the tokenize+shingle projection otherwise): sh feeds the
+    # df aggregate AND the candidate join; cand_sh feeds both sides of
+    # the inverted self-join
     sh = tokens_or_shingles(docs, tokens_col, shingle_size)
     if max_shingle_df is None:
-        cand_sh = sh
+        cand_sh = sh.localCheckpoint(eager=False)
     else:
+        sh = sh.localCheckpoint(eager=False)
         dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
         if log is not None:
             n_dropped = dfc.filter(
@@ -1127,7 +1136,13 @@ def substring_overlap_pairs(
     candidate RECALL only), then every candidate is verified against
     the FULL fingerprint sets (array_intersect of the two docs'
     fingerprint arrays), so reported counts and ratios are exact."""
-    fps = winnow_fingerprints(docs, tokens_col, k, window)
+    # lazy checkpoint: the winnowing projection feeds the df aggregate,
+    # the candidate join, AND the per-doc fingerprint-set verify — HOF
+    # lambda exprIds defeat plan-level sharing (see minhash_lsh_pairs),
+    # so every consumer would re-run it otherwise
+    fps = winnow_fingerprints(docs, tokens_col, k, window).localCheckpoint(
+        eager=False
+    )
     if max_fp_df is None:
         cand_fp = fps
     else:
