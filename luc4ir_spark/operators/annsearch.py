@@ -343,7 +343,13 @@ def ivf_cosine_topk(
     plumbing. Ties everywhere break toward the smaller id."""
     c = with_norm(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col
-    ).select("vec_id", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    ).select(
+        "vec_id", F.col("_vd").alias("v"), F.col("norm").alias("n")
+    ).localCheckpoint(eager=False)
+    # ^ lazy checkpoint: assign() consumes the normalized corpus twice
+    # (centroid scoring + the cluster join-back) and HOF lambda exprIds
+    # defeat plan-level sharing (see lsh_near_dup_pairs) — one
+    # materialization instead of a second full-corpus norm pass
     if centroids is None:
         cent = (
             c.orderBy("vec_id")
