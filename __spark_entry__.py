@@ -1259,6 +1259,69 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+# hybrid RRF: the BM25 run CTEs + an exact-cosine run over literal
+# qid->vec_id query embeddings, fused by 1/(60+rank) sums (absent run
+# contributes 0), re-ranked (rrf DESC, doc_id ASC) — replays
+# retrieval.rrf_fuse over the same two verified run formulations
+def _hybrid_rrf_sql() -> str:
+    qm = ", ".join(
+        f"('{qid}', {i + 1})" for i, (qid, _) in enumerate(QUERY_SET)
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+bmrun AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+    FROM scored
+  ) WHERE rank <= {TOPK}
+),
+qm(qid, vec_id) AS (VALUES {qm}),
+qv AS (SELECT qm.qid, e.embedding::DOUBLE[] AS qv
+       FROM qm JOIN embeddings e ON e.vec_id = qm.vec_id),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cs AS (
+  SELECT qv.qid, c.vec_id,
+         list_dot_product(c.cv, qv.qv)
+         / (sqrt(list_dot_product(c.cv, c.cv))
+            * sqrt(list_dot_product(qv.qv, qv.qv))) AS cos_raw
+  FROM c CROSS JOIN qv
+),
+annrun AS (
+  SELECT qid, vec_id AS doc_id, rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_raw DESC, vec_id ASC)::BIGINT AS rank
+    FROM cs
+  ) WHERE rank <= {TOPK}
+),
+fused AS (
+  SELECT coalesce(a.qid, b.qid) AS qid,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + a.rank), 0.0)
+         + coalesce(1.0 / (60 + b.rank), 0.0) AS rrf_raw
+  FROM bmrun a FULL OUTER JOIN annrun b
+    ON a.qid = b.qid AND a.doc_id = b.doc_id
+)
+SELECT qid, doc_id, rank, rrf FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(rrf_raw, 4) AS rrf
+  FROM fused
+) WHERE rank <= {TOPK}
+"""
+
+
 _ANN_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 10),
@@ -1937,6 +2000,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_fingerprints(spark, sf):
         return dd.simhash(_tokens(spark, sf), num_bits=32)
 
+    def hybrid_rrf(spark, sf):
+        # hybrid retrieval: the BM25 text run and an exact-cosine
+        # embedding run (query embedding = the vector of doc i for
+        # qid i) fused by reciprocal rank — rank-only, scale-free
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        bm = rt.score_queries(idx, qt, k=TOPK)
+        emb = _emb(spark, sf)
+        qmap = spark.createDataFrame(
+            [(qid, i + 1) for i, (qid, _) in enumerate(QUERY_SET)],
+            "qid string, vec_id long",
+        )
+        queries = qmap.join(emb, "vec_id").select(
+            F.col("qid").alias("query_id"), "embedding"
+        )
+        annrun = ann.cosine_topk(emb, queries, k=TOPK).select(
+            F.col("query_id").alias("qid"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+        out = rt.rrf_fuse(
+            bm.select("qid", "doc_id", "rank"), annrun, topk=TOPK
+        )
+        return out.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("rrf", 4).alias("rrf"),
+        )
+
     def ann_cosine_topk(spark, sf):
         emb = _emb(spark, sf)
         queries = emb.filter(F.col("vec_id") < 10).select(
@@ -2241,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": vocab_coverage,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_fingerprints": simhash_fingerprints,
+        "hybrid_rrf": hybrid_rrf,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2334,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,

@@ -180,3 +180,48 @@ def fetch_topk_docs(
     """Join top-k back to stored content (reference:
     TrecDocRetriever.java:283-285 reader.document() per hit)."""
     return run.join(docs, run.doc_id == F.col(id_col), "inner")
+
+
+def rrf_fuse(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k_rrf: int = 60,
+    topk: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    runs keyed (qid, doc_id, rank):
+
+        rrf(q, d) = sum over runs of 1 / (k_rrf + rank(q, d))
+
+    with a doc absent from a run contributing nothing from it. The
+    standard hybrid-retrieval combiner (BM25 text run + embedding
+    cosine run): rank-only, so the two scorers' scales never need
+    calibration. Ties break on doc_id ascending (common here — a doc
+    at rank r in only one run ties any doc at rank r in only the
+    other). -> (qid, doc_id, rank, rrf), rank <= topk.
+
+    Scale shape: both inputs are (n_queries x k) runs — tiny relative
+    to any corpus — so this is one equi-join plus one bounded
+    per-query window; the corpus itself is never touched."""
+    a = run_a.select(qid_col, doc_col, F.col("rank").alias("_ra"))
+    b = run_b.select(qid_col, doc_col, F.col("rank").alias("_rb"))
+    fused = a.join(b, [qid_col, doc_col], "full_outer").select(
+        qid_col,
+        doc_col,
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("_ra")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("_rb")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("rrf").desc(), F.col(doc_col).asc()
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= topk)

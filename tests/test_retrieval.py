@@ -164,3 +164,18 @@ def test_assign_doc_ids_deterministic(spark):
     ids_b = {(r["repo"], r["path"]): r["doc_id"] for r in b.collect()}
     assert ids_a == ids_b
     assert sorted(ids_a.values()) == list(range(50))
+
+
+def test_rrf_fuse_hand_computed(spark):
+    # rrf(d2) = 1/62 + 1/61 beats rrf(d1) = 1/61 beats rrf(d3) = 1/62
+    run_a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "qid string, doc_id long, rank long"
+    )
+    run_b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 3, 2)], "qid string, doc_id long, rank long"
+    )
+    out = rt.rrf_fuse(run_a, run_b).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(2, 1), (1, 2), (3, 3)]
+    assert out[0]["rrf"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-12)
+    assert out[1]["rrf"] == pytest.approx(1 / 61, abs=1e-12)
+    assert out[2]["rrf"] == pytest.approx(1 / 62, abs=1e-12)
