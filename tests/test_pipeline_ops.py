@@ -631,6 +631,23 @@ def test_duplicate_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
 
 
+def test_lsh_pair_plans_checkpoint_the_projection(spark, tokens_df):
+    # the signature pipeline must sit BEHIND the lazy localCheckpoint
+    # boundary, not in the self-join's own plan: if md5/tokenize leaks
+    # into the join plan it will be re-evaluated once per join side
+    # (HOF lambda exprIds defeat exchange reuse — see minhash_lsh_pairs)
+    plan = (
+        dedup.minhash_lsh_pairs(tokens_df, num_hashes=8, band_size=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "md5" not in plan and "ExistingRDD" in plan
+    plan2 = (
+        dedup.simhash_pairs(dedup.simhash(tokens_df))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "md5" not in plan2 and "ExistingRDD" in plan2
+
+
 def test_minhash_minima_engines_identical(spark, tokens_df, monkeypatch):
     # the Arrow numpy kernel and the SQL HOF chain must be
     # bit-identical (both compute (a*(sid%p)+b)%p in exact int64), so
