@@ -1642,6 +1642,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("cross_entropy", 4).alias("cross_entropy")
         )
 
+    def lm_quality_filter(spark, sf):
+        # the CCNet fixed-threshold keep/drop over the LM signal (3.41
+        # chosen boundary-safe for this corpus: no doc within 1e-5)
+        idx = _index(spark, sf)
+        return ix.lm_quality_filter(idx, max_xent=3.41).select(
+            "doc_id", F.round("cross_entropy", 4).alias("cross_entropy")
+        )
+
     def bm25_topk(spark, sf):
         return _bm25_run(spark, sf, conjunctive=False)
 
@@ -2299,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": collection_stats,
         "idf_dump": idf_dump,
         "lm_cross_entropy": lm_cross_entropy,
+        "lm_quality_filter": lm_quality_filter,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_topk_wand": bm25_topk_wand,
@@ -2386,6 +2395,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN cf USING (term)"
             " JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot t "
             "GROUP BY tf.doc_id, dl.doc_len"
+        ),
+        # same LM, CCNet fixed-threshold keep (filter on the RAW value,
+        # round for output — exactly like the operator)
+        "lm_quality_filter": (
+            f"WITH {_TOKS}, {_TF}, {_DL}, "
+            "cf AS (SELECT term, count(*)::BIGINT AS cf"
+            " FROM toks GROUP BY 1), "
+            "tot AS (SELECT count(*)::DOUBLE AS c FROM toks), "
+            "x AS (SELECT tf.doc_id, "
+            "-sum(tf.tf * ln(cf.cf / t.c)) / dl.doc_len AS xent "
+            "FROM tf JOIN cf USING (term)"
+            " JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot t "
+            "GROUP BY tf.doc_id, dl.doc_len) "
+            "SELECT doc_id, round(xent, 4) AS cross_entropy "
+            "FROM x WHERE xent <= 3.41"
         ),
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),

@@ -379,3 +379,42 @@ def lm_cross_entropy(index: InvertedIndex) -> DataFrame:
             / F.max("doc_len")
         ).alias("cross_entropy")
     )
+
+
+def lm_quality_filter(
+    index: InvertedIndex,
+    max_xent: float | None = None,
+    quantile: float | None = None,
+    exact_quantile: bool = True,
+) -> DataFrame:
+    """CCNet-style LM quality gate: keep docs whose corpus-unigram-LM
+    cross-entropy (``lm_cross_entropy``) is at or below a threshold —
+    either a FIXED ``max_xent`` (CCNet's practice: thresholds derived
+    once from a trusted reference corpus and reused) or a per-corpus
+    ``quantile`` (e.g. 0.75 keeps the lowest-perplexity three
+    quarters). Exactly one of the two must be given.
+
+    The quantile path computes the threshold with Spark's exact
+    interpolated ``percentile`` when ``exact_quantile`` (a sort-based
+    aggregate — fine to tens of millions of docs) and the
+    bounded-memory t-digest ``approx_percentile`` otherwise — the
+    100 TB setting, where an exact global quantile of 10^9 doubles is
+    never worth one reducer's memory. The scalar threshold is
+    broadcast; the corpus is filtered in place, never re-shuffled.
+    -> (doc_id, cross_entropy) of the kept docs."""
+    if (max_xent is None) == (quantile is None):
+        raise ValueError("pass exactly one of max_xent / quantile")
+    xent = lm_cross_entropy(index)
+    if max_xent is not None:
+        return xent.filter(
+            F.col("cross_entropy") <= F.lit(float(max_xent))
+        )
+    fn = "percentile" if exact_quantile else "approx_percentile"
+    thr = xent.agg(
+        F.expr(f"{fn}(cross_entropy, {float(quantile)})").alias("_thr")
+    )
+    return (
+        xent.crossJoin(F.broadcast(thr))
+        .filter(F.col("cross_entropy") <= F.col("_thr"))
+        .select("doc_id", "cross_entropy")
+    )

@@ -44,6 +44,34 @@ def test_lm_cross_entropy_hand_computed(spark):
     )
 
 
+def test_lm_quality_filter(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, content string"
+    )
+    idx = ix.build_index(
+        docs, ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    )
+    # fixed threshold: keeps d1 (0.9163), drops d2 (1.2629)
+    kept = [r["doc_id"] for r in ix.lm_quality_filter(idx, max_xent=1.0).collect()]
+    assert kept == [1]
+    # quantile threshold: percentile(0.5) of {0.9163, 1.2629} is their
+    # midpoint (numpy linear interpolation agrees), so only d1 passes
+    xents = np.array(
+        sorted(
+            r["cross_entropy"] for r in ix.lm_cross_entropy(idx).collect()
+        )
+    )
+    assert xents[0] < float(np.percentile(xents, 50)) < xents[1]
+    out = ix.lm_quality_filter(idx, quantile=0.5).collect()
+    assert sorted(r["doc_id"] for r in out) == [1]
+    with pytest.raises(ValueError):
+        ix.lm_quality_filter(idx)
+    with pytest.raises(ValueError):
+        ix.lm_quality_filter(idx, max_xent=1.0, quantile=0.5)
+
+
 def test_content_sha256_invariant(spark):
     """input_hint: per-row content sha256 equality — the digest stored
     at ingest must equal an independently computed digest of the same
