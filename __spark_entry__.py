@@ -33,6 +33,7 @@ from luc4ir_spark.operators import feedback as fb
 from luc4ir_spark.operators import indexer as ix
 from luc4ir_spark.operators import retrieval as rt
 from luc4ir_spark.operators import textstats as ts
+from luc4ir_spark.operators import utilsops as ut
 from luc4ir_spark.operators import wand as wd
 
 SIMPLE = AnalyzerConfig(mode="simple")
@@ -1602,6 +1603,120 @@ FROM f
 """
 
 
+# SemDeDup gate geometry: 8 first-by-id centroids over the 500-vector
+# sf0.01 table gives balanced 48-70-member clusters; 0.4 is boundary-
+# safe (closest pair cosine is 1.3e-4 away, and both engines compute
+# bit-identical doubles anyway). The cluster cap is modeled in the
+# oracle even though no sf0.01 cluster comes near it.
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.4
+_SEMDEDUP_MAX_CLUSTER = 100_000
+# every sf0.01 source has exactly 25 docs — cap 10 so the gate PRUNES
+# (200 of 500 kept), not just passes everything through
+_SOURCE_CAP = 10
+_SOURCE_CAP_SEED = 7
+_MLT_DOC = 3
+_MLT_TERMS = 5
+
+
+def _semantic_dedup_sql() -> str:
+    """Replays annsearch.semantic_dedup: centroids = the K lowest-id
+    vectors (recomputed from the table — the engine collects the same
+    rows as literals), assignment = argmax cosine with lowest-cid
+    tie-break (row_number cos DESC, cid ASC == the engine's first-index-
+    of-array-max), drop rule = any lower-id same-cluster neighbor at
+    cosine >= threshold, with oversized clusters exempt from the pair
+    scan. list_dot_product on DOUBLE[] folds left-to-right like the
+    engine's element_at sum — bit-identical cosines on both sides."""
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM c
+         WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT {_SEMDEDUP_K})),
+scored AS (SELECT c.vec_id, cent.cid,
+             list_dot_product(c.v, cent.cv) / (c.n * cent.cn) AS cos
+           FROM c CROSS JOIN cent),
+asg AS (SELECT vec_id, cluster_id FROM
+         (SELECT vec_id, cid AS cluster_id,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cid ASC) AS rn
+          FROM scored) WHERE rn = 1),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cnt FROM asg GROUP BY 1),
+dropped AS (SELECT DISTINCT r.vec_id AS b
+  FROM asg l JOIN asg r ON l.cluster_id = r.cluster_id
+                       AND l.vec_id < r.vec_id
+  JOIN sz ON sz.cluster_id = l.cluster_id
+  JOIN c ca ON ca.vec_id = l.vec_id
+  JOIN c cb ON cb.vec_id = r.vec_id
+  WHERE sz.cnt <= {_SEMDEDUP_MAX_CLUSTER}
+    AND list_dot_product(ca.v, cb.v) / (ca.n * cb.n)
+        >= {_SEMDEDUP_THRESHOLD})
+SELECT vec_id, cluster_id FROM asg
+WHERE vec_id NOT IN (SELECT b FROM dropped)
+"""
+
+
+def _source_cap_sql() -> str:
+    """Replays utilsops.sample_stratum_cap: per-source row_number over
+    the engine-portable mix hash (doc_id + seed non-negative, so
+    DuckDB's % equals Spark's pmod), doc_id tie-break."""
+    from luc4ir_spark.functions import hashing as hx
+
+    key = (
+        f"(({hx.MIX_A} * ((doc_id + {_SOURCE_CAP_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P})"
+    )
+    return (
+        "SELECT doc_id, source FROM (SELECT doc_id, source,"
+        " row_number() OVER (PARTITION BY source"
+        f" ORDER BY {key} ASC, doc_id ASC) AS rn FROM documents)"
+        f" WHERE rn <= {_SOURCE_CAP}"
+    )
+
+
+def _mlt_sql() -> str:
+    """Replays retrieval.more_like_this: term selection by the INTEGER
+    ordering (tf DESC, df ASC, term ASC — no float tf*idf tie-break),
+    then the standard Lucene-8 BM25 body from _bm25_sql."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+mlt AS (SELECT tf.term FROM tf JOIN dft USING (term)
+        WHERE tf.doc_id = {_MLT_DOC}
+        ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC LIMIT {_MLT_TERMS}),
+q AS (SELECT 'mlt:{_MLT_DOC}' AS qid, term FROM mlt),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q
+  JOIN dft USING (term)
+  JOIN tf  USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id, s.n_docs, s.avgdl
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# merged(half A, half B) must equal the one-shot full build: term_stats
+# re-aggregated across disjoint doc halves == full-corpus term stats,
+# and the additive n_docs scalar rides along as a column
+_INDEX_MERGE_SQL = (
+    f"WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS} "
+    "SELECT term, df, cf, (SELECT n_docs FROM stats) AS n_docs FROM dft"
+)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2170,6 +2285,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
+    def semantic_dedup(spark, sf):
+        # SemDeDup-style: literal-centroid assignment (zero-shuffle
+        # codegen projection) + within-cluster near-dup drop; kept rows
+        out = ann.semantic_dedup(
+            _emb(spark, sf),
+            threshold=_SEMDEDUP_THRESHOLD,
+            n_clusters=_SEMDEDUP_K,
+            max_cluster_size=_SEMDEDUP_MAX_CLUSTER,
+        )
+        return out.select("vec_id", "cluster_id")
+
+    def source_cap_sample(spark, sf):
+        # per-source hard cap (the crawl-pipeline per-domain cap):
+        # smallest-mix-hash `cap` docs per source, WindowGroupLimit plan
+        out = ut.sample_stratum_cap(
+            _docs(spark, sf), cap=_SOURCE_CAP,
+            stratum_col="source", seed=_SOURCE_CAP_SEED,
+        )
+        return out.select("doc_id", "source")
+
     def embedding_norms(spark, sf):
         emb = ann.with_norm(_emb(spark, sf))
         return emb.select("vec_id", F.round("norm", 4).alias("norm"))
@@ -2288,6 +2423,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = mm.sample_frames(media, every_ms=100)
         return out.select("doc_id", "frame_ts_ms")
 
+    def index_merge(spark, sf):
+        # segment-merge parity: build the two doc_id-parity halves as
+        # independent indexes, merge (pure union + vocab-sized re-agg),
+        # and require the merged term stats + additive n_docs to equal
+        # the one-shot full build's (the full-corpus oracle)
+        docs = _docs(spark, sf)
+        cfg = ix.IndexConfig(analyzer=SIMPLE)
+        half_a = ix.build_index(
+            docs.filter(F.col("doc_id") % 2 == 0), cfg,
+            id_col="doc_id", content_col="text", cache=False,
+        )
+        half_b = ix.build_index(
+            docs.filter(F.col("doc_id") % 2 == 1), cfg,
+            id_col="doc_id", content_col="text", cache=False,
+        )
+        merged = ix.merge_indexes(half_a, half_b)
+        return merged.term_stats.select("term", "df", "cf").withColumn(
+            "n_docs", F.lit(merged.stats.n_docs).cast("long")
+        )
+
+    def more_like_this(spark, sf):
+        # query-by-document: doc 3's top-5 characteristic terms run as
+        # a disjunctive BM25 query (Lucene MoreLikeThis parity)
+        idx = _index(spark, sf)
+        run = rt.more_like_this(
+            idx, doc_id=_MLT_DOC, n_terms=_MLT_TERMS, k=TOPK
+        )
+        return run.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
     def index_to_tsv(spark, sf):
         # reference: retriever/IndexToTsvConverter.java:33-55
         return _docs(spark, sf).select(
@@ -2331,6 +2499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feedback_rerank_run": feedback_rerank_run,
         "diversity_rerank": diversity_rerank,
         "simhash_pairs": simhash_pairs,
+        "index_merge": index_merge,
+        "more_like_this": more_like_this,
         "index_to_tsv": index_to_tsv,
         "doc_lookup": doc_lookup,
         "exact_dedup": exact_dedup,
@@ -2348,6 +2518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
+        "semantic_dedup": semantic_dedup,
+        "source_cap_sample": source_cap_sample,
         "token_count": token_count,
         "quality_score": quality_score,
         "repetition_stats": repetition_stats,
@@ -2434,6 +2606,8 @@ def oracle_sql() -> dict[str, str]:
         "feedback_rerank_run": _FDBK_RERANK_SQL,
         "diversity_rerank": _DIVERSITY_SQL,
         "simhash_pairs": _SIMHASH64_PAIRS_SQL,
+        "index_merge": _INDEX_MERGE_SQL,
+        "more_like_this": _mlt_sql(),
         "index_to_tsv": "SELECT doc_id, text AS content FROM documents",
         "doc_lookup": (
             "SELECT doc_id, lang, n_chars FROM documents"
@@ -2488,6 +2662,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM c a JOIN c b ON a.vec_id < b.vec_id"
             " WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.4"
         ),
+        "semantic_dedup": _semantic_dedup_sql(),
+        "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_dot_product("
             "embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm"

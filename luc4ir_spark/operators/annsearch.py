@@ -316,6 +316,133 @@ def lsh_near_dup_pairs(
     )
 
 
+def derive_n_clusters(
+    corpus_count: int,
+    target_cluster_size: int = 4096,
+    min_clusters: int = 8,
+) -> int:
+    """Size the semantic-dedup cluster count from the corpus: enough
+    clusters that the expected membership stays near
+    ``target_cluster_size`` (the within-cluster pair scan is quadratic
+    in membership, so cluster count — like the hyperplane count in
+    ``derive_n_planes`` — must grow with the corpus, never sit at a
+    sandbox constant). 10^9 vectors at the 4096 target -> ~244k
+    clusters."""
+    if corpus_count <= 0:
+        return min_clusters
+    return max(min_clusters, math.ceil(corpus_count / target_cluster_size))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    centroids: list[tuple[int, list[float], float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    log=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, compare pairs only
+    WITHIN a cluster, and drop every vector that has a lower-id
+    same-cluster neighbor with cosine >= threshold. Returns the KEPT
+    rows -> (vec_id, cluster_id).
+
+    Clustering: each vector goes to its highest-cosine centroid (ties:
+    lowest centroid id). ``centroids`` is a list of (cid, vector, norm)
+    — pass ``train_ivf_centroids`` output for quality clusters; when
+    None, the ``n_clusters`` lowest-id corpus vectors are used (a
+    deterministic, engine-replayable seeding — the DuckDB oracle
+    recomputes the same centroids from the table). Zero-norm vectors
+    are unsupported (same caveat as every cosine operator here).
+
+    Plan shape at scale: centroid scores are LITERAL dot products — an
+    explicit element_at sum per centroid folded left-to-right (bit-
+    identical to DuckDB's list_dot_product), argmax via
+    array_position(scores, array_max(scores)) — so assignment is a
+    zero-shuffle, fully codegen projection (no N x K row blow-up, no
+    HOF lambdas). That caps the practical literal-centroid count at a
+    few hundred; beyond that, cluster hierarchically (assign to coarse
+    literal centroids, recurse within). The within-cluster pair scan is
+    the lsh_near_dup_pairs shape: one repartition on cluster_id, a lazy
+    local checkpoint before the self-join fan-out (plan dedup would
+    otherwise re-run the scan per side), merge-hinted alias self-join,
+    and the exact cosine verified inline. ``max_cluster_size`` (ON by
+    default) exempts degenerate clusters from pair generation — their
+    members are all KEPT, with the drop logged — because a mega-cluster
+    (every vector near one centroid) is quadratic; size ``n_clusters``
+    with ``derive_n_clusters`` so healthy clusters stay bounded."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
+    ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
+    if centroids is None:
+        rows = c.orderBy("vid").limit(n_clusters).collect()
+        centroids = [(r["vid"], list(r["v"]), float(r["n"])) for r in rows]
+    centroids = sorted(centroids, key=lambda t: t[0])
+    dim = len(centroids[0][1])
+
+    def lit_dot(cv: list[float]):
+        dot = None
+        for i, x in enumerate(cv):
+            term = F.element_at(F.col("v"), i + 1) * F.lit(float(x))
+            dot = term if dot is None else dot + term
+        return dot
+
+    scores = F.array(
+        *[lit_dot(cv) / (F.col("n") * F.lit(cn)) for _, cv, cn in centroids]
+    )
+    cids = F.array(*[F.lit(int(cid)) for cid, _, _ in centroids])
+    # argmax: first index of the max score == lowest centroid id on ties
+    idx = F.array_position(scores, F.array_max(scores)).cast("int")
+    asg = c.withColumn("cluster_id", F.element_at(cids, idx).cast("long"))
+    keyed = asg.repartition("cluster_id")
+    if max_cluster_size is not None:
+        wb = Window.partitionBy("cluster_id")
+        keyed = keyed.withColumn("_cn", F.count(F.lit(1)).over(wb))
+        keyed = keyed.localCheckpoint(eager=False)
+        if log is not None:
+            n_over = (
+                keyed.filter(F.col("_cn") > max_cluster_size)
+                .select("cluster_id")
+                .distinct()
+                .count()
+            )
+            log(
+                f"semantic_dedup: max_cluster_size={max_cluster_size} "
+                f"exempted {n_over} oversized clusters from pair scan"
+            )
+    else:
+        keyed = keyed.withColumn("_cn", F.lit(0)).localCheckpoint(
+            eager=False
+        )
+    small = (
+        keyed.filter(F.col("_cn") <= max_cluster_size)
+        if max_cluster_size is not None
+        else keyed
+    )
+    L, R = small.alias("l"), small.alias("r")
+    dot = None
+    for i in range(1, dim + 1):
+        term = F.element_at(F.col("l.v"), i) * F.element_at(F.col("r.v"), i)
+        dot = term if dot is None else dot + term
+    dropped = (
+        L.hint("merge")
+        .join(
+            R.hint("merge"),
+            on=[F.col("l.cluster_id") == F.col("r.cluster_id")],
+        )
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .withColumn("cosine", dot / (F.col("l.n") * F.col("r.n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("r.vid").alias("vid"))
+        .distinct()
+    )
+    return keyed.join(dropped, "vid", "left_anti").select(
+        F.col("vid").alias("vec_id"), "cluster_id"
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -338,6 +338,70 @@ def build_index(
     return idx
 
 
+def merge_indexes(
+    a: InvertedIndex,
+    b: InvertedIndex,
+    compress: bool = False,
+) -> InvertedIndex:
+    """Logical segment merge: two indexes over DISJOINT doc-id spaces
+    become one index over their union — the relational form of Lucene's
+    ``IndexWriter.addIndexes`` / background segment merging (the
+    reference builds per-collection indexes with that machinery, e.g.
+    indexer/TrecDocIndexer.java's writer lifecycle). Lucene remaps
+    segment-local doc ids at merge time; here doc ids are globally
+    assigned at ingest (assign_doc_ids), so disjointness is the caller's
+    contract and the merge itself is pure metadata algebra.
+
+    Plan shape at scale: the postings and doc_stats spines are plain
+    UNIONs — a Spark union is plan-level concatenation, NO shuffle, no
+    re-encode of either side — and only the vocab-sized term_stats
+    re-aggregation (df/cf are additive across disjoint doc sets)
+    shuffles. That makes merging two 50 TB indexes as cheap as one
+    small agg over their term dictionaries, which is exactly why an
+    incremental build (streaming/incremental_index.py) can fold daily
+    deltas into a base index without touching the base's postings.
+
+    Collection scalars are additive (n_docs, total_tokens); vocab_size
+    is NOT (overlapping vocabularies), so it costs the one count action
+    over the merged term table. With ``compress=True`` the delta+varbyte
+    blob table is rebuilt from the merged flat postings — blobs are
+    doc-sharded by pmod(mix(doc_id), shards), so blobs of the two inputs
+    cannot simply be concatenated (a term present in both sides must
+    re-block its union posting list to keep block maxima exact)."""
+    if a.config.analyzer != b.config.analyzer:
+        raise ValueError(
+            "merge_indexes: analyzer configs differ — indexes are not "
+            f"merge-compatible ({a.config.analyzer} vs {b.config.analyzer})"
+        )
+    postings = a.postings.unionByName(b.postings)
+    doc_stats = a.doc_stats.unionByName(b.doc_stats)
+    term_stats = (
+        a.term_stats.unionByName(b.term_stats)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+    )
+    stats = CollectionStats(
+        n_docs=a.stats.n_docs + b.stats.n_docs,
+        total_tokens=a.stats.total_tokens + b.stats.total_tokens,
+        vocab_size=int(term_stats.count()),
+    )
+    idx = InvertedIndex(
+        doc_stats=doc_stats,
+        postings=postings,
+        term_stats=term_stats,
+        stats=stats,
+        config=a.config,
+    )
+    if compress:
+        from .wand import build_compressed_postings
+
+        idx.blobs = build_compressed_postings(idx)
+    return idx
+
+
 def idf_lucene(df_col, n_docs: int):
     """Lucene-8 BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
     return F.log(

@@ -148,6 +148,40 @@ def score_queries(
     )
 
 
+def more_like_this(
+    index: InvertedIndex,
+    doc_id: int,
+    n_terms: int = 5,
+    k: int = 10,
+    qid: str | None = None,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """Query-by-document — the logical form of Lucene's MoreLikeThis
+    (the standard companion to the reference's TermQuery retrieval
+    stack): select the document's ``n_terms`` most characteristic index
+    terms and run them as a disjunctive query through the standard
+    scorer -> (qid, doc_id, rank, score). The source document itself is
+    not excluded (it typically ranks first — filter downstream if
+    undesired).
+
+    Term selection is tf-idf-flavored but INTEGER-keyed: ORDER BY
+    (tf DESC, df ASC, term ASC) — monotone in tf and in idf separately,
+    and deterministic across engines, where a float tf*ln(N/df) score
+    would tie-break on last-ulp ln() differences. The selection is one
+    posting-row filter + a broadcast-sized top-n (TakeOrderedAndProject
+    — no global sort), so the whole operator costs one extra tiny job
+    over a normal ``score_queries`` call."""
+    qid = qid if qid is not None else f"mlt:{doc_id}"
+    doc_terms = (
+        index.postings.filter(F.col("doc_id") == doc_id)
+        .join(index.term_stats.select("term", "df"), "term")
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+        .limit(n_terms)
+        .select(F.lit(qid).alias("qid"), "term", F.lit(1.0).alias("weight"))
+    )
+    return score_queries(index, doc_terms, k=k, sim=sim)
+
+
 def to_trec_run(
     run: DataFrame,
     run_name: str = "luc4ir_spark",

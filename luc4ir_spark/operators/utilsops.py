@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -127,6 +127,41 @@ def sample_hash_stratified(
         mix_id_expr(F.col(id_col) + F.lit(seed)), F.lit(resolution)
     )
     return df.filter(bucket < thresh)
+
+
+def sample_stratum_cap(
+    df: DataFrame,
+    cap: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum hard cap: keep at most ``cap`` rows per stratum —
+    the ones with the smallest ``mix(id + seed)`` (a uniform
+    pseudo-random draw, deterministic across runs, cluster sizes, and
+    engines; ties broken by id). This is the crawl-pipeline
+    "per-domain cap" that bounds any one source's share of a training
+    corpus regardless of its raw size, complementing the rate-based
+    sampler above (``sample_hash_stratified`` scales every stratum;
+    the cap bounds the heavy tail — a 10^9-page domain still
+    contributes exactly ``cap``).
+
+    Plan shape at scale: a ``row_number() <= cap`` filter over a
+    per-stratum window, which Spark rewrites to WindowGroupLimit — a
+    map-side partial top-``cap`` per input partition BEFORE the
+    stratum shuffle — so the wire carries at most ``cap`` rows per
+    stratum per partition, never a mega-domain's full row set."""
+    from ..functions.hashing import mix_id_expr
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        mix_id_expr(F.col(id_col) + F.lit(seed)).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(cap))
+        .drop("_rn")
+    )
 
 
 def quantize_doc_len(dl: Column, mantissa_bits: int = 4) -> Column:

@@ -1014,3 +1014,133 @@ def test_vocab_coverage(spark):
         ("a", 5, 0.625),
         ("b", 3, 1.0),
     ]
+
+
+def test_semantic_dedup_small(spark):
+    """Hand-built geometry: vectors 0/1 seed two orthogonal clusters;
+    2 is a near-clone of 0 (dropped), 3 is a near-clone of 1 (dropped),
+    4 is in cluster 0 but far from everything (kept)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~cos 1.0 with 0
+        (3, [0.01, 0.999, 0.0, 0.0]),   # ~cos 1.0 with 1
+        (4, [0.7, 0.0, 0.714, 0.0]),    # cluster 0, cos ~0.7 with 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    kept = {
+        r["vec_id"]: r["cluster_id"]
+        for r in annsearch.semantic_dedup(
+            emb, threshold=0.95, n_clusters=2
+        ).collect()
+    }
+    assert set(kept) == {0, 1, 4}
+    assert kept[0] == 0 and kept[1] == 1 and kept[4] == 0
+
+
+def test_semantic_dedup_cluster_cap_exempts(spark):
+    """An oversized cluster is exempt from the pair scan — all its
+    members are kept — and the exemption is logged."""
+    rows = [(i, [1.0, float(i) * 1e-4, 0.0, 0.0]) for i in range(20)]
+    rows.append((100, [0.0, 1.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    msgs = []
+    kept = annsearch.semantic_dedup(
+        emb, threshold=0.9, n_clusters=2, max_cluster_size=5,
+        log=msgs.append,
+    ).collect()
+    # the 20-member near-identical cluster exceeded the cap -> all kept
+    assert len(kept) == 21
+    assert any("exempted" in m for m in msgs)
+    # with the cap off, the clones collapse: centroids are vecs 0 and 1
+    # (nearly parallel), every i >= 1 sits marginally closer to centroid
+    # 1 (positive 2nd component) — as does vec 100 — so cluster 0 = {0},
+    # cluster 1 = {1..19, 100}; 1 survives as its cluster's lowest id,
+    # 100 survives because cos(100, clones) ~ 1e-4 < threshold
+    kept_uncapped = annsearch.semantic_dedup(
+        emb, threshold=0.9, n_clusters=2, max_cluster_size=None
+    ).collect()
+    assert {r["vec_id"] for r in kept_uncapped} == {0, 1, 100}
+
+
+def test_derive_n_clusters():
+    assert annsearch.derive_n_clusters(0) == 8
+    assert annsearch.derive_n_clusters(10**6) == 245  # ceil(1e6/4096)
+    assert annsearch.derive_n_clusters(10**9) >= 240_000
+
+
+def test_sample_stratum_cap(spark):
+    """Per-stratum cap keeps exactly min(cap, |stratum|) rows, picked by
+    the portable mix hash — deterministic across runs."""
+    from luc4ir_spark.functions.hashing import mix_id_np
+    from luc4ir_spark.operators import utilsops
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = utilsops.sample_stratum_cap(
+        df, cap=10, stratum_col="source", seed=3
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 10
+    assert len(by_src["small"]) == 10  # |small| = 10 <= cap
+    # the kept 'big' ids are exactly the 10 smallest by mix(id + seed)
+    ids = np.arange(40, dtype=np.int64)
+    order = np.lexsort((ids, mix_id_np(ids + 3)))
+    assert by_src["big"] == set(ids[order][:10].tolist())
+    # determinism
+    again = utilsops.sample_stratum_cap(
+        df, cap=10, stratum_col="source", seed=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_sample_stratum_cap_plan_windowgrouplimit(spark):
+    """The cap must plan as WindowGroupLimit (map-side partial top-cap
+    per partition BEFORE the stratum shuffle), not a full window sort."""
+    from luc4ir_spark.operators import utilsops
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    out = utilsops.sample_stratum_cap(df, cap=5, stratum_col="source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # the pre-shuffle map-side limit pass
+
+
+def test_semantic_dedup_assignment_zero_shuffle(spark):
+    """Centroid assignment is a pure projection: literal dot products +
+    array argmax — no Exchange, no Generate, no Python UDF."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    from luc4ir_spark.operators.annsearch import with_norm
+
+    c = with_norm(emb, "embedding").select(
+        "vec_id", F.col("_vd").alias("v"), F.col("norm").alias("n")
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0], 1.0), (1, [0.0, 1.0, 0.0, 0.0], 1.0)]
+
+    def lit_dot(cv):
+        dot = None
+        for i, x in enumerate(cv):
+            t = F.element_at(F.col("v"), i + 1) * F.lit(float(x))
+            dot = t if dot is None else dot + t
+        return dot
+
+    scores = F.array(
+        *[lit_dot(cv) / (F.col("n") * F.lit(cn)) for _, cv, cn in cents]
+    )
+    cids = F.array(*[F.lit(cid) for cid, _, _ in cents])
+    idx = F.array_position(scores, F.array_max(scores)).cast("int")
+    asg = c.withColumn("cluster_id", F.element_at(cids, idx).cast("long"))
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan

@@ -179,3 +179,79 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[0]["rrf"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-12)
     assert out[1]["rrf"] == pytest.approx(1 / 61, abs=1e-12)
     assert out[2]["rrf"] == pytest.approx(1 / 62, abs=1e-12)
+
+
+def test_merge_indexes_equals_full_build(spark, index):
+    """merge(half A, half B) must reproduce the one-shot full build:
+    postings row set, term stats, doc stats, and collection scalars."""
+    df = spark.createDataFrame(DOCS, "doc_id long, content string")
+    cfg = ix.IndexConfig(analyzer=EN)
+    a = ix.build_index(df.filter(F.col("doc_id") % 2 == 0), cfg, cache=False)
+    b = ix.build_index(df.filter(F.col("doc_id") % 2 == 1), cfg, cache=False)
+    m = ix.merge_indexes(a, b)
+    assert m.stats.n_docs == index.stats.n_docs
+    assert m.stats.total_tokens == index.stats.total_tokens
+    assert m.stats.vocab_size == index.stats.vocab_size
+    for attr in ("term_stats", "doc_stats", "postings"):
+        got = sorted(map(tuple, getattr(m, attr).collect()))
+        exp = sorted(map(tuple, getattr(index, attr).collect()))
+        assert got == exp, f"{attr} diverged after merge"
+
+
+def test_merge_indexes_rejects_analyzer_mismatch(spark):
+    df = spark.createDataFrame(DOCS[:2], "doc_id long, content string")
+    a = ix.build_index(df, ix.IndexConfig(analyzer=EN), cache=False)
+    b = ix.build_index(
+        df.select((F.col("doc_id") + 10).alias("doc_id"), "content"),
+        ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple")),
+        cache=False,
+    )
+    with pytest.raises(ValueError, match="analyzer"):
+        ix.merge_indexes(a, b)
+
+
+def test_merge_indexes_compress_scores_identically(spark, index):
+    """A merged index with rebuilt blobs must score queries exactly like
+    the full build (blob re-blocking keeps block maxima exact)."""
+    from luc4ir_spark.operators import wand as wd
+
+    df = spark.createDataFrame(DOCS, "doc_id long, content string")
+    cfg = ix.IndexConfig(analyzer=EN)
+    a = ix.build_index(df.filter(F.col("doc_id") < 3), cfg, cache=False)
+    b = ix.build_index(df.filter(F.col("doc_id") >= 3), cfg, cache=False)
+    m = ix.merge_indexes(a, b, compress=True)
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    exhaustive = rt.score_queries(index, qt, k=10).collect()
+    wand = wd.score_queries_wand(m, qt, k=10).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    got = [(r["qid"], r["doc_id"], r["rank"]) for r in sorted(wand, key=key)]
+    exp = [
+        (r["qid"], r["doc_id"], r["rank"])
+        for r in sorted(exhaustive, key=key)
+    ]
+    assert got == exp
+    for g, e in zip(sorted(wand, key=key), sorted(exhaustive, key=key)):
+        assert g["score"] == pytest.approx(e["score"], rel=1e-9)
+
+
+def test_more_like_this(spark, index):
+    """Doc 5 is spark-heavy: its MLT query must put doc 5 itself first
+    and other spark docs above unrelated ones; term selection follows
+    the integer (tf DESC, df ASC, term ASC) ordering."""
+    run = sorted(
+        rt.more_like_this(index, doc_id=5, n_terms=3, k=6).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert run, "MLT run came back empty"
+    assert all(r["qid"] == "mlt:5" for r in run)
+    assert run[0]["doc_id"] == 5  # the source doc ranks first
+    ranked_ids = [r["doc_id"] for r in run]
+    assert 4 not in ranked_ids[:3]  # the pasta doc is not a neighbor
+    # selection determinism: re-running yields the identical run
+    again = sorted(
+        rt.more_like_this(index, doc_id=5, n_terms=3, k=6).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["doc_id"], r["score"]) for r in again] == [
+        (r["doc_id"], r["score"]) for r in run
+    ]
