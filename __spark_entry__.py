@@ -1615,6 +1615,9 @@ _SEMDEDUP_MAX_CLUSTER = 100_000
 # (200 of 500 kept), not just passes everything through
 _SOURCE_CAP = 10
 _SOURCE_CAP_SEED = 7
+# 4-token spans give the synthetic corpus a meaningful duplicated-span
+# mass (308 spans, 638 occurrences at sf0.01); 50 is the crawl default
+_SPAN_TOKENS = 4
 _MLT_DOC = 3
 _MLT_TERMS = 5
 
@@ -1674,6 +1677,38 @@ def _source_cap_sql() -> str:
         f" ORDER BY {key} ASC, doc_id ASC) AS rn FROM documents)"
         f" WHERE rn <= {_SOURCE_CAP}"
     )
+
+
+def _duplicate_spans_sql() -> str:
+    """Replays dedup.duplicate_spans: non-overlapping full 4-token
+    windows, 60-bit md5 span ids, keeper = min(doc_id * 2^20 +
+    chunk_idx) unpacked by exact integer div/mod."""
+    st, shift = _SPAN_TOKENS, 1 << 20
+    return rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+         x -> x <> '') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, (len(toks) // {st})::BIGINT AS ns
+  FROM t WHERE len(toks) >= {st}
+),
+e AS (SELECT doc_id, toks, unnest(range(ns)) AS i FROM n),
+h AS (
+  SELECT doc_id, i AS chunk_idx,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(toks, (i*{st}+1)::INT, (i*{st}+{st})::INT),
+             ' ')), 1, 15))::BIGINT AS span_id
+  FROM e
+),
+g AS (SELECT span_id, count(*)::BIGINT AS n_occ,
+             min(doc_id * {shift} + chunk_idx) AS kk
+      FROM h GROUP BY 1)
+SELECT span_id, n_occ, (kk // {shift})::BIGINT AS keep_doc_id,
+       (kk % {shift})::BIGINT AS keep_chunk_idx
+FROM g WHERE n_occ > 1
+"""
 
 
 def _mlt_sql() -> str:
@@ -2285,6 +2320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
+    def duplicate_spans(spark, sf):
+        # C4/Lee-et-al. span dedup: globally repeated fixed-token spans
+        # with occurrence mass and first-occurrence keeper
+        out = dd.duplicate_spans(
+            _docs(spark, sf), span_tokens=_SPAN_TOKENS, content_col="text"
+        )
+        return out.select(
+            "span_id", "n_occ", "keep_doc_id", "keep_chunk_idx"
+        )
+
     def semantic_dedup(spark, sf):
         # SemDeDup-style: literal-centroid assignment (zero-shuffle
         # codegen projection) + within-cluster near-dup drop; kept rows
@@ -2518,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
+        "duplicate_spans": duplicate_spans,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -2662,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM c a JOIN c b ON a.vec_id < b.vec_id"
             " WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.4"
         ),
+        "duplicate_spans": _duplicate_spans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (

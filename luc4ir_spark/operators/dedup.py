@@ -1297,3 +1297,120 @@ def dedup_corpus(
         F.col("doc_id") != F.col("cluster_id")
     ).select(F.col("doc_id").alias(id_col))
     return docs.join(drop, id_col, "left_anti")
+
+
+# chunk_idx packing for the span-keeper key: doc_id * 2^20 + chunk_idx.
+# chunk_idx < 2^20 holds for any document under ~52M whitespace tokens
+# (span_tokens >= 50 at crawl scale); doc_id must stay under 2^43 for
+# the product to fit int64 — both asserted cheap at plan-build time.
+_SPAN_KEY_SHIFT = 1 << 20
+
+
+def _span_occurrences(
+    docs: DataFrame,
+    span_tokens: int,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_id, chunk_idx, span_id) for every FULL non-overlapping
+    ``span_tokens``-token window (partial tails are excluded — a
+    partial span cannot equal a full one, and including it would make
+    short-doc tails spuriously collide). Pure map-side: per-doc token
+    array + a generated index explode (the sequence generator never
+    references a computed HOF array, and the span slice happens in the
+    upper project over the materialized token column — the same
+    inlining-safe shape as textstats.chunk_documents)."""
+    c = F.col(content_col)
+    toks = F.array_remove(F.split(F.trim(c), r"\s+"), "")
+    n_spans = F.floor(F.size(toks) / F.lit(span_tokens)).cast("long")
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n_spans.alias("_ns"),
+    ).filter(F.col("_ns") > 0)
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("_ns") - 1))
+    span = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_idx") * span_tokens + 1).cast("int"),
+        span_tokens,
+    )
+    return per_doc.select(
+        "doc_id", "_toks", idx.alias("chunk_idx")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        _shingle_id_expr(F.array_join(span, " ")).alias("span_id"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 50,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide EXACT duplicated spans — the C4 / Lee et al. (2022)
+    "remove repeated substrings" signal at fixed granularity: tile each
+    document into non-overlapping ``span_tokens``-token windows, hash
+    each window (60-bit md5 id, the engine-portable shingle projection),
+    and report every span text that occurs more than once anywhere in
+    the corpus -> (span_id, n_occ, keep_doc_id, keep_chunk_idx), the
+    keeper being the first occurrence in (doc_id, chunk_idx) order.
+
+    Relationship to the neighbors: ``exact_duplicates`` catches whole-
+    document copies, ``substring_overlap_pairs`` (winnowing) catches
+    pairwise overlap of ANY alignment; this operator finds the globally
+    repeated boilerplate spans themselves (license headers, navigation
+    chrome) with their occurrence mass — the input to span-level
+    scrubbing (see ``drop_duplicate_span_occurrences``).
+
+    Scale shape: one map-side-combined groupBy on span_id — the only
+    shuffle, carrying (span_id, partial count, partial min-key) — no
+    window, no join, no token explode (spans are sliced from the per-doc
+    token array). The keeper rides the aggregation as min(doc_id *
+    2^20 + chunk_idx), exact integer arithmetic on both engines."""
+    occ = _span_occurrences(docs, span_tokens, content_col, id_col)
+    key = F.col("doc_id") * F.lit(_SPAN_KEY_SHIFT) + F.col("chunk_idx")
+    g = occ.groupBy("span_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min(key).alias("_kk"),
+    )
+    return g.filter(F.col("n_occ") > 1).select(
+        "span_id",
+        "n_occ",
+        F.expr(f"_kk DIV {_SPAN_KEY_SHIFT}").alias("keep_doc_id"),
+        F.pmod(F.col("_kk"), F.lit(_SPAN_KEY_SHIFT)).cast("long").alias(
+            "keep_chunk_idx"
+        ),
+    )
+
+
+def drop_duplicate_span_occurrences(
+    docs: DataFrame,
+    span_tokens: int = 50,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The occurrence-level drop list for span scrubbing: every
+    (doc_id, chunk_idx, span_id) whose span text occurs elsewhere in
+    the corpus, EXCEPT the first occurrence (which is kept) — C4-style
+    keep-one span dedup. The occurrence relation feeds both the
+    duplicate aggregation and the drop join, so it is materialized once
+    via a GC-scoped local checkpoint (the shared-subtree house rule);
+    the dup-span summary is tiny relative to the corpus and AQE
+    broadcasts it."""
+    occ = _span_occurrences(
+        docs, span_tokens, content_col, id_col
+    ).localCheckpoint(eager=False)
+    key = F.col("doc_id") * F.lit(_SPAN_KEY_SHIFT) + F.col("chunk_idx")
+    dup = (
+        occ.groupBy("span_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min(key).alias("_kk"))
+        .filter(F.col("n_occ") > 1)
+        .select("span_id", "_kk")
+    )
+    return (
+        occ.join(dup, "span_id")
+        .filter(key != F.col("_kk"))
+        .select("doc_id", "chunk_idx", "span_id")
+    )

@@ -1144,3 +1144,55 @@ def test_semantic_dedup_assignment_zero_shuffle(spark):
     plan = asg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """Tiling, keeper selection, and partial-tail exclusion on a
+    hand-built corpus (span_tokens=2)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d x"),     # spans: 'a b', 'c d'; 'x' tail dropped
+            (1, "c d a b"),       # spans: 'c d', 'a b'
+            (2, "a b"),           # span:  'a b'
+            (3, "z"),             # shorter than one span -> no rows
+        ],
+        "doc_id long, content string",
+    )
+    got = {
+        r["span_id"]: r
+        for r in dedup.duplicate_spans(docs, span_tokens=2).collect()
+    }
+    import hashlib
+
+    def sid(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    assert set(got) == {sid("a b"), sid("c d")}
+    ab, cd = got[sid("a b")], got[sid("c d")]
+    assert ab["n_occ"] == 3
+    assert (ab["keep_doc_id"], ab["keep_chunk_idx"]) == (0, 0)
+    assert cd["n_occ"] == 2
+    assert (cd["keep_doc_id"], cd["keep_chunk_idx"]) == (0, 1)
+    # the drop list is every occurrence except the keepers
+    drops = {
+        (r["doc_id"], r["chunk_idx"])
+        for r in dedup.drop_duplicate_span_occurrences(
+            docs, span_tokens=2
+        ).collect()
+    }
+    assert drops == {(1, 0), (1, 1), (2, 0)}
+
+
+def test_duplicate_spans_single_shuffle_plan(spark):
+    """The summary is one map-side-combined groupBy: exactly one
+    Exchange, no Window, no join, no Python UDF."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(4)], "doc_id long, content string"
+    )
+    plan = (
+        dedup.duplicate_spans(docs, span_tokens=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
