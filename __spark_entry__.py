@@ -1618,6 +1618,17 @@ _SOURCE_CAP_SEED = 7
 # 4-token spans give the synthetic corpus a meaningful duplicated-span
 # mass (308 spans, 638 occurrences at sf0.01); 50 is the crawl default
 _SPAN_TOKENS = 4
+# classifier gate: md5-derived INTEGER pseudo-weights in [-1000, 1000].
+# Integer weights make sum(tf * w) exact in float64 regardless of fold
+# order, so logit = wsum / doc_len is BIT-identical on both engines
+# (one IEEE division of identical operands) and 4dp rounding can never
+# disagree — a fractional n/1000 grid put ~1% of docs exactly on
+# halfway rounding boundaries where reorder ulps flipped the 4th
+# decimal. Bias 0, threshold 0.5 (logit cut 0.0, sign of an exact sum).
+_CLS_WEIGHT_SQL = (
+    "((('0x' || substr(md5(term), 1, 15))::BIGINT % 2001) - 1000)"
+    "::DOUBLE"
+)
 _MLT_DOC = 3
 _MLT_TERMS = 5
 
@@ -1677,6 +1688,23 @@ def _source_cap_sql() -> str:
         f" ORDER BY {key} ASC, doc_id ASC) AS rn FROM documents)"
         f" WHERE rn <= {_SOURCE_CAP}"
     )
+
+
+def _classifier_score_sql() -> str:
+    """Replays textstats.classifier_score with the md5-derived weight
+    table: logit = sum(tf * w) / doc_len, score = sigmoid, keep decided
+    in the logit domain (threshold 0.5 -> cut 0)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+w AS (SELECT DISTINCT term, {_CLS_WEIGHT_SQL} AS weight FROM toks),
+s AS (SELECT tf.doc_id, sum(tf.tf * w.weight) / dl.doc_len AS logit
+      FROM tf JOIN w USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id, dl.doc_len)
+SELECT doc_id, round(logit, 4) AS logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS score,
+       logit >= 0.0 AS keep
+FROM s
+"""
 
 
 def _duplicate_spans_sql() -> str:
@@ -2320,6 +2348,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
+    def classifier_score(spark, sf):
+        # fastText-style linear classifier inference, model-as-data:
+        # weights derived from the index's own vocabulary by the
+        # portable md5 projection so the oracle replays them exactly
+        idx = _index(spark, sf)
+        sid = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast(
+            "long"
+        )
+        wts = idx.term_stats.select(
+            "term",
+            (F.pmod(sid, F.lit(2001)) - 1000).cast("double").alias(
+                "weight"
+            ),
+        )
+        out = ts.classifier_score(
+            _docs(spark, sf), wts, bias=0.0, threshold=0.5,
+            content_col="text",
+        )
+        return out.select(
+            "doc_id",
+            F.round("logit", 4).alias("logit"),
+            F.round("score", 4).alias("score"),
+            "keep",
+        )
+
     def duplicate_spans(spark, sf):
         # C4/Lee-et-al. span dedup: globally repeated fixed-token spans
         # with occurrence mass and first-occurrence keeper
@@ -2564,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "duplicate_spans": duplicate_spans,
+        "classifier_score": classifier_score,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -2709,6 +2763,7 @@ def oracle_sql() -> dict[str, str]:
             " WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.4"
         ),
         "duplicate_spans": _duplicate_spans_sql(),
+        "classifier_score": _classifier_score_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (

@@ -9,6 +9,8 @@ statistics a training-data pipeline filters on.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -599,4 +601,64 @@ def vocab_coverage(
         F.round(
             F.col("_prefix") / F.col("_total").cast("double"), 4
         ).alias("cum_share"),
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear text-classifier inference — the fastText-style quality /
+    domain classifier pass of large crawl pipelines (CCNet's
+    LM+classifier stage, RefinedWeb/DCLM-style quality classifiers),
+    with the model supplied as data: ``weights`` is a (term, weight)
+    DataFrame (a trained model's vocabulary). Features are per-doc
+    relative term frequencies over the ``simple`` token space,
+    logit = sum_t tf(t,d)/|d| * w(t) + bias, score = sigmoid(logit),
+    keep = logit >= ln(threshold / (1 - threshold)) — the decision is
+    taken in the LOGIT domain, where it is exact, instead of through an
+    extra exp() rounding step. Zero-token documents yield no row
+    (nothing to featurize); documents with no in-vocabulary term score
+    sigmoid(bias). -> (doc_id, logit, score, keep).
+
+    Plan shape: tf extraction is the index build's explode +
+    map-side-combined groupBy; the model joins as a BROADCAST
+    (term, weight) table (vocab-sized, the small side by construction);
+    one further map-side-combined groupBy by doc. No UDF, no window,
+    no corpus-sized sort — the same two-shuffle silhouette as any
+    retrieval scorer, so it rides the engine's proven scaling path."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_tokens(content_col).alias("_toks"),
+    ).withColumn("doc_len", F.size("_toks").cast("long"))
+    flat = (
+        toks.filter(F.col("doc_len") > 0)
+        .select("doc_id", "doc_len", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = F.broadcast(weights.select("term", "weight"))
+    scored = (
+        flat.join(w, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.col("tf") * F.coalesce(F.col("weight"), F.lit(0.0))
+                )
+                / F.max("doc_len")
+                + F.lit(float(bias))
+            ).alias("logit")
+        )
+    )
+    cut = math.log(threshold / (1.0 - threshold))
+    return scored.select(
+        "doc_id",
+        "logit",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))).alias("score"),
+        (F.col("logit") >= F.lit(cut)).alias("keep"),
     )

@@ -1196,3 +1196,36 @@ def test_duplicate_spans_single_shuffle_plan(spark):
     assert plan.count("Exchange") == 1
     assert "Window" not in plan and "Join" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_classifier_score_hand_computed(spark):
+    """Logit/sigmoid/keep against hand arithmetic; out-of-vocabulary
+    terms contribute 0; empty docs yield no row; the model joins as a
+    broadcast."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good good bad"),    # (2*1.0 + 1*-2.0)/3 = 0.0
+            (1, "good novel"),       # (1.0 + 0)/2 = 0.5
+            (2, "bad bad"),          # -2.0
+            (3, ""),                 # no tokens -> no row
+        ],
+        "doc_id long, content string",
+    )
+    w = spark.createDataFrame(
+        [("good", 1.0), ("bad", -2.0)], "term string, weight double"
+    )
+    out = textstats.classifier_score(docs, w, bias=0.0, threshold=0.6)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    exp_logit = {0: 0.0, 1: 0.5, 2: -2.0}
+    cut = math.log(0.6 / 0.4)
+    for d, el in exp_logit.items():
+        assert rows[d]["logit"] == pytest.approx(el, abs=1e-12)
+        assert rows[d]["score"] == pytest.approx(
+            1 / (1 + math.exp(-el)), rel=1e-12
+        )
+        assert rows[d]["keep"] == (el >= cut)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
