@@ -1690,6 +1690,30 @@ def _source_cap_sql() -> str:
     )
 
 
+def _similar_docs_sql() -> str:
+    """Replays retrieval.similar_docs_topk for query docs 0-4, k=3,
+    no df cap (31-term vocab — every term is high-df, so capping would
+    empty the join at this scale; norms over all terms either way)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+w AS (SELECT tf.term, tf.doc_id, tf.tf * ln(s.n_docs / dft.df) AS wt
+      FROM tf JOIN dft USING (term) CROSS JOIN stats s),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS n FROM w GROUP BY 1),
+dots AS (SELECT l.doc_id AS a, r.doc_id AS b, sum(l.wt * r.wt) AS dot
+         FROM w l JOIN w r USING (term)
+         WHERE l.doc_id < 5 AND l.doc_id <> r.doc_id
+         GROUP BY 1, 2),
+c AS (SELECT a, b, dot / (na.n * nb.n) AS cos
+      FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b),
+r AS (SELECT a, b,
+        row_number() OVER (PARTITION BY a
+                           ORDER BY cos DESC, b ASC)::BIGINT AS rank,
+        round(cos, 4) AS cosine
+      FROM c)
+SELECT a, b, rank, cosine FROM r WHERE rank <= 3
+"""
+
+
 def _classifier_score_sql() -> str:
     """Replays textstats.classifier_score with the md5-derived weight
     table: logit = sum(tf * w) / doc_len, score = sigmoid, keep decided
@@ -2348,6 +2372,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
+    def similar_docs(spark, sf):
+        # related-documents batch join: tf-idf cosine top-3 for docs 0-4
+        idx = _index(spark, sf)
+        out = rt.similar_docs_topk(
+            idx, k=3, query_doc_ids=[0, 1, 2, 3, 4]
+        )
+        return out.select(
+            "a", "b", "rank", F.round("cosine", 4).alias("cosine")
+        )
+
     def classifier_score(spark, sf):
         # fastText-style linear classifier inference, model-as-data:
         # weights derived from the index's own vocabulary by the
@@ -2618,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "duplicate_spans": duplicate_spans,
         "classifier_score": classifier_score,
+        "similar_docs": similar_docs,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -2764,6 +2799,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "duplicate_spans": _duplicate_spans_sql(),
         "classifier_score": _classifier_score_sql(),
+        "similar_docs": _similar_docs_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (

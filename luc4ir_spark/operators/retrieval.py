@@ -182,6 +182,81 @@ def more_like_this(
     return score_queries(index, doc_terms, k=k, sim=sim)
 
 
+def similar_docs_topk(
+    index: InvertedIndex,
+    k: int = 10,
+    query_doc_ids: list[int] | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document-to-document similarity: for each (query) document, the
+    top-k most similar other documents by tf-idf cosine — the batch
+    "related documents" join (all-pairs similarity search à la Bayardo
+    et al. 2007, done through the inverted index the engine already
+    has) -> (a, b, rank, cosine). ``query_doc_ids`` restricts the left
+    side (None = every document, the full all-pairs run); ``max_df``
+    drops terms with document frequency above the cap from the pair
+    join — the same skew valve as the jaccard shingle df cap: a
+    stopword-grade term contributes df^2 candidate rows and near-zero
+    idf weight, so capping bounds the join fan-out at negligible
+    similarity cost (norms are still computed over ALL terms, so
+    reported cosines are exact w.r.t. the full vectors).
+
+    Plan shape: weights = postings x term_stats (broadcast-size right
+    side), norms = one map-side-combined groupBy, pair dot products =
+    ONE equi-join on term + a map-side-combined (a, b) groupBy, then a
+    bounded per-query top-k window. At corpus scale run it with
+    ``max_df`` set (or over LSH/minhash candidates) — an uncapped
+    all-pairs join is quadratic in the df of its most common term."""
+    n_docs = index.stats.n_docs
+    w = index.postings.join(
+        index.term_stats.select("term", "df"), "term"
+    ).select(
+        "term",
+        "doc_id",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).alias("wt"),
+        "df",
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    pairs_src = w if max_df is None else w.filter(F.col("df") <= max_df)
+    left = pairs_src.select(
+        "term", F.col("doc_id").alias("a"), F.col("wt").alias("wa")
+    )
+    if query_doc_ids is not None:
+        left = left.filter(F.col("a").isin(list(query_doc_ids)))
+    right = pairs_src.select(
+        "term", F.col("doc_id").alias("b"), F.col("wt").alias("wb")
+    )
+    dots = (
+        left.join(right, "term")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("doc_id").alias("a"),
+                               F.col("nrm").alias("na")), "a")
+        .join(norms.select(F.col("doc_id").alias("b"),
+                           F.col("nrm").alias("nb")), "b")
+        .select(
+            "a", "b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("a").orderBy(
+        F.col("cosine").desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("a", "b", "rank", "cosine")
+    )
+
+
 def to_trec_run(
     run: DataFrame,
     run_name: str = "luc4ir_spark",

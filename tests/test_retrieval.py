@@ -255,3 +255,47 @@ def test_more_like_this(spark, index):
     assert [(r["doc_id"], r["score"]) for r in again] == [
         (r["doc_id"], r["score"]) for r in run
     ]
+
+
+def test_similar_docs_topk_brute_force(spark, index):
+    """tf-idf cosine related-docs against dict arithmetic; df cap drops
+    high-df terms from the pair join but keeps full-vector norms."""
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    n = len(DOCS)
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    w = {
+        d: {t: ts.count(t) * math.log(n / df[t]) for t in set(ts)}
+        for d, ts in toks.items()
+    }
+    nrm = {d: math.sqrt(sum(x * x for x in wd.values())) for d, wd in w.items()}
+
+    def cos(a, b, cap=None):
+        terms = set(w[a]) & set(w[b])
+        if cap is not None:
+            terms = {t for t in terms if df[t] <= cap}
+        return sum(w[a][t] * w[b][t] for t in terms) / (nrm[a] * nrm[b])
+
+    got = rt.similar_docs_topk(index, k=2).collect()
+    by_a = {}
+    for r in sorted(got, key=lambda r: (r["a"], r["rank"])):
+        by_a.setdefault(r["a"], []).append((r["b"], r["cosine"]))
+    for a in range(n):
+        sims = sorted(
+            ((cos(a, b), -b) for b in range(n) if b != a and cos(a, b) != 0),
+            reverse=True,
+        )[:2]
+        exp = [(-nb, c) for c, nb in sims]
+        # docs sharing no term with anyone (the pasta doc) yield no rows
+        got_a = by_a.get(a, [])
+        assert [b for b, _ in got_a] == [b for b, _ in exp], f"doc {a}"
+        for (gb, gc), (eb, ec) in zip(got_a, exp):
+            assert gc == pytest.approx(ec, rel=1e-9)
+    # df cap: 'the' (df 2) removed from the join at cap 1, norms intact
+    capped = rt.similar_docs_topk(
+        index, k=2, query_doc_ids=[0], max_df=1
+    ).collect()
+    for r in capped:
+        assert r["cosine"] == pytest.approx(cos(0, r["b"], cap=1), rel=1e-9)
