@@ -1690,6 +1690,36 @@ def _source_cap_sql() -> str:
     )
 
 
+# the gate phrase: "slow hash batch" occurs 8 times at sf0.01
+_PHRASE = ["slow", "hash", "batch"]
+
+
+def _phrase_query_sql() -> str:
+    """Replays indexer.build_positional_postings + retrieval.
+    phrase_query: 0-based token offsets via a lateral range unnest (no
+    WITH ORDINALITY in DuckDB), consecutive-position joins, count of
+    start offsets per doc."""
+    w = " AND ".join(
+        f"p{i+1}.term = '{t}'" for i, t in enumerate(_PHRASE)
+    )
+    joins = " ".join(
+        f"JOIN pos p{i+1} ON p1.doc_id = p{i+1}.doc_id"
+        f" AND p{i+1}.p = p1.p + {i}"
+        for i in range(1, len(_PHRASE))
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e)
+SELECT p1.doc_id, count(*)::BIGINT AS phrase_freq
+FROM pos p1 {joins}
+WHERE {w}
+GROUP BY 1
+"""
+
+
 def _similar_docs_sql() -> str:
     """Replays retrieval.similar_docs_topk for query docs 0-4, k=3,
     no df cap (31-term vocab — every term is high-df, so capping would
@@ -1800,6 +1830,17 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
 # and the additive n_docs scalar rides along as a column
 _INDEX_MERGE_SQL = (
     f"WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS} "
+    "SELECT term, df, cf, (SELECT n_docs FROM stats) AS n_docs FROM dft"
+)
+
+# delete(index, ids) must equal a fresh build over the surviving docs:
+# the same stats pipeline with the drop predicate pushed into the scan
+_INDEX_DELETE_SQL = (
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0), "
+    "toks AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+    " AS term FROM d), "
+    f"{_TF}, {_DL}, {_DFT}, {_STATS} "
     "SELECT term, df, cf, (SELECT n_docs FROM stats) AS n_docs FROM dft"
 )
 
@@ -2372,6 +2413,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
+    def phrase_query(spark, sf):
+        # exact phrase match over the positional index (PhraseQuery
+        # slop-0 parity): docs containing "slow hash batch" verbatim
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.phrase_query(pos, _PHRASE).select(
+            "doc_id", "phrase_freq"
+        )
+
     def similar_docs(spark, sf):
         # related-documents batch join: tf-idf cosine top-3 for docs 0-4
         idx = _index(spark, sf)
@@ -2575,6 +2627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_docs", F.lit(merged.stats.n_docs).cast("long")
         )
 
+    def index_delete(spark, sf):
+        # deleteDocuments parity: drop every 7th doc from the shared
+        # index handle; stats must equal a fresh build over survivors
+        idx = _index(spark, sf)
+        ids = _docs(spark, sf).filter(
+            F.col("doc_id") % 7 == 0
+        ).select("doc_id")
+        pruned = ix.delete_docs(idx, ids)
+        return pruned.term_stats.select("term", "df", "cf").withColumn(
+            "n_docs", F.lit(pruned.stats.n_docs).cast("long")
+        )
+
     def more_like_this(spark, sf):
         # query-by-document: doc 3's top-5 characteristic terms run as
         # a disjunctive BM25 query (Lucene MoreLikeThis parity)
@@ -2632,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_rerank": diversity_rerank,
         "simhash_pairs": simhash_pairs,
         "index_merge": index_merge,
+        "index_delete": index_delete,
         "more_like_this": more_like_this,
         "index_to_tsv": index_to_tsv,
         "doc_lookup": doc_lookup,
@@ -2653,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": duplicate_spans,
         "classifier_score": classifier_score,
         "similar_docs": similar_docs,
+        "phrase_query": phrase_query,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -2742,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "diversity_rerank": _DIVERSITY_SQL,
         "simhash_pairs": _SIMHASH64_PAIRS_SQL,
         "index_merge": _INDEX_MERGE_SQL,
+        "index_delete": _INDEX_DELETE_SQL,
         "more_like_this": _mlt_sql(),
         "index_to_tsv": "SELECT doc_id, text AS content FROM documents",
         "doc_lookup": (
@@ -2800,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _duplicate_spans_sql(),
         "classifier_score": _classifier_score_sql(),
         "similar_docs": _similar_docs_sql(),
+        "phrase_query": _phrase_query_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (

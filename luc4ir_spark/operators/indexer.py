@@ -229,6 +229,31 @@ def extract_postings_arrow(
     )
 
 
+def build_positional_postings(tokens: DataFrame) -> DataFrame:
+    """(doc_id, tokens) -> (term, doc_id, positions) with ``positions``
+    the SORTED 0-based occurrence offsets — the positional index that
+    backs exact phrase matching (Lucene parity: the PostingsEnum
+    position stream that PhraseQuery consumes; the reference's Lucene
+    indexes store positions by default). One posexplode over the token
+    arrays feeds a map-side-combined (term, doc_id) collect; positions
+    are sorted per cell so downstream intersections are deterministic.
+    Per-cell memory is a doc's per-term occurrence count — bounded by
+    doc length, never corpus-sized. Positional cells are ~2-3x the flat
+    tf index; build them only when phrase/proximity semantics are
+    needed (the tf spine stays the scoring default)."""
+    return (
+        tokens.select(
+            "doc_id", F.posexplode("tokens").alias("pos", "term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+                "positions"
+            )
+        )
+    )
+
+
 def build_term_stats(flat_postings: DataFrame) -> DataFrame:
     """term -> (df, cf): the term-dictionary statistics BM25/LM need.
     (reference reads these from the Lucene index: docFreq/totalTermFreq,
@@ -400,6 +425,55 @@ def merge_indexes(
 
         idx.blobs = build_compressed_postings(idx)
     return idx
+
+
+def delete_docs(index: InvertedIndex, doc_ids: DataFrame) -> InvertedIndex:
+    """Logical document deletion — Lucene's
+    ``IndexWriter.deleteDocuments`` / live-docs bitset at the relational
+    level: a new index handle whose postings, doc_stats, and term stats
+    exclude the given documents. ``doc_ids``: a 1-column DataFrame of
+    ids to drop (any column name; the first column is used).
+
+    Plan shape at scale: the drop list joins as a LEFT ANTI on the
+    doc_id rider of each spine — Lucene applies the same idea as a
+    bitset filter at read time — and AQE broadcasts it while small
+    (the common case: deletions are a sliver of the corpus). Term
+    stats are re-aggregated from the filtered postings (one vocab-
+    sized shuffle; df/cf must shrink for deleted docs' terms or BM25
+    idf drifts — Lucene defers this to segment merges and lives with
+    stale df, we keep stats exact). Collection scalars come from the
+    filtered relations (two scalar actions), so scoring over the new
+    handle is exactly the scoring of a fresh build without the deleted
+    docs (tested). Compressed blobs are NOT carried over — rebuild via
+    ``wand.build_compressed_postings`` after bulk deletes, exactly as
+    Lucene rewrites segments on merge."""
+    ids = doc_ids.select(
+        F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
+    ).distinct()
+    # re-select the original column order (a join key floats to the
+    # front) so the spine schemas stay contract-identical to a build
+    postings = index.postings.join(ids, "doc_id", "left_anti").select(
+        index.postings.columns
+    )
+    doc_stats = index.doc_stats.join(ids, "doc_id", "left_anti").select(
+        index.doc_stats.columns
+    )
+    term_stats = build_term_stats(postings)
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
+    ).collect()[0]
+    stats = CollectionStats(
+        n_docs=int(row["n"] or 0),
+        total_tokens=int(row["tot"] or 0),
+        vocab_size=int(term_stats.count()),
+    )
+    return InvertedIndex(
+        doc_stats=doc_stats,
+        postings=postings,
+        term_stats=term_stats,
+        stats=stats,
+        config=index.config,
+    )
 
 
 def idf_lucene(df_col, n_docs: int):

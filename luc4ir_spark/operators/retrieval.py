@@ -182,6 +182,52 @@ def more_like_this(
     return score_queries(index, doc_terms, k=k, sim=sim)
 
 
+def phrase_query(
+    positional: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase matching over a positional index
+    (``indexer.build_positional_postings``) — Lucene PhraseQuery
+    (slop 0) semantics: a document matches where the terms occur at
+    strictly consecutive positions; -> (doc_id, phrase_freq) with
+    phrase_freq the number of distinct start offsets (the value
+    Lucene's ExactPhraseMatcher feeds its scorer).
+
+    Relational plan: the classic positional-intersection algorithm as
+    arrays — seed with the first term's position list, then for each
+    next term join its positional cell on doc_id and intersect
+    (shifted-by-one) position arrays, pruning non-survivors after
+    every step (`size > 0`), so selective phrases collapse the join
+    fan-in immediately. Per-row work is bounded by a document's
+    occurrence counts; the joins are doc_id equi-joins of
+    term-filtered cells (each side ≤ df(term) rows — the rare term
+    prunes everything downstream, exactly like Lucene leading with the
+    rarest term). Duplicate phrase terms are handled naturally (each
+    step re-filters the positional relation independently)."""
+    if not phrase:
+        raise ValueError("phrase_query: empty phrase")
+    cur = positional.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("positions").alias("s")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = positional.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("_p")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "s",
+                F.array_intersect(
+                    F.transform("s", lambda x: x + F.lit(1)), F.col("_p")
+                ),
+            )
+            .filter(F.size("s") > 0)
+            .drop("_p")
+        )
+    return cur.select(
+        "doc_id", F.size("s").cast("long").alias("phrase_freq")
+    )
+
+
 def similar_docs_topk(
     index: InvertedIndex,
     k: int = 10,

@@ -299,3 +299,64 @@ def test_similar_docs_topk_brute_force(spark, index):
     ).collect()
     for r in capped:
         assert r["cosine"] == pytest.approx(cos(0, r["b"], cap=1), rel=1e-9)
+
+
+def test_delete_docs_equals_fresh_build(spark, index):
+    """delete(index, ids) must be indistinguishable from building over
+    the surviving docs: every table, the collection scalars, and a
+    scored run."""
+    df = spark.createDataFrame(DOCS, "doc_id long, content string")
+    ids = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    pruned = ix.delete_docs(index, ids)
+    fresh = ix.build_index(
+        df.filter(~F.col("doc_id").isin([0, 5])),
+        ix.IndexConfig(analyzer=EN), cache=False,
+    )
+    assert pruned.stats.n_docs == fresh.stats.n_docs == 4
+    assert pruned.stats.total_tokens == fresh.stats.total_tokens
+    assert pruned.stats.vocab_size == fresh.stats.vocab_size
+    for attr in ("term_stats", "doc_stats", "postings"):
+        got = sorted(map(tuple, getattr(pruned, attr).collect()))
+        exp = sorted(map(tuple, getattr(fresh, attr).collect()))
+        assert got == exp, f"{attr} diverged after delete"
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    got_run = sorted(
+        map(tuple, rt.score_queries(pruned, qt, k=10).collect())
+    )
+    exp_run = sorted(
+        map(tuple, rt.score_queries(fresh, qt, k=10).collect())
+    )
+    assert got_run == exp_run
+
+
+def test_phrase_query_hand_computed(spark):
+    """Consecutive-position semantics, overlapping matches, repeated
+    phrase terms, single-term phrase, and the no-match case."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c", "a", "b"]),   # 'a b' x2, 'a b c' x1
+            (1, ["b", "a", "c"]),             # no 'a b'
+            (2, ["x", "x", "x"]),             # 'x x' x2 (overlapping)
+            (3, ["a"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+    got = {r["term"]: r for r in pos.filter(F.col("doc_id") == 0).collect()}
+    assert got["a"]["positions"] == [0, 3]
+    assert got["b"]["positions"] == [1, 4]
+
+    def run(phrase):
+        return {
+            r["doc_id"]: r["phrase_freq"]
+            for r in rt.phrase_query(pos, phrase).collect()
+        }
+
+    assert run(["a", "b"]) == {0: 2}
+    assert run(["a", "b", "c"]) == {0: 1}
+    assert run(["x", "x"]) == {2: 2}
+    assert run(["x", "x", "x"]) == {2: 1}
+    assert run(["a"]) == {0: 2, 1: 1, 3: 1}
+    assert run(["c", "b"]) == {}
+    with pytest.raises(ValueError):
+        rt.phrase_query(pos, [])
