@@ -1692,6 +1692,48 @@ def _source_cap_sql() -> str:
 
 # the gate phrase: "slow hash batch" occurs 8 times at sf0.01
 _PHRASE = ["slow", "hash", "batch"]
+# MUST_NOT gate exclusion: 'dup' is the one rare term at sf0.01
+# (df=25 of 500), so exclusion prunes real candidates without
+# emptying any query's run
+_EXCLUDE_TERM = "dup"
+
+
+def _bm25_must_not_sql() -> str:
+    """The _bm25_sql body with BooleanQuery MUST_NOT: docs containing
+    the excluded term leave the candidate set BEFORE ranking."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q
+  JOIN dft USING (term)
+  JOIN tf  USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE NOT EXISTS (SELECT 1 FROM tf x
+                    WHERE x.doc_id = tf.doc_id
+                      AND x.term = '{_EXCLUDE_TERM}')
+  GROUP BY q.qid, tf.doc_id, s.n_docs, s.avgdl
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+_FACETS_SQL = f"""
+WITH run AS ({{bm25}}),
+f AS (SELECT r.qid, d.source AS facet FROM run r
+      JOIN documents d ON d.doc_id = r.doc_id)
+SELECT qid, facet, count(*)::BIGINT AS n_docs FROM f GROUP BY 1, 2
+"""
 
 
 def _phrase_query_sql() -> str:
@@ -2413,6 +2455,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
+    def bm25_must_not(spark, sf):
+        # BooleanQuery MUST_NOT: same BM25 run, docs containing the
+        # excluded term pruned before ranking
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        excl = spark.createDataFrame(
+            [(qid, _EXCLUDE_TERM) for qid, _ in QUERY_SET],
+            "qid string, term string",
+        )
+        run = rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
+        return run.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def facet_counts(spark, sf):
+        # Lucene-facets parity: per-query per-source hit counts over
+        # the BM25 top-k run
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = rt.facet_counts(run, _docs(spark, sf), facet_col="source")
+        return out.select("qid", "facet", "n_docs")
+
     def phrase_query(spark, sf):
         # exact phrase match over the positional index (PhraseQuery
         # slop-0 parity): docs containing "slow hash batch" verbatim
@@ -2719,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": classifier_score,
         "similar_docs": similar_docs,
         "phrase_query": phrase_query,
+        "bm25_must_not": bm25_must_not,
+        "facet_counts": facet_counts,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -2868,6 +2937,10 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _classifier_score_sql(),
         "similar_docs": _similar_docs_sql(),
         "phrase_query": _phrase_query_sql(),
+        "bm25_must_not": _bm25_must_not_sql(),
+        "facet_counts": _FACETS_SQL.format(
+            bm25=_bm25_sql(conjunctive=False)
+        ),
         "semantic_dedup": _semantic_dedup_sql(),
         "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (

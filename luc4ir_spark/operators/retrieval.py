@@ -100,6 +100,7 @@ def score_queries(
     k: int = 1000,
     sim: Similarity | None = None,
     conjunctive: bool = False,
+    exclude_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Score all queries in one pass -> (qid, doc_id, rank, score).
 
@@ -107,6 +108,11 @@ def score_queries(
     ``conjunctive=True`` keeps only docs matching ALL query terms
     (posting-list intersection semantics, done as a count filter on the
     aggregated matches — the relational form of a sorted-list intersect).
+    ``exclude_terms``: optional (qid, term) — BooleanQuery MUST_NOT
+    parity: a document containing ANY of a query's excluded terms is
+    removed from that query's candidates BEFORE ranking (Lucene prunes
+    via the exclusion iterator before the collector sees the doc), as
+    one broadcast term join + a (qid, doc_id) left anti.
     """
     sim = sim or Similarity()
     if "weight" not in query_terms.columns:
@@ -138,6 +144,15 @@ def score_queries(
         matched = matched.join(F.broadcast(n_query_terms), "qid").filter(
             F.col("n_matched") == F.col("n_terms")
         )
+    if exclude_terms is not None:
+        excl = (
+            index.postings.join(
+                F.broadcast(exclude_terms.select("qid", "term")), "term"
+            )
+            .select("qid", "doc_id")
+            .distinct()
+        )
+        matched = matched.join(excl, ["qid", "doc_id"], "left_anti")
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -180,6 +195,32 @@ def more_like_this(
         .select(F.lit(qid).alias("qid"), "term", F.lit(1.0).alias("weight"))
     )
     return score_queries(index, doc_terms, k=k, sim=sim)
+
+
+def facet_counts(
+    run: DataFrame,
+    docs: DataFrame,
+    facet_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result faceting — Lucene facets at the logical level: count a
+    run's hits per facet value (source, language, year, ...) per query
+    -> (qid, facet, n_docs). One hit-sized equi-join back to the
+    document metadata (the run side is per-query top-k, i.e. tiny —
+    AQE broadcasts it against any corpus) and a map-side-combined
+    groupBy; at 10^12 docs the join cost tracks |run|, not |corpus|,
+    because the broadcast run prunes the scan via DPP/runtime filters."""
+    return (
+        run.select("qid", "doc_id")
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+            ),
+            "doc_id",
+        )
+        .groupBy("qid", "facet")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
 
 
 def phrase_query(

@@ -360,3 +360,50 @@ def test_phrase_query_hand_computed(spark):
     assert run(["c", "b"]) == {}
     with pytest.raises(ValueError):
         rt.phrase_query(pos, [])
+
+
+def test_score_queries_must_not(spark, index):
+    """MUST_NOT prunes candidates BEFORE ranking: excluding 'lazy'
+    from q1 ('quick spark') removes docs 0 and 2 and re-ranks."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    excl = spark.createDataFrame(
+        [("q1", "lazi")], "qid string, term string"  # stem of 'lazy'
+    )
+    run = rt.score_queries(index, qt, k=10, exclude_terms=excl).collect()
+    by_q = {}
+    for r in sorted(run, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r["doc_id"])
+    # docs 0 and 2 contain 'lazy'; both match 'quick'/'spark' otherwise
+    assert 0 not in by_q["q1"] and 2 not in by_q["q1"]
+    # ranks stay dense from 1 after exclusion
+    assert by_q["q1"] == sorted(by_q["q1"], key=by_q["q1"].index)
+    # other queries are untouched vs the plain run
+    plain = rt.score_queries(index, qt, k=10).collect()
+    plain_q2 = [
+        r["doc_id"] for r in sorted(plain, key=lambda r: (r["qid"], r["rank"]))
+        if r["qid"] == "q2"
+    ]
+    assert by_q["q2"] == plain_q2
+
+
+def test_facet_counts(spark, index):
+    """Per-query facet counts over a run equal hand-tallied joins."""
+    docs_meta = spark.createDataFrame(
+        [(d, "even" if d % 2 == 0 else "odd") for d, _ in DOCS],
+        "doc_id long, source string",
+    )
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    run = rt.score_queries(index, qt, k=10)
+    hits = {}
+    for r in run.collect():
+        hits.setdefault(r["qid"], []).append(r["doc_id"])
+    got = {
+        (r["qid"], r["facet"]): r["n_docs"]
+        for r in rt.facet_counts(run, docs_meta, "source").collect()
+    }
+    exp = {}
+    for qid, ds in hits.items():
+        for d in ds:
+            k2 = (qid, "even" if d % 2 == 0 else "odd")
+            exp[k2] = exp.get(k2, 0) + 1
+    assert got == exp
