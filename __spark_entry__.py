@@ -1762,6 +1762,87 @@ GROUP BY 1
 """
 
 
+def _run_ttest_sql() -> str:
+    """Replays evaluation.paired_ttest over the per-query AP of the
+    plain BM25 run vs the MUST_NOT run: both run bodies + the qrels
+    replay + the _EVAL_SQL AP construction, then one paired-t scalar."""
+
+    def ap_block(p: str, not_exists: str) -> str:
+        return f"""
+scored_{p} AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  {not_exists}
+  GROUP BY q.qid, tf.doc_id, s.n_docs, s.avgdl
+),
+run_{p} AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+    FROM scored_{p}) WHERE rank <= {TOPK}
+),
+w_{p} AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS is_rel,
+         sum(CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END)
+           OVER (PARTITION BY r.qid ORDER BY r.rank) AS cum_rel
+  FROM run_{p} r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = qr.docid
+),
+ap_{p} AS (
+  SELECT w.qid,
+         CASE WHEN coalesce(t.num_rel, 0) > 0
+              THEN coalesce(sum(CASE WHEN is_rel > 0 THEN cum_rel / rank END), 0.0) / t.num_rel
+              ELSE 0.0 END AS ap
+  FROM w_{p} w LEFT JOIN totals t USING (qid)
+  GROUP BY w.qid, t.num_rel
+)"""
+
+    excl = (
+        "WHERE NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = tf.doc_id"
+        f" AND x.term = '{_EXCLUDE_TERM}')"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_QRELS_SQL},
+totals AS (SELECT qid, count(*)::BIGINT AS num_rel FROM qrels
+           WHERE rel >= 1.0 GROUP BY qid),
+{ap_block('a', '')},
+{ap_block('b', excl)},
+d AS (SELECT a.qid, a.ap - b.ap AS d FROM ap_a a JOIN ap_b b USING (qid))
+SELECT count(*)::BIGINT AS n, round(avg(d), 4) AS mean_diff,
+       round(stddev_samp(d), 4) AS sd_diff,
+       round(CASE WHEN count(*) >= 2 AND stddev_samp(d) > 0
+             THEN avg(d) / (stddev_samp(d) / sqrt(count(*))) END, 4) AS t_stat
+FROM d
+"""
+
+
+def _snippets_sql() -> str:
+    """Replays retrieval.make_snippets over the BM25 run: earliest
+    query-term substring position (strpos == Spark instr: 1-based, 0
+    when absent), fixed window, identical clamping."""
+    return f"""
+WITH {_BM25_RUN_CTES},
+run AS (SELECT qid, doc_id FROM ranked WHERE rank <= {TOPK}),
+h AS (SELECT r.qid, r.doc_id, d.text FROM run r
+      JOIN documents d USING (doc_id)),
+p AS (SELECT h.qid, h.doc_id, h.text,
+             strpos(lower(h.text), q.term) AS pos
+      FROM h JOIN q ON q.qid = h.qid
+      WHERE strpos(lower(h.text), q.term) > 0),
+b AS (SELECT qid, doc_id, min(pos) AS p, min(text) AS t
+      FROM p GROUP BY 1, 2)
+SELECT qid, doc_id, greatest(p - 30, 1)::BIGINT AS snip_start,
+       substr(t, greatest(p - 30, 1)::INT, 60) AS snippet
+FROM b
+"""
+
+
 def _similar_docs_sql() -> str:
     """Replays retrieval.similar_docs_topk for query docs 0-4, k=3,
     no df cap (31-term vocab — every term is high-df, so capping would
@@ -2480,6 +2561,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.facet_counts(run, _docs(spark, sf), facet_col="source")
         return out.select("qid", "facet", "n_docs")
 
+    def run_ttest(spark, sf):
+        # paired-t significance between the plain BM25 run and the
+        # MUST_NOT run on per-query AP (trec_eval-style comparison)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        qrels = _pseudo_qrels(spark, sf)
+        excl = spark.createDataFrame(
+            [(qid, _EXCLUDE_TERM) for qid, _ in QUERY_SET],
+            "qid string, term string",
+        )
+
+        def perq(run):
+            return ev.per_query_metrics(
+                run.withColumn("docid", F.col("doc_id").cast("string")),
+                qrels, p_at=5, ndcg_at=10,
+            )
+
+        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pb = perq(
+            rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
+        )
+        t = ev.paired_ttest(pa, pb, metric_col="ap")
+        return t.select(
+            "n",
+            F.round("mean_diff", 4).alias("mean_diff"),
+            F.round("sd_diff", 4).alias("sd_diff"),
+            F.round("t_stat", 4).alias("t_stat"),
+        )
+
+    def snippets(spark, sf):
+        # simplified highlighter: window around the earliest query-term
+        # occurrence in each BM25 hit
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = rt.make_snippets(
+            run, _docs(spark, sf), qt, width=30, content_col="text"
+        )
+        return out.select("qid", "doc_id", "snip_start", "snippet")
+
     def phrase_query(spark, sf):
         # exact phrase match over the positional index (PhraseQuery
         # slop-0 parity): docs containing "slow hash batch" verbatim
@@ -2788,6 +2909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": phrase_query,
         "bm25_must_not": bm25_must_not,
         "facet_counts": facet_counts,
+        "run_ttest": run_ttest,
+        "snippets": snippets,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -2941,6 +3064,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": _FACETS_SQL.format(
             bm25=_bm25_sql(conjunctive=False)
         ),
+        "run_ttest": _run_ttest_sql(),
+        "snippets": _snippets_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (

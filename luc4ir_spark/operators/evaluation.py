@@ -198,3 +198,44 @@ def rr_histogram(per_query: DataFrame, n_bins: int = 5) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("bucket")
     )
+
+
+def paired_ttest(
+    per_query_a: DataFrame,
+    per_query_b: DataFrame,
+    metric_col: str = "ap",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Paired Student's t over per-query metric deltas — the standard
+    IR significance test between two systems (the comparison trec_eval
+    users run; Smucker, Allan & Carterette CIKM'07 recommend the paired
+    t over sign/Wilcoxon for IR metrics). Input: two per-query metric
+    tables (``per_query_metrics`` output); queries are paired on qid
+    (inner join — topics absent from either run drop out, as trec_eval
+    does). -> one row (n, mean_diff, sd_diff, t_stat) with
+    t = mean(d) / (sd(d) / sqrt(n)); t_stat is NULL when the paired
+    deltas have zero variance or n < 2 (identical runs), rather than a
+    division-by-zero poison value. Reduction is one scalar aggregate —
+    per-query tables are topics-sized, so this is driver-trivial at
+    any corpus scale."""
+    a = per_query_a.select(
+        F.col(qid_col).alias("qid"), F.col(metric_col).alias("_ma")
+    )
+    b = per_query_b.select(
+        F.col(qid_col).alias("qid"), F.col(metric_col).alias("_mb")
+    )
+    d = a.join(b, "qid").select((F.col("_ma") - F.col("_mb")).alias("d"))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("d").alias("mean_diff"),
+        F.stddev_samp("d").alias("sd_diff"),
+    )
+    return agg.select(
+        "n",
+        "mean_diff",
+        "sd_diff",
+        F.when(
+            (F.col("n") >= 2) & (F.col("sd_diff") > 0),
+            F.col("mean_diff") / (F.col("sd_diff") / F.sqrt(F.col("n"))),
+        ).alias("t_stat"),
+    )

@@ -197,6 +197,52 @@ def more_like_this(
     return score_queries(index, doc_terms, k=k, sim=sim)
 
 
+def make_snippets(
+    run: DataFrame,
+    docs: DataFrame,
+    query_terms: DataFrame,
+    width: int = 30,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Simplified result highlighting (the logical core of Lucene's
+    Highlighter): for each run hit, the fixed-width text window around
+    the EARLIEST occurrence of any of that query's terms in the
+    lowercased document -> (qid, doc_id, snip_start, snippet).
+    Substring semantics (a term matches inside a longer word — same
+    simplification as Lucene's SimpleFragmenter before token-aligned
+    fragmenters); hits containing none of the query's terms as
+    substrings yield no row (cannot happen for same-analyzer BM25
+    runs, where every hit shares >= 1 token with the query).
+
+    Plan: the run and query terms are per-query-top-k / vocab-tiny, so
+    both broadcast; positions are one locate() per (hit, term) — pure
+    codegen — min-reduced per hit, and the window is a single substr.
+    The corpus is scanned once for the hit docs' text (runtime filters
+    from the broadcast run prune the scan)."""
+    hits = run.select("qid", "doc_id").join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(content_col).alias("_txt")
+        ),
+        "doc_id",
+    )
+    per_term = hits.join(
+        F.broadcast(query_terms.select("qid", "term")), "qid"
+    ).withColumn(
+        "_pos", F.instr(F.lower(F.col("_txt")), F.col("term"))
+    ).filter(F.col("_pos") > 0)
+    best = per_term.groupBy("qid", "doc_id").agg(
+        F.min("_pos").alias("_p"), F.first("_txt").alias("_t")
+    )
+    start = F.greatest(F.col("_p") - F.lit(width), F.lit(1))
+    return best.select(
+        "qid",
+        "doc_id",
+        start.cast("long").alias("snip_start"),
+        F.substring(F.col("_t"), start, F.lit(2 * width)).alias("snippet"),
+    )
+
+
 def facet_counts(
     run: DataFrame,
     docs: DataFrame,

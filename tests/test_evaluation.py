@@ -191,3 +191,29 @@ Relevant items are about minorities.
     assert topics[0]["title"] == "foreign minorities, Germany"
     assert "integration" in topics[0]["desc"]
     assert topics[1]["qid"] == "402"
+
+
+def test_paired_ttest_hand_computed(spark):
+    """t over hand-computed deltas; identical runs give NULL t; unpaired
+    topics drop out."""
+    import math
+
+    from luc4ir_spark.operators import evaluation as ev
+
+    a = spark.createDataFrame(
+        [("q1", 0.5), ("q2", 0.4), ("q3", 0.9), ("qX", 1.0)],
+        "qid string, ap double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 0.4), ("q2", 0.4), ("q3", 0.6)], "qid string, ap double"
+    )
+    row = ev.paired_ttest(a, b).collect()[0]
+    d = [0.1, 0.0, 0.3]
+    n, mean = 3, sum(d) / 3
+    sd = math.sqrt(sum((x - mean) ** 2 for x in d) / (n - 1))
+    assert row["n"] == 3  # qX is unpaired and drops
+    assert row["mean_diff"] == pytest.approx(mean, rel=1e-12)
+    assert row["sd_diff"] == pytest.approx(sd, rel=1e-12)
+    assert row["t_stat"] == pytest.approx(mean / (sd / math.sqrt(n)), rel=1e-12)
+    same = ev.paired_ttest(a, a).collect()[0]
+    assert same["mean_diff"] == 0.0 and same["t_stat"] is None

@@ -407,3 +407,29 @@ def test_facet_counts(spark, index):
             k2 = (qid, "even" if d % 2 == 0 else "odd")
             exp[k2] = exp.get(k2, 0) + 1
     assert got == exp
+
+
+def test_make_snippets_hand_computed(spark):
+    """Earliest-term window, left clamp, and the absent-term edge."""
+    docs = spark.createDataFrame(
+        [(0, "xxxx spark yyyy"), (1, "join at start")],
+        "doc_id long, text string",
+    )
+    run = spark.createDataFrame(
+        [("q", 0, 1), ("q", 1, 2)], "qid string, doc_id long, rank long"
+    )
+    qt = spark.createDataFrame(
+        [("q", "spark"), ("q", "join"), ("q", "zzzmissing")],
+        "qid string, term string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in rt.make_snippets(run, docs, qt, width=4).collect()
+    }
+    # doc 0: 'spark' at 1-based pos 6 -> start max(6-4,1)=2, len 8:
+    # characters 2..9 of "xxxx spark yyyy"
+    assert got[0]["snip_start"] == 2
+    assert got[0]["snippet"] == "xxx spar"
+    # doc 1: 'join' at pos 1 -> clamped to start
+    assert got[1]["snip_start"] == 1
+    assert got[1]["snippet"] == "join at "
