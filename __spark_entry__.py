@@ -1762,6 +1762,65 @@ GROUP BY 1
 """
 
 
+# fuzzy gate: misspelled queries that only reach postings via edit-
+# distance expansion over the vocabulary
+_FUZZY_QUERIES: list[tuple[str, str]] = [
+    ("f1", "sparkk joinz"),
+    ("f2", "tabel"),
+]
+_FUZZY_MAX_EDITS = 2
+
+
+def _fuzzy_query_sql() -> str:
+    """Replays retrieval.fuzzy_expand_terms + score_queries: vocab
+    join on levenshtein (integer — identical in both engines), weight
+    1/(1+dist) summed per expanded term, then the weighted BM25 body."""
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in _FUZZY_QUERIES
+        for t in text.lower().split()
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+fq(qid, qterm) AS (VALUES {rows}),
+q AS (SELECT fq.qid, dft.term,
+             sum(1.0 / (1.0 + levenshtein(dft.term, fq.qterm))) AS weight
+      FROM dft JOIN fq ON levenshtein(dft.term, fq.qterm) <= {_FUZZY_MAX_EDITS}
+      GROUP BY 1, 2),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( q.weight * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q
+  JOIN dft USING (term)
+  JOIN tf  USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id, s.n_docs, s.avgdl
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+_GROUPED_SQL = """
+WITH run AS ({bm25}),
+j AS (SELECT r.qid, r.doc_id, r.rank, d.source AS "group"
+      FROM run r JOIN documents d USING (doc_id)),
+g AS (SELECT *, row_number() OVER (PARTITION BY qid, "group"
+                                   ORDER BY rank ASC)::BIGINT AS group_rank
+      FROM j)
+SELECT qid, "group", doc_id, rank, group_rank
+FROM g WHERE group_rank <= 2
+"""
+
+
 def _run_ttest_sql() -> str:
     """Replays evaluation.paired_ttest over the per-query AP of the
     plain BM25 run vs the MUST_NOT run: both run bodies + the qrels
@@ -2561,6 +2620,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.facet_counts(run, _docs(spark, sf), facet_col="source")
         return out.select("qid", "facet", "n_docs")
 
+    def fuzzy_query(spark, sf):
+        # FuzzyQuery parity: misspelled queries reach the postings via
+        # Levenshtein expansion over the vocabulary, 1/(1+d) weights
+        idx = _index(spark, sf)
+        raw = spark.createDataFrame(
+            [
+                (qid, t)
+                for qid, text in _FUZZY_QUERIES
+                for t in text.lower().split()
+            ],
+            "qid string, term string",
+        )
+        expanded = rt.fuzzy_expand_terms(
+            idx, raw, max_edits=_FUZZY_MAX_EDITS
+        )
+        run = rt.score_queries(idx, expanded, k=TOPK)
+        return run.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def grouped_results(spark, sf):
+        # grouping-module parity: top-2 hits per source per query
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = rt.grouped_topk(
+            run, _docs(spark, sf), group_col="source", k_per_group=2
+        )
+        return out.select("qid", "group", "doc_id", "rank", "group_rank")
+
     def run_ttest(spark, sf):
         # paired-t significance between the plain BM25 run and the
         # MUST_NOT run on per-query AP (trec_eval-style comparison)
@@ -2911,6 +3002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": facet_counts,
         "run_ttest": run_ttest,
         "snippets": snippets,
+        "fuzzy_query": fuzzy_query,
+        "grouped_results": grouped_results,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -3066,6 +3159,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "run_ttest": _run_ttest_sql(),
         "snippets": _snippets_sql(),
+        "fuzzy_query": _fuzzy_query_sql(),
+        "grouped_results": _GROUPED_SQL.format(
+            bm25=_bm25_sql(conjunctive=False)
+        ),
         "semantic_dedup": _semantic_dedup_sql(),
         "source_cap_sample": _source_cap_sql(),
         "embedding_norms": (

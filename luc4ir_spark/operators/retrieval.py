@@ -197,6 +197,87 @@ def more_like_this(
     return score_queries(index, doc_terms, k=k, sim=sim)
 
 
+def fuzzy_expand_terms(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Fuzzy term expansion — Lucene FuzzyQuery at the logical level:
+    map every query term to ALL index vocabulary terms within
+    ``max_edits`` Levenshtein edits (the classic damerau-less edit
+    distance both Spark and DuckDB implement identically as an integer
+    — exact across engines), so a misspelled query still reaches the
+    postings of its intended term. -> (qid, term, weight) ready for
+    ``score_queries``; weight = 1 / (1 + distance), Lucene's
+    similarity-decay idea in its simplest exact-rational form, summed
+    when several query terms expand to one vocab term (matching
+    queries_to_terms' multiplicity semantics). Exact matches
+    (distance 0) keep full weight.
+
+    Plan shape: the expansion joins the broadcast query terms against
+    the term DICTIONARY (vocab-sized — millions of rows at worst,
+    never corpus-sized) with the distance predicate evaluated in
+    codegen; Lucene walks an FST automaton instead, but the work unit
+    is the same dictionary scan. The result is query-sized and
+    broadcast onward."""
+    q = query_terms.select(
+        "qid", F.col("term").alias("_qterm")
+    ).distinct()
+    vocab = index.term_stats.select("term")
+    return (
+        vocab.join(
+            F.broadcast(q),
+            F.levenshtein(F.col("term"), F.col("_qterm")) <= max_edits,
+        )
+        .select(
+            "qid",
+            "term",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.levenshtein(F.col("term"), F.col("_qterm"))
+                )
+            ).alias("weight"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def grouped_topk(
+    run: DataFrame,
+    docs: DataFrame,
+    group_col: str,
+    k_per_group: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Grouped search results — Lucene's grouping module at the logical
+    level: within each query, keep the top ``k_per_group`` hits per
+    group value (source site, domain, language...), the standard
+    result-diversification used to stop one site dominating a page
+    -> (qid, group, doc_id, rank, group_rank). ``rank`` is the hit's
+    original run rank; ``group_rank`` restarts per (qid, group).
+
+    Plan: one hit-sized join to the metadata (run side broadcastable)
+    + a rank <= k window per (qid, group) — WindowGroupLimit, map-side
+    partial."""
+    joined = run.select("qid", "doc_id", "rank").join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias("group")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("qid", "group").orderBy(F.col("rank").asc())
+    return (
+        joined.withColumn(
+            "group_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("group_rank") <= k_per_group)
+        .select("qid", "group", "doc_id", "rank", "group_rank")
+    )
+
+
 def make_snippets(
     run: DataFrame,
     docs: DataFrame,

@@ -433,3 +433,51 @@ def test_make_snippets_hand_computed(spark):
     # doc 1: 'join' at pos 1 -> clamped to start
     assert got[1]["snip_start"] == 1
     assert got[1]["snippet"] == "join at "
+
+
+def test_fuzzy_expand_terms(spark, index):
+    """Edit-distance expansion over the vocabulary: exact terms keep
+    weight 1, near-misses decay as 1/(1+d), far terms drop."""
+    raw = spark.createDataFrame(
+        [("f1", "spark"), ("f1", "sparkz"), ("f2", "zzzzzzzzzz")],
+        "qid string, term string",
+    )
+    got = {
+        (r["qid"], r["term"]): r["weight"]
+        for r in rt.fuzzy_expand_terms(index, raw, max_edits=1).collect()
+    }
+    # 'spark' exact (d=0, w=1) + via 'sparkz' (d=1, w=0.5) summed
+    assert got[("f1", "spark")] == pytest.approx(1.5)
+    # no vocab term is within 1 edit of the 10-z garbage
+    assert not any(q == "f2" for q, _ in got)
+    # a fuzzy run scores docs the misspelled term alone would miss
+    run = rt.score_queries(index, rt.fuzzy_expand_terms(
+        index, raw.filter(F.col("term") == "sparkz"), max_edits=1
+    ), k=10).collect()
+    assert {r["doc_id"] for r in run} >= {1, 2, 5}  # the spark docs
+
+
+def test_grouped_topk(spark, index):
+    """Top-k-per-group keeps at most k hits per (qid, group), ordered
+    by the original run rank."""
+    meta = spark.createDataFrame(
+        [(d, f"g{d % 2}") for d, _ in DOCS], "doc_id long, source string"
+    )
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    run = rt.score_queries(index, qt, k=10)
+    out = rt.grouped_topk(run, meta, "source", k_per_group=1).collect()
+    seen = {}
+    ranks = {
+        (r["qid"], r["doc_id"]): r["rank"] for r in run.collect()
+    }
+    for r in out:
+        key = (r["qid"], r["group"])
+        assert key not in seen, "more than k_per_group rows in a group"
+        seen[key] = r
+        assert r["group_rank"] == 1
+        # the kept hit is the group's best original rank
+        group_ranks = [
+            rank for (qid, d), rank in ranks.items()
+            if qid == r["qid"] and (f"g{d % 2}") == r["group"]
+        ]
+        assert r["rank"] == min(group_ranks)
