@@ -1047,6 +1047,32 @@ SELECT rank, term, count,
 FROM r WHERE (prefix - count)::DOUBLE < 0.9 * total::DOUBLE
 """
 
+# per-doc OOV accounting against the same coverage-0.9 vocab prefix
+_APPLY_VOCAB_SQL = f"""
+WITH {_TOKS},
+counts AS (
+  SELECT term, count(*)::BIGINT AS count FROM toks GROUP BY 1
+),
+r AS (
+  SELECT term, count,
+         sum(count) OVER (ORDER BY count DESC, term ASC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS prefix,
+         sum(count) OVER ()::BIGINT AS total
+  FROM counts
+),
+v AS (SELECT term FROM r
+      WHERE (prefix - count)::DOUBLE < 0.9 * total::DOUBLE),
+per AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (t.term NOT IN (SELECT term FROM v))::BIGINT
+           AS n_oov
+  FROM toks t GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov / n_tokens::DOUBLE, 4) AS oov_rate
+FROM per
+"""
+
 # --- LSH oracle SQL: replay the seeded hyperplane buckets / MinHash
 # banding as literals so DuckDB reproduces candidate generation exactly
 
@@ -2425,6 +2451,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), content_col="text", coverage=0.9
         )
 
+    def apply_vocab(spark, sf):
+        # vocabulary application: per-doc OOV accounting against the
+        # coverage-0.9 vocab (the gated vocab_coverage prefix)
+        vocab = ts.vocab_coverage(
+            _docs(spark, sf), content_col="text", coverage=0.9
+        )
+        out = ts.apply_vocab(_docs(spark, sf), vocab, content_col="text")
+        return out.select(
+            "doc_id", "n_tokens", "n_oov",
+            F.round("oov_rate", 4).alias("oov_rate"),
+        )
+
     def top_ngrams(spark, sf):
         return ts.top_ngrams(
             _docs(spark, sf), content_col="text", n=2, k=_TOP_NGRAMS_K
@@ -2986,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": substring_pairs,
         "top_ngrams": top_ngrams,
         "vocab_coverage": vocab_coverage,
+        "apply_vocab": apply_vocab,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_fingerprints": simhash_fingerprints,
         "hybrid_rrf": hybrid_rrf,
@@ -3110,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_pairs": _SUBSTRING_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
+        "apply_vocab": _APPLY_VOCAB_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),

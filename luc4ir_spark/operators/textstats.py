@@ -662,3 +662,43 @@ def classifier_score(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))).alias("score"),
         (F.col("logit") >= F.lit(cut)).alias("keep"),
     )
+
+
+def apply_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary application with OOV accounting — the step between
+    vocab building (``vocab_coverage``) and training-data
+    serialization: count how much of each document the tokenizer
+    vocabulary actually covers -> (doc_id, n_tokens, n_oov, oov_rate);
+    zero-token docs yield no row (nothing to cover). The corpus-level
+    OOV rate this aggregates to is the go/no-go signal before
+    committing a vocab to a training run.
+
+    Plan shape: ``vocab`` (a 1-column-of-terms relation, e.g.
+    vocab_coverage output) is collected into a literal array — vocab
+    tables are Zipf-bounded, trivially driver-sized — so the operator
+    is a ZERO-shuffle projection: no explode, no join, no aggregation;
+    per-token membership is an array_contains over the literal. For
+    tokenizer-scale vocabularies (>~10k entries) where a per-token
+    linear scan stings, the explode + broadcast-join twin is the same
+    two-shuffle silhouette as classifier_score — this literal form is
+    the hot path for filter-sized vocabularies."""
+    terms = sorted(r["term"] for r in vocab.select("term").collect())
+    arr = F.array(*[F.lit(t) for t in terms])
+    toks = simple_tokens(content_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).filter(F.size("_t") > 0)
+    n_oov = F.size(
+        F.filter("_t", lambda t: ~F.array_contains(arr, t))
+    ).cast("long")
+    return base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov / F.size("_t")).alias("oov_rate"),
+    )

@@ -1229,3 +1229,21 @@ def test_classifier_score_hand_computed(spark):
         assert rows[d]["keep"] == (el >= cut)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_apply_vocab_hand_computed(spark):
+    """OOV accounting against an explicit vocab; empty docs excluded;
+    the literal-vocab path is a zero-shuffle projection."""
+    docs = spark.createDataFrame(
+        [(0, "a b a zz"), (1, "zz yy"), (2, "")],
+        "doc_id long, content string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    out = textstats.apply_vocab(docs, vocab)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0]["n_tokens"], rows[0]["n_oov"]) == (4, 1)
+    assert rows[0]["oov_rate"] == pytest.approx(0.25)
+    assert (rows[1]["n_tokens"], rows[1]["n_oov"]) == (2, 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
