@@ -1788,6 +1788,46 @@ GROUP BY 1
 """
 
 
+# ordered-proximity gate: same terms as the phrase gate but with slack
+_PROX_WINDOW = 6
+
+
+def _proximity_sql() -> str:
+    """Replays retrieval.proximity_query: greedy-earliest in-order
+    chains (existence of any in-order chain within the window is
+    equivalent to the greedy chain existing) via correlated min
+    subqueries, one per chained term."""
+    ctes, prev = [], None
+    for i, t in enumerate(_PHRASE[1:], start=1):
+        lower = "p1.p" if i == 1 else f"m{i-1}.c{i-1}"
+        src = "pos p1" if i == 1 else f"m{i-1}"
+        start = "p1.p" if i == 1 else f"m{i-1}.start"
+        doc = "p1.doc_id" if i == 1 else f"m{i-1}.doc_id"
+        where = (
+            f"WHERE p1.term = '{_PHRASE[0]}'"
+            if i == 1
+            else f"WHERE m{i-1}.c{i-1} IS NOT NULL"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT {doc} AS doc_id, {start} AS start, "
+            f"(SELECT min(x.p) FROM pos x WHERE x.doc_id = {doc} "
+            f"AND x.term = '{t}' AND x.p > {lower} "
+            f"AND x.p <= {start} + {_PROX_WINDOW}) AS c{i} "
+            f"FROM {src} {where})"
+        )
+        prev = i
+    return rf"""
+WITH t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e),
+{", ".join(ctes)}
+SELECT doc_id, count(*)::BIGINT AS prox_freq
+FROM m{prev} WHERE c{prev} IS NOT NULL GROUP BY 1
+"""
+
+
 # fuzzy gate: misspelled queries that only reach postings via edit-
 # distance expansion over the vocabulary
 _FUZZY_QUERIES: list[tuple[str, str]] = [
@@ -2658,6 +2698,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.facet_counts(run, _docs(spark, sf), facet_col="source")
         return out.select("qid", "facet", "n_docs")
 
+    def proximity_query(spark, sf):
+        # ordered within-window proximity (#odN family): the phrase
+        # terms with slack — a strict superset of the exact phrase hits
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.proximity_query(
+            pos, _PHRASE, window=_PROX_WINDOW
+        ).select("doc_id", "prox_freq")
+
     def fuzzy_query(spark, sf):
         # FuzzyQuery parity: misspelled queries reach the postings via
         # Levenshtein expansion over the vocabulary, 1/(1+d) weights
@@ -3043,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": snippets,
         "fuzzy_query": fuzzy_query,
         "grouped_results": grouped_results,
+        "proximity_query": proximity_query,
         "semantic_dedup": semantic_dedup,
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
@@ -3200,6 +3252,7 @@ def oracle_sql() -> dict[str, str]:
         "run_ttest": _run_ttest_sql(),
         "snippets": _snippets_sql(),
         "fuzzy_query": _fuzzy_query_sql(),
+        "proximity_query": _proximity_sql(),
         "grouped_results": _GROUPED_SQL.format(
             bm25=_bm25_sql(conjunctive=False)
         ),

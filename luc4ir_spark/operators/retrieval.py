@@ -197,6 +197,72 @@ def more_like_this(
     return score_queries(index, doc_terms, k=k, sim=sim)
 
 
+def proximity_query(
+    positional: DataFrame, terms: list[str], window: int
+) -> DataFrame:
+    """Ordered proximity matching over the positional index — the
+    within-``window`` relaxation between exact phrase (window =
+    len(terms) - 1) and plain conjunction (window = ∞): a match is a
+    start position of ``terms[0]`` from which every later term occurs
+    IN ORDER within ``window`` tokens, each strictly after its
+    predecessor -> (doc_id, prox_freq) = count of such start
+    positions. This is the ordered-window operator of the INQUERY/
+    Indri family (#odN) and the practical core of Lucene's sloppy
+    phrase for the common search-box case.
+
+    Plan: the same array-walk shape as ``phrase_query``, generalized —
+    for each next term, every surviving start keeps the EARLIEST
+    in-order occurrence via a per-start fold over the (sorted,
+    doc-length-bounded) position array; starts whose chain leaves the
+    window die. Joins stay doc_id equi-joins of term-filtered cells —
+    the rarest term still collapses fan-in — and everything is
+    per-row array arithmetic in one projection per phrase term."""
+    if not terms:
+        raise ValueError("proximity_query: empty terms")
+    if window < len(terms) - 1:
+        raise ValueError("window too small for the term count")
+    # s = array of structs (start, cur): start position and the
+    # position its in-order chain has reached so far
+    cur = positional.filter(F.col("term") == terms[0]).select(
+        "doc_id",
+        F.transform(
+            "positions",
+            lambda p: F.struct(p.alias("start"), p.alias("cur")),
+        ).alias("s"),
+    )
+    for t in terms[1:]:
+        nxt = positional.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("_p")
+        )
+        # earliest occurrence of t after chain.cur, still within the
+        # window of chain.start: array_min of the filtered positions
+        advance = lambda st: F.struct(  # noqa: E731
+            st["start"].alias("start"),
+            F.array_min(
+                F.filter(
+                    F.col("_p"),
+                    lambda p: (p > st["cur"])
+                    & (p <= st["start"] + F.lit(window)),
+                )
+            ).alias("cur"),
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "s",
+                F.filter(
+                    F.transform("s", advance),
+                    lambda st: st["cur"].isNotNull(),
+                ),
+            )
+            .filter(F.size("s") > 0)
+            .drop("_p")
+        )
+    return cur.select(
+        "doc_id", F.size("s").cast("long").alias("prox_freq")
+    )
+
+
 def fuzzy_expand_terms(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -481,3 +481,34 @@ def test_grouped_topk(spark, index):
             if qid == r["qid"] and (f"g{d % 2}") == r["group"]
         ]
         assert r["rank"] == min(group_ranks)
+
+
+def test_proximity_query_hand_computed(spark):
+    """In-order within-window semantics: window boundaries, order
+    sensitivity, greedy chaining, start-position counting."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "x", "b", "a", "b"]),
+            (1, ["b", "a", "c"]),
+            (2, ["a", "b", "b", "c"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+
+    def run(terms, w):
+        return {
+            r["doc_id"]: r["prox_freq"]
+            for r in rt.proximity_query(pos, terms, window=w).collect()
+        }
+
+    # doc 0: a@0 reaches b@2 (within 2), a@3 reaches b@4
+    assert run(["a", "b"], 2) == {0: 2, 2: 1}
+    # window 1 only the adjacent pairs survive
+    assert run(["a", "b"], 1) == {0: 1, 2: 1}
+    # order matters: b before a
+    assert run(["b", "a"], 2) == {0: 1, 1: 1}
+    # 3-term greedy chain within window 3 (a@0 -> b@1 -> c@3)
+    assert run(["a", "b", "c"], 3) == {2: 1}
+    with pytest.raises(ValueError):
+        rt.proximity_query(pos, ["a", "b", "c"], window=1)
