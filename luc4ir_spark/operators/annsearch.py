@@ -336,7 +336,7 @@ def derive_n_clusters(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     centroids: list[tuple[int, list[float], float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -371,12 +371,23 @@ def semantic_dedup(
     and the exact cosine verified inline. ``max_cluster_size`` (ON by
     default) exempts degenerate clusters from pair generation — their
     members are all KEPT, with the drop logged — because a mega-cluster
-    (every vector near one centroid) is quadratic; size ``n_clusters``
-    with ``derive_n_clusters`` so healthy clusters stay bounded."""
+    (every vector near one centroid) is quadratic; ``n_clusters=None``
+    (default) derives K from the corpus via ``derive_n_clusters`` so
+    healthy clusters stay bounded — pin an explicit K for oracle
+    replay."""
     c = with_norm(
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)), vec_col
     ).select("vid", F.col("_vd").alias("v"), F.col("norm").alias("n"))
     if centroids is None:
+        if n_clusters is None:
+            # size K from the corpus (one scalar count action) — a
+            # fixed K is a sandbox constant: the within-cluster pair
+            # scan is quadratic in membership, so K must grow with the
+            # corpus exactly like derive_n_planes grows the LSH bucket
+            # count. Pin an explicit K for oracle replay.
+            n_clusters = derive_n_clusters(c.count())
+            if log is not None:
+                log(f"semantic_dedup: derived n_clusters={n_clusters}")
         rows = c.orderBy("vid").limit(n_clusters).collect()
         centroids = [(r["vid"], list(r["v"]), float(r["n"])) for r in rows]
     centroids = sorted(centroids, key=lambda t: t[0])

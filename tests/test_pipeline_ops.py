@@ -1247,3 +1247,18 @@ def test_apply_vocab_hand_computed(spark):
     assert (rows[1]["n_tokens"], rows[1]["n_oov"]) == (2, 2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_semantic_dedup_derives_cluster_count(spark):
+    """n_clusters=None sizes K from the corpus and logs it (a fixed K
+    is a sandbox constant — same failure mode as a fixed plane count)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    msgs = []
+    kept = annsearch.semantic_dedup(
+        emb, threshold=0.9999, log=msgs.append
+    ).collect()
+    assert any("derived n_clusters=8" in m for m in msgs)
+    assert len(kept) > 0
