@@ -221,6 +221,9 @@ def proximity_query(
         raise ValueError("proximity_query: empty terms")
     if window < len(terms) - 1:
         raise ValueError("window too small for the term count")
+    # one consumer per term — materialize the positional build once
+    # (see phrase_query)
+    positional = positional.localCheckpoint(eager=False)
     # s = array of structs (start, cur): start position and the
     # position its in-order chain has reached so far
     cur = positional.filter(F.col("term") == terms[0]).select(
@@ -439,6 +442,10 @@ def phrase_query(
     step re-filters the positional relation independently)."""
     if not phrase:
         raise ValueError("phrase_query: empty phrase")
+    # the positional relation is consumed once per phrase term; plan
+    # dedup re-derives the whole posexplode+collect build per consumer
+    # (fresh exprIds defeat reuse) — materialize it once, GC-scoped
+    positional = positional.localCheckpoint(eager=False)
     cur = positional.filter(F.col("term") == phrase[0]).select(
         "doc_id", F.col("positions").alias("s")
     )
