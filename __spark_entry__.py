@@ -1792,6 +1792,41 @@ GROUP BY 1
 _PROX_WINDOW = 6
 
 
+def _hygiene_streamed_sql() -> str:
+    """Batch replay of the streamed ingest-hygiene pipeline over the
+    PII-augmented corpus: a CTE SHADOWS `documents` with the augmented
+    text (referencing main.documents — DuckDB's documented way to
+    rebind the name), so the composed quality-filter SQL runs over the
+    same content the stream saw; the scrub chain applies PII_PATTERNS
+    in order; kept = quality keepers (the wave-2 duplicates are
+    state-dropped by the stream and simply absent here)."""
+    aug = (
+        "text || ' user' || doc_id::VARCHAR || '@example.com'"
+        " || ' 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+        " || ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')"
+        " || '-2345'"
+    )
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    for i, (_, pat) in enumerate(ts.PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id,"
+            f" regexp_replace(t{i}, '{pat}', '[PII]', 'g') AS t{i + 1}"
+            f" FROM s{i})"
+        )
+    last = len(ts.PII_PATTERNS)
+    return f"""
+WITH documents AS (SELECT doc_id, {aug} AS text, lang, source, n_chars
+                   FROM main.documents),
+qf AS (SELECT doc_id, keep FROM ({_quality_filter_sql()})),
+{", ".join(ctes)}
+SELECT d.doc_id, md5(d.text) AS digest, s.t{last} AS clean
+FROM documents d
+JOIN qf USING (doc_id)
+JOIN s{last} s USING (doc_id)
+WHERE qf.keep
+"""
+
+
 def _proximity_sql() -> str:
     """Replays retrieval.proximity_query: greedy-earliest in-order
     chains (existence of any in-order chain within the window is
@@ -2741,6 +2776,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("qid", "group", "doc_id", "rank", "group_rank")
 
+    def hygiene_streamed(spark, sf):
+        # the STREAMING ingest-hygiene pipeline end-to-end: wave 1 is
+        # the PII-augmented corpus; wave 2 re-delivers two duplicate
+        # documents under new ids — the stateful dedup drops both, so
+        # the flushed set is exactly the batch quality-keep + scrub of
+        # wave 1 (which the oracle replays)
+        import shutil
+        import tempfile
+
+        from luc4ir_spark.streaming.dedup_stream import (
+            start_hygiene_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_hyg_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        aug = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+            F.concat(
+                F.lit("10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+            F.concat(
+                F.lit("call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-2345"),
+            ),
+        )
+        docs = _docs(spark, sf).select("doc_id", aug.alias("content"))
+        waves = [
+            docs,
+            docs.filter(F.col("doc_id") < 2).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "content"
+            ),
+        ]
+        for wave in waves:
+            wave.write.mode("append").parquet(in_dir)
+            q = start_hygiene_stream(spark, in_dir, out_dir)
+            q.awaitTermination(300)
+        out = spark.read.parquet(os.path.join(out_dir, "kept"))
+        sel = out.select("doc_id", "digest", "clean")
+        rows = sel.collect()
+        res = spark.createDataFrame(rows, sel.schema)
+        shutil.rmtree(base, ignore_errors=True)
+        return res
+
     def run_ttest(spark, sf):
         # paired-t significance between the plain BM25 run and the
         # MUST_NOT run on per-query AP (trec_eval-style comparison)
@@ -3092,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": facet_counts,
         "run_ttest": run_ttest,
         "snippets": snippets,
+        "hygiene_streamed": hygiene_streamed,
         "fuzzy_query": fuzzy_query,
         "grouped_results": grouped_results,
         "proximity_query": proximity_query,
@@ -3251,6 +3340,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "run_ttest": _run_ttest_sql(),
         "snippets": _snippets_sql(),
+        "hygiene_streamed": _hygiene_streamed_sql(),
         "fuzzy_query": _fuzzy_query_sql(),
         "proximity_query": _proximity_sql(),
         "grouped_results": _GROUPED_SQL.format(
