@@ -1863,6 +1863,56 @@ FROM m{prev} WHERE c{prev} IS NOT NULL GROUP BY 1
 """
 
 
+_CLASSIC_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( sqrt(tf.tf)
+              * pow(1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)), 2)
+              / sqrt(dl.doc_len) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+# spell gate: two misspellings plus one in-vocab term (must yield
+# no suggestion row)
+_SPELL_QUERIES: list[tuple[str, str]] = [
+    ("s1", "sparkk"),
+    ("s1", "tabel"),
+    ("s2", "windoww"),
+    ("s2", "spark"),
+]
+
+
+def _spell_suggest_sql() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in _SPELL_QUERIES)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+sq(qid, term) AS (VALUES {rows}),
+oov AS (SELECT qid, term FROM sq
+        WHERE term NOT IN (SELECT term FROM dft)),
+cand AS (
+  SELECT o.qid, o.term, d.term AS suggestion,
+         levenshtein(d.term, o.term)::BIGINT AS distance, d.df
+  FROM dft d JOIN oov o ON levenshtein(d.term, o.term) <= 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid, term
+        ORDER BY distance ASC, df DESC, suggestion ASC)::BIGINT AS rank
+      FROM cand)
+SELECT qid, term, suggestion, distance, df, rank FROM r WHERE rank <= 1
+"""
+
+
 # fuzzy gate: misspelled queries that only reach postings via edit-
 # distance expansion over the vocabulary
 _FUZZY_QUERIES: list[tuple[str, str]] = [
@@ -2255,6 +2305,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
             F.round("score", 4).alias("score"),
         )
+
+    def classic_topk(spark, sf):
+        # Lucene ClassicSimilarity (sqrt-tf, squared idf, 1/sqrt(dl))
+        return _lm_run(spark, sf, "classic")
+
+    def spell_suggest(spark, sf):
+        # SpellChecker parity: best in-vocab correction per OOV term,
+        # (distance ASC, df DESC, term ASC) — integer keys only
+        idx = _index(spark, sf)
+        q = spark.createDataFrame(
+            _SPELL_QUERIES, "qid string, term string"
+        )
+        return rt.suggest_terms(
+            idx, q, max_edits=2, n_suggestions=1
+        ).select("qid", "term", "suggestion", "distance", "df", "rank")
 
     def lmdir_topk(spark, sf):
         # LM-Dirichlet similarity (reference alternative at
@@ -3134,6 +3199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": eval_metrics,
         "lmdir_topk": lmdir_topk,
         "lmjm_topk": lmjm_topk,
+        "classic_topk": classic_topk,
+        "spell_suggest": spell_suggest,
         "verbose_qsel": verbose_qsel,
         "rr_histogram": rr_histogram,
         "rm_weights": rm_weights,
@@ -3255,6 +3322,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_metrics": _EVAL_SQL,
         "lmdir_topk": _lm_sql("lmdir"),
         "lmjm_topk": _lm_sql("lmjm"),
+        "classic_topk": _CLASSIC_SQL,
+        "spell_suggest": _spell_suggest_sql(),
         "verbose_qsel": _QSEL_SQL,
         "rr_histogram": _RR_HIST_SQL,
         "rm_weights": _RM_SQL,

@@ -39,7 +39,7 @@ BM25_B_DEFAULT = 0.3
 
 @dataclass(frozen=True)
 class Similarity:
-    kind: str = "bm25"  # bm25 | lmdir | lmjm
+    kind: str = "bm25"  # bm25 | lmdir | lmjm | classic
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
@@ -91,6 +91,16 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             F.lit(1.0)
             + F.lit((1.0 - sim.lam) / sim.lam) * (tf / dl) / p_c
         )
+    if sim.kind == "classic":
+        # Lucene ClassicSimilarity (TFIDFSimilarity): sqrt-tf,
+        # idf = 1 + ln((N+1)/(df+1)) SQUARED (query idf x field idf),
+        # fieldNorm = 1/sqrt(dl); queryNorm/boost were removed in
+        # Lucene 8 and are omitted
+        idf_c = F.lit(1.0) + F.log(
+            F.lit(float(stats.n_docs) + 1.0)
+            / (F.col("df").cast("double") + 1.0)
+        )
+        return w * F.sqrt(tf) * idf_c * idf_c / F.sqrt(dl)
     raise ValueError(f"unknown similarity: {sim.kind}")
 
 
@@ -311,6 +321,55 @@ def fuzzy_expand_terms(
         )
         .groupBy("qid", "term")
         .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def suggest_terms(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    max_edits: int = 2,
+    n_suggestions: int = 1,
+) -> DataFrame:
+    """"Did you mean" — Lucene SpellChecker at the logical level: for
+    every OUT-OF-VOCABULARY query term, the best dictionary terms
+    within ``max_edits`` Levenshtein edits, ranked by
+    (distance ASC, df DESC, term ASC) — SpellChecker's
+    closer-then-more-popular ordering with INTEGER sort keys only, so
+    the ranking is deterministic across engines. In-vocabulary terms
+    yield no row (nothing to correct).
+    -> (qid, term, suggestion, distance, df, rank).
+
+    Plan: the OOV set is a broadcast anti-join against the term
+    dictionary; candidates are the same vocab-sized dictionary scan as
+    ``fuzzy_expand_terms``; the per-(qid, term) top-n is a
+    WindowGroupLimit."""
+    q = query_terms.select("qid", "term").distinct()
+    vocab = index.term_stats.select(
+        F.col("term").alias("suggestion"), "df"
+    )
+    oov = q.join(
+        index.term_stats.select("term"), "term", "left_anti"
+    )
+    cand = vocab.join(
+        F.broadcast(oov),
+        F.levenshtein(F.col("suggestion"), F.col("term")) <= max_edits,
+    ).select(
+        "qid",
+        "term",
+        "suggestion",
+        F.levenshtein(F.col("suggestion"), F.col("term"))
+        .cast("long")
+        .alias("distance"),
+        "df",
+    )
+    w = Window.partitionBy("qid", "term").orderBy(
+        F.col("distance").asc(), F.col("df").desc(),
+        F.col("suggestion").asc(),
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n_suggestions)
+        .select("qid", "term", "suggestion", "distance", "df", "rank")
     )
 
 

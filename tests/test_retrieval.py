@@ -512,3 +512,45 @@ def test_proximity_query_hand_computed(spark):
     assert run(["a", "b", "c"], 3) == {2: 1}
     with pytest.raises(ValueError):
         rt.proximity_query(pos, ["a", "b", "c"], window=1)
+
+
+def test_classic_similarity_brute_force(spark, index):
+    """ClassicSimilarity (sqrt-tf, squared idf, 1/sqrt(dl)) against
+    dict arithmetic."""
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    n = len(DOCS)
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    run = rt.score_queries(
+        index, qt, k=10, sim=rt.Similarity(kind="classic")
+    ).collect()
+    for r in run:
+        qid, d = r["qid"], r["doc_id"]
+        qterms = set(analyze_text(dict(QUERIES)[qid], EN))
+        exp = sum(
+            math.sqrt(toks[d].count(t))
+            * (1 + math.log((n + 1) / (df[t] + 1))) ** 2
+            / math.sqrt(len(toks[d]))
+            for t in qterms
+            if toks[d].count(t) > 0 and t in df
+        )
+        assert r["score"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_suggest_terms(spark, index):
+    """OOV terms get the closest (then most frequent) vocab term;
+    in-vocab terms yield nothing."""
+    q = spark.createDataFrame(
+        [("s", "sparc"), ("s", "spark"), ("s", "qqqqqqqqqq")],
+        "qid string, term string",
+    )
+    got = {
+        r["term"]: r for r in rt.suggest_terms(index, q, max_edits=2).collect()
+    }
+    assert set(got) == {"sparc"}  # 'spark' in vocab; garbage too far
+    assert got["sparc"]["suggestion"] == "spark"
+    assert got["sparc"]["distance"] == 1
+    assert got["sparc"]["rank"] == 1
