@@ -217,3 +217,64 @@ def read_index(
         ),
         config=cfg or IndexConfig(),
     )
+
+
+def save_index_bucketed(
+    index: InvertedIndex,
+    table_prefix: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the index as Spark BUCKETED tables — postings and term
+    stats bucketed AND sorted by ``term`` — so every future term-keyed
+    operation (scoring joins, segment merges, term-stat re-aggs,
+    posting self-joins) reads co-partitioned, pre-sorted data and
+    plans with NO shuffle exchange and no per-join sort: the
+    bucket-join fast path the 100 TB layout lives on (one shuffle at
+    WRITE time buys zero shuffles on every subsequent read). Table
+    metadata goes through the session catalog (``saveAsTable`` — plain
+    ``parquet(path)`` writes cannot record bucketing); on a production
+    lakehouse the same layout is a table-format bucket transform
+    (e.g. an Iceberg ``bucket(N, term)`` partition spec — catalog jars
+    absent in this sandbox, the Spark-catalog form is the same plan
+    shape). doc_stats is doc-keyed and stays an unbucketed table."""
+    (
+        index.postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    (
+        index.term_stats.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_term_stats")
+    )
+    (
+        index.doc_stats.write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_doc_stats")
+    )
+
+
+def read_index_bucketed(
+    spark: SparkSession,
+    table_prefix: str,
+    cfg: IndexConfig | None = None,
+) -> InvertedIndex:
+    """Open a bucketed-table index. Collection scalars are recomputed
+    from the persisted tables (two scalar actions — the open-an-index
+    path, same as collect_collection_stats)."""
+    doc_stats = spark.table(f"{table_prefix}_doc_stats")
+    postings = spark.table(f"{table_prefix}_postings")
+    term_stats = spark.table(f"{table_prefix}_term_stats")
+    from ..operators.indexer import collect_collection_stats
+
+    return InvertedIndex(
+        doc_stats=doc_stats,
+        postings=postings,
+        term_stats=term_stats,
+        stats=collect_collection_stats(doc_stats, term_stats),
+        config=cfg or IndexConfig(),
+    )

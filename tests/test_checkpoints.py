@@ -195,3 +195,54 @@ def test_streaming_incremental_equals_batch(spark, tmp_path):
     ra = rt.score_queries(streamed, qt, k=10).collect()
     rb = rt.score_queries(batch, qt, k=10).collect()
     assert sorted(map(str, ra)) == sorted(map(str, rb))
+
+
+def test_bucketed_index_joins_without_exchange(spark, tmp_path):
+    """Bucketed+sorted persistence: term-keyed joins and aggregations
+    over the reopened index plan with NO shuffle exchange (the
+    bucket-join fast path), and scoring equals the in-memory index."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 7} delta") for i in range(60)],
+        "doc_id long, content string",
+    )
+    cfg = ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    idx = ix.build_index(docs, cfg, cache=False)
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bidx_test"
+        f" LOCATION '{tmp_path}/warehouse'"
+    )
+    try:
+        cp.save_index_bucketed(idx, "bidx_test.t", n_buckets=4)
+        reopened = cp.read_index_bucketed(spark, "bidx_test.t", cfg)
+        # bucketed self-join on term: with the broadcast shortcut off
+        # (tiny test tables would otherwise broadcast and skip the
+        # bucketed scan) the sort-merge join needs NO Exchange and,
+        # thanks to sortBy, no per-side Sort of the scan either
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = reopened.postings.alias("l")
+            q = reopened.postings.alias("r")
+            j = p.hint("merge").join(q.hint("merge"), "term")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # term-keyed aggregation: also exchange-free
+        agg = reopened.postings.groupBy("term").count()
+        plan2 = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2, plan2
+        # scoring over the reopened index matches the in-memory one
+        qt = rt.queries_to_terms(
+            spark, [("q", "alpha doc3")], AnalyzerConfig(mode="simple")
+        )
+        got = sorted(
+            map(tuple, rt.score_queries(reopened, qt, k=5).collect())
+        )
+        exp = sorted(map(tuple, rt.score_queries(idx, qt, k=5).collect()))
+        assert got == exp
+        assert reopened.stats.n_docs == idx.stats.n_docs
+        assert reopened.stats.total_tokens == idx.stats.total_tokens
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bidx_test CASCADE")
