@@ -3160,6 +3160,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_docs", F.lit(pruned.stats.n_docs).cast("long")
         )
 
+    def incremental_index_streamed(spark, sf):
+        # the LIVE streaming incremental index: two arrival waves of
+        # the corpus (doc_id parity halves) foreachBatch-indexed into
+        # per-batch partitions; the merged-on-read index must carry
+        # the full-corpus term stats (same oracle as index_merge)
+        import shutil
+        import tempfile
+
+        from luc4ir_spark.streaming.incremental_index import (
+            open_incremental_index,
+            start_incremental_index,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_inc_idx_")
+        in_dir = os.path.join(base, "in")
+        idx_dir = os.path.join(base, "idx")
+        docs = _docs(spark, sf).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        cfg = ix.IndexConfig(analyzer=SIMPLE)
+        for parity in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            q = start_incremental_index(spark, in_dir, idx_dir, cfg)
+            q.awaitTermination(300)
+        idx = open_incremental_index(spark, idx_dir, cfg)
+        sel = idx.term_stats.select("term", "df", "cf").withColumn(
+            "n_docs", F.lit(idx.stats.n_docs).cast("long")
+        )
+        rows = sel.collect()
+        res = spark.createDataFrame(rows, sel.schema)
+        shutil.rmtree(base, ignore_errors=True)
+        return res
+
+    def checkpointed_build(spark, sf):
+        # the resumable checkpointed build: build to a manifest'd
+        # directory, run a second (no-op, all-stages-skipped) pass to
+        # prove resume, reopen, and require full-corpus term stats
+        import shutil
+        import tempfile
+
+        from luc4ir_spark.plans import checkpoints as cp
+
+        base = tempfile.mkdtemp(prefix="luc4ir_ckpt_idx_")
+        docs = _docs(spark, sf).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        cfg = ix.IndexConfig(analyzer=SIMPLE)
+        cp.build_index_checkpointed(
+            docs, base, cfg, num_slices=4, log=lambda *_: None
+        )
+        cp.build_index_checkpointed(  # resume: every stage skips
+            docs, base, cfg, num_slices=4, log=lambda *_: None
+        )
+        idx = cp.read_index(spark, base, cfg)
+        sel = idx.term_stats.select("term", "df", "cf").withColumn(
+            "n_docs", F.lit(idx.stats.n_docs).cast("long")
+        )
+        rows = sel.collect()
+        res = spark.createDataFrame(rows, sel.schema)
+        shutil.rmtree(base, ignore_errors=True)
+        return res
+
     def more_like_this(spark, sf):
         # query-by-document: doc 3's top-5 characteristic terms run as
         # a disjunctive BM25 query (Lucene MoreLikeThis parity)
@@ -3220,6 +3284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "index_merge": index_merge,
         "index_delete": index_delete,
+        "incremental_index_streamed": incremental_index_streamed,
+        "checkpointed_build": checkpointed_build,
         "more_like_this": more_like_this,
         "index_to_tsv": index_to_tsv,
         "doc_lookup": doc_lookup,
@@ -3343,6 +3409,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH64_PAIRS_SQL,
         "index_merge": _INDEX_MERGE_SQL,
         "index_delete": _INDEX_DELETE_SQL,
+        # streamed and checkpointed builds must both equal the one-shot
+        # full build — same oracle as index_merge
+        "incremental_index_streamed": _INDEX_MERGE_SQL,
+        "checkpointed_build": _INDEX_MERGE_SQL,
         "more_like_this": _mlt_sql(),
         "index_to_tsv": "SELECT doc_id, text AS content FROM documents",
         "doc_lookup": (
