@@ -48,6 +48,30 @@ QUERY_SET: list[tuple[str, str]] = [
 ]
 TOPK = 10
 
+# minimum_should_match gate: same QUERY_SET, docs must match >= 2 terms
+_MSM = 2
+
+# PrefixQuery gate: one trailing-wildcard prefix per query
+_PREFIX_SET: list[tuple[str, str]] = [
+    ("p1", "sp"),
+    ("p2", "jo"),
+    ("p3", "wind"),
+]
+
+# BooleanQuery parser gate: QueryParser +/- syntax, default-OR.
+# b3 exercises clause multiplicity (merge twice => weight 2), b4 the
+# out-of-vocabulary MUST clause (empty postings => query returns nothing)
+_BOOL_QUERIES: list[tuple[str, str]] = [
+    ("b1", "spark +join -dup"),
+    ("b2", "+stream hash window"),
+    ("b3", "merge merge -slow"),
+    ("b4", "+zzznotaterm spark"),
+]
+
+# sequence-packing gate: shard-local concatenate-and-chunk layout
+_PACK_SEQ_LEN = 128
+_PACK_SHARDS = 8
+
 # ---------------------------------------------------------------- SQL CTEs
 
 # tokenization must match luc4ir_spark.functions.analysis.simple_tokens
@@ -79,15 +103,19 @@ def _values_queries() -> str:
     return "q(qid, term) AS (VALUES " + ", ".join(rows) + ")"
 
 
-def _bm25_sql(conjunctive: bool) -> str:
+def _bm25_sql(conjunctive: bool, msm: int = 0, page: int = 1) -> str:
     # MUST semantics: every query term (known or not) must match, so a
     # query containing an out-of-vocabulary term returns nothing — same as
     # the engine's n_matched == n_terms filter in score_queries().
+    # msm > 1 replays minimum_should_match (docs matching >= msm distinct
+    # query terms); page > 1 replays searchAfter keyset pagination as the
+    # equivalent rank offset (ranks renumbered 1..TOPK within the page).
     having = (
         "HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.qid = q.qid)"
         if conjunctive
-        else ""
+        else (f"HAVING count(*) >= {int(msm)}" if msm > 1 else "")
     )
+    lo = (page - 1) * TOPK
     return f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -108,7 +136,136 @@ ranked AS (
          round(s_raw, 4) AS score
   FROM scored
 )
+SELECT qid, doc_id, (rank - {lo})::BIGINT AS rank, score
+FROM ranked WHERE rank > {lo} AND rank <= {lo + TOPK}
+"""
+
+
+def _prefix_sql() -> str:
+    """Replays prefix_expand_terms + BM25: expansion = dictionary LIKE
+    'prefix%', uniform weight 1 per expanded term."""
+    vals = ", ".join(f"('{q}', '{p}')" for q, p in _PREFIX_SET)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+p(qid, prefix) AS (VALUES {vals}),
+q AS (SELECT DISTINCT p.qid, dft.term
+      FROM p JOIN dft ON dft.term LIKE p.prefix || '%'),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q
+  JOIN dft USING (term)
+  JOIN tf  USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _bool_clause_values() -> str:
+    """Parse _BOOL_QUERIES with an INDEPENDENT inline reimplementation of
+    the +/- clause grammar + simple analyzer (lowercase, split on
+    non-[a-z0-9]) so the oracle does not import the engine parser."""
+    import re as _re
+
+    rows = []
+    for qid, text in _BOOL_QUERIES:
+        for raw in text.split():
+            if raw.startswith("+"):
+                clause, body = "must", raw[1:]
+            elif raw.startswith("-"):
+                clause, body = "must_not", raw[1:]
+            else:
+                clause, body = "should", raw
+            for t in _re.split(r"[^a-z0-9]+", body.lower()):
+                if t:
+                    rows.append(f"('{qid}', '{t}', '{clause}')")
+    return "c(qid, term, clause) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def _bool_query_sql() -> str:
+    """BooleanQuery semantics: scoring terms = must+should with
+    multiplicity as weight; docs must match every RAW must term
+    (out-of-vocabulary must => empty query); must_not prunes before
+    ranking."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_bool_clause_values()},
+sc AS (
+  SELECT qid, term, count(*)::DOUBLE AS weight,
+         max(CASE WHEN clause = 'must' THEN 1 ELSE 0 END) AS is_must
+  FROM c WHERE clause <> 'must_not' GROUP BY 1, 2
+),
+nm AS (SELECT qid, sum(is_must)::BIGINT AS n_must FROM sc GROUP BY 1),
+scored AS (
+  SELECT sc.qid, tf.doc_id,
+         sum( sc.weight
+              * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw,
+         sum(sc.is_must)::BIGINT AS n_must_matched
+  FROM sc
+  JOIN dft USING (term)
+  JOIN tf  USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY sc.qid, tf.doc_id
+),
+kept AS (
+  SELECT scored.* FROM scored JOIN nm USING (qid)
+  WHERE scored.n_must_matched = nm.n_must
+    AND NOT EXISTS (
+      SELECT 1 FROM c JOIN tf t2 USING (term)
+      WHERE c.clause = 'must_not'
+        AND c.qid = scored.qid AND t2.doc_id = scored.doc_id
+    )
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM kept
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _pack_sequences_sql() -> str:
+    """Replays textstats.pack_sequences: the portable mix hash is the
+    shuffle key + shard, a per-shard running token sum is the offset,
+    integer division by seq_len gives the sequence span."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mkey = f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B}) % {hx.MIX_P})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         {mkey} AS mkey
+  FROM documents
+),
+f AS (SELECT doc_id, n_tokens, mkey, (mkey % {_PACK_SHARDS})::BIGINT AS shard
+      FROM t WHERE n_tokens > 0),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY mkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_offset
+  FROM f
+)
+SELECT doc_id, shard, n_tokens, tok_offset,
+       (tok_offset // {_PACK_SEQ_LEN})::BIGINT AS first_seq,
+       ((tok_offset + n_tokens - 1) // {_PACK_SEQ_LEN})::BIGINT AS last_seq
+FROM o
 """
 
 
@@ -2232,6 +2389,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_conjunctive(spark, sf):
         return _bm25_run(spark, sf, conjunctive=True)
 
+    def _round_run(run):
+        return run.select(
+            "qid",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
+    def bm25_msm(spark, sf):
+        # BooleanQuery.setMinimumNumberShouldMatch parity: docs must
+        # match >= _MSM distinct query terms before ranking
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return _round_run(
+            rt.score_queries(idx, qt, k=TOPK, min_should_match=_MSM)
+        )
+
+    def prefix_query(spark, sf):
+        # PrefixQuery parity: trailing-wildcard expansion over the term
+        # dictionary, uniform weights, then one BM25 pass
+        idx = _index(spark, sf)
+        p = spark.createDataFrame(_PREFIX_SET, "qid string, prefix string")
+        expanded = rt.prefix_expand_terms(idx, p)
+        return _round_run(rt.score_queries(idx, expanded, k=TOPK))
+
+    def search_after(spark, sf):
+        # IndexSearcher.searchAfter parity: page 2 via a keyset cursor
+        # built from page 1's last hit — must equal the rank-offset page
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        page1 = rt.score_queries(idx, qt, k=TOPK)
+        cursor = page1.filter(F.col("rank") == TOPK).select(
+            "qid",
+            F.col("score").alias("after_score"),
+            F.col("doc_id").alias("after_doc_id"),
+        )
+        return _round_run(
+            rt.score_queries(idx, qt, k=TOPK, after=cursor)
+        )
+
+    def boolean_query_parse(spark, sf):
+        # QueryParser +/- grammar -> BooleanQuery MUST/SHOULD/MUST_NOT
+        # execution in one postings scan
+        idx = _index(spark, sf)
+        rows = [
+            r
+            for qid, text in _BOOL_QUERIES
+            for r in rt.parse_boolean_query(qid, text, SIMPLE)
+        ]
+        clauses = spark.createDataFrame(
+            rows, "qid string, term string, clause string"
+        )
+        return _round_run(rt.boolean_query(idx, clauses, k=TOPK))
+
+    def pack_sequences(spark, sf):
+        return ts.pack_sequences(
+            _docs(spark, sf),
+            content_col="text",
+            id_col="doc_id",
+            seq_len=_PACK_SEQ_LEN,
+            n_shards=_PACK_SHARDS,
+        )
+
     def bm25_topk_wand(spark, sf):
         # block-max WAND over delta+varbyte compressed postings; must be
         # rank- and score-identical to the exhaustive bm25_topk, so it
@@ -3259,6 +3479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_filter": lm_quality_filter,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
+        "bm25_msm": bm25_msm,
+        "prefix_query": prefix_query,
+        "search_after": search_after,
+        "boolean_query_parse": boolean_query_parse,
+        "pack_sequences": pack_sequences,
         "bm25_topk_wand": bm25_topk_wand,
         "eval_metrics": eval_metrics,
         "lmdir_topk": lmdir_topk,
@@ -3384,6 +3609,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
+        "bm25_msm": _bm25_sql(conjunctive=False, msm=_MSM),
+        # keyset page 2 must equal the rank-offset page
+        "search_after": _bm25_sql(conjunctive=False, page=2),
+        "prefix_query": _prefix_sql(),
+        "boolean_query_parse": _bool_query_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "eval_metrics": _EVAL_SQL,
         "lmdir_topk": _lm_sql("lmdir"),

@@ -111,6 +111,9 @@ def score_queries(
     sim: Similarity | None = None,
     conjunctive: bool = False,
     exclude_terms: DataFrame | None = None,
+    must_terms: DataFrame | None = None,
+    min_should_match: int = 0,
+    after: DataFrame | None = None,
 ) -> DataFrame:
     """Score all queries in one pass -> (qid, doc_id, rank, score).
 
@@ -123,6 +126,23 @@ def score_queries(
     removed from that query's candidates BEFORE ranking (Lucene prunes
     via the exclusion iterator before the collector sees the doc), as
     one broadcast term join + a (qid, doc_id) left anti.
+    ``must_terms``: optional (qid, term) — BooleanQuery MUST parity for
+    the MIXED must+should case (``conjunctive`` is the all-must special
+    case): a doc survives only if it matches EVERY must term of its
+    query. The required count comes from the RAW must set (an
+    out-of-vocabulary must term can never be matched, so that query
+    returns nothing — Lucene's empty-postings MUST clause), and the
+    matched count rides the same single postings scan as the scores
+    (an ``is_must`` flag summed in the agg — no second index pass).
+    ``min_should_match``: BooleanQuery.setMinimumNumberShouldMatch —
+    keep only docs matching at least this many distinct query terms
+    (0/1 = plain OR; len(query) = conjunctive).
+    ``after``: optional (qid, after_score, after_doc_id) cursor —
+    IndexSearcher.searchAfter keyset pagination: only docs STRICTLY
+    after the cursor in (score desc, doc_id asc) order are ranked;
+    queries absent from the cursor start from the top (Lucene's null
+    after). The filter runs BEFORE the top-k window, so deep pages
+    never materialize the rows already served.
     """
     sim = sim or Similarity()
     if "weight" not in query_terms.columns:
@@ -136,24 +156,67 @@ def score_queries(
     qt_enriched = qt.join(F.broadcast(ts), "term").withColumn(
         "idf", idf_lucene(F.col("df"), index.stats.n_docs)
     )
+    if must_terms is not None:
+        mt = must_terms.select("qid", "term").distinct()
+        qt_enriched = qt_enriched.join(
+            F.broadcast(mt.withColumn("_must", F.lit(1))),
+            ["qid", "term"],
+            "left",
+        ).withColumn("is_must", F.coalesce(F.col("_must"), F.lit(0)))
     n_query_terms = qt.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_terms")
     )
 
     contrib = _per_posting_score(sim, index.stats, qt_enriched.columns)
+    agg_cols = [
+        F.sum("contrib").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+    ]
+    sel_cols = ["qid", "doc_id", contrib.alias("contrib")]
+    if must_terms is not None:
+        sel_cols.append(F.col("is_must"))
+        agg_cols.append(
+            F.sum("is_must").cast("long").alias("n_must_matched")
+        )
     matched = (
         index.postings.join(F.broadcast(qt_enriched), "term")
-        .select("qid", "doc_id", contrib.alias("contrib"))
+        .select(*sel_cols)
         .groupBy("qid", "doc_id")
-        .agg(
-            F.sum("contrib").alias("score"),
-            F.count(F.lit(1)).cast("long").alias("n_matched"),
-        )
+        .agg(*agg_cols)
     )
     if conjunctive:
         matched = matched.join(F.broadcast(n_query_terms), "qid").filter(
             F.col("n_matched") == F.col("n_terms")
         )
+    if min_should_match > 1:
+        matched = matched.filter(
+            F.col("n_matched") >= F.lit(int(min_should_match))
+        )
+    if must_terms is not None:
+        n_must = (
+            must_terms.select("qid", "term")
+            .distinct()
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n_must"))
+        )
+        matched = (
+            matched.join(F.broadcast(n_must), "qid", "left")
+            .filter(
+                F.col("n_must_matched")
+                == F.coalesce(F.col("_n_must"), F.lit(0))
+            )
+            .drop("_n_must", "n_must_matched")
+        )
+    if after is not None:
+        cur = after.select("qid", "after_score", "after_doc_id")
+        matched = matched.join(F.broadcast(cur), "qid", "left").filter(
+            F.col("after_score").isNull()
+            | (F.col("score") < F.col("after_score"))
+            | (
+                (F.col("score") == F.col("after_score"))
+                & (F.col("doc_id") > F.col("after_doc_id"))
+            )
+        ).drop("after_score", "after_doc_id")
     if exclude_terms is not None:
         excl = (
             index.postings.join(
@@ -321,6 +384,91 @@ def fuzzy_expand_terms(
         )
         .groupBy("qid", "term")
         .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def prefix_expand_terms(
+    index: InvertedIndex,
+    query_prefixes: DataFrame,
+) -> DataFrame:
+    """Prefix / trailing-wildcard term expansion — Lucene PrefixQuery
+    (``spar*``) at the logical level: map each (qid, prefix) to every
+    index vocabulary term that starts with the prefix, uniform weight
+    1.0 (Lucene's SCORING_BOOLEAN_REWRITE: one equal-boost TermQuery
+    per expansion; the constant-score rewrites differ only in skipping
+    per-term scoring). -> (qid, term, weight) for ``score_queries``.
+
+    Plan shape: broadcast the (tiny) prefix set against the term
+    DICTIONARY — vocab-sized, never corpus-sized — with the
+    ``startswith`` predicate in codegen; Lucene seeks the term enum to
+    the prefix block instead, but the work unit is the same dictionary
+    scan, and the expansion result stays query-sized and is broadcast
+    onward into the postings join."""
+    q = query_prefixes.select("qid", "prefix").distinct()
+    return (
+        index.term_stats.select("term")
+        .join(F.broadcast(q), F.col("term").startswith(F.col("prefix")))
+        .select("qid", "term")
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def parse_boolean_query(
+    qid: str, text: str, cfg: AnalyzerConfig | None = None
+) -> list[tuple[str, str, str]]:
+    """Parse Lucene QueryParser's +/- clause syntax (default operator
+    OR): whitespace-separated clauses, ``+term`` = MUST, ``-term`` =
+    MUST_NOT, bare ``term`` = SHOULD (reference queries go through the
+    classic QueryParser, trec/TRECQueryParser.java:64-67). Each clause
+    body runs through the index analyzer; a clause whose body analyzes
+    to several tokens contributes all of them under the same occur flag,
+    one that analyzes to nothing (stopword) drops out. Returns
+    [(qid, term, clause)] rows with clause in must|should|must_not."""
+    cfg = cfg or AnalyzerConfig()
+    out: list[tuple[str, str, str]] = []
+    for raw in text.split():
+        if raw.startswith("+"):
+            clause, body = "must", raw[1:]
+        elif raw.startswith("-"):
+            clause, body = "must_not", raw[1:]
+        else:
+            clause, body = "should", raw
+        for t in analyze_text(body, cfg):
+            out.append((qid, t, clause))
+    return out
+
+
+def boolean_query(
+    index: InvertedIndex,
+    clauses: DataFrame,
+    k: int = 1000,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """Full BooleanQuery execution over parsed clauses (qid, term,
+    clause ∈ must|should|must_not) — the general MUST + SHOULD +
+    MUST_NOT mix (Lucene BooleanQuery; ``conjunctive``/``exclude_terms``
+    on score_queries are its all-must / no-must corners). Scoring terms
+    are must+should with multiplicity as summed weight (a TermQuery per
+    occurrence, matching queries_to_terms), must-ness filters via the
+    single-scan ``must_terms`` path, and must_not prunes candidates
+    before ranking. One postings scan total."""
+    scoring = (
+        clauses.filter(F.col("clause") != "must_not")
+        .groupBy("qid", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    must = clauses.filter(F.col("clause") == "must").select("qid", "term")
+    excl = clauses.filter(F.col("clause") == "must_not").select(
+        "qid", "term"
+    )
+    return score_queries(
+        index,
+        scoring,
+        k=k,
+        sim=sim,
+        must_terms=must,
+        exclude_terms=excl,
     )
 
 

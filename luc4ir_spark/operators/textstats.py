@@ -341,6 +341,72 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    seq_len: int = 1024,
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing, sharded: the
+    layout step a fixed-context training pipeline runs after filtering —
+    documents are concatenated in a deterministic shuffled order and
+    cut into back-to-back ``seq_len``-token training sequences
+    (doc boundaries may split across sequences; no padding waste).
+
+    Determinism + scale come from the same trick as the WAND salt: each
+    doc goes to shard ``pmod(mix(doc_id + seed), n_shards)`` and is
+    ordered within its shard by ``(mix(doc_id + seed), doc_id)`` — the
+    portable mix hash (functions/hashing.py) is the shuffle, so the
+    layout is reproducible on any engine and there is NO global sort:
+    the only window is per-shard (pick n_shards ≈ cluster parallelism
+    and each task sorts ~corpus/n_shards rows; at 100 TB the shards are
+    the unit of parallel sequence writing, and sequence ids are
+    shard-local by design — global id = (shard, seq)).
+
+    Emits one row per non-empty doc: (doc_id, shard, n_tokens,
+    tok_offset = tokens preceding the doc within its shard,
+    first_seq / last_seq = the shard-local sequence ids the doc's
+    tokens land in). All-integer output, exact on any engine."""
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError("seq_len and n_shards must be positive")
+    from pyspark.sql import Window
+
+    from ..functions.hashing import mix_id_expr
+
+    c = F.col(content_col)
+    n_tok = F.size(F.array_remove(F.split(F.trim(c), r"\s+"), "")).cast(
+        "long"
+    )
+    key = mix_id_expr(F.col(id_col) + F.lit(int(seed)))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        key.alias("_key"),
+        F.pmod(key, F.lit(int(n_shards))).cast("long").alias("shard"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        per_doc.withColumn("tok_offset", off)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "tok_offset",
+            F.expr(f"tok_offset DIV {int(seq_len)}").alias("first_seq"),
+            F.expr(
+                f"(tok_offset + n_tokens - 1) DIV {int(seq_len)}"
+            ).alias("last_seq"),
+        )
+    )
+
+
 def corpus_composition(
     docs: DataFrame,
     content_col: str = "content",

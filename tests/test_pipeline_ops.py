@@ -1262,3 +1262,44 @@ def test_semantic_dedup_derives_cluster_count(spark):
     ).collect()
     assert any("derived n_clusters=8" in m for m in msgs)
     assert len(kept) > 0
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Shard/offset/sequence spans equal a pure-Python replay of the
+    mix-hash layout; offsets are contiguous per shard."""
+    from luc4ir_spark.functions import hashing as hx
+
+    docs = [(i, " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(40)]
+    docs.append((40, "   "))  # whitespace-only doc drops out
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    out = textstats.pack_sequences(
+        df, seq_len=10, n_shards=4, seed=0
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 40 not in got and len(got) == 40
+
+    # python replay
+    mix = lambda x: (hx.MIX_A * (x % hx.MIX_P) + hx.MIX_B) % hx.MIX_P
+    per_shard = {}
+    for i, text in docs[:40]:
+        n = len(text.split())
+        per_shard.setdefault(mix(i) % 4, []).append((mix(i), i, n))
+    for shard, rows in per_shard.items():
+        off = 0
+        for _, i, n in sorted(rows):
+            r = got[i]
+            assert r["shard"] == shard
+            assert r["n_tokens"] == n
+            assert r["tok_offset"] == off
+            assert r["first_seq"] == off // 10
+            assert r["last_seq"] == (off + n - 1) // 10
+            off += n
+
+
+def test_pack_sequences_no_global_sort(spark, docs_df):
+    """The only window is per-shard: the plan partitions by shard
+    (hash exchange), never a single-partition global sort."""
+    plan = textstats.pack_sequences(
+        docs_df, content_col="content", n_shards=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

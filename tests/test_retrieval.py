@@ -554,3 +554,98 @@ def test_suggest_terms(spark, index):
     assert got["sparc"]["suggestion"] == "spark"
     assert got["sparc"]["distance"] == 1
     assert got["sparc"]["rank"] == 1
+
+
+def test_min_should_match(spark, index):
+    """msm=2 keeps only docs matching >= 2 distinct query terms: for
+    q2 ('lazy joins') only doc 2 has both stems; q1's 'quick'/'spark'
+    never co-occur in this corpus, so q1 drops out entirely."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    run = rt.score_queries(index, qt, k=10, min_should_match=2).collect()
+    by_q = {}
+    for r in run:
+        by_q.setdefault(r["qid"], []).append(r["doc_id"])
+    assert by_q.get("q2") == [2]
+    assert "q1" not in by_q  # no doc has both quick and spark stems
+    # scores must equal the plain run's scores for surviving docs
+    plain = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    for r in run:
+        assert r["score"] == pytest.approx(plain[(r["qid"], r["doc_id"])])
+
+
+def test_search_after_equals_rank_offset(spark, index):
+    """Keyset pagination from page 1's last hit reproduces the
+    rank-offset page of the full run; queries absent from the cursor
+    restart from the top (Lucene null-after)."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    full = sorted(
+        rt.score_queries(index, qt, k=10).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    )
+    page1 = rt.score_queries(index, qt, k=2)
+    cursor = page1.filter(F.col("rank") == 2).select(
+        "qid",
+        F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc_id"),
+    )
+    page2 = rt.score_queries(index, qt, k=2, after=cursor).collect()
+    got = {}
+    for r in sorted(page2, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["doc_id"])
+    want = {}
+    for r in full:
+        if 3 <= r["rank"] <= 4:
+            want.setdefault(r["qid"], []).append(r["doc_id"])
+    for qid in want:
+        assert got.get(qid, []) == want[qid], qid
+    # q3 ('pasta') has one hit -> no rank-2 cursor -> starts from top
+    q3_full = [r["doc_id"] for r in full if r["qid"] == "q3"]
+    q3_got = [r["doc_id"] for r in page2 if r["qid"] == "q3"]
+    assert q3_got == q3_full[:2]
+
+
+def test_prefix_expand_terms(spark, index):
+    """Prefix expansion equals a literal startswith scan of the vocab,
+    uniform weight 1."""
+    vocab = {r["term"] for r in index.term_stats.select("term").collect()}
+    p = spark.createDataFrame(
+        [("p1", "qu"), ("p2", "spark")], "qid string, prefix string"
+    )
+    got = rt.prefix_expand_terms(index, p).collect()
+    by_q = {}
+    for r in got:
+        assert r["weight"] == 1.0
+        by_q.setdefault(r["qid"], set()).add(r["term"])
+    assert by_q["p1"] == {t for t in vocab if t.startswith("qu")}
+    assert by_q["p2"] == {t for t in vocab if t.startswith("spark")}
+
+
+def test_parse_boolean_query():
+    got = rt.parse_boolean_query("b", "spark +joins -pasta", EN)
+    # analyzer stems: joins->join (porter), pasta stays
+    assert ("b", "spark", "should") in got
+    assert any(t == "join" and c == "must" for _, t, c in got)
+    assert any(c == "must_not" for _, t, c in got)
+
+
+def test_boolean_query_mixed(spark, index):
+    """MUST filters, SHOULD scores, MUST_NOT prunes — one scan."""
+    rows = rt.parse_boolean_query("b1", "spark +joins", EN) + \
+        rt.parse_boolean_query("b2", "+spark -pasta", EN) + \
+        rt.parse_boolean_query("b3", "+zzznothere spark", EN)
+    clauses = spark.createDataFrame(
+        rows, "qid string, term string, clause string"
+    )
+    run = rt.boolean_query(index, clauses, k=10).collect()
+    by_q = {}
+    for r in run:
+        by_q.setdefault(r["qid"], set()).add(r["doc_id"])
+    # b1: docs containing the 'join' stem = 1, 2; doc 5 (spark-only) out
+    assert by_q["b1"] == {1, 2}
+    # b2: spark docs are 1, 2, 5; none contain pasta
+    assert by_q["b2"] == {1, 2, 5}
+    # b3: OOV MUST clause -> empty query
+    assert "b3" not in by_q
