@@ -72,6 +72,22 @@ _BOOL_QUERIES: list[tuple[str, str]] = [
 _PACK_SEQ_LEN = 128
 _PACK_SHARDS = 8
 
+# FILTER-occur gate: metadata-restricted search, scores unaffected
+_FILTER_SOURCES = ("src1", "src7", "src13")
+
+# BM25F gate: title = first _TITLE_LEN simple tokens, body = the rest
+_TITLE_LEN = 8
+_BM25F_W = {"title": 2.0, "body": 1.0}
+_BM25F_B = {"title": 0.75, "body": 0.3}
+
+# autocomplete gate: popularity-ranked prefix completions
+_COMPLETE_PREFIXES: list[tuple[str, str]] = [
+    ("c1", "s"),
+    ("c2", "b"),
+    ("c3", "w"),
+]
+_COMPLETE_K = 5
+
 # ---------------------------------------------------------------- SQL CTEs
 
 # tokenization must match luc4ir_spark.functions.analysis.simple_tokens
@@ -103,7 +119,12 @@ def _values_queries() -> str:
     return "q(qid, term) AS (VALUES " + ", ".join(rows) + ")"
 
 
-def _bm25_sql(conjunctive: bool, msm: int = 0, page: int = 1) -> str:
+def _bm25_sql(
+    conjunctive: bool,
+    msm: int = 0,
+    page: int = 1,
+    filter_sources: tuple[str, ...] | None = None,
+) -> str:
     # MUST semantics: every query term (known or not) must match, so a
     # query containing an out-of-vocabulary term returns nothing — same as
     # the engine's n_matched == n_terms filter in score_queries().
@@ -116,6 +137,15 @@ def _bm25_sql(conjunctive: bool, msm: int = 0, page: int = 1) -> str:
         else (f"HAVING count(*) >= {int(msm)}" if msm > 1 else "")
     )
     lo = (page - 1) * TOPK
+    flt = ""
+    if filter_sources:
+        vals = ", ".join(f"'{s}'" for s in filter_sources)
+        # FILTER occur: restrict candidates BEFORE ranking, scores
+        # untouched (the engine's filter_docs semi-join)
+        flt = (
+            " WHERE doc_id IN (SELECT doc_id FROM documents"
+            f" WHERE source IN ({vals}))"
+        )
     return f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -134,7 +164,7 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
          round(s_raw, 4) AS score
-  FROM scored
+  FROM scored{flt}
 )
 SELECT qid, doc_id, (rank - {lo})::BIGINT AS rank, score
 FROM ranked WHERE rank > {lo} AND rank <= {lo + TOPK}
@@ -234,6 +264,88 @@ ranked AS (
   FROM kept
 )
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _bm25f_sql() -> str:
+    """Replays bm25f_score over title = first _TITLE_LEN simple tokens /
+    body = rest: per-field length-normalized tf, field-weighted combined
+    pseudo-frequency saturating once, document-level df."""
+    w_t, w_b = _BM25F_W["title"], _BM25F_W["body"]
+    b_t, b_b = _BM25F_B["title"], _BM25F_B["body"]
+    t = _TITLE_LEN
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tt AS (SELECT doc_id, unnest(tk[1:{t}]) AS term FROM base),
+tb AS (SELECT doc_id, unnest(tk[{t + 1}:]) AS term FROM base),
+tft AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tt GROUP BY 1, 2),
+tfb AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tb GROUP BY 1, 2),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tt GROUP BY 1),
+dlb AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tb GROUP BY 1),
+avt AS (SELECT (SELECT coalesce(sum(dl), 0) FROM dlt) / n AS a FROM nd),
+avb AS (SELECT (SELECT coalesce(sum(dl), 0) FROM dlb) / n AS a FROM nd),
+{_values_queries()},
+pt AS (
+  SELECT tft.term, tft.doc_id,
+         {w_t} * tft.tf / (1.0 - {b_t} + {b_t} * dlt.dl / avt.a) AS wtfn
+  FROM tft JOIN dlt USING (doc_id) CROSS JOIN avt
+  WHERE tft.term IN (SELECT term FROM q)
+),
+pb AS (
+  SELECT tfb.term, tfb.doc_id,
+         {w_b} * tfb.tf / (1.0 - {b_b} + {b_b} * dlb.dl / avb.a) AS wtfn
+  FROM tfb JOIN dlb USING (doc_id) CROSS JOIN avb
+  WHERE tfb.term IN (SELECT term FROM q)
+),
+comb AS (
+  SELECT term, doc_id, sum(wtfn) AS tfc
+  FROM (SELECT * FROM pt UNION ALL SELECT * FROM pb) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM comb GROUP BY 1),
+scored AS (
+  SELECT q.qid, comb.doc_id,
+         sum( ln(1.0 + (nd.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * comb.tfc / ({K1} + comb.tfc) ) AS s_raw
+  FROM q
+  JOIN comb USING (term)
+  JOIN dfs ON comb.term = dfs.term
+  CROSS JOIN nd
+  GROUP BY q.qid, comb.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _complete_prefix_sql() -> str:
+    """Replays complete_prefix: popularity-ranked (df desc, cf desc,
+    term asc — all-integer, exact) vocab completions per prefix."""
+    vals = ", ".join(f"('{q}', '{p}')" for q, p in _COMPLETE_PREFIXES)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+p(qid, prefix) AS (VALUES {vals}),
+cand AS (
+  SELECT p.qid, dft.term, dft.df, dft.cf
+  FROM p JOIN dft ON dft.term LIKE p.prefix || '%'
+),
+ranked AS (
+  SELECT qid, term, df,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY df DESC, cf DESC, term ASC)::BIGINT AS rank
+  FROM cand
+)
+SELECT qid, term AS suggestion, df, rank
+FROM ranked WHERE rank <= {_COMPLETE_K}
 """
 
 
@@ -2443,6 +2555,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _round_run(rt.boolean_query(idx, clauses, k=TOPK))
 
+    def filtered_query(spark, sf):
+        # BooleanQuery FILTER occur: metadata-restricted candidates,
+        # scores untouched; the allowed set is a pushed-down source
+        # predicate on the docs table feeding a semi-join
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        allowed = _docs(spark, sf).filter(
+            F.col("source").isin(list(_FILTER_SOURCES))
+        ).select("doc_id")
+        return _round_run(
+            rt.score_queries(idx, qt, k=TOPK, filter_docs=allowed)
+        )
+
+    def bm25f_topk(spark, sf):
+        # BM25F: title = first _TITLE_LEN simple tokens, body = rest;
+        # one index per field, combined pseudo-frequency saturates once
+        tk = simple_tokens(F.col("text"))
+        fields = _docs(spark, sf).select(
+            "doc_id",
+            F.array_join(F.slice(tk, 1, _TITLE_LEN), " ").alias("title"),
+            F.array_join(
+                F.slice(tk, _TITLE_LEN + 1, 1 << 30), " "
+            ).alias("body"),
+        )
+        cfg = ix.IndexConfig(analyzer=SIMPLE)
+        t_idx = ix.build_index(
+            fields, cfg, content_col="title", cache=False
+        )
+        b_idx = ix.build_index(fields, cfg, content_col="body", cache=False)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return _round_run(
+            rt.bm25f_score(
+                {"title": t_idx, "body": b_idx},
+                qt,
+                k=TOPK,
+                k1=K1,
+                field_weights=_BM25F_W,
+                field_b=_BM25F_B,
+            )
+        )
+
+    def complete_prefix(spark, sf):
+        # autocomplete: popularity-ranked prefix completions, integer
+        # ordering — never touches postings
+        idx = _index(spark, sf)
+        p = spark.createDataFrame(
+            _COMPLETE_PREFIXES, "qid string, prefix string"
+        )
+        return rt.complete_prefix(idx, p, k=_COMPLETE_K)
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -3483,6 +3645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_query": prefix_query,
         "search_after": search_after,
         "boolean_query_parse": boolean_query_parse,
+        "filtered_query": filtered_query,
+        "bm25f_topk": bm25f_topk,
+        "complete_prefix": complete_prefix,
         "pack_sequences": pack_sequences,
         "bm25_topk_wand": bm25_topk_wand,
         "eval_metrics": eval_metrics,
@@ -3614,6 +3779,11 @@ def oracle_sql() -> dict[str, str]:
         "search_after": _bm25_sql(conjunctive=False, page=2),
         "prefix_query": _prefix_sql(),
         "boolean_query_parse": _bool_query_sql(),
+        "filtered_query": _bm25_sql(
+            conjunctive=False, filter_sources=_FILTER_SOURCES
+        ),
+        "bm25f_topk": _bm25f_sql(),
+        "complete_prefix": _complete_prefix_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "eval_metrics": _EVAL_SQL,

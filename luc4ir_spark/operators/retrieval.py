@@ -114,6 +114,7 @@ def score_queries(
     must_terms: DataFrame | None = None,
     min_should_match: int = 0,
     after: DataFrame | None = None,
+    filter_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Score all queries in one pass -> (qid, doc_id, rank, score).
 
@@ -143,6 +144,13 @@ def score_queries(
     queries absent from the cursor start from the top (Lucene's null
     after). The filter runs BEFORE the top-k window, so deep pages
     never materialize the rows already served.
+    ``filter_docs``: optional (doc_id) allowed set — BooleanQuery
+    FILTER-occur parity (metadata-restricted search): candidates are
+    semi-joined against the set AFTER aggregation, BEFORE ranking, and
+    scores are unaffected (FILTER clauses never score). The set is
+    query-independent doc metadata, so at scale it is a pushed-down
+    parquet predicate on the docs table feeding this semi-join — left
+    unhinted so AQE broadcasts it only when it actually is small.
     """
     sim = sim or Similarity()
     if "weight" not in query_terms.columns:
@@ -217,6 +225,10 @@ def score_queries(
                 & (F.col("doc_id") > F.col("after_doc_id"))
             )
         ).drop("after_score", "after_doc_id")
+    if filter_docs is not None:
+        matched = matched.join(
+            filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     if exclude_terms is not None:
         excl = (
             index.postings.join(
@@ -384,6 +396,127 @@ def fuzzy_expand_terms(
         )
         .groupBy("qid", "term")
         .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def bm25f_score(
+    field_indexes: dict[str, InvertedIndex],
+    query_terms: DataFrame,
+    k: int = 1000,
+    k1: float = BM25_K1_DEFAULT,
+    field_weights: dict[str, float] | None = None,
+    field_b: dict[str, float] | None = None,
+) -> DataFrame:
+    """BM25F multi-field ranking (Robertson/Zaragoza's public formula;
+    Lucene exposes the same capability as per-field scoring combined by
+    the query): each field f contributes a length-normalized tf
+
+        tfn_f = tf_f / (1 - b_f + b_f * dl_f / avgdl_f)
+
+    weighted by the field boost; the combined pseudo-frequency saturates
+    ONCE across fields — score(q,d) = Σ_t idf(df_doc) * tfc/(k1 + tfc)
+    with tfc = Σ_f w_f * tfn_f and df_doc the DOCUMENT-level df (a term
+    counts once per doc however many fields it appears in). This is the
+    structural win of BM25F over naive per-field score summing: a term
+    heavy in two fields saturates jointly instead of double-dipping.
+
+    ``field_indexes``: one InvertedIndex per field over the SAME doc_id
+    space (each field's avgdl divides by the full corpus n_docs, so
+    field-less docs dilute the average exactly as an empty field value
+    would). Plan shape: per field, postings ⋈ broadcast(query term set)
+    — index-sized scan, query-sized output — then ONE (term, doc_id)
+    shuffle of the unioned candidates, a per-term df recount on that
+    (already query-bounded) relation, and the standard per-qid top-k
+    window. No field's full postings are ever shuffled."""
+    if not field_indexes:
+        raise ValueError("need at least one field index")
+    field_weights = field_weights or {f: 1.0 for f in field_indexes}
+    field_b = field_b or {f: BM25_B_DEFAULT for f in field_indexes}
+    if "weight" not in query_terms.columns:
+        query_terms = query_terms.withColumn("weight", F.lit(1.0))
+    qset = F.broadcast(query_terms.select("term").distinct())
+    n_docs = max(ix.stats.n_docs for ix in field_indexes.values())
+
+    parts = []
+    for fname, idx in field_indexes.items():
+        w_f = float(field_weights[fname])
+        b_f = float(field_b[fname])
+        avg = idx.stats.avgdl
+        if avg <= 0.0:
+            continue  # field empty in every doc: contributes nothing
+        tfn = (
+            F.col("tf").cast("double")
+            / (
+                F.lit(1.0 - b_f)
+                + F.lit(b_f) * F.col("doc_len").cast("double") / F.lit(avg)
+            )
+        )
+        parts.append(
+            idx.postings.join(qset, "term", "left_semi").select(
+                "term", "doc_id", (F.lit(w_f) * tfn).alias("wtfn")
+            )
+        )
+    comb = parts[0]
+    for p in parts[1:]:
+        comb = comb.unionByName(p)
+    comb = comb.groupBy("term", "doc_id").agg(F.sum("wtfn").alias("tfc"))
+    dfs = comb.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        comb.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(query_terms), "term")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.col("weight")
+                * idf_lucene(F.col("df"), n_docs)
+                * F.col("tfc")
+                / (F.lit(float(k1)) + F.col("tfc"))
+            ).alias("contrib"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
+def complete_prefix(
+    index: InvertedIndex,
+    query_prefixes: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Autocomplete suggester — Lucene's suggest module at the logical
+    level: for each (qid, prefix), the top-k vocabulary completions
+    ranked by popularity, all-integer ordering (df desc, cf desc, term
+    asc) so the ranking is exact on any engine. One broadcast prefix ×
+    term-dictionary startswith scan (vocab-sized) + a bounded per-prefix
+    top-k window (WindowGroupLimit) — never touches postings or docs.
+    -> (qid, suggestion, df, rank)."""
+    q = query_prefixes.select("qid", "prefix").distinct()
+    cand = index.term_stats.join(
+        F.broadcast(q), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("df").desc(), F.col("cf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+            "rank",
+        )
     )
 
 

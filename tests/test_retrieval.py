@@ -649,3 +649,108 @@ def test_boolean_query_mixed(spark, index):
     assert by_q["b2"] == {1, 2, 5}
     # b3: OOV MUST clause -> empty query
     assert "b3" not in by_q
+
+
+def test_filter_docs_restricts_without_rescoring(spark, index):
+    """FILTER occur: candidates outside the allowed set vanish, scores
+    of survivors equal the unfiltered run's."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    allowed = spark.createDataFrame(
+        [(d,) for d, _ in DOCS if d % 2 == 1], "doc_id long"
+    )
+    run = rt.score_queries(index, qt, k=10, filter_docs=allowed).collect()
+    assert run and all(r["doc_id"] % 2 == 1 for r in run)
+    plain = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    for r in run:
+        assert r["score"] == pytest.approx(plain[(r["qid"], r["doc_id"])])
+    # ranks are dense per query after filtering
+    by_q = {}
+    for r in sorted(run, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bm25f_hand_computed(spark):
+    """BM25F on a 2-field corpus vs a dict-based replay: per-field
+    normalized tf, weighted combine, single saturation, doc-level df."""
+    rows = [
+        (0, "spark engine", "the spark engine joins tables"),
+        (1, "cooking pasta", "spark is never mentioned here wait spark"),
+        (2, "quick guide", "a guide to joins"),
+        (3, "", "spark only in body"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, title string, body string"
+    )
+    cfg = ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    t_idx = ix.build_index(df, cfg, content_col="title", cache=False)
+    b_idx = ix.build_index(df, cfg, content_col="body", cache=False)
+    qt = spark.createDataFrame(
+        [("q", "spark"), ("q", "guide")], "qid string, term string"
+    )
+    wts, bs, k1 = {"title": 2.0, "body": 1.0}, {"title": 0.75, "body": 0.3}, 0.7
+    run = {
+        r["doc_id"]: r["score"]
+        for r in rt.bm25f_score(
+            {"title": t_idx, "body": b_idx}, qt, k=10, k1=k1,
+            field_weights=wts, field_b=bs,
+        ).collect()
+    }
+
+    toks = {
+        d: {"title": t.lower().split(), "body": b.lower().split()}
+        for d, t, b in rows
+    }
+    n = len(rows)
+    avg = {
+        f: sum(len(toks[d][f]) for d in toks) / n for f in ("title", "body")
+    }
+    def tfc(term, d):
+        out = 0.0
+        for f in ("title", "body"):
+            tf = toks[d][f].count(term)
+            if tf and len(toks[d][f]):
+                out += wts[f] * tf / (
+                    1 - bs[f] + bs[f] * len(toks[d][f]) / avg[f]
+                )
+        return out
+    for d in toks:
+        exp = 0.0
+        for term in ("spark", "guide"):
+            c = tfc(term, d)
+            if c:
+                dfd = sum(
+                    1 for dd in toks
+                    if term in toks[dd]["title"] or term in toks[dd]["body"]
+                )
+                exp += math.log(1 + (n - dfd + 0.5) / (dfd + 0.5)) * c / (k1 + c)
+        if exp:
+            assert run[d] == pytest.approx(exp, rel=1e-9), d
+        else:
+            assert d not in run
+
+
+def test_complete_prefix_ordering(spark, index):
+    """Completions ranked df desc, cf desc, term asc — matches a
+    literal replay over term_stats."""
+    stats = {
+        r["term"]: (r["df"], r["cf"])
+        for r in index.term_stats.collect()
+    }
+    p = spark.createDataFrame([("c", "qu")], "qid string, prefix string")
+    got = [
+        r["suggestion"]
+        for r in sorted(
+            rt.complete_prefix(index, p, k=3).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    want = sorted(
+        [t for t in stats if t.startswith("qu")],
+        key=lambda t: (-stats[t][0], -stats[t][1], t),
+    )[:3]
+    assert got == want
