@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from luc4ir_spark.functions.analysis import AnalyzerConfig, simple_tokens
 from luc4ir_spark.operators import annsearch as ann
+from luc4ir_spark.operators import bpetrain as bp
 from luc4ir_spark.operators import dedup as dd
 from luc4ir_spark.operators import evaluation as ev
 from luc4ir_spark.operators import feedback as fb
@@ -87,6 +88,12 @@ _COMPLETE_PREFIXES: list[tuple[str, str]] = [
     ("c3", "w"),
 ]
 _COMPLETE_K = 5
+
+# explain gate: per-term score breakdown for these docs
+_EXPLAIN_DOCS = (3, 7, 11)
+
+# BPE trainer gate: merges learned from the corpus word counts
+_BPE_MERGES = 8
 
 # ---------------------------------------------------------------- SQL CTEs
 
@@ -346,6 +353,43 @@ ranked AS (
 )
 SELECT qid, term AS suggestion, df, rank
 FROM ranked WHERE rank <= {_COMPLETE_K}
+"""
+
+
+def _explain_sql() -> str:
+    """Replays explain_scores: the BM25 scored CTE without the final
+    per-(qid, doc) sum — one row per (query, doc, term)."""
+    docs_in = ", ".join(str(d) for d in _EXPLAIN_DOCS)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()}
+SELECT q.qid, tf.doc_id, q.term, tf.tf, dl.doc_len, dft.df,
+       round(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)), 4)
+         AS idf,
+       round(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)), 4)
+         AS contribution
+FROM q
+JOIN dft USING (term)
+JOIN tf  USING (term)
+JOIN dl  ON tf.doc_id = dl.doc_id
+CROSS JOIN stats s
+WHERE tf.doc_id IN ({docs_in})
+"""
+
+
+def _bpe_pairs_sql() -> str:
+    """Replays bpe_pair_counts: word counts -> adjacent character pairs
+    (plus the end-of-word marker pair) weighted by word frequency."""
+    return f"""
+WITH {_TOKS},
+w AS (SELECT term AS word, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+pairs AS (
+  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+  FROM w, unnest(range(1, length(word))) AS t(i)
+  UNION ALL
+  SELECT substr(word, length(word), 1), '</w>', cnt FROM w
+)
+SELECT a, b, sum(cnt)::BIGINT AS cnt FROM pairs GROUP BY 1, 2
 """
 
 
@@ -2605,6 +2649,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rt.complete_prefix(idx, p, k=_COMPLETE_K)
 
+    def explain_score(spark, sf):
+        # IndexSearcher.explain() parity: per-term breakdown whose sum
+        # is the run score
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        ex = rt.explain_scores(idx, qt, doc_ids=list(_EXPLAIN_DOCS))
+        return ex.select(
+            "qid",
+            "doc_id",
+            "term",
+            "tf",
+            "doc_len",
+            "df",
+            F.round("idf", 4).alias("idf"),
+            F.round("contribution", 4).alias("contribution"),
+        )
+
+    def bpe_pair_counts(spark, sf):
+        # BPE trainer first-iteration statistics (the SQL-replayable
+        # core; bpe_merges iterates it)
+        return bp.bpe_pair_counts(_docs(spark, sf), content_col="text")
+
+    def bpe_merges(spark, sf):
+        # full iterative trainer — deterministic merge list; inherently
+        # non-SQL (each step depends on the last), so rows-only gate;
+        # pytest proves it equals a pure-Python BPE replay
+        wc = bp.word_counts(_docs(spark, sf), content_col="text")
+        merges = bp.bpe_train(wc, num_merges=_BPE_MERGES, min_count=2)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "merge_idx long, a string, b string",
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -3648,6 +3725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_query": filtered_query,
         "bm25f_topk": bm25f_topk,
         "complete_prefix": complete_prefix,
+        "explain_score": explain_score,
+        "bpe_pair_counts": bpe_pair_counts,
+        "bpe_merges": bpe_merges,
         "pack_sequences": pack_sequences,
         "bm25_topk_wand": bm25_topk_wand,
         "eval_metrics": eval_metrics,
@@ -3784,6 +3864,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25f_topk": _bm25f_sql(),
         "complete_prefix": _complete_prefix_sql(),
+        "explain_score": _explain_sql(),
+        "bpe_pair_counts": _bpe_pairs_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "eval_metrics": _EVAL_SQL,

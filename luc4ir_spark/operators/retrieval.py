@@ -399,6 +399,47 @@ def fuzzy_expand_terms(
     )
 
 
+def explain_scores(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    sim: Similarity | None = None,
+    doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """IndexSearcher.explain() parity: the per-(query, doc, TERM) score
+    breakdown behind score_queries — tf, doc_len, df, idf and the
+    term's contribution, whose per-(qid, doc) sum IS the run score.
+    Same plan as scoring minus the final agg (postings ⋈ broadcast
+    enriched query terms); ``doc_ids`` optionally restricts to the docs
+    being explained (Lucene explains one doc at a time — pass the
+    handful you care about and the filter prunes before the join
+    output materializes)."""
+    sim = sim or Similarity()
+    if "weight" not in query_terms.columns:
+        query_terms = query_terms.withColumn("weight", F.lit(1.0))
+    ts = index.term_stats.join(
+        F.broadcast(query_terms.select("term").distinct()),
+        "term",
+        "left_semi",
+    )
+    qt_enriched = query_terms.join(F.broadcast(ts), "term").withColumn(
+        "idf", idf_lucene(F.col("df"), index.stats.n_docs)
+    )
+    postings = index.postings
+    if doc_ids is not None:
+        postings = postings.filter(F.col("doc_id").isin(list(doc_ids)))
+    contrib = _per_posting_score(sim, index.stats, qt_enriched.columns)
+    return postings.join(F.broadcast(qt_enriched), "term").select(
+        "qid",
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.col("df").cast("long").alias("df"),
+        F.col("idf").alias("idf"),
+        contrib.alias("contribution"),
+    )
+
+
 def bm25f_score(
     field_indexes: dict[str, InvertedIndex],
     query_terms: DataFrame,

@@ -754,3 +754,19 @@ def test_complete_prefix_ordering(spark, index):
         key=lambda t: (-stats[t][0], -stats[t][1], t),
     )[:3]
     assert got == want
+
+
+def test_explain_scores_sum_to_run(spark, index):
+    """explain() parity: per-term contributions sum to the run score."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    ex = rt.explain_scores(index, qt).groupBy("qid", "doc_id").agg(
+        F.sum("contribution").alias("s")
+    )
+    got = {(r["qid"], r["doc_id"]): r["s"] for r in ex.collect()}
+    run = rt.score_queries(index, qt, k=100).collect()
+    assert got
+    for r in run:
+        assert got[(r["qid"], r["doc_id"])] == pytest.approx(r["score"])
+    # doc_ids restriction prunes
+    only = rt.explain_scores(index, qt, doc_ids=[1]).collect()
+    assert only and all(r["doc_id"] == 1 for r in only)
