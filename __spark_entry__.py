@@ -95,6 +95,19 @@ _EXPLAIN_DOCS = (3, 7, 11)
 # BPE trainer gate: merges learned from the corpus word counts
 _BPE_MERGES = 8
 
+# upsert gate: these docs get new text; upserted index == fresh build
+_UPSERT_DOCS = (3, 7, 11)
+_UPSERT_SUFFIX = " updated spark"
+
+# pooling / rank-correlation gates: bm25 vs lmdir runs
+_POOL_DEPTH = 5
+
+# interpolated bigram LM gate
+_BIGRAM_LAM = 0.8
+
+# token-budget sampler gate: per-source budget (~half of each source)
+_TOKEN_BUDGET = 800
+
 # ---------------------------------------------------------------- SQL CTEs
 
 # tokenization must match luc4ir_spark.functions.analysis.simple_tokens
@@ -390,6 +403,153 @@ pairs AS (
   SELECT substr(word, length(word), 1), '</w>', cnt FROM w
 )
 SELECT a, b, sum(cnt)::BIGINT AS cnt FROM pairs GROUP BY 1, 2
+"""
+
+
+def _upsert_sql() -> str:
+    """Replays update_docs: term stats of the upserted index must equal
+    a fresh build over the modified corpus."""
+    ids = ", ".join(str(d) for d in _UPSERT_DOCS)
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN ({ids})
+              THEN text || '{_UPSERT_SUFFIX}' ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(list_filter(
+  regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+  AS term FROM docs2),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY 1
+"""
+
+
+def _two_run_ctes() -> str:
+    """Shared CTE block: BM25 and LM-Dirichlet runs ranked to TOPK —
+    the two systems the pooling / rank-correlation gates compare."""
+    return f"""
+{_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+sb AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+rb AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM sb
+),
+sl AS (
+  SELECT q.qid, tf.doc_id,
+         sum( greatest(ln(1.0 + tf.tf / ({MU} * dft.cf / s.total_tokens))
+              + ln({MU} / (dl.doc_len + {MU})), 0.0) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+rl AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM sl
+)"""
+
+
+def _pooling_sql() -> str:
+    """Replays pool_runs over the bm25 + lmdir runs at _POOL_DEPTH."""
+    return f"""
+WITH {_two_run_ctes()},
+pool AS (
+  SELECT qid, doc_id, rank FROM rb WHERE rank <= {_POOL_DEPTH}
+  UNION ALL
+  SELECT qid, doc_id, rank FROM rl WHERE rank <= {_POOL_DEPTH}
+)
+SELECT qid, doc_id, count(*)::BIGINT AS n_runs, min(rank)::BIGINT AS best_rank
+FROM pool GROUP BY 1, 2
+"""
+
+
+def _rank_corr_sql() -> str:
+    """Replays rank_correlation: per-qid Kendall tau over the docs both
+    TOPK runs share (ranks distinct => exact rational)."""
+    return f"""
+WITH {_two_run_ctes()},
+shared AS (
+  SELECT rb.qid, rb.doc_id, rb.rank AS ra, rl.rank AS rc
+  FROM (SELECT * FROM rb WHERE rank <= {TOPK}) rb
+  JOIN (SELECT * FROM rl WHERE rank <= {TOPK}) rl USING (qid, doc_id)
+),
+pairs AS (
+  SELECT l.qid, sign(l.ra - r.ra) * sign(l.rc - r.rc) AS s
+  FROM shared l JOIN shared r
+    ON l.qid = r.qid AND l.doc_id < r.doc_id
+),
+n AS (SELECT qid, count(*)::BIGINT AS n_common FROM shared GROUP BY 1)
+SELECT p.qid, n.n_common,
+       round(sum(p.s) / (n.n_common * (n.n_common - 1) / 2.0), 4) AS tau
+FROM pairs p JOIN n USING (qid)
+WHERE n.n_common >= 2
+GROUP BY p.qid, n.n_common
+"""
+
+
+def _bigram_xent_sql() -> str:
+    """Replays bigram_cross_entropy; the interpolation weights are
+    emitted via repr() so (1 - lam) is the SAME double on both engines."""
+    lam, oml = repr(float(_BIGRAM_LAM)), repr(1.0 - float(_BIGRAM_LAM))
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(tk) AS w FROM t),
+c1 AS (SELECT w, count(*)::DOUBLE AS c FROM u GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n FROM u),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, unnest(range(1, len(tk))) AS r(i)
+),
+bt AS (SELECT doc_id, w1, w2, count(*)::DOUBLE AS tf FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, sum(tf) AS c FROM bt GROUP BY 1, 2)
+SELECT bt.doc_id,
+       round(-sum(bt.tf * ln({lam} * c2.c / a.c + {oml} * b.c / tot.n))
+             / sum(bt.tf), 4) AS xent_bigram
+FROM bt
+JOIN c2 USING (w1, w2)
+JOIN c1 a ON bt.w1 = a.w
+JOIN c1 b ON bt.w2 = b.w
+CROSS JOIN tot
+GROUP BY bt.doc_id
+"""
+
+
+def _token_budget_sql() -> str:
+    """Replays sample_token_budget: mix-ordered per-source prefix whose
+    running token total fits the budget — all-integer."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mkey = f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B}) % {hx.MIX_P})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source AS stratum,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         {mkey} AS mkey
+  FROM documents
+),
+o AS (
+  SELECT doc_id, stratum, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stratum ORDER BY mkey, doc_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT doc_id, stratum, n_tokens, cum_tokens
+FROM o WHERE cum_tokens <= {_TOKEN_BUDGET}
 """
 
 
@@ -2682,6 +2842,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "merge_idx long, a string, b string",
         )
 
+    def index_upsert(spark, sf):
+        # IndexWriter.updateDocument parity: delete-by-id + delta build
+        # + shuffle-free merge must equal a fresh build of the modified
+        # corpus (term-stats spine compared)
+        idx = _index(spark, sf)
+        mod = _docs(spark, sf).filter(
+            F.col("doc_id").isin(list(_UPSERT_DOCS))
+        ).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(_UPSERT_SUFFIX)).alias("text"),
+        )
+        up = ix.update_docs(idx, mod, content_col="text")
+        return up.term_stats.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+
+    def _two_runs(spark, sf):
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        r1 = rt.score_queries(idx, qt, k=TOPK)
+        r2 = rt.score_queries(
+            idx, qt, k=TOPK, sim=rt.Similarity(kind="lmdir")
+        )
+        return r1, r2
+
+    def trec_pooling(spark, sf):
+        # TREC judging-pool construction over two systems at _POOL_DEPTH
+        r1, r2 = _two_runs(spark, sf)
+        runs = (
+            r1.withColumn("run_id", F.lit("bm25"))
+            .unionByName(r2.withColumn("run_id", F.lit("lmdir")))
+            .select("run_id", "qid", "doc_id", "rank")
+        )
+        return ev.pool_runs(runs, depth=_POOL_DEPTH)
+
+    def rank_correlation(spark, sf):
+        # per-query Kendall tau between the bm25 and lmdir runs
+        r1, r2 = _two_runs(spark, sf)
+        return ev.rank_correlation(r1, r2)
+
+    def bigram_lm_xent(spark, sf):
+        # interpolated bigram corpus-LM quality signal
+        return ts.bigram_cross_entropy(
+            _docs(spark, sf), content_col="text", lam=_BIGRAM_LAM
+        )
+
+    def token_budget_sample(spark, sf):
+        # training-mix cut: per-source mix-ordered prefix within a
+        # TOKEN budget
+        return ut.sample_token_budget(
+            _docs(spark, sf),
+            _TOKEN_BUDGET,
+            stratum_col="source",
+            content_col="text",
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -3728,6 +3946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": explain_score,
         "bpe_pair_counts": bpe_pair_counts,
         "bpe_merges": bpe_merges,
+        "index_upsert": index_upsert,
+        "trec_pooling": trec_pooling,
+        "rank_correlation": rank_correlation,
+        "bigram_lm_xent": bigram_lm_xent,
+        "token_budget_sample": token_budget_sample,
         "pack_sequences": pack_sequences,
         "bm25_topk_wand": bm25_topk_wand,
         "eval_metrics": eval_metrics,
@@ -3866,6 +4089,11 @@ def oracle_sql() -> dict[str, str]:
         "complete_prefix": _complete_prefix_sql(),
         "explain_score": _explain_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
+        "index_upsert": _upsert_sql(),
+        "trec_pooling": _pooling_sql(),
+        "rank_correlation": _rank_corr_sql(),
+        "bigram_lm_xent": _bigram_xent_sql(),
+        "token_budget_sample": _token_budget_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "eval_metrics": _EVAL_SQL,

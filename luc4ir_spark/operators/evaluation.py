@@ -239,3 +239,73 @@ def paired_ttest(
             F.col("mean_diff") / (F.col("sd_diff") / F.sqrt(F.col("n"))),
         ).alias("t_stat"),
     )
+
+
+def pool_runs(runs: DataFrame, depth: int = 100) -> DataFrame:
+    """TREC judging-pool construction (the standard workflow behind the
+    reference's qrels files: union of every run's top-``depth`` hits per
+    topic, deduplicated, with provenance): ``runs`` carries
+    (run_id, qid, doc_id, rank) for any number of runs stacked
+    vertically. -> (qid, doc_id, n_runs, best_rank) — how many runs
+    retrieved the doc inside the pool depth and the best rank any run
+    gave it. All-integer output, exact on any engine.
+
+    Plan shape: one rank filter (pushes into each run's scan) + one
+    map-side-combined (qid, doc_id) groupBy — pool size is bounded by
+    runs × topics × depth regardless of corpus size."""
+    return (
+        runs.filter(F.col("rank") <= int(depth))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.min("rank").cast("long").alias("best_rank"),
+        )
+    )
+
+
+def rank_correlation(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
+    """Per-query Kendall tau between two runs over their SHARED
+    retrieved documents (the standard run-similarity diagnostic when
+    comparing system variants, e.g. the reference's baseline-vs-feedback
+    runs): for each qid, over docs in both runs, tau = (C - D) /
+    (n(n-1)/2) counting concordant/discordant rank pairs. Ranks are
+    distinct integers (no ties), so tau is an exact rational — engine-
+    portable. Queries with fewer than 2 shared docs are omitted.
+
+    Plan shape: one (qid, doc_id) equi-join of two run-sized relations,
+    then a per-qid pair self-join — bounded by k² per query, never
+    corpus-sized — and a map-side-combined groupBy."""
+    a = run_a.select("qid", "doc_id", F.col("rank").alias("rank_a"))
+    b = run_b.select("qid", "doc_id", F.col("rank").alias("rank_b"))
+    shared = a.join(b, ["qid", "doc_id"])
+    l = shared.alias("l")
+    r = shared.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.qid") == F.col("r.qid"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.qid").alias("qid"),
+        (
+            F.signum(F.col("l.rank_a") - F.col("r.rank_a"))
+            * F.signum(F.col("l.rank_b") - F.col("r.rank_b"))
+        ).alias("s"),
+    )
+    n_shared = shared.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        pairs.groupBy("qid")
+        .agg(F.sum("s").alias("cd"))
+        .join(n_shared, "qid")
+        .filter(F.col("n_common") >= 2)
+        .select(
+            "qid",
+            "n_common",
+            F.round(
+                F.col("cd")
+                / (F.col("n_common") * (F.col("n_common") - 1) / 2.0),
+                4,
+            ).alias("tau"),
+        )
+    )

@@ -476,6 +476,33 @@ def delete_docs(index: InvertedIndex, doc_ids: DataFrame) -> InvertedIndex:
     )
 
 
+def update_docs(
+    index: InvertedIndex,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    cache: bool = False,
+) -> InvertedIndex:
+    """Document upsert — Lucene ``IndexWriter.updateDocument`` at the
+    relational level: atomically replace (or insert) every doc in
+    ``new_docs`` by id. Exactly Lucene's own decomposition —
+    delete-by-id then add — expressed as one anti-join prune
+    (``delete_docs``: live-docs semantics, stats kept exact), a delta
+    index build over ONLY the changed docs, and the shuffle-free union
+    merge (``merge_indexes``: base postings are never rewritten; only
+    the vocab-sized term stats re-aggregate). Cost at scale is therefore
+    O(changed docs) plus one term-dictionary agg, independent of base
+    corpus size. Scoring over the returned handle equals scoring over a
+    fresh build of the modified corpus (tested + oracle-gated)."""
+    ids = new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    pruned = delete_docs(index, ids)
+    delta = build_index(
+        new_docs, index.config, id_col=id_col, content_col=content_col,
+        cache=cache,
+    )
+    return merge_indexes(pruned, delta)
+
+
 def idf_lucene(df_col, n_docs: int):
     """Lucene-8 BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
     return F.log(

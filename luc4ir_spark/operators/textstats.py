@@ -341,6 +341,69 @@ def chunk_documents(
     )
 
 
+def bigram_cross_entropy(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated BIGRAM corpus LM —
+    the next step up from the unigram CCNet signal
+    (indexer.lm_cross_entropy) toward the KenLM-style n-gram perplexity
+    filters real pipelines run: p(w2|w1) = lam·c(w1,w2)/c(w1) +
+    (1-lam)·c(w2)/T, xent(d) = -Σ tf·ln p / Σ tf over the doc's
+    bigrams. The unigram back-off term keeps every probability nonzero
+    (any corpus bigram has positive count anyway — the model scores the
+    corpus it was counted on, exactly like the CCNet signal).
+
+    Tokenization is the engine's ``simple`` mode so oracles replay it.
+    Docs with fewer than 2 tokens have no bigrams and are omitted.
+
+    Plan shape at scale: bigram extraction explodes a LITERAL index
+    sequence over the materialized token array (no HOF re-evaluation);
+    corpus bigram/unigram tables are vocab²/vocab-bounded aggregations;
+    the per-doc relation joins them unhinted so AQE broadcasts while
+    they are small. One scalar action for T (same as the unigram LM)."""
+    lam = float(lam)
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    uni = t.select("doc_id", F.explode("tk").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = float(uni.count())
+    # single-symbol docs filtered BEFORE sequence(1, size-1): Spark
+    # evaluates sequence(1, 0) as the DESCENDING [1, 0], not empty
+    i = F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i")
+    bt = (
+        t.filter(F.size("tk") >= 2)
+        .select("doc_id", "tk", i)
+        .select(
+            "doc_id",
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    c2 = bt.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    p = (
+        F.lit(lam) * F.col("c2") / F.col("c_w1")
+        + F.lit(1.0 - lam) * F.col("c_w2") / F.lit(total)
+    )
+    return (
+        bt.join(c2, ["w1", "w2"])
+        .join(c1.select(F.col("w").alias("w1"), F.col("c").alias("c_w1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("c_w2")), "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4
+            ).alias("xent_bigram")
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     content_col: str = "content",

@@ -177,3 +177,52 @@ def quantize_doc_len(dl: Column, mantissa_bits: int = 4) -> Column:
         F.lit(2.0), F.greatest(bits - mantissa_bits, F.lit(0).cast("double"))
     )
     return (F.floor(dl.cast("double") / step) * step).cast("long")
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    stratum_col: str,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget sampler: keep docs per stratum (source / domain /
+    language) until a TOKEN budget is exhausted — how a training-mix
+    recipe ("x billion tokens of web, y of code") is actually cut,
+    where the per-doc cap (`sample_stratum_cap`) counts documents
+    instead. Docs are taken in ``mix(id + seed)`` order (deterministic,
+    uniform even for structured ids); a doc is kept iff it FITS —
+    running total including it <= budget — so the kept set is
+    reproducible on any engine with a window sum, no driver state.
+
+    Plan shape: per-stratum window over (mix, id) — strata are the unit
+    of parallelism, no global sort; the token count is a codegen
+    projection. -> (id, stratum, n_tokens, cum_tokens kept rows only).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import mix_id_expr
+
+    n_tok = F.size(
+        F.array_remove(F.split(F.trim(F.col(content_col)), r"\s+"), "")
+    ).cast("long")
+    key = mix_id_expr(F.col(id_col) + F.lit(int(seed)))
+    per = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        n_tok.alias("n_tokens"),
+        key.alias("_key"),
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy(F.col("_key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .select("doc_id", "stratum", "n_tokens", "cum_tokens")
+    )

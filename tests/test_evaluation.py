@@ -217,3 +217,50 @@ def test_paired_ttest_hand_computed(spark):
     assert row["t_stat"] == pytest.approx(mean / (sd / math.sqrt(n)), rel=1e-12)
     same = ev.paired_ttest(a, a).collect()[0]
     assert same["mean_diff"] == 0.0 and same["t_stat"] is None
+
+
+def test_pool_runs_hand_computed(spark):
+    from luc4ir_spark.operators import evaluation as ev
+
+    runs = spark.createDataFrame(
+        [
+            ("a", "q1", 10, 1), ("a", "q1", 11, 2), ("a", "q1", 12, 3),
+            ("b", "q1", 11, 1), ("b", "q1", 13, 2),
+            ("a", "q2", 20, 1),
+        ],
+        "run_id string, qid string, doc_id long, rank long",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): (r["n_runs"], r["best_rank"])
+        for r in ev.pool_runs(runs, depth=2).collect()
+    }
+    assert got == {
+        ("q1", 10): (1, 1),
+        ("q1", 11): (2, 1),  # both runs, best rank 1 (run b)
+        ("q1", 13): (1, 2),
+        ("q2", 20): (1, 1),
+    }  # doc 12 is beyond depth 2
+
+
+def test_rank_correlation_hand_computed(spark):
+    from luc4ir_spark.operators import evaluation as ev
+
+    # q1: identical order -> tau 1; q2: reversed -> tau -1;
+    # q3: one shared doc -> omitted
+    ra = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 1, 1), ("q2", 2, 2), ("q2", 3, 3),
+         ("q3", 1, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    rb = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 1, 3), ("q2", 2, 2), ("q2", 3, 1),
+         ("q3", 1, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    got = {
+        r["qid"]: (r["n_common"], r["tau"])
+        for r in ev.rank_correlation(ra, rb).collect()
+    }
+    assert got == {"q1": (3, 1.0), "q2": (3, -1.0)}

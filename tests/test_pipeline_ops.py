@@ -1303,3 +1303,70 @@ def test_pack_sequences_no_global_sort(spark, docs_df):
         docs_df, content_col="content", n_shards=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_bigram_cross_entropy_hand_computed(spark):
+    import math
+    from collections import Counter
+
+    rows = [(0, "a b a b"), (1, "a a b"), (2, "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {
+        r["doc_id"]: r["xent_bigram"]
+        for r in textstats.bigram_cross_entropy(
+            docs, lam=0.8
+        ).collect()
+    }
+    assert 2 not in got  # single-token doc: no bigrams
+
+    toks = {d: t.split() for d, t in rows}
+    c1 = Counter(w for ts in toks.values() for w in ts)
+    total = sum(c1.values())
+    c2 = Counter(
+        (ts[i], ts[i + 1])
+        for ts in toks.values()
+        for i in range(len(ts) - 1)
+    )
+    for d, ts in toks.items():
+        bgs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not bgs:
+            continue
+        x = -sum(
+            math.log(0.8 * c2[bg] / c1[bg[0]] + (1 - 0.8) * c1[bg[1]] / total)
+            for bg in bgs
+        ) / len(bgs)
+        assert got[d] == round(x, 4), d
+
+
+def test_sample_token_budget(spark):
+    from luc4ir_spark.functions import hashing as hx
+    from luc4ir_spark.operators import utilsops
+
+    rows = [
+        (i, "s" + str(i % 2), " ".join(["w"] * (5 + i % 4)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, content string"
+    )
+    budget = 40
+    got = {
+        r["doc_id"]: r
+        for r in utilsops.sample_token_budget(
+            docs, budget, stratum_col="source", content_col="content"
+        ).collect()
+    }
+    mix = lambda x: (hx.MIX_A * (x % hx.MIX_P) + hx.MIX_B) % hx.MIX_P
+    for src in ("s0", "s1"):
+        members = sorted(
+            (mix(i), i, 5 + i % 4) for i, s, _ in rows if s == src
+        )
+        cum = 0
+        for _, i, n in members:
+            cum += n
+            if cum <= budget:
+                assert i in got and got[i]["cum_tokens"] == cum
+                assert got[i]["n_tokens"] == n
+            else:
+                assert i not in got
+    assert got  # budget keeps something

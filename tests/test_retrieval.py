@@ -770,3 +770,35 @@ def test_explain_scores_sum_to_run(spark, index):
     # doc_ids restriction prunes
     only = rt.explain_scores(index, qt, doc_ids=[1]).collect()
     assert only and all(r["doc_id"] == 1 for r in only)
+
+
+def test_update_docs_equals_fresh_build(spark, index):
+    """updateDocument parity: upsert (replace doc 1, insert doc 9)
+    reproduces a fresh build of the modified corpus, spine for spine,
+    and scoring over the handle matches."""
+    new_rows = [
+        (1, "totally new text about pasta recipes"),   # replace
+        (9, "a brand new document about spark"),       # insert
+    ]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, content string")
+    up = ix.update_docs(index, new_df)
+
+    mod = {d: t for d, t in DOCS} | {d: t for d, t in new_rows}
+    fresh = ix.build_index(
+        spark.createDataFrame(
+            sorted(mod.items()), "doc_id long, content string"
+        ),
+        ix.IndexConfig(analyzer=EN),
+        cache=False,
+    )
+    assert up.stats.n_docs == fresh.stats.n_docs
+    assert up.stats.total_tokens == fresh.stats.total_tokens
+    assert up.stats.vocab_size == fresh.stats.vocab_size
+    for attr in ("term_stats", "postings"):
+        got = sorted(map(tuple, getattr(up, attr).collect()))
+        exp = sorted(map(tuple, getattr(fresh, attr).collect()))
+        assert got == exp, f"{attr} diverged after upsert"
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    run_up = sorted(map(tuple, rt.score_queries(up, qt, k=10).collect()))
+    run_fr = sorted(map(tuple, rt.score_queries(fresh, qt, k=10).collect()))
+    assert run_up == run_fr
