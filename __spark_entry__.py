@@ -108,6 +108,19 @@ _BIGRAM_LAM = 0.8
 # token-budget sampler gate: per-source budget (~half of each source)
 _TOKEN_BUDGET = 800
 
+# DisjunctionMaxQuery gate: max + tie * (sum of the other clauses)
+_DISMAX_TIE = 0.3
+
+# WildcardQuery gate: * = any sequence, ? = one char
+_WILDCARD_SET: list[tuple[str, str]] = [
+    ("w1", "s*"),
+    ("w2", "?ash"),
+    ("w3", "*or*"),
+]
+
+# TermRangeQuery gate: constant-score docs with >= 1 term in [lo, hi]
+_RANGE_LO, _RANGE_HI = "filter", "key"
+
 # ---------------------------------------------------------------- SQL CTEs
 
 # tokenization must match luc4ir_spark.functions.analysis.simple_tokens
@@ -423,6 +436,79 @@ toks AS (SELECT doc_id, unnest(list_filter(
 tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM tf GROUP BY 1
+"""
+
+
+def _dismax_sql() -> str:
+    """Replays dismax_topk: per-(qid, doc, term) BM25 contributions,
+    combined as max + tie * (sum - max)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+c AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) AS c
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+d AS (
+  SELECT qid, doc_id,
+         max(c) + {_DISMAX_TIE} * (sum(c) - max(c)) AS s_raw
+  FROM c GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM d
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _wildcard_sql() -> str:
+    """Replays wildcard_expand_terms + score_queries: anchored-regex
+    dictionary expansion (weight = matching-pattern count), then the
+    plain BM25 OR sum."""
+    vals = ", ".join(
+        f"('{qid}', '{rt.wildcard_to_regex(pat)}')"
+        for qid, pat in _WILDCARD_SET
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+w(qid, rx) AS (VALUES {vals}),
+q AS (
+  SELECT w.qid, dft.term, count(*)::DOUBLE AS weight
+  FROM dft JOIN w ON regexp_matches(dft.term, w.rx)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( q.weight * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _term_range_sql() -> str:
+    """Replays term_range_query: constant-score docs holding >= 1
+    dictionary term in the inclusive lexical range."""
+    return f"""
+WITH {_TOKS}, {_TF}
+SELECT doc_id, count(*)::BIGINT AS n_matched, 1.0 AS score
+FROM tf
+WHERE term >= '{_RANGE_LO}' AND term <= '{_RANGE_HI}'
+GROUP BY doc_id
 """
 
 
@@ -2900,6 +2986,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             content_col="text",
         )
 
+    def dismax_topk(spark, sf):
+        # DisjunctionMaxQuery: max clause + tie * sum(others), same
+        # single postings scan as the OR run
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return _round_run(
+            rt.dismax_topk(idx, qt, k=TOPK, tie_breaker=_DISMAX_TIE)
+        )
+
+    def wildcard_query(spark, sf):
+        # WildcardQuery: anchored-regex dictionary expansion feeding the
+        # plain BM25 OR scorer
+        idx = _index(spark, sf)
+        pats = spark.createDataFrame(
+            [(qid, rt.wildcard_to_regex(p)) for qid, p in _WILDCARD_SET],
+            "qid string, rx string",
+        )
+        qt = rt.wildcard_expand_terms(idx, pats)
+        return _round_run(rt.score_queries(idx, qt, k=TOPK))
+
+    def term_range_query(spark, sf):
+        # TermRangeQuery under CONSTANT_SCORE rewrite: matching docs at
+        # score 1.0 + the distinct matched-term count
+        idx = _index(spark, sf)
+        return rt.term_range_query(idx, _RANGE_LO, _RANGE_HI)
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -3951,6 +4063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_correlation": rank_correlation,
         "bigram_lm_xent": bigram_lm_xent,
         "token_budget_sample": token_budget_sample,
+        "dismax_topk": dismax_topk,
+        "wildcard_query": wildcard_query,
+        "term_range_query": term_range_query,
         "pack_sequences": pack_sequences,
         "bm25_topk_wand": bm25_topk_wand,
         "eval_metrics": eval_metrics,
@@ -4094,6 +4209,9 @@ def oracle_sql() -> dict[str, str]:
         "rank_correlation": _rank_corr_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
         "token_budget_sample": _token_budget_sql(),
+        "dismax_topk": _dismax_sql(),
+        "wildcard_query": _wildcard_sql(),
+        "term_range_query": _term_range_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "eval_metrics": _EVAL_SQL,

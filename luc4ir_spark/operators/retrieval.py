@@ -588,6 +588,140 @@ def prefix_expand_terms(
     )
 
 
+def dismax_topk(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k: int = 1000,
+    tie_breaker: float = 0.0,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """Lucene DisjunctionMaxQuery over one TermQuery clause per query
+    term: doc score = max(clause scores) + tie_breaker * (sum of the
+    OTHER clause scores) — the dismax shape behind field-disjunction
+    and "best field wins" ranking (the reference's BooleanQuery OR sums
+    instead; dismax is the standard companion the sum cannot express).
+    tie_breaker=0 is the pure max; tie_breaker=1 degenerates to the
+    boolean-OR sum.
+
+    Plan shape: IDENTICAL single postings scan as score_queries (query
+    side broadcast, map-side partial agg) — only the aggregate differs:
+    max(contrib) and sum(contrib) ride the same groupBy, the dismax
+    combination is one projected expression, then the per-qid top-k
+    window. No second index pass, no extra shuffle."""
+    sim = sim or Similarity()
+    if "weight" not in query_terms.columns:
+        query_terms = query_terms.withColumn("weight", F.lit(1.0))
+    ts = index.term_stats.join(
+        F.broadcast(query_terms.select("term").distinct()),
+        "term",
+        "left_semi",
+    )
+    qt_enriched = query_terms.join(F.broadcast(ts), "term").withColumn(
+        "idf", idf_lucene(F.col("df"), index.stats.n_docs)
+    )
+    contrib = _per_posting_score(sim, index.stats, qt_enriched.columns)
+    tie = F.lit(float(tie_breaker))
+    matched = (
+        index.postings.join(F.broadcast(qt_enriched), "term")
+        .select("qid", "doc_id", contrib.alias("contrib"))
+        .groupBy("qid", "doc_id")
+        .agg(F.max("contrib").alias("_mx"), F.sum("contrib").alias("_sm"))
+        .select(
+            "qid",
+            "doc_id",
+            (F.col("_mx") + tie * (F.col("_sm") - F.col("_mx"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Translate a Lucene WildcardQuery pattern (``*`` = any sequence,
+    ``?`` = exactly one char) to an anchored regex usable verbatim by
+    BOTH Spark's rlike/regexp_like and DuckDB's regexp_matches (both
+    are unanchored searches, hence the explicit ^...$). Every other
+    character is escaped literally."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_expand_terms(
+    index: InvertedIndex,
+    query_patterns: DataFrame,
+) -> DataFrame:
+    """Wildcard term expansion — Lucene WildcardQuery (``te*t``,
+    ``?ash``) at the logical level: map each (qid, regex) row — regex
+    produced by ``wildcard_to_regex`` — to every vocabulary term it
+    fully matches, uniform weight 1.0 per matching pattern, summed when
+    several of a query's patterns reach the same term (the same
+    clause-multiplicity rule as queries_to_terms). -> (qid, term,
+    weight) for ``score_queries``.
+
+    Plan shape: broadcast the tiny pattern set against the term
+    DICTIONARY (vocab-sized, never corpus-sized) with the regex
+    predicate in codegen; Lucene walks a compiled automaton over its
+    FST instead, but the work unit is the same dictionary scan and the
+    expansion stays query-sized, broadcast onward into the postings
+    join."""
+    q = query_patterns.select("qid", "rx").distinct()
+    return (
+        index.term_stats.select("term")
+        .join(F.broadcast(q), F.expr("regexp_like(term, rx)"))
+        .groupBy("qid", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def term_range_query(
+    index: InvertedIndex,
+    lo: str,
+    hi: str,
+    include_lo: bool = True,
+    include_hi: bool = True,
+) -> DataFrame:
+    """Lucene TermRangeQuery under its default CONSTANT_SCORE rewrite:
+    every document containing at least one dictionary term in the
+    lexical range [lo, hi] matches with score 1.0 (multi-term queries
+    skip per-term scoring entirely). Returns (doc_id, n_matched,
+    score) where n_matched counts the DISTINCT range terms the doc
+    contains — the diagnostic Lucene exposes via the rewritten query's
+    clause count. Bounds compare as raw binary strings, exactly
+    Lucene's BytesRef order for ASCII terms.
+
+    Plan shape: the range predicate prunes the term DICTIONARY first
+    (vocab-sized scan, broadcast result), then one semi-join-shaped
+    pass over postings with a (doc_id) count agg — no scoring math, no
+    per-term shuffle."""
+    lo_cmp = F.col("term") >= lo if include_lo else F.col("term") > lo
+    hi_cmp = F.col("term") <= hi if include_hi else F.col("term") < hi
+    terms = index.term_stats.filter(lo_cmp & hi_cmp).select("term")
+    return (
+        index.postings.join(F.broadcast(terms), "term", "left_semi")
+        .select("doc_id", "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .withColumn("score", F.lit(1.0))
+    )
+
+
 def parse_boolean_query(
     qid: str, text: str, cfg: AnalyzerConfig | None = None
 ) -> list[tuple[str, str, str]]:

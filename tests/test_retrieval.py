@@ -802,3 +802,91 @@ def test_update_docs_equals_fresh_build(spark, index):
     run_up = sorted(map(tuple, rt.score_queries(up, qt, k=10).collect()))
     run_fr = sorted(map(tuple, rt.score_queries(fresh, qt, k=10).collect()))
     assert run_up == run_fr
+
+
+def test_dismax_matches_contributions(spark, index):
+    """dismax score == max(contrib) + tie*(sum - max) where contribs
+    come from the (independently tested) explain_scores breakdown;
+    tie=1 degenerates to the boolean-OR sum."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    tie = 0.3
+    got = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.dismax_topk(index, qt, k=10, tie_breaker=tie).collect()
+    }
+    contribs = {}
+    for r in rt.explain_scores(index, qt).collect():
+        contribs.setdefault((r["qid"], r["doc_id"]), []).append(
+            r["contribution"]
+        )
+    assert set(got) == set(contribs)
+    for key, cs in contribs.items():
+        exp = max(cs) + tie * (sum(cs) - max(cs))
+        assert got[key] == pytest.approx(exp, rel=1e-12)
+
+    or_run = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    sums = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.dismax_topk(index, qt, k=10, tie_breaker=1.0).collect()
+    }
+    for key, s in sums.items():
+        assert s == pytest.approx(or_run[key], rel=1e-12)
+
+
+def test_wildcard_expansion(spark, index):
+    assert rt.wildcard_to_regex("te*t") == "^te.*t$"
+    assert rt.wildcard_to_regex("?ash") == "^.ash$"
+    assert rt.wildcard_to_regex("a.c*") == "^a\\.c.*$"  # dot escaped
+    vocab = [r["term"] for r in index.term_stats.collect()]
+    pats = spark.createDataFrame(
+        [("w1", rt.wildcard_to_regex("spark*")),
+         ("w2", rt.wildcard_to_regex("qu?ck*")),
+         ("w3", rt.wildcard_to_regex("zzz*"))],
+        "qid string, rx string",
+    )
+    got = {
+        (r["qid"], r["term"]): r["weight"]
+        for r in rt.wildcard_expand_terms(index, pats).collect()
+    }
+    import re
+
+    exp = {}
+    for qid, pat in [("w1", "^spark.*$"), ("w2", "^qu.ck.*$"),
+                     ("w3", "^zzz.*$")]:
+        for t in vocab:
+            if re.search(pat, t):
+                exp[(qid, t)] = 1.0
+    assert got == exp
+    assert not [k for k in got if k[0] == "w3"]  # no zzz terms
+
+
+def test_term_range_query(spark, index):
+    lo, hi = "j", "r"
+    got = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in rt.term_range_query(index, lo, hi).collect()
+    }
+    exp = {}
+    for d, t in DOCS:
+        terms = {x for x in analyze_text(t, EN) if lo <= x <= hi}
+        if terms:
+            exp[d] = (len(terms), 1.0)
+    assert got == exp
+    # exclusive bounds shrink the range
+    all_terms = {x for _, t in DOCS for x in analyze_text(t, EN)}
+    edge = sorted(x for x in all_terms if lo <= x <= hi)[0]
+    got2 = {
+        r["doc_id"]: r["n_matched"]
+        for r in rt.term_range_query(
+            index, edge, hi, include_lo=False
+        ).collect()
+    }
+    exp2 = {}
+    for d, t in DOCS:
+        terms = {x for x in analyze_text(t, EN) if edge < x <= hi}
+        if terms:
+            exp2[d] = len(terms)
+    assert got2 == exp2
