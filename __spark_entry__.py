@@ -32,6 +32,7 @@ from luc4ir_spark.operators import dedup as dd
 from luc4ir_spark.operators import evaluation as ev
 from luc4ir_spark.operators import feedback as fb
 from luc4ir_spark.operators import indexer as ix
+from luc4ir_spark.operators import qpp as qp
 from luc4ir_spark.operators import retrieval as rt
 from luc4ir_spark.operators import textstats as ts
 from luc4ir_spark.operators import utilsops as ut
@@ -120,6 +121,9 @@ _WILDCARD_SET: list[tuple[str, str]] = [
 
 # TermRangeQuery gate: constant-score docs with >= 1 term in [lo, hi]
 _RANGE_LO, _RANGE_HI = "filter", "key"
+
+# extended-metrics gate: RBP persistence (bpref/ERR/judged ride along)
+_RBP_P = 0.8
 
 # ---------------------------------------------------------------- SQL CTEs
 
@@ -436,6 +440,133 @@ toks AS (SELECT doc_id, unnest(list_filter(
 tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM tf GROUP BY 1
+"""
+
+
+def _ext_metrics_sql() -> str:
+    """Replays evaluation.extended_metrics (bpref / ERR@k / RBP /
+    judged-fraction) over the BM25 top-k run and the pseudo qrels.
+    gmax=1 (binary grades) so R_i = (2^rel - 1) / 2."""
+    p = repr(float(_RBP_P))
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+run AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+    FROM scored) WHERE rank <= {TOPK}
+),
+{_QRELS_SQL},
+joined AS (
+  SELECT r.qid, r.doc_id, r.rank,
+         CASE WHEN qr.rel IS NOT NULL THEN 1.0 ELSE 0.0 END AS judged,
+         coalesce(qr.rel, 0.0) AS rel
+  FROM run r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = CAST(qr.docid AS BIGINT)
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN rel >= 1.0 THEN 1.0 ELSE 0.0 END AS is_rel,
+         CASE WHEN judged > 0 AND rel < 1.0 THEN 1.0 ELSE 0.0 END AS is_nrj,
+         (pow(2.0, rel) - 1.0) / 2.0 AS r_i
+  FROM joined
+),
+win AS (
+  SELECT *,
+         exp(coalesce(sum(ln(1.0 - r_i)) OVER (PARTITION BY qid ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS survive,
+         coalesce(sum(is_nrj) OVER (PARTITION BY qid ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS n_above
+  FROM flagged
+),
+totals AS (
+  SELECT qid,
+         sum(CASE WHEN rel >= 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+         sum(CASE WHEN rel < 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_nonrel
+  FROM qrels GROUP BY qid
+),
+perq AS (
+  SELECT w.qid,
+         max(t.n_rel) AS r_tot,
+         sum(CASE WHEN w.is_rel > 0 THEN
+               CASE WHEN least(t.n_rel, t.n_nonrel) > 0
+                    THEN 1.0 - least(w.n_above, least(t.n_rel, t.n_nonrel)::DOUBLE)
+                         / least(t.n_rel, t.n_nonrel)
+                    ELSE 1.0 END
+             ELSE 0.0 END) AS bp_num,
+         sum(CASE WHEN w.rank <= {TOPK}
+                  THEN w.r_i / w.rank * w.survive ELSE 0.0 END) AS err,
+         sum(w.is_rel * pow({p}, w.rank - 1)) AS rbp_sum,
+         avg(w.judged) AS judged_frac
+  FROM win w LEFT JOIN totals t USING (qid)
+  GROUP BY w.qid
+)
+SELECT qid,
+       round(CASE WHEN r_tot > 0 THEN bp_num / r_tot ELSE 0.0 END, 4) AS bpref,
+       round(err, 4) AS err,
+       round((1.0 - {p}) * rbp_sum, 4) AS rbp,
+       round(judged_frac, 4) AS judged_frac
+FROM perq
+"""
+
+
+def _qpp_pre_sql() -> str:
+    """Replays qpp.qpp_pre_retrieval: avg/max Lucene idf + SCQ over the
+    query's in-vocabulary distinct terms."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT}, {_values_queries()},
+j AS (
+  SELECT DISTINCT q.qid, q.term, dft.df, dft.cf
+  FROM q JOIN dft USING (term)
+),
+s AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT qid, count(*)::BIGINT AS n_terms,
+       round(avg(ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))), 4) AS avg_idf,
+       round(max(ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))), 4) AS max_idf,
+       round(sum((1.0 + ln(cf)) * ln(1.0 + s.n_docs / df)), 4) AS scq
+FROM j CROSS JOIN s
+GROUP BY qid
+"""
+
+
+def _qpp_post_sql() -> str:
+    """Replays qpp.qpp_post_retrieval over the full BM25 candidate
+    list: WIG (top-k mean minus full-list mean, / sqrt(|q|)) and NQC
+    (top-k stddev_pop / full-list mean)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, s_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+nt AS (
+  SELECT qid, count(DISTINCT q.term)::BIGINT AS n_terms
+  FROM q JOIN dft USING (term) GROUP BY qid
+)
+SELECT r.qid, count(*)::BIGINT AS n_candidates,
+       round((avg(CASE WHEN r.rank <= {TOPK} THEN r.s_raw END) - avg(r.s_raw))
+             / sqrt(nt.n_terms), 4) AS wig,
+       round(stddev_pop(CASE WHEN r.rank <= {TOPK} THEN r.s_raw END)
+             / avg(r.s_raw), 4) AS nqc
+FROM ranked r JOIN nt USING (qid)
+GROUP BY r.qid, nt.n_terms
 """
 
 
@@ -3012,6 +3143,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index(spark, sf)
         return rt.term_range_query(idx, _RANGE_LO, _RANGE_HI)
 
+    def qpp_pre(spark, sf):
+        # pre-retrieval QPP: avg/max idf + SCQ over in-vocab query terms
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        pre = qp.qpp_pre_retrieval(idx, qt)
+        return pre.select(
+            "qid",
+            "n_terms",
+            F.round("avg_idf", 4).alias("avg_idf"),
+            F.round("max_idf", 4).alias("max_idf"),
+            F.round("scq", 4).alias("scq"),
+        )
+
+    def qpp_post(spark, sf):
+        # post-retrieval QPP: WIG + NQC from the full candidate list
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=10**6)
+        post = qp.qpp_post_retrieval(run, qt, idx, k=TOPK)
+        return post.select(
+            "qid",
+            "n_candidates",
+            F.round("wig", 4).alias("wig"),
+            F.round("nqc", 4).alias("nqc"),
+        )
+
+    def extended_metrics(spark, sf):
+        # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
+        # the deterministic pseudo qrels
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        pq = ev.extended_metrics(
+            run, _pseudo_qrels(spark, sf), err_at=TOPK, rbp_p=_RBP_P
+        )
+        return pq.select(
+            "qid",
+            F.round("bpref", 4).alias("bpref"),
+            F.round("err", 4).alias("err"),
+            F.round("rbp", 4).alias("rbp"),
+            F.round("judged_frac", 4).alias("judged_frac"),
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -4066,6 +4242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": dismax_topk,
         "wildcard_query": wildcard_query,
         "term_range_query": term_range_query,
+        "extended_metrics": extended_metrics,
+        "qpp_pre": qpp_pre,
+        "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
         "bm25_topk_wand": bm25_topk_wand,
         "eval_metrics": eval_metrics,
@@ -4212,6 +4391,9 @@ def oracle_sql() -> dict[str, str]:
         "dismax_topk": _dismax_sql(),
         "wildcard_query": _wildcard_sql(),
         "term_range_query": _term_range_sql(),
+        "extended_metrics": _ext_metrics_sql(),
+        "qpp_pre": _qpp_pre_sql(),
+        "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
         "eval_metrics": _EVAL_SQL,

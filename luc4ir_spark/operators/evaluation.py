@@ -200,6 +200,125 @@ def rr_histogram(per_query: DataFrame, n_bins: int = 5) -> DataFrame:
     )
 
 
+def extended_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    err_at: int = 10,
+    rbp_p: float = 0.8,
+    rel_threshold: float = 1.0,
+    gmax: float = 1.0,
+) -> DataFrame:
+    """Extended per-query metrics beyond the reference's evaluator —
+    the rest of the standard trec_eval / IR-eval family:
+
+    - ``bpref`` (Buckley & Voorhees SIGIR'04, trec_eval's formula):
+      (1/R) * Σ over retrieved RELEVANT docs of
+      (1 - min(n_above, min(R, N)) / min(R, N)) where n_above counts
+      the retrieved judged-NONRELEVANT docs ranked above, R / N are
+      the qrels' total relevant / judged-nonrelevant counts. When a
+      query has no judged nonrelevant docs (min(R,N)=0) every
+      contribution is 1 (trec_eval's degenerate case); R=0 => 0.0.
+    - ``err`` (Expected Reciprocal Rank, Chapelle et al. CIKM'09) over
+      the top ``err_at``: Σ (R_r / r) * Π_{i<r} (1 - R_i) with
+      R_i = (2^rel - 1) / 2^gmax; the cascade product is computed as
+      exp of a windowed ln-sum (1 - R_i >= 2^-gmax > 0 always).
+    - ``rbp`` (Rank-Biased Precision, Moffat & Zobel TOIS'08) with
+      persistence ``rbp_p`` over the whole run:
+      (1 - p) * Σ is_rel * p^(rank-1).
+    - ``judged_frac``: fraction of run rows judged at all (rel present
+      in qrels, any grade) — the pool-coverage diagnostic read next to
+      bpref.
+
+    One broadcast qrels join + two rank windows + one groupBy — the
+    run side is never shuffled except by qid for the windows, same
+    shape as per_query_metrics."""
+    q = qrels.select("qid", "docid", "rel")
+    j = run.join(F.broadcast(q), ["qid", "docid"], "left").withColumn(
+        "judged", F.col("rel").isNotNull().cast("double")
+    ).withColumn("rel", F.coalesce(F.col("rel"), F.lit(0.0)))
+    is_rel = (F.col("rel") >= rel_threshold).cast("double")
+    is_nonrel_j = (
+        (F.col("judged") > 0) & (F.col("rel") < rel_threshold)
+    ).cast("double")
+    j = j.withColumn("is_rel", is_rel).withColumn("is_nrj", is_nonrel_j)
+
+    w_prev = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # ERR cascade: stop-probability R_i per rank, survival product as
+    # exp(windowed ln-sum over the STRICTLY preceding ranks)
+    r_i = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / F.lit(
+        float(2.0**gmax)
+    )
+    j = (
+        j.withColumn("r_i", r_i)
+        .withColumn(
+            "survive",
+            F.exp(
+                F.coalesce(
+                    F.sum(F.log(F.lit(1.0) - F.col("r_i"))).over(w_prev),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        .withColumn(
+            "n_above", F.coalesce(F.sum("is_nrj").over(w_prev), F.lit(0.0))
+        )
+    )
+
+    totals = (
+        q.groupBy("qid")
+        .agg(
+            F.sum(
+                (F.col("rel") >= rel_threshold).cast("double")
+            ).cast("long").alias("n_rel"),
+            F.sum(
+                (F.col("rel") < rel_threshold).cast("double")
+            ).cast("long").alias("n_nonrel"),
+        )
+    )
+    j = j.join(F.broadcast(totals), "qid", "left").withColumn(
+        "min_rn", F.least(F.col("n_rel"), F.col("n_nonrel")).cast("double")
+    )
+    bpref_contrib = F.when(
+        F.col("is_rel") > 0,
+        F.when(
+            F.col("min_rn") > 0,
+            F.lit(1.0)
+            - F.least(F.col("n_above"), F.col("min_rn")) / F.col("min_rn"),
+        ).otherwise(F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+    per_q = j.groupBy("qid").agg(
+        F.max("n_rel").alias("_R"),
+        F.sum(bpref_contrib).alias("_bp_num"),
+        F.sum(
+            F.when(
+                F.col("rank") <= err_at,
+                F.col("r_i")
+                / F.col("rank").cast("double")
+                * F.col("survive"),
+            ).otherwise(F.lit(0.0))
+        ).alias("err"),
+        F.sum(
+            F.col("is_rel")
+            * F.pow(F.lit(float(rbp_p)), F.col("rank").cast("double") - 1)
+        ).alias("_rbp_sum"),
+        F.avg("judged").alias("judged_frac"),
+    )
+    return per_q.select(
+        "qid",
+        F.when(
+            F.col("_R") > 0, F.col("_bp_num") / F.col("_R").cast("double")
+        ).otherwise(F.lit(0.0)).alias("bpref"),
+        "err",
+        (F.lit(1.0 - float(rbp_p)) * F.col("_rbp_sum")).alias("rbp"),
+        "judged_frac",
+    )
+
+
 def paired_ttest(
     per_query_a: DataFrame,
     per_query_b: DataFrame,

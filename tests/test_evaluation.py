@@ -264,3 +264,47 @@ def test_rank_correlation_hand_computed(spark):
         for r in ev.rank_correlation(ra, rb).collect()
     }
     assert got == {"q1": (3, 1.0), "q2": (3, -1.0)}
+
+
+def test_extended_metrics_hand_computed(frames):
+    run, qrels = frames
+    got = {
+        r["qid"]: r
+        for r in ev.extended_metrics(
+            run, qrels, err_at=10, rbp_p=0.8
+        ).collect()
+    }
+    # q1: qrels R=3 (d2,d4,d9), N=1 (d5); run rel at ranks 2,4; judged
+    # nonrel d5 at rank 5. min(R,N)=1. Both relevant hits have
+    # n_above=0 -> contribution 1 each -> bpref = 2/3.
+    assert got["q1"]["bpref"] == pytest.approx(2 / 3)
+    # ERR, binary grades: R_i = 0.5 at ranks 2 and 4
+    err = 0.5 / 2 + 0.5 / 4 * (1 - 0.5)
+    assert got["q1"]["err"] == pytest.approx(err, rel=1e-12)
+    rbp = 0.2 * (0.8 ** 1 + 0.8 ** 3)
+    assert got["q1"]["rbp"] == pytest.approx(rbp, rel=1e-12)
+    assert got["q1"]["judged_frac"] == pytest.approx(3 / 5)
+    # q2: R=1, N=0 -> no retrieved relevant: bpref 0, err 0, rbp 0,
+    # nothing judged
+    assert got["q2"]["bpref"] == 0.0
+    assert got["q2"]["err"] == 0.0
+    assert got["q2"]["rbp"] == 0.0
+    assert got["q2"]["judged_frac"] == 0.0
+
+
+def test_extended_metrics_bpref_penalty(spark):
+    # nonrel ranked ABOVE a relevant doc must cost bpref: R=2, N=2,
+    # run = nonrel(1), rel(2), nonrel(3), rel(4):
+    # contributions (1 - 1/2) + (1 - 2/2) = 0.5 -> bpref 0.25
+    run = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3), ("q", "d", 4)],
+        "qid string, docid string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "a", 0.0), ("q", "b", 1.0), ("q", "c", 0.0),
+         ("q", "d", 1.0)],
+        "qid string, docid string, rel double",
+    )
+    r = ev.extended_metrics(run, qrels).collect()[0]
+    assert r["bpref"] == pytest.approx(0.25)
+    assert r["judged_frac"] == 1.0

@@ -890,3 +890,54 @@ def test_term_range_query(spark, index):
         if terms:
             exp2[d] = len(terms)
     assert got2 == exp2
+
+
+def test_qpp_predictors_hand_computed(spark, index):
+    from luc4ir_spark.operators import qpp as qp
+
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    n = len(DOCS)
+    df, cf = {}, {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+
+    pre = {r["qid"]: r for r in qp.qpp_pre_retrieval(index, qt).collect()}
+    for qid, qtext in QUERIES:
+        terms = {t for t in analyze_text(qtext, EN) if t in df}
+        idfs = [
+            math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms
+        ]
+        scq = sum(
+            (1 + math.log(cf[t])) * math.log(1 + n / df[t]) for t in terms
+        )
+        r = pre[qid]
+        assert r["n_terms"] == len(terms)
+        assert r["avg_idf"] == pytest.approx(sum(idfs) / len(idfs))
+        assert r["max_idf"] == pytest.approx(max(idfs))
+        assert r["scq"] == pytest.approx(scq)
+
+    run = rt.score_queries(index, qt, k=100)
+    post = {
+        r["qid"]: r
+        for r in qp.qpp_post_retrieval(run, qt, index, k=2).collect()
+    }
+    brute = brute_force_bm25(DOCS, QUERIES)
+    for qid, _ in QUERIES:
+        scores = [s for _, s in brute[qid]]
+        topk = scores[:2]
+        mean_all = sum(scores) / len(scores)
+        mean_k = sum(topk) / len(topk)
+        sd_k = math.sqrt(
+            sum((s - mean_k) ** 2 for s in topk) / len(topk)
+        )
+        nterms = pre[qid]["n_terms"]
+        r = post[qid]
+        assert r["n_candidates"] == len(scores)
+        assert r["wig"] == pytest.approx(
+            (mean_k - mean_all) / math.sqrt(nterms), rel=1e-9
+        )
+        assert r["nqc"] == pytest.approx(sd_k / mean_all, rel=1e-9)
