@@ -125,6 +125,15 @@ _RANGE_LO, _RANGE_HI = "filter", "key"
 # extended-metrics gate: RBP persistence (bpref/ERR/judged ride along)
 _RBP_P = 0.8
 
+# SynonymQuery gate: query-side synonym groups (term -> synonym)
+_SYN_TABLE: list[tuple[str, str]] = [
+    ("spark", "stream"),
+    ("join", "merge"),
+]
+
+# field-collapse gate: collapse the depth-_COLLAPSE_DEPTH run by source
+_COLLAPSE_DEPTH = 50
+
 # ---------------------------------------------------------------- SQL CTEs
 
 # tokenization must match luc4ir_spark.functions.analysis.simple_tokens
@@ -567,6 +576,96 @@ SELECT r.qid, count(*)::BIGINT AS n_candidates,
              / avg(r.s_raw), 4) AS nqc
 FROM ranked r JOIN nt USING (qid)
 GROUP BY r.qid, nt.n_terms
+"""
+
+
+def _synonym_sql() -> str:
+    """Replays synonym_topk: per-(qid, group, doc) blended tf (sum),
+    group idf from max df, then the BM25 sum over groups."""
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in _SYN_TABLE)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+syn(grp, member) AS (VALUES {vals}),
+members AS (
+  SELECT DISTINCT q.qid, q.term AS grp, coalesce(s.member, q.term) AS term
+  FROM q LEFT JOIN syn s ON s.grp = q.term
+  UNION
+  SELECT DISTINCT qid, term AS grp, term FROM q
+),
+en AS (
+  SELECT m.qid, m.grp, m.term, dft.df FROM members m JOIN dft USING (term)
+),
+gdf AS (SELECT qid, grp, max(df) AS grp_df FROM en GROUP BY 1, 2),
+blend AS (
+  SELECT e.qid, e.grp, tf.doc_id,
+         sum(tf.tf) AS tf_sum, max(dl.doc_len) AS doc_len,
+         max(g.grp_df) AS grp_df
+  FROM en e JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN gdf g ON g.qid = e.qid AND g.grp = e.grp
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT b.qid, b.doc_id,
+         sum( ln(1.0 + (s.n_docs - b.grp_df + 0.5) / (b.grp_df + 0.5))
+              * b.tf_sum / (b.tf_sum + {K1} * (1.0 - {B} + {B} * b.doc_len / s.avgdl)) ) AS s_raw
+  FROM blend b CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _collapse_sql() -> str:
+    """Replays collapse_results over the depth-_COLLAPSE_DEPTH BM25 run:
+    keep-1 per (qid, source), re-rank, top-k."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+run AS (
+  SELECT qid, doc_id, s_raw FROM (
+    SELECT qid, doc_id, s_raw,
+           row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC) AS r
+    FROM scored) WHERE r <= {_COLLAPSE_DEPTH}
+),
+j AS (
+  SELECT r.qid, r.doc_id, r.s_raw, d.source
+  FROM run r JOIN documents d ON r.doc_id = d.doc_id
+),
+keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, source
+              ORDER BY s_raw DESC, doc_id ASC) AS kr
+    FROM j) WHERE kr = 1
+)
+SELECT qid, doc_id, rank, score, source FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score, source
+  FROM keep) WHERE rank <= {TOPK}
+"""
+
+
+def _count_hits_sql() -> str:
+    """Replays count_hits: distinct matching docs per query (OR
+    semantics, no scoring)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_values_queries()}
+SELECT q.qid, count(DISTINCT tf.doc_id)::BIGINT AS n_hits
+FROM (SELECT DISTINCT qid, term FROM q) q JOIN tf USING (term)
+GROUP BY q.qid
 """
 
 
@@ -3169,6 +3268,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("nqc", 4).alias("nqc"),
         )
 
+    def synonym_query(spark, sf):
+        # SynonymQuery: blended tf (sum) + group idf (max df)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        syn = spark.createDataFrame(_SYN_TABLE, "term string, syn string")
+        return _round_run(rt.synonym_topk(idx, qt, syn, k=TOPK))
+
+    def collapse_results(spark, sf):
+        # field collapse: best hit per (qid, source), re-ranked top-k
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=_COLLAPSE_DEPTH)
+        out = rt.collapse_results(
+            run, _docs(spark, sf), collapse_col="source", k=TOPK
+        )
+        return out.select(
+            "qid",
+            "doc_id",
+            "rank",
+            F.round("score", 4).alias("score"),
+            "source",
+        )
+
+    def count_hits(spark, sf):
+        # IndexSearcher.count: distinct matching docs, no scoring
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return rt.count_hits(idx, qt)
+
     def extended_metrics(spark, sf):
         # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
         # the deterministic pseudo qrels
@@ -4243,6 +4371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": wildcard_query,
         "term_range_query": term_range_query,
         "extended_metrics": extended_metrics,
+        "synonym_query": synonym_query,
+        "collapse_results": collapse_results,
+        "count_hits": count_hits,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -4392,6 +4523,9 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_query": _wildcard_sql(),
         "term_range_query": _term_range_sql(),
         "extended_metrics": _ext_metrics_sql(),
+        "synonym_query": _synonym_sql(),
+        "collapse_results": _collapse_sql(),
+        "count_hits": _count_hits_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

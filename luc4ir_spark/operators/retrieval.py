@@ -722,6 +722,137 @@ def term_range_query(
     )
 
 
+def synonym_topk(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    synonyms: DataFrame,
+    k: int = 1000,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """Lucene SynonymQuery (the query SynonymGraphFilter emits): each
+    query term and its synonyms score as ONE blended pseudo-term — the
+    doc's tf is the SUM over group members, the idf uses the MAX
+    docFreq across the group (SynonymQuery.createWeight collects
+    max(df) and a summing TermMatchesIterator) — so a synonym match
+    never out-scores the primary term and repeated synonyms saturate
+    together. ``synonyms``: (term, syn) rows, applied query-side only;
+    a term with no row is its own singleton group.
+
+    Plan shape: the group expansion happens on the TINY query side
+    (query terms ⋈ broadcast synonym table, still query-sized), then
+    the SAME single broadcast postings scan as score_queries with the
+    groupBy lifted to (qid, group, doc) for the tf blend, one more
+    map-side partial agg to (qid, doc), and the top-k window. BM25
+    only (the blend is defined on tf; LM kernels smooth cf and would
+    need a blended cf — not what Lucene does)."""
+    sim = sim or Similarity()
+    if sim.kind != "bm25":
+        raise ValueError("synonym_topk blends tf — BM25 only")
+    base = query_terms.select("qid", F.col("term").alias("grp")).distinct()
+    syn = synonyms.select(
+        F.col("term").alias("grp"), F.col("syn").alias("member")
+    )
+    members = base.join(F.broadcast(syn), "grp", "left").select(
+        "qid",
+        "grp",
+        F.coalesce(F.col("member"), F.col("grp")).alias("term"),
+    ).unionByName(
+        base.select("qid", "grp", F.col("grp").alias("term"))
+    ).distinct()
+
+    # group df = max df over members that exist in the dictionary
+    enriched = members.join(
+        F.broadcast(index.term_stats.select("term", "df")), "term"
+    )
+    grp_df = enriched.groupBy("qid", "grp").agg(
+        F.max("df").alias("grp_df")
+    )
+    qt = enriched.join(F.broadcast(grp_df), ["qid", "grp"]).withColumn(
+        "idf", idf_lucene(F.col("grp_df"), index.stats.n_docs)
+    ).select("qid", "grp", "term", "idf")
+
+    blended = (
+        index.postings.join(F.broadcast(qt), "term")
+        .groupBy("qid", "grp", "doc_id")
+        .agg(
+            F.sum("tf").alias("tf_sum"),
+            F.max("doc_len").alias("doc_len"),
+            F.max("idf").alias("idf"),
+        )
+    )
+    tf = F.col("tf_sum").cast("double")
+    dl = F.col("doc_len").cast("double")
+    norm = tf + F.lit(sim.k1) * (
+        F.lit(1.0 - sim.b) + F.lit(sim.b) * dl / F.lit(index.stats.avgdl)
+    )
+    scored = (
+        blended.select(
+            "qid", "doc_id", (F.col("idf") * tf / norm).alias("contrib")
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
+def collapse_results(
+    run: DataFrame,
+    doc_meta: DataFrame,
+    collapse_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Field collapsing (Lucene/Elasticsearch CollapsingTopDocsCollector
+    semantics): keep only each query's single BEST hit per collapse-key
+    value (score desc, doc_id asc — the collector's tie order), then
+    re-rank the collapsed list and cut to top-k. -> (qid, doc_id, rank,
+    score, <collapse_col>).
+
+    Plan shape: the run (queries × depth, tiny) is broadcast against
+    the doc-metadata table so the corpus side is a pruned scan — at
+    100 TB the metadata join is a semi-join-shaped broadcast probe, the
+    corpus is never shuffled; then two windows over the run-sized
+    result (per-(qid,key) keep-1, per-qid re-rank), both
+    WindowGroupLimit-able."""
+    meta = doc_meta.select("doc_id", collapse_col)
+    joined = meta.join(F.broadcast(run), "doc_id")
+    w_key = Window.partitionBy("qid", collapse_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_q = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("_kr", F.row_number().over(w_key))
+        .filter(F.col("_kr") == 1)
+        .withColumn("rank", F.row_number().over(w_q).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score", collapse_col)
+    )
+
+
+def count_hits(index: InvertedIndex, query_terms: DataFrame) -> DataFrame:
+    """IndexSearcher.count(query) for a disjunctive free-text query:
+    the number of distinct documents matching ANY query term — the
+    collector that skips scoring entirely. One broadcast semi-join over
+    postings + a distinct count; queries with no in-vocabulary terms
+    return no row (Lucene returns 0 for an empty rewrite — callers can
+    left-join the query list)."""
+    qt = query_terms.select("qid", "term").distinct()
+    return (
+        index.postings.join(F.broadcast(qt), "term")
+        .select("qid", "doc_id")
+        .groupBy("qid")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_hits"))
+    )
+
+
 def parse_boolean_query(
     qid: str, text: str, cfg: AnalyzerConfig | None = None
 ) -> list[tuple[str, str, str]]:

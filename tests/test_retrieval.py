@@ -941,3 +941,75 @@ def test_qpp_predictors_hand_computed(spark, index):
             (mean_k - mean_all) / math.sqrt(nterms), rel=1e-9
         )
         assert r["nqc"] == pytest.approx(sd_k / mean_all, rel=1e-9)
+
+
+def test_synonym_topk_blended(spark, index):
+    """SynonymQuery semantics: blended tf sum + max-df idf, replayed
+    brute-force with the same analyzer."""
+    syn = spark.createDataFrame(
+        [("quick", "lazi"), ("spark", "pasta")], "term string, syn string"
+    )
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    got = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.synonym_topk(index, qt, syn, k=10).collect()
+    }
+    syn_map = {"quick": {"quick", "lazi"}, "spark": {"spark", "pasta"}}
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    n = len(DOCS)
+    dls = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    exp = {}
+    for qid, qtext in QUERIES:
+        for d, ts in toks.items():
+            s = 0.0
+            hit = False
+            for g in set(analyze_text(qtext, EN)):
+                mem = {m for m in syn_map.get(g, {g}) if m in df}
+                if not mem:
+                    continue
+                tf = sum(ts.count(m) for m in mem)
+                if tf == 0:
+                    continue
+                hit = True
+                gdf = max(df[m] for m in mem)
+                idf = math.log(1 + (n - gdf + 0.5) / (gdf + 0.5))
+                s += idf * tf / (tf + 0.7 * (1 - 0.3 + 0.3 * dls[d] / avgdl))
+            if hit:
+                exp[(qid, d)] = s
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == pytest.approx(exp[key], rel=1e-12), key
+
+
+def test_collapse_results(spark):
+    run = spark.createDataFrame(
+        [("q", 1, 1, 9.0), ("q", 2, 2, 8.0), ("q", 3, 3, 7.0),
+         ("q", 4, 4, 6.0), ("q", 5, 5, 5.0)],
+        "qid string, doc_id long, rank long, score double",
+    )
+    meta = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, source string",
+    )
+    got = [
+        (r["qid"], r["doc_id"], r["rank"], r["source"])
+        for r in rt.collapse_results(run, meta, "source", k=2)
+        .orderBy("rank").collect()
+    ]
+    # best per source: 1(a), 3(b), 5(c); top-2 of those: 1, 3
+    assert got == [("q", 1, 1, "a"), ("q", 3, 2, "b")]
+
+
+def test_count_hits(spark, index):
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    got = {r["qid"]: r["n_hits"] for r in rt.count_hits(index, qt).collect()}
+    toks = {d: set(analyze_text(t, EN)) for d, t in DOCS}
+    for qid, qtext in QUERIES:
+        q = set(analyze_text(qtext, EN))
+        exp = sum(1 for ts in toks.values() if ts & q)
+        assert got[qid] == exp, qid
