@@ -669,6 +669,28 @@ GROUP BY q.qid
 """
 
 
+def _unordered_window_sql() -> str:
+    """Replays unordered_window_query: anchors at the first term's
+    occurrences, one EXISTS per companion term within +/- window."""
+    exists = " AND ".join(
+        f"EXISTS (SELECT 1 FROM pos x WHERE x.doc_id = p1.doc_id"
+        f" AND x.term = '{t}'"
+        f" AND x.p BETWEEN p1.p - {_PROX_WINDOW} AND p1.p + {_PROX_WINDOW})"
+        for t in _PHRASE[1:]
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e)
+SELECT p1.doc_id, count(*)::BIGINT AS uw_freq
+FROM pos p1
+WHERE p1.term = '{_PHRASE[0]}' AND {exists}
+GROUP BY 1
+"""
+
+
 def _dismax_sql() -> str:
     """Replays dismax_topk: per-(qid, doc, term) BM25 contributions,
     combined as max + tie * (sum - max)."""
@@ -3902,6 +3924,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pos, _PHRASE, window=_PROX_WINDOW
         ).select("doc_id", "prox_freq")
 
+    def unordered_window(spark, sf):
+        # unordered co-occurrence window (#uwN family): same terms as
+        # the ordered gate — every anchor set is a superset
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.unordered_window_query(
+            pos, _PHRASE, window=_PROX_WINDOW
+        ).select("doc_id", "uw_freq")
+
     def fuzzy_query(spark, sf):
         # FuzzyQuery parity: misspelled queries reach the postings via
         # Levenshtein expansion over the vocabulary, 1/(1+d) weights
@@ -4374,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
+        "unordered_window": unordered_window,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -4526,6 +4560,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),
+        "unordered_window": _unordered_window_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

@@ -351,6 +351,57 @@ def proximity_query(
     )
 
 
+def unordered_window_query(
+    positional: DataFrame, terms: list[str], window: int
+) -> DataFrame:
+    """Unordered co-occurrence window over the positional index — the
+    order-free companion of ``proximity_query`` (the INQUERY/Indri
+    #uwN idea; Lucene SpanNearQuery(inOrder=false) tests the same
+    all-terms-within-a-window condition): a match is an occurrence of
+    ``terms[0]`` (the anchor) such that EVERY other term occurs
+    somewhere within ±``window`` tokens of it, in any order.
+    -> (doc_id, uw_freq) = count of such anchors. Pick the rarest term
+    first — the anchor side drives the fan-in exactly like the phrase
+    chain. Terms must be distinct (a repeated term would satisfy its
+    own window).
+
+    Plan: same shape as proximity_query — per-term doc_id equi-joins of
+    dictionary-filtered positional cells, anchors thinned by a per-row
+    array ``exists`` per companion term; one projection per term, no
+    explode, no shuffle beyond the equi-joins."""
+    if not terms:
+        raise ValueError("unordered_window_query: empty terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError("unordered_window_query: terms must be distinct")
+    positional = positional.localCheckpoint(eager=False)
+    anchors = positional.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("a")
+    )
+    for t in terms[1:]:
+        nxt = positional.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("_p")
+        )
+        anchors = (
+            anchors.join(nxt, "doc_id")
+            .withColumn(
+                "a",
+                F.filter(
+                    "a",
+                    lambda p: F.exists(
+                        "_p",
+                        lambda q: (q >= p - F.lit(window))
+                        & (q <= p + F.lit(window)),
+                    ),
+                ),
+            )
+            .filter(F.size("a") > 0)
+            .drop("_p")
+        )
+    return anchors.select(
+        "doc_id", F.size("a").cast("long").alias("uw_freq")
+    )
+
+
 def fuzzy_expand_terms(
     index: InvertedIndex,
     query_terms: DataFrame,

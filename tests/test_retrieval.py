@@ -1013,3 +1013,41 @@ def test_count_hits(spark, index):
         q = set(analyze_text(qtext, EN))
         exp = sum(1 for ts in toks.values() if ts & q)
         assert got[qid] == exp, qid
+
+
+def test_unordered_window_query_hand_computed(spark):
+    """Order-free co-occurrence: anchor counting, window bounds,
+    superset-of-ordered property, distinct-term guard."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "x", "b", "a", "b"]),
+            (1, ["b", "a", "c"]),
+            (2, ["a", "b", "b", "c"]),
+            (3, ["b", "x", "x", "x", "a"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+
+    def run(terms, w):
+        return {
+            r["doc_id"]: r["uw_freq"]
+            for r in rt.unordered_window_query(pos, terms, window=w)
+            .collect()
+        }
+
+    # window 2: doc0 a@0 (b@2), a@3 (b@2,4 within 2) -> 2 anchors;
+    # doc1 a@1 sees b@0 -> 1; doc2 a@0 sees b@1 -> 1; doc3 a@4 has b@0
+    # at distance 4 -> out
+    assert run(["a", "b"], 2) == {0: 2, 1: 1, 2: 1}
+    # window 4 pulls doc3 in
+    assert run(["a", "b"], 4) == {0: 2, 1: 1, 2: 1, 3: 1}
+    # unordered: b-before-a anchors count too (doc2's b@1 AND b@2 both
+    # see a@0 within 2 — anchor counts depend on the anchor term)
+    assert run(["b", "a"], 2) == {0: 2, 1: 1, 2: 2}
+    # 3 terms: only docs holding all three near the anchor (doc2's
+    # c@3 is distance 3 from a@0 — in at window 3, out at window 2)
+    assert run(["a", "b", "c"], 2) == {1: 1}
+    assert run(["a", "b", "c"], 3) == {1: 1, 2: 1}
+    with pytest.raises(ValueError):
+        rt.unordered_window_query(pos, ["a", "a"], window=2)
