@@ -125,6 +125,9 @@ _RANGE_LO, _RANGE_HI = "filter", "key"
 # extended-metrics gate: RBP persistence (bpref/ERR/judged ride along)
 _RBP_P = 0.8
 
+# span-masking gate: T5-style deterministic span-corruption layout
+_MASK_SPAN_LEN, _MASK_STRIDE, _MASK_DENOM = 4, 7, 3
+
 # SynonymQuery gate: query-side synonym groups (term -> synonym)
 _SYN_TABLE: list[tuple[str, str]] = [
     ("spark", "stream"),
@@ -688,6 +691,83 @@ SELECT p1.doc_id, count(*)::BIGINT AS uw_freq
 FROM pos p1
 WHERE p1.term = '{_PHRASE[0]}' AND {exists}
 GROUP BY 1
+"""
+
+
+def _sort_by_field_sql() -> str:
+    """Replays sort_by_field: constant-score candidates ordered by
+    n_chars desc, doc_id tiebreak."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_values_queries()},
+cand AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM (SELECT DISTINCT qid, term FROM q) q JOIN tf USING (term)
+),
+j AS (
+  SELECT c.qid, c.doc_id, d.n_chars
+  FROM cand c JOIN documents d USING (doc_id)
+)
+SELECT qid, doc_id, rank, n_chars FROM (
+  SELECT qid, doc_id, n_chars,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+  FROM j) WHERE rank <= {TOPK}
+"""
+
+
+def _function_score_sql() -> str:
+    """Replays function_score over the depth-_COLLAPSE_DEPTH BM25 run:
+    score x ln(1 + n_chars/100), re-ranked."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+run AS (
+  SELECT qid, doc_id, s_raw FROM (
+    SELECT qid, doc_id, s_raw,
+           row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC) AS r
+    FROM scored) WHERE r <= {_COLLAPSE_DEPTH}
+),
+boosted AS (
+  SELECT r.qid, r.doc_id, r.s_raw * ln(1.0 + d.n_chars / 100.0) AS s2
+  FROM run r JOIN documents d USING (doc_id)
+)
+SELECT qid, doc_id, rank, score FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s2 DESC, doc_id ASC)::BIGINT AS rank,
+         round(s2, 4) AS score
+  FROM boosted) WHERE rank <= {TOPK}
+"""
+
+
+def _mask_spans_sql() -> str:
+    """Replays textstats.mask_spans: integer candidate grid + the
+    portable mix-hash selection, all literal arithmetic."""
+    from luc4ir_spark.functions import hashing as hx
+
+    L, S, D = _MASK_SPAN_LEN, _MASK_STRIDE, _MASK_DENOM
+    key = f"(doc_id * 1048576 + s)"
+    mix = f"(({hx.MIX_A} * ({key} % {hx.MIX_P}) + {hx.MIX_B}) % {hx.MIX_P})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         unnest(range(0, (n_tokens - {L}) // {S} + 1)) * {S} AS s
+  FROM t WHERE n_tokens >= {L}
+)
+SELECT doc_id, s AS span_start, s + {L} AS span_end, n_tokens
+FROM c WHERE {mix} % {D} = 0
 """
 
 
@@ -3319,6 +3399,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
         return rt.count_hits(idx, qt)
 
+    def sort_by_field(spark, sf):
+        # TopFieldCollector: matching docs ordered by n_chars desc
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return rt.sort_by_field(
+            idx, qt, _docs(spark, sf), sort_col="n_chars", k=TOPK
+        )
+
+    def function_score(spark, sf):
+        # FunctionScoreQuery: BM25 x ln(1 + n_chars/100) re-rank
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=_COLLAPSE_DEPTH)
+        boost = F.log(F.lit(1.0) + F.col("n_chars") / F.lit(100.0))
+        out = rt.function_score(run, _docs(spark, sf), boost, k=TOPK)
+        return _round_run(out)
+
+    def mask_spans(spark, sf):
+        # T5 span-corruption layout: deterministic masked spans
+        return ts.mask_spans(
+            _docs(spark, sf),
+            content_col="text",
+            span_len=_MASK_SPAN_LEN,
+            stride=_MASK_STRIDE,
+            mask_denom=_MASK_DENOM,
+        )
+
     def extended_metrics(spark, sf):
         # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
         # the deterministic pseudo qrels
@@ -4408,6 +4515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_results": collapse_results,
         "count_hits": count_hits,
         "unordered_window": unordered_window,
+        "sort_by_field": sort_by_field,
+        "function_score": function_score,
+        "mask_spans": mask_spans,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -4561,6 +4671,9 @@ def oracle_sql() -> dict[str, str]:
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),
         "unordered_window": _unordered_window_sql(),
+        "sort_by_field": _sort_by_field_sql(),
+        "function_score": _function_score_sql(),
+        "mask_spans": _mask_spans_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

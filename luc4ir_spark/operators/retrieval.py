@@ -904,6 +904,78 @@ def count_hits(index: InvertedIndex, query_terms: DataFrame) -> DataFrame:
     )
 
 
+def sort_by_field(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    doc_meta: DataFrame,
+    sort_col: str,
+    ascending: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """IndexSearcher.search(query, n, Sort(SortField(field))) — the
+    TopFieldCollector: candidates are every doc matching ANY query term
+    (scoring skipped, exactly Lucene's needsScores=false path), ordered
+    by a document field with doc_id as the tiebreak (Lucene's implicit
+    doc-order tiebreak), cut to top-k per query.
+    -> (qid, doc_id, rank, <sort_col>).
+
+    Plan shape: one broadcast semi-join-shaped postings pass for the
+    candidate set (distinct (qid, doc_id)), then a doc_id equi-join to
+    the metadata table — at scale that is a pruned columnar scan of
+    exactly one metadata column, never a shuffle of the corpus — and a
+    per-qid WindowGroupLimit top-k on the field."""
+    qt = query_terms.select("qid", "term").distinct()
+    cand = (
+        index.postings.join(F.broadcast(qt), "term")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    joined = cand.join(doc_meta.select("doc_id", sort_col), "doc_id")
+    key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    w = Window.partitionBy("qid").orderBy(key, F.col("doc_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", sort_col)
+    )
+
+
+def function_score(
+    run: DataFrame,
+    doc_meta: DataFrame,
+    boost: "F.Column",
+    k: int = 10,
+) -> DataFrame:
+    """Lucene FunctionScoreQuery (DoubleValuesSource over a doc field):
+    multiply each hit's relevance score by a document-derived boost and
+    re-rank — recency/popularity/length boosts without touching the
+    scorer. ``boost`` is a Column expression over ``doc_meta``'s
+    columns. -> (qid, doc_id, rank, score) with score = run score ×
+    boost(doc).
+
+    Plan shape: the run (queries × depth) joins the metadata table on
+    doc_id — the corpus side stays a pruned scan, boost is one codegen
+    projection — then the per-qid re-rank window."""
+    meta = doc_meta.select("doc_id", boost.alias("_boost"))
+    joined = run.select("qid", "doc_id", "score").join(
+        F.broadcast(meta.join(
+            run.select("doc_id").distinct(), "doc_id", "left_semi"
+        )),
+        "doc_id",
+    )
+    rescored = joined.select(
+        "qid", "doc_id", (F.col("score") * F.col("_boost")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
 def parse_boolean_query(
     qid: str, text: str, cfg: AnalyzerConfig | None = None
 ) -> list[tuple[str, str, str]]:

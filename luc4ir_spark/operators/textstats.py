@@ -831,3 +831,76 @@ def apply_vocab(
         n_oov.alias("n_oov"),
         (n_oov / F.size("_t")).alias("oov_rate"),
     )
+
+
+def mask_spans(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    span_len: int = 4,
+    stride: int = 7,
+    mask_denom: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """T5-style span-corruption LAYOUT (Raffel et al. JMLR'20 §3.1.4):
+    pick deterministic, non-overlapping token spans to mask for a
+    denoising objective. Candidate spans start every ``stride`` tokens
+    (stride >= span_len guarantees non-overlap) and a candidate is
+    masked iff pmod(mix(doc_id * 2^20 + start + seed), mask_denom) == 0
+    — the portable mix hash (functions/hashing.py), so the selection is
+    reproducible bit-for-bit on any engine and the expected mask rate
+    is span_len / (stride * mask_denom) tokens. Tokens are whitespace
+    tokens (the same counting rule as pack_sequences /
+    sample_token_budget). doc_id must fit 43 bits (the 2^20 packing —
+    same convention as duplicate_spans).
+
+    Emits one row per MASKED span: (doc_id, span_start, span_end,
+    n_tokens), span_end exclusive — all-integer, exact on any engine.
+
+    Plan shape: per-doc token count is one codegen projection; the
+    candidate explode is over an integer ``sequence`` (never a
+    token array — tokens are counted, not materialized), so the fan-out
+    is n_tokens/stride rows per doc and there is NO shuffle at all."""
+    if span_len <= 0 or stride < span_len or mask_denom <= 0:
+        raise ValueError(
+            "need span_len > 0, stride >= span_len, mask_denom > 0"
+        )
+    from ..functions.hashing import mix_id_expr
+
+    c = F.col(content_col)
+    n_tok = F.size(F.array_remove(F.split(F.trim(c), r"\s+"), "")).cast(
+        "long"
+    )
+    per = docs.select(
+        F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= span_len)
+    cand = per.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (
+                    (F.col("n_tokens") - F.lit(span_len))
+                    / F.lit(stride)
+                ).cast("long"),
+            )
+        ).alias("_k"),
+    ).withColumn("span_start", F.col("_k") * F.lit(stride))
+    keep = (
+        F.pmod(
+            mix_id_expr(
+                F.col("doc_id") * F.lit(1 << 20)
+                + F.col("span_start")
+                + F.lit(int(seed))
+            ),
+            F.lit(int(mask_denom)),
+        )
+        == 0
+    )
+    return cand.filter(keep).select(
+        "doc_id",
+        F.col("span_start"),
+        (F.col("span_start") + F.lit(span_len)).alias("span_end"),
+        "n_tokens",
+    )

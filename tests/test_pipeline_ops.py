@@ -1370,3 +1370,40 @@ def test_sample_token_budget(spark):
             else:
                 assert i not in got
     assert got  # budget keeps something
+
+
+def test_mask_spans_pure_python_replay(spark):
+    from luc4ir_spark.functions import hashing as hx
+
+    rows = [(i, " ".join(f"t{j}" for j in range(3 + i))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    L, S, D = 2, 3, 2
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in textstats.mask_spans(
+            docs, span_len=L, stride=S, mask_denom=D
+        ).collect()
+    )
+    mix = lambda x: (hx.MIX_A * (x % hx.MIX_P) + hx.MIX_B) % hx.MIX_P
+    exp = []
+    for i, text in rows:
+        n = len(text.split())
+        if n < L:
+            continue
+        for k in range((n - L) // S + 1):
+            s = k * S
+            if mix(i * (1 << 20) + s) % D == 0:
+                exp.append((i, s, s + L, n))
+    assert got == sorted(exp)
+    assert got  # selection keeps something
+    # non-overlap: spans within a doc never intersect
+    by_doc = {}
+    for d, s, e, _ in got:
+        by_doc.setdefault(d, []).append((s, e))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+    with pytest.raises(ValueError):
+        textstats.mask_spans(docs, span_len=3, stride=2)

@@ -1051,3 +1051,44 @@ def test_unordered_window_query_hand_computed(spark):
     assert run(["a", "b", "c"], 3) == {1: 1, 2: 1}
     with pytest.raises(ValueError):
         rt.unordered_window_query(pos, ["a", "a"], window=2)
+
+
+def test_sort_by_field(spark, index):
+    meta = spark.createDataFrame(
+        [(d, 100 - 10 * d) for d, _ in DOCS], "doc_id long, n_chars long"
+    )
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    got = {
+        (r["qid"], r["rank"]): (r["doc_id"], r["n_chars"])
+        for r in rt.sort_by_field(
+            index, qt, meta, "n_chars", ascending=False, k=3
+        ).collect()
+    }
+    toks = {d: set(analyze_text(t, EN)) for d, t in DOCS}
+    for qid, qtext in QUERIES:
+        q = set(analyze_text(qtext, EN))
+        cand = sorted(
+            (d for d, ts in toks.items() if ts & q),
+            key=lambda d: (-(100 - 10 * d), d),
+        )[:3]
+        for i, d in enumerate(cand, start=1):
+            assert got[(qid, i)] == (d, 100 - 10 * d), (qid, i)
+
+
+def test_function_score(spark):
+    run = spark.createDataFrame(
+        [("q", 1, 1, 4.0), ("q", 2, 2, 3.0), ("q", 3, 3, 2.0)],
+        "qid string, doc_id long, rank long, score double",
+    )
+    meta = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 10.0)], "doc_id long, pop double"
+    )
+    from pyspark.sql import functions as SF
+
+    got = [
+        (r["doc_id"], r["rank"], r["score"])
+        for r in rt.function_score(run, meta, SF.col("pop"), k=3)
+        .orderBy("rank").collect()
+    ]
+    # boosted: d3 -> 20, d2 -> 6, d1 -> 4
+    assert got == [(3, 1, 20.0), (2, 2, 6.0), (1, 3, 4.0)]
