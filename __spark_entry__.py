@@ -4167,6 +4167,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("qid", "doc_id", "snip_start", "snippet")
 
+    def phrase_compressed(spark, sf):
+        # same phrase semantics over the COMPRESSED positional index:
+        # prune candidates on the spine, decode only survivors
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        cpos = ix.compress_positional_postings(
+            ix.build_positional_postings(toks)
+        )
+        return rt.phrase_query_compressed(cpos, _PHRASE).select(
+            "doc_id", "phrase_freq"
+        )
+
     def phrase_query(spark, sf):
         # exact phrase match over the positional index (PhraseQuery
         # slop-0 parity): docs containing "slow hash batch" verbatim
@@ -4518,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": sort_by_field,
         "function_score": function_score,
         "mask_spans": mask_spans,
+        "phrase_compressed": phrase_compressed,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -4674,6 +4688,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": _sort_by_field_sql(),
         "function_score": _function_score_sql(),
         "mask_spans": _mask_spans_sql(),
+        "phrase_compressed": _phrase_query_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

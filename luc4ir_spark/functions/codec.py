@@ -224,3 +224,27 @@ def decode_posting_list(
         np.concatenate([p[1] for p in parts]),
         np.concatenate([p[2] for p in parts]),
     )
+
+
+def encode_positions(positions: np.ndarray) -> bytes:
+    """Delta + varbyte for one posting's SORTED position stream — the
+    .pos-file encoding (Lucene stores per-posting position deltas
+    vint-encoded the same way). Positions are 0-based token offsets;
+    the first is stored absolute, the rest as gaps."""
+    p = np.asarray(positions, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    deltas = np.empty(p.size, dtype=np.int64)
+    deltas[0] = p[0]
+    deltas[1:] = np.diff(p)
+    if (deltas[1:] <= 0).any():
+        raise ValueError("positions must be strictly increasing")
+    return varbyte_encode(deltas)
+
+
+def decode_positions(blob: bytes, freq: int | None = None) -> np.ndarray:
+    """Inverse of ``encode_positions``: cumulative sum of the decoded
+    gaps. ``freq`` (the posting's tf) bounds the decode when the blob
+    is a shared buffer slice; omitted = decode to the end."""
+    vals, _ = varbyte_decode(blob, count=freq)
+    return np.cumsum(vals.astype(np.int64))

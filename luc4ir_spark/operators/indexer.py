@@ -254,6 +254,100 @@ def build_positional_postings(tokens: DataFrame) -> DataFrame:
     )
 
 
+def compress_positional_postings(positional: DataFrame) -> DataFrame:
+    """(term, doc_id, positions) -> (term, doc_id, tf, pos_blob): the
+    compressed positional index — per-posting position streams
+    delta+varbyte encoded (functions/codec.py), tf kept as a sibling
+    column so phrase candidates can be pruned and decode bounded
+    WITHOUT touching the blob (Lucene's .pos file stores the same
+    per-posting vint delta streams, with freq in the .doc file).
+    ~3-5× smaller than int arrays; the scoring spine is untouched.
+
+    Plan shape: a pure per-row Arrow projection (mapInPandas), no
+    shuffle — the input's (term, doc_id) partitioning, whatever it is,
+    survives."""
+    from ..deploy import ensure_package_on_executors
+
+    spark = positional.sparkSession
+    ensure_package_on_executors(spark)
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tf", T.LongType()),
+            T.StructField("pos_blob", T.BinaryType()),
+        ]
+    )
+
+    def enc(batches):
+        import numpy as np
+
+        from ..functions import codec
+
+        for pdf in batches:
+            out = {
+                "term": pdf["term"],
+                "doc_id": pdf["doc_id"],
+                "tf": pdf["positions"].map(len).astype("int64"),
+                "pos_blob": pdf["positions"].map(
+                    lambda p: codec.encode_positions(
+                        np.asarray(p, dtype=np.int64)
+                    )
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    return positional.select("term", "doc_id", "positions").mapInPandas(
+        enc, schema
+    )
+
+
+def decode_positional_postings(compressed: DataFrame) -> DataFrame:
+    """Inverse of ``compress_positional_postings`` for the (pruned!)
+    cells a phrase/proximity query actually needs: (term, doc_id, tf,
+    pos_blob) -> (term, doc_id, positions). Decode AFTER candidate
+    pruning — the blob column of non-candidates is column-pruned out of
+    the scan entirely."""
+    from ..deploy import ensure_package_on_executors
+
+    spark = compressed.sparkSession
+    ensure_package_on_executors(spark)
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "positions", T.ArrayType(T.IntegerType(), False)
+            ),
+        ]
+    )
+
+    def dec(batches):
+        import numpy as np
+
+        from ..functions import codec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "doc_id": pdf["doc_id"],
+                    "positions": [
+                        codec.decode_positions(b, freq=int(f)).astype(
+                            np.int32
+                        )
+                        for b, f in zip(pdf["pos_blob"], pdf["tf"])
+                    ],
+                }
+            )
+
+    return compressed.select(
+        "term", "doc_id", "tf", "pos_blob"
+    ).mapInPandas(dec, schema)
+
+
 def build_term_stats(flat_postings: DataFrame) -> DataFrame:
     """term -> (df, cf): the term-dictionary statistics BM25/LM need.
     (reference reads these from the Lucene index: docFreq/totalTermFreq,

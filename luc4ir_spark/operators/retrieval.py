@@ -402,6 +402,43 @@ def unordered_window_query(
     )
 
 
+def phrase_query_compressed(
+    compressed_positional: DataFrame,
+    terms: list[str],
+    window: int | None = None,
+) -> DataFrame:
+    """Phrase / ordered-proximity matching over the COMPRESSED
+    positional index (indexer.compress_positional_postings): candidates
+    are pruned to docs containing ALL the phrase terms using only the
+    (term, doc_id) spine — the pos_blob column is column-pruned out of
+    the scan for every non-candidate — then just the surviving cells
+    are Arrow-decoded and handed to the flat ``phrase_query`` /
+    ``proximity_query`` array walk. This is the 100 TB shape: the
+    decode cost is candidates × positions, never corpus × positions.
+    ``window=None`` = exact phrase; otherwise the ordered
+    within-window semantics of proximity_query."""
+    if not terms:
+        raise ValueError("phrase_query_compressed: empty terms")
+    from .indexer import decode_positional_postings
+
+    uniq = list(dict.fromkeys(terms))
+    cells = compressed_positional.filter(
+        F.col("term").isin(uniq)
+    ).localCheckpoint(eager=False)
+    docs_all = None
+    for t in uniq:
+        d = cells.filter(F.col("term") == t).select("doc_id")
+        docs_all = (
+            d if docs_all is None
+            else docs_all.join(d, "doc_id", "left_semi")
+        )
+    pruned = cells.join(docs_all, "doc_id", "left_semi")
+    flat = decode_positional_postings(pruned)
+    if window is None:
+        return phrase_query(flat, terms)
+    return proximity_query(flat, terms, window)
+
+
 def fuzzy_expand_terms(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -1092,3 +1092,66 @@ def test_function_score(spark):
     ]
     # boosted: d3 -> 20, d2 -> 6, d1 -> 4
     assert got == [(3, 1, 20.0), (2, 2, 6.0), (1, 3, 4.0)]
+
+
+def test_compressed_positional_parity(spark):
+    """compress -> prune -> decode reproduces the flat positional path
+    for phrase AND proximity, including repeated-term phrases."""
+    import numpy as np
+
+    from luc4ir_spark.functions import codec
+
+    # codec roundtrip incl. big gaps and single positions
+    for arr in ([0, 3, 7, 7000], [5], [0, 1, 2, 3]):
+        a = np.array(arr, dtype=np.int64)
+        back = codec.decode_positions(
+            codec.encode_positions(a), freq=len(arr)
+        )
+        assert back.tolist() == arr
+
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "x", "b", "a", "b"]),
+            (1, ["b", "a", "c"]),
+            (2, ["a", "b", "b", "c"]),
+            (3, ["a", "a", "a"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+    cpos = ix.compress_positional_postings(pos)
+
+    # decode is the exact inverse
+    flat = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in ix.decode_positional_postings(cpos).collect()
+    }
+    exp = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in pos.collect()
+    }
+    assert flat == exp
+
+    for terms, window in ([["a", "b"], None], [["a", "a"], None],
+                          [["a", "b", "c"], 3], [["b", "a"], 2]):
+        if window is None:
+            got = {
+                r["doc_id"]: r["phrase_freq"]
+                for r in rt.phrase_query_compressed(cpos, terms).collect()
+            }
+            ref = {
+                r["doc_id"]: r["phrase_freq"]
+                for r in rt.phrase_query(pos, terms).collect()
+            }
+        else:
+            got = {
+                r["doc_id"]: r["prox_freq"]
+                for r in rt.phrase_query_compressed(
+                    cpos, terms, window=window
+                ).collect()
+            }
+            ref = {
+                r["doc_id"]: r["prox_freq"]
+                for r in rt.proximity_query(pos, terms, window).collect()
+            }
+        assert got == ref, (terms, window)
