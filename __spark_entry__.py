@@ -128,6 +128,12 @@ _RBP_P = 0.8
 # span-masking gate: T5-style deterministic span-corruption layout
 _MASK_SPAN_LEN, _MASK_STRIDE, _MASK_DENOM = 4, 7, 3
 
+# SpanFirstQuery gate: term within the first N positions
+_SPAN_FIRST_TERM, _SPAN_FIRST_END = "spark", 10
+
+# MultiPhraseQuery gate: per-position alternatives
+_MULTI_PHRASE: list[list[str]] = [["slow", "fast"], ["hash"], ["batch", "merge"]]
+
 # SynonymQuery gate: query-side synonym groups (term -> synonym)
 _SYN_TABLE: list[tuple[str, str]] = [
     ("spark", "stream"),
@@ -768,6 +774,64 @@ c AS (
 )
 SELECT doc_id, s AS span_start, s + {L} AS span_end, n_tokens
 FROM c WHERE {mix} % {D} = 0
+"""
+
+
+_POS_CTES = r"""t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e)"""
+
+
+def _span_first_sql() -> str:
+    """Replays span_first_query: occurrences at position < end."""
+    return f"""
+WITH {_POS_CTES}
+SELECT doc_id, count(*)::BIGINT AS first_freq
+FROM pos WHERE term = '{_SPAN_FIRST_TERM}' AND p < {_SPAN_FIRST_END}
+GROUP BY doc_id
+"""
+
+
+def _multi_phrase_sql() -> str:
+    """Replays multi_phrase_query: start anchors on step 0's
+    alternatives, one EXISTS at p+i per later step."""
+    alts0 = ", ".join(f"'{t}'" for t in _MULTI_PHRASE[0])
+    exists = " AND ".join(
+        "EXISTS (SELECT 1 FROM pos x WHERE x.doc_id = p1.doc_id"
+        f" AND x.term IN ({', '.join(repr(t) for t in alts)})"
+        f" AND x.p = p1.p + {i})"
+        for i, alts in enumerate(_MULTI_PHRASE[1:], start=1)
+    )
+    return f"""
+WITH {_POS_CTES}
+SELECT p1.doc_id, count(*)::BIGINT AS phrase_freq
+FROM pos p1
+WHERE p1.term IN ({alts0}) AND {exists}
+GROUP BY 1
+"""
+
+
+def _char_entropy_sql() -> str:
+    """Replays textstats.char_entropy: fixed-alphabet counts via the
+    length(replace(...)) trick, terms summed in the SAME written order
+    as the Spark expression."""
+    terms = []
+    for ch in ts.CHAR_ENTROPY_ALPHABET:
+        lit = ch.replace("'", "''")
+        terms.append(f"(length(t) - length(replace(t, '{lit}', '')))::DOUBLE")
+    other = f"(length(t)::DOUBLE - ({' + '.join(terms)}))"
+    pieces = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN -({c} / n) * ln({c} / n) ELSE 0.0 END)"
+        for c in terms + [other]
+    )
+    return f"""
+WITH l AS (SELECT doc_id, lower(text) AS t FROM documents
+           WHERE length(text) > 0),
+w AS (SELECT doc_id, t, length(t)::DOUBLE AS n FROM l)
+SELECT doc_id, n::BIGINT AS n_chars_total, round({pieces}, 4) AS entropy
+FROM w
 """
 
 
@@ -4180,6 +4244,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "phrase_freq"
         )
 
+    def span_first(spark, sf):
+        # SpanFirstQuery: the term within the first N positions
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.span_first_query(
+            pos, _SPAN_FIRST_TERM, _SPAN_FIRST_END
+        ).select("doc_id", "first_freq")
+
+    def multi_phrase(spark, sf):
+        # MultiPhraseQuery: per-position alternatives
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.multi_phrase_query(pos, _MULTI_PHRASE).select(
+            "doc_id", "phrase_freq"
+        )
+
+    def char_entropy(spark, sf):
+        # fixed-alphabet Shannon entropy quality signal
+        out = ts.char_entropy(_docs(spark, sf), content_col="text")
+        return out.select(
+            "doc_id",
+            "n_chars_total",
+            F.round("entropy", 4).alias("entropy"),
+        )
+
     def phrase_query(spark, sf):
         # exact phrase match over the positional index (PhraseQuery
         # slop-0 parity): docs containing "slow hash batch" verbatim
@@ -4532,6 +4625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score": function_score,
         "mask_spans": mask_spans,
         "phrase_compressed": phrase_compressed,
+        "span_first": span_first,
+        "multi_phrase": multi_phrase,
+        "char_entropy": char_entropy,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -4689,6 +4785,9 @@ def oracle_sql() -> dict[str, str]:
         "function_score": _function_score_sql(),
         "mask_spans": _mask_spans_sql(),
         "phrase_compressed": _phrase_query_sql(),
+        "span_first": _span_first_sql(),
+        "multi_phrase": _multi_phrase_sql(),
+        "char_entropy": _char_entropy_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

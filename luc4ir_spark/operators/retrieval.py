@@ -439,6 +439,85 @@ def phrase_query_compressed(
     return proximity_query(flat, terms, window)
 
 
+def span_first_query(
+    positional: DataFrame, term: str, end: int
+) -> DataFrame:
+    """Lucene SpanFirstQuery: the term must occur within the first
+    ``end`` token positions (0-based: position < end) — the
+    "title-ish / lead-paragraph" positional restriction. ->
+    (doc_id, first_freq) = count of qualifying occurrences. One
+    dictionary-filtered positional scan + a per-row array filter; no
+    join, no shuffle."""
+    if end <= 0:
+        raise ValueError("span_first_query: end must be positive")
+    return (
+        positional.filter(F.col("term") == term)
+        .select(
+            "doc_id",
+            F.size(
+                F.filter("positions", lambda p: p < F.lit(end))
+            ).cast("long").alias("first_freq"),
+        )
+        .filter(F.col("first_freq") > 0)
+    )
+
+
+def multi_phrase_query(
+    positional: DataFrame, steps: list[list[str]]
+) -> DataFrame:
+    """Lucene MultiPhraseQuery: an exact phrase where each position
+    admits ANY of several alternative terms (the query analyzers emit
+    for synonym/stemming graphs at phrase positions) — e.g.
+    [["slow","fast"], ["hash"]] matches "slow hash" and "fast hash".
+    -> (doc_id, phrase_freq) = count of start positions.
+
+    Plan: per step, the union of the alternatives' position arrays
+    (alternative terms can't share a position, so the flattened sort is
+    a strictly increasing merge) via a term-filtered groupBy — cells
+    are dictionary-pruned before any shuffle — then the same shifted
+    array-intersect chain as phrase_query, one projection per step."""
+    if not steps or any(not s for s in steps):
+        raise ValueError("multi_phrase_query: empty steps")
+    positional = positional.localCheckpoint(eager=False)
+
+    def step_cells(i: int, alts: list[str]) -> DataFrame:
+        return (
+            positional.filter(F.col("term").isin(list(alts)))
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.flatten(F.collect_list("positions"))
+                ).alias(f"_p{i}")
+            )
+        )
+
+    cur = step_cells(0, steps[0]).select(
+        "doc_id", F.col("_p0").alias("s")
+    )
+
+    def _advance(col_name: str, offset: int):
+        # single-parameter HOF lambda (a defaulted extra param would be
+        # read by Spark as a second lambda variable)
+        def pred(p):
+            return F.exists(
+                F.col(col_name), lambda q: q == p + F.lit(offset)
+            )
+
+        return pred
+
+    for i, alts in enumerate(steps[1:], start=1):
+        nxt = step_cells(i, alts)
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn("s", F.filter("s", _advance(f"_p{i}", i)))
+            .filter(F.size("s") > 0)
+            .drop(f"_p{i}")
+        )
+    return cur.select(
+        "doc_id", F.size("s").cast("long").alias("phrase_freq")
+    )
+
+
 def fuzzy_expand_terms(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -904,3 +904,52 @@ def mask_spans(
         (F.col("span_start") + F.lit(span_len)).alias("span_end"),
         "n_tokens",
     )
+
+
+CHAR_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level Shannon entropy — the classic gibberish /
+    boilerplate quality signal (low entropy = repeated filler, high =
+    random noise; used alongside the C4/Gopher rules). Computed over
+    lowercase text against a FIXED alphabet (a-z, 0-9, space) with one
+    "other" bucket: count(c) = len - len(replace(text, c, '')) — 37
+    literal codegen projections per row, NO character explode (a char
+    explode is corpus_len rows — the GC storm this repo bans), no HOF,
+    no UDF, zero shuffle. -> (doc_id, n_chars_total, entropy) with
+    entropy in nats; empty docs are dropped.
+
+    The fixed alphabet is part of the signal's definition (engines and
+    locales then agree bit-for-bit); entropy over the full unicode
+    alphabet would need a per-doc char histogram — a different cost
+    class for ~no added filtering power on web/code text."""
+    c = F.lower(F.col(content_col))
+    n = F.length(c)
+    counts = [
+        (n - F.length(F.replace(c, F.lit(ch)))).cast("double")
+        for ch in CHAR_ENTROPY_ALPHABET
+    ]
+    other = (n.cast("double") - sum(counts[1:], counts[0])).alias("_o")
+    terms = counts + [other]
+    nn = n.cast("double")
+    ent = sum(
+        (
+            F.when(
+                cnt > 0, -(cnt / nn) * F.log(cnt / nn)
+            ).otherwise(F.lit(0.0))
+            for cnt in terms[1:]
+        ),
+        F.when(
+            terms[0] > 0, -(terms[0] / nn) * F.log(terms[0] / nn)
+        ).otherwise(F.lit(0.0)),
+    )
+    return docs.filter(n > 0).select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars_total"),
+        ent.alias("entropy"),
+    )

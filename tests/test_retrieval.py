@@ -1155,3 +1155,71 @@ def test_compressed_positional_parity(spark):
                 for r in rt.proximity_query(pos, terms, window).collect()
             }
         assert got == ref, (terms, window)
+
+
+def test_span_first_and_multi_phrase(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "x", "b", "a", "b"]),
+            (1, ["b", "a", "c"]),
+            (2, ["x", "x", "x", "a", "b"]),
+            (3, ["c", "b"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+
+    got = {
+        r["doc_id"]: r["first_freq"]
+        for r in rt.span_first_query(pos, "a", 2).collect()
+    }
+    assert got == {0: 1, 1: 1}  # doc2's a@3 is outside first 2
+    got = {
+        r["doc_id"]: r["first_freq"]
+        for r in rt.span_first_query(pos, "a", 4).collect()
+    }
+    assert got == {0: 2, 1: 1, 2: 1}
+    with pytest.raises(ValueError):
+        rt.span_first_query(pos, "a", 0)
+
+    # [a|c] then b: doc0 a@0? b@1 no (x) -> a@3,b@4 yes;
+    # doc1 c@2 no following b; doc2 a@3,b@4; doc3 c@0,b@1
+    mp = {
+        r["doc_id"]: r["phrase_freq"]
+        for r in rt.multi_phrase_query(pos, [["a", "c"], ["b"]]).collect()
+    }
+    assert mp == {0: 1, 2: 1, 3: 1}
+    # single-step degenerates to occurrence count of the alternatives
+    mp1 = {
+        r["doc_id"]: r["phrase_freq"]
+        for r in rt.multi_phrase_query(pos, [["a", "c"]]).collect()
+    }
+    assert mp1 == {0: 2, 1: 2, 2: 1, 3: 1}
+    with pytest.raises(ValueError):
+        rt.multi_phrase_query(pos, [["a"], []])
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+    from collections import Counter
+
+    from luc4ir_spark.operators import textstats as ts2
+
+    rows = [(0, "aaaa"), (1, "ab AB!"), (2, ""), (3, "a b")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {
+        r["doc_id"]: (r["n_chars_total"], r["entropy"])
+        for r in ts2.char_entropy(docs).collect()
+    }
+    assert 2 not in got  # empty doc dropped
+    alpha = set(ts2.CHAR_ENTROPY_ALPHABET)
+    for d, text in rows:
+        t = text.lower()
+        if not t:
+            continue
+        cnt = Counter(ch if ch in alpha else "\x00" for ch in t)
+        n = len(t)
+        exp = -sum(c / n * math.log(c / n) for c in cnt.values())
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(round(exp, 4), abs=1e-4), d
+    assert got[0][1] == 0.0  # single-char doc: zero entropy
