@@ -99,3 +99,49 @@ def test_impacts():
     np.testing.assert_array_equal(d.max_tf, [50, 100])
     np.testing.assert_array_equal(d.min_dl, [1000, 1050])
     np.testing.assert_array_equal(d.last_doc, [49, 99])
+
+
+def test_positions_roundtrip_property():
+    """Hypothesis: encode_positions/decode_positions are exact inverses
+    for any strictly increasing non-negative int sequence, including
+    freq-bounded decodes from concatenated buffers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**31 - 1),
+            min_size=1,
+            max_size=200,
+            unique=True,
+        )
+    )
+    def check(vals):
+        import numpy as np
+
+        from luc4ir_spark.functions import codec
+
+        p = np.array(sorted(vals), dtype=np.int64)
+        blob = codec.encode_positions(p)
+        assert codec.decode_positions(blob, freq=p.size).tolist() == p.tolist()
+        # freq-bounded decode ignores a concatenated tail
+        tail = codec.encode_positions(np.array([1, 5], dtype=np.int64))
+        both = blob + tail
+        assert (
+            codec.decode_positions(both, freq=p.size).tolist() == p.tolist()
+        )
+
+    check()
+
+
+def test_positions_reject_unsorted():
+    import numpy as np
+    import pytest as pt
+
+    from luc4ir_spark.functions import codec
+
+    with pt.raises(ValueError):
+        codec.encode_positions(np.array([3, 1], dtype=np.int64))
+    with pt.raises(ValueError):
+        codec.encode_positions(np.array([2, 2], dtype=np.int64))
