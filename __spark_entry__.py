@@ -835,6 +835,98 @@ FROM w
 """
 
 
+def _comb_fuse_sql() -> str:
+    """Replays comb_fuse('mnz') over the bm25 + lmdir top-k runs:
+    per-(run, qid) min-max normalization, sum x match count."""
+    return f"""
+WITH {_two_run_ctes()},
+runs AS (
+  SELECT 'bm25' AS run_id, sb.qid, sb.doc_id, sb.s_raw
+  FROM sb JOIN rb USING (qid, doc_id) WHERE rb.rank <= {TOPK}
+  UNION ALL
+  SELECT 'lmdir', sl.qid, sl.doc_id, sl.s_raw
+  FROM sl JOIN rl USING (qid, doc_id) WHERE rl.rank <= {TOPK}
+),
+n AS (
+  SELECT run_id, qid, doc_id, s_raw,
+         min(s_raw) OVER (PARTITION BY run_id, qid) AS mn,
+         max(s_raw) OVER (PARTITION BY run_id, qid) AS mx
+  FROM runs
+),
+a AS (
+  SELECT qid, doc_id,
+         sum(CASE WHEN mx > mn THEN (s_raw - mn) / (mx - mn)
+                  ELSE 1.0 END) AS s,
+         count(*)::DOUBLE AS nz
+  FROM n GROUP BY 1, 2
+)
+SELECT qid, doc_id, rank, fused FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY s * nz DESC, doc_id ASC)::BIGINT AS rank,
+         round(s * nz, 4) AS fused
+  FROM a) WHERE rank <= {TOPK}
+"""
+
+
+def _eval_macro_sql() -> str:
+    """Replays macro_metrics_extended over the BM25 run + pseudo
+    qrels: MRR / MAP / GMAP(eps) / Success@5."""
+    eps = repr(1e-5)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+run AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+    FROM scored) WHERE rank <= {TOPK}
+),
+{_QRELS_SQL},
+joined AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS is_rel
+  FROM run r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = CAST(qr.docid AS BIGINT)
+),
+win AS (
+  SELECT *, sum(is_rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+  FROM joined
+),
+totals AS (SELECT qid, count(*)::BIGINT AS num_rel FROM qrels
+           WHERE rel >= 1.0 GROUP BY qid),
+perq AS (
+  SELECT w.qid,
+         min(CASE WHEN w.is_rel > 0 THEN w.rank END) AS frr,
+         sum(CASE WHEN w.is_rel > 0 THEN w.cum_rel / w.rank END) AS ap_num,
+         max(t.num_rel) AS num_rel
+  FROM win w LEFT JOIN totals t USING (qid)
+  GROUP BY w.qid
+),
+m AS (
+  SELECT qid,
+         CASE WHEN frr IS NOT NULL THEN 1.0 / frr ELSE 0.0 END AS rr,
+         CASE WHEN coalesce(num_rel, 0) > 0
+              THEN coalesce(ap_num, 0.0) / num_rel ELSE 0.0 END AS ap
+  FROM perq
+)
+SELECT count(*)::BIGINT AS num_queries,
+       round(avg(rr), 4) AS mrr,
+       round(avg(ap), 4) AS map,
+       round(exp(avg(ln(ap + {eps}))), 4) AS gmap,
+       round(avg(CASE WHEN rr >= 1.0 / 5 THEN 1.0 ELSE 0.0 END), 4)
+         AS success_at_5
+FROM m
+"""
+
+
 def _dismax_sql() -> str:
     """Replays dismax_topk: per-(qid, doc, term) BM25 contributions,
     combined as max + tie * (sum - max)."""
@@ -3490,6 +3582,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mask_denom=_MASK_DENOM,
         )
 
+    def comb_fuse(spark, sf):
+        # CombMNZ fusion of the bm25 + lmdir runs (min-max per run/qid)
+        r1, r2 = _two_runs(spark, sf)
+        runs = (
+            r1.withColumn("run_id", F.lit("bm25"))
+            .unionByName(r2.withColumn("run_id", F.lit("lmdir")))
+            .select("run_id", "qid", "doc_id", "score")
+        )
+        out = rt.comb_fuse(runs, method="mnz", topk=TOPK)
+        return out.select(
+            "qid", "doc_id", "rank", F.round("fused", 4).alias("fused")
+        )
+
+    def eval_macro(spark, sf):
+        # trec_eval-style macro row: MRR/MAP/GMAP/Success@5
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        pq = ev.per_query_metrics(run, _pseudo_qrels(spark, sf))
+        m = ev.macro_metrics_extended(pq, success_at=5)
+        return m.select(
+            "num_queries",
+            F.round("mrr", 4).alias("mrr"),
+            F.round("map", 4).alias("map"),
+            F.round("gmap", 4).alias("gmap"),
+            F.round("success_at_5", 4).alias("success_at_5"),
+        )
+
     def extended_metrics(spark, sf):
         # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
         # the deterministic pseudo qrels
@@ -4628,6 +4750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": span_first,
         "multi_phrase": multi_phrase,
         "char_entropy": char_entropy,
+        "comb_fuse": comb_fuse,
+        "eval_macro": eval_macro,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -4788,6 +4912,8 @@ def oracle_sql() -> dict[str, str]:
         "span_first": _span_first_sql(),
         "multi_phrase": _multi_phrase_sql(),
         "char_entropy": _char_entropy_sql(),
+        "comb_fuse": _comb_fuse_sql(),
+        "eval_macro": _eval_macro_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

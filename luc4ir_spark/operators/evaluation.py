@@ -174,6 +174,32 @@ def macro_metrics(per_query: DataFrame, p_at: int = 5) -> DataFrame:
     )
 
 
+def macro_metrics_extended(
+    per_query: DataFrame,
+    success_at: int = 5,
+    gmap_eps: float = 1e-5,
+) -> DataFrame:
+    """The macro averages trec_eval adds beyond the reference's
+    printout: GMAP (geometric MAP, Robertson's log-average with the
+    standard ε floor so zero-AP topics don't zero the product) and
+    Success@k (fraction of queries with a relevant doc in the top k —
+    rr ≥ 1/k exactly when the first relevant rank ≤ k, and both sides
+    compute 1/k as the same IEEE double, so the comparison is exact).
+    Input: ``per_query_metrics`` output. One scalar aggregate."""
+    succ = (
+        F.col("rr") >= F.lit(1.0) / F.lit(float(success_at))
+    ).cast("double")
+    return per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("num_queries"),
+        F.avg("rr").alias("mrr"),
+        F.avg("ap").alias("map"),
+        F.exp(
+            F.avg(F.log(F.col("ap") + F.lit(float(gmap_eps))))
+        ).alias("gmap"),
+        F.avg(succ).alias(f"success_at_{success_at}"),
+    )
+
+
 def evaluate(
     run: DataFrame, qrels: DataFrame, p_at: int = 5, ndcg_at: int = 10,
     **kw,

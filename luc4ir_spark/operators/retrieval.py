@@ -1469,6 +1469,57 @@ def fetch_topk_docs(
     return run.join(docs, run.doc_id == F.col(id_col), "inner")
 
 
+def comb_fuse(
+    runs: DataFrame,
+    method: str = "mnz",
+    topk: int = 10,
+) -> DataFrame:
+    """CombSUM / CombMNZ score fusion (Fox & Shaw TREC-2; Lee SIGIR'97
+    normalization): ``runs`` carries (run_id, qid, doc_id, score) for
+    any number of systems stacked. Each system's scores are min-max
+    normalized PER QUERY (nscore = (s - min)/(max - min); a degenerate
+    single-score query normalizes to 1.0 — the doc IS that run's best),
+    then per (qid, doc):
+
+        CombSUM = Σ nscore    CombMNZ = CombSUM × #runs containing doc
+
+    -> (qid, doc_id, rank, fused), rank ≤ topk, ties doc_id asc.
+
+    Scale shape: runs are (systems × queries × k) — corpus-independent
+    — so this is two bounded windows (per-(run,qid) min/max via one
+    groupBy-free window, per-qid rank) and one groupBy."""
+    if method not in ("sum", "mnz"):
+        raise ValueError("method must be 'sum' or 'mnz'")
+    w = Window.partitionBy("run_id", "qid")
+    r = runs.select("run_id", "qid", "doc_id", "score").withColumn(
+        "_mn", F.min("score").over(w)
+    ).withColumn("_mx", F.max("score").over(w))
+    nscore = F.when(
+        F.col("_mx") > F.col("_mn"),
+        (F.col("score") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+    ).otherwise(F.lit(1.0))
+    agg = (
+        r.select("qid", "doc_id", nscore.alias("_ns"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("_ns").alias("_sum"),
+            F.count(F.lit(1)).cast("double").alias("_nz"),
+        )
+    )
+    fused = (
+        F.col("_sum") * F.col("_nz") if method == "mnz" else F.col("_sum")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("fused").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.select("qid", "doc_id", fused.alias("fused"))
+        .withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "doc_id", "rank", "fused")
+    )
+
+
 def rrf_fuse(
     run_a: DataFrame,
     run_b: DataFrame,

@@ -308,3 +308,23 @@ def test_extended_metrics_bpref_penalty(spark):
     r = ev.extended_metrics(run, qrels).collect()[0]
     assert r["bpref"] == pytest.approx(0.25)
     assert r["judged_frac"] == 1.0
+
+
+def test_macro_metrics_extended(spark):
+    import math
+
+    pq = spark.createDataFrame(
+        [("q1", 1.0, 0.5), ("q2", 0.2, 0.1), ("q3", 0.1, 0.0)],
+        "qid string, rr double, ap double",
+    )
+    r = ev.macro_metrics_extended(pq, success_at=5).collect()[0]
+    assert r["num_queries"] == 3
+    assert r["mrr"] == pytest.approx((1.0 + 0.2 + 0.1) / 3)
+    assert r["map"] == pytest.approx(0.2)
+    eps = 1e-5
+    gmap = math.exp(
+        sum(math.log(a + eps) for a in (0.5, 0.1, 0.0)) / 3
+    )
+    assert r["gmap"] == pytest.approx(gmap, rel=1e-9)
+    # success@5: rr >= 0.2 for q1, q2; q3's 0.1 means frr = 10 > 5
+    assert r["success_at_5"] == pytest.approx(2 / 3)

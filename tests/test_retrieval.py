@@ -1223,3 +1223,32 @@ def test_char_entropy_hand_computed(spark):
         assert got[d][0] == n
         assert got[d][1] == pytest.approx(round(exp, 4), abs=1e-4), d
     assert got[0][1] == 0.0  # single-char doc: zero entropy
+
+
+def test_comb_fuse_hand_computed(spark):
+    runs = spark.createDataFrame(
+        [
+            ("A", "q", 1, 10.0), ("A", "q", 2, 5.0), ("A", "q", 3, 0.0),
+            ("B", "q", 2, 2.0), ("B", "q", 4, 1.0),
+            ("C", "q", 9, 7.0),  # degenerate single-score run -> 1.0
+        ],
+        "run_id string, qid string, doc_id long, score double",
+    )
+    # normalized: A: d1=1, d2=.5, d3=0; B: d2=1, d4=0; C: d9=1
+    # CombSUM: d2=1.5, d1=1, d9=1, d4=0, d3=0
+    # CombMNZ: d2=3, d1=1, d9=1, d4=0, d3=0
+    mnz = {
+        r["doc_id"]: (r["rank"], r["fused"])
+        for r in rt.comb_fuse(runs, method="mnz", topk=10).collect()
+    }
+    assert mnz[2] == (1, 3.0)
+    assert mnz[1] == (2, 1.0)   # tie with d9 -> doc_id asc
+    assert mnz[9] == (3, 1.0)
+    assert mnz[3][1] == 0.0 and mnz[4][1] == 0.0
+    s = {
+        r["doc_id"]: r["fused"]
+        for r in rt.comb_fuse(runs, method="sum", topk=10).collect()
+    }
+    assert s[2] == pytest.approx(1.5)
+    with pytest.raises(ValueError):
+        rt.comb_fuse(runs, method="max")
