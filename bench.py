@@ -23,6 +23,9 @@ Workloads (all end-to-end actions, cold plans):
   ann_topk             50-query exact cosine top-10 over embeddings
   near_dup_lsh         hyperplane-bucketed embedding near-dup pairs
   textstats            quality + lang-id + fingerprint full pass
+  phrase_batch         compressed positional build + phrase/proximity/
+                       unordered-window queries
+  clean_pipeline       quality-filter + PII scrub + repetition stats
 """
 
 from __future__ import annotations
@@ -266,6 +269,36 @@ def main() -> None:
         return a + b + c
 
     timed("textstats", textstats)
+
+    def phrase_batch():
+        # positional family end-to-end: build the compressed positional
+        # index (.pos delta+varbyte streams) and answer an exact phrase
+        # + an ordered-proximity + an unordered-window query over it
+        toks = ix.tokenize(
+            docs, AnalyzerConfig(mode="simple"),
+            id_col="doc_id", content_col="text",
+        )
+        pos = ix.build_positional_postings(toks).persist()
+        try:
+            cpos = ix.compress_positional_postings(pos).persist()
+            try:
+                cpos.count()
+                a = rt.phrase_query_compressed(
+                    cpos, ["slow", "hash", "batch"]
+                ).count()
+                b = rt.phrase_query_compressed(
+                    cpos, ["slow", "hash", "batch"], window=6
+                ).count()
+                c = rt.unordered_window_query(
+                    pos, ["slow", "hash", "batch"], window=6
+                ).count()
+                return a + b + c
+            finally:
+                cpos.unpersist()
+        finally:
+            pos.unpersist()
+
+    timed("phrase_batch", phrase_batch)
 
     def clean_pipeline():
         # the round-4 hygiene surface in one pass: composite C4/Gopher
