@@ -927,6 +927,57 @@ FROM m
 """
 
 
+_RBO_P = 0.9
+
+
+def _bm25_plus_sql() -> str:
+    """Replays Similarity(kind='bm25plus'): delta added after the tf
+    saturation, inside the idf product."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl))
+                 + 1.0) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _rank_rbo_sql() -> str:
+    """Replays rank_rbo over the bm25/lmdir top-k runs: per-shared-doc
+    weight by max rank, weights emitted as repr() literals from the
+    SAME driver-side computation the engine uses."""
+    w = ev.rbo_weights(TOPK, _RBO_P)
+    cases = " ".join(
+        f"WHEN {m} THEN {x!r}" for m, x in enumerate(w, start=1)
+    )
+    return f"""
+WITH {_two_run_ctes()},
+a AS (SELECT qid, doc_id, rank FROM rb WHERE rank <= {TOPK}),
+b AS (SELECT qid, doc_id, rank FROM rl WHERE rank <= {TOPK}),
+shared AS (
+  SELECT a.qid,
+         CASE greatest(a.rank, b.rank) {cases} END AS w
+  FROM a JOIN b USING (qid, doc_id)
+),
+qids AS (SELECT DISTINCT a.qid FROM a JOIN b USING (qid))
+SELECT q.qid, round(coalesce(s.rbo, 0.0), 4) AS rbo
+FROM qids q LEFT JOIN (SELECT qid, sum(w) AS rbo FROM shared GROUP BY 1) s
+  USING (qid)
+"""
+
+
 def _dismax_sql() -> str:
     """Replays dismax_topk: per-(qid, doc, term) BM25 contributions,
     combined as max + tie * (sum - max)."""
@@ -3612,6 +3663,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("success_at_5", 4).alias("success_at_5"),
         )
 
+    def bm25_plus(spark, sf):
+        # BM25+ (delta=1): length lower-bounding variant
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return _round_run(
+            rt.score_queries(
+                idx, qt, k=TOPK, sim=rt.Similarity(kind="bm25plus")
+            )
+        )
+
+    def rank_rbo(spark, sf):
+        # RBO@k between the bm25 and lmdir runs
+        r1, r2 = _two_runs(spark, sf)
+        out = ev.rank_rbo(r1, r2, k=TOPK, p=_RBO_P)
+        return out.select("qid", F.round("rbo", 4).alias("rbo"))
+
     def extended_metrics(spark, sf):
         # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
         # the deterministic pseudo qrels
@@ -4752,6 +4819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": char_entropy,
         "comb_fuse": comb_fuse,
         "eval_macro": eval_macro,
+        "bm25_plus": bm25_plus,
+        "rank_rbo": rank_rbo,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -4914,6 +4983,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _char_entropy_sql(),
         "comb_fuse": _comb_fuse_sql(),
         "eval_macro": _eval_macro_sql(),
+        "bm25_plus": _bm25_plus_sql(),
+        "rank_rbo": _rank_rbo_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

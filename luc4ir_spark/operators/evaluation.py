@@ -386,6 +386,61 @@ def paired_ttest(
     )
 
 
+def rbo_weights(k: int, p: float) -> list[float]:
+    """Per-first-shared-depth RBO weights: a doc whose LATER rank
+    across the two lists is m contributes Σ_{d=m..k} (1-p)·p^(d-1)/d
+    to depth-k RBO. Computed once driver-side; the engine applies them
+    as k literals, so both engines share the exact doubles."""
+    return [
+        sum((1 - p) * p ** (d - 1) / d for d in range(m, k + 1))
+        for m in range(1, k + 1)
+    ]
+
+
+def rank_rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-Biased Overlap at depth k (Webber, Moffat & Zobel
+    TOIS'10's prefix partial sum — the RBO_MIN form, no extrapolation):
+
+        RBO@k = (1-p) Σ_{d=1..k} p^(d-1) · |A_{1..d} ∩ B_{1..d}| / d
+
+    computed per shared doc: with m = max(rank_A, rank_B), the doc is
+    inside both prefixes for every depth d ≥ m, so its total weight is
+    the closed per-m literal from ``rbo_weights`` — one equi-join on
+    the two (queries × k) runs, one literal-array lookup, one groupBy;
+    queries present in both runs but sharing nothing score 0.0.
+    Top-weighted (p→0) ≈ rank-1 agreement; p→1 ≈ plain overlap — the
+    graded companion to ``rank_correlation``'s Kendall tau (tau needs
+    ≥2 shared docs and ignores depth)."""
+    if not 0 < p < 1:
+        raise ValueError("rank_rbo: p must be in (0, 1)")
+    w = rbo_weights(k, p)
+    w_arr = F.array(*[F.lit(x) for x in w])
+    a = run_a.filter(F.col("rank") <= k).select(
+        "qid", "doc_id", F.col("rank").alias("_ra")
+    )
+    b = run_b.filter(F.col("rank") <= k).select(
+        "qid", "doc_id", F.col("rank").alias("_rb")
+    )
+    shared = a.join(b, ["qid", "doc_id"]).select(
+        "qid",
+        F.element_at(
+            w_arr, F.greatest("_ra", "_rb").cast("int")
+        ).alias("_w"),
+    )
+    qids = a.select("qid").distinct().join(
+        b.select("qid").distinct(), "qid", "left_semi"
+    )
+    sums = shared.groupBy("qid").agg(F.sum("_w").alias("rbo"))
+    return qids.join(sums, "qid", "left").select(
+        "qid", F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo")
+    )
+
+
 def pool_runs(runs: DataFrame, depth: int = 100) -> DataFrame:
     """TREC judging-pool construction (the standard workflow behind the
     reference's qrels files: union of every run's top-``depth`` hits per

@@ -39,11 +39,12 @@ BM25_B_DEFAULT = 0.3
 
 @dataclass(frozen=True)
 class Similarity:
-    kind: str = "bm25"  # bm25 | lmdir | lmjm | classic
+    kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
     lam: float = 0.4     # LM-Jelinek-Mercer lambda (reference uses 0.4/0.6)
+    delta: float = 1.0   # BM25+ lower-bound shift (Lv & Zhai CIKM'11)
 
 
 def queries_to_terms(
@@ -76,6 +77,14 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             F.lit(1.0 - sim.b) + F.lit(sim.b) * dl / F.lit(stats.avgdl)
         )
         return w * F.col("idf") * tf / norm
+    if sim.kind == "bm25plus":
+        # BM25+ (Lv & Zhai CIKM'11): add delta AFTER the saturation so
+        # long documents can't drive a matching term's contribution
+        # below delta*idf — fixes BM25's over-penalization of length
+        norm = tf + F.lit(sim.k1) * (
+            F.lit(1.0 - sim.b) + F.lit(sim.b) * dl / F.lit(stats.avgdl)
+        )
+        return w * F.col("idf") * (tf / norm + F.lit(sim.delta))
     if sim.kind == "lmdir":
         # Lucene LMDirichletSimilarity (public formula):
         # log(1 + tf/(mu*P(t|C))) + log(mu/(dl+mu)), floored at 0 per term

@@ -328,3 +328,35 @@ def test_macro_metrics_extended(spark):
     assert r["gmap"] == pytest.approx(gmap, rel=1e-9)
     # success@5: rr >= 0.2 for q1, q2; q3's 0.1 means frr = 10 > 5
     assert r["success_at_5"] == pytest.approx(2 / 3)
+
+
+def test_rank_rbo_hand_computed(spark):
+    # identical top-3 lists -> RBO@3 = (1-p)(p^0 + p^1 + p^2)
+    # (each depth's agreement is 1)
+    ra = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 1, 1), ("q2", 2, 2),
+         ("q3", 7, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    rb = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 2, 1), ("q2", 1, 2),
+         ("q3", 8, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    p = 0.5
+    got = {
+        r["qid"]: r["rbo"]
+        for r in ev.rank_rbo(ra, rb, k=3, p=p).collect()
+    }
+    exp_q1 = (1 - p) * (1 + p + p * p)
+    assert got["q1"] == pytest.approx(exp_q1, rel=1e-12)
+    # q2: swapped pair — both docs enter both prefixes at depth 2:
+    # overlap(1)=0, overlap(2)=2/2, overlap(3 absent, k covers ranks
+    # present only): weights = 2 * W(2) with W(2)=sum_{d=2..3}(1-p)p^(d-1)/d
+    w2 = sum((1 - p) * p ** (d - 1) / d for d in (2, 3))
+    assert got["q2"] == pytest.approx(2 * w2, rel=1e-12)
+    assert got["q3"] == 0.0  # nothing shared
+    with pytest.raises(ValueError):
+        ev.rank_rbo(ra, rb, k=3, p=1.0)

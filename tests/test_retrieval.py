@@ -1252,3 +1252,28 @@ def test_comb_fuse_hand_computed(spark):
     assert s[2] == pytest.approx(1.5)
     with pytest.raises(ValueError):
         rt.comb_fuse(runs, method="max")
+
+
+def test_bm25_plus_lower_bound(spark, index):
+    """BM25+ = BM25 with +delta*idf per matching term: verify against
+    the plain run plus the per-doc matched-idf sum."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    plain = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    plus = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(
+            index, qt, k=10, sim=rt.Similarity(kind="bm25plus", delta=1.0)
+        ).collect()
+    }
+    idf_sum = {}
+    for r in rt.explain_scores(index, qt).collect():
+        key = (r["qid"], r["doc_id"])
+        idf_sum[key] = idf_sum.get(key, 0.0) + r["idf"]
+    assert set(plus) == set(plain)
+    for key in plain:
+        assert plus[key] == pytest.approx(
+            plain[key] + idf_sum[key], rel=1e-12
+        ), key
