@@ -3679,6 +3679,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ev.rank_rbo(r1, r2, k=TOPK, p=_RBO_P)
         return out.select("qid", F.round("rbo", 4).alias("rbo"))
 
+    def interleave_runs(spark, sf):
+        # team-draft interleaving of the bm25/lmdir runs (rows-only:
+        # inherently sequential per query; pytest replays it exactly)
+        r1, r2 = _two_runs(spark, sf)
+        return ev.interleave_team_draft(r1, r2, k=TOPK).select(
+            "qid", "pos", "doc_id", "team"
+        )
+
     def extended_metrics(spark, sf):
         # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
         # the deterministic pseudo qrels
@@ -4821,6 +4829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_macro": eval_macro,
         "bm25_plus": bm25_plus,
         "rank_rbo": rank_rbo,
+        "interleave_runs": interleave_runs,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,

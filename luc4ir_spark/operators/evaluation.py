@@ -441,6 +441,92 @@ def rank_rbo(
     )
 
 
+def interleave_team_draft(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims CIKM'08) —
+    the standard online A/B ranking comparison: per query, repeated
+    rounds where a coin decides which system drafts first, then each
+    system appends its highest-ranked not-yet-picked doc; clicks on
+    team-A docs are votes for A. The coin is DETERMINISTIC here:
+    mix(qn * 2^20 + round + seed) & 1 with qn the query's integer id
+    (functions/hashing.py mix — reproducible across engines and runs,
+    exactly like the repo's samplers). -> (qid, pos, doc_id, team),
+    pos 1-based, team in {'a','b'}, ≤ k rows per query.
+
+    Plan shape: the interleave is inherently sequential PER QUERY, so
+    it runs as applyInPandas over (qid) groups — each group is ≤ 2k
+    rows (runs are queries × k, corpus-independent), the canonical
+    "tiny sequential state per key" Spark shape. Queries must be
+    present in both runs (inner semantics, as the method requires two
+    rankings)."""
+    from ..functions.hashing import MIX_A, MIX_B, MIX_P
+
+    a = run_a.select(
+        "qid", "doc_id", F.col("rank").alias("r")
+    ).withColumn("_side", F.lit("a"))
+    b = run_b.select(
+        "qid", "doc_id", F.col("rank").alias("r")
+    ).withColumn("_side", F.lit("b"))
+    both = a.unionByName(b)
+    qids = a.select("qid").distinct().join(
+        b.select("qid").distinct(), "qid", "left_semi"
+    )
+    both = both.join(F.broadcast(qids), "qid", "left_semi")
+
+    def draft(pdf):
+        qid = pdf["qid"].iloc[0]
+        digits = "".join(ch for ch in str(qid) if ch.isdigit())
+        qn = int(digits) if digits else 0
+        la = [
+            int(d)
+            for _, d in sorted(
+                zip(pdf[pdf["_side"] == "a"]["r"],
+                    pdf[pdf["_side"] == "a"]["doc_id"])
+            )
+        ]
+        lb = [
+            int(d)
+            for _, d in sorted(
+                zip(pdf[pdf["_side"] == "b"]["r"],
+                    pdf[pdf["_side"] == "b"]["doc_id"])
+            )
+        ]
+        picked: set[int] = set()
+        out: list[tuple[str, int, int, str]] = []
+        rnd = 0
+        while len(out) < k:
+            coin = (
+                (MIX_A * ((qn * (1 << 20) + rnd + seed) % MIX_P) + MIX_B)
+                % MIX_P
+            ) & 1
+            order = ("a", "b") if coin == 0 else ("b", "a")
+            progressed = False
+            for team in order:
+                lst = la if team == "a" else lb
+                nxt = next((d for d in lst if d not in picked), None)
+                if nxt is None or len(out) >= k:
+                    continue
+                picked.add(nxt)
+                out.append((qid, len(out) + 1, nxt, team))
+                progressed = True
+            if not progressed:
+                break
+            rnd += 1
+        import pandas as pd
+
+        return pd.DataFrame(
+            out, columns=["qid", "pos", "doc_id", "team"]
+        )
+
+    return both.groupBy("qid").applyInPandas(
+        draft, "qid string, pos long, doc_id long, team string"
+    )
+
+
 def pool_runs(runs: DataFrame, depth: int = 100) -> DataFrame:
     """TREC judging-pool construction (the standard workflow behind the
     reference's qrels files: union of every run's top-``depth`` hits per

@@ -360,3 +360,58 @@ def test_rank_rbo_hand_computed(spark):
     assert got["q3"] == 0.0  # nothing shared
     with pytest.raises(ValueError):
         ev.rank_rbo(ra, rb, k=3, p=1.0)
+
+
+def test_interleave_team_draft_replay(spark):
+    """Spark interleave == a pure-Python replay of team-draft with the
+    same deterministic coin; structural invariants hold."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    ra = spark.createDataFrame(
+        [("q1", d, i + 1) for i, d in enumerate([1, 2, 3, 4])]
+        + [("q2", d, i + 1) for i, d in enumerate([10, 11])],
+        "qid string, doc_id long, rank long",
+    )
+    rb = spark.createDataFrame(
+        [("q1", d, i + 1) for i, d in enumerate([3, 5, 1, 6])]
+        + [("q2", d, i + 1) for i, d in enumerate([11, 12])],
+        "qid string, doc_id long, rank long",
+    )
+    k = 6
+    got = {}
+    for r in ev.interleave_team_draft(ra, rb, k=k).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["pos"], r["doc_id"], r["team"])
+        )
+    for v in got.values():
+        v.sort()
+
+    lists = {
+        "q1": ([1, 2, 3, 4], [3, 5, 1, 6]),
+        "q2": ([10, 11], [11, 12]),
+    }
+    for qid, (la, lb) in lists.items():
+        qn = int(qid[1:])
+        picked, out, rnd = set(), [], 0
+        while len(out) < k:
+            coin = (
+                (MIX_A * ((qn * (1 << 20) + rnd) % MIX_P) + MIX_B) % MIX_P
+            ) & 1
+            order = ("a", "b") if coin == 0 else ("b", "a")
+            progressed = False
+            for team in order:
+                lst = la if team == "a" else lb
+                nxt = next((d for d in lst if d not in picked), None)
+                if nxt is None or len(out) >= k:
+                    continue
+                picked.add(nxt)
+                out.append((len(out) + 1, nxt, team))
+                progressed = True
+            if not progressed:
+                break
+            rnd += 1
+        assert got[qid] == out, qid
+        docs = [d for _, d, _ in got[qid]]
+        assert len(docs) == len(set(docs))  # no doc twice
+        teams = [t for _, _, t in got[qid]]
+        assert abs(teams.count("a") - teams.count("b")) <= 1  # balanced
