@@ -1758,6 +1758,166 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ------------------------------ DFR / IB / F2EXP similarity oracle SQL
+# log2 is spelled ln(x)/ln(2.0) on BOTH engines (retrieval._per_posting_score
+# does the same) so the float64 arithmetic shape is identical.
+
+
+def _sim2_sql(kind: str) -> str:
+    tfn = "tf.tf * ln(1.0 + s.avgdl / dl.doc_len) / ln(2.0)"
+    if kind == "dfr_inl2":
+        score = (
+            "tfn / (tfn + 1.0)"
+            " * (ln((n_docs + 1.0) / (df + 0.5)) / ln(2.0))"
+        )
+    elif kind == "ib_ll":
+        score = "ln(1.0 + tfn / ((df + 1.0) / (n_docs + 1.0)))"
+    elif kind == "f2exp":
+        tfn = (
+            "tf.tf / (tf.tf + 0.5 + 0.5 * dl.doc_len / s.avgdl)"
+            " * pow((s.n_docs + 1.0) / dft.df, 0.35)"
+        )
+        score = "tfn"
+    else:
+        raise ValueError(kind)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+post AS (
+  SELECT q.qid, tf.doc_id, dft.df * 1.0 AS df, s.n_docs * 1.0 AS n_docs,
+         {tfn} AS tfn
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum({score}) AS s_raw FROM post GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# ----------------------- boosting / rescore / range-facet oracle SQL
+
+_DEMOTE_TERM = "table"     # boosting gate: docs with this term are demoted
+_NEG_BOOST = 0.5
+_RESCORE_FIRST_K = 50      # rescore gate: first-pass candidate window
+
+_BM25_SCORED_CTE = f"""scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)"""
+
+
+def _boosting_sql() -> str:
+    """Replays retrieval.boosting_query: full BM25 scores, then any
+    candidate containing the demote term has its score halved BEFORE
+    the top-k window (the doc stays, unlike MUST_NOT)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_DEMOTE_TERM}'),
+dem AS (
+  SELECT s.qid, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.s_raw * {_NEG_BOOST}
+              ELSE s.s_raw END AS s2
+  FROM scored s LEFT JOIN neg n USING (doc_id)
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s2 DESC, doc_id ASC)::BIGINT AS rank,
+         round(s2, 4) AS score
+  FROM dem
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _rescore_sql() -> str:
+    """Replays retrieval.rescore_topk: BM25 top-{_RESCORE_FIRST_K}
+    candidate window, LM-Dirichlet second pass restricted to it,
+    final order = 1.0*first + 1.0*second."""
+    lm = (
+        f"greatest(ln(1.0 + tf.tf / ({MU} * dft.cf / s.total_tokens))"
+        f" + ln({MU} / (dl.doc_len + {MU})), 0.0)"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+cand AS (
+  SELECT qid, doc_id, s_raw AS s_first FROM (
+    SELECT qid, doc_id, s_raw,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY s_raw DESC, doc_id ASC) AS rank
+    FROM scored) WHERE rank <= {_RESCORE_FIRST_K}
+),
+lm AS (
+  SELECT q.qid, tf.doc_id, sum({lm}) AS s_second
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+comb AS (
+  SELECT c.qid, c.doc_id,
+         1.0 * c.s_first + 1.0 * coalesce(l.s_second, 0.0) AS s2
+  FROM cand c LEFT JOIN lm l ON l.qid = c.qid AND l.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s2 DESC, doc_id ASC)::BIGINT AS rank,
+         round(s2, 4) AS score
+  FROM comb
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# range-facet gate: [lo, hi) buckets over n_chars of the BM25 top-k
+# hits; "mid_wide" overlaps the others on purpose (Lucene range facets
+# allow overlapping ranges — a hit counts once per matching range)
+_FACET_RANGES: list[tuple[str, int, int | None]] = [
+    ("short", 0, 200),
+    ("medium", 200, 400),
+    ("long", 400, None),
+    ("mid_wide", 100, 500),
+]
+
+
+def _range_facets_sql() -> str:
+    arms = []
+    for label, lo, hi in _FACET_RANGES:
+        cond = f"v >= {float(lo)}"
+        if hi is not None:
+            cond += f" AND v < {float(hi)}"
+        arms.append(
+            f"SELECT qid, '{label}' AS bucket, count(*)::BIGINT AS n_docs"
+            f" FROM vals WHERE {cond} GROUP BY 1"
+        )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id FROM ranked WHERE rank <= {TOPK}),
+vals AS (SELECT r.qid, d.n_chars * 1.0 AS v
+         FROM run r JOIN documents d USING (doc_id))
+{" UNION ALL ".join(arms)}
+"""
+
+
 # --------------------------------------------- verbose-qsel oracle SQL
 
 VERBOSE_QUERIES: list[tuple[str, str]] = [
@@ -3070,13 +3230,10 @@ FROM g WHERE group_rank <= 2
 """
 
 
-def _run_ttest_sql() -> str:
-    """Replays evaluation.paired_ttest over the per-query AP of the
-    plain BM25 run vs the MUST_NOT run: both run bodies + the qrels
-    replay + the _EVAL_SQL AP construction, then one paired-t scalar."""
-
-    def ap_block(p: str, not_exists: str) -> str:
-        return f"""
+def _ap_block(p: str, not_exists: str) -> str:
+    """Shared per-query-AP CTE chain (BM25 run body + qrels join +
+    cumulative-precision AP) used by the ttest AND wilcoxon oracles."""
+    return f"""
 scored_{p} AS (
   SELECT q.qid, tf.doc_id,
          sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
@@ -3110,23 +3267,56 @@ ap_{p} AS (
   GROUP BY w.qid, t.num_rel
 )"""
 
+
+def _ap_pair_prefix() -> str:
+    """WITH-body prefix producing ap_a (plain BM25 run) and ap_b
+    (MUST_NOT run) per-query AP tables."""
     excl = (
         "WHERE NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = tf.doc_id"
         f" AND x.term = '{_EXCLUDE_TERM}')"
     )
-    return f"""
-WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+    return f"""{_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 {_QRELS_SQL},
 totals AS (SELECT qid, count(*)::BIGINT AS num_rel FROM qrels
            WHERE rel >= 1.0 GROUP BY qid),
-{ap_block('a', '')},
-{ap_block('b', excl)},
+{_ap_block('a', '')},
+{_ap_block('b', excl)}"""
+
+
+def _run_ttest_sql() -> str:
+    """Replays evaluation.paired_ttest over the per-query AP of the
+    plain BM25 run vs the MUST_NOT run: both run bodies + the qrels
+    replay + the _EVAL_SQL AP construction, then one paired-t scalar."""
+    return f"""
+WITH {_ap_pair_prefix()},
 d AS (SELECT a.qid, a.ap - b.ap AS d FROM ap_a a JOIN ap_b b USING (qid))
 SELECT count(*)::BIGINT AS n, round(avg(d), 4) AS mean_diff,
        round(stddev_samp(d), 4) AS sd_diff,
        round(CASE WHEN count(*) >= 2 AND stddev_samp(d) > 0
              THEN avg(d) / (stddev_samp(d) / sqrt(count(*))) END, 4) AS t_stat
 FROM d
+"""
+
+
+def _run_wilcoxon_sql() -> str:
+    """Replays evaluation.wilcoxon_signed_rank over the same AP pair
+    as the ttest gate: deltas rounded to 4dp, zeros discarded, |d|
+    ranked ascending with average ranks for ties, W+/W- rank sums."""
+    return f"""
+WITH {_ap_pair_prefix()},
+d AS (SELECT round(a.ap - b.ap, 4) AS d
+      FROM ap_a a JOIN ap_b b USING (qid)
+      WHERE round(a.ap - b.ap, 4) <> 0),
+rk AS (
+  SELECT d,
+         rank() OVER (ORDER BY abs(d))
+           + (count(*) OVER (PARTITION BY abs(d)) - 1) / 2.0 AS avg_rank
+  FROM d
+)
+SELECT count(*)::BIGINT AS n,
+       round(sum(CASE WHEN d > 0 THEN avg_rank ELSE 0.0 END), 4) AS w_plus,
+       round(sum(CASE WHEN d < 0 THEN avg_rank ELSE 0.0 END), 4) AS w_minus
+FROM rk
 """
 
 
@@ -3813,6 +4003,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LM-Jelinek-Mercer (reference: MsMarcoTopDocs.java:82, lambda=.4)
         return _lm_run(spark, sf, "lmjm")
 
+    def dfr_topk(spark, sf):
+        # DFR I(n)L2 (Lucene DFRSimilarity(In, L, H2), c=1)
+        return _lm_run(spark, sf, "dfr_inl2")
+
+    def ib_topk(spark, sf):
+        # Information-Based log-logistic (Lucene IBSimilarity(LL, DF, H2))
+        return _lm_run(spark, sf, "ib_ll")
+
+    def f2exp_topk(spark, sf):
+        # Axiomatic F2EXP (Lucene AxiomaticF2EXP, s=0.5, k=0.35)
+        return _lm_run(spark, sf, "f2exp")
+
+    def boosting_topk(spark, sf):
+        # BoostingQuery parity: docs containing the demote term stay in
+        # the list but are pushed down by negative_boost before ranking
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        dem = spark.createDataFrame(
+            [(qid, _DEMOTE_TERM) for qid, _ in QUERY_SET],
+            "qid string, term string",
+        )
+        run = rt.boosting_query(
+            idx, qt, dem, negative_boost=_NEG_BOOST, k=TOPK
+        )
+        return run.select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+
+    def rescore_run(spark, sf):
+        # QueryRescorer parity: BM25 top-50 window rescored with
+        # LM-Dirichlet, combined 1.0*first + 1.0*second
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.rescore_topk(
+            idx,
+            qt,
+            first_k=_RESCORE_FIRST_K,
+            k=TOPK,
+            sim_second=rt.Similarity(kind="lmdir", mu=MU),
+        )
+        return run.select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+
+    def range_facets(spark, sf):
+        # LongRangeFacetCounts parity: [lo, hi) n_chars buckets over
+        # the BM25 top-k hits (one overlapping range on purpose)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = rt.range_facet_counts(
+            run, _docs(spark, sf), value_col="n_chars", ranges=_FACET_RANGES
+        )
+        return out.select("qid", "bucket", "n_docs")
+
     def verbose_qsel(spark, sf):
         # max-avg-idf sliding-window verbose-query reduction
         # (reference: qsel/QuerySelector.java:69-96)
@@ -4417,6 +4662,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("t_stat", 4).alias("t_stat"),
         )
 
+    def run_wilcoxon(spark, sf):
+        # Wilcoxon signed-rank statistic over the SAME per-query AP
+        # pair as run_ttest (plain BM25 vs MUST_NOT run)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        qrels = _pseudo_qrels(spark, sf)
+        excl = spark.createDataFrame(
+            [(qid, _EXCLUDE_TERM) for qid, _ in QUERY_SET],
+            "qid string, term string",
+        )
+
+        def perq(run):
+            return ev.per_query_metrics(
+                run.withColumn("docid", F.col("doc_id").cast("string")),
+                qrels, p_at=5, ndcg_at=10,
+            )
+
+        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pb = perq(
+            rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
+        )
+        wx = ev.wilcoxon_signed_rank(pa, pb, metric_col="ap")
+        return wx.select(
+            "n",
+            F.round("w_plus", 4).alias("w_plus"),
+            F.round("w_minus", 4).alias("w_minus"),
+        )
+
     def snippets(spark, sf):
         # simplified highlighter: window around the earliest query-term
         # occurrence in each BM25 hit
@@ -4837,6 +5110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": eval_metrics,
         "lmdir_topk": lmdir_topk,
         "lmjm_topk": lmjm_topk,
+        "dfr_topk": dfr_topk,
+        "ib_topk": ib_topk,
+        "f2exp_topk": f2exp_topk,
+        "boosting_topk": boosting_topk,
+        "rescore_topk": rescore_run,
+        "range_facets": range_facets,
+        "run_wilcoxon": run_wilcoxon,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
         "verbose_qsel": verbose_qsel,
@@ -5001,6 +5281,13 @@ def oracle_sql() -> dict[str, str]:
         "eval_metrics": _EVAL_SQL,
         "lmdir_topk": _lm_sql("lmdir"),
         "lmjm_topk": _lm_sql("lmjm"),
+        "dfr_topk": _sim2_sql("dfr_inl2"),
+        "ib_topk": _sim2_sql("ib_ll"),
+        "f2exp_topk": _sim2_sql("f2exp"),
+        "boosting_topk": _boosting_sql(),
+        "rescore_topk": _rescore_sql(),
+        "range_facets": _range_facets_sql(),
+        "run_wilcoxon": _run_wilcoxon_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),
         "verbose_qsel": _QSEL_SQL,

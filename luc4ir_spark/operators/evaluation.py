@@ -386,6 +386,55 @@ def paired_ttest(
     )
 
 
+def wilcoxon_signed_rank(
+    per_query_a: DataFrame,
+    per_query_b: DataFrame,
+    metric_col: str = "ap",
+    qid_col: str = "qid",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Wilcoxon signed-rank statistic over paired per-query metric
+    deltas — the other classic IR significance test next to the paired
+    t (`paired_ttest`); nonparametric, so robust to AP's skew. Standard
+    treatment: zero deltas are DISCARDED, |deltas| are ranked ascending
+    with AVERAGE ranks for ties, and W+ / W- are the rank sums of the
+    positive / negative sides. Deltas are rounded to ``round_dp``
+    BEFORE the zero-filter and ranking so tie groups are stable across
+    engines (two APs within 5e-5 tie instead of depending on float
+    fold order). -> one row (n, w_plus, w_minus). The global rank
+    window runs over topics-sized data (thousands of rows at most) —
+    driver-trivial at any corpus scale, same as `paired_ttest`."""
+    a = per_query_a.select(
+        F.col(qid_col).alias("qid"), F.col(metric_col).alias("_ma")
+    )
+    b = per_query_b.select(
+        F.col(qid_col).alias("qid"), F.col(metric_col).alias("_mb")
+    )
+    d = (
+        a.join(b, "qid")
+        .select(F.round(F.col("_ma") - F.col("_mb"), round_dp).alias("d"))
+        .filter(F.col("d") != 0)
+        .withColumn("absd", F.abs(F.col("d")))
+    )
+    # average rank for a tie group = rank() + (|group| - 1)/2
+    d = (
+        d.withColumn("r", F.rank().over(Window.orderBy("absd")))
+        .withColumn(
+            "nt", F.count(F.lit(1)).over(Window.partitionBy("absd"))
+        )
+        .withColumn("avg_rank", F.col("r") + (F.col("nt") - F.lit(1)) / 2.0)
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("d") > 0, F.col("avg_rank")).otherwise(0.0)
+        ).alias("w_plus"),
+        F.sum(
+            F.when(F.col("d") < 0, F.col("avg_rank")).otherwise(0.0)
+        ).alias("w_minus"),
+    )
+
+
 def rbo_weights(k: int, p: float) -> list[float]:
     """Per-first-shared-depth RBO weights: a doc whose LATER rank
     across the two lists is m contributes Σ_{d=m..k} (1-p)·p^(d-1)/d

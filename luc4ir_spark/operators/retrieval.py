@@ -25,6 +25,8 @@ reference comparator retriever/ScoreDocComparator.java:15-21).
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,11 +42,15 @@ BM25_B_DEFAULT = 0.3
 @dataclass(frozen=True)
 class Similarity:
     kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
+    #                   # | dfr_inl2 | ib_ll | f2exp
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
     lam: float = 0.4     # LM-Jelinek-Mercer lambda (reference uses 0.4/0.6)
     delta: float = 1.0   # BM25+ lower-bound shift (Lv & Zhai CIKM'11)
+    c: float = 1.0       # DFR/IB H2 length-normalization c
+    s: float = 0.5       # Axiomatic F2EXP length-normalization s
+    k_ax: float = 0.35   # Axiomatic F2EXP idf exponent k
 
 
 def queries_to_terms(
@@ -110,6 +116,47 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             / (F.col("df").cast("double") + 1.0)
         )
         return w * F.sqrt(tf) * idf_c * idf_c / F.sqrt(dl)
+    # log2 is written as ln(x)/ln(2) in BOTH engines (here and in the
+    # DuckDB oracles) so the arithmetic shape — and hence the float64
+    # result — is identical cross-engine; a native log2() may round
+    # differently from ln()/ln(2) by an ulp.
+    ln2 = F.lit(math.log(2.0))
+    if sim.kind == "dfr_inl2":
+        # DFR I(n)L2 (Amati & van Rijsbergen TOIS'02; the public
+        # Lucene DFRSimilarity(BasicModelIn, AfterEffectL,
+        # NormalizationH2) formula): tfn = tf*log2(1 + c*avgdl/dl),
+        # score = tfn/(tfn+1) * log2((N+1)/(df+0.5))
+        tfn = tf * F.log(
+            F.lit(1.0) + F.lit(sim.c) * F.lit(stats.avgdl) / dl
+        ) / ln2
+        gain = F.log(
+            F.lit(float(stats.n_docs) + 1.0)
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ) / ln2
+        return w * tfn / (tfn + F.lit(1.0)) * gain
+    if sim.kind == "ib_ll":
+        # Information-Based log-logistic (Clinchant & Gaussier
+        # SIGIR'10; Lucene IBSimilarity(DistributionLL, LambdaDF,
+        # NormalizationH2)): tfn as above, lambda = (df+1)/(N+1),
+        # score = -log(lambda/(lambda+tfn)) = log(1 + tfn/lambda)
+        tfn = tf * F.log(
+            F.lit(1.0) + F.lit(sim.c) * F.lit(stats.avgdl) / dl
+        ) / ln2
+        lam_df = (F.col("df").cast("double") + F.lit(1.0)) / F.lit(
+            float(stats.n_docs) + 1.0
+        )
+        return w * F.log(F.lit(1.0) + tfn / lam_df)
+    if sim.kind == "f2exp":
+        # Axiomatic F2EXP (Fang & Zhai SIGIR'05; Lucene
+        # AxiomaticF2EXP, s=0.5, k=0.35):
+        # score = tf/(tf + s + s*dl/avgdl) * ((N+1)/df)^k
+        tfn = tf / (
+            tf + F.lit(sim.s) + F.lit(sim.s) * dl / F.lit(stats.avgdl)
+        )
+        return w * tfn * F.pow(
+            F.lit(float(stats.n_docs) + 1.0) / F.col("df").cast("double"),
+            F.lit(sim.k_ax),
+        )
     raise ValueError(f"unknown similarity: {sim.kind}")
 
 
@@ -252,6 +299,127 @@ def score_queries(
     )
     return (
         matched.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
+def _plain_scores(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    sim: Similarity,
+    restrict_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Shared disjunctive scoring core -> (qid, doc_id, score): the
+    broadcast query-side postings join + per-(qid, doc) sum, with no
+    ranking. ``restrict_pairs`` (qid, doc_id) limits the scan to a
+    known candidate window BEFORE aggregation (the rescorer path), so
+    the second pass touches |candidates| posting rows, not the corpus."""
+    qt = query_terms
+    if "weight" not in qt.columns:
+        qt = qt.withColumn("weight", F.lit(1.0))
+    ts = index.term_stats.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    qt_e = qt.join(F.broadcast(ts), "term").withColumn(
+        "idf", idf_lucene(F.col("df"), index.stats.n_docs)
+    )
+    contrib = _per_posting_score(sim, index.stats, qt_e.columns)
+    rows = index.postings.join(F.broadcast(qt_e), "term").select(
+        "qid", "doc_id", contrib.alias("contrib")
+    )
+    if restrict_pairs is not None:
+        rows = rows.join(
+            F.broadcast(restrict_pairs.select("qid", "doc_id")),
+            ["qid", "doc_id"],
+            "left_semi",
+        )
+    return rows.groupBy("qid", "doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def boosting_query(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    demote_terms: DataFrame,
+    negative_boost: float = 0.5,
+    k: int = 1000,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """BoostingQuery parity (Lucene's queries module / the
+    positive-negative boosting query): the positive query is scored
+    normally, and any candidate that ALSO matches one of its query's
+    ``demote_terms`` (qid, term) has its score multiplied by
+    ``negative_boost`` BEFORE ranking — unlike MUST_NOT the doc stays
+    in the result list, just pushed down. One extra broadcast term
+    join builds the demote set; demotion happens pre-window so a
+    demoted doc can fall out of the top-k and let others in."""
+    sim = sim or Similarity()
+    pos = _plain_scores(index, query_terms, sim)
+    neg = (
+        index.postings.join(
+            F.broadcast(demote_terms.select("qid", "term").distinct()),
+            "term",
+        )
+        .select("qid", "doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(1))
+    )
+    demoted = pos.join(neg, ["qid", "doc_id"], "left").withColumn(
+        "score",
+        F.when(
+            F.col("_neg").isNotNull(),
+            F.col("score") * F.lit(float(negative_boost)),
+        ).otherwise(F.col("score")),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        demoted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
+def rescore_topk(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    first_k: int = 50,
+    k: int = 10,
+    weight_first: float = 1.0,
+    weight_second: float = 1.0,
+    sim_first: Similarity | None = None,
+    sim_second: Similarity | None = None,
+) -> DataFrame:
+    """QueryRescorer parity (Lucene QueryRescorer.rescore): a cheap
+    first pass collects the per-query top ``first_k`` window, then an
+    expensive second similarity re-scores ONLY that window and the
+    final order is the weighted sum w1*first + w2*second (Lucene's
+    default combine). The second pass is restricted to the candidate
+    pairs BEFORE aggregation (`_plain_scores(restrict_pairs=...)`), so
+    its cost tracks |queries|*first_k, never the corpus — the whole
+    point of rescoring at 10^12 docs. Docs outside the first-pass
+    window can never enter the result (rescoring re-orders, it never
+    recalls). Returns (qid, doc_id, rank, score) with rank over the
+    combined score."""
+    first = score_queries(index, query_terms, k=first_k, sim=sim_first)
+    cand = first.select("qid", "doc_id", F.col("score").alias("s_first"))
+    second = _plain_scores(
+        index,
+        query_terms,
+        sim_second or Similarity(kind="lmdir"),
+        restrict_pairs=cand,
+    ).withColumnRenamed("score", "s_second")
+    combined = cand.join(second, ["qid", "doc_id"], "left").withColumn(
+        "score",
+        F.lit(float(weight_first)) * F.col("s_first")
+        + F.lit(float(weight_second)) * F.coalesce(F.col("s_second"), F.lit(0.0)),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        combined.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score")
     )
@@ -1309,6 +1477,42 @@ def facet_counts(
             "doc_id",
         )
         .groupBy("qid", "facet")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def range_facet_counts(
+    run: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    ranges: list[tuple[str, int, int | None]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Numeric range faceting — Lucene LongRangeFacetCounts at the
+    logical level: bucket a run's hits by a numeric doc attribute into
+    caller-defined [lo, hi) ranges (hi=None = unbounded) and count per
+    (qid, bucket). Same broadcast-run join shape as `facet_counts`;
+    the bucket CASE is a pure codegen projection. Ranges may overlap
+    (Lucene allows it) — a hit counts once per range it falls in, via
+    a small literal-array explode of matching labels."""
+    v = F.col("_val").cast("double")
+    whens = []
+    for label, lo, hi in ranges:
+        cond = v >= F.lit(float(lo))
+        if hi is not None:
+            cond = cond & (v < F.lit(float(hi)))
+        whens.append(F.when(cond, F.lit(label)))
+    buckets = F.array_compact(F.array(*whens))
+    return (
+        run.select("qid", "doc_id")
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(value_col).alias("_val")
+            ),
+            "doc_id",
+        )
+        .select("qid", F.explode(buckets).alias("bucket"))
+        .groupBy("qid", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
 

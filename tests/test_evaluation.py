@@ -415,3 +415,36 @@ def test_interleave_team_draft_replay(spark):
         assert len(docs) == len(set(docs))  # no doc twice
         teams = [t for _, _, t in got[qid]]
         assert abs(teams.count("a") - teams.count("b")) <= 1  # balanced
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark):
+    """Ties get average ranks, zero deltas drop: deltas
+    {+0.1, -0.1, -0.2, 0} -> |d| ranks {1.5, 1.5, 3}, W+ = 1.5,
+    W- = 1.5 + 3 = 4.5, n = 3."""
+    a = spark.createDataFrame(
+        [("q1", 0.5), ("q2", 0.3), ("q3", 0.1), ("q4", 0.7)],
+        "qid string, ap double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 0.4), ("q2", 0.4), ("q3", 0.3), ("q4", 0.7)],
+        "qid string, ap double",
+    )
+    row = ev.wilcoxon_signed_rank(a, b).collect()[0]
+    assert row["n"] == 3
+    assert row["w_plus"] == pytest.approx(1.5)
+    assert row["w_minus"] == pytest.approx(4.5)
+
+
+def test_wilcoxon_rounding_stabilizes_ties(spark):
+    """Deltas within 5e-5 collapse into one tie group before ranking."""
+    a = spark.createDataFrame(
+        [("q1", 0.100004), ("q2", 0.2)], "qid string, ap double"
+    )
+    b = spark.createDataFrame(
+        [("q1", 0.0), ("q2", 0.1)], "qid string, ap double"
+    )
+    row = ev.wilcoxon_signed_rank(a, b).collect()[0]
+    # both deltas round to 0.1 -> avg rank 1.5 each, both positive
+    assert row["n"] == 2
+    assert row["w_plus"] == pytest.approx(3.0)
+    assert row["w_minus"] == pytest.approx(0.0)

@@ -1277,3 +1277,125 @@ def test_bm25_plus_lower_bound(spark, index):
         assert plus[key] == pytest.approx(
             plain[key] + idf_sum[key], rel=1e-12
         ), key
+
+
+def _tiny_stats():
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    n = len(DOCS)
+    dls = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    return toks, n, dls, avgdl, df
+
+
+def test_dfr_ib_f2exp_hand_computed(spark, index):
+    """Single-term query: per-doc DFR-InL2 / IB-LL / F2EXP scores vs
+    the published closed forms computed in pure Python."""
+    toks, n, dls, avgdl, df = _tiny_stats()
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    log2 = math.log(2.0)
+    for kind in ("dfr_inl2", "ib_ll", "f2exp"):
+        run = rt.score_queries(
+            index, qt, k=10, sim=rt.Similarity(kind=kind)
+        ).collect()
+        assert run, kind
+        for r in run:
+            tf = toks[r["doc_id"]].count("spark")
+            dl = dls[r["doc_id"]]
+            d = df["spark"]
+            if kind == "f2exp":
+                exp = tf / (tf + 0.5 + 0.5 * dl / avgdl) * (
+                    (n + 1.0) / d
+                ) ** 0.35
+            else:
+                tfn = tf * math.log(1.0 + avgdl / dl) / log2
+                if kind == "dfr_inl2":
+                    exp = tfn / (tfn + 1.0) * (
+                        math.log((n + 1.0) / (d + 0.5)) / log2
+                    )
+                else:
+                    lam = (d + 1.0) / (n + 1.0)
+                    exp = math.log(1.0 + tfn / lam)
+            assert r["score"] == pytest.approx(exp, rel=1e-12), (
+                kind, r["doc_id"],
+            )
+
+
+def test_boosting_query(spark, index):
+    """Docs matching the demote term keep their slot but at score*0.25;
+    undemoted docs are untouched; ordering reflects demotion."""
+    qt = rt.queries_to_terms(spark, [("q1", "quick spark")], EN)
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    dem = spark.createDataFrame(
+        [("q1", "lazi")], "qid string, term string"
+    )  # docs 0, 2 contain 'lazy'
+    out = rt.boosting_query(
+        index, qt, dem, negative_boost=0.25, k=10
+    ).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert set(got) == set(plain)  # nothing removed, unlike MUST_NOT
+    for d, s in got.items():
+        exp = plain[d] * 0.25 if d in (0, 2) else plain[d]
+        assert s == pytest.approx(exp, rel=1e-12), d
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    order = [d for d, _ in sorted(
+        got.items(), key=lambda kv: (-kv[1], kv[0])
+    )]
+    assert [d for d, _ in sorted(
+        ranks.items(), key=lambda kv: kv[1]
+    )] == order
+
+
+def test_rescore_topk(spark, index):
+    """Rescoring re-orders WITHIN the first-pass window only: with
+    first_k=2 the result set equals the BM25 top-2, ordered by
+    bm25+lmdir; combined scores match the two runs' sums."""
+    qt = rt.queries_to_terms(spark, [("q1", "quick spark")], EN)
+    first = rt.score_queries(index, qt, k=2).collect()
+    window = {r["doc_id"]: r["score"] for r in first}
+    lm = {
+        r["doc_id"]: r["score"]
+        for r in rt.score_queries(
+            index, qt, k=10, sim=rt.Similarity(kind="lmdir")
+        ).collect()
+    }
+    out = rt.rescore_topk(
+        index, qt, first_k=2, k=10,
+        sim_second=rt.Similarity(kind="lmdir"),
+    ).collect()
+    assert {r["doc_id"] for r in out} == set(window)
+    for r in out:
+        exp = window[r["doc_id"]] + lm[r["doc_id"]]
+        assert r["score"] == pytest.approx(exp, rel=1e-12)
+    by_rank = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    exp_order = [d for d, _ in sorted(
+        ((d, window[d] + lm[d]) for d in window),
+        key=lambda kv: (-kv[1], kv[0]),
+    )]
+    assert by_rank == exp_order
+
+
+def test_range_facet_counts(spark):
+    run = spark.createDataFrame(
+        [("q1", 0, 1), ("q1", 1, 2), ("q1", 2, 3), ("q2", 1, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 150), (2, 400)], "doc_id long, n_chars long"
+    )
+    out = rt.range_facet_counts(
+        run, docs, value_col="n_chars",
+        ranges=[("lo", 0, 100), ("hi", 100, None), ("wide", 0, 500)],
+    ).collect()
+    got = {(r["qid"], r["bucket"]): r["n_docs"] for r in out}
+    # overlapping 'wide' counts every hit once more
+    assert got == {
+        ("q1", "lo"): 1, ("q1", "hi"): 2, ("q1", "wide"): 3,
+        ("q2", "hi"): 1, ("q2", "wide"): 1,
+    }
