@@ -1918,6 +1918,167 @@ vals AS (SELECT r.qid, d.n_chars * 1.0 AS v
 """
 
 
+# -------------------- span-not / block-join / common-terms / divergence
+
+_SPANNOT_PRE, _SPANNOT_POST = 1, 2
+_SPANNOT_EXCLUDE = "batch"
+
+_BJ_CHUNK = 16            # block-join gate: child chunk size (tokens)
+_BJ_PACK = 1 << 20        # child id = parent_id * pack + chunk_idx
+
+_CT_MAX_DF_RATIO = 0.5    # CommonTermsQuery df cutoff (fraction of N)
+_CT_QUERIES: list[tuple[str, str]] = [
+    ("ct1", "spark dup"),        # rare 'dup' selects; 'spark' only scores
+    ("ct2", "table join"),       # no rare terms -> plain OR rewrite
+    ("ct3", "dup zzznotaterm"),  # OOV term drops out entirely
+]
+
+
+def _span_not_sql() -> str:
+    """Replays retrieval.span_not_query for include=_PHRASE[:2],
+    exclude/pre/post above: phrase starts via the adjacent-position
+    join, then NOT EXISTS an exclusion occurrence inside the widened
+    span [start-pre, start+(n-1)+post]."""
+    inc = _PHRASE[:2]
+    hi = len(inc) - 1 + _SPANNOT_POST
+    return rf"""
+WITH t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e),
+m AS (
+  SELECT p1.doc_id, p1.p
+  FROM pos p1 JOIN pos p2
+    ON p2.doc_id = p1.doc_id AND p2.term = '{inc[1]}'
+   AND p2.p = p1.p + 1
+  WHERE p1.term = '{inc[0]}'
+),
+kept AS (
+  SELECT doc_id, p FROM m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos x
+    WHERE x.doc_id = m.doc_id AND x.term = '{_SPANNOT_EXCLUDE}'
+      AND x.p >= m.p - {_SPANNOT_PRE} AND x.p <= m.p + {hi}
+  )
+)
+SELECT doc_id, count(*)::BIGINT AS spannot_freq FROM kept GROUP BY 1
+"""
+
+
+def _block_join_sql() -> str:
+    """Replays retrieval.block_join_topk over chunk children: the
+    chunk_documents layout (whitespace tokens, list_slice — the proven
+    chunk gate recipe) re-tokenized with the simple analyzer, BM25 with
+    CHUNK-corpus statistics, parent = cid // pack, max per parent."""
+    ct = _BJ_CHUNK
+    return rf"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+         x -> x <> '') AS toks
+  FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tok
+      FROM w WHERE len(toks) > 0),
+e AS (SELECT doc_id, toks,
+             unnest(range(ceil(greatest(n_tok, 1) / {ct}.0)::BIGINT)) AS i
+      FROM n),
+ch AS (
+  SELECT doc_id * {_BJ_PACK} + i AS cid,
+         array_to_string(list_slice(toks, (i * {ct} + 1)::INT,
+                                    (i * {ct} + {ct})::INT), ' ') AS ctext
+  FROM e
+),
+ctoks AS (SELECT cid, unnest(list_filter(
+          regexp_split_to_array(lower(ctext), '[^a-z0-9]+'),
+          x -> x <> '')) AS term FROM ch),
+ctf AS (SELECT term, cid, count(*)::BIGINT AS tf FROM ctoks GROUP BY 1, 2),
+cdl AS (SELECT cid, count(*)::BIGINT AS doc_len FROM ctoks GROUP BY 1),
+cdft AS (SELECT term, count(*)::BIGINT AS df FROM ctf GROUP BY 1),
+cstats AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len) AS avgdl
+           FROM cdl),
+{_values_queries()},
+scored AS (
+  SELECT q.qid, ctf.cid,
+         sum( ln(1.0 + (s.n_docs - cdft.df + 0.5) / (cdft.df + 0.5))
+              * ctf.tf / (ctf.tf + {K1} * (1.0 - {B} + {B} * cdl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN cdft USING (term) JOIN ctf USING (term)
+  JOIN cdl ON ctf.cid = cdl.cid CROSS JOIN cstats s
+  GROUP BY q.qid, ctf.cid
+),
+par AS (
+  SELECT qid, cid // {_BJ_PACK} AS parent_id, max(s_raw) AS s
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, parent_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s DESC, parent_id ASC)::BIGINT AS rank,
+         round(s, 4) AS score
+  FROM par
+)
+SELECT qid, parent_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _common_terms_sql() -> str:
+    """Replays retrieval.common_terms_query: the rare/common df split
+    rides the scoring join as a flag; docs need >= 1 rare match unless
+    the query has no in-vocab rare terms (plain-OR rewrite)."""
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in _CT_QUERIES
+        for t in text.lower().split()
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+q(qid, term) AS (VALUES {rows}),
+fq AS (
+  SELECT q.qid, q.term, dft.df,
+         CASE WHEN dft.df <= {_CT_MAX_DF_RATIO} * s.n_docs
+              THEN 1 ELSE 0 END AS is_rare
+  FROM q JOIN dft USING (term) CROSS JOIN stats s
+),
+hr AS (SELECT qid, max(is_rare) AS has_rare FROM fq GROUP BY 1),
+scored AS (
+  SELECT fq.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - fq.df + 0.5) / (fq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw,
+         sum(fq.is_rare) AS n_rare
+  FROM fq JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY fq.qid, tf.doc_id
+),
+cand AS (
+  SELECT s.qid, s.doc_id, s.s_raw FROM scored s JOIN hr USING (qid)
+  WHERE hr.has_rare = 0 OR s.n_rare > 0
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM cand
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+_DIVERGENCE_SQL = f"""
+WITH {_TOKS}, {_TF},
+st AS (SELECT d.source AS stratum, tf.term, sum(tf.tf)::BIGINT AS cf_s
+       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+tt AS (SELECT stratum, sum(cf_s)::BIGINT AS t_s FROM st GROUP BY 1),
+tc AS (SELECT term, sum(cf_s)::BIGINT AS cf FROM st GROUP BY 1),
+tot AS (SELECT sum(cf)::BIGINT AS t FROM tc)
+SELECT st.stratum, count(*)::BIGINT AS n_terms,
+       round(sum((st.cf_s / tt.t_s)
+                 * ln((st.cf_s / tt.t_s) / (tc.cf / tot.t))), 4) AS kl
+FROM st JOIN tc USING (term) JOIN tt USING (stratum) CROSS JOIN tot
+GROUP BY 1
+"""
+
+
 # --------------------------------------------- verbose-qsel oracle SQL
 
 VERBOSE_QUERIES: list[tuple[str, str]] = [
@@ -4058,6 +4219,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("qid", "bucket", "n_docs")
 
+    def span_not(spark, sf):
+        # SpanNotQuery: exact "slow hash" spans without 'batch' inside
+        # the pre/post-widened window
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.span_not_query(
+            pos, _PHRASE[:2], _SPANNOT_EXCLUDE,
+            pre=_SPANNOT_PRE, post=_SPANNOT_POST,
+        ).select("doc_id", "spannot_freq")
+
+    def block_join(spark, sf):
+        # ToParentBlockJoinQuery (ScoreMode.Max): BM25 over chunk
+        # children with packed ids, parents take their best child
+        chunks = ts.chunk_documents(
+            _docs(spark, sf), content_col="text",
+            chunk_tokens=_BJ_CHUNK, overlap=0,
+        )
+        children = chunks.select(
+            (F.col("doc_id") * _BJ_PACK + F.col("chunk_idx")).alias(
+                "doc_id"
+            ),
+            "chunk_text",
+        )
+        cidx = ix.build_index(
+            children, ix.IndexConfig(analyzer=SIMPLE),
+            content_col="chunk_text", cache=False,
+        )
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.block_join_topk(cidx, qt, parent_pack=_BJ_PACK, k=TOPK)
+        return run.select(
+            "qid", "parent_id", "rank", F.round("score", 4).alias("score")
+        )
+
+    def common_terms(spark, sf):
+        # CommonTermsQuery: high-df terms score but cannot select
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, _CT_QUERIES, SIMPLE)
+        run = rt.common_terms_query(
+            idx, qt, max_df_ratio=_CT_MAX_DF_RATIO, k=TOPK
+        )
+        return run.select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+
+    def corpus_divergence(spark, sf):
+        # per-source unigram-LM KL vs the whole corpus (mix drift)
+        idx = _index(spark, sf)
+        strata = _docs(spark, sf).select(
+            "doc_id", F.col("source").alias("stratum")
+        )
+        out = ts.stratum_divergence(idx.postings, strata)
+        return out.select(
+            "stratum", "n_terms", F.round("kl", 4).alias("kl")
+        )
+
     def verbose_qsel(spark, sf):
         # max-avg-idf sliding-window verbose-query reduction
         # (reference: qsel/QuerySelector.java:69-96)
@@ -5117,6 +5335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": rescore_run,
         "range_facets": range_facets,
         "run_wilcoxon": run_wilcoxon,
+        "span_not": span_not,
+        "block_join": block_join,
+        "common_terms": common_terms,
+        "corpus_divergence": corpus_divergence,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
         "verbose_qsel": verbose_qsel,
@@ -5288,6 +5510,10 @@ def oracle_sql() -> dict[str, str]:
         "rescore_topk": _rescore_sql(),
         "range_facets": _range_facets_sql(),
         "run_wilcoxon": _run_wilcoxon_sql(),
+        "span_not": _span_not_sql(),
+        "block_join": _block_join_sql(),
+        "common_terms": _common_terms_sql(),
+        "corpus_divergence": _DIVERGENCE_SQL,
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),
         "verbose_qsel": _QSEL_SQL,

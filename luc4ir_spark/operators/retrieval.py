@@ -639,6 +639,169 @@ def span_first_query(
     )
 
 
+def span_not_query(
+    positional: DataFrame,
+    include: list[str],
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """Lucene SpanNotQuery: occurrences of the exact ``include`` phrase
+    whose span — widened by ``pre`` tokens before the start and
+    ``post`` after the end (SpanNotQuery's pre/post constructor) — does
+    NOT contain an occurrence of ``exclude``. -> (doc_id,
+    spannot_freq) = count of surviving phrase starts.
+
+    Plan: the shifted array-intersect chain of ``phrase_query``
+    produces the match END positions per doc; ONE left join brings in
+    the exclusion term's position array (absent -> empty) and a per-row
+    array filter drops ends e where some exclusion position x falls in
+    [e-(n-1)-pre, e+post]. Same doc_id equi-join shape as the phrase
+    chain — per-row work bounded by occurrence counts, no explode."""
+    if not include:
+        raise ValueError("span_not_query: empty include phrase")
+    positional = positional.localCheckpoint(eager=False)
+    cur = positional.filter(F.col("term") == include[0]).select(
+        "doc_id", F.col("positions").alias("s")
+    )
+    for t in include[1:]:
+        nxt = positional.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("_p")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "s",
+                F.array_intersect(
+                    F.transform("s", lambda x: x + F.lit(1)), F.col("_p")
+                ),
+            )
+            .filter(F.size("s") > 0)
+            .drop("_p")
+        )
+    n = len(include)
+    ex = positional.filter(F.col("term") == exclude).select(
+        "doc_id", F.col("positions").alias("_x")
+    )
+    lo_off = F.lit(n - 1 + pre)
+    hi_off = F.lit(post)
+    kept = (
+        cur.join(ex, "doc_id", "left")
+        .withColumn(
+            "_x",
+            F.coalesce(F.col("_x"), F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "s",
+            F.filter(
+                "s",
+                lambda e: ~F.exists(
+                    F.col("_x"),
+                    lambda x: (x >= e - lo_off) & (x <= e + hi_off),
+                ),
+            ),
+        )
+    )
+    return kept.filter(F.size("s") > 0).select(
+        "doc_id", F.size("s").cast("long").alias("spannot_freq")
+    )
+
+
+def block_join_topk(
+    child_index: InvertedIndex,
+    query_terms: DataFrame,
+    parent_pack: int,
+    k: int = 10,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """ToParentBlockJoinQuery (ScoreMode.Max) parity: children (e.g.
+    the chunks of ``textstats.chunk_documents``) are indexed with
+    packed ids ``parent_id * parent_pack + child_idx``; queries score
+    the CHILD index and each parent takes its best child's score, then
+    parents are ranked. -> (qid, parent_id, rank, score).
+
+    Plan: the single-scan disjunctive scorer over the child postings,
+    one integer-division projection to recover the parent (zero joins —
+    the packed id IS the block mapping, like Lucene's contiguous
+    parent/child doc-id blocks), a map-side-combinable max per
+    (qid, parent), and the usual top-k window."""
+    child = _plain_scores(child_index, query_terms, sim or Similarity())
+    rolled = (
+        child.withColumn(
+            "parent_id", F.expr(f"doc_id DIV {int(parent_pack)}")
+        )
+        .groupBy("qid", "parent_id")
+        .agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("parent_id").asc()
+    )
+    return (
+        rolled.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "parent_id", "rank", "score")
+    )
+
+
+def common_terms_query(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    max_df_ratio: float = 0.5,
+    k: int = 1000,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """CommonTermsQuery parity (Lucene queries module): query terms
+    with df > ``max_df_ratio``·N are "common" — they contribute to the
+    score but cannot select documents on their own. A document is a
+    candidate only if it matches at least one RARE query term; when a
+    query has NO in-vocabulary rare terms the query degrades to the
+    plain OR over its common terms (Lucene's rewrite when the
+    low-frequency clause is empty). Same single broadcast postings
+    scan as ``score_queries`` — the rare/common split rides the scan
+    as a flag, exactly like the MUST counter."""
+    sim = sim or Similarity()
+    qt = query_terms
+    if "weight" not in qt.columns:
+        qt = qt.withColumn("weight", F.lit(1.0))
+    ts = index.term_stats.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    cutoff = float(max_df_ratio) * float(index.stats.n_docs)
+    qt_e = (
+        qt.join(F.broadcast(ts), "term")
+        .withColumn("idf", idf_lucene(F.col("df"), index.stats.n_docs))
+        .withColumn(
+            "is_rare",
+            (F.col("df") <= F.lit(cutoff)).cast("int"),
+        )
+    )
+    has_rare = qt_e.groupBy("qid").agg(
+        F.max("is_rare").alias("has_rare")
+    )
+    contrib = _per_posting_score(sim, index.stats, qt_e.columns)
+    matched = (
+        index.postings.join(F.broadcast(qt_e), "term")
+        .select("qid", "doc_id", contrib.alias("contrib"), "is_rare")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.sum("is_rare").alias("n_rare_matched"),
+        )
+        .join(F.broadcast(has_rare), "qid")
+        .filter(
+            (F.col("has_rare") == 0) | (F.col("n_rare_matched") > 0)
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
 def multi_phrase_query(
     positional: DataFrame, steps: list[list[str]]
 ) -> DataFrame:

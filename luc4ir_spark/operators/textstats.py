@@ -953,3 +953,50 @@ def char_entropy(
         n.cast("long").alias("n_chars_total"),
         ent.alias("entropy"),
     )
+
+
+def stratum_divergence(
+    postings: DataFrame,
+    doc_strata: DataFrame,
+    stratum_col: str = "stratum",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix drift monitor: KL(P_stratum || P_corpus) between
+    each stratum's unigram LM and the whole-corpus LM, computed from
+    the inverted index's flat postings (term, doc_id, tf) — no
+    re-tokenization, no token explode. ``doc_strata`` maps doc_id to
+    its stratum (source, language, crawl snapshot, ...). Every stratum
+    term exists in the corpus LM by construction, so no smoothing is
+    needed and KL is finite. -> (stratum, n_terms, kl).
+
+    Plan: ONE postings scan joined to the (broadcastable) stratum map
+    feeds a (stratum, term) partial-agg; that compact table — at most
+    |strata|·|vocab| rows — is localCheckpoint-ed (three consumers:
+    stratum totals, corpus marginals, the KL join; plan dedup would
+    otherwise recompute the shuffle per consumer) and everything after
+    is vocab-sized. At 100 TB the only corpus-sized work is the first
+    scan's map side."""
+    strata = doc_strata.select(
+        F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum")
+    )
+    tf_s = (
+        postings.join(strata, "doc_id")
+        .groupBy("stratum", "term")
+        .agg(F.sum("tf").alias("cf_s"))
+        .localCheckpoint(eager=False)
+    )
+    tot_s = tf_s.groupBy("stratum").agg(F.sum("cf_s").alias("t_s"))
+    tf_c = tf_s.groupBy("term").agg(F.sum("cf_s").alias("cf"))
+    tot = tf_c.agg(F.sum("cf").alias("t"))
+    p_s = F.col("cf_s") / F.col("t_s")
+    p_c = F.col("cf") / F.col("t")
+    return (
+        tf_s.join(tf_c, "term")
+        .join(tot_s, "stratum")
+        .crossJoin(tot)
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(p_s * F.log(p_s / p_c)).alias("kl"),
+        )
+    )

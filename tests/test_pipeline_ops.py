@@ -1407,3 +1407,34 @@ def test_mask_spans_pure_python_replay(spark):
 
     with pytest.raises(ValueError):
         textstats.mask_spans(docs, span_len=3, stride=2)
+
+
+def test_stratum_divergence_hand_computed(spark):
+    """Two strata over a 3-term corpus: KL computed in pure Python."""
+    import math as m
+
+    from luc4ir_spark.operators import textstats as tsm
+
+    postings = spark.createDataFrame(
+        [("a", 1, 2), ("b", 1, 1), ("a", 2, 1), ("c", 2, 3)],
+        "term string, doc_id long, tf long",
+    )
+    strata = spark.createDataFrame(
+        [(1, "s1"), (2, "s2")], "doc_id long, stratum string"
+    )
+    out = {
+        r["stratum"]: (r["n_terms"], r["kl"])
+        for r in tsm.stratum_divergence(postings, strata).collect()
+    }
+    cf = {"a": 3, "b": 1, "c": 3}
+    t = 7
+    s1 = {"a": 2, "b": 1}
+    s2 = {"a": 1, "c": 3}
+    for name, d in (("s1", s1), ("s2", s2)):
+        ts_ = sum(d.values())
+        kl = sum(
+            (v / ts_) * m.log((v / ts_) / (cf[k] / t))
+            for k, v in d.items()
+        )
+        assert out[name][0] == len(d)
+        assert out[name][1] == pytest.approx(kl, rel=1e-12), name

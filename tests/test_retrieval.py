@@ -1399,3 +1399,87 @@ def test_range_facet_counts(spark):
         ("q1", "lo"): 1, ("q1", "hi"): 2, ("q1", "wide"): 3,
         ("q2", "hi"): 1, ("q2", "wide"): 1,
     }
+
+
+def test_span_not_query(spark):
+    """Hand-built positions: 'a b' spans at 0 and 5; exclusion 'x' at 7
+    kills the second span when post >= 1 (span [5,6] widened to [5,7])
+    but not with post=0."""
+    from luc4ir_spark.operators import indexer as ixm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b x"), (2, "a b c")],
+        "doc_id long, tokens_src string",
+    ).select(
+        "doc_id", F.split("tokens_src", " ").alias("tokens")
+    )
+    pos = ixm.build_positional_postings(docs)
+    strict = {
+        r["doc_id"]: r["spannot_freq"]
+        for r in rt.span_not_query(pos, ["a", "b"], "x", 0, 0).collect()
+    }
+    assert strict == {1: 2, 2: 1}  # x at 7 outside both [0,1] and [5,6]
+    widened = {
+        r["doc_id"]: r["spannot_freq"]
+        for r in rt.span_not_query(pos, ["a", "b"], "x", 0, 1).collect()
+    }
+    assert widened == {1: 1, 2: 1}  # [5,6]+post reaches 7 -> dropped
+    pre = {
+        r["doc_id"]: r["spannot_freq"]
+        for r in rt.span_not_query(pos, ["a", "b"], "c", 1, 0).collect()
+    }
+    # 'c' at 2: span [0,1] survives (c after), span [5,6] pre-window
+    # reaches 4 (no c) -> both survive; doc 2's [0,1] has c at 2 outside
+    assert pre == {1: 2, 2: 1}
+
+
+def test_block_join_topk(spark):
+    """Two parents, packed child ids; parent score = max child."""
+    children = spark.createDataFrame(
+        [
+            (1 * 100 + 0, "spark spark spark"),
+            (1 * 100 + 1, "pasta"),
+            (2 * 100 + 0, "spark"),
+            (2 * 100 + 1, "cooking"),
+        ],
+        "doc_id long, chunk_text string",
+    )
+    from luc4ir_spark.operators import indexer as ixm
+
+    cidx = ixm.build_index(
+        children, ixm.IndexConfig(analyzer=EN),
+        content_col="chunk_text", cache=False,
+    )
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    out = rt.block_join_topk(cidx, qt, parent_pack=100, k=10).collect()
+    got = {r["parent_id"]: (r["rank"], r["score"]) for r in out}
+    assert set(got) == {1, 2}
+    # child scores: per-chunk BM25; parent 1's best is the tf=3 chunk
+    per_child = {
+        r["doc_id"]: r["score"]
+        for r in rt.score_queries(cidx, qt, k=10).collect()
+    }
+    assert got[1][1] == pytest.approx(per_child[100], rel=1e-12)
+    assert got[2][1] == pytest.approx(per_child[200], rel=1e-12)
+    assert got[1][0] == 1 if per_child[100] > per_child[200] else 2
+
+
+def test_common_terms_query(spark, index):
+    """'pasta' (df=1) is rare at ratio 0.4 (cutoff 2.4); 'quick'
+    (df=2) is not... cutoff math: rare iff df <= ratio*N."""
+    # N=6; ratio=0.3 -> cutoff 1.8: rare = df 1 terms only
+    qt = rt.queries_to_terms(spark, [("c1", "quick pasta")], EN)
+    run = rt.common_terms_query(
+        index, qt, max_df_ratio=0.3, k=10
+    ).collect()
+    # only doc 4 contains 'pasta'; 'quick' docs 0/3 are excluded
+    assert {r["doc_id"] for r in run} == {4}
+    # no rare terms -> plain OR over common terms
+    qt2 = rt.queries_to_terms(spark, [("c2", "quick spark")], EN)
+    run2 = rt.common_terms_query(
+        index, qt2, max_df_ratio=0.3, k=10
+    ).collect()
+    plain = rt.score_queries(index, qt2, k=10).collect()
+    assert {(r["doc_id"], r["rank"]) for r in run2} == {
+        (r["doc_id"], r["rank"]) for r in plain
+    }
