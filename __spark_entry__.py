@@ -2064,6 +2064,107 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ------------- facet hierarchy / risk eval / importance / sig terms
+
+_SIG_TOPM = 5             # significant-terms gate: top terms per query
+_IMP_SEED = 11            # importance-sample gate: mix seed
+_IMP_RES = 10000
+_IMP_SCALE = 100.0        # logit damping so sigmoid isn't saturated
+
+
+def _facet_hierarchy_sql() -> str:
+    """Replays retrieval.facet_hierarchy via GROUPING SETS — the same
+    prefix-depth combos Catalyst's rollup emits after the qid-bit
+    filter; NULL subtotal cells coalesced to '(all)' on both sides."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id FROM ranked WHERE rank <= {TOPK}),
+j AS (SELECT r.qid, d.source, d.lang
+      FROM run r JOIN documents d USING (doc_id))
+SELECT qid, coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang, count(*)::BIGINT AS n_docs
+FROM j
+GROUP BY GROUPING SETS ((qid, source, lang), (qid, source), (qid))
+"""
+
+
+def _risk_eval_sql() -> str:
+    """Replays evaluation.risk_metric (URisk, alpha=1) over the same
+    per-query AP pair as the ttest/wilcoxon gates."""
+    return f"""
+WITH {_ap_pair_prefix()},
+d AS (SELECT round(a.ap - b.ap, 4) AS d
+      FROM ap_a a JOIN ap_b b USING (qid))
+SELECT count(*)::BIGINT AS n,
+       sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_wins,
+       sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS n_losses,
+       round((sum(CASE WHEN d > 0 THEN d ELSE 0.0 END)
+              - 2.0 * sum(CASE WHEN d < 0 THEN -d ELSE 0.0 END))
+             / count(*), 4) AS urisk
+FROM d
+"""
+
+
+def _importance_sample_sql() -> str:
+    """Replays utilsops.sample_by_score over the damped classifier
+    sigmoid: the INTEGER md5 weights keep the logit fold-order-exact
+    (classifier gate convention), the /_IMP_SCALE damping keeps the
+    sigmoid off its saturated tails, and the keep rule is the portable
+    mix bucket < floor(p·resolution)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    bucket = (
+        f"(({hx.MIX_A} * ((doc_id + {_IMP_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P}) % {_IMP_RES}"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+w AS (SELECT DISTINCT term, {_CLS_WEIGHT_SQL} AS weight FROM toks),
+s AS (SELECT tf.doc_id, sum(tf.tf * w.weight) / dl.doc_len AS logit
+      FROM tf JOIN w USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id, dl.doc_len),
+p AS (SELECT doc_id,
+             1.0 / (1.0 + exp(-(logit / {_IMP_SCALE}))) AS p
+      FROM s)
+SELECT doc_id, round(p, 4) AS p FROM p
+WHERE {bucket} < floor(p * {_IMP_RES}.0)::BIGINT
+"""
+
+
+def _significant_terms_sql() -> str:
+    """Replays feedback.significant_terms over the BM25 run's
+    top-FDBK_DOCS feedback sets (the _BM25_RUN_CTES topm table):
+    sig = tf_fb * ln((tf_fb/T_fb)/(cf/T))."""
+    return f"""
+WITH {_BM25_RUN_CTES},
+fbt AS (SELECT t.qid, tf.term, sum(tf.tf)::BIGINT AS tf_fb
+        FROM topm t JOIN tf ON tf.doc_id = t.doc_id GROUP BY 1, 2),
+tot AS (SELECT qid, sum(tf_fb)::BIGINT AS t_fb FROM fbt GROUP BY 1),
+sg AS (
+  SELECT fbt.qid, fbt.term,
+         fbt.tf_fb * ln((fbt.tf_fb / tot.t_fb)
+                        / (dft.cf / s.total_tokens)) AS sig
+  FROM fbt JOIN dft USING (term) JOIN tot USING (qid)
+  CROSS JOIN stats s
+),
+r AS (
+  SELECT qid, term, sig,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sig DESC, term ASC)::BIGINT AS rank
+  FROM sg
+)
+SELECT qid, term, rank, round(sig, 4) AS sig
+FROM r WHERE rank <= {_SIG_TOPM}
+"""
+
+
 _DIVERGENCE_SQL = f"""
 WITH {_TOKS}, {_TF},
 st AS (SELECT d.source AS stratum, tf.term, sum(tf.tf)::BIGINT AS cf_s
@@ -4276,6 +4377,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stratum", "n_terms", F.round("kl", 4).alias("kl")
         )
 
+    def facet_hierarchy(spark, sf):
+        # taxonomy drill-down facets: counts at every (source, lang)
+        # prefix depth of the BM25 top-k run, one rollup pass
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = rt.facet_hierarchy(
+            run, _docs(spark, sf), levels=["source", "lang"]
+        )
+        return out.select("qid", "source", "lang", "n_docs")
+
+    def risk_eval(spark, sf):
+        # URisk (alpha=1) over the same AP pair as run_ttest
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        qrels = _pseudo_qrels(spark, sf)
+        excl = spark.createDataFrame(
+            [(qid, _EXCLUDE_TERM) for qid, _ in QUERY_SET],
+            "qid string, term string",
+        )
+
+        def perq(run):
+            return ev.per_query_metrics(
+                run.withColumn("docid", F.col("doc_id").cast("string")),
+                qrels, p_at=5, ndcg_at=10,
+            )
+
+        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pb = perq(rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl))
+        r = ev.risk_metric(pa, pb, metric_col="ap", alpha=1.0)
+        return r.select(
+            "n", "n_wins", "n_losses",
+            F.round("urisk", 4).alias("urisk"),
+        )
+
+    def importance_sample(spark, sf):
+        # quality-weighted soft sampling: keep-probability = damped
+        # classifier sigmoid, decided by the portable mix bucket
+        idx = _index(spark, sf)
+        sid = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast(
+            "long"
+        )
+        wts = idx.term_stats.select(
+            "term",
+            (F.pmod(sid, F.lit(2001)) - 1000).cast("double").alias(
+                "weight"
+            ),
+        )
+        scored = ts.classifier_score(
+            _docs(spark, sf), wts, bias=0.0, threshold=0.5,
+            content_col="text",
+        )
+        p = (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("logit") / F.lit(_IMP_SCALE))))
+        ).alias("p")
+        kept = ut.sample_by_score(
+            scored.select("doc_id", p), "p",
+            seed=_IMP_SEED, resolution=_IMP_RES,
+        )
+        return kept.select("doc_id", F.round("p", 4).alias("p"))
+
+    def significant_terms(spark, sf):
+        # ES significant-text: terms over-represented in each query's
+        # feedback set vs the corpus LM
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = fb.significant_terms(
+            idx, run, num_top_docs=FDBK_DOCS, top_m=_SIG_TOPM
+        )
+        return out.select(
+            "qid", "term", "rank", F.round("sig", 4).alias("sig")
+        )
+
     def verbose_qsel(spark, sf):
         # max-avg-idf sliding-window verbose-query reduction
         # (reference: qsel/QuerySelector.java:69-96)
@@ -5339,6 +5515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join": block_join,
         "common_terms": common_terms,
         "corpus_divergence": corpus_divergence,
+        "facet_hierarchy": facet_hierarchy,
+        "risk_eval": risk_eval,
+        "importance_sample": importance_sample,
+        "significant_terms": significant_terms,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
         "verbose_qsel": verbose_qsel,
@@ -5514,6 +5694,10 @@ def oracle_sql() -> dict[str, str]:
         "block_join": _block_join_sql(),
         "common_terms": _common_terms_sql(),
         "corpus_divergence": _DIVERGENCE_SQL,
+        "facet_hierarchy": _facet_hierarchy_sql(),
+        "risk_eval": _risk_eval_sql(),
+        "importance_sample": _importance_sample_sql(),
+        "significant_terms": _significant_terms_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),
         "verbose_qsel": _QSEL_SQL,

@@ -644,3 +644,45 @@ def rank_correlation(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
             ).alias("tau"),
         )
     )
+
+
+def risk_metric(
+    per_query_a: DataFrame,
+    per_query_b: DataFrame,
+    metric_col: str = "ap",
+    qid_col: str = "qid",
+    alpha: float = 1.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Risk-sensitive utility URisk (Wang, Bennett & Collins-Thompson
+    SIGIR'12; the TREC Web track risk-sensitive task measure): with
+    per-query deltas d = m_a - m_b against the baseline system b,
+    URisk_alpha = (1/n)·(Σ_{d>0} d − (1+alpha)·Σ_{d<0} |d|) — losses
+    against the baseline are penalized (1+alpha)×. Deltas are rounded
+    to ``round_dp`` first (cross-engine-stable win/loss classification,
+    same convention as `wilcoxon_signed_rank`). -> one row
+    (n, n_wins, n_losses, urisk); topics-sized scalar reduction."""
+    a = per_query_a.select(
+        F.col(qid_col).alias("qid"), F.col(metric_col).alias("_ma")
+    )
+    b = per_query_b.select(
+        F.col(qid_col).alias("qid"), F.col(metric_col).alias("_mb")
+    )
+    d = a.join(b, "qid").select(
+        F.round(F.col("_ma") - F.col("_mb"), round_dp).alias("d")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("d") > 0).cast("long")).alias("n_wins"),
+        F.sum((F.col("d") < 0).cast("long")).alias("n_losses"),
+        (
+            (
+                F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0.0))
+                - F.lit(1.0 + alpha)
+                * F.sum(
+                    F.when(F.col("d") < 0, -F.col("d")).otherwise(0.0)
+                )
+            )
+            / F.count(F.lit(1))
+        ).alias("urisk"),
+    )

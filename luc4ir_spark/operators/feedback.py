@@ -53,6 +53,50 @@ def topdocs_term_stats(
     )
 
 
+def significant_terms(
+    index: InvertedIndex,
+    run: DataFrame,
+    num_top_docs: int = 10,
+    top_m: int = 5,
+) -> DataFrame:
+    """Significant-terms aggregation (Elasticsearch significant_text /
+    the analytics face of relevance feedback): per query, the terms
+    most over-represented in its top-``num_top_docs`` documents
+    relative to the whole corpus, scored by the weighted log-odds
+    contribution sig = tf_fb · ln((tf_fb/T_fb) / (cf/T)). The RM
+    weights (F2/F3) answer "what should I add to the query"; this
+    answers "what characterizes the result set" — the drill-in panel a
+    corpus-exploration UI shows. -> (qid, term, rank, sig), rank by
+    sig desc then term asc, top ``top_m`` per query.
+
+    Plan: the feedback-set postings join (`topdocs_term_stats` shape),
+    one (qid, term) partial agg — queries×top-docs sized, tiny — then
+    the vocab join runs with the AGGREGATED side broadcast, so the
+    term dictionary is never shuffled."""
+    fb = topdocs_term_stats(index, run, num_top_docs)
+    tf_fb = fb.groupBy("qid", "term").agg(
+        F.sum("tf").alias("tf_fb")
+    )
+    tot_fb = tf_fb.groupBy("qid").agg(F.sum("tf_fb").alias("t_fb"))
+    t_corpus = float(index.stats.total_tokens)
+    joined = index.term_stats.select("term", "cf").join(
+        F.broadcast(tf_fb), "term"
+    ).join(F.broadcast(tot_fb), "qid")
+    sig = F.col("tf_fb") * F.log(
+        (F.col("tf_fb") / F.col("t_fb"))
+        / (F.col("cf") / F.lit(t_corpus))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sig").desc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("sig", sig)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_m)
+        .select("qid", "term", "rank", "sig")
+    )
+
+
 def relevance_model(
     index: InvertedIndex,
     run: DataFrame,

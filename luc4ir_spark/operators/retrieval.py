@@ -1644,6 +1644,40 @@ def facet_counts(
     )
 
 
+def facet_hierarchy(
+    run: DataFrame,
+    docs: DataFrame,
+    levels: list[str],
+    id_col: str = "doc_id",
+    fill: str = "(all)",
+) -> DataFrame:
+    """Hierarchical (taxonomy) facet counts — Lucene's taxonomy facets
+    drill-down tree at the logical level: per query, hit counts at
+    EVERY prefix depth of ``levels`` (e.g. source, then source/lang) in
+    one pass. Catalyst's native rollup does this as a single Expand +
+    one aggregation — no per-level rescan or union. Subtotal rows get
+    ``fill`` in their aggregated level columns (assumes the level
+    columns themselves are non-null); the all-queries grand total is
+    dropped via the grouping_id qid bit so qid is always concrete."""
+    j = run.select("qid", "doc_id").join(
+        docs.select(F.col(id_col).alias("doc_id"), *levels), "doc_id"
+    )
+    out = (
+        j.rollup("qid", *levels)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.grouping_id().alias("_gid"),
+        )
+        .filter(F.col("_gid") < (1 << len(levels)))
+    )
+    sel = (
+        [F.col("qid")]
+        + [F.coalesce(F.col(c), F.lit(fill)).alias(c) for c in levels]
+        + [F.col("n_docs")]
+    )
+    return out.select(*sel)
+
+
 def range_facet_counts(
     run: DataFrame,
     docs: DataFrame,

@@ -226,3 +226,33 @@ def sample_token_budget(
         .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
         .select("doc_id", "stratum", "n_tokens", "cum_tokens")
     )
+
+
+def sample_by_score(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    resolution: int = 10000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability equal to its per-row ``score_col`` in [0, 1] — the
+    quality-weighted soft-sampling step of DCLM/RefinedWeb-style
+    pipelines (better documents survive more often, bad ones still get
+    a chance), as a pure scan-local filter:
+    ``pmod(mix(id + seed), resolution) < floor(score·resolution)``.
+    Same engine-portable mix as ``sample_hash_stratified`` — no
+    shuffle, reproducible across runs/cluster sizes/engines, and
+    CONSISTENT: raising a row's score can only add it, so re-weighted
+    quality models produce supersets where scores only improved.
+    Scores outside [0, 1] degrade gracefully (<=0 never kept, >=1
+    always kept)."""
+    from ..functions.hashing import mix_id_expr
+
+    cut = F.floor(
+        F.col(score_col) * F.lit(float(resolution))
+    ).cast("long")
+    bucket = F.pmod(
+        mix_id_expr(F.col(id_col) + F.lit(seed)), F.lit(resolution)
+    )
+    return df.filter(bucket < cut)

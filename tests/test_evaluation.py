@@ -448,3 +448,19 @@ def test_wilcoxon_rounding_stabilizes_ties(spark):
     assert row["n"] == 2
     assert row["w_plus"] == pytest.approx(3.0)
     assert row["w_minus"] == pytest.approx(0.0)
+
+
+def test_risk_metric_hand_computed(spark):
+    """Deltas {+0.2, -0.1, 0}: URisk_1 = (0.2 - 2*0.1)/3 = 0."""
+    a = spark.createDataFrame(
+        [("q1", 0.5), ("q2", 0.3), ("q3", 0.4)], "qid string, ap double"
+    )
+    b = spark.createDataFrame(
+        [("q1", 0.3), ("q2", 0.4), ("q3", 0.4)], "qid string, ap double"
+    )
+    row = ev.risk_metric(a, b, alpha=1.0).collect()[0]
+    assert row["n"] == 3
+    assert row["n_wins"] == 1 and row["n_losses"] == 1
+    assert row["urisk"] == pytest.approx(0.0, abs=1e-12)
+    row2 = ev.risk_metric(a, b, alpha=4.0).collect()[0]
+    assert row2["urisk"] == pytest.approx((0.2 - 5 * 0.1) / 3)

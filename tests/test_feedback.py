@@ -220,3 +220,44 @@ def test_diversity_rerank(spark, setup):
             key=lambda kd: base[kd]["rank"],
         )[1]
         assert rows[0]["doc_id"] == top_doc
+
+
+def test_significant_terms_hand_computed(spark):
+    """Feedback set = top-1 doc; sig replayed in pure Python."""
+    import math as m
+
+    from luc4ir_spark.operators import feedback as fbm
+    from luc4ir_spark.operators import indexer as ixm
+    from luc4ir_spark.operators import retrieval as rtm
+    from luc4ir_spark.functions.analysis import AnalyzerConfig
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana"),
+            (1, "banana cherry cherry cherry"),
+            (2, "apple cherry date"),
+        ],
+        "doc_id long, content string",
+    )
+    idx = ixm.build_index(
+        docs, ixm.IndexConfig(analyzer=AnalyzerConfig(mode="simple")),
+        cache=False,
+    )
+    qt = rtm.queries_to_terms(
+        spark, [("q", "apple")], AnalyzerConfig(mode="simple")
+    )
+    run = rtm.score_queries(idx, qt, k=10)
+    out = fbm.significant_terms(idx, run, num_top_docs=1, top_m=5)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    # top-1 doc for 'apple' is doc 0 (tf=2, shortest): fb set
+    # {apple: 2, banana: 1}, T_fb=3; corpus cf: apple 3, banana 2,
+    # cherry 4, date 1, T=10
+    exp = {
+        "apple": 2 * m.log((2 / 3) / (3 / 10)),
+        "banana": 1 * m.log((1 / 3) / (2 / 10)),
+    }
+    assert [r["term"] for r in rows] == sorted(
+        exp, key=lambda t: -exp[t]
+    )
+    for r in rows:
+        assert r["sig"] == pytest.approx(exp[r["term"]], rel=1e-12)

@@ -1438,3 +1438,26 @@ def test_stratum_divergence_hand_computed(spark):
         )
         assert out[name][0] == len(d)
         assert out[name][1] == pytest.approx(kl, rel=1e-12), name
+
+
+def test_sample_by_score(spark):
+    from luc4ir_spark.operators import utilsops as uo
+
+    df = spark.createDataFrame(
+        [(i, 0.0) for i in range(50)]
+        + [(100 + i, 1.0) for i in range(50)]
+        + [(200 + i, 0.5) for i in range(200)],
+        "doc_id long, p double",
+    )
+    kept = uo.sample_by_score(df, "p", seed=3).collect()
+    ids = {r["doc_id"] for r in kept}
+    assert not any(i < 50 for i in ids)           # p=0 never kept
+    assert all(100 + i in ids for i in range(50))  # p=1 always kept
+    mid = sum(1 for i in ids if i >= 200)
+    assert 60 <= mid <= 140                        # ~half of 200
+    # consistency: raising scores only adds rows
+    more = uo.sample_by_score(
+        df.withColumn("p", F.least(F.col("p") + 0.25, F.lit(1.0))),
+        "p", seed=3,
+    ).collect()
+    assert ids <= {r["doc_id"] for r in more}

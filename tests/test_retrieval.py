@@ -1483,3 +1483,27 @@ def test_common_terms_query(spark, index):
     assert {(r["doc_id"], r["rank"]) for r in run2} == {
         (r["doc_id"], r["rank"]) for r in plain
     }
+
+
+def test_facet_hierarchy(spark):
+    run = spark.createDataFrame(
+        [("q1", 0, 1), ("q1", 1, 2), ("q1", 2, 3)],
+        "qid string, doc_id long, rank long",
+    )
+    docs = spark.createDataFrame(
+        [(0, "web", "en"), (1, "web", "es"), (2, "news", "en")],
+        "doc_id long, source string, lang string",
+    )
+    out = rt.facet_hierarchy(run, docs, levels=["source", "lang"])
+    got = {
+        (r["qid"], r["source"], r["lang"]): r["n_docs"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("q1", "web", "en"): 1,
+        ("q1", "web", "es"): 1,
+        ("q1", "news", "en"): 1,
+        ("q1", "web", "(all)"): 2,
+        ("q1", "news", "(all)"): 1,
+        ("q1", "(all)", "(all)"): 3,
+    }
