@@ -2165,6 +2165,80 @@ FROM r WHERE rank <= {_SIG_TOPM}
 """
 
 
+# ------------------- percolate / join-query / stats-agg oracle SQL
+
+_PERC_BODY = """
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+nq AS (SELECT qid, count(DISTINCT term)::BIGINT AS n_terms
+       FROM q GROUP BY 1),
+m AS (SELECT dt.doc_id, q.qid, count(DISTINCT q.term)::BIGINT AS n_matched
+      FROM q JOIN dt USING (term) GROUP BY 1, 2)
+SELECT m.doc_id, m.qid, m.n_matched
+FROM m JOIN nq USING (qid) WHERE m.n_matched = nq.n_terms
+"""
+
+
+def _percolate_sql() -> str:
+    """Replays retrieval.percolate(mode='all'): distinct doc terms ×
+    the registered query terms, all-MUST over the RAW term count (the
+    q4 impossible term keeps q4 from ever firing)."""
+    return f"WITH {_TOKS}, {_values_queries()},{_PERC_BODY}"
+
+
+def _percolate_streamed_sql() -> str:
+    """Batch replay of the percolate STREAM: wave 2 re-delivers docs
+    0/1 under shifted ids (percolation is stateless, so they match
+    again under the new ids) — the CTE shadows `documents` with the
+    union the stream saw."""
+    return f"""
+WITH documents AS (
+  SELECT doc_id, text FROM main.documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM main.documents
+  WHERE doc_id < 2
+),
+{_TOKS}, {_values_queries()},{_PERC_BODY}"""
+
+
+def _join_query_sql() -> str:
+    """Replays retrieval.join_query over source: from-matches = docs
+    with >= 1 query term, to-docs = every doc sharing a matched
+    source."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_values_queries()},
+qd AS (SELECT DISTINCT q.qid, tf.doc_id FROM q JOIN tf USING (term)),
+fv AS (SELECT DISTINCT qd.qid, d.source
+       FROM qd JOIN documents d USING (doc_id))
+SELECT DISTINCT fv.qid, d2.doc_id
+FROM fv JOIN documents d2 ON d2.source = fv.source
+"""
+
+
+def _stats_agg_sql() -> str:
+    """Replays retrieval.result_field_stats over the BM25 top-k run:
+    min/max/avg/stddev_samp/exact-median of n_chars. Spark's median()
+    INTERPOLATES the even-count middle; DuckDB's median() is discrete
+    for integers, so the oracle uses quantile_cont(v, 0.5)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id FROM ranked WHERE rank <= {TOPK}),
+vals AS (SELECT r.qid, d.n_chars * 1.0 AS v
+         FROM run r JOIN documents d USING (doc_id))
+SELECT qid, count(*)::BIGINT AS n,
+       round(min(v), 4) AS vmin, round(max(v), 4) AS vmax,
+       round(avg(v), 4) AS vavg, round(stddev_samp(v), 4) AS vstd,
+       round(quantile_cont(v, 0.5), 4) AS vmed
+FROM vals GROUP BY 1
+"""
+
+
 _DIVERGENCE_SQL = f"""
 WITH {_TOKS}, {_TF},
 st AS (SELECT d.source AS stratum, tf.term, sum(tf.tf)::BIGINT AS cf_s
@@ -4452,6 +4526,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "term", "rank", F.round("sig", 4).alias("sig")
         )
 
+    def percolate(spark, sf):
+        # reverse search: which registered queries does each doc
+        # satisfy entirely (all-MUST; q4's impossible term never fires)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = rt.percolate(
+            _docs(spark, sf), qt, mode="all", content_col="text"
+        )
+        return out.select("doc_id", "qid", "n_matched")
+
+    def percolate_streamed(spark, sf):
+        # the STREAMING percolator end-to-end: wave 1 = the corpus,
+        # wave 2 re-delivers docs 0/1 under shifted ids; percolation
+        # is stateless so the flushed set is the batch percolate of
+        # the union (which the oracle replays)
+        import shutil
+        import tempfile
+
+        from luc4ir_spark.streaming.percolate_stream import (
+            read_percolate_matches,
+            start_percolate_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_perc_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        docs = _docs(spark, sf).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        waves = [
+            docs,
+            docs.filter(F.col("doc_id") < 2).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "content"
+            ),
+        ]
+        try:
+            for wave in waves:
+                wave.write.mode("append").parquet(in_dir)
+                q = start_percolate_stream(spark, in_dir, out_dir, qt)
+                q.awaitTermination(300)
+            return read_percolate_matches(spark, out_dir).localCheckpoint()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def join_query(spark, sf):
+        # Lucene JoinUtil query-time join over source (ScoreMode.None)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = rt.join_query(idx, qt, _docs(spark, sf), field="source")
+        return out.select("qid", "doc_id")
+
+    def stats_agg(spark, sf):
+        # ES stats aggregation over the BM25 top-k hits (n_chars)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = rt.result_field_stats(
+            run, _docs(spark, sf), value_col="n_chars"
+        )
+        return out.select(
+            "qid", "n",
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+            F.round("vavg", 4).alias("vavg"),
+            F.round("vstd", 4).alias("vstd"),
+            F.round("vmed", 4).alias("vmed"),
+        )
+
     def verbose_qsel(spark, sf):
         # max-avg-idf sliding-window verbose-query reduction
         # (reference: qsel/QuerySelector.java:69-96)
@@ -5519,6 +5661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "risk_eval": risk_eval,
         "importance_sample": importance_sample,
         "significant_terms": significant_terms,
+        "percolate": percolate,
+        "percolate_streamed": percolate_streamed,
+        "join_query": join_query,
+        "stats_agg": stats_agg,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
         "verbose_qsel": verbose_qsel,
@@ -5698,6 +5844,10 @@ def oracle_sql() -> dict[str, str]:
         "risk_eval": _risk_eval_sql(),
         "importance_sample": _importance_sample_sql(),
         "significant_terms": _significant_terms_sql(),
+        "percolate": _percolate_sql(),
+        "percolate_streamed": _percolate_streamed_sql(),
+        "join_query": _join_query_sql(),
+        "stats_agg": _stats_agg_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),
         "verbose_qsel": _QSEL_SQL,

@@ -1644,6 +1644,131 @@ def facet_counts(
     )
 
 
+def percolate(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    mode: str = "all",
+    min_should_match: int = 1,
+    cfg: AnalyzerConfig | None = None,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reverse search — Lucene Monitor / Elasticsearch percolator:
+    match INCOMING documents against a REGISTERED query set instead of
+    queries against an index. ``mode='all'`` requires a doc to contain
+    EVERY term of a query (BooleanQuery all-MUST, counted over the RAW
+    registered term set, so a query with an impossible term never
+    fires); ``mode='any'`` fires on >= ``min_should_match`` distinct
+    matched terms. -> (doc_id, qid, n_matched).
+
+    Plan shape: docs here are an INCOMING BATCH (an alerting
+    micro-batch, a re-screening slice), not the corpus — the explode is
+    batch-bounded; the registered queries are the broadcast side, and
+    the (doc, query) match counts are one map-side-combinable groupBy.
+    Per-doc cost tracks matched registered terms, never the registry
+    size (unmatched queries are never materialized)."""
+    from .indexer import tokenize
+
+    cfg = cfg or AnalyzerConfig(mode="simple")
+    qt = query_terms.select("qid", "term").distinct()
+    n_q = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    doc_terms = (
+        tokenize(docs, cfg, id_col=id_col, content_col=content_col)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .distinct()
+    )
+    matched = (
+        doc_terms.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .join(F.broadcast(n_q), "qid")
+    )
+    if mode == "all":
+        matched = matched.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode == "any":
+        matched = matched.filter(
+            F.col("n_matched") >= F.lit(int(min_should_match))
+        )
+    else:
+        raise ValueError(f"percolate: unknown mode {mode!r}")
+    return matched.select("doc_id", "qid", "n_matched")
+
+
+def join_query(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    docs: DataFrame,
+    field: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-time join — Lucene JoinUtil.createJoinQuery with
+    ScoreMode.None: return the documents whose ``field`` value equals
+    the ``field`` of ANY document matching the from-query ("every doc
+    from a source that produced a match"). Constant score (no
+    per-term math), -> (qid, doc_id) distinct.
+
+    Plan: from-matches are one broadcast term semi-join over postings
+    (docs matching >= 1 query term), the from-values are a
+    per-query-tiny distinct field set, and the to-side expansion is an
+    equi-join of that (broadcastable) set against the doc metadata —
+    the corpus is scanned once and never shuffled; at scale the field
+    set becomes a DPP/runtime filter on a field-partitioned table."""
+    qd = (
+        index.postings.join(
+            F.broadcast(query_terms.select("qid", "term").distinct()),
+            "term",
+        )
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("_f")
+    )
+    from_vals = qd.join(meta, "doc_id").select("qid", "_f").distinct()
+    return (
+        meta.join(F.broadcast(from_vals), "_f")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+
+
+def result_field_stats(
+    run: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Numeric stats aggregation over a result set — the ES
+    stats/percentiles aggregation face of faceting: per query,
+    min/max/avg/sample-stddev/exact-median of a numeric doc attribute
+    across the run's hits. -> (qid, n, vmin, vmax, vavg, vstd, vmed).
+    Same broadcast-run metadata join as `facet_counts`; the aggregate
+    is run-sized (top-k per query), so the median's per-group sort is
+    bounded and never corpus-sized."""
+    v = F.col("_val").cast("double")
+    return (
+        run.select("qid", "doc_id")
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(value_col).alias("_val"),
+            ),
+            "doc_id",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            F.avg(v).alias("vavg"),
+            F.stddev_samp(v).alias("vstd"),
+            F.median(v).alias("vmed"),
+        )
+    )
+
+
 def facet_hierarchy(
     run: DataFrame,
     docs: DataFrame,

@@ -246,3 +246,43 @@ def test_streamed_hygiene_matches_batch(spark, tmp_path):
         if keep and d not in dup_losers
     }
     assert batch_kept == kept
+
+
+def test_percolate_stream_equals_batch(spark, tmp_path):
+    """Streamed percolate over two waves == batch percolate over the
+    union (stateless matching, exactly-once layout)."""
+    from luc4ir_spark.operators import retrieval as rt
+    from luc4ir_spark.streaming.percolate_stream import (
+        read_percolate_matches,
+        start_percolate_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    qt = spark.createDataFrame(
+        [("a", "spark"), ("a", "join"), ("b", "pasta")],
+        "qid string, term string",
+    )
+    w1 = spark.createDataFrame(
+        [(0, "spark join window"), (1, "pasta bowl")],
+        "doc_id long, content string",
+    )
+    w2 = spark.createDataFrame(
+        [(2, "spark join again"), (3, "nothing")],
+        "doc_id long, content string",
+    )
+    for wave in (w1, w2):
+        wave.write.mode("append").parquet(in_dir)
+        q = start_percolate_stream(spark, in_dir, out_dir, qt)
+        q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["qid"], r["n_matched"])
+        for r in read_percolate_matches(spark, out_dir).collect()
+    }
+    batch = {
+        (r["doc_id"], r["qid"], r["n_matched"])
+        for r in rt.percolate(
+            w1.unionByName(w2), qt, mode="all"
+        ).collect()
+    }
+    assert got == batch == {(0, "a", 2), (1, "b", 1), (2, "a", 2)}

@@ -1507,3 +1507,62 @@ def test_facet_hierarchy(spark):
         ("q1", "news", "(all)"): 1,
         ("q1", "(all)", "(all)"): 3,
     }
+
+
+def test_percolate_modes(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark join window"), (1, "spark only here"), (2, "pasta")],
+        "doc_id long, content string",
+    )
+    qt = spark.createDataFrame(
+        [("a", "spark"), ("a", "join"), ("b", "pasta"), ("c", "spark"),
+         ("c", "zzzmissing")],
+        "qid string, term string",
+    )
+    cfg = AnalyzerConfig(mode="simple")
+    allm = {
+        (r["doc_id"], r["qid"]): r["n_matched"]
+        for r in rt.percolate(docs, qt, mode="all", cfg=cfg).collect()
+    }
+    # q 'a' needs spark AND join -> doc 0 only; 'b' -> doc 2;
+    # 'c' has an impossible term -> never fires
+    assert allm == {(0, "a"): 2, (2, "b"): 1}
+    anym = {
+        (r["doc_id"], r["qid"])
+        for r in rt.percolate(
+            docs, qt, mode="any", min_should_match=1, cfg=cfg
+        ).collect()
+    }
+    assert anym == {(0, "a"), (1, "a"), (2, "b"), (0, "c"), (1, "c")}
+
+
+def test_join_query(spark, index):
+    docs = spark.createDataFrame(
+        [(d, ["s1", "s1", "s2", "s2", "s3", "s3"][d]) for d, _ in DOCS],
+        "doc_id long, src string",
+    )
+    qt = rt.queries_to_terms(spark, [("j1", "pasta")], EN)
+    out = {
+        (r["qid"], r["doc_id"])
+        for r in rt.join_query(index, qt, docs, field="src").collect()
+    }
+    # 'pasta' matches doc 4 (src s3) -> all s3 docs {4, 5}
+    assert out == {("j1", 4), ("j1", 5)}
+
+
+def test_result_field_stats(spark):
+    run = spark.createDataFrame(
+        [("q", d, r) for r, d in enumerate([0, 1, 2, 3], start=1)],
+        "qid string, doc_id long, rank long",
+    )
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 40), (3, 100)], "doc_id long, v long"
+    )
+    row = rt.result_field_stats(run, docs, value_col="v").collect()[0]
+    assert row["n"] == 4 and row["vmin"] == 10.0 and row["vmax"] == 100.0
+    assert row["vavg"] == pytest.approx(42.5)
+    assert row["vmed"] == pytest.approx(30.0)  # interpolated (20+40)/2
+    import statistics
+    assert row["vstd"] == pytest.approx(
+        statistics.stdev([10, 20, 40, 100])
+    )
