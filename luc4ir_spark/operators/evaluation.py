@@ -652,25 +652,31 @@ def risk_metric(
     metric_col: str = "ap",
     qid_col: str = "qid",
     alpha: float = 1.0,
-    round_dp: int = 4,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Risk-sensitive utility URisk (Wang, Bennett & Collins-Thompson
     SIGIR'12; the TREC Web track risk-sensitive task measure): with
     per-query deltas d = m_a - m_b against the baseline system b,
     URisk_alpha = (1/n)·(Σ_{d>0} d − (1+alpha)·Σ_{d<0} |d|) — losses
-    against the baseline are penalized (1+alpha)×. Deltas are rounded
-    to ``round_dp`` first (cross-engine-stable win/loss classification,
-    same convention as `wilcoxon_signed_rank`). -> one row
-    (n, n_wins, n_losses, urisk); topics-sized scalar reduction."""
+    against the baseline are penalized (1+alpha)×. Deltas stay RAW by
+    default: identical runs give a bitwise-exact d = 0 on any engine,
+    and differing runs give |d| ≫ ulp, so raw classification is
+    cross-engine stable — whereas PRE-rounding deltas to a 1e-4 grid
+    makes Σd/n land exactly on 4dp halfway points (a structural
+    boundary the round-3 classifier gate hit with its n/1000 weight
+    grid; observed here at sf0.001). Pass ``round_dp`` only when the
+    inputs themselves are noisy. -> one row (n, n_wins, n_losses,
+    urisk); topics-sized scalar reduction."""
     a = per_query_a.select(
         F.col(qid_col).alias("qid"), F.col(metric_col).alias("_ma")
     )
     b = per_query_b.select(
         F.col(qid_col).alias("qid"), F.col(metric_col).alias("_mb")
     )
-    d = a.join(b, "qid").select(
-        F.round(F.col("_ma") - F.col("_mb"), round_dp).alias("d")
-    )
+    delta = F.col("_ma") - F.col("_mb")
+    if round_dp is not None:
+        delta = F.round(delta, round_dp)
+    d = a.join(b, "qid").select(delta.alias("d"))
     return d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum((F.col("d") > 0).cast("long")).alias("n_wins"),

@@ -677,3 +677,82 @@ def lm_quality_filter(
         .filter(F.col("cross_entropy") <= F.col("_thr"))
         .select("doc_id", "cross_entropy")
     )
+
+
+def check_index(index: InvertedIndex) -> DataFrame:
+    """CheckIndex parity at the logical level (Lucene's
+    org.apache.lucene.index.CheckIndex cross-verifies the terms dict
+    against the postings and the norms against doc lengths): verify
+    the structural invariants that tie the index relations together,
+    returning violation COUNTS — all zero on a healthy index:
+
+    - ``df_mismatches`` / ``cf_mismatches``: term_stats.(df, cf) vs an
+      independent re-aggregation of the flat postings
+    - ``doclen_mismatches``: the denormalized postings doc_len vs the
+      per-doc Σtf AND vs doc_stats.doc_len
+    - ``nonpositive_tf``: postings rows with tf <= 0
+
+    -> one row (n_terms, n_postings, n_docs, df_mismatches,
+    cf_mismatches, doclen_mismatches, nonpositive_tf). Two
+    map-side-combinable aggregations over the postings + two
+    vocab/corpus-sized joins — the same cost envelope as a stats
+    rebuild, run on demand (after a merge/upsert/delete) rather than
+    per query."""
+    per_term = index.postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_df"),
+        F.sum("tf").cast("long").alias("_cf"),
+    )
+    term_chk = index.term_stats.join(per_term, "term", "full").select(
+        (
+            (F.col("df") != F.col("_df"))
+            | F.col("df").isNull()
+            | F.col("_df").isNull()
+        ).cast("long").alias("df_bad"),
+        (
+            (F.col("cf") != F.col("_cf"))
+            | F.col("cf").isNull()
+            | F.col("_cf").isNull()
+        ).cast("long").alias("cf_bad"),
+    )
+    per_doc = index.postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("_len"),
+        F.max("doc_len").cast("long").alias("_len_col"),
+        F.min("doc_len").cast("long").alias("_len_col_min"),
+    )
+    # an empty doc legitimately has doc_stats.doc_len = 0 and no
+    # postings rows -> missing per_doc side means expected length 0
+    doc_chk = index.doc_stats.join(per_doc, "doc_id", "full").select(
+        (
+            F.col("doc_len").isNull()
+            | (F.col("doc_len") != F.coalesce(F.col("_len"), F.lit(0)))
+            | (
+                F.col("_len").isNotNull()
+                & (
+                    (F.col("_len_col") != F.col("_len"))
+                    | (F.col("_len_col_min") != F.col("_len"))
+                )
+            )
+        ).cast("long").alias("len_bad")
+    )
+    t = term_chk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df_bad").alias("df_mismatches"),
+        F.sum("cf_bad").alias("cf_mismatches"),
+    )
+    d = doc_chk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("len_bad").alias("doclen_mismatches"),
+    )
+    p = index.postings.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum((F.col("tf") <= 0).cast("long")).alias("nonpositive_tf"),
+    )
+    return (
+        t.crossJoin(d)
+        .crossJoin(p)
+        .select(
+            "n_terms", "n_postings", "n_docs",
+            "df_mismatches", "cf_mismatches",
+            "doclen_mismatches", "nonpositive_tf",
+        )
+    )

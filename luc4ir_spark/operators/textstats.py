@@ -1000,3 +1000,37 @@ def stratum_divergence(
             F.sum(p_s * F.log(p_s / p_c)).alias("kl"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    phrases: list[str],
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banned-phrase screening — the blocklist pass of crawl pipelines
+    (NSFW word lists, boilerplate markers, licence strings): per doc,
+    how many of the (case-insensitively matched) literal phrases occur
+    as substrings, and keep = none did. -> (doc_id, n_hits, keep).
+
+    Plan: one codegen projection — a sum of instr() terms over the
+    LITERAL phrase list (no join, no explode, no UDF, zero shuffle);
+    cost is |phrases| substring scans per doc, the same work a real
+    Aho-Corasick pass does without the automaton constant. Keep the
+    list to dozens-to-hundreds of phrases; a lexicon-sized blocklist
+    should become a broadcast join against extracted n-grams
+    instead."""
+    if not phrases:
+        raise ValueError("blocklist_filter: empty phrase list")
+    low = F.lower(F.col(content_col))
+    hits = [
+        (F.instr(low, p.lower()) > 0).cast("long") for p in phrases
+    ]
+    n_hits = hits[0]
+    for h in hits[1:]:
+        n_hits = n_hits + h
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_hits.alias("n_hits"),
+        (n_hits == 0).alias("keep"),
+    )

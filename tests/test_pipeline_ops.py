@@ -1461,3 +1461,21 @@ def test_sample_by_score(spark):
         "p", seed=3,
     ).collect()
     assert ids <= {r["doc_id"] for r in more}
+
+
+def test_blocklist_filter(spark):
+    docs = spark.createDataFrame(
+        [(0, "a Slow Hash here"), (1, "clean text"), (2, "spark SPARK")],
+        "doc_id long, content string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["keep"])
+        for r in textstats.blocklist_filter(
+            docs, ["slow hash", "spark"]
+        ).collect()
+    }
+    assert out == {0: (1, False), 1: (0, True), 2: (1, False)}
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        textstats.blocklist_filter(docs, [])

@@ -1566,3 +1566,23 @@ def test_result_field_stats(spark):
     assert row["vstd"] == pytest.approx(
         statistics.stdev([10, 20, 40, 100])
     )
+
+
+def test_check_index_clean_and_corrupted(spark, index):
+    row = ix.check_index(index).collect()[0]
+    assert row["df_mismatches"] == 0
+    assert row["cf_mismatches"] == 0
+    assert row["doclen_mismatches"] == 0
+    assert row["nonpositive_tf"] == 0
+    assert row["n_docs"] == len(DOCS)
+    # corrupt the term stats -> detected
+    import dataclasses
+
+    bad_ts = index.term_stats.withColumn(
+        "df",
+        F.when(F.col("term") == "spark", F.col("df") + 1).otherwise(
+            F.col("df")
+        ),
+    )
+    bad = dataclasses.replace(index, term_stats=bad_ts)
+    assert ix.check_index(bad).collect()[0]["df_mismatches"] == 1
