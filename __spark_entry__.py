@@ -2241,6 +2241,54 @@ FROM vals GROUP BY 1
 """
 
 
+# ----------------------------- index-disk-usage oracle SQL
+
+_DU_SHARDS = 3   # pinned salt shards so the salted layout is exercised
+_DU_BLOCK = 4    # small impact blocks -> several blocks per posting list
+
+
+def _index_disk_usage_sql() -> str:
+    """Analytic replay of the WAND blob byte sizes (Lucene's
+    IndexDiskUsage at the .doc-file level): the varbyte length of a
+    value v is 1 + floor(log128 v) (min 1), the codec stores each
+    block's first doc_id ABSOLUTE and the rest as gaps, and blobs are
+    uniformly doc-sharded by pmod(mix(doc_id), shards) — so the total
+    per (term, salt) is a pure SQL expression over the postings, no
+    decode needed. Byte-exact against octet_length(blob)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    def vb(col: str) -> str:
+        return (
+            f"CASE WHEN {col} < 128 THEN 1"
+            f" WHEN {col} < 16384 THEN 2"
+            f" WHEN {col} < 2097152 THEN 3 ELSE 4 END"
+        )
+
+    salt = (
+        f"(({hx.MIX_A} * (tf.doc_id % {hx.MIX_P}) + {hx.MIX_B})"
+        f" % {hx.MIX_P}) % {_DU_SHARDS}"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+p AS (SELECT tf.term, tf.doc_id, tf.tf, dl.doc_len, {salt} AS salt
+      FROM tf JOIN dl USING (doc_id)),
+o AS (SELECT term, salt, doc_id, tf, doc_len,
+             row_number() OVER (PARTITION BY term, salt
+                                ORDER BY doc_id) - 1 AS rn,
+             lag(doc_id) OVER (PARTITION BY term, salt
+                               ORDER BY doc_id) AS prev
+      FROM p),
+v AS (SELECT term, salt, tf, doc_len,
+             CASE WHEN rn % {_DU_BLOCK} = 0 THEN doc_id
+                  ELSE doc_id - prev END AS delta
+      FROM o)
+SELECT term, salt::BIGINT AS salt, count(*)::BIGINT AS n_docs,
+       sum({vb("delta")} + {vb("tf")} + {vb("doc_len")})::BIGINT
+         AS blob_bytes
+FROM v GROUP BY 1, 2
+"""
+
+
 # -------------------------- index-check / blocklist oracle SQL
 
 _BLOCKLIST = ["slow hash", "spark", "zzz banned"]
@@ -4610,6 +4658,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relations, all violation counts zero on a healthy build
         return ix.check_index(_index(spark, sf))
 
+    def index_disk_usage(spark, sf):
+        # IndexDiskUsage parity: per-(term, salt) compressed blob
+        # sizes, byte-exact vs the analytic varbyte-length replay
+        import dataclasses
+
+        idx = _index(spark, sf)
+        cfg = dataclasses.replace(
+            idx.config,
+            num_salt_shards=_DU_SHARDS,
+            block_size=_DU_BLOCK,
+        )
+        blobs = wd.build_compressed_postings(
+            dataclasses.replace(idx, config=cfg)
+        )
+        return blobs.select(
+            "term",
+            F.col("salt").cast("long").alias("salt"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.octet_length("blob").cast("long").alias("blob_bytes"),
+        )
+
     def blocklist(spark, sf):
         # banned-phrase screening: literal substring hits, zero-shuffle
         out = ts.blocklist_filter(
@@ -5713,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_query": join_query,
         "stats_agg": stats_agg,
         "index_check": index_check,
+        "index_disk_usage": index_disk_usage,
         "blocklist": blocklist,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
@@ -5898,6 +5968,7 @@ def oracle_sql() -> dict[str, str]:
         "join_query": _join_query_sql(),
         "stats_agg": _stats_agg_sql(),
         "index_check": _index_check_sql(),
+        "index_disk_usage": _index_disk_usage_sql(),
         "blocklist": _blocklist_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),

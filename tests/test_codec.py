@@ -145,3 +145,27 @@ def test_positions_reject_unsorted():
         codec.encode_positions(np.array([3, 1], dtype=np.int64))
     with pt.raises(ValueError):
         codec.encode_positions(np.array([2, 2], dtype=np.int64))
+
+
+def test_blob_bytes_analytic_replay():
+    """octet_length(blob) == the analytic varbyte length formula
+    (1 + floor(log128 v)) summed over block-absolute-first deltas,
+    tfs and doc_lens — with multi-byte values exercised."""
+    import numpy as np
+
+    from luc4ir_spark.functions.codec import encode_posting_list
+
+    ids = np.array([5, 130, 17000, 17001, 2_200_000], dtype=np.int64)
+    tfs = np.array([1, 200, 3, 16500, 7], dtype=np.int64)
+    dls = np.array([50, 129, 80, 90, 2_097_152], dtype=np.int64)
+
+    def vb(v):
+        return 1 if v < 128 else 2 if v < 16384 else 3 if v < 2097152 else 4
+
+    for bs in (2, 3, 128):
+        blob, _ = encode_posting_list(ids, tfs, dls, block_size=bs)
+        exp = 0
+        for i, d in enumerate(ids):
+            delta = d if i % bs == 0 else d - ids[i - 1]
+            exp += vb(delta) + vb(tfs[i]) + vb(dls[i])
+        assert len(blob) == exp, bs
