@@ -2289,6 +2289,107 @@ FROM v GROUP BY 1, 2
 """
 
 
+# ----------------------------- best-fragments oracle SQL
+
+_FRAG_WIDTH, _FRAG_N = 8, 2
+
+
+def _best_fragments_sql() -> str:
+    """Replays retrieval.best_fragments over the BM25 top-k run:
+    anchors at every query-term position in a hit, window hit counts
+    via a per-(qid, doc) self-join, top 2 by (n_hits desc, pos asc)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id FROM ranked WHERE rank <= {TOPK}),
+t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e),
+qp AS (
+  SELECT q.qid, pos.doc_id, pos.p
+  FROM pos JOIN q ON q.term = pos.term
+  JOIN run r ON r.qid = q.qid AND r.doc_id = pos.doc_id
+),
+fr AS (
+  SELECT a.qid, a.doc_id, a.p AS start_pos, count(*)::BIGINT AS n_hits
+  FROM qp a JOIN qp m
+    ON m.qid = a.qid AND m.doc_id = a.doc_id
+   AND m.p >= a.p AND m.p < a.p + {_FRAG_WIDTH}
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT qid, doc_id, start_pos::BIGINT AS start_pos, n_hits,
+         row_number() OVER (PARTITION BY qid, doc_id
+                            ORDER BY n_hits DESC, start_pos ASC)::BIGINT
+           AS frag_rank
+  FROM fr
+)
+SELECT qid, doc_id, frag_rank, start_pos, n_hits
+FROM rk WHERE frag_rank <= {_FRAG_N}
+"""
+
+
+# ----------------------------- did-you-mean (collation) oracle SQL
+
+# token positions matter: the collated string preserves query order;
+# d3's first token has NO suggestion within 2 edits -> 0-hit collation
+_DYM_QUERIES: list[tuple[str, int, str]] = [
+    ("d1", 0, "sparkk"), ("d1", 1, "tabel"),
+    ("d2", 0, "spark"), ("d2", 1, "windoww"),
+    ("d3", 0, "zzzqqqxxx"), ("d3", 1, "spark"),
+]
+_DYM_MAX_EDITS = 2
+
+
+def _did_you_mean_sql() -> str:
+    """Replays retrieval.did_you_mean: best suggestion per OOV token
+    (distance ASC, df DESC, term ASC — integer ordering), order-
+    preserving collation, conjunctive hit-count probe."""
+    rows = ", ".join(f"('{q}', {p}, '{t}')" for q, p, t in _DYM_QUERIES)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+q(qid, pos, term) AS (VALUES {rows}),
+oov AS (SELECT DISTINCT qid, term FROM q
+        WHERE term NOT IN (SELECT term FROM dft)),
+cand AS (
+  SELECT o.qid, o.term, d.term AS suggestion,
+         levenshtein(d.term, o.term) AS distance, d.df
+  FROM dft d JOIN oov o
+    ON levenshtein(d.term, o.term) <= {_DYM_MAX_EDITS}
+),
+best AS (
+  SELECT qid, term, suggestion FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, term
+             ORDER BY distance ASC, df DESC, suggestion ASC) AS rn
+    FROM cand) WHERE rn = 1
+),
+fixed AS (
+  SELECT q.qid, q.pos, coalesce(b.suggestion, q.term) AS t
+  FROM q LEFT JOIN best b ON b.qid = q.qid AND b.term = q.term
+),
+coll AS (SELECT qid, string_agg(t, ' ' ORDER BY pos) AS collated
+         FROM fixed GROUP BY 1),
+dq AS (SELECT DISTINCT qid, t FROM fixed),
+nt AS (SELECT qid, count(*)::BIGINT AS n FROM dq GROUP BY 1),
+hits AS (
+  SELECT dq.qid, tf.doc_id, count(*)::BIGINT AS m
+  FROM dq JOIN tf ON tf.term = dq.t GROUP BY 1, 2
+),
+nh AS (SELECT h.qid, count(*)::BIGINT AS n_hits
+       FROM hits h JOIN nt USING (qid) WHERE h.m = nt.n GROUP BY 1)
+SELECT c.qid, c.collated, coalesce(nh.n_hits, 0)::BIGINT AS n_hits
+FROM coll c LEFT JOIN nh USING (qid)
+"""
+
+
 # -------------------------- index-check / blocklist oracle SQL
 
 _BLOCKLIST = ["slow hash", "spark", "zzz banned"]
@@ -4679,6 +4780,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.octet_length("blob").cast("long").alias("blob_bytes"),
         )
 
+    def best_fragments(spark, sf):
+        # FVH-style multi-fragment highlighting over the BM25 run
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        out = rt.best_fragments(
+            run, pos, qt, width=_FRAG_WIDTH, n_fragments=_FRAG_N
+        )
+        return out.select(
+            "qid", "doc_id", "frag_rank", "start_pos", "n_hits"
+        )
+
+    def did_you_mean(spark, sf):
+        # spell collation: OOV tokens replaced by their best
+        # suggestion, order preserved, conjunctive hit probe
+        idx = _index(spark, sf)
+        q = spark.createDataFrame(
+            _DYM_QUERIES, "qid string, pos int, term string"
+        )
+        out = rt.did_you_mean(idx, q, max_edits=_DYM_MAX_EDITS)
+        return out.select("qid", "collated", "n_hits")
+
     def blocklist(spark, sf):
         # banned-phrase screening: literal substring hits, zero-shuffle
         out = ts.blocklist_filter(
@@ -5783,6 +5910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": stats_agg,
         "index_check": index_check,
         "index_disk_usage": index_disk_usage,
+        "did_you_mean": did_you_mean,
+        "best_fragments": best_fragments,
         "blocklist": blocklist,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
@@ -5969,6 +6098,8 @@ def oracle_sql() -> dict[str, str]:
         "stats_agg": _stats_agg_sql(),
         "index_check": _index_check_sql(),
         "index_disk_usage": _index_disk_usage_sql(),
+        "did_you_mean": _did_you_mean_sql(),
+        "best_fragments": _best_fragments_sql(),
         "blocklist": _blocklist_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),

@@ -1539,6 +1539,124 @@ def suggest_terms(
     )
 
 
+def best_fragments(
+    run: DataFrame,
+    positional: DataFrame,
+    query_terms: DataFrame,
+    width: int = 8,
+    n_fragments: int = 2,
+) -> DataFrame:
+    """Multi-fragment highlighting — FastVectorHighlighter at the
+    logical level: fragment candidates anchor at EVERY query-term
+    occurrence in a hit document; a fragment's score is the number of
+    query-term occurrences inside its token window
+    [anchor, anchor+width); the top ``n_fragments`` per (qid, doc) win
+    by (score desc, anchor asc). Divergence from Lucene's FVH,
+    documented: overlapping fragments are NOT suppressed (suppression
+    is a sequential greedy; renderers dedupe overlaps instead) — the
+    single-fragment ``make_snippets`` stays the exact-parity path.
+    -> (qid, doc_id, frag_rank, start_pos, n_hits).
+
+    Plan: the positional cells are pruned to query terms AND run docs
+    BEFORE the explode, so occurrence rows are hit-sized; the
+    anchor×member window count is a per-(qid, doc) self-equi-join of
+    that tiny relation (localCheckpoint-ed — two consumers)."""
+    hits = run.select("qid", "doc_id")
+    occ = (
+        positional.join(
+            F.broadcast(query_terms.select("qid", "term").distinct()),
+            "term",
+        )
+        .join(hits, ["qid", "doc_id"], "left_semi")
+        .select("qid", "doc_id", F.explode("positions").alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    a, m = occ.alias("a"), occ.alias("m")
+    scored = (
+        a.join(
+            m,
+            (F.col("a.qid") == F.col("m.qid"))
+            & (F.col("a.doc_id") == F.col("m.doc_id"))
+            & (F.col("m.p") >= F.col("a.p"))
+            & (F.col("m.p") < F.col("a.p") + F.lit(width)),
+        )
+        .groupBy(
+            F.col("a.qid").alias("qid"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.p").alias("start_pos"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    w = Window.partitionBy("qid", "doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("start_pos").asc()
+    )
+    return (
+        scored.withColumn("frag_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("frag_rank") <= n_fragments)
+        .select(
+            "qid", "doc_id", "frag_rank",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            "n_hits",
+        )
+    )
+
+
+def did_you_mean(
+    index: InvertedIndex,
+    queries_pos: DataFrame,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Collated "did you mean" — Lucene DirectSpellChecker +
+    SpellChecker collation: every OOV token of a query is replaced by
+    its best dictionary suggestion (``suggest_terms`` ordering:
+    distance ASC, df DESC, term ASC), tokens keep their original
+    order, and the collation is VERIFIED by counting documents
+    matching ALL corrected terms (the collate query probe). Tokens
+    with no suggestion within ``max_edits`` stay as-is, so their query
+    collates to 0 hits — exactly Lucene's failed collation.
+
+    ``queries_pos``: (qid, pos, term) — position-keyed tokens (order
+    matters for the collated string). -> (qid, collated, n_hits)."""
+    sug = suggest_terms(
+        index, queries_pos.select("qid", "term"),
+        max_edits=max_edits, n_suggestions=1,
+    ).select("qid", "term", "suggestion")
+    fixed = queries_pos.join(sug, ["qid", "term"], "left").select(
+        "qid", "pos",
+        F.coalesce(F.col("suggestion"), F.col("term")).alias("t"),
+    )
+    coll = fixed.groupBy("qid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s["t"],
+            ),
+        ).alias("collated")
+    )
+    dq = fixed.select("qid", "t").distinct()
+    n_terms = dq.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("_nt")
+    )
+    hits = (
+        index.postings.join(
+            F.broadcast(dq.withColumnRenamed("t", "term")), "term"
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+        .join(F.broadcast(n_terms), "qid")
+        .filter(F.col("_m") == F.col("_nt"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return coll.join(hits, "qid", "left").select(
+        "qid", "collated",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+            "n_hits"
+        ),
+    )
+
+
 def grouped_topk(
     run: DataFrame,
     docs: DataFrame,

@@ -1586,3 +1586,52 @@ def test_check_index_clean_and_corrupted(spark, index):
     )
     bad = dataclasses.replace(index, term_stats=bad_ts)
     assert ix.check_index(bad).collect()[0]["df_mismatches"] == 1
+
+
+def test_did_you_mean(spark, index):
+    """'quik spark' -> 'quick spark' (collates with hits); a token
+    with no suggestion stays and collates to 0 hits."""
+    q = spark.createDataFrame(
+        [("d1", 0, "quik"), ("d1", 1, "spark"),
+         ("d2", 0, "zzzzzzzzz"), ("d2", 1, "spark")],
+        "qid string, pos int, term string",
+    )
+    out = {
+        r["qid"]: (r["collated"], r["n_hits"])
+        for r in rt.did_you_mean(index, q, max_edits=2).collect()
+    }
+    assert out["d1"][0] == "quick spark"
+    # conjunctive probe: docs with both 'quick' and 'spark' stems
+    assert out["d1"][1] == 0  # no doc has both in the tiny corpus
+    assert out["d2"] == ("zzzzzzzzz spark", 0)
+    q2 = spark.createDataFrame(
+        [("d3", 0, "quik"), ("d3", 1, "fox")],
+        "qid string, pos int, term string",
+    )
+    out2 = rt.did_you_mean(index, q2).collect()[0]
+    assert out2["collated"] == "quick fox"
+    assert out2["n_hits"] == 1  # doc 0 has quick AND fox
+
+
+def test_best_fragments_hand_computed(spark):
+    from luc4ir_spark.operators import indexer as ixm
+
+    docs = spark.createDataFrame(
+        [(1, "x a y b z z z z z z a b")],
+        "doc_id long, tokens_src string",
+    ).select("doc_id", F.split("tokens_src", " ").alias("tokens"))
+    pos = ixm.build_positional_postings(docs)
+    run = spark.createDataFrame(
+        [("q", 1, 1)], "qid string, doc_id long, rank long"
+    )
+    qt = spark.createDataFrame(
+        [("q", "a"), ("q", "b")], "qid string, term string"
+    )
+    out = sorted(
+        rt.best_fragments(run, pos, qt, width=3, n_fragments=2).collect(),
+        key=lambda r: r["frag_rank"],
+    )
+    # occurrences: a@1, b@3, a@10, b@11; window 3:
+    # anchor 1 -> {1,3} = 2; anchor 3 -> 1; anchor 10 -> {10,11} = 2;
+    # anchor 11 -> 1. top 2 = (1, 2 hits), (10, 2 hits)
+    assert [(r["start_pos"], r["n_hits"]) for r in out] == [(1, 2), (10, 2)]
