@@ -403,14 +403,24 @@ def rescore_topk(
     recalls). Returns (qid, doc_id, rank, score) with rank over the
     combined score."""
     first = score_queries(index, query_terms, k=first_k, sim=sim_first)
-    cand = first.select("qid", "doc_id", F.col("score").alias("s_first"))
+    # the candidate window feeds TWO consumers (the second pass's
+    # restrict semi-join and the combine join) — plan dedup would
+    # re-derive the whole first-pass scoring subtree per consumer
+    # (fresh exprIds defeat exchange reuse); materialize it once,
+    # GC-scoped
+    cand = first.select(
+        "qid", "doc_id", F.col("score").alias("s_first")
+    ).localCheckpoint(eager=False)
     second = _plain_scores(
         index,
         query_terms,
         sim_second or Similarity(kind="lmdir"),
         restrict_pairs=cand,
     ).withColumnRenamed("score", "s_second")
-    combined = cand.join(second, ["qid", "doc_id"], "left").withColumn(
+    # second is candidate-window-sized (queries × first_k) — broadcast
+    combined = cand.join(
+        F.broadcast(second), ["qid", "doc_id"], "left"
+    ).withColumn(
         "score",
         F.lit(float(weight_first)) * F.col("s_first")
         + F.lit(float(weight_second)) * F.coalesce(F.col("s_second"), F.lit(0.0)),

@@ -992,7 +992,7 @@ def stratum_divergence(
     p_c = F.col("cf") / F.col("t")
     return (
         tf_s.join(tf_c, "term")
-        .join(tot_s, "stratum")
+        .join(F.broadcast(tot_s), "stratum")
         .crossJoin(tot)
         .groupBy("stratum")
         .agg(
