@@ -2390,6 +2390,29 @@ FROM coll c LEFT JOIN nh USING (qid)
 """
 
 
+# ----------------------------- snapshot-diff oracle SQL
+
+_SNAP_DIFF_SQL = """
+WITH old AS (SELECT doc_id, md5(text) AS old_digest FROM documents),
+new_docs AS (
+  SELECT doc_id, md5(text || ' rev2') AS new_digest FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, md5(text) FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id < 3
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_digest <> n.new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_digest, n.new_digest
+FROM old o FULL OUTER JOIN new_docs n ON o.doc_id = n.doc_id
+"""
+
+
 # -------------------------- index-check / blocklist oracle SQL
 
 _BLOCKLIST = ["slow hash", "spark", "zzz banned"]
@@ -4806,6 +4829,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.did_you_mean(idx, q, max_edits=_DYM_MAX_EDITS)
         return out.select("qid", "collated", "n_hits")
 
+    def snapshot_diff(spark, sf):
+        # crawl-refresh diff: the new snapshot drops doc_id%7==0,
+        # revises doc_id%5==0, and adds three shifted-id docs
+        docs = _docs(spark, sf)
+        kept = docs.filter(F.col("doc_id") % 7 != 0)
+        new_docs = (
+            kept.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" rev2")),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") < 3).select(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+                )
+            )
+        )
+        out = dd.snapshot_diff(docs, new_docs, content_col="text")
+        return out.select("doc_id", "status", "old_digest", "new_digest")
+
     def blocklist(spark, sf):
         # banned-phrase screening: literal substring hits, zero-shuffle
         out = ts.blocklist_filter(
@@ -5912,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_disk_usage": index_disk_usage,
         "did_you_mean": did_you_mean,
         "best_fragments": best_fragments,
+        "snapshot_diff": snapshot_diff,
         "blocklist": blocklist,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
@@ -6100,6 +6146,7 @@ def oracle_sql() -> dict[str, str]:
         "index_disk_usage": _index_disk_usage_sql(),
         "did_you_mean": _did_you_mean_sql(),
         "best_fragments": _best_fragments_sql(),
+        "snapshot_diff": _SNAP_DIFF_SQL,
         "blocklist": _blocklist_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),

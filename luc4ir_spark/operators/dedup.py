@@ -1414,3 +1414,40 @@ def drop_duplicate_span_occurrences(
         .filter(key != F.col("_kk"))
         .select("doc_id", "chunk_idx", "span_id")
     )
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot diff — the crawl-refresh bookkeeping pass: what
+    did the new snapshot add, remove, or change vs the previous one?
+    One full outer join on doc id with per-side content digests;
+    status ∈ {added, removed, changed, unchanged}. -> (doc_id, status,
+    old_digest, new_digest).
+
+    At 100 TB both sides shuffle once on the id (or not at all when
+    snapshots are id-bucketed/partitioned the same way — the join
+    co-locates); digests are computed in the scan, so content bytes
+    never move twice."""
+    o = old_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(content_col)).alias("old_digest"),
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(content_col)).alias("new_digest"),
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest") != F.col("new_digest"), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "doc_id", "full").select(
+        "doc_id", status.alias("status"), "old_digest", "new_digest"
+    )

@@ -723,25 +723,31 @@ def block_join_topk(
     parent_pack: int,
     k: int = 10,
     sim: Similarity | None = None,
+    score_mode: str = "max",
 ) -> DataFrame:
-    """ToParentBlockJoinQuery (ScoreMode.Max) parity: children (e.g.
-    the chunks of ``textstats.chunk_documents``) are indexed with
-    packed ids ``parent_id * parent_pack + child_idx``; queries score
-    the CHILD index and each parent takes its best child's score, then
-    parents are ranked. -> (qid, parent_id, rank, score).
+    """ToParentBlockJoinQuery parity: children (e.g. the chunks of
+    ``textstats.chunk_documents``) are indexed with packed ids
+    ``parent_id * parent_pack + child_idx``; queries score the CHILD
+    index and each parent combines its matching children's scores per
+    ``score_mode`` — Lucene's ScoreMode: 'max' (best child), 'total'
+    (sum), 'avg' (mean over MATCHING children — Lucene averages
+    matches, not all children). -> (qid, parent_id, rank, score).
 
     Plan: the single-scan disjunctive scorer over the child postings,
     one integer-division projection to recover the parent (zero joins —
     the packed id IS the block mapping, like Lucene's contiguous
-    parent/child doc-id blocks), a map-side-combinable max per
+    parent/child doc-id blocks), a map-side-combinable agg per
     (qid, parent), and the usual top-k window."""
+    combiner = {"max": F.max, "total": F.sum, "avg": F.avg}.get(score_mode)
+    if combiner is None:
+        raise ValueError(f"block_join_topk: unknown score_mode {score_mode!r}")
     child = _plain_scores(child_index, query_terms, sim or Similarity())
     rolled = (
         child.withColumn(
             "parent_id", F.expr(f"doc_id DIV {int(parent_pack)}")
         )
         .groupBy("qid", "parent_id")
-        .agg(F.max("score").alias("score"))
+        .agg(combiner("score").alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("parent_id").asc()

@@ -1479,3 +1479,19 @@ def test_blocklist_filter(spark):
 
     with pt.raises(ValueError):
         textstats.blocklist_filter(docs, [])
+
+
+def test_snapshot_diff(spark):
+    from luc4ir_spark.operators import dedup as dd
+
+    old = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "doc_id long, content string"
+    )
+    new = spark.createDataFrame(
+        [(0, "a"), (1, "B2"), (3, "d")], "doc_id long, content string"
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dd.snapshot_diff(old, new).collect()
+    }
+    assert out == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}

@@ -1635,3 +1635,37 @@ def test_best_fragments_hand_computed(spark):
     # anchor 1 -> {1,3} = 2; anchor 3 -> 1; anchor 10 -> {10,11} = 2;
     # anchor 11 -> 1. top 2 = (1, 2 hits), (10, 2 hits)
     assert [(r["start_pos"], r["n_hits"]) for r in out] == [(1, 2), (10, 2)]
+
+
+def test_block_join_score_modes(spark):
+    from luc4ir_spark.operators import indexer as ixm
+
+    children = spark.createDataFrame(
+        [(100, "spark spark"), (101, "spark"), (200, "spark")],
+        "doc_id long, chunk_text string",
+    )
+    cidx = ixm.build_index(
+        children, ixm.IndexConfig(analyzer=EN),
+        content_col="chunk_text", cache=False,
+    )
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    child = {
+        r["doc_id"]: r["score"]
+        for r in rt.score_queries(cidx, qt, k=10).collect()
+    }
+    for mode, comb in (
+        ("max", max), ("total", sum),
+        ("avg", lambda v: sum(v) / len(v)),
+    ):
+        got = {
+            r["parent_id"]: r["score"]
+            for r in rt.block_join_topk(
+                cidx, qt, parent_pack=100, score_mode=mode
+            ).collect()
+        }
+        assert got[1] == pytest.approx(
+            comb([child[100], child[101]]), rel=1e-12
+        ), mode
+        assert got[2] == pytest.approx(child[200], rel=1e-12), mode
+    with pytest.raises(ValueError):
+        rt.block_join_topk(cidx, qt, parent_pack=100, score_mode="min")
