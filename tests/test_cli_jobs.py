@@ -62,3 +62,44 @@ def test_index_then_retrieve_cli(spark, tmp_path, monkeypatch, capsys,
     lines = open(run_out).read().splitlines()
     assert len(lines) == 20
     assert lines[0].split("\t")[1] == "Q0"
+
+
+def test_pipeline_cli(spark, tmp_path, monkeypatch, capsys):
+    """End-to-end hygiene pipeline CLI: dedup -> quality -> PII ->
+    sample -> chunk, manifest counts monotone non-increasing through
+    the filters."""
+    import scripts.run_pipeline_job as rpj
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    body = (
+        "This is a long enough sentence with plenty of ordinary words. "
+        * 6
+    )
+    rows = [(i, body + f"unique token{i} mail{i}@example.com", "web")
+            for i in range(20)]
+    rows += [(100 + i, rows[i][1], "web") for i in range(5)]  # dupes
+    spark.createDataFrame(
+        rows, "doc_id long, content string, source string"
+    ).write.parquet(in_dir)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline_job.py", "--input", in_dir, "--output", out_dir,
+         "--stratum-col", "source", "--rate", "web=1.0",
+         "--chunk-tokens", "16", "--chunk-overlap", "4"],
+    )
+    rpj.main()
+    out = _json_lines(capsys.readouterr().out)[-1]
+    st = out["stages"]
+    assert st["input"] == 25
+    assert st["dedup"] == 20            # 5 exact dupes dropped
+    assert st["quality"] <= st["dedup"]
+    assert st["sample"] == st["quality"]  # rate 1.0 keeps all
+    assert st["chunks"] >= st["sample"]
+    got = spark.read.parquet(out_dir)
+    assert got.count() == st["chunks"]
+    assert "chunk_text" in got.columns
+    # PII scrub happened before chunking
+    assert got.filter(got.chunk_text.contains("@example.com")).count() == 0
+    assert got.filter(got.chunk_text.contains("[PII]")).count() > 0
