@@ -2390,6 +2390,72 @@ FROM coll c LEFT JOIN nh USING (qid)
 """
 
 
+# -------------------- quantized / truncated ANN oracle SQL
+
+_TRUNC_DIM = 16  # Matryoshka gate: keep the first 16 of 64 dims
+
+
+def _ann_quantized_sql() -> str:
+    """Replays quantize_embeddings + cosine: CORPUS vectors go through
+    the int8 round-trip (scale = max|x|/127, q = round(x/scale),
+    x̂ = q·scale), queries stay exact — the standard SQ8 search
+    asymmetry."""
+    return """
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, v,
+         (CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+               THEN 1.0
+               ELSE list_max(list_transform(v, x -> abs(x))) END
+          / 127.0) AS scale
+  FROM c0
+),
+dq AS (SELECT vec_id,
+              list_transform(v, x -> round(x / scale) * scale) AS w
+       FROM qz),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c0 WHERE vec_id < 10),
+c AS (SELECT vec_id, w AS cv FROM dq),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.cv, q.qv)
+         / (sqrt(list_dot_product(c.cv, c.cv))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM c CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM s
+)
+SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+_ANN_TRUNCATED_SQL = f"""
+WITH c0 AS (SELECT vec_id,
+                   list_slice(embedding::DOUBLE[], 1, {_TRUNC_DIM}) AS v
+            FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c0 WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, c0.vec_id,
+         list_dot_product(c0.v, q.qv)
+         / (sqrt(list_dot_product(c0.v, c0.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM c0 CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM s
+)
+SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
+"""
+
+
 # ----------------------------- snapshot-diff oracle SQL
 
 _SNAP_DIFF_SQL = """
@@ -5202,6 +5268,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def ann_quantized_topk(spark, sf):
+        # SQ8 search asymmetry: int8-quantized corpus, exact queries
+        emb = _emb(spark, sf)
+        qz = ann.quantize_embeddings(emb)
+        deq = qz.select(
+            "vec_id",
+            ann.dequantize_col(F.col("qvec"), F.col("scale")).alias(
+                "embedding"
+            ),
+        )
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.cosine_topk(deq, queries, k=5)
+        return out.select(
+            "query_id", "vec_id", "rank",
+            F.round("cosine", 4).alias("cosine"),
+        )
+
+    def ann_truncated_topk(spark, sf):
+        # Matryoshka-style truncated search: first 16 of 64 dims
+        emb = _emb(spark, sf)
+        tr = emb.select(
+            "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
+        )
+        queries = tr.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.cosine_topk(tr, queries, k=5)
+        return out.select(
+            "query_id", "vec_id", "rank",
+            F.round("cosine", 4).alias("cosine"),
+        )
+
     def ann_lsh_topk(spark, sf):
         # approximate path with an exact oracle: the hyperplanes are
         # seeded literals, so the SQL replays bucketing bit-for-bit
@@ -5997,6 +6097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "hybrid_rrf": hybrid_rrf,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_quantized_topk": ann_quantized_topk,
+        "ann_truncated_topk": ann_truncated_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dups": embedding_near_dups,
@@ -6194,6 +6296,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _SIMHASH_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "ann_quantized_topk": _ann_quantized_sql(),
+        "ann_truncated_topk": _ANN_TRUNCATED_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_near_dups_lsh": _near_dup_lsh_sql(),

@@ -1495,3 +1495,62 @@ def test_snapshot_diff(spark):
         for r in dd.snapshot_diff(old, new).collect()
     }
     assert out == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import math as m
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),      # zero vector: scale 1/127
+        (2, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in annsearch.quantize_embeddings(df).collect()}
+    def round_half_away(v):
+        # Spark F.round and DuckDB round() are HALF-AWAY-FROM-ZERO;
+        # Python's round() is banker's — replay the engines' rule
+        return int(m.copysign(m.floor(abs(v) + 0.5), v))
+
+    for vid, vec in rows:
+        ma = max(abs(x) for x in vec) or 1.0
+        scale = ma / 127.0
+        exp_q = [round_half_away(x / scale) for x in vec]
+        assert out[vid]["qvec"] == exp_q, vid
+        assert out[vid]["scale"] == pytest.approx(scale)
+        assert all(abs(q) <= 127 for q in out[vid]["qvec"])
+        # dequantized error bounded by scale/2 per dim
+        for q, x in zip(out[vid]["qvec"], vec):
+            assert abs(q * scale - x) <= scale / 2 + 1e-12
+
+
+def test_quantized_cosine_close_to_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qz = annsearch.quantize_embeddings(df)
+    deq = qz.select(
+        "vec_id",
+        annsearch.dequantize_col(F.col("qvec"), F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in annsearch.cosine_topk(df, queries, k=50).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in annsearch.cosine_topk(deq, queries, k=50).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(exact[k] - approx[k]) < 0.01, k
