@@ -2390,6 +2390,39 @@ FROM coll c LEFT JOIN nh USING (qid)
 """
 
 
+# ----------------------------- bootstrap-CI oracle SQL
+
+_BOOT_B, _BOOT_SEED = 200, 5
+
+
+def _bootstrap_ci_sql() -> str:
+    """Replays evaluation.bootstrap_ci over the plain BM25 run's
+    per-query AP: draw i picks topic pmod(mix(seed + i), n) for
+    resample i // n; CI = interpolated 2.5/97.5% quantiles of the
+    resample means. n == len(QUERY_SET) statically (every query
+    matches >= 1 doc at every sf)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    n = len(QUERY_SET)
+    mix = (
+        f"(({hx.MIX_A} * ((i + {_BOOT_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P}) % {n}"
+    )
+    return f"""
+WITH {_ap_pair_prefix()},
+v AS (SELECT ap, row_number() OVER (ORDER BY qid) - 1 AS idx FROM ap_a),
+d AS (SELECT i // {n} AS bid, {mix} AS idx
+      FROM range({_BOOT_B * n}) t(i)),
+bm AS (SELECT d.bid, avg(v.ap) AS mean_b
+       FROM d JOIN v USING (idx) GROUP BY 1)
+SELECT {n}::BIGINT AS n, {_BOOT_B}::BIGINT AS n_boot,
+       round((SELECT avg(ap) FROM v), 4) AS mean,
+       round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+       round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+FROM bm
+"""
+
+
 # -------------------- quantized / truncated ANN oracle SQL
 
 _TRUNC_DIM = 16  # Matryoshka gate: keep the first 16 of 64 dims
@@ -4895,6 +4928,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.did_you_mean(idx, q, max_edits=_DYM_MAX_EDITS)
         return out.select("qid", "collated", "n_hits")
 
+    def bootstrap_map_ci(spark, sf):
+        # deterministic bootstrap CI over the plain run's per-query AP
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        qrels = _pseudo_qrels(spark, sf)
+        pa = ev.per_query_metrics(
+            rt.score_queries(idx, qt, k=TOPK).withColumn(
+                "docid", F.col("doc_id").cast("string")
+            ),
+            qrels, p_at=5, ndcg_at=10,
+        )
+        out = ev.bootstrap_ci(
+            pa, metric_col="ap", n_boot=_BOOT_B, seed=_BOOT_SEED
+        )
+        return out.select(
+            "n", "n_boot",
+            F.round("mean", 4).alias("mean"),
+            F.round("ci_lo", 4).alias("ci_lo"),
+            F.round("ci_hi", 4).alias("ci_hi"),
+        )
+
     def snapshot_diff(spark, sf):
         # crawl-refresh diff: the new snapshot drops doc_id%7==0,
         # revises doc_id%5==0, and adds three shifted-id docs
@@ -6058,6 +6112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_you_mean": did_you_mean,
         "best_fragments": best_fragments,
         "snapshot_diff": snapshot_diff,
+        "bootstrap_map_ci": bootstrap_map_ci,
         "blocklist": blocklist,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
@@ -6249,6 +6304,7 @@ def oracle_sql() -> dict[str, str]:
         "did_you_mean": _did_you_mean_sql(),
         "best_fragments": _best_fragments_sql(),
         "snapshot_diff": _SNAP_DIFF_SQL,
+        "bootstrap_map_ci": _bootstrap_ci_sql(),
         "blocklist": _blocklist_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),

@@ -692,3 +692,66 @@ def risk_metric(
             / F.count(F.lit(1))
         ).alias("urisk"),
     )
+
+
+def bootstrap_ci(
+    per_query: DataFrame,
+    metric_col: str = "ap",
+    qid_col: str = "qid",
+    n_boot: int = 200,
+    seed: int = 0,
+    ci: float = 0.95,
+) -> DataFrame:
+    """DETERMINISTIC bootstrap confidence interval for a macro metric
+    (the bootstrap family Sakai SIGIR'06 recommends for IR
+    significance): ``n_boot`` resamples-with-replacement of the topic
+    set, each draw picked by the engine-portable mix hash — no RNG
+    state, replayable in plain SQL, identical on any cluster size.
+    Draw i (0 ≤ i < n_boot·n) selects topic index
+    ``pmod(mix(seed + i), n)`` for resample ``i DIV n``; the CI is the
+    (1±ci)/2 linear-interpolation quantiles of the resampled means.
+    -> one row (n, n_boot, mean, ci_lo, ci_hi).
+
+    The topic count is a driver-side count (topics-sized metadata);
+    the draw table is n_boot·n rows — trivially small next to any run.
+    """
+    from ..functions.hashing import mix_id_expr
+
+    vals = per_query.select(
+        F.col(qid_col).alias("qid"), F.col(metric_col).alias("m")
+    )
+    n = vals.count()
+    if n == 0:
+        raise ValueError("bootstrap_ci: empty per-query table")
+    idxd = vals.withColumn(
+        "idx",
+        F.row_number().over(Window.orderBy("qid")).cast("long") - 1,
+    ).select("idx", "m")
+    spark = per_query.sparkSession
+    draws = spark.range(int(n_boot) * n).select(
+        F.expr(f"id DIV {n}").alias("bid"),
+        F.pmod(
+            mix_id_expr(F.col("id") + F.lit(int(seed))), F.lit(n)
+        ).alias("idx"),
+    )
+    means = (
+        draws.join(F.broadcast(idxd), "idx")
+        .groupBy("bid")
+        .agg(F.avg("m").alias("mean_b"))
+    )
+    alpha = (1.0 - ci) / 2.0
+    overall = idxd.agg(F.avg("m").alias("mean"))
+    return (
+        means.agg(
+            F.percentile(F.col("mean_b"), F.lit(alpha)).alias("ci_lo"),
+            F.percentile(F.col("mean_b"), F.lit(1.0 - alpha)).alias(
+                "ci_hi"
+            ),
+        )
+        .crossJoin(overall)
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(int(n_boot)).cast("long").alias("n_boot"),
+            "mean", "ci_lo", "ci_hi",
+        )
+    )
