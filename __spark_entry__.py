@@ -2390,6 +2390,27 @@ FROM coll c LEFT JOIN nh USING (qid)
 """
 
 
+# -------------------- retention / json-props oracle SQL
+
+_RETENTION_SQL = """
+WITH per AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d
+             FROM events),
+first AS (SELECT u, min(d) AS c FROM per GROUP BY 1)
+SELECT strftime(f.c, '%Y-%m-%d') AS cohort_day,
+       (p.d::DATE - f.c::DATE)::BIGINT AS day_offset,
+       count(DISTINCT p.u)::BIGINT AS n_users
+FROM per p JOIN first f USING (u)
+GROUP BY 1, 2
+"""
+
+_JSON_PROPS_SQL = """
+SELECT event_type AS grp, count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS p_sum,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS p_avg
+FROM events GROUP BY 1
+"""
+
+
 # ----------------------------- bootstrap-CI oracle SQL
 
 _BOOT_B, _BOOT_SEED = 200, 5
@@ -4928,6 +4949,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.did_you_mean(idx, q, max_edits=_DYM_MAX_EDITS)
         return out.select("qid", "collated", "n_hits")
 
+    def event_retention(spark, sf):
+        # cohort retention matrix over the event stream (first-day
+        # cohorts × day offsets, distinct active users per cell)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.retention_cohorts(ev_df)
+        return out.select("cohort_day", "day_offset", "n_users")
+
+    def event_json_props(spark, sf):
+        # semi-structured props: JVM json-path extraction + per-type agg
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.json_prop_stats(ev_df, prop="k")
+        return out.select(
+            "grp", "n",
+            F.col("p_sum").cast("long").alias("p_sum"),
+            F.round("p_avg", 4).alias("p_avg"),
+        )
+
     def bootstrap_map_ci(spark, sf):
         # deterministic bootstrap CI over the plain run's per-query AP
         idx = _index(spark, sf)
@@ -6113,6 +6155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_fragments": best_fragments,
         "snapshot_diff": snapshot_diff,
         "bootstrap_map_ci": bootstrap_map_ci,
+        "event_retention": event_retention,
+        "event_json_props": event_json_props,
         "blocklist": blocklist,
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
@@ -6305,6 +6349,8 @@ def oracle_sql() -> dict[str, str]:
         "best_fragments": _best_fragments_sql(),
         "snapshot_diff": _SNAP_DIFF_SQL,
         "bootstrap_map_ci": _bootstrap_ci_sql(),
+        "event_retention": _RETENTION_SQL,
+        "event_json_props": _JSON_PROPS_SQL,
         "blocklist": _blocklist_sql(),
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),

@@ -108,3 +108,60 @@ def sessionize(
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix — the classic event-analytics rollup: a
+    user's cohort is their first active DAY; each (cohort, day-offset)
+    cell counts the distinct cohort users active that many days later.
+    -> (cohort_day 'yyyy-MM-dd', day_offset, n_users).
+
+    Plan: one distinct (user, day) projection, a per-user min (both
+    map-side-combinable), one broadcastable first-day join back, and
+    the final count agg — two shuffles total, all keyed on user/cohort
+    (never event-sized after the first distinct). At 100 TB the
+    distinct is the only event-volume pass."""
+    day = F.date_trunc("day", F.col(ts_col))
+    per = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .distinct()
+    )
+    first = per.groupBy("u").agg(F.min("d").alias("c"))
+    return (
+        per.join(first, "u")
+        .select(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d").cast("date"), F.col("c").cast("date"))
+            .cast("long")
+            .alias("day_offset"),
+            "u",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("u").cast("long").alias("n_users"))
+    )
+
+
+def json_prop_stats(
+    events: DataFrame,
+    prop: str = "k",
+    props_col: str = "props",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured event properties: extract ``$.prop`` from the
+    JSON string column with the JVM json path evaluator (no UDF, no
+    schema inference pass) and aggregate per group. -> (group, n,
+    p_sum, p_avg). The extraction is a pure codegen projection — the
+    standard way to keep rarely-read JSON baggage out of the parquet
+    schema while still aggregating over it at scan speed."""
+    v = F.get_json_object(F.col(props_col), f"$.{prop}").cast("long")
+    return events.select(
+        F.col(group_col).alias("grp"), v.alias("_v")
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").alias("p_sum"),
+        F.avg("_v").alias("p_avg"),
+    )

@@ -57,3 +57,46 @@ def test_sessionize(spark, events):
         eo.sessionize(events)._jdf.queryExecution().executedPlan().toString()
     )
     assert "No Partition Defined" not in plan
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from luc4ir_spark.operators import eventops as eo
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-04 23:00:00"),
+        (2, "2024-01-02 01:00:00"), (2, "2024-01-02 02:00:00"),
+        (3, "2024-01-01 05:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in eo.retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1, 3
+        ("2024-01-01", 1): 1,   # user 1 back next day
+        ("2024-01-01", 3): 1,   # user 1 back on day 4
+        ("2024-01-02", 0): 1,   # user 2 (same-day repeat counts once)
+    }
+
+
+def test_json_prop_stats_hand_computed(spark):
+    from luc4ir_spark.operators import eventops as eo
+
+    ev = spark.createDataFrame(
+        [
+            ("click", '{"k": 3}'), ("click", '{"k": 5}'),
+            ("view", '{"k": 10}'), ("view", '{"other": 1}'),
+        ],
+        "event_type string, props string",
+    )
+    got = {
+        r["grp"]: (r["n"], r["p_sum"], r["p_avg"])
+        for r in eo.json_prop_stats(ev, prop="k").collect()
+    }
+    assert got["click"] == (2, 8, 4.0)
+    # missing key -> NULL, excluded from sum/avg but counted in n
+    assert got["view"] == (2, 10, 10.0)
