@@ -157,3 +157,101 @@ def test_posting_list_roundtrip_property(n, block_size, base, rnd):
         assert d.max_tf[b] == tfs[lo:hi].max()
         assert d.min_dl[b] == dls[lo:hi].min()
         assert d.last_doc[b] == doc_ids[hi - 1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abx")), min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=2),
+)
+def test_span_not_matches_brute_force(spark, docs_tokens, pre, post):
+    """span_not_query('a b', exclude 'x', pre/post) == a pure-Python
+    scan over random token streams."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_tokens)],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(df)
+    got = {
+        r["doc_id"]: r["spannot_freq"]
+        for r in rt.span_not_query(pos, ["a", "b"], "x", pre, post).collect()
+    }
+    for i, toks in enumerate(docs_tokens):
+        exp = 0
+        for p in range(len(toks) - 1):
+            if toks[p] == "a" and toks[p + 1] == "b":
+                lo = max(0, p - pre)
+                hi = min(len(toks) - 1, p + 1 + post)
+                if not any(toks[q] == "x" for q in range(lo, hi + 1)):
+                    exp += 1
+        assert got.get(i, 0) == exp, (i, toks)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_percolate_matches_brute_force(spark, docs_tokens):
+    """percolate(mode='all') == set-containment over random docs."""
+    queries = {"qa": {"a", "b"}, "qb": {"c"}, "qc": {"a", "zz"}}
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "qid string, term string",
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_tokens)],
+        "doc_id long, content string",
+    )
+    got = {
+        (r["doc_id"], r["qid"])
+        for r in rt.percolate(df, qt, mode="all").collect()
+    }
+    exp = {
+        (i, q)
+        for i, toks in enumerate(docs_tokens)
+        for q, terms in queries.items()
+        if terms <= set(toks)
+    }
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantize_bound_property(spark, vecs):
+    """Every dequantized component is within scale/2 of the original;
+    q stays in [-127, 127]."""
+    from luc4ir_spark.operators import annsearch as ann
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in ann.quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        scale = out[i]["scale"]
+        q = out[i]["qvec"]
+        assert all(abs(x) <= 127 for x in q)
+        for qi, xi in zip(q, v):
+            assert abs(qi * scale - xi) <= scale / 2 + 1e-9
