@@ -3,9 +3,12 @@ columns with typed metadata.
 
 The decode step probes for a real codec at call time: with Pillow
 importable, ``decode_image`` decodes to a grayscale perceptual-thumbnail
-feature vector; without one (this sandbox bakes no image/audio codecs
-in) it raises NotImplementedError unless the deterministic fake decoder
-is selected. Everything AROUND the decode is real and tested either
+feature vector; without one (this sandbox bakes no image codecs in) it
+raises NotImplementedError unless the deterministic fake decoder is
+selected. The AUDIO path is fully real here: ``decode_audio`` /
+``audio_stats`` / ``extract_audio_features`` parse WAV/PCM with the
+stdlib ``wave`` reader (per-segment RMS features, header stats) — only
+compressed audio (mp3/ogg) remains environment-blocked. Everything AROUND the decode is real and tested either
 way: the schema contract, Arrow batch shapes, ``mapInPandas``
 iteration, partition sizing for large binaries, and the feature-vector
 output layout a downstream ANN/dedup stage consumes.
@@ -191,4 +194,100 @@ def sample_frames(
 
     return frames.select("doc_id", "media", "frame_ts_ms").mapInPandas(
         run, "doc_id long, frame_ts_ms long, feature array<double>"
+    )
+
+
+def decode_audio(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL audio decode for WAV/PCM containers — the stdlib ``wave``
+    reader needs no external codec, so unlike the image path this one
+    is fully functional in this sandbox (compressed codecs — mp3/ogg —
+    remain environment-blocked and raise from ``wave`` itself).
+    Channels are mean-downmixed; the feature is per-segment RMS energy
+    over ``dim`` equal time slices, L2-normalized — the same output
+    layout as ``decode_image`` so downstream ANN/dedup stages are
+    modality-agnostic."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        sw = w.getsampwidth()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x = x - 128.0  # 8-bit WAV is unsigned
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    if x.size == 0:
+        return np.zeros(dim)
+    vec = np.array(
+        [
+            np.sqrt((s ** 2).mean()) if s.size else 0.0
+            for s in np.array_split(x, dim)
+        ]
+    )
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
+
+
+def audio_stats(blob: bytes) -> dict:
+    """WAV header + signal stats: (n_channels, sample_rate, n_frames,
+    duration_ms, rms) — the metadata backfill step for the media
+    table's typed meta struct."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        sw, nch = w.getsampwidth(), w.getnchannels()
+        sr, nf = w.getframerate(), w.getnframes()
+        raw = w.readframes(nf)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x = x - 128.0
+    rms = float(np.sqrt((x ** 2).mean())) if x.size else 0.0
+    return {
+        "n_channels": nch,
+        "sample_rate": sr,
+        "n_frames": nf,
+        "duration_ms": int(round(1000.0 * nf / sr)) if sr else 0,
+        "rms": rms,
+    }
+
+
+def extract_audio_features(
+    media: DataFrame, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Audio rows of the media table -> (doc_id, n_bytes, sample_rate,
+    duration_ms, feature array<double>) via the REAL WAV decoder — the
+    same mapInPandas batch shape as ``extract_features``."""
+    from ..deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    aud = media.filter(F.col("kind") == "audio").select("doc_id", "media")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_bytes": [], "sample_rate": [],
+                "duration_ms": [], "feature": [],
+            }
+            for did, blob in zip(pdf["doc_id"], pdf["media"]):
+                st = audio_stats(blob)
+                rows["doc_id"].append(did)
+                rows["n_bytes"].append(len(blob))
+                rows["sample_rate"].append(st["sample_rate"])
+                rows["duration_ms"].append(st["duration_ms"])
+                rows["feature"].append(
+                    [float(v) for v in decode_audio(blob, dim)]
+                )
+            yield pd.DataFrame(rows)
+
+    return aud.mapInPandas(
+        run,
+        "doc_id long, n_bytes long, sample_rate long, duration_ms long,"
+        " feature array<double>",
     )

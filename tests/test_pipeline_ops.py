@@ -1554,3 +1554,61 @@ def test_quantized_cosine_close_to_exact(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(exact[k] - approx[k]) < 0.01, k
+
+
+def _wav_bytes(freq=440.0, sr=8000, n=800, nch=1, amp=10000):
+    import io
+    import wave
+
+    t = np.arange(n) / sr
+    x = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    if nch == 2:
+        x = np.column_stack([x, x]).reshape(-1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav():
+    blob = _wav_bytes()
+    st = multimodal.audio_stats(blob)
+    assert st["n_channels"] == 1 and st["sample_rate"] == 8000
+    assert st["n_frames"] == 800 and st["duration_ms"] == 100
+    # sine RMS ~ amp/sqrt(2)
+    assert st["rms"] == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+    vec = multimodal.decode_audio(blob, dim=8)
+    assert len(vec) == 8
+    assert np.linalg.norm(vec) == pytest.approx(1.0)
+    # constant-energy sine -> near-uniform per-segment RMS
+    assert vec.std() < 0.05
+    # stereo downmix of the same signal gives the same feature
+    vec2 = multimodal.decode_audio(_wav_bytes(nch=2), dim=8)
+    assert np.allclose(vec, vec2, atol=1e-6)
+    # silence edge case
+    silent = multimodal.decode_audio(_wav_bytes(amp=0), dim=8)
+    assert np.all(silent == 0.0)
+
+
+def test_extract_audio_features_distributed(spark):
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(440.0))),
+        (2, "audio", bytearray(_wav_bytes(880.0, n=1600))),
+        (3, "image", bytearray(b"\x89PNG...")),  # filtered out
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, kind string, media binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_audio_features(media, dim=8).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["sample_rate"] == 8000
+    assert out[1]["duration_ms"] == 100
+    assert out[2]["duration_ms"] == 200
+    exp = multimodal.decode_audio(_wav_bytes(440.0), dim=8)
+    assert np.allclose(out[1]["feature"], exp, atol=1e-12)
