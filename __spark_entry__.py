@@ -2390,6 +2390,24 @@ FROM coll c LEFT JOIN nh USING (qid)
 """
 
 
+# -------------------- attribution oracle SQL
+
+_ATTR_WINDOW_S = 14400  # 4 h lookback -> ~160 pairs at sf0.01
+
+_ATTRIBUTION_SQL = f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+           FROM events),
+c AS (SELECT user_id, event_id AS click_id, t AS click_us
+      FROM e WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id AS view_id, t AS view_us
+      FROM e WHERE event_type = 'view')
+SELECT c.user_id, c.click_id, v.view_id, c.click_us, v.view_us
+FROM c JOIN v USING (user_id)
+WHERE v.view_us <= c.click_us
+  AND c.click_us - v.view_us <= {_ATTR_WINDOW_S * 1_000_000}
+"""
+
+
 # -------------------- retention / json-props oracle SQL
 
 _RETENTION_SQL = """
@@ -4970,6 +4988,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("p_avg", 4).alias("p_avg"),
         )
 
+    def click_attribution(spark, sf):
+        # (click, view) same-user pairs within the lookback window —
+        # the batch twin of the stream-stream interval join
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.attribution_pairs(
+            ev_df, window_seconds=_ATTR_WINDOW_S
+        ).select("user_id", "click_id", "view_id", "click_us", "view_us")
+
+    def attribution_streamed(spark, sf):
+        # the stream-stream INTERVAL JOIN end-to-end: two parity waves
+        # force cross-micro-batch matching through checkpointed join
+        # state; span-covering watermark pins replay determinism
+        import shutil
+        import tempfile
+
+        from luc4ir_spark.streaming.attribution_stream import (
+            read_attribution_pairs,
+            start_attribution_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_attr_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        waves = [
+            ev_df.filter(F.col("event_id") % 2 == 0),
+            ev_df.filter(F.col("event_id") % 2 == 1),
+        ]
+        try:
+            for wave in waves:
+                wave.write.mode("append").parquet(in_dir)
+                q = start_attribution_stream(
+                    spark, in_dir, out_dir,
+                    window_seconds=_ATTR_WINDOW_S,
+                )
+                q.awaitTermination(300)
+            return read_attribution_pairs(spark, out_dir).localCheckpoint()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
     def bootstrap_map_ci(spark, sf):
         # deterministic bootstrap CI over the plain run's per-query AP
         idx = _index(spark, sf)
@@ -6156,6 +6216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": snapshot_diff,
         "bootstrap_map_ci": bootstrap_map_ci,
         "event_retention": event_retention,
+        "click_attribution": click_attribution,
+        "attribution_streamed": attribution_streamed,
         "event_json_props": event_json_props,
         "blocklist": blocklist,
         "classic_topk": classic_topk,
@@ -6350,6 +6412,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAP_DIFF_SQL,
         "bootstrap_map_ci": _bootstrap_ci_sql(),
         "event_retention": _RETENTION_SQL,
+        "click_attribution": _ATTRIBUTION_SQL,
+        "attribution_streamed": _ATTRIBUTION_SQL,
         "event_json_props": _JSON_PROPS_SQL,
         "blocklist": _blocklist_sql(),
         "classic_topk": _CLASSIC_SQL,

@@ -165,3 +165,47 @@ def json_prop_stats(
         F.sum("_v").alias("p_sum"),
         F.avg("_v").alias("p_avg"),
     )
+
+
+def attribution_pairs(
+    events: DataFrame,
+    window_seconds: float = 600.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    click_type: str = "click",
+    view_type: str = "view",
+) -> DataFrame:
+    """Click-through attribution candidates: every (click, view) pair
+    by the same user where the view happened AT OR BEFORE the click
+    and within ``window_seconds`` of it — the batch twin of the
+    Structured Streaming stream-stream interval join
+    (streaming/attribution_stream.py). -> (user_id, click_id,
+    view_id, click_us, view_us), integer microseconds.
+
+    Plan: a per-user equi-join with a time-range residual — per-user
+    event counts bound the fan-out, so the shuffle key is the user id,
+    never time; a skewed mega-user would be handled by the same salting
+    pattern as the index build (not needed at gate scale)."""
+    win_us = int(window_seconds * 1_000_000)
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("etype"),
+        epoch_us(ts_col).alias("t_us"),
+    )
+    clicks = base.filter(F.col("etype") == click_type).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("t_us").alias("click_us"),
+    )
+    views = base.filter(F.col("etype") == view_type).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("t_us").alias("view_us"),
+    )
+    return clicks.join(views, "user_id").filter(
+        (F.col("view_us") <= F.col("click_us"))
+        & (F.col("click_us") - F.col("view_us") <= F.lit(win_us))
+    ).select("user_id", "click_id", "view_id", "click_us", "view_us")

@@ -286,3 +286,56 @@ def test_percolate_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {(0, "a", 2), (1, "b", 1), (2, "a", 2)}
+
+
+def test_attribution_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join across two waves == the batch
+    attribution pairs (cross-wave matches require checkpointed join
+    state: the wave-2 click meets the wave-1 view)."""
+    from luc4ir_spark.operators import eventops as eo
+    from luc4ir_spark.streaming.attribution_stream import (
+        read_attribution_pairs,
+        start_attribution_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:05:00", 7, "click"),   # pairs with 1
+        (3, "2024-01-01 12:00:00", 7, "click"),   # outside 10-min window
+        (4, "2024-01-01 10:02:00", 8, "view"),
+        (5, "2024-01-01 10:03:00", 8, "view"),
+        (6, "2024-01-01 10:08:00", 8, "click"),   # pairs with 4 AND 5
+        (7, "2024-01-01 09:59:00", 9, "click"),   # view after click: no
+        (8, "2024-01-01 10:01:00", 9, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    batch = {
+        (r["click_id"], r["view_id"])
+        for r in eo.attribution_pairs(ev, window_seconds=600).collect()
+    }
+    assert batch == {(2, 1), (6, 4), (6, 5)}
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    # wave 1: views (+ the no-match click); wave 2: the clicks
+    ev.filter(F.col("event_id").isin(1, 4, 5, 7)).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start_attribution_stream(spark, in_dir, out_dir, window_seconds=600)
+    q.awaitTermination(300)
+    ev.filter(F.col("event_id").isin(2, 3, 6, 8)).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start_attribution_stream(spark, in_dir, out_dir, window_seconds=600)
+    q.awaitTermination(300)
+    streamed = {
+        (r["click_id"], r["view_id"])
+        for r in read_attribution_pairs(spark, out_dir).collect()
+    }
+    assert streamed == batch
