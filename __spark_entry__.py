@@ -2337,6 +2337,57 @@ FROM rk WHERE frag_rank <= {_FRAG_N}
 """
 
 
+# ----------------------------- proximity-rerank oracle SQL
+
+
+def _proximity_rerank_sql() -> str:
+    """Replays retrieval.proximity_rerank over the BM25 top-k run:
+    MinDist via a different-term positional self-join, bonus
+    ln(1 + exp(-MinDist)), no-pair docs keep their raw score."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+ranked0 AS (
+  SELECT qid, doc_id, s_raw,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id, s_raw FROM ranked0 WHERE rank <= {TOPK}),
+t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e),
+occ AS (
+  SELECT q.qid, pos.doc_id, q.term, pos.p
+  FROM pos JOIN q ON q.term = pos.term
+  JOIN run r ON r.qid = q.qid AND r.doc_id = pos.doc_id
+),
+md AS (
+  SELECT a.qid, a.doc_id, min(abs(a.p - b.p)) * 1.0 AS min_dist
+  FROM occ a JOIN occ b
+    ON b.qid = a.qid AND b.doc_id = a.doc_id AND b.term <> a.term
+  GROUP BY 1, 2
+),
+boosted AS (
+  SELECT r.qid, r.doc_id,
+         r.s_raw + CASE WHEN m.min_dist IS NOT NULL
+                        THEN ln(1.0 + exp(-m.min_dist))
+                        ELSE 0.0 END AS s2
+  FROM run r LEFT JOIN md m ON m.qid = r.qid AND m.doc_id = r.doc_id
+),
+rr AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s2 DESC, doc_id ASC)::BIGINT AS rank,
+         round(s2, 4) AS score
+  FROM boosted
+)
+SELECT qid, doc_id, rank, score FROM rr WHERE rank <= {TOPK}
+"""
+
+
 # ----------------------------- did-you-mean (collation) oracle SQL
 
 # token positions matter: the collated string preserves query order;
@@ -4941,6 +4992,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.octet_length("blob").cast("long").alias("blob_bytes"),
         )
 
+    def proximity_rerank(spark, sf):
+        # Tao-Zhai MinDist proximity boost re-ranking the BM25 window
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        out = rt.proximity_rerank(run, pos, qt, k=TOPK)
+        return out.select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+
     def best_fragments(spark, sf):
         # FVH-style multi-fragment highlighting over the BM25 run
         idx = _index(spark, sf)
@@ -6213,6 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_disk_usage": index_disk_usage,
         "did_you_mean": did_you_mean,
         "best_fragments": best_fragments,
+        "proximity_rerank": proximity_rerank,
         "snapshot_diff": snapshot_diff,
         "bootstrap_map_ci": bootstrap_map_ci,
         "event_retention": event_retention,
@@ -6409,6 +6475,7 @@ def oracle_sql() -> dict[str, str]:
         "index_disk_usage": _index_disk_usage_sql(),
         "did_you_mean": _did_you_mean_sql(),
         "best_fragments": _best_fragments_sql(),
+        "proximity_rerank": _proximity_rerank_sql(),
         "snapshot_diff": _SNAP_DIFF_SQL,
         "bootstrap_map_ci": _bootstrap_ci_sql(),
         "event_retention": _RETENTION_SQL,

@@ -1617,6 +1617,70 @@ def best_fragments(
     )
 
 
+def proximity_rerank(
+    run: DataFrame,
+    positional: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Proximity-boosted reranking (Tao & Zhai SIGIR'07's MinDist
+    heuristic): each hit's retrieval score gets the bonus
+    ln(1 + exp(-MinDist)), where MinDist is the smallest token
+    distance between occurrences of two DIFFERENT query terms in the
+    document — adjacent query terms earn ~ln 2, far-apart ones ~0, and
+    single-term matches (no pair) earn exactly 0. -> (qid, doc_id,
+    rank, score) re-ranked by the boosted score.
+
+    Plan: the same run-doc × query-term pruned positional slice as
+    `best_fragments` (hit-sized, localCheckpoint-ed), one per-(qid,
+    doc) self-join over different-term occurrences for the min
+    distance, a left join back to the run (no-pair docs keep bonus 0),
+    and the usual top-k window."""
+    hits = run.select("qid", "doc_id", "score")
+    occ = (
+        positional.join(
+            F.broadcast(query_terms.select("qid", "term").distinct()),
+            "term",
+        )
+        .join(hits.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi")
+        .select("qid", "doc_id", "term", F.explode("positions").alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = occ.alias("a"), occ.alias("b")
+    mindist = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") != F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.qid").alias("qid"), F.col("a.doc_id").alias("doc_id")
+        )
+        .agg(
+            F.min(F.abs(F.col("a.p") - F.col("b.p")))
+            .cast("double")
+            .alias("min_dist")
+        )
+    )
+    boosted = hits.join(mindist, ["qid", "doc_id"], "left").withColumn(
+        "score",
+        F.col("score")
+        + F.when(
+            F.col("min_dist").isNotNull(),
+            F.log(F.lit(1.0) + F.exp(-F.col("min_dist"))),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
 def did_you_mean(
     index: InvertedIndex,
     queries_pos: DataFrame,

@@ -1669,3 +1669,32 @@ def test_block_join_score_modes(spark):
         assert got[2] == pytest.approx(child[200], rel=1e-12), mode
     with pytest.raises(ValueError):
         rt.block_join_topk(cidx, qt, parent_pack=100, score_mode="min")
+
+
+def test_proximity_rerank_hand_computed(spark):
+    import math as m
+
+    from luc4ir_spark.operators import indexer as ixm
+
+    docs = spark.createDataFrame(
+        [(1, "a x x x b"), (2, "a b"), (3, "a only here")],
+        "doc_id long, tokens_src string",
+    ).select("doc_id", F.split("tokens_src", " ").alias("tokens"))
+    pos = ixm.build_positional_postings(docs)
+    run = spark.createDataFrame(
+        [("q", 1, 1, 1.0), ("q", 2, 2, 1.0), ("q", 3, 3, 1.0)],
+        "qid string, doc_id long, rank long, score double",
+    )
+    qt = spark.createDataFrame(
+        [("q", "a"), ("q", "b")], "qid string, term string"
+    )
+    out = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in rt.proximity_rerank(run, pos, qt, k=10).collect()
+    }
+    # doc 2: mindist 1 -> 1 + ln(1+e^-1); doc 1: mindist 4; doc 3: no
+    # pair -> bonus 0
+    assert out[2][1] == pytest.approx(1.0 + m.log(1 + m.exp(-1)), rel=1e-12)
+    assert out[1][1] == pytest.approx(1.0 + m.log(1 + m.exp(-4)), rel=1e-12)
+    assert out[3][1] == pytest.approx(1.0)
+    assert [out[2][0], out[1][0], out[3][0]] == [1, 2, 3]
