@@ -74,9 +74,12 @@ def significant_terms(
     the vocab join runs with the AGGREGATED side broadcast, so the
     term dictionary is never shuffled."""
     fb = topdocs_term_stats(index, run, num_top_docs)
+    # tf_fb feeds BOTH the per-query total and the vocab join as
+    # broadcast consumers — materialize once (GC-scoped) so the
+    # feedback-set postings join isn't executed per consumer
     tf_fb = fb.groupBy("qid", "term").agg(
         F.sum("tf").alias("tf_fb")
-    )
+    ).localCheckpoint(eager=False)
     tot_fb = tf_fb.groupBy("qid").agg(F.sum("tf_fb").alias("t_fb"))
     t_corpus = float(index.stats.total_tokens)
     joined = index.term_stats.select("term", "cf").join(

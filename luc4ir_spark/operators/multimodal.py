@@ -244,7 +244,9 @@ def audio_stats(blob: bytes) -> dict:
         sw, nch = w.getsampwidth(), w.getnchannels()
         sr, nf = w.getframerate(), w.getnframes()
         raw = w.readframes(nf)
-    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
     x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
     if sw == 1:
         x = x - 128.0

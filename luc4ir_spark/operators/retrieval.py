@@ -670,7 +670,12 @@ def span_not_query(
     chain — per-row work bounded by occurrence counts, no explode."""
     if not include:
         raise ValueError("span_not_query: empty include phrase")
-    positional = positional.localCheckpoint(eager=False)
+    # prune to the query's terms BEFORE materializing — checkpointing
+    # the full positional relation would write every term's position
+    # arrays; only include+exclude rows are ever consumed
+    positional = positional.filter(
+        F.col("term").isin(list(dict.fromkeys([*include, exclude])))
+    ).localCheckpoint(eager=False)
     cur = positional.filter(F.col("term") == include[0]).select(
         "doc_id", F.col("positions").alias("s")
     )
@@ -1701,10 +1706,14 @@ def did_you_mean(
         index, queries_pos.select("qid", "term"),
         max_edits=max_edits, n_suggestions=1,
     ).select("qid", "term", "suggestion")
+    # `fixed` fans out to the collation agg, the distinct term count,
+    # and the hit-probe join — materialize once so the vocab-scan
+    # levenshtein subtree inside suggest_terms isn't re-derived per
+    # consumer (plan dedup gives each fresh exprIds)
     fixed = queries_pos.join(sug, ["qid", "term"], "left").select(
         "qid", "pos",
         F.coalesce(F.col("suggestion"), F.col("term")).alias("t"),
-    )
+    ).localCheckpoint(eager=False)
     coll = fixed.groupBy("qid").agg(
         F.concat_ws(
             " ",

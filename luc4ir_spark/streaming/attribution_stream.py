@@ -38,7 +38,8 @@ def start_attribution_stream(
     (and cross-micro-batch matching) persists in the checkpoint, so
     clicks in a later wave still meet views from an earlier one."""
     ev = spark.readStream.schema(schema).parquet(input_dir)
-    secs = int(window_seconds)
+    # microsecond interval so fractional windows match the batch twin
+    win_us = int(window_seconds * 1_000_000)
     clicks = (
         ev.filter(F.col("event_type") == click_type)
         .select(
@@ -61,7 +62,7 @@ def start_attribution_stream(
         views,
         F.expr(
             f"cu = vu AND vts <= cts"
-            f" AND cts <= vts + INTERVAL {secs} SECONDS"
+            f" AND cts <= vts + INTERVAL {win_us} MICROSECOND"
         ),
     ).select(
         F.col("cu").alias("user_id"),

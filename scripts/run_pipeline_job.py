@@ -132,11 +132,14 @@ def main() -> None:
         "stages": counts,
         "wall_s": round(time.time() - t0, 1),
     }
-    if not args.no_manifest and os.path.isdir(args.output):
-        with open(
-            os.path.join(args.output, "_pipeline_manifest.json"), "w"
-        ) as f:
-            json.dump(manifest, f, indent=2)
+    if not args.no_manifest:
+        # write through Spark so the sidecar lands next to the output
+        # on ANY filesystem (HDFS/S3/local), not just a local dir
+        spark.createDataFrame(
+            [(json.dumps(manifest),)], "value string"
+        ).coalesce(1).write.mode("overwrite").text(
+            os.path.join(args.output, "_pipeline_manifest")
+        )
     print(json.dumps(manifest))
 
 

@@ -1461,7 +1461,9 @@ def test_block_join_topk(spark):
     }
     assert got[1][1] == pytest.approx(per_child[100], rel=1e-12)
     assert got[2][1] == pytest.approx(per_child[200], rel=1e-12)
-    assert got[1][0] == 1 if per_child[100] > per_child[200] else 2
+    exp_rank1 = 1 if per_child[100] > per_child[200] else 2
+    assert got[1][0] == exp_rank1
+    assert got[2][0] == 3 - exp_rank1
 
 
 def test_common_terms_query(spark, index):
