@@ -3857,8 +3857,13 @@ _CLASSIC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
   SELECT q.qid, tf.doc_id,
+         -- idf is SQUARED by repeated multiplication in the SAME
+         -- association as the engine ((sqrt(tf)*idf)*idf)/sqrt(dl):
+         -- pow(idf, 2) differs by an ulp and flips raw-score order
+         -- among near-ties (observed at sf0.1, q4 ranks 6-9)
          sum( sqrt(tf.tf)
-              * pow(1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)), 2)
+              * (1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)))
+              * (1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)))
               / sqrt(dl.doc_len) ) AS s_raw
   FROM q JOIN dft USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
