@@ -3542,6 +3542,44 @@ FROM e
 """
 
 
+def _dedup_lines_sql() -> str:
+    """Replays dedup.dedup_lines over the derived multi-line corpus
+    (every 'value' token becomes a newline — same replace() on both
+    engines): trimmed lines appearing in >= 2 distinct docs are dropped
+    everywhere, docs reassembled from survivors in original order
+    (string_agg skips the CASE NULLs exactly as array_join over the
+    filtered array does)."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, replace(text, 'value', chr(10)) AS text FROM documents
+),
+l AS (
+  SELECT doc_id, ls, unnest(range(len(ls))) AS i
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base)
+),
+lines AS (
+  SELECT doc_id, i::BIGINT AS idx, ls[(i + 1)::INT] AS raw,
+         trim(ls[(i + 1)::INT]) AS line
+  FROM l
+),
+boiler AS (
+  SELECT line FROM lines WHERE length(line) >= 1
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT n.doc_id, n.idx, n.raw,
+         (length(n.line) >= 1 AND b.line IS NOT NULL) AS is_dup
+  FROM lines n LEFT JOIN boiler b ON n.line = b.line
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN NOT is_dup THEN raw END, chr(10)
+                      ORDER BY idx), '') AS clean_text,
+  sum(CASE WHEN NOT is_dup THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
 # gate config for the hash-stratified sampler: downsample per language
 _SAMPLE_RATES = {"en": 0.5, "es": 0.2}
 _SAMPLE_SEED = 7
@@ -5636,6 +5674,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprint(spark, sf):
         return ts.doc_fingerprint(_docs(spark, sf), content_col="text")
 
+    def dedup_lines(spark, sf):
+        # line-level boilerplate dedup over a derived multi-line corpus
+        # (the synthetic docs have no newlines: turn every 'value'
+        # token into one, deterministically on both engines)
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.replace(
+                F.col("text"), F.lit("value"), F.lit("\n")
+            ).alias("text"),
+        )
+        return dd.dedup_lines(d, content_col="text", min_docs=2)
+
     def embedding_near_dups(spark, sf):
         # embedding-cosine near-dup pairs, brute-force verification path
         # (training-pipeline dedup modality over the embeddings table)
@@ -6358,6 +6408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "corpus_composition": corpus_composition,
         "chunk_documents": chunk_documents,
+        "dedup_lines": dedup_lines,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -6555,6 +6606,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sample_stratified_sql(),
         "corpus_composition": _corpus_composition_sql(),
         "chunk_documents": _chunk_documents_sql(),
+        "dedup_lines": _dedup_lines_sql(),
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -28,6 +28,7 @@ every doc identically, only marginally perturbing similarity estimates.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -1450,4 +1451,69 @@ def snapshot_diff(
     )
     return o.join(n, "doc_id", "full").select(
         "doc_id", status.alias("status"), "old_digest", "new_digest"
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Line-level corpus deduplication (the RefinedWeb / CCNet
+    boilerplate pass): drop EVERY occurrence of any trimmed line that
+    appears in >= ``min_docs`` distinct documents, then reassemble each
+    document from its surviving lines in original order. Lines shorter
+    than ``min_line_chars`` after trimming (e.g. blank separators) are
+    never counted as boilerplate and always survive. ->
+    (doc_id, clean_text, n_kept, n_dropped); documents whose every
+    line is boilerplate come back with clean_text = ''.
+
+    Plan shape at scale: lines are posexploded from a codegen
+    ``split`` (no HOF in the generator chain); the corpus-wide count
+    groups by the line's 128-bit md5, so the shuffle carries
+    (digest, doc_id) pairs, never the line bytes twice; the
+    boilerplate set joins back by digest (AQE broadcasts it while it
+    is small — at crawl scale it stays a plain hash join) and the
+    reassembly is one groupBy(doc_id) with an in-agg array sort. Two
+    shuffles total: the digest count and the doc rebuild."""
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(content_col), re.escape(delim), -1)
+        ).alias("idx", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    eligible = F.length("line") >= min_line_chars
+    boiler = (
+        lines.filter(eligible)
+        .select(F.md5("line").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("digest")
+    )
+    flagged = (
+        lines.withColumn(
+            "digest", F.when(eligible, F.md5("line"))
+        )
+        .join(boiler.withColumn("_dup", F.lit(True)), "digest", "left")
+        .withColumn("is_dup", F.coalesce("_dup", F.lit(False)))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("idx", "raw", "is_dup"))
+    )
+    kept = F.filter(ordered, lambda x: ~x["is_dup"])
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda x: x["raw"]), delim
+            ).alias("clean_text"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+        )
     )

@@ -26,25 +26,33 @@ TABLES = [
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def canon(v):
+    """Canonicalize one value: Decimal/float -> round 4dp, integral
+    floats -> int (DuckDB hands back Decimal where Spark has double or
+    long; within a gate the SEMANTIC type matches, so collapsing
+    numeric spellings is safe — int64 ids never pass through float)."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        v = round(v, 4)
+        if v == -0.0:
+            v = 0.0
+        if v == int(v) and abs(v) < 2**53:
+            v = int(v)
+    if isinstance(v, (list, tuple)):
+        v = tuple(canon(x) for x in v)
+    return v
+
+
 def normalize(rows, cols):
-    """Sort columns by name, round floats to 4dp, sort rows; return
+    """Sort columns by name, canonicalize values, sort rows; return
     (row_count, sha256-of-values)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 4)
-                if v == -0.0:
-                    v = 0.0
-            if isinstance(v, (list, tuple)):
-                v = tuple(
-                    round(x, 4) if isinstance(x, float) else x for x in v
-                )
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(canon(r[i]) for i in order))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     h = hashlib.sha256()
     for r in out:

@@ -1612,3 +1612,40 @@ def test_extract_audio_features_distributed(spark):
     assert out[2]["duration_ms"] == 200
     exp = multimodal.decode_audio(_wav_bytes(440.0), dim=8)
     assert np.allclose(out[1]["feature"], exp, atol=1e-12)
+
+
+def test_dedup_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\ncopyright footer\nbody one"),
+            (2, "copyright footer\nbody two\n  copyright footer  "),
+            (3, "body three\n\nunique gamma"),
+            (4, "copyright footer"),
+        ],
+        "doc_id long, content string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(docs, min_docs=2).collect()
+    }
+    # 'copyright footer' (trimmed) appears in docs 1, 2, 4 -> dropped
+    # everywhere, including the padded spelling in doc 2
+    assert out[1]["clean_text"] == "unique alpha\nbody one"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "body two"
+    assert out[2]["n_dropped"] == 2
+    # blank separator line is never boilerplate (below min_line_chars)
+    assert out[3]["clean_text"] == "body three\n\nunique gamma"
+    assert out[3]["n_dropped"] == 0
+    # a doc that was ONLY boilerplate comes back empty, not missing
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+
+
+def test_dedup_lines_min_docs_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared\nmine"), (2, "shared\nyours")],
+        "doc_id long, content string",
+    )
+    # min_docs=3: nothing qualifies, every doc unchanged
+    out = dedup.dedup_lines(docs, min_docs=3).collect()
+    assert all(r["n_dropped"] == 0 for r in out)
