@@ -1328,6 +1328,57 @@ FROM perq p LEFT JOIN totals t USING (qid)
 """
 
 
+_IPREC_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id, s.n_docs, s.avgdl
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+{_QRELS_SQL},
+joined AS (
+  SELECT r.qid, r.doc_id, r.rank,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS is_rel
+  FROM run r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = CAST(qr.docid AS BIGINT)
+),
+win AS (
+  SELECT qid, rank,
+         CAST(sum(is_rel) OVER (PARTITION BY qid ORDER BY rank) AS BIGINT) AS cum_rel
+  FROM joined
+),
+totals AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels WHERE rel >= 1.0 GROUP BY qid),
+base AS (
+  SELECT w.qid, w.rank, w.cum_rel,
+         w.cum_rel / CAST(w.rank AS DOUBLE) AS prec,
+         coalesce(t.n_rel, 0) AS n_rel
+  FROM win w LEFT JOIN totals t USING (qid)
+),
+lv AS (
+  SELECT b.*, l.level
+  FROM base b CROSS JOIN (SELECT unnest(range(0, 11)) AS level) l
+),
+per AS (
+  SELECT qid, CAST(level AS BIGINT) AS level,
+         max(CASE WHEN n_rel > 0 AND 10 * cum_rel >= level * n_rel
+                  THEN prec END) AS mx
+  FROM lv GROUP BY 1, 2
+)
+SELECT qid, level, round(level / 10.0, 4) AS recall_level,
+       round(coalesce(mx, 0.0), 4) AS iprec
+FROM per
+"""
+
+
 FDBK_DOCS = 3  # feedback depth for the oracle-gated RM/KL queries
 
 _BM25_RUN_CTES = f"""{_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
@@ -4671,6 +4722,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("judged_frac", 4).alias("judged_frac"),
         )
 
+    def iprec_at_recall(spark, sf):
+        # trec_eval 11-point interpolated precision over the BM25 run
+        # and the deterministic pseudo qrels; level threshold compared
+        # in pure integer arithmetic on both engines
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        out = ev.iprec_at_recall(run, _pseudo_qrels(spark, sf))
+        return out.select(
+            "qid",
+            "level",
+            F.round("recall_level", 4).alias("recall_level"),
+            F.round("iprec", 4).alias("iprec"),
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6287,6 +6355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": wildcard_query,
         "term_range_query": term_range_query,
         "extended_metrics": extended_metrics,
+        "iprec_at_recall": iprec_at_recall,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6486,6 +6555,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_query": _wildcard_sql(),
         "term_range_query": _term_range_sql(),
         "extended_metrics": _ext_metrics_sql(),
+        "iprec_at_recall": _IPREC_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

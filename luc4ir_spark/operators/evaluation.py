@@ -345,6 +345,73 @@ def extended_metrics(
     )
 
 
+def iprec_at_recall(
+    run: DataFrame,
+    qrels: DataFrame,
+    n_levels: int = 11,
+    rel_threshold: float = 1.0,
+) -> DataFrame:
+    """trec_eval's ``iprec_at_recall_0.00 .. 1.00`` — 11-point
+    interpolated precision (the recall-precision curve behind the
+    classic PR plots; complements the reference evaluator's
+    AP/recall/P@k family, reference: evaluator/RetrievedResults.java
+    computes AP from the same cum_rel/rank quantities).
+
+    For each query and recall level r = l/(n_levels-1):
+    ``iprec(r) = max over ranks k with recall(k) >= r of prec(k)``
+    where prec(k) = cum_rel(k)/k, recall(k) = cum_rel(k)/R. This is
+    trec_eval's backward interpolation: at level 0.0 it is the max
+    precision anywhere in the run; levels unreached by the run get 0;
+    queries with R = 0 get 0 at every level.
+
+    Float parity note: the level threshold test is done in pure
+    integer arithmetic — ``(n_levels-1)*cum_rel >= l*R`` — so no
+    engine can disagree on a boundary (cum_rel is an integer-valued
+    sum of 0/1, R and l are ints).
+
+    Shape at scale: one broadcast qrels join, one rank window per qid,
+    an 11x multiply against a LITERAL level array (explode of a
+    literal sequence — never a computed array), then a map-side
+    combinable groupBy(qid, level) max. Run rows per query are top-k
+    bounded, so the multiplied relation is k*n_levels rows per query.
+    -> (qid, level, recall_level, iprec)."""
+    denom = n_levels - 1
+    judged = join_run_qrels(run, qrels).withColumn(
+        "is_rel", (F.col("rel") >= rel_threshold).cast("double")
+    )
+    w_rank = Window.partitionBy("qid").orderBy("rank")
+    judged = judged.withColumn(
+        "cum_rel", F.sum("is_rel").over(w_rank).cast("long")
+    ).withColumn(
+        "prec", F.col("cum_rel") / F.col("rank").cast("double")
+    )
+    totals = (
+        qrels.filter(F.col("rel") >= rel_threshold)
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    judged = judged.join(F.broadcast(totals), "qid", "left").withColumn(
+        "n_rel", F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
+    )
+    lv = judged.withColumn(
+        "level", F.explode(F.sequence(F.lit(0), F.lit(denom)))
+    )
+    reach = (F.lit(denom) * F.col("cum_rel")) >= (
+        F.col("level") * F.col("n_rel")
+    )
+    per = lv.groupBy("qid", "level").agg(
+        F.max(
+            F.when((F.col("n_rel") > 0) & reach, F.col("prec"))
+        ).alias("_mx")
+    )
+    return per.select(
+        "qid",
+        F.col("level").cast("long").alias("level"),
+        (F.col("level") / F.lit(float(denom))).alias("recall_level"),
+        F.coalesce(F.col("_mx"), F.lit(0.0)).alias("iprec"),
+    )
+
+
 def paired_ttest(
     per_query_a: DataFrame,
     per_query_b: DataFrame,

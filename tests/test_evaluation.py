@@ -292,6 +292,24 @@ def test_extended_metrics_hand_computed(frames):
     assert got["q2"]["judged_frac"] == 0.0
 
 
+def test_iprec_at_recall_hand_computed(frames):
+    # q1: rel at ranks 2,4 of 5; R=3 -> precisions .5,1/3,.5,.4 at the
+    # rel-bearing prefix; recall caps at 2/3 so levels 0..6 take the
+    # backward-interpolated max 0.5 and 7..10 are unreached (0).
+    # q2: nothing relevant retrieved -> all-zero curve.
+    run, qrels = frames
+    out = {
+        (r["qid"], r["level"]): r
+        for r in ev.iprec_at_recall(run, qrels).collect()
+    }
+    assert len(out) == 22  # 2 queries x 11 levels
+    for lvl in range(11):
+        exp = 0.5 if lvl <= 6 else 0.0
+        assert out[("q1", lvl)]["iprec"] == pytest.approx(exp), lvl
+        assert out[("q2", lvl)]["iprec"] == 0.0
+    assert out[("q1", 3)]["recall_level"] == pytest.approx(0.3)
+
+
 def test_extended_metrics_bpref_penalty(spark):
     # nonrel ranked ABOVE a relevant doc must cost bpref: R=2, N=2,
     # run = nonrel(1), rel(2), nonrel(3), rel(4):
