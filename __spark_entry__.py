@@ -1379,6 +1379,44 @@ FROM per
 """
 
 
+_RPREC_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id, s.n_docs, s.avgdl
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+{_QRELS_SQL},
+joined AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS is_rel
+  FROM run r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = CAST(qr.docid AS BIGINT)
+),
+totals AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels WHERE rel >= 1.0 GROUP BY qid),
+per AS (
+  SELECT j.qid, coalesce(t.n_rel, 0) AS n_rel,
+         CAST(sum(CASE WHEN j.rank <= coalesce(t.n_rel, 0)
+                       THEN j.is_rel ELSE 0.0 END) AS BIGINT) AS hits
+  FROM joined j LEFT JOIN totals t USING (qid)
+  GROUP BY 1, 2
+)
+SELECT qid, n_rel,
+       round(CASE WHEN n_rel > 0 THEN hits / CAST(n_rel AS DOUBLE)
+                  ELSE 0.0 END, 4) AS rprec
+FROM per
+"""
+
+
 FDBK_DOCS = 3  # feedback depth for the oracle-gated RM/KL queries
 
 _BM25_RUN_CTES = f"""{_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
@@ -4739,6 +4777,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("iprec", 4).alias("iprec"),
         )
 
+    def r_precision(spark, sf):
+        # trec_eval Rprec: precision at rank R (total relevant count)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        out = ev.r_precision(run, _pseudo_qrels(spark, sf))
+        return out.select(
+            "qid", "n_rel", F.round("rprec", 4).alias("rprec")
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6356,6 +6406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range_query": term_range_query,
         "extended_metrics": extended_metrics,
         "iprec_at_recall": iprec_at_recall,
+        "r_precision": r_precision,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6556,6 +6607,7 @@ def oracle_sql() -> dict[str, str]:
         "term_range_query": _term_range_sql(),
         "extended_metrics": _ext_metrics_sql(),
         "iprec_at_recall": _IPREC_SQL,
+        "r_precision": _RPREC_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

@@ -412,6 +412,48 @@ def iprec_at_recall(
     )
 
 
+def r_precision(
+    run: DataFrame,
+    qrels: DataFrame,
+    rel_threshold: float = 1.0,
+) -> DataFrame:
+    """trec_eval's ``Rprec``: precision at rank R where R is the
+    query's total relevant count — the point where precision equals
+    recall. ``Rprec = |relevant in top R| / R``; R = 0 (or R larger
+    than the run) degenerates exactly as trec_eval: counts only what
+    was retrieved, R = 0 gives 0.
+
+    One broadcast qrels join + one map-side-combinable groupBy — the
+    rank <= R cut is a per-row predicate, no window needed.
+    -> (qid, n_rel, rprec)."""
+    judged = join_run_qrels(run, qrels).withColumn(
+        "is_rel", (F.col("rel") >= rel_threshold).cast("double")
+    )
+    totals = (
+        qrels.filter(F.col("rel") >= rel_threshold)
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    j = judged.join(F.broadcast(totals), "qid", "left").withColumn(
+        "n_rel", F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
+    )
+    per = j.groupBy("qid").agg(
+        F.max("n_rel").alias("n_rel"),
+        F.sum(
+            F.when(F.col("rank") <= F.col("n_rel"), F.col("is_rel"))
+            .otherwise(F.lit(0.0))
+        ).cast("long").alias("_hits"),
+    )
+    return per.select(
+        "qid",
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("_hits") / F.col("n_rel").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("rprec"),
+    )
+
+
 def paired_ttest(
     per_query_a: DataFrame,
     per_query_b: DataFrame,

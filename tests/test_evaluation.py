@@ -310,6 +310,16 @@ def test_iprec_at_recall_hand_computed(frames):
     assert out[("q1", 3)]["recall_level"] == pytest.approx(0.3)
 
 
+def test_r_precision_hand_computed(frames):
+    # q1: R=3, top-3 = d1,d2,d3 with only d2 relevant -> 1/3
+    # q2: R=1, top-1 = d1 not relevant -> 0
+    run, qrels = frames
+    rows = {r["qid"]: r for r in ev.r_precision(run, qrels).collect()}
+    assert rows["q1"]["n_rel"] == 3
+    assert rows["q1"]["rprec"] == pytest.approx(1 / 3)
+    assert rows["q2"]["rprec"] == 0.0
+
+
 def test_extended_metrics_bpref_penalty(spark):
     # nonrel ranked ABOVE a relevant doc must cost bpref: R=2, N=2,
     # run = nonrel(1), rel(2), nonrel(3), rel(4):
