@@ -31,6 +31,7 @@ from luc4ir_spark.operators import bpetrain as bp
 from luc4ir_spark.operators import dedup as dd
 from luc4ir_spark.operators import evaluation as ev
 from luc4ir_spark.operators import feedback as fb
+from luc4ir_spark.operators import graph as gr
 from luc4ir_spark.operators import indexer as ix
 from luc4ir_spark.operators import qpp as qp
 from luc4ir_spark.operators import retrieval as rt
@@ -1376,6 +1377,35 @@ per AS (
 SELECT qid, level, round(level / 10.0, 4) AS recall_level,
        round(coalesce(mx, 0.0), 4) AS iprec
 FROM per
+"""
+
+
+_PAGERANK_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+a0 AS (SELECT id, 1::BIGINT AS a FROM nodes),
+c1 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a0 a ON e.src = a.id GROUP BY 1),
+a1 AS (SELECT nd.id, (9 + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c1 c USING (id)),
+c2 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a1 a ON e.src = a.id GROUP BY 1),
+a2 AS (SELECT nd.id, (540 + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c2 c USING (id)),
+c3 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a2 a ON e.src = a.id GROUP BY 1),
+a3 AS (SELECT nd.id, (32400 + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c3 c USING (id))
+SELECT a3.id AS doc_id, a3.a AS pr_num,
+       round(a3.a / (nn.n * 216000.0), 4) AS pr
+FROM a3 CROSS JOIN nn
 """
 
 
@@ -4789,6 +4819,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "n_rel", F.round("rprec", 4).alias("rprec")
         )
 
+    def link_pagerank(spark, sf):
+        # 3-iteration PageRank over the deterministic 3-out-regular
+        # synthetic link graph (doc ids are contiguous 0..n-1 in the
+        # testdata). Integer-exact scaled numerators (graph.py module
+        # docstring) make the per-node sums fold-order-exact, so
+        # pr_num is bit-identical cross-engine and pr is one division
+        # of identical integers.
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        out = gr.pagerank_regular_exact(
+            docs, edges, n, n_iter=3, id_col="doc_id"
+        )
+        return out.select(
+            F.col("id").alias("doc_id"),
+            "pr_num",
+            F.round("pr", 4).alias("pr"),
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6407,6 +6456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_metrics": extended_metrics,
         "iprec_at_recall": iprec_at_recall,
         "r_precision": r_precision,
+        "link_pagerank": link_pagerank,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6608,6 +6658,7 @@ def oracle_sql() -> dict[str, str]:
         "extended_metrics": _ext_metrics_sql(),
         "iprec_at_recall": _IPREC_SQL,
         "r_precision": _RPREC_SQL,
+        "link_pagerank": _PAGERANK_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

@@ -1,0 +1,183 @@
+"""Link-graph analytics over document collections: distributed
+PageRank in the classic Pregel shape (per-iteration edge join +
+map-side-combinable aggregation), DataFrame-only — no GraphX, no RDDs.
+
+A web-scale corpus engine needs link analysis next to text analysis
+(crawl frontier prioritization, spam-mass estimation, quality priors
+for training-data curation). The reference engine has no graph
+module; this is part of the large-scale-pipeline surface, same tier
+as dedup/quality (see COVERAGE.md).
+
+Scale notes:
+- Each iteration is one shuffle-on-src join (edges x ranks), one
+  shuffle-on-dst partial+final sum, one shuffle-on-id left join back
+  to the node spine. Edges are repartitioned by src ONCE up front and
+  localCheckpoint'ed so the (much larger) edge relation never
+  re-shuffles across iterations; `checkpoint_every` bounds lineage
+  growth for deep iteration counts (lazy plans double per iteration
+  otherwise).
+- No driver-side loops over data: the only scalar actions are
+  node/dangling counts (single aggregates), matching the repo's
+  collect policy.
+
+Float parity note (why `pagerank_regular_exact` exists): a float
+PageRank sums incoming contributions in engine-specific fold order,
+so a DuckDB oracle can disagree in the last ulp and flip a 4dp
+rounding boundary. For a k-out-regular graph and rational damping
+dn/dd, the scaled numerators a_i defined by
+
+    pr_i(v) = a_i(v) / (n * M^i),   M = dd * k
+    a_0(v)  = 1
+    a_{i+1}(v) = (dd-dn)*k*M^i + dn * sum_{u->v} a_i(u)
+
+stay INTEGERS, so every sum is fold-order-exact and both engines
+produce bit-identical numerators (same trick as classifier_score's
+integer md5 weights). The final pr = a_T / (n * M^T) is one division
+of identical integers -> identical doubles.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "synthetic_link_graph",
+    "pagerank",
+    "pagerank_regular_exact",
+]
+
+# (multiplier, offset) per out-link: dst_j = (id * p_j + q_j) % n.
+# Deterministic, engine-portable (pure integer arithmetic), and mixes
+# ids enough that in-degrees vary (1..8 at n=500) without hubs.
+SYNTH_LINKS = ((7, 11), (13, 5), (3, 1))
+
+
+def synthetic_link_graph(
+    nodes: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 3-out-regular link graph over contiguous ids
+    0..n-1: doc d links to (d*p_j + q_j) % n for the three (p, q)
+    pairs in SYNTH_LINKS. Parallel edges / self-loops are kept as
+    generated (both engines see the identical multiset).
+    -> (src long, dst long)."""
+    parts = [
+        nodes.select(
+            F.col(id_col).cast("long").alias("src"),
+            ((F.col(id_col) * p + q) % n).cast("long").alias("dst"),
+        )
+        for p, q in SYNTH_LINKS
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    id_col: str = "id",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """General float PageRank with uniform dangling-mass
+    redistribution: pr_{i+1}(v) = (1-d)/n + d*(sum_{u->v} pr_i(u) /
+    outdeg(u) + dangling_i / n), where dangling_i is the total rank
+    mass on nodes with no out-edges. -> (id, pr).
+
+    The dangling scalar is folded in as a one-row crossJoin (stays a
+    BroadcastNestedLoopJoin of a single row — no driver round-trip
+    inside the loop when checkpoint_every=0). Unit-tested against a
+    pure-Python replay; the oracle-gated variant is
+    pagerank_regular_exact."""
+    n = nodes.count()
+    spine = nodes.select(F.col(id_col).cast("long").alias("id"))
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    # edges carry their source out-degree once; repartition by src so
+    # the per-iteration ranks join co-locates without re-shuffling
+    # the edge side
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .join(outdeg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", "outdeg")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    ranks = spine.withColumn("pr", F.lit(1.0 / n))
+    for i in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        dangling = (
+            ranks.join(outdeg, "id", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            spine.join(contrib, spine.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_regular_exact(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n: int,
+    n_iter: int = 3,
+    out_deg: int = 3,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    id_col: str = "id",
+) -> DataFrame:
+    """Integer-exact PageRank for a graph where EVERY node has exactly
+    ``out_deg`` out-edges (so no dangling mass) and damping is the
+    rational damp_num/damp_den. Maintains the scaled integer
+    numerators a_i (see module docstring) — every aggregation sums
+    integers, so the result is bit-identical across engines and fold
+    orders. -> (id, pr_num long — the exact scaled numerator, and
+    pr double = pr_num / (n * (damp_den*out_deg)^n_iter))."""
+    m = damp_den * out_deg
+    spine = nodes.select(F.col(id_col).cast("long").alias("id"))
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    a = spine.withColumn("a", F.lit(1).cast("long"))
+    for i in range(n_iter):
+        contrib = (
+            e.join(a, e.src == a.id)
+            .groupBy("dst")
+            .agg(F.sum("a").cast("long").alias("s"))
+        )
+        base = (damp_den - damp_num) * out_deg * (m**i)
+        a = spine.join(contrib, spine.id == contrib.dst, "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damp_num) * F.coalesce(F.col("s"), F.lit(0))
+            ).cast("long").alias("a"),
+        )
+    denom = float(n * (m**n_iter))
+    return a.select(
+        "id",
+        F.col("a").alias("pr_num"),
+        (F.col("a") / F.lit(denom)).alias("pr"),
+    )

@@ -1,0 +1,97 @@
+"""PageRank: float variant vs a pure-Python replay (incl. a dangling
+node), integer-exact variant vs the float one on a regular graph, and
+the synthetic-graph determinism the gate relies on."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from luc4ir_spark.operators import graph as gr
+
+
+def _py_pagerank(n, edges, n_iter=3, d=0.85):
+    """Reference replay: uniform init, dangling mass redistributed."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, t in edges:
+        out[s].append(t)
+    pr = {v: 1.0 / n for v in range(n)}
+    for _ in range(n_iter):
+        contrib = defaultdict(float)
+        dang = 0.0
+        for v, p in pr.items():
+            if out[v]:
+                share = p / len(out[v])
+                for t in out[v]:
+                    contrib[t] += share
+            else:
+                dang += p
+        pr = {
+            v: (1.0 - d) / n + d * (contrib[v] + dang / n)
+            for v in range(n)
+        }
+    return pr
+
+
+def test_pagerank_float_vs_python_with_dangling(spark):
+    # 0->1, 0->2, 1->2, 2->0, 3 dangling; node 4 isolated sink target
+    n = 5
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 4)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["pr"]
+        for r in gr.pagerank(nodes, e, n_iter=3, damping=0.85).collect()
+    }
+    want = _py_pagerank(n, edges, n_iter=3, d=0.85)
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    # total mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_exact_matches_float_on_regular_graph(spark):
+    n = 20
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    edges = gr.synthetic_link_graph(nodes, n)
+    exact = {
+        r["id"]: (r["pr_num"], r["pr"])
+        for r in gr.pagerank_regular_exact(
+            nodes, edges, n, n_iter=3, id_col="doc_id"
+        ).collect()
+    }
+    flt = {
+        r["id"]: r["pr"]
+        for r in gr.pagerank(
+            nodes.select(F.col("doc_id").alias("id")), edges, n_iter=3
+        ).collect()
+    }
+    # numerators: python integer replay of a_{i+1} = 9*60^i + 17*sum
+    edge_list = [
+        (r["src"], r["dst"]) for r in edges.collect()
+    ]
+    a = {v: 1 for v in range(n)}
+    for i in range(3):
+        s = {v: 0 for v in range(n)}
+        for u, v in edge_list:
+            s[v] += a[u]
+        a = {v: 9 * 60**i + 17 * s[v] for v in range(n)}
+    for v in range(n):
+        assert exact[v][0] == a[v], v
+        assert exact[v][1] == pytest.approx(a[v] / (n * 216000.0))
+        assert exact[v][1] == pytest.approx(flt[v], rel=1e-12), v
+    # scaled numerators sum to the full mass: sum pr = 1
+    assert sum(x[0] for x in exact.values()) == n * 216000
+
+
+def test_synthetic_graph_is_3_out_regular(spark):
+    n = 50
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    e = gr.synthetic_link_graph(nodes, n)
+    deg = e.groupBy("src").count().collect()
+    assert len(deg) == n and all(r["count"] == 3 for r in deg)
+    assert e.filter((F.col("dst") < 0) | (F.col("dst") >= n)).count() == 0
