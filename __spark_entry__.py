@@ -1409,6 +1409,34 @@ FROM a3 CROSS JOIN nn
 """
 
 
+_HITS_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+h0 AS (SELECT id, 1::BIGINT AS h FROM nodes),
+a1 AS (SELECT nd.id, coalesce(s.s, 0)::BIGINT AS a FROM nodes nd LEFT JOIN
+       (SELECT e.dst AS id, sum(h0.h)::BIGINT AS s
+        FROM edges e JOIN h0 ON e.src = h0.id GROUP BY 1) s USING (id)),
+h1 AS (SELECT nd.id, coalesce(s.s, 0)::BIGINT AS h FROM nodes nd LEFT JOIN
+       (SELECT e.src AS id, sum(a1.a)::BIGINT AS s
+        FROM edges e JOIN a1 ON e.dst = a1.id GROUP BY 1) s USING (id)),
+a2 AS (SELECT nd.id, coalesce(s.s, 0)::BIGINT AS a FROM nodes nd LEFT JOIN
+       (SELECT e.dst AS id, sum(h1.h)::BIGINT AS s
+        FROM edges e JOIN h1 ON e.src = h1.id GROUP BY 1) s USING (id)),
+h2 AS (SELECT nd.id, coalesce(s.s, 0)::BIGINT AS h FROM nodes nd LEFT JOIN
+       (SELECT e.src AS id, sum(a2.a)::BIGINT AS s
+        FROM edges e JOIN a2 ON e.dst = a2.id GROUP BY 1) s USING (id))
+SELECT h2.id AS doc_id, h2.h AS hub_num, a2.a AS auth_num
+FROM h2 JOIN a2 USING (id)
+"""
+
+
 _RPREC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -4838,6 +4866,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pr", 4).alias("pr"),
         )
 
+    def link_hits(spark, sf):
+        # 2-iteration unnormalized HITS over the same synthetic link
+        # graph as link_pagerank; all scores are integers so the gate
+        # is fold-order-exact on both engines
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        out = gr.hits_unnormalized(docs, edges, n_iter=2, id_col="doc_id")
+        return out.select(
+            F.col("id").alias("doc_id"), "hub_num", "auth_num"
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6457,6 +6497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iprec_at_recall": iprec_at_recall,
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
+        "link_hits": link_hits,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6659,6 +6700,7 @@ def oracle_sql() -> dict[str, str]:
         "iprec_at_recall": _IPREC_SQL,
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,
+        "link_hits": _HITS_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

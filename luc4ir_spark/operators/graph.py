@@ -43,6 +43,7 @@ __all__ = [
     "synthetic_link_graph",
     "pagerank",
     "pagerank_regular_exact",
+    "hits_unnormalized",
 ]
 
 # (multiplier, offset) per out-link: dst_j = (id * p_j + q_j) % n.
@@ -134,6 +135,59 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits_unnormalized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Kleinberg HITS, unnormalized power iterations (the
+    normalization in the classic formulation only rescales — rank
+    order after k rounds is identical, and skipping it keeps every
+    score an INTEGER so the sums are fold-order-exact cross-engine,
+    the same parity trick as pagerank_regular_exact):
+
+        h_0 = a_0 = 1
+        a_{i+1}(v) = sum over u->v of h_i(u)     (authority from hubs)
+        h_{i+1}(u) = sum over u->v of a_{i+1}(v) (hub from NEW auths)
+
+    Nodes with no in-edges get authority 0, no out-edges hub 0.
+    Magnitudes grow ~ (avg_in*avg_out)^i — bigint-safe for the small
+    iteration counts HITS needs. Per iteration: two shuffle joins +
+    two map-side-combinable sums over the edge relation, which is
+    repartitioned once by src and localCheckpoint'ed.
+    -> (id, hub_num long, auth_num long)."""
+    spine = nodes.select(F.col(id_col).cast("long").alias("id"))
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    h = spine.withColumn("h", F.lit(1).cast("long"))
+    a = spine.withColumn("a", F.lit(1).cast("long"))
+    for _ in range(n_iter):
+        a_new = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").cast("long").alias("s"))
+        )
+        a = spine.join(a_new, "id", "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("a")
+        )
+        h_new = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").cast("long").alias("s"))
+        )
+        h = spine.join(h_new, "id", "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("h")
+        )
+    return (
+        h.join(a, "id")
+        .select("id", F.col("h").alias("hub_num"), F.col("a").alias("auth_num"))
+    )
 
 
 def pagerank_regular_exact(

@@ -88,6 +88,31 @@ def test_pagerank_exact_matches_float_on_regular_graph(spark):
     assert sum(x[0] for x in exact.values()) == n * 216000
 
 
+def test_hits_hand_computed(spark):
+    # star: 0->1, 2->1, 1->0 — hand-unroll two iterations
+    n = 3
+    edges = [(0, 1), (2, 1), (1, 0)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: (r["hub_num"], r["auth_num"])
+        for r in gr.hits_unnormalized(nodes, e, n_iter=2).collect()
+    }
+    # python replay
+    h = {v: 1 for v in range(n)}
+    for _ in range(2):
+        a = {v: 0 for v in range(n)}
+        for u, v in edges:
+            a[v] += h[u]
+        h = {v: 0 for v in range(n)}
+        for u, v in edges:
+            h[u] += a[v]
+    # iter1: a = {1:2, 0:1}; h = {0:2, 2:2, 1:1}
+    # iter2: a = {1:4, 0:1}; h = {0:4, 2:4, 1:1}
+    assert got == {v: (h[v], a[v]) for v in range(n)}
+    assert got[1] == (1, 4) and got[0] == (4, 1) and got[2] == (4, 0)
+
+
 def test_synthetic_graph_is_3_out_regular(spark):
     n = 50
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
