@@ -1437,6 +1437,30 @@ FROM h2 JOIN a2 USING (id)
 """
 
 
+_PMI_MIN_DF = 2
+_PMI_MAX_DF = 400
+_PMI_MIN_CO = 2
+
+_PMI_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+band AS (SELECT term, df FROM dft
+         WHERE df >= {_PMI_MIN_DF} AND df <= {_PMI_MAX_DF}),
+p AS (SELECT tf.term, tf.doc_id FROM tf JOIN band USING (term)),
+pairs AS (
+  SELECT l.term AS term_l, r.term AS term_r, count(*)::BIGINT AS co_df
+  FROM p l JOIN p r ON l.doc_id = r.doc_id AND l.term < r.term
+  GROUP BY 1, 2
+),
+f AS (SELECT * FROM pairs WHERE co_df >= {_PMI_MIN_CO})
+SELECT f.term_l, f.term_r, f.co_df, bl.df AS df_l, br.df AS df_r,
+       round(ln(s.n_docs * f.co_df / CAST(bl.df * br.df AS DOUBLE)), 4) AS pmi
+FROM f
+JOIN band bl ON f.term_l = bl.term
+JOIN band br ON f.term_r = br.term
+CROSS JOIN stats s
+"""
+
+
 _RPREC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -4878,6 +4902,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), "hub_num", "auth_num"
         )
 
+    def term_pmi(spark, sf):
+        # document-level PMI collocations from the index postings;
+        # df band [2, 400] + min co_df 2, both modeled in the oracle
+        idx = _index(spark, sf)
+        out = ix.term_cooccurrence_pmi(
+            idx,
+            min_df=_PMI_MIN_DF,
+            max_df=_PMI_MAX_DF,
+            min_co_df=_PMI_MIN_CO,
+        )
+        return out.select(
+            "term_l", "term_r", "co_df", "df_l", "df_r",
+            F.round("pmi", 4).alias("pmi"),
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6498,6 +6537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
         "link_hits": link_hits,
+        "term_pmi": term_pmi,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6701,6 +6741,7 @@ def oracle_sql() -> dict[str, str]:
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,
         "link_hits": _HITS_SQL,
+        "term_pmi": _PMI_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

@@ -756,3 +756,85 @@ def check_index(index: InvertedIndex) -> DataFrame:
             "doclen_mismatches", "nonpositive_tf",
         )
     )
+
+
+def term_cooccurrence_pmi(
+    index: InvertedIndex,
+    min_df: int = 1,
+    max_df: int | None = None,
+    min_co_df: int = 1,
+) -> DataFrame:
+    """Term-pair association mining straight from the inverted index:
+    for every unordered pair of terms co-occurring in at least
+    ``min_co_df`` documents, the document-level pointwise mutual
+    information (Church & Hanks 1990, document-cooccurrence variant)
+
+        pmi(l, r) = ln( n_docs * co_df(l, r) / (df(l) * df(r)) )
+
+    — the collocation / word-association signal (query suggestion,
+    synonym candidate mining, topic drift detection) computed without
+    re-tokenizing: postings already hold the (term, doc) incidence.
+
+    -> (term_l, term_r, co_df, df_l, df_r, pmi), term_l < term_r.
+
+    Scale shape: the candidate generator is a self-join of the
+    df-band-filtered postings on doc_id — per-doc fan-out is
+    C(distinct terms in band, 2), so ``max_df`` is the skew valve
+    (stopword-grade terms contribute df^2 pair rows and near-zero
+    PMI; the same valve as similar_docs_topk / the jaccard df cap)
+    and ``min_df`` prunes hapax noise. The banded relation is
+    repartitioned by doc_id and localCheckpoint'ed ONCE so the
+    alias self-join reads one materialization instead of recomputing
+    the filter per side (house rule from the LSH pair operators);
+    the pair count is a map-side-combinable groupBy; df lookups are
+    broadcast joins of the (tiny, band-filtered) term dictionary."""
+    n_docs = float(index.stats.n_docs)
+    stats = index.term_stats.select("term", "df").filter(
+        F.col("df") >= int(min_df)
+    )
+    if max_df is not None:
+        stats = stats.filter(F.col("df") <= int(max_df))
+    banded = (
+        index.postings.select("term", "doc_id")
+        .join(F.broadcast(stats.select("term")), "term")
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    left = banded.select(F.col("term").alias("term_l"), "doc_id")
+    right = banded.select(F.col("term").alias("term_r"), "doc_id")
+    pairs = (
+        left.join(right.hint("merge"), "doc_id")
+        .filter(F.col("term_l") < F.col("term_r"))
+        .groupBy("term_l", "term_r")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_df"))
+        .filter(F.col("co_df") >= int(min_co_df))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                stats.select(
+                    F.col("term").alias("term_l"), F.col("df").alias("df_l")
+                )
+            ),
+            "term_l",
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("term").alias("term_r"), F.col("df").alias("df_r")
+                )
+            ),
+            "term_r",
+        )
+    )
+    return out.select(
+        "term_l",
+        "term_r",
+        "co_df",
+        "df_l",
+        "df_r",
+        F.log(
+            F.lit(n_docs) * F.col("co_df")
+            / (F.col("df_l") * F.col("df_r")).cast("double")
+        ).alias("pmi"),
+    )

@@ -255,3 +255,39 @@ def test_quantize_bound_property(spark, vecs):
         assert all(abs(x) <= 127 for x in q)
         for qi, xi in zip(q, v):
             assert abs(qi * scale - xi) <= scale / 2 + 1e-9
+
+
+def test_term_pmi_hand_computed(spark):
+    # docs: 1="a b", 2="a b c", 3="a c", 4="d" -> n=4
+    # df: a=3 b=2 c=2 d=1; co_df: (a,b)=2 (a,c)=2 (b,c)=1
+    # with min_df=2 d is banded out; min_co_df=1 keeps (b,c)
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a c"), (4, "d")],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(
+        docs, ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    )
+    got = {
+        (r["term_l"], r["term_r"]): r
+        for r in ix.term_cooccurrence_pmi(idx, min_df=2).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    r = got[("a", "b")]
+    assert (r["co_df"], r["df_l"], r["df_r"]) == (2, 3, 2)
+    assert r["pmi"] == pytest.approx(math.log(4 * 2 / (3 * 2)), abs=1e-12)
+    assert got[("b", "c")]["pmi"] == pytest.approx(
+        math.log(4 * 1 / (2 * 2)), abs=1e-12
+    )
+    # min_co_df filter drops the singleton pair
+    assert set(
+        (r["term_l"], r["term_r"])
+        for r in ix.term_cooccurrence_pmi(idx, min_df=2, min_co_df=2).collect()
+    ) == {("a", "b"), ("a", "c")}
+    # max_df valve: capping df<=2 removes every a-pair
+    assert set(
+        (r["term_l"], r["term_r"])
+        for r in ix.term_cooccurrence_pmi(idx, min_df=2, max_df=2).collect()
+    ) == {("b", "c")}
