@@ -1461,6 +1461,31 @@ CROSS JOIN stats s
 """
 
 
+_ASOF_TOL_US = 86_400_000_000  # 24 h lookback tolerance
+
+_ASOF_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+                  value FROM events),
+c AS (SELECT event_id, user_id, t_us FROM e WHERE event_type = 'click'),
+v AS (SELECT user_id, t_us AS v_us, event_id AS view_id,
+             value AS view_value
+      FROM e WHERE event_type = 'view'),
+j AS (
+  SELECT c.event_id, c.user_id, c.t_us, v.view_id, v.view_value, v.v_us
+  FROM c ASOF LEFT JOIN v
+    ON c.user_id = v.user_id AND c.t_us >= v.v_us
+)
+SELECT event_id, user_id, t_us,
+       CASE WHEN v_us IS NOT NULL AND t_us - v_us <= {_ASOF_TOL_US}
+            THEN view_id END AS view_id,
+       round(CASE WHEN v_us IS NOT NULL AND t_us - v_us <= {_ASOF_TOL_US}
+                  THEN view_value END, 4) AS view_value,
+       CASE WHEN v_us IS NOT NULL AND t_us - v_us <= {_ASOF_TOL_US}
+            THEN v_us END AS asof_time_us
+FROM j
+"""
+
+
 _RPREC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -4917,6 +4942,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pmi", 4).alias("pmi"),
         )
 
+    def asof_last_view(spark, sf):
+        # point-in-time join: latest 'view' at-or-before each 'click'
+        # per user, 24 h tolerance — oracled by DuckDB's native ASOF
+        # LEFT JOIN + tolerance post-filter. Integer-microsecond times
+        # make ordering engine-exact; ~7% of clicks have no qualifying
+        # view (null path exercised).
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+            "event_id", "user_id", "event_type",
+            eo.epoch_us("ts").alias("t_us"), "value",
+        )
+        clicks = ev_df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "t_us"
+        )
+        views = ev_df.filter(F.col("event_type") == "view").select(
+            "user_id",
+            "t_us",
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"),
+        )
+        out = eo.asof_join(
+            clicks,
+            views,
+            key="user_id",
+            left_time_us="t_us",
+            right_time_us="t_us",
+            payload_cols=["view_id", "view_value"],
+            tolerance_us=_ASOF_TOL_US,
+        )
+        return out.select(
+            "event_id", "user_id", "t_us", "view_id",
+            F.round("view_value", 4).alias("view_value"),
+            "asof_time_us",
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6538,6 +6599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": link_pagerank,
         "link_hits": link_hits,
         "term_pmi": term_pmi,
+        "asof_last_view": asof_last_view,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6742,6 +6804,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _PAGERANK_SQL,
         "link_hits": _HITS_SQL,
         "term_pmi": _PMI_SQL,
+        "asof_last_view": _ASOF_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

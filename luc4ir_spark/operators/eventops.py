@@ -209,3 +209,78 @@ def attribution_pairs(
         (F.col("view_us") <= F.col("click_us"))
         & (F.col("click_us") - F.col("view_us") <= F.lit(win_us))
     ).select("user_id", "click_id", "view_id", "click_us", "view_us")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time_us: str,
+    right_time_us: str,
+    payload_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Point-in-time (backward as-of) join: for every left row, attach
+    the payload of the single right row with the same ``key`` and the
+    greatest ``right_time_us`` <= ``left_time_us`` — the lookup a
+    feature store / training-label join needs for point-in-time
+    correctness, and an operator Spark has no built-in for.
+    ``tolerance_us`` bounds the lookback (a match older than the
+    tolerance is nulled out, pandas.merge_asof semantics).
+
+    Both time columns must be INTEGER microseconds (``epoch_us``) —
+    integer ordering is engine-exact and avoids ANSI timestamp-cast
+    rules. Right-side (key, time) ties must be resolved upstream
+    (dedupe to one row per key+time): the carry picks an arbitrary
+    member of a surviving tie.
+
+    Plan shape — the scalable re-expression: UNION the two relations
+    with a side tag, ONE window per key ordered by (time, side) with
+    right rows sorting before left rows at equal times (so an
+    exactly-simultaneous right row matches the <=), and carry the
+    last non-null payload forward (``F.last ignorenulls`` over
+    unboundedPreceding). One shuffle + one sort, both partitioned by
+    key — no range join, no per-left-row subquery, no cartesian
+    fan-out; skewed keys cost what any per-key window costs and can
+    be salted upstream if a single user dominates.
+
+    -> left rows + payload_cols (+ ``asof_time_us`` of the matched
+    right row; all null when nothing qualifies)."""
+    l2 = (
+        left.withColumn("_t", F.col(left_time_us).cast("long"))
+        .withColumn("_side", F.lit(0))
+    )
+    r2 = (
+        right.select(
+            key,
+            F.col(right_time_us).cast("long").alias("_t"),
+            *payload_cols,
+        )
+        .withColumn("_side", F.lit(1))
+        .withColumn("_rt", F.col("_t"))
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
+        for c in payload_cols
+    ]
+    u = u.select(
+        "*", F.last("_rt", ignorenulls=True).over(w).alias("_c_rt"), *carried
+    ).filter(F.col("_side") == 0)
+    ok = F.col("_c_rt").isNotNull()
+    if tolerance_us is not None:
+        ok = ok & (F.col("_t") - F.col("_c_rt") <= int(tolerance_us))
+    keep = [c for c in left.columns]
+    return u.select(
+        *keep,
+        *[
+            F.when(ok, F.col(f"_c_{c}")).alias(c)
+            for c in payload_cols
+        ],
+        F.when(ok, F.col("_c_rt")).alias("asof_time_us"),
+    )

@@ -100,3 +100,56 @@ def test_json_prop_stats_hand_computed(spark):
     assert got["click"] == (2, 8, 4.0)
     # missing key -> NULL, excluded from sum/avg but counted in n
     assert got["view"] == (2, 10, 10.0)
+
+
+def test_asof_join_hand_computed(spark):
+    from luc4ir_spark.operators import eventops as eo
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 100)],
+        "lid long, user_id long, t_us long",
+    )
+    right = spark.createDataFrame(
+        [(11, 10, 100), (12, 10, 200), (13, 30, 90)],
+        "rid long, user_id long, r_us long",
+    )
+    out = {
+        r["lid"]: (r["rid"], r["asof_time_us"])
+        for r in eo.asof_join(
+            left,
+            right.select("user_id", "r_us", "rid"),
+            key="user_id",
+            left_time_us="t_us",
+            right_time_us="r_us",
+            payload_cols=["rid"],
+        ).collect()
+    }
+    assert out[1] == (11, 100)   # simultaneous right row matches (<=)
+    assert out[2] == (12, 200)   # latest of the two earlier views
+    assert out[3] == (None, None)  # nothing at-or-before t=50
+    assert out[4] == (None, None)  # key with no right rows at all
+
+
+def test_asof_join_tolerance(spark):
+    from luc4ir_spark.operators import eventops as eo
+
+    left = spark.createDataFrame(
+        [(1, 5, 1000), (2, 5, 1500)], "lid long, user_id long, t_us long"
+    )
+    right = spark.createDataFrame(
+        [(9, 5, 900)], "rid long, user_id long, r_us long"
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in eo.asof_join(
+            left,
+            right.select("user_id", "r_us", "rid"),
+            key="user_id",
+            left_time_us="t_us",
+            right_time_us="r_us",
+            payload_cols=["rid"],
+            tolerance_us=200,
+        ).collect()
+    }
+    assert out[1] == 9      # 100 us old, inside the 200 us tolerance
+    assert out[2] is None   # 600 us old -> nulled, not the next older
