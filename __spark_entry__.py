@@ -1486,6 +1486,30 @@ FROM j
 """
 
 
+_KMV_K = 64
+
+_KMV_SQL = f"""
+WITH h AS (SELECT DISTINCT event_type,
+           (2654435761 * (user_id % 2147483647) + 2246822519)
+             % 2147483647 AS hh
+           FROM events),
+r AS (SELECT event_type, hh,
+             row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+      FROM h),
+t AS (SELECT event_type, count(*)::BIGINT AS m,
+             max(CASE WHEN rn = {_KMV_K} THEN hh END)::BIGINT AS kth_hash
+      FROM r WHERE rn <= {_KMV_K} GROUP BY 1),
+x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+SELECT t.event_type, t.m, t.kth_hash,
+       round(CASE WHEN t.m < {_KMV_K} THEN t.m::DOUBLE
+                  ELSE ({_KMV_K - 1}.0 * 2147483647) / t.kth_hash END,
+             4) AS est_distinct,
+       x.n_exact
+FROM t JOIN x USING (event_type)
+"""
+
+
 _RPREC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -4978,6 +5002,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_time_us",
         )
 
+    def distinct_sketch(spark, sf):
+        # per-event-type approximate distinct users via the KMV sketch
+        # over the portable mix hash — deterministic, so the oracle
+        # replays the sketch itself; n_exact shows the real error
+        from luc4ir_spark.operators import sketches as sk
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        est = sk.distinct_kmv_sketch(
+            ev_df, ["event_type"], "user_id", k=_KMV_K
+        )
+        exact = ev_df.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact")
+        )
+        return est.join(exact, "event_type").select(
+            "event_type", "m", "kth_hash",
+            F.round("est_distinct", 4).alias("est_distinct"),
+            "n_exact",
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6600,6 +6643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": link_hits,
         "term_pmi": term_pmi,
         "asof_last_view": asof_last_view,
+        "distinct_sketch": distinct_sketch,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6805,6 +6849,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _HITS_SQL,
         "term_pmi": _PMI_SQL,
         "asof_last_view": _ASOF_SQL,
+        "distinct_sketch": _KMV_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

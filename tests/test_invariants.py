@@ -291,3 +291,28 @@ def test_term_pmi_hand_computed(spark):
         (r["term_l"], r["term_r"])
         for r in ix.term_cooccurrence_pmi(idx, min_df=2, max_df=2).collect()
     ) == {("b", "c")}
+
+
+def test_kmv_sketch_deterministic_and_exact_path(spark):
+    from luc4ir_spark.functions.hashing import MIX_P, mix_id_np
+    from luc4ir_spark.operators import sketches as sk
+
+    # 'a': 200 distinct values (+1 duplicate row) with k=16 -> sketch
+    # path; 'b': 5 distinct -> exact path (m < k, kth null)
+    rows = (
+        [("a", i * 37 + 1) for i in range(200)]
+        + [("a", 38)]
+        + [("b", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: r
+        for r in sk.distinct_kmv_sketch(df, ["g"], "v", k=16).collect()
+    }
+    hs = np.unique(mix_id_np(np.array([i * 37 + 1 for i in range(200)])))
+    kth = int(np.sort(hs)[15])
+    assert out["a"]["m"] == 16 and out["a"]["kth_hash"] == kth
+    assert out["a"]["est_distinct"] == pytest.approx(15 * MIX_P / kth)
+    assert 50 < out["a"]["est_distinct"] < 800  # ~200 +- sketch error
+    b = out["b"]
+    assert (b["m"], b["kth_hash"], b["est_distinct"]) == (5, None, 5.0)
