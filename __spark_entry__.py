@@ -1510,6 +1510,24 @@ FROM t JOIN x USING (event_type)
 """
 
 
+_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) AS day_us,
+         epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day_us, -1)::BIGINT AS day_us,
+       coalesce(hour_us, -1)::BIGINT AS hour_us,
+       count(*)::BIGINT AS n,
+       sum(cents)::BIGINT AS sum_value_cents
+FROM base
+GROUP BY ROLLUP (event_type, day_us, hour_us)
+"""
+
+
 _RPREC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -5021,6 +5039,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_exact",
         )
 
+    def event_rollup(spark, sf):
+        # hypertable-style continuous aggregate: one Catalyst rollup
+        # pass over (event_type, day, hour); integer-cents sums keep
+        # the value aggregate fold-order-exact
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.hypertable_rollup(ev_df, dims=["event_type"])
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6644,6 +6671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": term_pmi,
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
+        "event_rollup": event_rollup,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6850,6 +6878,7 @@ def oracle_sql() -> dict[str, str]:
         "term_pmi": _PMI_SQL,
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
+        "event_rollup": _ROLLUP_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

@@ -284,3 +284,47 @@ def asof_join(
         ],
         F.when(ok, F.col("_c_rt")).alias("asof_time_us"),
     )
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    dims: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup over an event
+    hypertable (the TimescaleDB rollup / Druid granularity-cascade
+    shape): ONE Catalyst rollup pass emits every prefix level of
+    (dims..., day, hour) — per-hour leaves, per-day subtotals,
+    per-dim totals and the grand total — instead of four separate
+    scans. Rollup is a single shuffle whose partial aggregation
+    happens map-side for all levels at once; at 100 TB this is the
+    difference between one pass and one pass per granularity.
+
+    Aggregates: event count and the value sum in integer CENTS
+    (round(value*100) per row, summed as BIGINT) — an integer sum is
+    fold-order-exact across engines and partitionings, where a double
+    sum of the raw values could flip a 4dp rounding boundary under a
+    different reduce order. NULL subtotal keys are coalesced to -1
+    (times) / '(all)' (dims): event times are never null, so the
+    sentinel is unambiguous.
+    -> (dims..., day_us, hour_us, n, sum_value_cents)."""
+    dims = list(dims or [])
+    base = events.select(
+        *dims,
+        epoch_us(f"date_trunc('DAY', {ts_col})").alias("day_us"),
+        epoch_us(f"date_trunc('HOUR', {ts_col})").alias("hour_us"),
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+    )
+    out = base.rollup(*dims, "day_us", "hour_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_cents").cast("long").alias("sum_value_cents"),
+    )
+    return out.select(
+        *[F.coalesce(F.col(d), F.lit("(all)")).alias(d) for d in dims],
+        F.coalesce(F.col("day_us"), F.lit(-1)).cast("long").alias("day_us"),
+        F.coalesce(F.col("hour_us"), F.lit(-1)).cast("long")
+        .alias("hour_us"),
+        "n",
+        "sum_value_cents",
+    )

@@ -153,3 +153,34 @@ def test_asof_join_tolerance(spark):
     }
     assert out[1] == 9      # 100 us old, inside the 200 us tolerance
     assert out[2] is None   # 600 us old -> nulled, not the next older
+
+
+def test_hypertable_rollup_levels(spark):
+    from luc4ir_spark.operators import eventops as eo
+
+    rows = [
+        (1, "2024-01-01 10:15:00", "click", 1.234),
+        (2, "2024-01-01 10:45:00", "click", 2.001),
+        (3, "2024-01-01 11:00:00", "view", 0.5),
+        (4, "2024-01-02 09:00:00", "click", -1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["event_type"], r["day_us"], r["hour_us"]): (
+            r["n"], r["sum_value_cents"]
+        )
+        for r in eo.hypertable_rollup(ev, dims=["event_type"]).collect()
+    }
+    day1 = 1704067200000000  # 2024-01-01 in us
+    h10 = day1 + 10 * 3600 * 1000000
+    # leaf, day subtotal, type total, grand total all present
+    assert out[("click", day1, h10)] == (2, 123 + 200)
+    assert out[("click", day1, -1)] == (2, 323)
+    assert out[("click", -1, -1)] == (3, 323 - 100)
+    assert out[("(all)", -1, -1)] == (4, 323 - 100 + 50)
+    # one rollup pass: 4 levels x keys, no duplicate cells
+    assert len(out) == len(
+        set(out)
+    ) and sum(1 for k in out if k[1] == -1 and k[2] == -1) == 3  # 2 types + grand
