@@ -1528,6 +1528,37 @@ GROUP BY ROLLUP (event_type, day_us, hour_us)
 """
 
 
+_PPR_SQL = """
+WITH nodes AS (SELECT doc_id AS id,
+               CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS seed
+               FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n, sum(seed)::BIGINT AS ns FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+a0 AS (SELECT id, seed::BIGINT AS a FROM nodes),
+c1 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a0 a ON e.src = a.id GROUP BY 1),
+a1 AS (SELECT nd.id, (9 * nd.seed + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c1 c USING (id)),
+c2 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a1 a ON e.src = a.id GROUP BY 1),
+a2 AS (SELECT nd.id, (540 * nd.seed + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c2 c USING (id)),
+c3 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a2 a ON e.src = a.id GROUP BY 1),
+a3 AS (SELECT nd.id, (32400 * nd.seed + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c3 c USING (id))
+SELECT a3.id AS doc_id, a3.a AS pr_num,
+       round(a3.a / (nn.ns * 216000.0), 4) AS pr
+FROM a3 CROSS JOIN nn
+"""
+
+
 _RPREC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -5048,6 +5079,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
         return eo.hypertable_rollup(ev_df, dims=["event_type"])
 
+    def link_ppr(spark, sf):
+        # personalized PageRank (random walk with restart) from the
+        # doc_id % 10 == 0 seed set, same integer-exact recurrence
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        seeds = docs.filter(F.col("doc_id") % 10 == 0)
+        ns = seeds.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        out = gr.pagerank_regular_exact(
+            docs, edges, n, n_iter=3, id_col="doc_id",
+            seeds=seeds, n_seeds=ns,
+        )
+        return out.select(
+            F.col("id").alias("doc_id"),
+            "pr_num",
+            F.round("pr", 4).alias("pr"),
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6668,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
         "link_hits": link_hits,
+        "link_ppr": link_ppr,
         "term_pmi": term_pmi,
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
@@ -6875,6 +6925,7 @@ def oracle_sql() -> dict[str, str]:
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,
         "link_hits": _HITS_SQL,
+        "link_ppr": _PPR_SQL,
         "term_pmi": _PMI_SQL,
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,

@@ -199,6 +199,8 @@ def pagerank_regular_exact(
     damp_num: int = 17,
     damp_den: int = 20,
     id_col: str = "id",
+    seeds: DataFrame | None = None,
+    n_seeds: int | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank for a graph where EVERY node has exactly
     ``out_deg`` out-edges (so no dangling mass) and damping is the
@@ -206,15 +208,39 @@ def pagerank_regular_exact(
     numerators a_i (see module docstring) — every aggregation sums
     integers, so the result is bit-identical across engines and fold
     orders. -> (id, pr_num long — the exact scaled numerator, and
-    pr double = pr_num / (n * (damp_den*out_deg)^n_iter))."""
+    pr double = pr_num / (N * (damp_den*out_deg)^n_iter), N = n or
+    n_seeds).
+
+    ``seeds`` (a one-column DataFrame of ids, with ``n_seeds`` its
+    count) switches to PERSONALIZED PageRank — random walk with
+    restart: the teleport mass lands only on the seed set, so pr is
+    proximity to the seeds (related-docs, topic-sensitive rank,
+    Haveliwala 2002). Same recurrence with the restart term gated by
+    the seed indicator: a_0(v) = [v in S], a_{i+1}(v) =
+    base_i * [v in S] + dn * sum; denominator |S| * M^i — still all
+    integers."""
     m = damp_den * out_deg
     spine = nodes.select(F.col(id_col).cast("long").alias("id"))
+    if seeds is not None:
+        if n_seeds is None:
+            raise ValueError("personalized mode needs n_seeds")
+        seed_flag = seeds.selectExpr(
+            f"cast({seeds.columns[0]} as long) as id", "1L as _seed"
+        )
+        spine = spine.join(F.broadcast(seed_flag), "id", "left").select(
+            "id", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed")
+        )
+        pop = n_seeds
+    else:
+        spine = spine.withColumn("_seed", F.lit(1))
+        pop = n
+    spine = spine.localCheckpoint(eager=False)
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .repartition("src")
         .localCheckpoint(eager=False)
     )
-    a = spine.withColumn("a", F.lit(1).cast("long"))
+    a = spine.select("id", F.col("_seed").cast("long").alias("a"))
     for i in range(n_iter):
         contrib = (
             e.join(a, e.src == a.id)
@@ -225,11 +251,11 @@ def pagerank_regular_exact(
         a = spine.join(contrib, spine.id == contrib.dst, "left").select(
             "id",
             (
-                F.lit(base)
+                F.lit(base) * F.col("_seed")
                 + F.lit(damp_num) * F.coalesce(F.col("s"), F.lit(0))
             ).cast("long").alias("a"),
         )
-    denom = float(n * (m**n_iter))
+    denom = float(pop * (m**n_iter))
     return a.select(
         "id",
         F.col("a").alias("pr_num"),

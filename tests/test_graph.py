@@ -120,3 +120,35 @@ def test_synthetic_graph_is_3_out_regular(spark):
     deg = e.groupBy("src").count().collect()
     assert len(deg) == n and all(r["count"] == 3 for r in deg)
     assert e.filter((F.col("dst") < 0) | (F.col("dst") >= n)).count() == 0
+
+
+def test_personalized_pagerank_exact(spark):
+    n = 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = gr.synthetic_link_graph(nodes, n)
+    seeds = nodes.filter(F.col("doc_id") % 5 == 0)  # 0,5,10,15
+    got = {
+        r["id"]: (r["pr_num"], r["pr"])
+        for r in gr.pagerank_regular_exact(
+            nodes, edges, n, n_iter=3, id_col="doc_id",
+            seeds=seeds, n_seeds=4,
+        ).collect()
+    }
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+    a = {v: (1 if v % 5 == 0 else 0) for v in range(n)}
+    for i in range(3):
+        s = {v: 0 for v in range(n)}
+        for u, v in edge_list:
+            s[v] += a[u]
+        a = {
+            v: 9 * 60**i * (1 if v % 5 == 0 else 0) + 17 * s[v]
+            for v in range(n)
+        }
+    for v in range(n):
+        assert got[v][0] == a[v], v
+        assert got[v][1] == pytest.approx(a[v] / (4 * 216000.0))
+    # total mass = |S| * 60^3
+    assert sum(x[0] for x in got.values()) == 4 * 216000
+    # seeds keep personalized mass concentrated: every seed outranks
+    # the global-uniform value only when walks return; just sanity
+    assert any(got[v][0] > 0 for v in range(n) if v % 5 != 0)
