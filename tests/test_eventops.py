@@ -3,6 +3,8 @@
 from datetime import datetime
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from luc4ir_spark.operators import eventops as eo
@@ -184,3 +186,64 @@ def test_hypertable_rollup_levels(spark):
     assert len(out) == len(
         set(out)
     ) and sum(1 for k in out if k[1] == -1 and k[2] == -1) == 3  # 2 types + grand
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=0, max_size=12,
+    ),
+    tol=st.one_of(st.none(), st.integers(1, 15)),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
+    import pandas as pd
+
+    from luc4ir_spark.operators import eventops as eo
+
+    # pandas merge_asof requires unique-per-time right rows for a
+    # deterministic compare; dedupe (key, t) keeping one rid
+    rmap = {}
+    for i, (k, t) in enumerate(rights):
+        rmap[(k, t)] = 100 + i
+    rrows = [(k, t, rid) for (k, t), rid in sorted(rmap.items())]
+    lrows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    ldf = spark.createDataFrame(lrows, "lid long, user_id long, t_us long")
+    if rrows:
+        rdf = spark.createDataFrame(
+            rrows, "user_id long, r_us long, rid long"
+        )
+    else:
+        rdf = spark.createDataFrame(
+            [], "user_id long, r_us long, rid long"
+        )
+    got = {
+        r["lid"]: r["rid"]
+        for r in eo.asof_join(
+            ldf, rdf, key="user_id", left_time_us="t_us",
+            right_time_us="r_us", payload_cols=["rid"],
+            tolerance_us=tol,
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["lid", "user_id", "t_us"]).sort_values(
+        "t_us", kind="stable"
+    )
+    rp = (
+        pd.DataFrame(rrows, columns=["user_id", "r_us", "rid"])
+        .astype({"user_id": "int64", "r_us": "int64", "rid": "int64"})
+        .sort_values("r_us", kind="stable")
+    )
+    merged = pd.merge_asof(
+        lp, rp, left_on="t_us", right_on="r_us", by="user_id",
+        direction="backward",
+        tolerance=None if tol is None else tol,
+    )
+    want = {
+        int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+        for row in merged.itertuples()
+    }
+    assert got == want
