@@ -1559,6 +1559,29 @@ FROM a3 CROSS JOIN nn
 """
 
 
+def _z_terms(col: str, d: int, n: int, bits: int = 8) -> str:
+    """SQL replay of plans.layout.zorder_value for one dimension:
+    bit b of `col` lands at position b*n + d."""
+    return " + ".join(
+        f"(CASE WHEN ({col} & {1 << b}) <> 0"
+        f" THEN {1 << (b * n + d)} ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+_ZORDER_SQL = f"""
+WITH base AS (
+  SELECT event_id,
+         (user_id & 255)::BIGINT AS ub,
+         ((epoch_us(ts) // 3600000000) % 256)::BIGINT AS hb
+  FROM events
+)
+SELECT event_id, ub, hb,
+       ({_z_terms("ub", 0, 2)} + {_z_terms("hb", 1, 2)})::BIGINT AS z
+FROM base
+"""
+
+
 _RPREC_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -5097,6 +5120,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pr", 4).alias("pr"),
         )
 
+    def zorder_events(spark, sf):
+        # Morton z-values for the (user bucket, hour bucket) layout —
+        # the data-skipping clustering key; pure integer bit math on
+        # both engines. The range-partition+sort itself is physical
+        # layout (not row content), so the gate checks the z math.
+        from luc4ir_spark.operators import eventops as eo
+        from luc4ir_spark.plans import layout as ly
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        base = ev_df.select(
+            "event_id",
+            F.col("user_id").bitwiseAND(F.lit(255)).cast("long")
+            .alias("ub"),
+            eo.epoch_us("ts").alias("_t"),
+        ).select(
+            "event_id",
+            "ub",
+            # integer DIV (not /: double division can mis-floor at
+            # exact-multiple boundaries; DuckDB // is integer)
+            F.expr("CAST((_t DIV 3600000000) % 256 AS LONG)").alias("hb"),
+        )
+        return base.withColumn(
+            "z", ly.zorder_value(["ub", "hb"], bits=8)
+        )
+
     def pack_sequences(spark, sf):
         return ts.pack_sequences(
             _docs(spark, sf),
@@ -6722,6 +6770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
         "event_rollup": event_rollup,
+        "zorder_events": zorder_events,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
         "count_hits": count_hits,
@@ -6930,6 +6979,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
         "event_rollup": _ROLLUP_SQL,
+        "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),
         "count_hits": _count_hits_sql(),

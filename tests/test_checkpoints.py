@@ -246,3 +246,48 @@ def test_bucketed_index_joins_without_exchange(spark, tmp_path):
         assert reopened.stats.total_tokens == idx.stats.total_tokens
     finally:
         spark.sql("DROP DATABASE IF EXISTS bidx_test CASCADE")
+
+
+def test_zorder_value_hand_computed(spark):
+    from luc4ir_spark.plans import layout as ly
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0110), (255, 0), (0, 255), (3, 3)], "x long, y long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            ly.zorder_value(["x", "y"], bits=8).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == [morton(0b1010, 0b0110), morton(255, 0),
+                   morton(0, 255), morton(3, 3)]
+    # x-only bits are the even positions, y-only the odd
+    assert got[1] == 0b0101010101010101
+    assert got[2] == 0b1010101010101010
+
+
+def test_zorder_layout_sorted_partitions(spark):
+    from luc4ir_spark.plans import layout as ly
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") * 7 % 16).alias("y")
+    )
+    out = ly.zorder_layout(df, ["x", "y"], bits=4, num_partitions=4)
+    parts = out.select("z").rdd.glom().collect()
+    seen = []
+    for p in parts:
+        vals = [r["z"] for r in p]
+        assert vals == sorted(vals)  # sorted within partition
+        seen.append(vals)
+    # range partitioning: partition maxima non-decreasing across parts
+    bounds = [v[-1] for v in seen if v]
+    assert bounds == sorted(bounds)
