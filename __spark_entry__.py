@@ -2810,6 +2810,36 @@ FROM bm
 _TRUNC_DIM = 16  # Matryoshka gate: keep the first 16 of 64 dims
 
 
+def _bootstrap_paired_sql() -> str:
+    """Replays evaluation.bootstrap_paired_test over the ttest AP
+    pair: deltas on the 1e-4 grid as scaled integers, same mix draw
+    stream as the CI gate, p = (#{sum <= 0} + 1) / (B + 1)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    n = len(QUERY_SET)
+    mix = (
+        f"(({hx.MIX_A} * ((i + {_BOOT_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P}) % {n}"
+    )
+    return f"""
+WITH {_ap_pair_prefix()},
+dd AS (SELECT a.qid,
+              CAST(round((a.ap - b.ap) * 10000, 0) AS BIGINT) AS ds
+       FROM ap_a a JOIN ap_b b USING (qid)),
+v AS (SELECT ds, row_number() OVER (ORDER BY qid) - 1 AS idx FROM dd),
+d AS (SELECT i // {n} AS bid, {mix} AS idx
+      FROM range({_BOOT_B * n}) t(i)),
+bs AS (SELECT d.bid, sum(v.ds)::BIGINT AS s
+       FROM d JOIN v USING (idx) GROUP BY 1)
+SELECT {n}::BIGINT AS n, {_BOOT_B}::BIGINT AS n_boot,
+       (SELECT sum(ds) FROM dd)::BIGINT AS sum_obs,
+       sum(CASE WHEN s <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_le0,
+       round((sum(CASE WHEN s <= 0 THEN 1 ELSE 0 END) + 1.0)
+             / {_BOOT_B + 1}, 4) AS p_le0
+FROM bs
+"""
+
+
 def _ann_quantized_sql() -> str:
     """Replays quantize_embeddings + cosine: CORPUS vectors go through
     the int8 round-trip (scale = max|x|/127, q = round(x/scale),
@@ -5633,6 +5663,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("ci_hi", 4).alias("ci_hi"),
         )
 
+    def bootstrap_paired(spark, sf):
+        # paired bootstrap significance test over the SAME per-query
+        # AP pair as run_ttest (plain BM25 vs MUST_NOT run)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        qrels = _pseudo_qrels(spark, sf)
+        excl = spark.createDataFrame(
+            [(qid, _EXCLUDE_TERM) for qid, _ in QUERY_SET],
+            "qid string, term string",
+        )
+
+        def perq(run):
+            return ev.per_query_metrics(
+                run.withColumn("docid", F.col("doc_id").cast("string")),
+                qrels, p_at=5, ndcg_at=10,
+            )
+
+        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pb = perq(
+            rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
+        )
+        out = ev.bootstrap_paired_test(
+            pa, pb, metric_col="ap", n_boot=_BOOT_B, seed=_BOOT_SEED
+        )
+        return out.select(
+            "n", "n_boot", "sum_obs", "n_le0",
+            F.round("p_le0", 4).alias("p_le0"),
+        )
+
     def snapshot_diff(spark, sf):
         # crawl-refresh diff: the new snapshot drops doc_id%7==0,
         # revises doc_id%5==0, and adds three shifted-id docs
@@ -6820,6 +6879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_rerank": proximity_rerank,
         "snapshot_diff": snapshot_diff,
         "bootstrap_map_ci": bootstrap_map_ci,
+        "bootstrap_paired": bootstrap_paired,
         "event_retention": event_retention,
         "click_attribution": click_attribution,
         "attribution_streamed": attribution_streamed,
@@ -7028,6 +7088,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_rerank": _proximity_rerank_sql(),
         "snapshot_diff": _SNAP_DIFF_SQL,
         "bootstrap_map_ci": _bootstrap_ci_sql(),
+        "bootstrap_paired": _bootstrap_paired_sql(),
         "event_retention": _RETENTION_SQL,
         "click_attribution": _ATTRIBUTION_SQL,
         "attribution_streamed": _ATTRIBUTION_SQL,

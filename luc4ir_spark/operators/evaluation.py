@@ -864,3 +864,75 @@ def bootstrap_ci(
             "mean", "ci_lo", "ci_hi",
         )
     )
+
+
+def bootstrap_paired_test(
+    per_a: DataFrame,
+    per_b: DataFrame,
+    metric_col: str = "ap",
+    qid_col: str = "qid",
+    n_boot: int = 200,
+    seed: int = 0,
+    scale: int = 10000,
+) -> DataFrame:
+    """Deterministic PAIRED bootstrap significance test for run A vs
+    run B (the resampling complement to paired_ttest / wilcoxon):
+    resample the per-topic metric DELTAS with replacement using the
+    same engine-portable mix-hash draw stream as ``bootstrap_ci`` and
+    report how often a resampled total is <= 0 —
+    ``p_le0 = (#{b : S*_b <= 0} + 1) / (n_boot + 1)`` (the add-one
+    conservative estimator, Davison & Hinkley 1997). Small p = the
+    improvement survives topic resampling.
+
+    Float discipline: deltas are rounded to the 1/scale grid and kept
+    as SCALED INTEGERS, so every resample statistic is a BIGINT sum —
+    fold-order-exact, no engine can disagree on the S*_b <= 0
+    comparison (the same pre-rounding the wilcoxon gate applies
+    before ranking). -> one row (n, n_boot, sum_obs, n_le0, p_le0).
+    """
+    from ..functions.hashing import mix_id_expr
+
+    a = per_a.select(F.col(qid_col).alias("qid"),
+                     F.col(metric_col).alias("ma"))
+    b = per_b.select(F.col(qid_col).alias("qid"),
+                     F.col(metric_col).alias("mb"))
+    d = a.join(b, "qid").select(
+        "qid",
+        F.round((F.col("ma") - F.col("mb")) * scale, 0).cast("long")
+        .alias("ds"),
+    )
+    n = d.count()
+    if n == 0:
+        raise ValueError("bootstrap_paired_test: no common topics")
+    idxd = d.withColumn(
+        "idx", F.row_number().over(Window.orderBy("qid")).cast("long") - 1
+    ).select("idx", "ds")
+    spark = per_a.sparkSession
+    draws = spark.range(int(n_boot) * n).select(
+        F.expr(f"id DIV {n}").alias("bid"),
+        F.pmod(
+            mix_id_expr(F.col("id") + F.lit(int(seed))), F.lit(n)
+        ).alias("idx"),
+    )
+    sums = (
+        draws.join(F.broadcast(idxd), "idx")
+        .groupBy("bid")
+        .agg(F.sum("ds").cast("long").alias("s"))
+    )
+    obs = idxd.agg(F.sum("ds").cast("long").alias("sum_obs"))
+    return (
+        sums.agg(
+            F.sum((F.col("s") <= 0).cast("long")).alias("n_le0")
+        )
+        .crossJoin(obs)
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(int(n_boot)).cast("long").alias("n_boot"),
+            "sum_obs",
+            "n_le0",
+            (
+                (F.col("n_le0") + 1).cast("double")
+                / F.lit(float(n_boot + 1))
+            ).alias("p_le0"),
+        )
+    )

@@ -515,3 +515,43 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
     # NOTE: seed k vs k+1 only shifts the mix draw STREAM by one slot,
     # so nearby seeds give near-identical CIs by design — determinism
     # is the contract, not seed-sensitivity
+
+
+def test_bootstrap_paired_test_pure_python_replay(spark):
+    """bootstrap_paired_test == a pure-Python replay of the mix draw
+    stream over scaled-integer deltas; all-positive deltas give the
+    conservative floor p = 1/(B+1)."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    def mix_py(x):
+        return (MIX_A * (x % MIX_P) + MIX_B) % MIX_P
+
+    a_rows = [("q1", 0.50), ("q2", 0.30), ("q3", 0.45), ("q4", 0.20)]
+    b_rows = [("q1", 0.40), ("q2", 0.35), ("q3", 0.45), ("q4", 0.30)]
+    a = spark.createDataFrame(a_rows, "qid string, ap double")
+    b = spark.createDataFrame(b_rows, "qid string, ap double")
+    n_boot, seed = 60, 7
+    row = ev.bootstrap_paired_test(
+        a, b, n_boot=n_boot, seed=seed
+    ).collect()[0]
+    # pure-Python replay (qid order == lexicographic, same mix stream)
+    ds = [
+        int(round((x[1] - y[1]) * 10000))
+        for x, y in zip(sorted(a_rows), sorted(b_rows))
+    ]
+    n = len(ds)
+    n_le0 = 0
+    for bid in range(n_boot):
+        s = sum(ds[mix_py(bid * n + j + seed) % n] for j in range(n))
+        n_le0 += s <= 0
+    assert row["n"] == n and row["n_boot"] == n_boot
+    assert row["sum_obs"] == sum(ds)
+    assert row["n_le0"] == n_le0
+    assert row["p_le0"] == pytest.approx((n_le0 + 1) / (n_boot + 1))
+    # all-positive deltas -> every resample sum > 0 -> floor p
+    b2 = spark.createDataFrame(
+        [(q, v - 0.05) for q, v in a_rows], "qid string, ap double"
+    )
+    r2 = ev.bootstrap_paired_test(a, b2, n_boot=40, seed=1).collect()[0]
+    assert r2["n_le0"] == 0
+    assert r2["p_le0"] == pytest.approx(1 / 41)
