@@ -16,6 +16,7 @@ all integer outputs are cast to 64-bit on both sides.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -2070,12 +2071,24 @@ def _sim2_sql(kind: str) -> str:
             " * pow((s.n_docs + 1.0) / dft.df, 0.35)"
         )
         score = "tfn"
+    elif kind == "pl2":
+        # PL2: lambda = cf/N; numerator terms in the SAME order as
+        # retrieval._per_posting_score (IEEE addition order matters);
+        # 2*pi emitted via repr so both engines get the same double
+        two_pi = repr(2.0 * math.pi)
+        score = (
+            "(tfn * ln(tfn / lam) / ln(2.0)"
+            " + (lam + 1.0 / (12.0 * tfn) - tfn) / ln(2.0)"
+            f" + 0.5 * ln({two_pi} * tfn) / ln(2.0))"
+            " / (tfn + 1.0)"
+        )
     else:
         raise ValueError(kind)
     return f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 post AS (
   SELECT q.qid, tf.doc_id, dft.df * 1.0 AS df, s.n_docs * 1.0 AS n_docs,
+         dft.cf * 1.0 / s.n_docs AS lam,
          {tfn} AS tfn
   FROM q JOIN dft USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
@@ -5294,6 +5307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Axiomatic F2EXP (Lucene AxiomaticF2EXP, s=0.5, k=0.35)
         return _lm_run(spark, sf, "f2exp")
 
+    def pl2_topk(spark, sf):
+        # DFR PL2 (Terrier default; Poisson + Laplace + H2, c=1)
+        return _lm_run(spark, sf, "pl2")
+
     def boosting_topk(spark, sf):
         # BoostingQuery parity: docs containing the demote term stay in
         # the list but are pushed down by negative_boost before ranking
@@ -6854,6 +6871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmdir_topk": lmdir_topk,
         "lmjm_topk": lmjm_topk,
         "dfr_topk": dfr_topk,
+        "pl2_topk": pl2_topk,
         "ib_topk": ib_topk,
         "f2exp_topk": f2exp_topk,
         "boosting_topk": boosting_topk,
@@ -7063,6 +7081,7 @@ def oracle_sql() -> dict[str, str]:
         "lmdir_topk": _lm_sql("lmdir"),
         "lmjm_topk": _lm_sql("lmjm"),
         "dfr_topk": _sim2_sql("dfr_inl2"),
+        "pl2_topk": _sim2_sql("pl2"),
         "ib_topk": _sim2_sql("ib_ll"),
         "f2exp_topk": _sim2_sql("f2exp"),
         "boosting_topk": _boosting_sql(),

@@ -42,7 +42,7 @@ BM25_B_DEFAULT = 0.3
 @dataclass(frozen=True)
 class Similarity:
     kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
-    #                   # | dfr_inl2 | ib_ll | f2exp
+    #                   # | dfr_inl2 | ib_ll | f2exp | pl2
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
@@ -146,6 +146,28 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             float(stats.n_docs) + 1.0
         )
         return w * F.log(F.lit(1.0) + tfn / lam_df)
+    if sim.kind == "pl2":
+        # DFR PL2 (Amati & van Rijsbergen TOIS'02: Poisson basic model,
+        # Laplace after-effect, H2 normalization — Terrier's default;
+        # Lucene's DFRSimilarity(BasicModelP/Ine, AfterEffectL,
+        # NormalizationH2) family): tfn = tf*log2(1 + c*avgdl/dl),
+        # lambda = cf/N (per-doc Poisson mean),
+        # score = (tfn*log2(tfn/lambda) + (lambda + 1/(12*tfn) - tfn)
+        #          *log2(e) + 0.5*log2(2*pi*tfn)) / (tfn + 1).
+        # Negative contributions for common terms (lambda > tfn) are
+        # kept, as in Terrier. Arithmetic shape mirrors the oracle SQL
+        # term-for-term (IEEE addition is order-sensitive).
+        tfn = tf * F.log(
+            F.lit(1.0) + F.lit(sim.c) * F.lit(stats.avgdl) / dl
+        ) / ln2
+        lam_p = F.col("cf").cast("double") / F.lit(float(stats.n_docs))
+        two_pi = F.lit(2.0 * math.pi)
+        num = (
+            tfn * F.log(tfn / lam_p) / ln2
+            + (lam_p + F.lit(1.0) / (F.lit(12.0) * tfn) - tfn) / ln2
+            + F.lit(0.5) * F.log(two_pi * tfn) / ln2
+        )
+        return w * num / (tfn + F.lit(1.0))
     if sim.kind == "f2exp":
         # Axiomatic F2EXP (Fang & Zhai SIGIR'05; Lucene
         # AxiomaticF2EXP, s=0.5, k=0.35):

@@ -1324,6 +1324,31 @@ def test_dfr_ib_f2exp_hand_computed(spark, index):
             )
 
 
+def test_pl2_hand_computed(spark, index):
+    """Single-term query: per-doc DFR-PL2 scores vs the published
+    closed form (Amati & van Rijsbergen: Poisson + Laplace + H2,
+    lambda = cf/N) computed in pure Python."""
+    toks, n, dls, avgdl, df = _tiny_stats()
+    cf = sum(ts.count("spark") for ts in toks.values())
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    log2 = math.log(2.0)
+    run = rt.score_queries(
+        index, qt, k=10, sim=rt.Similarity(kind="pl2")
+    ).collect()
+    assert run
+    for r in run:
+        tf = toks[r["doc_id"]].count("spark")
+        dl = dls[r["doc_id"]]
+        tfn = tf * math.log(1.0 + avgdl / dl) / log2
+        lam = cf / n
+        exp = (
+            tfn * math.log(tfn / lam) / log2
+            + (lam + 1.0 / (12.0 * tfn) - tfn) / log2
+            + 0.5 * math.log(2.0 * math.pi * tfn) / log2
+        ) / (tfn + 1.0)
+        assert r["score"] == pytest.approx(exp, rel=1e-12), r["doc_id"]
+
+
 def test_boosting_query(spark, index):
     """Docs matching the demote term keep their slot but at score*0.25;
     undemoted docs are untouched; ordering reflects demotion."""
