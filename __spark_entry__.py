@@ -2853,6 +2853,44 @@ FROM bs
 """
 
 
+_PERM_B, _PERM_SEED = 200, 11
+
+
+def _run_permutation_sql() -> str:
+    """Replays evaluation.permutation_test over the ttest AP pair:
+    deltas on the 1e-4 grid as scaled integers, sign flip = mix parity
+    of the flat draw index, two-sided p = (#{|S*| >= |S_obs|} + 1)
+    / (B + 1)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    n = len(QUERY_SET)
+    par = (
+        f"(({hx.MIX_A} * ((i + {_PERM_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P}) % 2"
+    )
+    return f"""
+WITH {_ap_pair_prefix()},
+dd AS (SELECT a.qid,
+              CAST(round((a.ap - b.ap) * 10000, 0) AS BIGINT) AS ds
+       FROM ap_a a JOIN ap_b b USING (qid)),
+v AS (SELECT ds, row_number() OVER (ORDER BY qid) - 1 AS idx FROM dd),
+d AS (SELECT i // {n} AS pid, i % {n} AS idx,
+             CASE WHEN {par} = 0 THEN 1 ELSE -1 END AS sgn
+      FROM range({_PERM_B * n}) t(i)),
+ps AS (SELECT d.pid, sum(d.sgn * v.ds)::BIGINT AS s
+       FROM d JOIN v USING (idx) GROUP BY 1),
+ob AS (SELECT sum(ds)::BIGINT AS sum_obs FROM dd)
+SELECT {n}::BIGINT AS n, {_PERM_B}::BIGINT AS n_perm,
+       (SELECT sum_obs FROM ob) AS sum_obs,
+       sum(CASE WHEN abs(s) >= abs((SELECT sum_obs FROM ob))
+                THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+       round((sum(CASE WHEN abs(s) >= abs((SELECT sum_obs FROM ob))
+                       THEN 1 ELSE 0 END) + 1.0)
+             / {_PERM_B + 1}, 4) AS p_two
+FROM ps
+"""
+
+
 def _ann_quantized_sql() -> str:
     """Replays quantize_embeddings + cosine: CORPUS vectors go through
     the int8 round-trip (scale = max|x|/127, q = round(x/scale),
@@ -5709,6 +5747,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("p_le0", 4).alias("p_le0"),
         )
 
+    def run_permutation(spark, sf):
+        # Fisher randomization test (Smucker'07) over the SAME
+        # per-query AP pair as run_ttest (plain BM25 vs MUST_NOT run)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        qrels = _pseudo_qrels(spark, sf)
+        excl = spark.createDataFrame(
+            [(qid, _EXCLUDE_TERM) for qid, _ in QUERY_SET],
+            "qid string, term string",
+        )
+
+        def perq(run):
+            return ev.per_query_metrics(
+                run.withColumn("docid", F.col("doc_id").cast("string")),
+                qrels, p_at=5, ndcg_at=10,
+            )
+
+        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pb = perq(
+            rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
+        )
+        out = ev.permutation_test(
+            pa, pb, metric_col="ap", n_perm=_PERM_B, seed=_PERM_SEED
+        )
+        return out.select(
+            "n", "n_perm", "sum_obs", "n_ge",
+            F.round("p_two", 4).alias("p_two"),
+        )
+
     def snapshot_diff(spark, sf):
         # crawl-refresh diff: the new snapshot drops doc_id%7==0,
         # revises doc_id%5==0, and adds three shifted-id docs
@@ -6898,6 +6965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": snapshot_diff,
         "bootstrap_map_ci": bootstrap_map_ci,
         "bootstrap_paired": bootstrap_paired,
+        "run_permutation": run_permutation,
         "event_retention": event_retention,
         "click_attribution": click_attribution,
         "attribution_streamed": attribution_streamed,
@@ -7108,6 +7176,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAP_DIFF_SQL,
         "bootstrap_map_ci": _bootstrap_ci_sql(),
         "bootstrap_paired": _bootstrap_paired_sql(),
+        "run_permutation": _run_permutation_sql(),
         "event_retention": _RETENTION_SQL,
         "click_attribution": _ATTRIBUTION_SQL,
         "attribution_streamed": _ATTRIBUTION_SQL,

@@ -936,3 +936,87 @@ def bootstrap_paired_test(
             ).alias("p_le0"),
         )
     )
+
+
+def permutation_test(
+    per_a: DataFrame,
+    per_b: DataFrame,
+    metric_col: str = "ap",
+    qid_col: str = "qid",
+    n_perm: int = 200,
+    seed: int = 0,
+    scale: int = 10000,
+) -> DataFrame:
+    """Deterministic Fisher RANDOMIZATION test for run A vs run B
+    (Smucker, Allan & Carterette CIKM'07 — the recommended paired
+    significance test for IR): under H0 the per-topic assignment of
+    the two systems is exchangeable, so each permutation flips the
+    SIGN of every topic's delta independently; the two-sided p-value
+    counts permutations whose |sum of signed deltas| >= |observed| —
+    ``p_two = (#{p : |S*_p| >= |S_obs|} + 1) / (n_perm + 1)`` (add-one
+    conservative estimator, same convention as bootstrap_paired_test).
+
+    Determinism: sign for (permutation p, topic j) is the parity of
+    the engine-portable mix hash of the flat draw index p*n + j + seed
+    (no RNG state, replayable in SQL). Deltas are rounded to the
+    1/scale grid and kept as SCALED INTEGERS so every permutation
+    statistic is a BIGINT sum — fold-order-exact, the |S*| >= |S_obs|
+    comparison cannot disagree across engines.
+    -> one row (n, n_perm, sum_obs, n_ge, p_two).
+    """
+    from ..functions.hashing import mix_id_expr
+
+    a = per_a.select(F.col(qid_col).alias("qid"),
+                     F.col(metric_col).alias("ma"))
+    b = per_b.select(F.col(qid_col).alias("qid"),
+                     F.col(metric_col).alias("mb"))
+    d = a.join(b, "qid").select(
+        "qid",
+        F.round((F.col("ma") - F.col("mb")) * scale, 0).cast("long")
+        .alias("ds"),
+    )
+    n = d.count()
+    if n == 0:
+        raise ValueError("permutation_test: no common topics")
+    idxd = d.withColumn(
+        "idx", F.row_number().over(Window.orderBy("qid")).cast("long") - 1
+    ).select("idx", "ds")
+    spark = per_a.sparkSession
+    # each permutation visits every topic exactly once (idx = id % n);
+    # the mix parity of the FLAT index supplies the sign flip
+    draws = spark.range(int(n_perm) * n).select(
+        F.expr(f"id DIV {n}").alias("pid"),
+        F.pmod(F.col("id"), F.lit(n)).alias("idx"),
+        F.when(
+            F.pmod(
+                mix_id_expr(F.col("id") + F.lit(int(seed))), F.lit(2)
+            ) == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).cast("long").alias("sgn"),
+    )
+    sums = (
+        draws.join(F.broadcast(idxd), "idx")
+        .groupBy("pid")
+        .agg(F.sum(F.col("sgn") * F.col("ds")).cast("long").alias("s"))
+    )
+    obs = idxd.agg(F.sum("ds").cast("long").alias("sum_obs"))
+    return (
+        sums.crossJoin(obs)
+        .agg(
+            F.sum(
+                (F.abs(F.col("s")) >= F.abs(F.col("sum_obs")))
+                .cast("long")
+            ).alias("n_ge"),
+            F.first("sum_obs").alias("sum_obs"),
+        )
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(int(n_perm)).cast("long").alias("n_perm"),
+            "sum_obs",
+            "n_ge",
+            (
+                (F.col("n_ge") + 1).cast("double")
+                / F.lit(float(n_perm + 1))
+            ).alias("p_two"),
+        )
+    )

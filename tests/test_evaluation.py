@@ -555,3 +555,40 @@ def test_bootstrap_paired_test_pure_python_replay(spark):
     r2 = ev.bootstrap_paired_test(a, b2, n_boot=40, seed=1).collect()[0]
     assert r2["n_le0"] == 0
     assert r2["p_le0"] == pytest.approx(1 / 41)
+
+
+def test_permutation_test_pure_python_replay(spark):
+    """permutation_test == pure-Python replay of the mix-parity sign
+    flips over scaled-integer deltas; identical runs give p_two = 1."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    def mix_py(x):
+        return (MIX_A * (x % MIX_P) + MIX_B) % MIX_P
+
+    a_rows = [("q1", 0.50), ("q2", 0.30), ("q3", 0.45), ("q4", 0.20)]
+    b_rows = [("q1", 0.40), ("q2", 0.35), ("q3", 0.45), ("q4", 0.30)]
+    a = spark.createDataFrame(a_rows, "qid string, ap double")
+    b = spark.createDataFrame(b_rows, "qid string, ap double")
+    n_perm, seed = 64, 9
+    row = ev.permutation_test(a, b, n_perm=n_perm, seed=seed).collect()[0]
+    ds = [
+        int(round((x[1] - y[1]) * 10000))
+        for x, y in zip(sorted(a_rows), sorted(b_rows))
+    ]
+    n = len(ds)
+    obs = sum(ds)
+    n_ge = 0
+    for p in range(n_perm):
+        s = sum(
+            ds[j] if mix_py(p * n + j + seed) % 2 == 0 else -ds[j]
+            for j in range(n)
+        )
+        n_ge += abs(s) >= abs(obs)
+    assert row["n"] == n and row["n_perm"] == n_perm
+    assert row["sum_obs"] == obs
+    assert row["n_ge"] == n_ge
+    assert row["p_two"] == pytest.approx((n_ge + 1) / (n_perm + 1))
+    # identical runs: every signed sum is 0 == |obs| -> p_two = 1
+    r2 = ev.permutation_test(a, a, n_perm=32, seed=1).collect()[0]
+    assert r2["sum_obs"] == 0 and r2["n_ge"] == 32
+    assert r2["p_two"] == pytest.approx(1.0)
