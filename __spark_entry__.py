@@ -4162,6 +4162,23 @@ f AS (SELECT r.qid, d.source AS facet FROM run r
 SELECT qid, facet, count(*)::BIGINT AS n_docs FROM f GROUP BY 1, 2
 """
 
+# drill_sideways gate: drill-down source=src1 AND lang=en; each dim's
+# sideways counts drop ITS OWN filter and keep the other's
+_DRILL = [("source", "src1"), ("lang", "en")]
+
+_DRILL_SIDEWAYS_SQL = """
+WITH run AS ({bm25}),
+j AS (SELECT r.qid, d.source, d.lang FROM run r
+      JOIN documents d ON d.doc_id = r.doc_id),
+s_side AS (SELECT qid, 'source' AS dim, source AS value,
+                  count(*)::BIGINT AS n_docs
+           FROM j WHERE lang = 'en' GROUP BY 1, 3),
+l_side AS (SELECT qid, 'lang' AS dim, lang AS value,
+                  count(*)::BIGINT AS n_docs
+           FROM j WHERE source = 'src1' GROUP BY 1, 3)
+SELECT * FROM s_side UNION ALL SELECT * FROM l_side
+"""
+
 
 def _phrase_query_sql() -> str:
     """Replays indexer.build_positional_postings + retrieval.
@@ -6343,6 +6360,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.facet_counts(run, _docs(spark, sf), facet_col="source")
         return out.select("qid", "facet", "n_docs")
 
+    def drill_sideways(spark, sf):
+        # Lucene DrillSideways parity: drilled on source=src1 AND
+        # lang=en; each dimension's counts drop its own filter
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = rt.drill_sideways(run, _docs(spark, sf), _DRILL)
+        return out.select("qid", "dim", "value", "n_docs")
+
     def proximity_query(spark, sf):
         # ordered within-window proximity (#odN family): the phrase
         # terms with slack — a strict superset of the exact phrase hits
@@ -7021,6 +7047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": phrase_query,
         "bm25_must_not": bm25_must_not,
         "facet_counts": facet_counts,
+        "drill_sideways": drill_sideways,
         "run_ttest": run_ttest,
         "snippets": snippets,
         "hygiene_streamed": hygiene_streamed,
@@ -7272,6 +7299,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_query": _phrase_query_sql(),
         "bm25_must_not": _bm25_must_not_sql(),
         "facet_counts": _FACETS_SQL.format(
+            bm25=_bm25_sql(conjunctive=False)
+        ),
+        "drill_sideways": _DRILL_SIDEWAYS_SQL.format(
             bm25=_bm25_sql(conjunctive=False)
         ),
         "run_ttest": _run_ttest_sql(),

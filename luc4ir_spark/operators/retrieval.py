@@ -1873,6 +1873,58 @@ def facet_counts(
     )
 
 
+def drill_sideways(
+    run: DataFrame,
+    docs: DataFrame,
+    drill: list[tuple[str, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drill-sideways faceting — Lucene ``facet.DrillSideways``: the
+    user has drilled down on one value per dimension; for EACH drilled
+    dimension the facet counts are computed with that dimension's own
+    filter REMOVED and every other drill-down filter applied (so the
+    UI can show "what would I get if I picked a different value
+    here?"), which is exactly Lucene's near-miss collection semantics.
+
+    ``drill`` = ordered [(dim_col, drilled_value), ...].
+    -> (qid, dim, value, n_docs).
+
+    Scale shape: ONE hit-sized metadata equi-join (run side is
+    per-query top-k — AQE broadcasts it against any corpus), then ONE
+    map-side-combined pre-aggregation over (qid, dim1, ..., dimK);
+    each dimension's sideways counts re-aggregate that compact cube
+    (|qids| x |dim cardinalities| rows), so hits are scanned once no
+    matter how many dimensions are drilled."""
+    if not drill:
+        raise ValueError("drill_sideways: need at least one dimension")
+    dim_cols = [c for c, _ in drill]
+    cube = (
+        run.select("qid", "doc_id")
+        .join(
+            docs.select(F.col(id_col).alias("doc_id"), *dim_cols),
+            "doc_id",
+        )
+        .groupBy("qid", *dim_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    parts = []
+    for dim, _val in drill:
+        others = F.lit(True)
+        for o_dim, o_val in drill:
+            if o_dim != dim:
+                others = others & (F.col(o_dim) == F.lit(o_val))
+        parts.append(
+            cube.filter(others)
+            .groupBy("qid", F.col(dim).cast("string").alias("value"))
+            .agg(F.sum("n").cast("long").alias("n_docs"))
+            .select("qid", F.lit(dim).alias("dim"), "value", "n_docs")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def percolate(
     docs: DataFrame,
     query_terms: DataFrame,

@@ -409,6 +409,41 @@ def test_facet_counts(spark, index):
     assert got == exp
 
 
+def test_drill_sideways_hand_computed(spark, index):
+    """Each drilled dimension's counts drop its OWN filter and keep
+    the other's (Lucene DrillSideways near-miss semantics)."""
+    docs_meta = spark.createDataFrame(
+        [
+            (d, "even" if d % 2 == 0 else "odd",
+             "lo" if d < 2 else "hi")
+            for d, _ in DOCS
+        ],
+        "doc_id long, source string, tier string",
+    )
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    run = rt.score_queries(index, qt, k=10)
+    hits = {}
+    for r in run.collect():
+        hits.setdefault(r["qid"], []).append(r["doc_id"])
+    drill = [("source", "even"), ("tier", "lo")]
+    got = {
+        (r["qid"], r["dim"], r["value"]): r["n_docs"]
+        for r in rt.drill_sideways(run, docs_meta, drill).collect()
+    }
+    exp = {}
+    for qid, ds in hits.items():
+        for d in ds:
+            src = "even" if d % 2 == 0 else "odd"
+            tier = "lo" if d < 2 else "hi"
+            if tier == "lo":  # source sideways: tier filter only
+                k2 = (qid, "source", src)
+                exp[k2] = exp.get(k2, 0) + 1
+            if src == "even":  # tier sideways: source filter only
+                k2 = (qid, "tier", tier)
+                exp[k2] = exp.get(k2, 0) + 1
+    assert got == exp
+
+
 def test_make_snippets_hand_computed(spark):
     """Earliest-term window, left clamp, and the absent-term edge."""
     docs = spark.createDataFrame(
