@@ -4679,6 +4679,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("cross_entropy", 4).alias("cross_entropy")
         )
 
+    def xent_buckets(spark, sf):
+        # CCNet head/middle/tail: per-language rank tertiles over the
+        # corpus-LM cross-entropy (ntile on the 4dp grid + doc_id)
+        idx = _index(spark, sf)
+        return ix.xent_buckets(idx, _docs(spark, sf), by="lang").select(
+            "doc_id", "lang", "cross_entropy", "bucket"
+        )
+
     def bm25_topk(spark, sf):
         return _bm25_run(spark, sf, conjunctive=False)
 
@@ -6908,6 +6916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": collection_stats,
         "idf_dump": idf_dump,
         "lm_cross_entropy": lm_cross_entropy,
+        "xent_buckets": xent_buckets,
         "lm_quality_filter": lm_quality_filter,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
@@ -7119,6 +7128,26 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY tf.doc_id, dl.doc_len) "
             "SELECT doc_id, round(xent, 4) AS cross_entropy "
             "FROM x WHERE xent <= 3.41"
+        ),
+        # per-lang rank tertiles over the same LM signal; ntile is the
+        # SQL-standard equal-fill split on BOTH engines, ordering on
+        # the 4dp grid + doc_id so raw-ulp xent order can't leak in
+        "xent_buckets": (
+            f"WITH {_TOKS}, {_TF}, {_DL}, "
+            "cf AS (SELECT term, count(*)::BIGINT AS cf"
+            " FROM toks GROUP BY 1), "
+            "tot AS (SELECT count(*)::DOUBLE AS c FROM toks), "
+            "x AS (SELECT tf.doc_id, "
+            "-sum(tf.tf * ln(cf.cf / t.c)) / dl.doc_len AS xent "
+            "FROM tf JOIN cf USING (term)"
+            " JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot t "
+            "GROUP BY tf.doc_id, dl.doc_len) "
+            "SELECT x.doc_id, d.lang, round(x.xent, 4) AS cross_entropy, "
+            "CASE ntile(3) OVER (PARTITION BY d.lang"
+            " ORDER BY round(x.xent, 4), x.doc_id) "
+            "WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END"
+            " AS bucket "
+            "FROM x JOIN documents d ON d.doc_id = x.doc_id"
         ),
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),

@@ -640,6 +640,53 @@ def lm_cross_entropy(index: InvertedIndex) -> DataFrame:
     )
 
 
+def xent_buckets(
+    index: InvertedIndex,
+    doc_meta: DataFrame,
+    by: str = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 section
+    4.4): within each language, split the corpus into equal-sized
+    perplexity buckets — head = most corpus-like text, tail = the
+    rare-token outliers; downstream pipelines train preferentially on
+    head/middle. Assignment is RANK-based: ntile(n) over (xent rounded
+    to the 4dp grid, doc_id) — integer-exact given 4dp-equal xent, so
+    the split is engine-replayable (raw-ulp ordering is not).
+
+    Scale: one shuffle by language + a within-language sort (ntile).
+    Languages are few and large, so each sort is distributed but the
+    biggest language bounds the tail; for a skewed 100 TB corpus,
+    CCNet's own production form is the better shape — per-lang
+    thresholds from approx_percentile on a sample, broadcast, assign
+    by comparison (see lm_quality_filter's quantile path) — this
+    operator is the exact within-corpus split.
+    -> (doc_id, <by>, cross_entropy, bucket)."""
+    xent = lm_cross_entropy(index)
+    j = xent.join(
+        doc_meta.select(F.col(id_col).alias("doc_id"), by), "doc_id"
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.round("cross_entropy", 4).asc(), F.col("doc_id").asc()
+    )
+    nt = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (
+            F.when(nt == 1, F.lit("head"))
+            .when(nt == 3, F.lit("tail"))
+            .otherwise(F.lit("middle"))
+        )
+    else:
+        bucket = nt.cast("string")
+    return j.select(
+        "doc_id",
+        by,
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+        bucket.alias("bucket"),
+    )
+
+
 def lm_quality_filter(
     index: InvertedIndex,
     max_xent: float | None = None,

@@ -72,6 +72,45 @@ def test_lm_quality_filter(spark):
         ix.lm_quality_filter(idx, max_xent=1.0, quantile=0.5)
 
 
+def test_xent_buckets_equal_fill_and_order(spark):
+    """Per-language ntile tertiles: bucket sizes differ by at most one,
+    and every head xent <= every middle xent <= every tail xent within
+    a language (on the 4dp grid)."""
+    rows = []
+    # 7 'en' docs with increasingly rare-token-heavy text, 2 'de' docs
+    vocab = ["a", "b", "c", "d", "e", "f", "g"]
+    for i in range(7):
+        text = " ".join(["a"] * (7 - i) + vocab[: i + 1])
+        rows.append((i, text, "en"))
+    rows += [(100, "a a a", "de"), (101, "f g", "de")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string"
+    )
+    idx = ix.build_index(
+        docs, ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    )
+    meta = docs.select("doc_id", "lang")
+    out = ix.xent_buckets(idx, meta, by="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["en"]) == 7 and len(by_lang["de"]) == 2
+    sizes = {}
+    for r in by_lang["en"]:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sizes == {"head": 3, "middle": 2, "tail": 2}  # SQL ntile fill
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ranked = sorted(
+        by_lang["en"], key=lambda r: (r["cross_entropy"], r["doc_id"])
+    )
+    assert [order[r["bucket"]] for r in ranked] == sorted(
+        order[r["bucket"]] for r in ranked
+    )
+    # a 2-doc language still splits head/tail deterministically
+    de = {r["doc_id"]: r["bucket"] for r in by_lang["de"]}
+    assert de[100] == "head" and de[101] in ("middle", "tail")
+
+
 def test_content_sha256_invariant(spark):
     """input_hint: per-row content sha256 equality — the digest stored
     at ingest must equal an independently computed digest of the same
