@@ -1124,6 +1124,36 @@ GROUP BY p.qid, n.n_common
 """
 
 
+_SUGGEST_CTX = ["the", "spark", "data"]
+
+
+def _suggest_next_sql() -> str:
+    """Replays textstats.suggest_next_words: corpus bigram counts
+    (same CTE shape as the bigram-LM oracle), context VALUES join,
+    per-context top-3 by (c DESC, w2 ASC)."""
+    vals = ", ".join(f"('{w}')" for w in _SUGGEST_CTX)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, unnest(range(1, len(tk))) AS r(i)
+),
+c AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+ctx(w1) AS (VALUES {vals}),
+rk AS (
+  SELECT c.w1, c.w2, c.c,
+         row_number() OVER (PARTITION BY c.w1
+                            ORDER BY c.c DESC, c.w2 ASC)::BIGINT AS rank
+  FROM c JOIN ctx USING (w1)
+)
+SELECT w1, w2, c, rank FROM rk WHERE rank <= 3
+"""
+
+
 def _bigram_xent_sql() -> str:
     """Replays bigram_cross_entropy; the interpolation weights are
     emitted via repr() so (1 - lam) is the SAME double on both engines."""
@@ -4878,6 +4908,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), content_col="text", lam=_BIGRAM_LAM
         )
 
+    def suggest_next(spark, sf):
+        # FreeTextSuggester at the bigram order: top-3 corpus
+        # continuations per context word, all-integer ordering
+        return ts.suggest_next_words(
+            _docs(spark, sf), _SUGGEST_CTX, k=3, content_col="text"
+        )
+
     def token_budget_sample(spark, sf):
         # training-mix cut: per-source mix-ordered prefix within a
         # TOKEN budget
@@ -6934,6 +6971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_pooling": trec_pooling,
         "rank_correlation": rank_correlation,
         "bigram_lm_xent": bigram_lm_xent,
+        "suggest_next": suggest_next,
         "token_budget_sample": token_budget_sample,
         "dismax_topk": dismax_topk,
         "wildcard_query": wildcard_query,
@@ -7167,6 +7205,7 @@ def oracle_sql() -> dict[str, str]:
         "trec_pooling": _pooling_sql(),
         "rank_correlation": _rank_corr_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
+        "suggest_next": _suggest_next_sql(),
         "token_budget_sample": _token_budget_sql(),
         "dismax_topk": _dismax_sql(),
         "wildcard_query": _wildcard_sql(),

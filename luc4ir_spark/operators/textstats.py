@@ -1034,3 +1034,60 @@ def blocklist_filter(
         n_hits.alias("n_hits"),
         (n_hits == 0).alias("keep"),
     )
+
+
+def suggest_next_words(
+    docs: DataFrame,
+    context_terms: DataFrame | list[str],
+    k: int = 3,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Free-text next-word suggestion — Lucene
+    ``suggest.analyzing.FreeTextSuggester`` at the bigram order: an
+    n-gram LM counted from the corpus suggests the most likely
+    continuations of the user's last typed word. For each context word
+    w1, the top-k next words by corpus bigram count c(w1, w2), ordered
+    (c DESC, w2 ASC) — all-integer ordering, engine-stable with no
+    float tie-break. Contexts with no observed bigram yield no rows
+    (the real suggester then backs off to the unigram order; callers
+    can union a unigram-popularity fallback).
+
+    Tokenization is the engine's ``simple`` mode so oracles replay it.
+    -> (w1, w2, c, rank).
+
+    Scale: the bigram table is a vocab²-bounded map-side-combined
+    aggregation (same shape as bigram_cross_entropy — the extraction
+    explodes a LITERAL index sequence over the materialized token
+    array, never a HOF-computed one); the context list is tiny and
+    broadcast; per-context top-k is a WindowGroupLimit, never a global
+    sort."""
+    if isinstance(context_terms, list):
+        spark = docs.sparkSession
+        ctx = spark.createDataFrame([(w,) for w in context_terms], "w1 string")
+    else:
+        ctx = context_terms.select(F.col(context_terms.columns[0]).alias("w1"))
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    i = F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i")
+    bg = (
+        t.filter(F.size("tk") >= 2)
+        .select("tk", i)
+        .select(
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("w1").orderBy(
+        F.col("c").desc(), F.col("w2").asc()
+    )
+    return (
+        bg.join(F.broadcast(ctx), "w1")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("w1", "w2", "c", "rank")
+    )

@@ -1649,3 +1649,24 @@ def test_dedup_lines_min_docs_threshold(spark):
     # min_docs=3: nothing qualifies, every doc unchanged
     out = dedup.dedup_lines(docs, min_docs=3).collect()
     assert all(r["n_dropped"] == 0 for r in out)
+
+
+def test_suggest_next_words_hand_computed(spark):
+    """Bigram-count top-k per context word: count DESC then word ASC;
+    contexts with no bigram yield nothing; k truncates."""
+    docs = spark.createDataFrame(
+        [
+            (1, "go fast go fast go slow"),
+            (2, "go fast stop"),
+            (3, "alone"),
+        ],
+        "doc_id long, content string",
+    )
+    out = textstats.suggest_next_words(docs, ["go", "stop", "alone"], k=2)
+    rows = [(r["w1"], r["w2"], r["c"], r["rank"]) for r in out.collect()]
+    # bigrams from 'go': fast x3, slow x1; from 'stop'/'alone': none
+    assert sorted(rows) == [("go", "fast", 3, 1), ("go", "slow", 1, 2)]
+    # tie on count -> lexicographic: 'fast stop' vs 'fast go' (go x2)
+    out2 = textstats.suggest_next_words(docs, ["fast"], k=3).collect()
+    got = [(r["w2"], r["c"], r["rank"]) for r in out2]
+    assert got == [("go", 2, 1), ("stop", 1, 2)]
