@@ -2921,6 +2921,56 @@ FROM ps
 """
 
 
+def _qmeasure_sql() -> str:
+    """Replays evaluation.q_measure (beta=1) over the BM25 run +
+    pseudo qrels: cumulative C(r)/cg(r) in rank order, ideal cig from
+    the relevant set (binary gains here, so the string-vs-numeric
+    docid tie-break in the ideal order is value-irrelevant: cig(r)=r),
+    BR summed at relevant ranks / num_rel."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+),
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+{_QRELS_SQL},
+rel AS (SELECT qid, docid, rel AS gain FROM qrels WHERE rel >= 1.0),
+ideal AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY gain DESC, docid ASC)::BIGINT AS irank,
+         sum(gain) OVER (PARTITION BY qid
+                         ORDER BY gain DESC, docid ASC) AS cig
+  FROM rel
+),
+totals AS (SELECT qid, count(*)::BIGINT AS num_rel, sum(gain) AS total_gain
+           FROM rel GROUP BY 1),
+j AS (
+  SELECT r.qid, r.rank, rl.gain,
+         sum(CASE WHEN rl.gain IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.qid ORDER BY r.rank)::BIGINT AS c_r,
+         sum(coalesce(rl.gain, 0.0))
+           OVER (PARTITION BY r.qid ORDER BY r.rank) AS cg
+  FROM run r LEFT JOIN rel rl
+    ON r.qid = rl.qid AND r.doc_id = CAST(rl.docid AS BIGINT)
+),
+j2 AS (
+  SELECT j.*, coalesce(i.cig, t.total_gain) AS cig_r, t.num_rel
+  FROM j JOIN totals t USING (qid)
+  LEFT JOIN ideal i ON j.qid = i.qid AND j.rank = i.irank
+)
+SELECT qid, num_rel,
+       round(sum(CASE WHEN gain IS NOT NULL
+                      THEN (c_r + 1.0 * cg) / (rank + 1.0 * cig_r)
+                      ELSE 0.0 END) / num_rel, 4) AS q_measure
+FROM j2 GROUP BY 1, 2
+"""
+
+
 def _ann_quantized_sql() -> str:
     """Replays quantize_embeddings + cosine: CORPUS vectors go through
     the int8 round-trip (scale = max|x|/127, q = round(x/scale),
@@ -5106,6 +5156,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("judged_frac", 4).alias("judged_frac"),
         )
 
+    def eval_qmeasure(spark, sf):
+        # Sakai's Q-measure (beta=1) over the BM25 run + pseudo qrels
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        out = ev.q_measure(run, _pseudo_qrels(spark, sf))
+        return out.select(
+            "qid", "num_rel", F.round("q_measure", 4).alias("q_measure")
+        )
+
     def iprec_at_recall(spark, sf):
         # trec_eval 11-point interpolated precision over the BM25 run
         # and the deterministic pseudo qrels; level threshold compared
@@ -7039,6 +7101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_map_ci": bootstrap_map_ci,
         "bootstrap_paired": bootstrap_paired,
         "run_permutation": run_permutation,
+        "eval_qmeasure": eval_qmeasure,
         "event_retention": event_retention,
         "click_attribution": click_attribution,
         "attribution_streamed": attribution_streamed,
@@ -7272,6 +7335,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_map_ci": _bootstrap_ci_sql(),
         "bootstrap_paired": _bootstrap_paired_sql(),
         "run_permutation": _run_permutation_sql(),
+        "eval_qmeasure": _qmeasure_sql(),
         "event_retention": _RETENTION_SQL,
         "click_attribution": _ATTRIBUTION_SQL,
         "attribution_streamed": _ATTRIBUTION_SQL,

@@ -1020,3 +1020,87 @@ def permutation_test(
             ).alias("p_two"),
         )
     )
+
+
+def q_measure(
+    run: DataFrame,
+    qrels: DataFrame,
+    beta: float = 1.0,
+    rel_threshold: float = 1.0,
+) -> DataFrame:
+    """Sakai's Q-measure (Sakai, SIGIR'04 / NTCIR) per query — the
+    graded-relevance cousin of AP that stays discriminative deep in
+    the ranking: at each rank r holding a relevant document, the
+    blended ratio
+
+        BR(r) = (C(r) + beta*cg(r)) / (r + beta*cig(r))
+
+    where C(r) = relevant retrieved up to r, cg(r) = cumulative gain,
+    cig(r) = cumulative IDEAL gain (capped at the total gain once the
+    ideal list is exhausted); Q = (1/R) * sum of BR over relevant
+    ranks. With binary gains Q-measure = 2C(r)/(r + min(r, R))
+    averaged — close to AP but length-aware. beta=1 is the standard
+    setting.
+
+    Determinism: every cumulative quantity is a window running sum in
+    an explicit total order (rank; ideal = gain DESC, docid ASC), so
+    the float fold order is identical cross-engine.
+    -> (qid, num_rel, q_measure).
+
+    Scale: two hit/qrels-sized window passes and one broadcastable
+    per-qid totals join — no global sort, no driver loop."""
+    rel = qrels.filter(F.col("rel") >= F.lit(float(rel_threshold))).select(
+        "qid", "docid", F.col("rel").alias("gain")
+    )
+    wi = Window.partitionBy("qid").orderBy(
+        F.col("gain").desc(), F.col("docid").asc()
+    )
+    ideal = rel.select(
+        "qid",
+        F.row_number().over(wi).cast("long").alias("irank"),
+        F.sum("gain")
+        .over(wi.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cig"),
+    )
+    totals = rel.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("num_rel"),
+        F.sum("gain").alias("total_gain"),
+    )
+    wr = Window.partitionBy("qid").orderBy("rank")
+    cum = Window.partitionBy("qid").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j = (
+        run.select("qid", "docid", "rank")
+        .join(rel, ["qid", "docid"], "left")
+        .withColumn(
+            "c_r",
+            F.sum(F.col("gain").isNotNull().cast("long")).over(cum),
+        )
+        .withColumn("cg", F.sum(F.coalesce("gain", F.lit(0.0))).over(cum))
+    )
+    j = (
+        j.join(
+            ideal.select(
+                "qid", F.col("irank").alias("rank"), F.col("cig")
+            ),
+            ["qid", "rank"],
+            "left",
+        )
+        .join(totals, "qid")
+        .withColumn("cig_r", F.coalesce("cig", "total_gain"))
+    )
+    br = (
+        (F.col("c_r") + F.lit(float(beta)) * F.col("cg"))
+        / (F.col("rank") + F.lit(float(beta)) * F.col("cig_r"))
+    )
+    return (
+        j.groupBy("qid", "num_rel")
+        .agg(
+            (
+                F.sum(F.when(F.col("gain").isNotNull(), br).otherwise(0.0))
+                / F.col("num_rel")
+            ).alias("q_measure")
+        )
+        .select("qid", "num_rel", "q_measure")
+    )

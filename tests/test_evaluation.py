@@ -592,3 +592,34 @@ def test_permutation_test_pure_python_replay(spark):
     r2 = ev.permutation_test(a, a, n_perm=32, seed=1).collect()[0]
     assert r2["sum_obs"] == 0 and r2["n_ge"] == 32
     assert r2["p_two"] == pytest.approx(1.0)
+
+
+def test_q_measure_hand_computed(spark, frames):
+    """Binary Q over the RUN/QRELS fixture (q1: rels at ranks 2 and 4,
+    R=3 -> (BR(2) + BR(4))/3; q2: nothing retrieved -> 0)."""
+    run, qrels = frames
+    got = {
+        r["qid"]: (r["num_rel"], r["q_measure"])
+        for r in ev.q_measure(run, qrels).collect()
+    }
+    br2 = (1 + 1.0) / (2 + 2.0)   # C=1, cg=1, cig(2)=2
+    br4 = (2 + 2.0) / (4 + 3.0)   # C=2, cg=2, cig capped at R=3
+    assert got["q1"][0] == 3
+    assert got["q1"][1] == pytest.approx((br2 + br4) / 3, rel=1e-12)
+    assert got["q2"] == (1, 0.0)
+
+
+def test_q_measure_graded(spark):
+    """Graded gains: ideal cig uses gain-DESC order and caps at the
+    total gain past the ideal list."""
+    run = spark.createDataFrame(
+        [("g", "a", 1), ("g", "b", 2)], "qid string, docid string, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("g", "0", "b", 3.0), ("g", "0", "c", 1.0)],
+        "qid string, iter string, docid string, rel double",
+    )
+    r = ev.q_measure(run, qrels).collect()[0]
+    # hit b@2: C=1, cg=3, cig(2) = 3 + 1 = 4 -> BR = (1+3)/(2+4); R=2
+    assert r["num_rel"] == 2
+    assert r["q_measure"] == pytest.approx((4.0 / 6.0) / 2, rel=1e-12)
