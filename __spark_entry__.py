@@ -2301,11 +2301,12 @@ SELECT doc_id, count(*)::BIGINT AS spannot_freq FROM kept GROUP BY 1
 """
 
 
-def _block_join_sql() -> str:
+def _block_join_sql(combiner: str = "max") -> str:
     """Replays retrieval.block_join_topk over chunk children: the
     chunk_documents layout (whitespace tokens, list_slice — the proven
     chunk gate recipe) re-tokenized with the simple analyzer, BM25 with
-    CHUNK-corpus statistics, parent = cid // pack, max per parent."""
+    CHUNK-corpus statistics, parent = cid // pack, ``combiner``
+    (max/sum — Lucene ScoreMode.Max/Total) per parent."""
     ct = _BJ_CHUNK
     return rf"""
 WITH w AS (
@@ -2342,7 +2343,7 @@ scored AS (
   GROUP BY q.qid, ctf.cid
 ),
 par AS (
-  SELECT qid, cid // {_BJ_PACK} AS parent_id, max(s_raw) AS s
+  SELECT qid, cid // {_BJ_PACK} AS parent_id, {combiner}(s_raw) AS s
   FROM scored GROUP BY 1, 2
 ),
 ranked AS (
@@ -2353,6 +2354,44 @@ ranked AS (
   FROM par
 )
 SELECT qid, parent_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _block_join_children_sql() -> str:
+    """Replays retrieval.block_join_children_topk: the PARENT BM25 run
+    over documents, each matching parent's chunk children (same
+    chunk_documents id layout as the block_join gate) inheriting the
+    parent score, top-k by (score DESC, child_id ASC)."""
+    ct = _BJ_CHUNK
+    return rf"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_BM25_SCORED_CTE},
+w2 AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+         x -> x <> '') AS toks
+  FROM documents
+),
+n2 AS (SELECT doc_id, len(toks)::BIGINT AS n_tok
+       FROM w2 WHERE len(toks) > 0),
+ch AS (
+  SELECT doc_id,
+         doc_id * {_BJ_PACK}
+           + unnest(range(ceil(greatest(n_tok, 1) / {ct}.0)::BIGINT))
+           AS child_id
+  FROM n2
+),
+j AS (
+  SELECT s.qid, ch.child_id, s.doc_id AS parent_id, s.s_raw
+  FROM scored s JOIN ch USING (doc_id)
+),
+ranked AS (
+  SELECT qid, child_id, parent_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, child_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM j
+)
+SELECT qid, child_id, parent_id, rank, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
@@ -5551,6 +5590,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "parent_id", "rank", F.round("score", 4).alias("score")
         )
 
+    def block_join_total(spark, sf):
+        # ScoreMode.Total: parents sum their matching children
+        chunks = ts.chunk_documents(
+            _docs(spark, sf), content_col="text",
+            chunk_tokens=_BJ_CHUNK, overlap=0,
+        )
+        children = chunks.select(
+            (F.col("doc_id") * _BJ_PACK + F.col("chunk_idx")).alias(
+                "doc_id"
+            ),
+            "chunk_text",
+        )
+        cidx = ix.build_index(
+            children, ix.IndexConfig(analyzer=SIMPLE),
+            content_col="chunk_text", cache=False,
+        )
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.block_join_topk(
+            cidx, qt, parent_pack=_BJ_PACK, k=TOPK, score_mode="total"
+        )
+        return run.select(
+            "qid", "parent_id", "rank", F.round("score", 4).alias("score")
+        )
+
+    def block_join_children(spark, sf):
+        # ToChildBlockJoinQuery: chunk children inherit the parent's
+        # whole-document BM25 score
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        chunks = ts.chunk_documents(
+            _docs(spark, sf), content_col="text",
+            chunk_tokens=_BJ_CHUNK, overlap=0,
+        )
+        children = chunks.select(
+            "doc_id",
+            (F.col("doc_id") * _BJ_PACK + F.col("chunk_idx")).alias(
+                "child_id"
+            ),
+        )
+        run = rt.block_join_children_topk(
+            idx, qt, children, k=TOPK,
+            parent_col="doc_id", child_col="child_id",
+        )
+        return run.select(
+            "qid", "child_id", "parent_id", "rank",
+            F.round("score", 4).alias("score"),
+        )
+
     def common_terms(spark, sf):
         # CommonTermsQuery: high-df terms score but cannot select
         idx = _index(spark, sf)
@@ -7082,6 +7169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_wilcoxon": run_wilcoxon,
         "span_not": span_not,
         "block_join": block_join,
+        "block_join_total": block_join_total,
+        "block_join_children": block_join_children,
         "common_terms": common_terms,
         "corpus_divergence": corpus_divergence,
         "facet_hierarchy": facet_hierarchy,
@@ -7316,6 +7405,8 @@ def oracle_sql() -> dict[str, str]:
         "run_wilcoxon": _run_wilcoxon_sql(),
         "span_not": _span_not_sql(),
         "block_join": _block_join_sql(),
+        "block_join_total": _block_join_sql(combiner="sum"),
+        "block_join_children": _block_join_children_sql(),
         "common_terms": _common_terms_sql(),
         "corpus_divergence": _DIVERGENCE_SQL,
         "facet_hierarchy": _facet_hierarchy_sql(),

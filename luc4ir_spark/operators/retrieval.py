@@ -786,6 +786,52 @@ def block_join_topk(
     )
 
 
+def block_join_children_topk(
+    parent_index: InvertedIndex,
+    query_terms: DataFrame,
+    children: DataFrame,
+    k: int = 10,
+    sim: Similarity | None = None,
+    parent_col: str = "parent_id",
+    child_col: str = "child_id",
+) -> DataFrame:
+    """ToChildBlockJoinQuery parity — the inverse direction of
+    ``block_join_topk``: the query scores PARENT documents and every
+    child of a matching parent inherits the parent's score verbatim
+    (Lucene's ToChildBlockJoinQuery iterates the children of each
+    matching parent block and reports the parent score for each). Used
+    to retrieve chunks/passages by whole-document relevance.
+    -> (qid, child_id, parent_id, rank, score); rank orders by
+    (score DESC, child_id ASC).
+
+    Plan: the single-scan parent scorer (|run|-sized output), then ONE
+    equi-join onto the child mapping — the parent run is per-query and
+    tiny, so AQE broadcasts it against a child table of any size; the
+    top-k window is the usual per-qid WindowGroupLimit."""
+    parents = _plain_scores(parent_index, query_terms, sim or Similarity())
+    j = parents.join(
+        children.select(
+            F.col(parent_col).alias("doc_id"),
+            F.col(child_col).alias("child_id"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("child_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "child_id",
+            F.col("doc_id").alias("parent_id"),
+            "rank",
+            "score",
+        )
+    )
+
+
 def common_terms_query(
     index: InvertedIndex,
     query_terms: DataFrame,

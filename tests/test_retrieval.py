@@ -1526,6 +1526,42 @@ def test_block_join_topk(spark):
     assert got[2][0] == 3 - exp_rank1
 
 
+def test_block_join_children_topk(spark, index):
+    """Every child of a matching parent inherits the PARENT's score
+    verbatim; parents with no children contribute no rows; ordering is
+    (score DESC, child_id ASC)."""
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    parent_scores = {
+        r["doc_id"]: r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    assert parent_scores  # fixture sanity
+    kids = [
+        (d, d * 10 + i)
+        for d in parent_scores
+        for i in range(2)
+        if d != max(parent_scores)  # one matching parent is childless
+    ]
+    children = spark.createDataFrame(
+        kids, "parent_id long, child_id long"
+    )
+    out = rt.block_join_children_topk(
+        index, qt, children, k=100
+    ).collect()
+    assert len(out) == len(kids)
+    ranks = []
+    for r in out:
+        assert r["score"] == pytest.approx(
+            parent_scores[r["parent_id"]], rel=1e-12
+        )
+        assert r["child_id"] // 10 == r["parent_id"]
+        ranks.append((r["rank"], -r["score"], r["child_id"]))
+    # rank order == (score desc, child_id asc)
+    ranks.sort()
+    assert [x[0] for x in ranks] == list(range(1, len(kids) + 1))
+    assert ranks == sorted(ranks, key=lambda x: (x[1], x[2]))
+
+
 def test_common_terms_query(spark, index):
     """'pasta' (df=1) is rare at ratio 0.4 (cutoff 2.4); 'quick'
     (df=2) is not... cutoff math: rare iff df <= ratio*N."""
