@@ -871,6 +871,28 @@ SELECT qid, doc_id, rank, fused FROM (
 """
 
 
+def _borda_fuse_sql() -> str:
+    """Replays borda_fuse over the bm25 + lmdir top-k runs: each run
+    awards TOPK - rank + 1 points, absent docs get nothing,
+    all-integer totals."""
+    return f"""
+WITH {_two_run_ctes()},
+pts AS (
+  SELECT qid, doc_id, ({TOPK} - rank + 1)::BIGINT AS p
+  FROM rb WHERE rank <= {TOPK}
+  UNION ALL
+  SELECT qid, doc_id, ({TOPK} - rank + 1)::BIGINT AS p
+  FROM rl WHERE rank <= {TOPK}
+),
+a AS (SELECT qid, doc_id, sum(p)::BIGINT AS borda FROM pts GROUP BY 1, 2)
+SELECT qid, doc_id, rank, borda FROM (
+  SELECT qid, doc_id, borda,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY borda DESC, doc_id ASC)::BIGINT AS rank
+  FROM a) WHERE rank <= {TOPK}
+"""
+
+
 def _eval_macro_sql() -> str:
     """Replays macro_metrics_extended over the BM25 run + pseudo
     qrels: MRR / MAP / GMAP(eps) / Success@5."""
@@ -5135,6 +5157,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "doc_id", "rank", F.round("fused", 4).alias("fused")
         )
 
+    def borda_fuse(spark, sf):
+        # Borda-count fusion of the bm25 + lmdir runs (all-integer)
+        r1, r2 = _two_runs(spark, sf)
+        runs = (
+            r1.withColumn("run_id", F.lit("bm25"))
+            .unionByName(r2.withColumn("run_id", F.lit("lmdir")))
+            .select("run_id", "qid", "doc_id", "rank")
+        )
+        return rt.borda_fuse(runs, pool_k=TOPK, topk=TOPK).select(
+            "qid", "doc_id", "rank", "borda"
+        )
+
     def eval_macro(spark, sf):
         # trec_eval-style macro row: MRR/MAP/GMAP/Success@5
         idx = _index(spark, sf)
@@ -7148,6 +7182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase": multi_phrase,
         "char_entropy": char_entropy,
         "comb_fuse": comb_fuse,
+        "borda_fuse": borda_fuse,
         "eval_macro": eval_macro,
         "bm25_plus": bm25_plus,
         "rank_rbo": rank_rbo,
@@ -7385,6 +7420,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_phrase": _multi_phrase_sql(),
         "char_entropy": _char_entropy_sql(),
         "comb_fuse": _comb_fuse_sql(),
+        "borda_fuse": _borda_fuse_sql(),
         "eval_macro": _eval_macro_sql(),
         "bm25_plus": _bm25_plus_sql(),
         "rank_rbo": _rank_rbo_sql(),

@@ -2382,6 +2382,45 @@ def comb_fuse(
     )
 
 
+def borda_fuse(
+    runs: DataFrame,
+    pool_k: int,
+    topk: int = 10,
+) -> DataFrame:
+    """Borda-count rank fusion (Aslam & Montague SIGIR'01, "Models for
+    Metasearch"): each system is a voter awarding ``pool_k - rank + 1``
+    points to its rank-r document (truncated ballots — a doc absent
+    from a system's top ``pool_k`` gets nothing from it); documents are
+    fused by total points. ``runs`` carries (run_id, qid, doc_id, rank)
+    for any number of stacked systems. All-integer arithmetic — no
+    score calibration, no float tie hazard; ties break doc_id ASC.
+    -> (qid, doc_id, rank, borda), rank <= topk.
+
+    Scale shape: inputs are (systems x queries x pool_k) rows —
+    corpus-independent — one map-side-combined groupBy + one bounded
+    per-query window."""
+    pts = (
+        runs.filter(F.col("rank") <= int(pool_k))
+        .select(
+            "qid",
+            "doc_id",
+            (F.lit(int(pool_k)) - F.col("rank") + 1)
+            .cast("long")
+            .alias("_pts"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("_pts").cast("long").alias("borda"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("borda").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "doc_id", "rank", "borda")
+    )
+
+
 def rrf_fuse(
     run_a: DataFrame,
     run_b: DataFrame,

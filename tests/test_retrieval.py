@@ -1796,3 +1796,30 @@ def test_proximity_rerank_hand_computed(spark):
     assert out[1][1] == pytest.approx(1.0 + m.log(1 + m.exp(-4)), rel=1e-12)
     assert out[3][1] == pytest.approx(1.0)
     assert [out[2][0], out[1][0], out[3][0]] == [1, 2, 3]
+
+
+def test_borda_fuse_hand_computed(spark):
+    """Truncated-ballot Borda: pool_k=3 awards 3/2/1 points; absent
+    docs get nothing; integer totals, doc_id tie-break."""
+    runs = spark.createDataFrame(
+        [
+            ("a", "q", 10, 1), ("a", "q", 11, 2), ("a", "q", 12, 3),
+            ("a", "q", 13, 4),          # beyond pool_k -> no points
+            ("b", "q", 11, 1), ("b", "q", 13, 2),
+        ],
+        "run_id string, qid string, doc_id long, rank long",
+    )
+    out = rt.borda_fuse(runs, pool_k=3, topk=10).collect()
+    got = {r["doc_id"]: (r["borda"], r["rank"]) for r in out}
+    # points: 10 -> 3; 11 -> 2 + 3 = 5; 12 -> 1; 13 -> 0 + 2 = 2
+    assert got[11] == (5, 1)
+    assert got[10] == (3, 2)
+    assert got[13][0] == 2 and got[12][0] == 1
+    # tie-break check: equal totals order by doc_id asc
+    runs2 = spark.createDataFrame(
+        [("a", "q", 5, 1), ("b", "q", 2, 1)],
+        "run_id string, qid string, doc_id long, rank long",
+    )
+    out2 = rt.borda_fuse(runs2, pool_k=1, topk=10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in sorted(
+        out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
