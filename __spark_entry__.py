@@ -871,6 +871,38 @@ SELECT qid, doc_id, rank, fused FROM (
 """
 
 
+def _ltr_features_sql() -> str:
+    """Replays retrieval.ltr_features: every feature aggregated from
+    the SAME single postings join (bm25 / lmdir contributions, match
+    count, tf sum, idf sum, doc_len), first-pass rank on bm25."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+feat AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS bm25_raw,
+         sum( greatest(ln(1.0 + tf.tf / ({MU} * dft.cf / s.total_tokens))
+              + ln({MU} / (dl.doc_len + {MU})), 0.0) ) AS lmdir_raw,
+         count(*)::BIGINT AS n_matched,
+         sum(tf.tf)::BIGINT AS sum_tf,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) ) AS idf_raw,
+         max(dl.doc_len)::BIGINT AS doc_len
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY bm25_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM feat
+)
+SELECT qid, doc_id, rank, round(bm25_raw, 4) AS bm25,
+       round(lmdir_raw, 4) AS lmdir, n_matched, sum_tf,
+       round(idf_raw, 4) AS idf_sum, doc_len
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _borda_fuse_sql() -> str:
     """Replays borda_fuse over the bm25 + lmdir top-k runs: each run
     awards TOPK - rank + 1 points, absent docs get nothing,
@@ -5169,6 +5201,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "doc_id", "rank", "borda"
         )
 
+    def ltr_features(spark, sf):
+        # LTR feature logging: six query-doc features in one scan over
+        # the BM25 top-k candidates
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = rt.ltr_features(idx, qt, k=TOPK)
+        return out.select(
+            "qid", "doc_id", "rank",
+            F.round("bm25", 4).alias("bm25"),
+            F.round("lmdir", 4).alias("lmdir"),
+            "n_matched", "sum_tf",
+            F.round("idf_sum", 4).alias("idf_sum"),
+            "doc_len",
+        )
+
     def eval_macro(spark, sf):
         # trec_eval-style macro row: MRR/MAP/GMAP/Success@5
         idx = _index(spark, sf)
@@ -7183,6 +7230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": char_entropy,
         "comb_fuse": comb_fuse,
         "borda_fuse": borda_fuse,
+        "ltr_features": ltr_features,
         "eval_macro": eval_macro,
         "bm25_plus": bm25_plus,
         "rank_rbo": rank_rbo,
@@ -7421,6 +7469,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _char_entropy_sql(),
         "comb_fuse": _comb_fuse_sql(),
         "borda_fuse": _borda_fuse_sql(),
+        "ltr_features": _ltr_features_sql(),
         "eval_macro": _eval_macro_sql(),
         "bm25_plus": _bm25_plus_sql(),
         "rank_rbo": _rank_rbo_sql(),

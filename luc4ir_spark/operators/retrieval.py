@@ -359,6 +359,77 @@ def _plain_scores(
     return rows.groupBy("qid", "doc_id").agg(F.sum("contrib").alias("score"))
 
 
+def ltr_features(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k: int = 1000,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Learning-to-rank feature extraction — the Elasticsearch LTR
+    plugin's feature-set logging / Lucene feature logging pattern: for
+    the first-pass BM25 top-k candidates, emit one row per (qid, doc)
+    with the standard query-document features a ranker trains on:
+
+        bm25       disjunctive BM25 score (the first-pass ranker)
+        lmdir      LM-Dirichlet score (mu)
+        n_matched  distinct query terms present in the doc
+        sum_tf     total matched-term frequency
+        idf_sum    sum of Lucene idf over matched terms
+        doc_len    document length
+
+    -> (qid, doc_id, rank, bm25, lmdir, n_matched, sum_tf, idf_sum,
+    doc_len), rank <= k on the bm25 column.
+
+    Plan: ALL features ride ONE broadcast postings join — every
+    per-posting contribution is computed side by side and a single
+    map-side-combined groupBy aggregates them, so logging six features
+    costs one scan, not six; the candidate cut is the usual per-qid
+    WindowGroupLimit."""
+    qt = query_terms
+    if "weight" not in qt.columns:
+        qt = qt.withColumn("weight", F.lit(1.0))
+    ts = index.term_stats.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    qt_e = qt.join(F.broadcast(ts), "term").withColumn(
+        "idf", idf_lucene(F.col("df"), index.stats.n_docs)
+    )
+    contrib_b = _per_posting_score(
+        Similarity(), index.stats, qt_e.columns
+    )
+    contrib_l = _per_posting_score(
+        Similarity(kind="lmdir", mu=mu), index.stats, qt_e.columns
+    )
+    rows = index.postings.join(F.broadcast(qt_e), "term").select(
+        "qid",
+        "doc_id",
+        contrib_b.alias("_cb"),
+        contrib_l.alias("_cl"),
+        "tf",
+        "idf",
+        "doc_len",
+    )
+    feats = rows.groupBy("qid", "doc_id").agg(
+        F.sum("_cb").alias("bm25"),
+        F.sum("_cl").alias("lmdir"),
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.sum("idf").alias("idf_sum"),
+        F.max("doc_len").cast("long").alias("doc_len"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feats.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "doc_id", "rank", "bm25", "lmdir",
+            "n_matched", "sum_tf", "idf_sum", "doc_len",
+        )
+    )
+
+
 def boosting_query(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -1823,3 +1823,35 @@ def test_borda_fuse_hand_computed(spark):
     out2 = rt.borda_fuse(runs2, pool_k=1, topk=10).collect()
     assert [(r["doc_id"], r["rank"]) for r in sorted(
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
+
+
+def test_ltr_features_consistent_with_scorers(spark, index):
+    """The bm25/lmdir feature columns equal the dedicated scorers'
+    outputs for the same candidates; integer features hand-check."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    feats = rt.ltr_features(index, qt, k=10).collect()
+    assert feats
+    bm25 = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    lmdir = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(
+            index, qt, k=10, sim=rt.Similarity(kind="lmdir")
+        ).collect()
+    }
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    qterms = {}
+    for r in qt.collect():
+        qterms.setdefault(r["qid"], []).append(r["term"])
+    for r in feats:
+        key = (r["qid"], r["doc_id"])
+        assert r["bm25"] == pytest.approx(bm25[key], rel=1e-12)
+        if key in lmdir:
+            assert r["lmdir"] == pytest.approx(lmdir[key], rel=1e-12)
+        terms = toks[r["doc_id"]]
+        matched = [t for t in set(qterms[r["qid"]]) if t in terms]
+        assert r["n_matched"] == len(matched)
+        assert r["sum_tf"] == sum(terms.count(t) for t in matched)
+        assert r["doc_len"] == len(terms)
