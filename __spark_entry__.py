@@ -871,6 +871,33 @@ SELECT qid, doc_id, rank, fused FROM (
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+def _countmin_sql() -> str:
+    """Replays sketches.countmin_sketch over the index's term cf:
+    portable md5-60bit term ids, Kirsch-Mitzenmacher double hashing,
+    all-integer cell sums."""
+    from luc4ir_spark.functions import hashing as hx
+    from luc4ir_spark.operators.sketches import CMS_SALT
+
+    d, w = _CMS_DEPTH, _CMS_WIDTH
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+t AS (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS tid, cf
+      FROM dft),
+h AS (SELECT ({hx.MIX_A} * (tid % {hx.MIX_P}) + {hx.MIX_B})
+               % {hx.MIX_P} AS h1,
+             1 + (({hx.MIX_A} * ((tid + {CMS_SALT}) % {hx.MIX_P})
+                   + {hx.MIX_B}) % {hx.MIX_P}) % ({w} - 1) AS h2,
+             cf FROM t),
+e AS (SELECT h1, h2, cf, unnest(range({d})) AS r FROM h)
+SELECT r::BIGINT AS r, ((h1 + r * h2) % {w})::BIGINT AS c,
+       sum(cf)::BIGINT AS total
+FROM e GROUP BY 1, 2
+"""
+
+
 def _ltr_features_sql() -> str:
     """Replays retrieval.ltr_features: every feature aggregated from
     the SAME single postings join (bm25 / lmdir contributions, match
@@ -5399,6 +5426,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_time_us",
         )
 
+    def countmin_sketch(spark, sf):
+        # CMS of collection term frequencies over the portable
+        # md5-60bit + double-hash column map; the cell table IS the
+        # deterministic sketch, so the oracle replays it exactly
+        from luc4ir_spark.operators import sketches as sk
+
+        idx = _index(spark, sf)
+        return sk.countmin_sketch(
+            idx.term_stats, "term", "cf",
+            depth=_CMS_DEPTH, width=_CMS_WIDTH,
+        )
+
     def distinct_sketch(spark, sf):
         # per-event-type approximate distinct users via the KMV sketch
         # over the portable mix hash — deterministic, so the oracle
@@ -7215,6 +7254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": term_pmi,
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
+        "countmin_sketch": countmin_sketch,
         "event_rollup": event_rollup,
         "zorder_events": zorder_events,
         "synonym_query": synonym_query,
@@ -7454,6 +7494,7 @@ def oracle_sql() -> dict[str, str]:
         "term_pmi": _PMI_SQL,
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
+        "countmin_sketch": _countmin_sql(),
         "event_rollup": _ROLLUP_SQL,
         "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),

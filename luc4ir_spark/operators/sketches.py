@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MIX_P, mix_id_expr
 
-__all__ = ["distinct_kmv_sketch"]
+__all__ = ["distinct_kmv_sketch", "countmin_sketch", "countmin_estimate"]
 
 
 def distinct_kmv_sketch(
@@ -74,4 +74,109 @@ def distinct_kmv_sketch(
         F.when(F.col("m") < k, F.col("m").cast("double"))
         .otherwise(F.lit(num) / F.col("kth_hash").cast("double"))
         .alias("est_distinct"),
+    )
+
+
+CMS_SALT = 982451653  # second hash stream offset (prime)
+
+
+def countmin_sketch(
+    key_counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) of
+    weighted key counts over engine-portable hashing: cell (r, c)
+    holds the summed counts of every key hashing to column c in row r,
+    with the rows derived by Kirsch-Mitzenmacher double hashing
+    (h1 + r*h2 — the standard Bloom/CMS derandomization):
+
+        tid = first 60 bits of md5(key)      (the portable shingle id)
+        h1  = mix(tid),  h2 = 1 + mix(tid + CMS_SALT) % (width - 1)
+        col(r) = (h1 + r*h2) % width
+
+    ``key_counts`` is already per-key (key, count) — e.g. the index's
+    term_stats (term, cf); sketching raw rows is one groupBy upstream.
+    -> (r, c, total) for non-empty cells; the point estimate of a key
+    is min over r of its cell — an upper bound on the true count,
+    exact when the key collides with nothing in some row.
+
+    All-integer and RNG-free, so the sketch is bit-identical on any
+    engine reproducing md5 + mix. Scale: the input is key-cardinality
+    sized (vocab, not corpus), the depth explode is a literal
+    sequence, and the cell table is at most depth*width rows — a
+    constant — built by one map-side-combined groupBy. Merging
+    sketches of corpus shards = summing cell tables (CMS is linear)."""
+    tid = F.expr(f"conv(substr(md5({key_col}), 1, 15), 16, 10)").cast(
+        "long"
+    )
+    keyed = key_counts.select(
+        mix_id_expr(tid).alias("_h1"),
+        (
+            F.lit(1)
+            + F.pmod(
+                mix_id_expr(tid + F.lit(CMS_SALT)), F.lit(width - 1)
+            )
+        ).cast("long").alias("_h2"),
+        F.col(count_col).cast("long").alias("_cnt"),
+    )
+    rows = keyed.select(
+        "_h1", "_h2", "_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    )
+    return (
+        rows.select(
+            F.col("r").cast("long").alias("r"),
+            F.pmod(
+                F.col("_h1") + F.col("r") * F.col("_h2"), F.lit(width)
+            ).cast("long").alias("c"),
+            "_cnt",
+        )
+        .groupBy("r", "c")
+        .agg(F.sum("_cnt").cast("long").alias("total"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point estimates from a ``countmin_sketch``: for each probe key,
+    min over rows of its cell total (absent cell = 0 — the key was
+    never counted there). -> (key, est long). The CMS guarantee:
+    est >= true count, with overshoot bounded by the column
+    collisions."""
+    tid = F.expr(f"conv(substr(md5({key_col}), 1, 15), 16, 10)").cast(
+        "long"
+    )
+    p = probes.select(
+        F.col(key_col).alias("key"),
+        mix_id_expr(tid).alias("_h1"),
+        (
+            F.lit(1)
+            + F.pmod(
+                mix_id_expr(tid + F.lit(CMS_SALT)), F.lit(width - 1)
+            )
+        ).cast("long").alias("_h2"),
+    ).select(
+        "key", "_h1", "_h2",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).select(
+        "key",
+        F.col("r").cast("long").alias("r"),
+        F.pmod(
+            F.col("_h1") + F.col("r") * F.col("_h2"), F.lit(width)
+        ).cast("long").alias("c"),
+    )
+    return (
+        p.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce("total", F.lit(0))).cast("long").alias("est")
+        )
     )

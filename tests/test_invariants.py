@@ -355,3 +355,48 @@ def test_kmv_sketch_deterministic_and_exact_path(spark):
     assert 50 < out["a"]["est_distinct"] < 800  # ~200 +- sketch error
     b = out["b"]
     assert (b["m"], b["kth_hash"], b["est_distinct"]) == (5, None, 5.0)
+
+
+def test_countmin_sketch_guarantee_and_linearity(spark):
+    """CMS point estimates upper-bound the true counts; the sketch of
+    a union equals the cell-wise sum of shard sketches (linearity)."""
+    from luc4ir_spark.operators import sketches as sk
+
+    keys = [(f"k{i}", (i % 7) + 1) for i in range(40)]
+    kc = spark.createDataFrame(keys, "key string, cnt long")
+    sketch = sk.countmin_sketch(kc, "key", "cnt", depth=4, width=16)
+    cells = {(r["r"], r["c"]): r["total"] for r in sketch.collect()}
+    assert all(r < 4 and 0 <= c < 16 for r, c in cells)
+    assert sum(v for (r, _), v in cells.items() if r == 0) == sum(
+        c for _, c in keys
+    )  # every row preserves the total mass
+    probes = spark.createDataFrame(
+        [(k,) for k, _ in keys[:10]] + [("neverseen",)], "key string"
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in sk.countmin_estimate(
+            sketch, probes, "key", depth=4, width=16
+        ).collect()
+    }
+    truth = dict(keys)
+    for k, v in truth.items():
+        if k in est:
+            assert est[k] >= v
+    # CMS overshoots only via collisions; with 40 keys in 16 columns
+    # some overshoot is expected but never undershoot (checked above)
+    assert est["neverseen"] >= 0
+    # linearity: sketch(a ∪ b) == cellwise sum of sketch(a), sketch(b)
+    a, b = keys[:20], keys[20:]
+    sa = sk.countmin_sketch(
+        spark.createDataFrame(a, "key string, cnt long"), "key", "cnt",
+        depth=4, width=16,
+    )
+    sb = sk.countmin_sketch(
+        spark.createDataFrame(b, "key string, cnt long"), "key", "cnt",
+        depth=4, width=16,
+    )
+    merged = {}
+    for r in sa.collect() + sb.collect():
+        merged[(r["r"], r["c"])] = merged.get((r["r"], r["c"]), 0) + r["total"]
+    assert merged == cells
