@@ -4409,6 +4409,115 @@ GROUP BY 1
 # ordered-proximity gate: same terms as the phrase gate but with slack
 _PROX_WINDOW = 6
 
+_SDM_UW = 8  # SDM unordered-window width (Metzler & Croft's uw8)
+
+
+def _sdm_sql() -> str:
+    """Replays retrieval.sdm_topk: the background decomposition
+    f_X = S_X + B_X - n_X*ln(dl+mu) per feature, #od1 counts via the
+    consecutive-position join, #uw8 via the anchor EXISTS, constants
+    from the clause/cf joins. Weights/mu emitted via repr."""
+    mu = repr(2000.0)
+    wt, wo, wu = repr(0.85), repr(0.1), repr(0.05)
+    pair_vals = ", ".join(
+        f"('{qid}', '{a}', '{b}')"
+        for qid, text in QUERY_SET
+        for a, b in zip(text.lower().split(), text.lower().split()[1:])
+    )
+    return rf"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+qp(qid, w1, w2) AS (VALUES {pair_vals}),
+tt AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS tk FROM documents),
+ee AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM tt),
+pos AS (SELECT doc_id, i AS p, tk[(i+1)::INT] AS term FROM ee),
+odp AS (
+  SELECT d.w1, d.w2, p1.doc_id, count(*)::BIGINT AS cnt
+  FROM (SELECT DISTINCT w1, w2 FROM qp) d
+  JOIN pos p1 ON p1.term = d.w1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = d.w2
+              AND p2.p = p1.p + 1
+  GROUP BY 1, 2, 3
+),
+uwp AS (
+  SELECT d.w1, d.w2, p1.doc_id, count(*)::BIGINT AS cnt
+  FROM (SELECT DISTINCT w1, w2 FROM qp WHERE w1 <> w2) d
+  JOIN pos p1 ON p1.term = d.w1
+  WHERE EXISTS (SELECT 1 FROM pos x
+                WHERE x.doc_id = p1.doc_id AND x.term = d.w2
+                AND x.p BETWEEN p1.p - {_SDM_UW} AND p1.p + {_SDM_UW})
+  GROUP BY 1, 2, 3
+),
+cfo AS (SELECT w1, w2, sum(cnt)::BIGINT AS pcf FROM odp GROUP BY 1, 2),
+cfu AS (SELECT w1, w2, sum(cnt)::BIGINT AS pcf FROM uwp GROUP BY 1, 2),
+st AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(tf.tf + {mu} * dft.cf / s.total_tokens)
+             - ln({mu} * dft.cf / s.total_tokens)) AS s_t
+  FROM q JOIN dft USING (term) JOIN tf USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ct AS (
+  SELECT q.qid, sum(ln({mu} * dft.cf / s.total_tokens)) AS b_t,
+         count(*)::BIGINT AS n_t
+  FROM q JOIN dft USING (term) CROSS JOIN stats s GROUP BY 1
+),
+so AS (
+  SELECT qp.qid, odp.doc_id,
+         sum(ln(odp.cnt + {mu} * cfo.pcf / s.total_tokens)
+             - ln({mu} * cfo.pcf / s.total_tokens)) AS s_o
+  FROM qp JOIN cfo USING (w1, w2) JOIN odp USING (w1, w2)
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+co AS (
+  SELECT qp.qid, sum(ln({mu} * cfo.pcf / s.total_tokens)) AS b_o,
+         count(*)::BIGINT AS n_o
+  FROM qp JOIN cfo USING (w1, w2) CROSS JOIN stats s GROUP BY 1
+),
+su AS (
+  SELECT qp.qid, uwp.doc_id,
+         sum(ln(uwp.cnt + {mu} * cfu.pcf / s.total_tokens)
+             - ln({mu} * cfu.pcf / s.total_tokens)) AS s_u
+  FROM qp JOIN cfu USING (w1, w2) JOIN uwp USING (w1, w2)
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+cu AS (
+  SELECT qp.qid, sum(ln({mu} * cfu.pcf / s.total_tokens)) AS b_u,
+         count(*)::BIGINT AS n_u
+  FROM qp JOIN cfu USING (w1, w2) CROSS JOIN stats s GROUP BY 1
+),
+f AS (
+  SELECT st.qid, st.doc_id, st.s_t, dl.doc_len, ct.b_t, ct.n_t,
+         coalesce(so.s_o, 0.0) AS s_o, coalesce(co.b_o, 0.0) AS b_o,
+         coalesce(co.n_o, 0)::BIGINT AS n_o,
+         coalesce(su.s_u, 0.0) AS s_u, coalesce(cu.b_u, 0.0) AS b_u,
+         coalesce(cu.n_u, 0)::BIGINT AS n_u
+  FROM st
+  JOIN dl ON st.doc_id = dl.doc_id
+  JOIN ct ON st.qid = ct.qid
+  LEFT JOIN so ON st.qid = so.qid AND st.doc_id = so.doc_id
+  LEFT JOIN co ON st.qid = co.qid
+  LEFT JOIN su ON st.qid = su.qid AND st.doc_id = su.doc_id
+  LEFT JOIN cu ON st.qid = cu.qid
+),
+scored AS (
+  SELECT qid, doc_id,
+         {wt} * (s_t + b_t - n_t * ln(doc_len + {mu}))
+         + {wo} * (s_o + b_o - n_o * ln(doc_len + {mu}))
+         + {wu} * (s_u + b_u - n_u * ln(doc_len + {mu})) AS s
+  FROM f
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+         round(s, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
 
 def _hygiene_streamed_sql() -> str:
     """Batch replay of the streamed ingest-hygiene pipeline over the
@@ -6911,6 +7020,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "phrase_freq"
         )
 
+    def sdm_topk(spark, sf):
+        # Metzler-Croft sequential dependence model: unigram + #od1 +
+        # #uw8 Dirichlet features over the positional index
+        idx = _index(spark, sf)
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        run = rt.sdm_topk(
+            idx, pos, QUERY_SET, k=TOPK, uw_window=_SDM_UW, cfg=SIMPLE
+        )
+        return run.select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+
     def similar_docs(spark, sf):
         # related-documents batch join: tf-idf cosine top-3 for docs 0-4
         idx = _index(spark, sf)
@@ -7284,6 +7408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_topk": lmjm_topk,
         "dfr_topk": dfr_topk,
         "pl2_topk": pl2_topk,
+        "sdm_topk": sdm_topk,
         "ib_topk": ib_topk,
         "f2exp_topk": f2exp_topk,
         "boosting_topk": boosting_topk,
@@ -7523,6 +7648,7 @@ def oracle_sql() -> dict[str, str]:
         "lmjm_topk": _lm_sql("lmjm"),
         "dfr_topk": _sim2_sql("dfr_inl2"),
         "pl2_topk": _sim2_sql("pl2"),
+        "sdm_topk": _sdm_sql(),
         "ib_topk": _sim2_sql("ib_ll"),
         "f2exp_topk": _sim2_sql("f2exp"),
         "boosting_topk": _boosting_sql(),

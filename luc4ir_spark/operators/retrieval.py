@@ -2535,3 +2535,197 @@ def rrf_fuse(
     return fused.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= topk)
+
+
+def sdm_topk(
+    index: InvertedIndex,
+    positional: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    mu: float = 2000.0,
+    weights: tuple[float, float, float] = (0.85, 0.1, 0.05),
+    uw_window: int = 8,
+    cfg: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Sequential Dependence Model retrieval (Metzler & Croft SIGIR'05
+    — the Indri/Galago #combine of unigram, ordered-window and
+    unordered-window features; the standard strong baseline the
+    reference's LM runs compare against):
+
+        score(q, D) = w_t * f_T + w_o * f_O + w_u * f_U
+
+    with f_T the Dirichlet query-likelihood over unigrams, f_O the
+    same over #od1 counts of ADJACENT query-term pairs (exact-phrase
+    occurrences), f_U over #uw{window} counts (anchor-based unordered
+    co-occurrence, ``unordered_window_query`` semantics), each feature
+    Dirichlet-smoothed with ITS OWN collection frequency over the same
+    collection length C; default weights (0.85, 0.1, 0.05) are the
+    published setting.
+
+    Zero-evidence clauses drop (a unigram with df=0, a pair never
+    occurring in the collection) — the same rule the OR query applies
+    to unknown terms. Repeated adjacent terms skip the unordered
+    feature (a term would satisfy its own window).
+
+    Numerics: per-feature sums use the background decomposition
+        f_X(D) = S_X(D) + B_X(q) - n_X(q) * ln(dl + mu),
+        S_X(D) = sum over MATCHED clauses of
+                 [ln(cnt + mu*cf/C) - ln(mu*cf/C)]
+    so candidates never cross-join the clause list — only matched
+    rows are touched, and the per-query constants B/n are a tiny
+    broadcast. The oracle replays this exact algebraic shape.
+    -> (qid, doc_id, rank, score), rank <= k (score DESC, doc_id ASC).
+
+    Scale: candidates are unigram-matched docs (standard SDM pruning);
+    window counts are per-pair dictionary-filtered positional
+    equi-joins (phrase_query / unordered_window_query plans — array
+    folds, no explode); everything else is hit-sized."""
+    spark = index.postings.sparkSession
+    cfg = cfg or AnalyzerConfig()
+    w_t, w_o, w_u = (float(w) for w in weights)
+    mu = float(mu)
+    c_len = float(index.stats.total_tokens)
+    uni_rows, pair_rows = [], []
+    for qid, text in queries:
+        terms = analyze_text(text, cfg)
+        uni_rows += [(qid, t) for t in terms]
+        pair_rows += [(qid, a, b) for a, b in zip(terms, terms[1:])]
+    if not uni_rows:
+        raise ValueError("sdm_topk: no query terms")
+    qt = spark.createDataFrame(uni_rows, "qid string, term string")
+    # ---- unigram feature rows (matched only) + per-qid constants
+    tstats = index.term_stats.select("term", "cf")
+    upost = index.postings.join(
+        F.broadcast(qt.join(tstats, "term")), "term"
+    )
+    pc_t = F.lit(mu) * F.col("cf") / F.lit(c_len)
+    st = (
+        upost.select(
+            "qid", "doc_id",
+            (F.log(F.col("tf") + pc_t) - F.log(pc_t)).alias("_d"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("_d").alias("s_t"))
+    )
+    const_t = (
+        qt.join(tstats, "term")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.log(pc_t)).alias("b_t"),
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+        )
+    )
+    # ---- per-pair window counts (driver loop over the QUERY pairs —
+    # query-sized, not data-sized; all Spark plans stay lazy)
+    pos_ck = positional.localCheckpoint(eager=False)
+    seen, od_parts, uw_parts = set(), [], []
+    for _, a, b in pair_rows:
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        tag = lambda df, cnt: df.select(
+            F.lit(a).alias("w1"), F.lit(b).alias("w2"),
+            "doc_id", F.col(cnt).cast("long").alias("cnt"),
+        )
+        od_parts.append(tag(phrase_query(pos_ck, [a, b]), "phrase_freq"))
+        if a != b:
+            uw_parts.append(
+                tag(
+                    unordered_window_query(pos_ck, [a, b], uw_window),
+                    "uw_freq",
+                )
+            )
+
+    def _union(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qpairs = (
+        spark.createDataFrame(
+            pair_rows, "qid string, w1 string, w2 string"
+        )
+        if pair_rows
+        else None
+    )
+
+    def _feature(parts):
+        """(S_x per (qid, doc), constants per qid) for one window
+        feature from its per-pair count rows."""
+        if not parts or qpairs is None:
+            return None, None
+        cnts = _union(parts).localCheckpoint(eager=False)
+        cfs = cnts.groupBy("w1", "w2").agg(
+            F.sum("cnt").cast("long").alias("pcf")
+        )
+        pc = F.lit(mu) * F.col("pcf") / F.lit(c_len)
+        matched = (
+            F.broadcast(qpairs.join(cfs, ["w1", "w2"]))
+            .join(cnts, ["w1", "w2"])
+            .select(
+                "qid", "doc_id",
+                (F.log(F.col("cnt") + pc) - F.log(pc)).alias("_d"),
+            )
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("_d").alias("s_x"))
+        )
+        consts = (
+            qpairs.join(cfs, ["w1", "w2"])
+            .groupBy("qid")
+            .agg(
+                F.sum(F.log(pc)).alias("b_x"),
+                F.count(F.lit(1)).cast("long").alias("n_x"),
+            )
+        )
+        return matched, consts
+
+    so, const_o = _feature(od_parts)
+    su, const_u = _feature(uw_parts)
+    # ---- assemble over unigram-matched candidates
+    cand = (
+        st.join(index.doc_stats.select("doc_id", "doc_len"), "doc_id")
+        .join(F.broadcast(const_t), "qid")
+    )
+
+    def _attach(df, feat, consts, s_name, b_name, n_name):
+        if feat is None:
+            return (
+                df.withColumn(s_name, F.lit(0.0))
+                .withColumn(b_name, F.lit(0.0))
+                .withColumn(n_name, F.lit(0).cast("long"))
+            )
+        return (
+            df.join(feat.withColumnRenamed("s_x", s_name),
+                    ["qid", "doc_id"], "left")
+            .join(
+                F.broadcast(
+                    consts.withColumnRenamed("b_x", b_name)
+                    .withColumnRenamed("n_x", n_name)
+                ),
+                "qid",
+                "left",
+            )
+            .fillna({s_name: 0.0, b_name: 0.0, n_name: 0})
+        )
+
+    cand = _attach(cand, so, const_o, "s_o", "b_o", "n_o")
+    cand = _attach(cand, su, const_u, "s_u", "b_u", "n_u")
+    ln_dl = F.log(F.col("doc_len") + F.lit(mu))
+    score = (
+        F.lit(w_t)
+        * (F.col("s_t") + F.col("b_t") - F.col("n_t") * ln_dl)
+        + F.lit(w_o)
+        * (F.col("s_o") + F.col("b_o") - F.col("n_o") * ln_dl)
+        + F.lit(w_u)
+        * (F.col("s_u") + F.col("b_u") - F.col("n_u") * ln_dl)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.select("qid", "doc_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )

@@ -1855,3 +1855,58 @@ def test_ltr_features_consistent_with_scorers(spark, index):
         assert r["n_matched"] == len(matched)
         assert r["sum_tf"] == sum(terms.count(t) for t in matched)
         assert r["doc_len"] == len(terms)
+
+
+def test_sdm_topk_hand_computed(spark):
+    """SDM score == the pure-Python background decomposition over a
+    tiny corpus: unigram + #od1 + #uw8 Dirichlet features, weights
+    (0.85, 0.1, 0.05)."""
+    import math
+
+    from luc4ir_spark.operators import indexer as ixm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b a c")], "doc_id long, content string"
+    )
+    simple = AnalyzerConfig(mode="simple")
+    idx = ixm.build_index(
+        docs, ixm.IndexConfig(analyzer=simple), cache=False
+    )
+    toks = ixm.tokenize(docs, simple)
+    pos = ixm.build_positional_postings(toks)
+    mu = 10.0
+    out = rt.sdm_topk(
+        idx, pos, [("q", "a b")], k=10, mu=mu, cfg=simple
+    ).collect()
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in out}
+    C = 8.0
+    cf = {"a": 3, "b": 3}
+    od = {1: 2}          # doc1: a@0->b@1, a@3->b@4; cf_od = 2
+    uw = {1: 2, 2: 1}    # anchors of 'a' with 'b' within +/-8; cf_uw = 3
+    cfo, cfu = 2.0, 3.0
+    dls = {1: 5, 2: 3}
+
+    def f(s_match, b, n, dl):
+        return s_match + b - n * math.log(dl + mu)
+
+    for d in (1, 2):
+        tfs = {"a": 2, "b": 2} if d == 1 else {"a": 1, "b": 1}
+        s_t = sum(
+            math.log(tfs[w] + mu * cf[w] / C) - math.log(mu * cf[w] / C)
+            for w in ("a", "b")
+        )
+        b_t = sum(math.log(mu * cf[w] / C) for w in ("a", "b"))
+        s_o = (
+            math.log(od[d] + mu * cfo / C) - math.log(mu * cfo / C)
+            if d in od else 0.0
+        )
+        b_o = math.log(mu * cfo / C)
+        s_u = math.log(uw[d] + mu * cfu / C) - math.log(mu * cfu / C)
+        b_u = math.log(mu * cfu / C)
+        exp = (
+            0.85 * f(s_t, b_t, 2, dls[d])
+            + 0.1 * f(s_o, b_o, 1, dls[d])
+            + 0.05 * f(s_u, b_u, 1, dls[d])
+        )
+        assert got[d][1] == pytest.approx(exp, rel=1e-12), d
+    assert got[1][0] == 1  # doc1 has all the phrase evidence
