@@ -1205,6 +1205,31 @@ GROUP BY p.qid, n.n_common
 """
 
 
+def _normalize_text_sql() -> str:
+    """Replays textstats.normalize_for_dedup over the augmented text:
+    the same lower -> translate -> digit -> punct -> squeeze chain
+    (DuckDB regexp_replace needs the 'g' flag)."""
+    from luc4ir_spark.operators.textstats import ACCENT_FROM, ACCENT_TO
+
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' Café No. ' || doc_id::VARCHAR || '!!' AS content
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             translate(lower(content), '{ACCENT_FROM}', '{ACCENT_TO}'),
+             '[0-9]', '0', 'g'),
+             '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g')) AS norm_text
+  FROM d
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_digest FROM n
+"""
+
+
 _SUGGEST_CTX = ["the", "spark", "data"]
 
 
@@ -5187,6 +5212,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), content_col="text", lam=_BIGRAM_LAM
         )
 
+    def normalize_text(spark, sf):
+        # CCNet dedup-hash normalization over deterministically
+        # augmented text (case + accent + digits + punctuation)
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" Café No. "),
+                F.col("doc_id").cast("string"), F.lit("!!"),
+            ).alias("content"),
+        )
+        return ts.normalize_for_dedup(docs)
+
     def suggest_next(spark, sf):
         # FreeTextSuggester at the bigram order: top-3 corpus
         # continuations per context word, all-integer ordering
@@ -7365,6 +7402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_correlation": rank_correlation,
         "bigram_lm_xent": bigram_lm_xent,
         "suggest_next": suggest_next,
+        "normalize_text": normalize_text,
         "token_budget_sample": token_budget_sample,
         "dismax_topk": dismax_topk,
         "wildcard_query": wildcard_query,
@@ -7606,6 +7644,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_correlation": _rank_corr_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
         "suggest_next": _suggest_next_sql(),
+        "normalize_text": _normalize_text_sql(),
         "token_budget_sample": _token_budget_sql(),
         "dismax_topk": _dismax_sql(),
         "wildcard_query": _wildcard_sql(),

@@ -1091,3 +1091,39 @@ def suggest_next_words(
         .filter(F.col("rank") <= int(k))
         .select("w1", "w2", "c", "rank")
     )
+
+
+# accent-fold map for normalize_for_dedup: the latin-1/latin-ext
+# letters CCNet's unicode normalization folds to ascii; a literal
+# translate so any engine replays it byte-for-byte
+ACCENT_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūăąćčďęěğıłńňőřśšťůźżž"
+ACCENT_TO = "aaaaaaceeeeiiiinooooouuuuyyaeiouaaccdeegilnnorsstuzzz"
+
+
+def normalize_for_dedup(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's dedup-hash text normalization (Wenzek et al. 2020 —
+    text_normalizer.normalize: lowercase, strip accents, map every
+    digit to a single class, drop punctuation, squeeze whitespace)
+    so near-identical boilerplate hashes identically:
+
+        lower -> accent fold (literal translate) -> digits to '0'
+        -> punctuation removed -> whitespace squeezed + trimmed
+
+    -> (doc_id, norm_text, norm_digest) with norm_digest = md5(norm) —
+    the key exact/paragraph dedup should group on instead of the raw
+    text. Pure codegen projection (translate + three regexp_replace),
+    zero shuffles, zero UDFs — the 100 TB cost is one pass."""
+    c = F.lower(F.col(content_col))
+    c = F.translate(c, ACCENT_FROM, ACCENT_TO)
+    c = F.regexp_replace(c, "[0-9]", "0")
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        c.alias("norm_text"),
+        F.md5(c).alias("norm_digest"),
+    )

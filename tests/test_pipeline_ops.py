@@ -1670,3 +1670,23 @@ def test_suggest_next_words_hand_computed(spark):
     out2 = textstats.suggest_next_words(docs, ["fast"], k=3).collect()
     got = [(r["w2"], r["c"], r["rank"]) for r in out2]
     assert got == [("go", 2, 1), ("stop", 1, 2)]
+
+
+def test_normalize_for_dedup_hand_computed(spark):
+    """Case, accents, digit classing, punctuation and whitespace all
+    fold; two boilerplate variants land on the SAME digest."""
+    docs = spark.createDataFrame(
+        [
+            (1, "  Café №— Prices: 1,299 EUR!!\n\nVisit   now. "),
+            (2, "cafe  prices 8750 eur visit NOW"),
+            (3, "completely different"),
+        ],
+        "doc_id long, content string",
+    )
+    from luc4ir_spark.operators import textstats as ts2
+
+    out = {r["doc_id"]: r for r in ts2.normalize_for_dedup(docs).collect()}
+    assert out[1]["norm_text"] == "cafe prices 0000 eur visit now"
+    assert out[2]["norm_text"] == "cafe prices 0000 eur visit now"
+    assert out[1]["norm_digest"] == out[2]["norm_digest"]
+    assert out[3]["norm_digest"] != out[1]["norm_digest"]
