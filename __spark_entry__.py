@@ -1823,6 +1823,38 @@ SELECT r.qid, r.term, round(r.wt_raw / z.z, 4) AS wt
 FROM raw r JOIN z USING (qid)
 """
 
+_RM3_M, _RM3_LAM = 5, 0.5
+
+# RM3: truncate rm to top-_RM3_M (4dp-rounded wt DESC, term ASC — the
+# kept set must be engine-stable), renormalize, interpolate with the
+# original query MLE over the union vocabulary
+_RM3_SQL = f"""
+WITH {{ctes}},
+tm AS (
+  SELECT qid, term, wt,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY round(wt, 4) DESC, term ASC) AS rn
+  FROM rm
+),
+kept AS (SELECT qid, term, wt FROM tm WHERE rn <= {_RM3_M}),
+z2 AS (SELECT qid, sum(wt) AS z FROM kept GROUP BY 1),
+prm AS (SELECT k.qid, k.term, k.wt / z2.z AS p_rm
+        FROM kept k JOIN z2 USING (qid)),
+qs AS (SELECT qid, count(*)::DOUBLE AS nq FROM q GROUP BY 1),
+porig AS (SELECT q.qid, q.term, 1.0 / qs.nq AS p_q
+          FROM q JOIN qs USING (qid)),
+u AS (
+  SELECT coalesce(a.qid, b.qid) AS qid,
+         coalesce(a.term, b.term) AS term,
+         coalesce(a.p_q, 0.0) AS p_q, coalesce(b.p_rm, 0.0) AS p_rm
+  FROM porig a FULL OUTER JOIN prm b
+    ON a.qid = b.qid AND a.term = b.term
+)
+SELECT qid, term,
+       round({_RM3_LAM} * p_q + {1.0 - _RM3_LAM} * p_rm, 4) AS weight
+FROM u
+"""
+
 _CLARITY_SQL = f"""
 WITH {_BM25_RUN_CTES}
 SELECT rm.qid,
@@ -6356,6 +6388,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rlm.select("qid", "term", F.round("wt", 4).alias("wt"))
 
+    def rm3_weights(spark, sf):
+        # RM3: truncated+renormalized RM1 interpolated with the
+        # original query MLE (Indri fbOrigWeight convention)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
+        out = fb.rm3_interpolate(
+            rlm, qt, num_expansion_terms=_RM3_M, orig_weight=_RM3_LAM
+        )
+        return out.select(
+            "qid", "term", F.round("weight", 4).alias("weight")
+        )
+
     def query_clarity(spark, sf):
         # clarity = KL(RLM || collection LM) (reference
         # feedback/RelevanceModelIId.java:136-160)
@@ -7488,6 +7534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rr_histogram": rr_histogram,
         "rm_weights": rm_weights,
         "rm1_iid_weights": rm1_iid_weights,
+        "rm3_weights": rm3_weights,
         "query_clarity": query_clarity,
         "qq_jsdiv": qq_jsdiv,
         "hyperbolic_rerank": hyperbolic_rerank,
@@ -7729,6 +7776,7 @@ def oracle_sql() -> dict[str, str]:
         "rr_histogram": _RR_HIST_SQL,
         "rm_weights": _RM_SQL,
         "rm1_iid_weights": _RM_IID_SQL,
+        "rm3_weights": _RM3_SQL.format(ctes=_BM25_RUN_CTES),
         "query_clarity": _CLARITY_SQL,
         "qq_jsdiv": _JSDIV_SQL,
         "hyperbolic_rerank": _HYPERBOLIC_SQL,

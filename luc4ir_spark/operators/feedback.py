@@ -234,6 +234,60 @@ def expand_query(
     return orig_w.unionByName(new_terms)
 
 
+def rm3_interpolate(
+    rlm: DataFrame,
+    query_terms: DataFrame,
+    num_expansion_terms: int = 10,
+    orig_weight: float = 0.5,
+) -> DataFrame:
+    """RM3 (Abdul-Jaleel et al., UMass TREC'04; Indri's
+    ``fbOrigWeight`` — the canonical pseudo-relevance-feedback
+    interpolation the RM1 model is almost always deployed as):
+    truncate the relevance model to its top ``num_expansion_terms``
+    terms per query, renormalize the kept mass to 1, then mix with the
+    original query's MLE model over the UNION of vocabularies:
+
+        w(t) = orig_weight * P(t|Q) + (1 - orig_weight) * P_RM1'(t)
+
+    -> (qid, term, weight), ready for retrieval.score_queries.
+
+    The truncation window orders by (wt ROUNDED to 4dp DESC, term ASC)
+    — raw float wt can differ across engines by an ulp near ties, and
+    a swapped keep/drop at the boundary changes the model; the 4dp
+    grid (the same grid every RM gate proves cross-engine equal) plus
+    the term tiebreak makes the kept set engine-stable. Renormalization
+    then uses the RAW kept wt. Hit-sized relations throughout."""
+    lam = float(orig_weight)
+    w = Window.partitionBy("qid").orderBy(
+        F.round("wt", 4).desc(), F.col("term").asc()
+    )
+    kept = (
+        rlm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(num_expansion_terms))
+        .select("qid", "term", "wt")
+    )
+    z = kept.groupBy("qid").agg(F.sum("wt").alias("z"))
+    prm = kept.join(F.broadcast(z), "qid").select(
+        "qid", "term", (F.col("wt") / F.col("z")).alias("p_rm")
+    )
+    qt = query_terms
+    if "weight" not in qt.columns:
+        qt = qt.withColumn("weight", F.lit(1.0))
+    qs = qt.groupBy("qid").agg(F.sum("weight").alias("qs"))
+    porig = qt.join(F.broadcast(qs), "qid").select(
+        "qid", "term", (F.col("weight") / F.col("qs")).alias("p_q")
+    )
+    j = porig.join(prm, ["qid", "term"], "full_outer")
+    return j.select(
+        "qid",
+        "term",
+        (
+            F.lit(lam) * F.coalesce("p_q", F.lit(0.0))
+            + F.lit(1.0 - lam) * F.coalesce("p_rm", F.lit(0.0))
+        ).alias("weight"),
+    )
+
+
 def query_clarity(
     rlm: DataFrame, term_stats: DataFrame, total_tokens: int
 ) -> DataFrame:

@@ -261,3 +261,34 @@ def test_significant_terms_hand_computed(spark):
     )
     for r in rows:
         assert r["sig"] == pytest.approx(exp[r["term"]], rel=1e-12)
+
+
+def test_rm3_interpolate_hand_computed(spark):
+    """RM3 mix over the union vocabulary: truncation to top-m, kept
+    mass renormalized, lambda split between query MLE and RM terms."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from luc4ir_spark.operators import feedback as fb
+
+    rlm = spark.createDataFrame(
+        [("q", "a", 0.5), ("q", "b", 0.3), ("q", "c", 0.2)],
+        "qid string, term string, wt double",
+    )
+    qt = spark.createDataFrame(
+        [("q", "a", 1.0), ("q", "x", 1.0)],
+        "qid string, term string, weight double",
+    )
+    out = {
+        r["term"]: r["weight"]
+        for r in fb.rm3_interpolate(
+            rlm, qt, num_expansion_terms=2, orig_weight=0.6
+        ).collect()
+    }
+    # kept = {a: .5, b: .3} renormalized -> a .625, b .375; c truncated
+    assert out["a"] == pt.approx(0.6 * 0.5 + 0.4 * 0.625, rel=1e-12)
+    assert out["b"] == pt.approx(0.4 * 0.375, rel=1e-12)
+    assert out["x"] == pt.approx(0.6 * 0.5, rel=1e-12)
+    assert "c" not in out
+    # the mixture is a probability distribution over the union
+    assert sum(out.values()) == pt.approx(1.0, rel=1e-12)
