@@ -1855,6 +1855,43 @@ SELECT qid, term,
 FROM u
 """
 
+_ROC_A, _ROC_B = 1.0, 0.75
+
+# Rocchio: tf-idf centroid of the topm pool, truncated on the 4dp
+# grid, alpha*q + beta*centroid over the union vocabulary
+_ROCCHIO_SQL = f"""
+WITH {{ctes}},
+nrel AS (SELECT qid, count(*)::DOUBLE AS n_rel FROM topm GROUP BY 1),
+dtv AS (
+  SELECT t.qid, tf.term,
+         sum(tf.tf * ln(s.n_docs * 1.0 / dft.df)) AS sw
+  FROM topm t JOIN tf ON tf.doc_id = t.doc_id
+  JOIN dft USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT d.qid, d.term, d.sw / n.n_rel AS cent
+  FROM dtv d JOIN nrel n USING (qid)
+),
+tm2 AS (
+  SELECT qid, term, cent,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY round(cent, 4) DESC, term ASC) AS rn
+  FROM cent
+),
+kept AS (SELECT qid, term, cent FROM tm2 WHERE rn <= {_RM3_M}),
+u AS (
+  SELECT coalesce(a.qid, b.qid) AS qid,
+         coalesce(a.term, b.term) AS term,
+         coalesce(a.qw, 0.0) AS qw, coalesce(b.cent, 0.0) AS cent
+  FROM (SELECT qid, term, 1.0 AS qw FROM q) a
+  FULL OUTER JOIN kept b ON a.qid = b.qid AND a.term = b.term
+)
+SELECT qid, term,
+       round({_ROC_A} * qw + {_ROC_B} * cent, 4) AS weight
+FROM u
+"""
+
 _CLARITY_SQL = f"""
 WITH {_BM25_RUN_CTES}
 SELECT rm.qid,
@@ -6388,6 +6425,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rlm.select("qid", "term", F.round("wt", 4).alias("wt"))
 
+    def rocchio_weights(spark, sf):
+        # Rocchio pseudo-feedback: alpha*q + beta*top-doc tf-idf
+        # centroid, centroid truncated on the 4dp grid
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = fb.rocchio_expand(
+            idx, run, qt, num_top_docs=FDBK_DOCS,
+            alpha=_ROC_A, beta=_ROC_B, top_m=_RM3_M,
+        )
+        return out.select(
+            "qid", "term", F.round("weight", 4).alias("weight")
+        )
+
     def rm3_weights(spark, sf):
         # RM3: truncated+renormalized RM1 interpolated with the
         # original query MLE (Indri fbOrigWeight convention)
@@ -7535,6 +7586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm_weights": rm_weights,
         "rm1_iid_weights": rm1_iid_weights,
         "rm3_weights": rm3_weights,
+        "rocchio_weights": rocchio_weights,
         "query_clarity": query_clarity,
         "qq_jsdiv": qq_jsdiv,
         "hyperbolic_rerank": hyperbolic_rerank,
@@ -7777,6 +7829,7 @@ def oracle_sql() -> dict[str, str]:
         "rm_weights": _RM_SQL,
         "rm1_iid_weights": _RM_IID_SQL,
         "rm3_weights": _RM3_SQL.format(ctes=_BM25_RUN_CTES),
+        "rocchio_weights": _ROCCHIO_SQL.format(ctes=_BM25_RUN_CTES),
         "query_clarity": _CLARITY_SQL,
         "qq_jsdiv": _JSDIV_SQL,
         "hyperbolic_rerank": _HYPERBOLIC_SQL,

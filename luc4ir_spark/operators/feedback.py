@@ -234,6 +234,82 @@ def expand_query(
     return orig_w.unionByName(new_terms)
 
 
+def rocchio_expand(
+    index,
+    run: DataFrame,
+    query_terms: DataFrame,
+    num_top_docs: int = 3,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    top_m: int = 10,
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (Rocchio 1971; the
+    vector-space classic every IR engine ships, e.g. Lucene/Solr's
+    MoreLikeThis-style expansion and Anserini's Rocchio): the new
+    query vector is
+
+        q' = alpha * q  +  beta * centroid(top-k doc tf-idf vectors)
+
+    with doc weights w(t, d) = tf * ln(N / df) and the centroid
+    truncated to its ``top_m`` heaviest terms (practical Rocchio —
+    untruncated centroids drag the whole pool vocabulary into the
+    re-query). The gamma/non-relevant term is omitted: with PSEUDO
+    feedback there is no non-relevant set. -> (qid, term, weight).
+
+    The truncation window orders by (centroid ROUNDED to 4dp DESC,
+    term ASC) — the same engine-stable keep-set rule as
+    ``rm3_interpolate``; the combined weight then uses the RAW
+    centroid. All relations are pool-sized (k docs x their terms)."""
+    top = run.filter(F.col("rank") <= int(num_top_docs)).select(
+        "qid", "doc_id"
+    )
+    nrel = top.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rel")
+    )
+    n = float(index.stats.n_docs)
+    dt = (
+        index.postings.join(top, "doc_id")
+        .join(F.broadcast(index.term_stats.select("term", "df")), "term")
+        .select(
+            "qid",
+            "term",
+            (
+                F.col("tf") * F.log(F.lit(n) / F.col("df"))
+            ).alias("_w"),
+        )
+    )
+    cent = (
+        dt.groupBy("qid", "term")
+        .agg(F.sum("_w").alias("_sw"))
+        .join(F.broadcast(nrel), "qid")
+        .select(
+            "qid", "term", (F.col("_sw") / F.col("n_rel")).alias("cent")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round("cent", 4).desc(), F.col("term").asc()
+    )
+    kept = (
+        cent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(top_m))
+        .select("qid", "term", "cent")
+    )
+    qt = query_terms
+    if "weight" not in qt.columns:
+        qt = qt.withColumn("weight", F.lit(1.0))
+    j = qt.select("qid", "term", F.col("weight").alias("qw")).join(
+        kept, ["qid", "term"], "full_outer"
+    )
+    return j.select(
+        "qid",
+        "term",
+        (
+            F.lit(float(alpha)) * F.coalesce("qw", F.lit(0.0))
+            + F.lit(float(beta)) * F.coalesce("cent", F.lit(0.0))
+        ).alias("weight"),
+    )
+
+
 def rm3_interpolate(
     rlm: DataFrame,
     query_terms: DataFrame,

@@ -292,3 +292,51 @@ def test_rm3_interpolate_hand_computed(spark):
     assert "c" not in out
     # the mixture is a probability distribution over the union
     assert sum(out.values()) == pt.approx(1.0, rel=1e-12)
+
+
+def test_rocchio_expand_hand_computed(spark):
+    """alpha*q + beta*centroid with tf-idf doc vectors over the top-k
+    pseudo-relevant pool; centroid truncation drops the lightest term."""
+    import math
+
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from luc4ir_spark.functions.analysis import AnalyzerConfig
+    from luc4ir_spark.operators import feedback as fb
+    from luc4ir_spark.operators import indexer as ixm
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d d d")],
+        "doc_id long, content string",
+    )
+    idx = ixm.build_index(
+        docs, ixm.IndexConfig(analyzer=AnalyzerConfig(mode="simple")),
+        cache=False,
+    )
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "qid string, doc_id long, rank long",
+    )
+    qt = spark.createDataFrame(
+        [("q", "a", 1.0)], "qid string, term string, weight double"
+    )
+    out = {
+        r["term"]: r["weight"]
+        for r in fb.rocchio_expand(
+            idx, run, qt, num_top_docs=2, alpha=1.0, beta=0.5, top_m=2
+        ).collect()
+    }
+    n = 3.0
+    idf = {"a": math.log(n / 2), "b": math.log(n / 1), "c": math.log(n / 1)}
+    cent = {
+        "a": (2 * idf["a"] + 1 * idf["a"]) / 2,  # docs 1 and 2
+        "b": (1 * idf["b"]) / 2,
+        "c": (1 * idf["c"]) / 2,
+    }
+    # top_m=2 keeps the two heaviest centroid terms: a and (b or c by
+    # value; b == c here so term ASC keeps 'b')
+    assert out["a"] == pt.approx(1.0 + 0.5 * cent["a"], rel=1e-12)
+    assert out["b"] == pt.approx(0.5 * cent["b"], rel=1e-12)
+    assert "c" not in out  # truncated (tie broken by term ASC)
+    assert "d" not in out  # doc 3 is outside the pseudo-relevant pool
