@@ -1205,6 +1205,24 @@ GROUP BY p.qid, n.n_common
 """
 
 
+_TOKEN_STATS_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tok,
+         strlen(text)::BIGINT AS n_b
+  FROM documents
+),
+a AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+             sum(n_b)::BIGINT AS n_bytes
+      FROM t GROUP BY 1)
+SELECT lang, n_docs, n_tokens, n_bytes,
+       round(n_tokens * 1.0 / n_docs, 4) AS tokens_per_doc,
+       round(n_bytes * 1.0 / n_tokens, 4) AS bytes_per_token
+FROM a
+"""
+
+
 def _normalize_text_sql() -> str:
     """Replays textstats.normalize_for_dedup over the augmented text:
     the same lower -> translate -> digit -> punct -> squeeze chain
@@ -5281,6 +5299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), content_col="text", lam=_BIGRAM_LAM
         )
 
+    def corpus_token_stats(spark, sf):
+        # per-language token/byte budget stats for mix planning
+        return ts.corpus_token_stats(
+            _docs(spark, sf), by="lang", content_col="text"
+        )
+
     def normalize_text(spark, sf):
         # CCNet dedup-hash normalization over deterministically
         # augmented text (case + accent + digits + punctuation)
@@ -7500,6 +7524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_xent": bigram_lm_xent,
         "suggest_next": suggest_next,
         "normalize_text": normalize_text,
+        "corpus_token_stats": corpus_token_stats,
         "token_budget_sample": token_budget_sample,
         "dismax_topk": dismax_topk,
         "wildcard_query": wildcard_query,
@@ -7744,6 +7769,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_xent": _bigram_xent_sql(),
         "suggest_next": _suggest_next_sql(),
         "normalize_text": _normalize_text_sql(),
+        "corpus_token_stats": _TOKEN_STATS_SQL,
         "token_budget_sample": _token_budget_sql(),
         "dismax_topk": _dismax_sql(),
         "wildcard_query": _wildcard_sql(),

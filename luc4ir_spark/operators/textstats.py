@@ -1127,3 +1127,43 @@ def normalize_for_dedup(
         c.alias("norm_text"),
         F.md5(c).alias("norm_digest"),
     )
+
+
+def corpus_token_stats(
+    docs: DataFrame,
+    by: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-group corpus budget statistics — the numbers a training-mix
+    planner needs before sampling (how many tokens does each language
+    hold, and how byte-expensive is a token there — the
+    bytes-per-token "fertility" that differs wildly across scripts):
+
+        n_docs, n_tokens (simple-mode), n_bytes (UTF-8 octets),
+        tokens_per_doc, bytes_per_token
+
+    -> one row per ``by`` value. One codegen projection + one
+    map-side-combined groupBy — no UDF, no second pass; at 100 TB this
+    is a single scan whose output is |groups| rows."""
+    toks = F.size(
+        F.array_remove(
+            F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+        )
+    ).cast("long")
+    agg = docs.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.sum(F.octet_length(content_col)).cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        by,
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias(
+            "tokens_per_doc"
+        ),
+        F.round(F.col("n_bytes") / F.col("n_tokens"), 4).alias(
+            "bytes_per_token"
+        ),
+    )

@@ -1690,3 +1690,27 @@ def test_normalize_for_dedup_hand_computed(spark):
     assert out[2]["norm_text"] == "cafe prices 0000 eur visit now"
     assert out[1]["norm_digest"] == out[2]["norm_digest"]
     assert out[3]["norm_digest"] != out[1]["norm_digest"]
+
+
+def test_corpus_token_stats_hand_computed(spark):
+    """Per-group doc/token/byte tallies and the two ratios; UTF-8
+    multibyte text counts octets, not characters."""
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en"),
+            (2, "four", "en"),
+            (3, "héllo wörld", "de"),  # 2 tokens, 13 utf-8 bytes
+        ],
+        "doc_id long, content string, lang string",
+    )
+    out = {
+        r["lang"]: r
+        for r in textstats.corpus_token_stats(docs, by="lang").collect()
+    }
+    en = out["en"]
+    assert (en["n_docs"], en["n_tokens"], en["n_bytes"]) == (2, 4, 17)
+    assert en["tokens_per_doc"] == 2.0
+    assert en["bytes_per_token"] == 4.25
+    de = out["de"]
+    assert de["n_tokens"] == 4  # accents split 'h' 'llo' 'w' 'rld'
+    assert de["n_bytes"] == 13
