@@ -4290,6 +4290,43 @@ def _sample_stratified_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {bucket} < {case}"
 
 
+_TEMP_BUDGET = 5000  # temperature_mix gate: token budget
+
+
+def _temperature_mix_sql() -> str:
+    """Replays sample_temperature_mix: per-source token mass,
+    isqrt via floor(sqrt(...)) (IEEE sqrt is correctly rounded, so
+    this equals Python's math.isqrt below 2^52), all-integer
+    thresholds, the portable mix-hash bucket rule."""
+    from luc4ir_spark.functions import hashing as hx
+
+    bucket = (
+        f"(({hx.MIX_A} * ((d.doc_id + {_SAMPLE_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P}) % {_SAMPLE_RES}"
+    )
+    return rf"""
+WITH tt AS (
+  SELECT source, len(list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tok
+  FROM documents
+),
+ns AS (SELECT source, sum(n_tok)::BIGINT AS n_s FROM tt
+       GROUP BY 1 HAVING sum(n_tok) > 0),
+sq AS (SELECT source, n_s, floor(sqrt(n_s))::BIGINT AS s_s FROM ns),
+tot AS (SELECT sum(s_s)::BIGINT AS st FROM sq),
+th AS (
+  SELECT source,
+         least({_SAMPLE_RES},
+               ({_SAMPLE_RES} * {_TEMP_BUDGET} * s_s) // (t.st * n_s))
+           AS th
+  FROM sq CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th USING (source)
+WHERE {bucket} < th.th
+"""
+
+
 def _corpus_composition_sql() -> str:
     """Per-source corpus-mix oracle over the (already-gated) per-doc
     quality signals; share computed over the aggregated relation."""
@@ -6873,6 +6910,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resolution=_SAMPLE_RES,
         ).select("doc_id", "lang")
 
+    def temperature_mix(spark, sf):
+        # alpha=1/2 temperature mixture sampling; integer-exact
+        # isqrt-based thresholds + the mix-hash Bernoulli
+        from luc4ir_spark.operators import utilsops as uo
+
+        return uo.sample_temperature_mix(
+            _docs(spark, sf),
+            budget_tokens=_TEMP_BUDGET,
+            stratum_col="source",
+            content_col="text",
+            seed=_SAMPLE_SEED,
+            resolution=_SAMPLE_RES,
+        ).select("doc_id", "source")
+
     def corpus_composition(spark, sf):
         return ts.corpus_composition(
             _docs(spark, sf), content_col="text", stratum_col="source"
@@ -7672,6 +7723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "quality_filter": quality_filter,
         "sample_stratified": sample_stratified,
+        "temperature_mix": temperature_mix,
         "corpus_composition": corpus_composition,
         "chunk_documents": chunk_documents,
         "dedup_lines": dedup_lines,
@@ -7915,6 +7967,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANGID_SQL,
         "quality_filter": _quality_filter_sql(),
         "sample_stratified": _sample_stratified_sql(),
+        "temperature_mix": _temperature_mix_sql(),
         "corpus_composition": _corpus_composition_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "dedup_lines": _dedup_lines_sql(),

@@ -256,3 +256,73 @@ def sample_by_score(
         mix_id_expr(F.col(id_col) + F.lit(seed)), F.lit(resolution)
     )
     return df.filter(bucket < cut)
+
+
+def sample_temperature_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "source",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    resolution: int = 10000,
+) -> DataFrame:
+    """Temperature (alpha-smoothed) mixture sampling — the XLM /
+    GPT-3 / PaLM corpus-mixing rule (Conneau & Lample 2019): target
+    share p_s proportional to n_s^alpha with alpha = 1/2, so rare
+    sources are upweighted relative to their raw token mass; each
+    source then keeps rate r_s = min(1, budget * p_s / n_s) of its
+    rows via the scan-local mix-hash Bernoulli (the
+    ``sample_hash_stratified`` rule).
+
+    Exactness: n_s^(1/2) is taken as the INTEGER square root, so the
+    keep threshold floor(resolution * budget * isqrt(n_s) /
+    (sum_t isqrt(n_t) * n_s)) is pure integer arithmetic — bit-equal
+    on any engine (IEEE sqrt is correctly rounded, so
+    floor(sqrt(bigint)) == isqrt below 2^52; the driver uses Python's
+    exact ``math.isqrt``). No float ever reaches the keep comparison.
+
+    Plan: one map-side token-count aggregation (|sources| rows
+    collected to the driver — a scalar-sized action), then a pure
+    scan-local filter: no shuffle, no sort, reproducible across runs
+    and cluster sizes, and monotone in budget (a bigger budget keeps a
+    superset). -> the kept rows of ``df``."""
+    import math
+
+    from ..functions.hashing import mix_id_expr
+
+    toks = F.size(
+        F.array_remove(
+            F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+        )
+    ).cast("long")
+    stats = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(toks).alias("n_s"))
+        .collect()
+    )
+    sizes = {
+        r[stratum_col]: int(r["n_s"]) for r in stats if r["n_s"]
+    }
+    if not sizes:
+        return df.limit(0)
+    roots = {k: math.isqrt(n) for k, n in sizes.items()}
+    s_tot = sum(roots.values())
+    thresh_map = {
+        k: min(
+            int(resolution),
+            (int(resolution) * int(budget_tokens) * roots[k])
+            // (s_tot * sizes[k]),
+        )
+        for k in sizes
+    }
+    thresh = F.lit(0)
+    for k in sorted(thresh_map):
+        thresh = F.when(
+            F.col(stratum_col) == k, F.lit(thresh_map[k])
+        ).otherwise(thresh)
+    bucket = F.pmod(
+        mix_id_expr(F.col(id_col) + F.lit(int(seed))),
+        F.lit(int(resolution)),
+    )
+    return df.filter(bucket < thresh)

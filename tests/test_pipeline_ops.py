@@ -1714,3 +1714,53 @@ def test_corpus_token_stats_hand_computed(spark):
     de = out["de"]
     assert de["n_tokens"] == 4  # accents split 'h' 'llo' 'w' 'rld'
     assert de["n_bytes"] == 13
+
+
+def test_sample_temperature_mix_flattens(spark):
+    """alpha=1/2 upweights rare sources: the kept-rate RATIO between a
+    big and a small source is sqrt-compressed vs their mass ratio;
+    thresholds replay in exact integers; bigger budget keeps a superset."""
+    import math
+
+    from luc4ir_spark.operators import utilsops as uo
+
+    rows = []
+    did = 0
+    for s, n in (("big", 400), ("small", 25)):
+        for _ in range(n):
+            rows.append((did, "w " * 10, s))  # 10 tokens per doc
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, source string"
+    )
+    budget, res = 1000, 10000
+    kept = uo.sample_temperature_mix(
+        docs, budget, stratum_col="source", resolution=res
+    ).collect()
+    n_s = {"big": 4000, "small": 250}
+    roots = {k: math.isqrt(v) for k, v in n_s.items()}
+    st = sum(roots.values())
+    th = {
+        k: min(res, (res * budget * roots[k]) // (st * n_s[k]))
+        for k in n_s
+    }
+    # integer replay: per-source kept counts equal the bucket rule
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    exp = {"big": 0, "small": 0}
+    for d, _, s in rows:
+        if ((MIX_A * (d % MIX_P) + MIX_B) % MIX_P) % res < th[s]:
+            exp[s] += 1
+    got = {"big": 0, "small": 0}
+    for r in kept:
+        got[r["source"]] += 1
+    assert got == exp
+    # rare source keeps a HIGHER fraction than the big one
+    assert th["small"] > th["big"]
+    # monotone in budget: superset property
+    kept2 = uo.sample_temperature_mix(
+        docs, budget * 2, stratum_col="source", resolution=res
+    ).collect()
+    ids1 = {r["doc_id"] for r in kept}
+    ids2 = {r["doc_id"] for r in kept2}
+    assert ids1 <= ids2
