@@ -7405,6 +7405,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(base, ignore_errors=True)
         return res
 
+    def event_window_streamed(spark, sf):
+        # the STREAMING tumbling-window aggregator end-to-end: wave 1 =
+        # events + a far-future sentinel (2030-01-01), wave 2 = a
+        # second sentinel (2030-02-01) whose watermark advance closes
+        # every earlier window (incl. sentinel 1's); only sentinel 2's
+        # own still-open window is withheld, so the flushed set equals
+        # the batch tumbling stats over events + sentinel 1 — which the
+        # oracle replays
+        import shutil
+        import tempfile
+        from datetime import datetime
+
+        from luc4ir_spark.streaming.event_stream import (
+            start_windowed_event_counts,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_win_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        sent = [
+            (10**9, datetime(2030, 1, 1), -1, "sentinel", 0.0, ""),
+            (10**9 + 1, datetime(2030, 2, 1), -1, "sentinel", 0.0, ""),
+        ]
+        waves = [
+            ev_df.unionByName(spark.createDataFrame(sent[:1], schema)),
+            spark.createDataFrame(sent[1:], schema),
+        ]
+        for wave in waves:
+            wave.write.mode("append").parquet(in_dir)
+            q = start_windowed_event_counts(
+                spark, in_dir, out_dir, window="1 hour",
+                watermark="2 hours", schema=schema,
+            )
+            q.awaitTermination(300)
+        out = spark.read.parquet(os.path.join(out_dir, "windows"))
+        sel = out.select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        rows = sel.collect()
+        res = spark.createDataFrame(rows, sel.schema)
+        shutil.rmtree(base, ignore_errors=True)
+        return res
+
     def frame_sample_plan(spark, sf):
         # multimodal row-expansion plumbing: synthesize a deterministic
         # video table from documents (media bytes = text, duration_ms =
@@ -7730,6 +7781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
+        "event_window_streamed": event_window_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
         "frame_sample_plan": frame_sample_plan,
@@ -8019,6 +8071,17 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(value), 4) AS sum_value,"
             " round(avg(value), 4) AS avg_value"
             " FROM events GROUP BY 1, 2"
+        ),
+        # streamed twin: flushed set == batch over events + sentinel 1
+        "event_window_streamed": (
+            "WITH ev2 AS ("
+            " SELECT ts, event_type, value FROM events"
+            " UNION ALL SELECT TIMESTAMP '2030-01-01 00:00:00',"
+            " 'sentinel', 0.0)"
+            " SELECT date_trunc('hour', ts)::VARCHAR AS window_start,"
+            " event_type, count(*)::BIGINT AS n_events,"
+            " round(sum(value), 4) AS sum_value"
+            " FROM ev2 GROUP BY 1, 2"
         ),
         "event_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
