@@ -6201,6 +6201,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.octet_length("blob").cast("long").alias("blob_bytes"),
         )
 
+    def shard_skew(spark, sf):
+        # salted-layout balance report: per-shard blob/posting/byte
+        # totals over the same pinned layout as index_disk_usage
+        import dataclasses
+
+        idx = _index(spark, sf)
+        cfg = dataclasses.replace(
+            idx.config,
+            num_salt_shards=_DU_SHARDS,
+            block_size=_DU_BLOCK,
+        )
+        blobs = wd.build_compressed_postings(
+            dataclasses.replace(idx, config=cfg)
+        )
+        return wd.shard_skew_report(blobs).select(
+            "salt", "n_blobs", "n_postings", "total_bytes"
+        )
+
     def proximity_rerank(spark, sf):
         # Tao-Zhai MinDist proximity boost re-ranking the BM25 window
         idx = _index(spark, sf)
@@ -7693,6 +7711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": stats_agg,
         "index_check": index_check,
         "index_disk_usage": index_disk_usage,
+        "shard_skew": shard_skew,
         "did_you_mean": did_you_mean,
         "best_fragments": best_fragments,
         "proximity_rerank": proximity_rerank,
@@ -7939,6 +7958,13 @@ def oracle_sql() -> dict[str, str]:
         "stats_agg": _stats_agg_sql(),
         "index_check": _index_check_sql(),
         "index_disk_usage": _index_disk_usage_sql(),
+        "shard_skew": (
+            f"WITH du AS ({_index_disk_usage_sql()})"
+            " SELECT salt, count(*)::BIGINT AS n_blobs,"
+            " sum(n_docs)::BIGINT AS n_postings,"
+            " sum(blob_bytes)::BIGINT AS total_bytes"
+            " FROM du GROUP BY 1"
+        ),
         "did_you_mean": _did_you_mean_sql(),
         "best_fragments": _best_fragments_sql(),
         "proximity_rerank": _proximity_rerank_sql(),

@@ -537,3 +537,26 @@ def score_queries_wand(
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score")
     )
+
+
+def shard_skew_report(blobs: DataFrame) -> DataFrame:
+    """Salted-layout balance report over the compressed postings
+    (``build_compressed_postings`` output): per salt shard, how many
+    blobs / postings / bytes landed there -> (salt, n_blobs,
+    n_postings, total_bytes). The operational check behind the
+    intra-query parallelism claim: ``pmod(mix(doc_id), shards)``
+    doc-sharding should keep per-shard work uniform, and at the
+    10^12-doc regime a skewed shard IS the WAND tail latency — this
+    report is how an operator sees it before queries do. One
+    map-side-combined groupBy over the blob spine (the blob column is
+    pruned; only octet_length is read)."""
+    return (
+        blobs.groupBy(F.col("salt").cast("long").alias("salt"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blobs"),
+            F.sum("n_docs").cast("long").alias("n_postings"),
+            F.sum(F.octet_length("blob")).cast("long").alias(
+                "total_bytes"
+            ),
+        )
+    )

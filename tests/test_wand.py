@@ -259,3 +259,43 @@ def test_compressed_postings_consistent_with_flat(spark):
     }
     for r in idx.term_stats.collect():
         assert by_term[r["term"]] == r["df"]
+
+
+def test_shard_skew_report_uniformity(spark):
+    """Per-shard totals tie out against the blob spine exactly, and
+    the mix(doc_id) sharding keeps posting counts within a reasonable
+    band on a uniform corpus."""
+    from pyspark.sql import functions as F
+
+    from luc4ir_spark.functions.analysis import AnalyzerConfig
+    from luc4ir_spark.operators import indexer as ix
+    from luc4ir_spark.operators import wand as wd
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 3) for i in range(120)],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(
+        docs,
+        ix.IndexConfig(
+            analyzer=AnalyzerConfig(mode="simple"), num_salt_shards=4
+        ),
+        cache=False,
+    )
+    blobs = wd.build_compressed_postings(idx)
+    rep = {r["salt"]: r for r in wd.shard_skew_report(blobs).collect()}
+    assert set(rep) == {0, 1, 2, 3}
+    assert sum(r["n_postings"] for r in rep.values()) == 3 * 120
+    exact = {
+        r["salt"]: (r["n"], r["b"])
+        for r in blobs.groupBy("salt")
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum(F.octet_length("blob")).alias("b"),
+        )
+        .collect()
+    }
+    for s, r in rep.items():
+        assert (r["n_postings"], r["total_bytes"]) == exact[s]
+    counts = [r["n_postings"] for r in rep.values()]
+    assert max(counts) <= 2 * min(counts)  # uniform hash, mild band
