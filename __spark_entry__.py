@@ -837,9 +837,30 @@ FROM w
 """
 
 
-def _comb_fuse_sql() -> str:
-    """Replays comb_fuse('mnz') over the bm25 + lmdir top-k runs:
-    per-(run, qid) min-max normalization, sum x match count."""
+def _comb_fuse_sql(method: str = "mnz") -> str:
+    """Replays comb_fuse over the bm25 + lmdir top-k runs:
+    'mnz' = per-(run, qid) min-max normalization, sum x match count;
+    'zsum' = per-(run, qid) z-scores, plain sum."""
+    if method == "zsum":
+        norm = (
+            "CASE WHEN sd > 0 THEN (s_raw - av) / sd ELSE 0.0 END"
+        )
+        stats_cols = (
+            "avg(s_raw) OVER (PARTITION BY run_id, qid) AS av,\n"
+            "         stddev_samp(s_raw)"
+            " OVER (PARTITION BY run_id, qid) AS sd"
+        )
+        fused = "s"
+    else:
+        norm = (
+            "CASE WHEN mx > mn THEN (s_raw - mn) / (mx - mn)"
+            " ELSE 1.0 END"
+        )
+        stats_cols = (
+            "min(s_raw) OVER (PARTITION BY run_id, qid) AS mn,\n"
+            "         max(s_raw) OVER (PARTITION BY run_id, qid) AS mx"
+        )
+        fused = "s * nz"
     return f"""
 WITH {_two_run_ctes()},
 runs AS (
@@ -851,22 +872,20 @@ runs AS (
 ),
 n AS (
   SELECT run_id, qid, doc_id, s_raw,
-         min(s_raw) OVER (PARTITION BY run_id, qid) AS mn,
-         max(s_raw) OVER (PARTITION BY run_id, qid) AS mx
+         {stats_cols}
   FROM runs
 ),
 a AS (
   SELECT qid, doc_id,
-         sum(CASE WHEN mx > mn THEN (s_raw - mn) / (mx - mn)
-                  ELSE 1.0 END) AS s,
+         sum({norm}) AS s,
          count(*)::DOUBLE AS nz
   FROM n GROUP BY 1, 2
 )
 SELECT qid, doc_id, rank, fused FROM (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid
-             ORDER BY s * nz DESC, doc_id ASC)::BIGINT AS rank,
-         round(s * nz, 4) AS fused
+             ORDER BY {fused} DESC, doc_id ASC)::BIGINT AS rank,
+         round({fused}, 4) AS fused
   FROM a) WHERE rank <= {TOPK}
 """
 
@@ -5492,6 +5511,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "doc_id", "rank", F.round("fused", 4).alias("fused")
         )
 
+    def zscore_fuse(spark, sf):
+        # z-score-normalized CombSUM of the bm25 + lmdir runs
+        r1, r2 = _two_runs(spark, sf)
+        runs = (
+            r1.withColumn("run_id", F.lit("bm25"))
+            .unionByName(r2.withColumn("run_id", F.lit("lmdir")))
+            .select("run_id", "qid", "doc_id", "score")
+        )
+        out = rt.comb_fuse(runs, method="zsum", topk=TOPK)
+        return out.select(
+            "qid", "doc_id", "rank", F.round("fused", 4).alias("fused")
+        )
+
     def borda_fuse(spark, sf):
         # Borda-count fusion of the bm25 + lmdir runs (all-integer)
         r1, r2 = _two_runs(spark, sf)
@@ -7674,6 +7706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": char_entropy,
         "comb_fuse": comb_fuse,
         "borda_fuse": borda_fuse,
+        "zscore_fuse": zscore_fuse,
         "ltr_features": ltr_features,
         "eval_macro": eval_macro,
         "bm25_plus": bm25_plus,
@@ -7921,6 +7954,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_phrase": _multi_phrase_sql(),
         "char_entropy": _char_entropy_sql(),
         "comb_fuse": _comb_fuse_sql(),
+        "zscore_fuse": _comb_fuse_sql(method="zsum"),
         "borda_fuse": _borda_fuse_sql(),
         "ltr_features": _ltr_features_sql(),
         "eval_macro": _eval_macro_sql(),

@@ -2416,21 +2416,39 @@ def comb_fuse(
 
         CombSUM = Σ nscore    CombMNZ = CombSUM × #runs containing doc
 
+    ``method='zsum'`` swaps the min-max normalization for per-(run,
+    query) z-scores (Montague & Aslam CIKM'01) and fuses by plain
+    summation — scale-free when the systems' score distributions have
+    very different shapes.
+
     -> (qid, doc_id, rank, fused), rank ≤ topk, ties doc_id asc.
 
     Scale shape: runs are (systems × queries × k) — corpus-independent
     — so this is two bounded windows (per-(run,qid) min/max via one
     groupBy-free window, per-qid rank) and one groupBy."""
-    if method not in ("sum", "mnz"):
-        raise ValueError("method must be 'sum' or 'mnz'")
+    if method not in ("sum", "mnz", "zsum"):
+        raise ValueError("method must be 'sum', 'mnz' or 'zsum'")
     w = Window.partitionBy("run_id", "qid")
     r = runs.select("run_id", "qid", "doc_id", "score").withColumn(
         "_mn", F.min("score").over(w)
     ).withColumn("_mx", F.max("score").over(w))
-    nscore = F.when(
-        F.col("_mx") > F.col("_mn"),
-        (F.col("score") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
-    ).otherwise(F.lit(1.0))
+    if method == "zsum":
+        # z-score normalization (Montague & Aslam CIKM'01's "standard"
+        # normalization): nscore = (s - mean)/stddev per (run, qid); a
+        # degenerate constant-score run contributes 0 for every doc
+        r = r.withColumn("_av", F.avg("score").over(w)).withColumn(
+            "_sd", F.stddev_samp("score").over(w)
+        )
+        nscore = F.when(
+            F.col("_sd") > 0,
+            (F.col("score") - F.col("_av")) / F.col("_sd"),
+        ).otherwise(F.lit(0.0))
+        method = "sum"  # z-scores fuse by plain summation
+    else:
+        nscore = F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("score") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(1.0))
     agg = (
         r.select("qid", "doc_id", nscore.alias("_ns"))
         .groupBy("qid", "doc_id")

@@ -1910,3 +1910,27 @@ def test_sdm_topk_hand_computed(spark):
         )
         assert got[d][1] == pytest.approx(exp, rel=1e-12), d
     assert got[1][0] == 1  # doc1 has all the phrase evidence
+
+
+def test_comb_fuse_zsum_hand_computed(spark):
+    """z-score fusion: per-run standardization then plain sum; a
+    constant-score run contributes zero everywhere."""
+    import math
+
+    runs = spark.createDataFrame(
+        [
+            ("a", "q", 1, 3.0), ("a", "q", 2, 1.0), ("a", "q", 3, 2.0),
+            ("b", "q", 1, 5.0), ("b", "q", 2, 5.0),  # degenerate run
+        ],
+        "run_id string, qid string, doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: r["fused"]
+        for r in rt.comb_fuse(runs, method="zsum", topk=10).collect()
+    }
+    mean, sd = 2.0, math.sqrt(1.0)  # run a: {3,1,2}
+    assert out[1] == pytest.approx((3.0 - mean) / sd, rel=1e-12)
+    assert out[2] == pytest.approx((1.0 - mean) / sd, rel=1e-12)
+    assert out[3] == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError):
+        rt.comb_fuse(runs, method="nope")
