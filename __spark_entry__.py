@@ -6906,6 +6906,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
+    def lsh_calibration(spark, sf):
+        # banding-recall calibration: verified LSH pairs vs the exact
+        # jaccard set at the same threshold (precision is 1 by
+        # construction — both verify on full sets)
+        return dd.lsh_recall_report(
+            _tokens(spark, sf), num_hashes=8, band_size=2,
+            threshold=JACCARD_T,
+        )
+
     def token_count(spark, sf):
         return ts.token_count(_docs(spark, sf), content_col="text")
 
@@ -7788,6 +7797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lookup": doc_lookup,
         "exact_dedup": exact_dedup,
         "jaccard_pairs": jaccard_pairs,
+        "lsh_calibration": lsh_calibration,
         "minhash_signatures": minhash_signatures,
         "minhash_join": minhash_join,
         "substring_pairs": substring_pairs,
@@ -8050,6 +8060,18 @@ def oracle_sql() -> dict[str, str]:
             " min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
         ),
         "jaccard_pairs": _JACCARD_SQL,
+        "lsh_calibration": f"""
+WITH ex AS ({_JACCARD_SQL}),
+ls AS ({_MINHASH_LSH_SQL}),
+c AS (SELECT count(*)::BIGINT AS n_common
+      FROM ex WHERE EXISTS (SELECT 1 FROM ls
+                            WHERE ls.a = ex.a AND ls.b = ex.b))
+SELECT (SELECT count(*)::BIGINT FROM ex) AS n_exact,
+       (SELECT count(*)::BIGINT FROM ls) AS n_lsh,
+       (SELECT count(*)::BIGINT FROM ex) - c.n_common AS n_missed,
+       round(c.n_common * 1.0 / (SELECT count(*) FROM ex), 4) AS recall
+FROM c
+""",
         "minhash_signatures": _MINHASH_SQL,
         "minhash_join": _MINHASH_JOIN_SQL,
         "substring_pairs": _SUBSTRING_SQL,

@@ -1517,3 +1517,57 @@ def dedup_lines(
             F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
         )
     )
+
+
+def lsh_recall_report(
+    tokens: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """Candidate-generation RECALL of MinHash-LSH banding against the
+    exact Jaccard self-join at the same threshold — the S-curve
+    calibration every dedup pipeline runs at small scale before
+    trusting (num_hashes, band_size) at full scale: banding only SEES
+    pairs that collide in some band, so true near-dup pairs below the
+    collision curve are silently missed; this report counts them.
+    Verified LSH pairs are a subset of the exact set (both verify on
+    full shingle sets), so precision is 1 by construction and the
+    single number that matters is recall.
+    -> one row (n_exact, n_lsh, n_missed, recall).
+
+    Scale note: the exact side is the quadratic-ish df-capped
+    self-join — run this calibration on a SAMPLE (it is a measurement,
+    not a production path); the LSH side is the production operator
+    unchanged."""
+    exact = jaccard_pairs(
+        tokens, threshold=threshold, shingle_size=shingle_size
+    ).select("a", "b")
+    lsh = minhash_lsh_pairs(
+        tokens,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        shingle_size=shingle_size,
+    ).select("a", "b")
+    n_ex = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_ls = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    n_co = (
+        exact.join(lsh, ["a", "b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        n_ex.crossJoin(n_ls)
+        .crossJoin(n_co)
+        .select(
+            "n_exact",
+            "n_lsh",
+            (F.col("n_exact") - F.col("n_common")).cast("long").alias(
+                "n_missed"
+            ),
+            F.round(
+                F.col("n_common") * F.lit(1.0) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

@@ -1764,3 +1764,28 @@ def test_sample_temperature_mix_flattens(spark):
     ids1 = {r["doc_id"] for r in kept}
     ids2 = {r["doc_id"] for r in kept2}
     assert ids1 <= ids2
+
+
+def test_lsh_recall_report(spark):
+    """Recall ties out against independently computed pair sets; with
+    all bands colliding (identical docs) recall is 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d"]),
+            (2, ["a", "b", "c", "d"]),   # identical -> certain collision
+            (3, ["a", "b", "c", "x"]),   # jaccard 0.6 with 1/2
+            (4, ["q", "r", "s", "t"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    rep = dedup.lsh_recall_report(
+        docs, num_hashes=8, band_size=2, threshold=0.5
+    ).collect()[0]
+    n_ex = dedup.jaccard_pairs(docs, threshold=0.5).count()
+    n_ls = dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, threshold=0.5
+    ).count()
+    assert rep["n_exact"] == n_ex and rep["n_lsh"] == n_ls
+    assert rep["n_missed"] == n_ex - n_ls  # verified LSH ⊆ exact
+    assert rep["recall"] == round(n_ls / n_ex, 4)
+    assert n_ex >= 1  # the identical pair is always in the exact set
