@@ -7464,6 +7464,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(base, ignore_errors=True)
         return res
 
+    def dedup_streamed(spark, sf):
+        # the STREAMING exact dedup end-to-end: wave 1 = the corpus,
+        # wave 2 re-delivers docs 0/1 under shifted ids (state-dropped
+        # as seen digests). WHICH doc survives an in-wave duplicate
+        # class is metadata (identical content), so the gate compares
+        # the kept DIGEST set — deterministic and equal to the distinct
+        # digests of the corpus, which the oracle replays
+        import shutil
+        import tempfile
+
+        from luc4ir_spark.streaming.dedup_stream import (
+            start_dedup_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_dedup_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        docs = _docs(spark, sf).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        waves = [
+            docs,
+            docs.filter(F.col("doc_id") < 2).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "content"
+            ),
+        ]
+        for wave in waves:
+            wave.write.mode("append").parquet(in_dir)
+            q = start_dedup_stream(spark, in_dir, out_dir)
+            q.awaitTermination(300)
+        out = (
+            spark.read.parquet(os.path.join(out_dir, "kept"))
+            .select("digest")
+            .distinct()
+        )
+        rows = out.collect()
+        res = spark.createDataFrame(rows, out.schema)
+        shutil.rmtree(base, ignore_errors=True)
+        return res
+
     def event_window_streamed(spark, sf):
         # the STREAMING tumbling-window aggregator end-to-end: wave 1 =
         # events + a far-future sentinel (2030-01-01), wave 2 = a
@@ -7844,6 +7884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
         "event_window_streamed": event_window_streamed,
+        "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
         "frame_sample_plan": frame_sample_plan,
@@ -8153,6 +8194,11 @@ FROM c
             " round(sum(value), 4) AS sum_value,"
             " round(avg(value), 4) AS avg_value"
             " FROM events GROUP BY 1, 2"
+        ),
+        # streamed dedup: kept digest set == the corpus's distinct
+        # digests (wave-2 re-deliveries are state-dropped)
+        "dedup_streamed": (
+            "SELECT DISTINCT md5(text) AS digest FROM documents"
         ),
         # streamed twin: flushed set == batch over events + sentinel 1
         "event_window_streamed": (
