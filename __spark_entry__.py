@@ -7389,6 +7389,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("avg_value", 4).alias("avg_value"),
         )
 
+    def event_window_hopping(spark, sf):
+        # hopping windows (1h width / 30min slide): every event lands
+        # in exactly two overlapping windows
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.hopping_window_stats(
+            ev_df, window="1 hour", slide="30 minutes"
+        )
+        return out.select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+
     def event_sessionize(spark, sf):
         # gaps-and-islands sessionization per user (30-min gap)
         from luc4ir_spark.operators import eventops as eo
@@ -7884,6 +7900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
         "event_window_streamed": event_window_streamed,
+        "event_window_hopping": event_window_hopping,
         "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
@@ -8194,6 +8211,19 @@ FROM c
             " round(sum(value), 4) AS sum_value,"
             " round(avg(value), 4) AS avg_value"
             " FROM events GROUP BY 1, 2"
+        ),
+        # hopping windows: each event replicated into its two
+        # slide-aligned containing windows
+        "event_window_hopping": (
+            "WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts)"
+            " AS tb, event_type, value FROM events),"
+            " x AS (SELECT tb AS ws, event_type, value FROM e"
+            " UNION ALL SELECT tb - INTERVAL '30 minutes',"
+            " event_type, value FROM e)"
+            " SELECT ws::VARCHAR AS window_start, event_type,"
+            " count(*)::BIGINT AS n_events,"
+            " round(sum(value), 4) AS sum_value"
+            " FROM x GROUP BY 1, 2"
         ),
         # streamed dedup: kept digest set == the corpus's distinct
         # digests (wave-2 re-deliveries are state-dropped)

@@ -328,3 +328,37 @@ def hypertable_rollup(
         "n",
         "sum_value_cents",
     )
+
+
+def hopping_window_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows — ``F.window`` with a
+    slide shorter than the width, so each event lands in
+    width/slide overlapping windows (the Flink/KSQL HOPPING window;
+    the streaming twin is the same expression under a watermark).
+    -> (window_start, event_type, n_events, sum_value) per window.
+
+    Plan: Spark's TimeWindow generator expands each row into its
+    width/slide window replicas BEFORE the hash aggregation — a
+    constant fan-out (2x here), map-side combined, one shuffle on
+    (window, type): the same shape as the tumbling operator."""
+    win = F.window(F.col(ts_col), window, slide)
+    return (
+        events.groupBy(win.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

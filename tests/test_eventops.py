@@ -247,3 +247,37 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
         for row in merged.itertuples()
     }
     assert got == want
+
+
+def test_hopping_window_stats_hand_computed(spark):
+    """1h/30min hopping: each event lands in exactly two windows; the
+    per-window tallies match a hand replication."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from luc4ir_spark.operators import eventops as eo
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), "a", 1.0),
+        (2, datetime(2024, 1, 1, 0, 40), "a", 2.0),
+        (3, datetime(2024, 1, 1, 1, 5), "b", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (str(r["window_start"]), r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in eo.hopping_window_stats(
+            ev, window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    # event@00:10 -> windows starting 23:30(prev day) and 00:00
+    # event@00:40 -> 00:00 and 00:30; event@01:05 -> 00:30 and 01:00
+    assert out[("2024-01-01 00:00:00", "a")] == (2, 3.0)
+    assert out[("2023-12-31 23:30:00", "a")] == (1, 1.0)
+    assert out[("2024-01-01 00:30:00", "a")] == (1, 2.0)
+    assert out[("2024-01-01 00:30:00", "b")] == (1, 4.0)
+    assert out[("2024-01-01 01:00:00", "b")] == (1, 4.0)
+    assert sum(v[0] for v in out.values()) == 2 * len(rows)
