@@ -6291,6 +6291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.did_you_mean(idx, q, max_edits=_DYM_MAX_EDITS)
         return out.select("qid", "collated", "n_hits")
 
+    def event_funnel(spark, sf):
+        # ordered view -> click -> purchase funnel (greedy-earliest
+        # chain; >= ties count)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.funnel_counts(
+            ev_df, steps=["view", "click", "purchase"]
+        ).select("step", "event_type", "n_users")
+
     def event_retention(spark, sf):
         # cohort retention matrix over the event stream (first-day
         # cohorts × day offsets, distinct active users per cell)
@@ -7901,6 +7911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": event_window_stats,
         "event_window_streamed": event_window_streamed,
         "event_window_hopping": event_window_hopping,
+        "event_funnel": event_funnel,
         "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
@@ -8212,6 +8223,22 @@ FROM c
             " round(avg(value), 4) AS avg_value"
             " FROM events GROUP BY 1, 2"
         ),
+        # ordered funnel: chained greedy-earliest minima per user
+        "event_funnel": """
+WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+           FROM events),
+m1 AS (SELECT u, min(us) AS m FROM e WHERE t = 'view' GROUP BY 1),
+m2 AS (SELECT e.u, min(e.us) AS m FROM e JOIN m1 ON e.u = m1.u
+       WHERE e.t = 'click' AND e.us >= m1.m GROUP BY 1),
+m3 AS (SELECT e.u, min(e.us) AS m FROM e JOIN m2 ON e.u = m2.u
+       WHERE e.t = 'purchase' AND e.us >= m2.m GROUP BY 1)
+SELECT 1::BIGINT AS step, 'view' AS event_type,
+       (SELECT count(*) FROM m1)::BIGINT AS n_users
+UNION ALL SELECT 2::BIGINT, 'click',
+       (SELECT count(*) FROM m2)::BIGINT
+UNION ALL SELECT 3::BIGINT, 'purchase',
+       (SELECT count(*) FROM m3)::BIGINT
+""",
         # hopping windows: each event replicated into its two
         # slide-aligned containing windows
         "event_window_hopping": (

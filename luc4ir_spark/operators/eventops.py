@@ -362,3 +362,56 @@ def hopping_window_stats(
             "sum_value",
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis (the product-analytics staple —
+    Amplitude/Mixpanel funnels, ClickHouse ``windowFunnel`` without
+    the horizon): how many users performed step 1, then step 2 at or
+    after it, then step 3 ... Greedy-earliest matching is exact here:
+    an in-order chain exists iff the chain of earliest qualifying
+    times exists. Ties (same timestamp, different step types) count —
+    the chain condition is >= .
+    -> (step, event_type, n_users), step 1-based; n_users is weakly
+    decreasing.
+
+    Plan: one filtered min-aggregation per step (k tiny), each joined
+    user-on-user against the previous frontier — every relation is
+    |users| rows after the first agg; no windows over the raw log, no
+    per-user event buffers."""
+    if not steps:
+        raise ValueError("funnel_counts: empty steps")
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        epoch_us(ts_col).alias("us"),
+    )
+    frontier = None
+    counts = []
+    for i, step in enumerate(steps):
+        cur = ev.filter(F.col("t") == step)
+        if frontier is not None:
+            cur = cur.join(frontier, "u").filter(
+                F.col("us") >= F.col("_m")
+            )
+        frontier = cur.groupBy("u").agg(F.min("us").alias("_m"))
+        counts.append(
+            frontier.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users")
+            ).select(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

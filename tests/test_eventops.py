@@ -281,3 +281,37 @@ def test_hopping_window_stats_hand_computed(spark):
     assert out[("2024-01-01 00:30:00", "b")] == (1, 4.0)
     assert out[("2024-01-01 01:00:00", "b")] == (1, 4.0)
     assert sum(v[0] for v in out.values()) == 2 * len(rows)
+
+
+def test_funnel_counts_hand_computed(spark):
+    """Order matters: a user with click BEFORE view converts step 1
+    only; ties at the same timestamp count; counts weakly decrease."""
+    from datetime import datetime
+
+    from luc4ir_spark.operators import eventops as eo
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 5)
+    t2 = datetime(2024, 1, 1, 0, 9)
+    rows = [
+        # u1 converts fully in order
+        (1, t0, 1, "view"), (2, t1, 1, "click"), (3, t2, 1, "buy"),
+        # u2: click before view -> stops at step 1
+        (4, t0, 2, "click"), (5, t1, 2, "view"),
+        # u3: view+click at the SAME instant -> tie counts (>=)
+        (6, t0, 3, "view"), (7, t0, 3, "click"),
+        # u4 never views
+        (8, t0, 4, "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in eo.funnel_counts(
+            ev, steps=["view", "click", "buy"]
+        ).collect()
+    }
+    assert out[1] == ("view", 3)   # u1, u2, u3
+    assert out[2] == ("click", 2)  # u1, u3 (u2's click precedes view)
+    assert out[3] == ("buy", 1)    # u1
