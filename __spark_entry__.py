@@ -6301,6 +6301,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev_df, steps=["view", "click", "purchase"]
         ).select("step", "event_type", "n_users")
 
+    def event_transitions(spark, sf):
+        # first-order Markov transition counts per user path
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.event_transitions(ev_df).select(
+            "src", "dst", "n_transitions"
+        )
+
     def event_retention(spark, sf):
         # cohort retention matrix over the event stream (first-day
         # cohorts × day offsets, distinct active users per cell)
@@ -7912,6 +7921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_streamed": event_window_streamed,
         "event_window_hopping": event_window_hopping,
         "event_funnel": event_funnel,
+        "event_transitions": event_transitions,
         "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
@@ -8223,6 +8233,17 @@ FROM c
             " round(avg(value), 4) AS avg_value"
             " FROM events GROUP BY 1, 2"
         ),
+        # first-order Markov transitions: one lead() per user path
+        "event_transitions": """
+WITH e AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS dst
+  FROM events
+)
+SELECT src, dst, count(*)::BIGINT AS n_transitions
+FROM e WHERE dst IS NOT NULL GROUP BY 1, 2
+""",
         # ordered funnel: chained greedy-earliest minima per user
         "event_funnel": """
 WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us

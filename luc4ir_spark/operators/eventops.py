@@ -415,3 +415,31 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream — the "user paths" analytics primitive
+    (what follows what): -> (src, dst, n_transitions). Ordering within
+    a user is (event time, event_id) so same-instant events have a
+    deterministic, engine-stable order.
+
+    Plan: ONE lead() window partitioned by user (the shuffle is by
+    user — the same key sessionize already shuffles on) + a map-side
+    combined pair count; output is |type|^2-bounded."""
+    w = Window.partitionBy(user_col).orderBy(
+        epoch_us(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )

@@ -315,3 +315,27 @@ def test_funnel_counts_hand_computed(spark):
     assert out[1] == ("view", 3)   # u1, u2, u3
     assert out[2] == ("click", 2)  # u1, u3 (u2's click precedes view)
     assert out[3] == ("buy", 1)    # u1
+
+
+def test_event_transitions_hand_computed(spark):
+    """Transitions follow each user's (ts, event_id) order; cross-user
+    sequences never mix."""
+    from datetime import datetime
+
+    from luc4ir_spark.operators import eventops as eo
+
+    t = [datetime(2024, 1, 1, 0, m) for m in range(5)]
+    rows = [
+        (1, t[0], 1, "a"), (2, t[1], 1, "b"), (3, t[2], 1, "a"),
+        (4, t[0], 2, "b"), (5, t[0], 2, "c"),  # same instant: id order
+        (6, t[3], 2, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["n_transitions"]
+        for r in eo.event_transitions(ev).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+                   ("c", "a"): 1}
