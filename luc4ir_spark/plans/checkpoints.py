@@ -278,3 +278,24 @@ def read_index_bucketed(
         stats=collect_collection_stats(doc_stats, term_stats),
         config=cfg or IndexConfig(),
     )
+
+
+def write_events_partitioned(
+    events: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+) -> None:
+    """Date-partitioned event-log layout — the standard 100 TB log
+    table shape: ``partitionBy(event_date)`` so every time-bounded
+    query prunes whole directories at planning time (Hive-style
+    partition pruning; the same idea as an Iceberg ``days(ts)``
+    partition transform). Readers filter on ``event_date`` (or on
+    ``ts`` AND ``event_date`` together — only the latter prunes)."""
+    (
+        events.withColumn(
+            "event_date", F.date_format(F.col(ts_col), "yyyy-MM-dd")
+        )
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
