@@ -1269,6 +1269,38 @@ SELECT doc_id, norm_text, md5(norm_text) AS norm_digest FROM n
 
 _SUGGEST_CTX = ["the", "spark", "data"]
 
+# word_break gate: run-ons of sf vocab words + one in-vocab + one junk
+_WB_TERMS = ["sparkjoin", "tablescan", "batchbatch", "spark", "zzqq"]
+
+
+def _word_break_sql() -> str:
+    """Replays word_break_suggest: OOV filter, interior split points
+    via a lateral range unnest, both halves dictionary-joined,
+    (df_sum DESC, p ASC) top-3."""
+    vals = ", ".join(f"('{w}')" for w in _WB_TERMS)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+wt(term) AS (VALUES {vals}),
+oov AS (SELECT term FROM wt
+        WHERE term NOT IN (SELECT term FROM dft)),
+cand AS (
+  SELECT term, i AS p, substr(term, 1, i::INT) AS lft,
+         substr(term, (i + 1)::INT) AS rgt
+  FROM oov, unnest(range(1, length(term))) AS r(i)
+),
+j AS (
+  SELECT c.term, c.p, c.lft, c.rgt,
+         (d1.df + d2.df)::BIGINT AS df_sum
+  FROM cand c
+  JOIN dft d1 ON d1.term = c.lft
+  JOIN dft d2 ON d2.term = c.rgt
+)
+SELECT term, lft AS left, rgt AS right, df_sum, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+             ORDER BY df_sum DESC, p ASC)::BIGINT AS rank
+  FROM j) WHERE rank <= 3
+"""
+
 
 def _suggest_next_sql() -> str:
     """Replays textstats.suggest_next_words: corpus bigram counts
@@ -6281,6 +6313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "doc_id", "frag_rank", "start_pos", "n_hits"
         )
 
+    def word_break(spark, sf):
+        # WordBreakSpellChecker parity: OOV run-on terms split into
+        # two in-vocab words, (df sum DESC, split pos ASC)
+        idx = _index(spark, sf)
+        return rt.word_break_suggest(idx, _WB_TERMS, k=3).select(
+            "term", "left", "right", "df_sum", "rank"
+        )
+
     def did_you_mean(spark, sf):
         # spell collation: OOV tokens replaced by their best
         # suggestion, order preserved, conjunctive hit probe
@@ -7830,6 +7870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_disk_usage": index_disk_usage,
         "shard_skew": shard_skew,
         "did_you_mean": did_you_mean,
+        "word_break": word_break,
         "best_fragments": best_fragments,
         "proximity_rerank": proximity_rerank,
         "snapshot_diff": snapshot_diff,
@@ -8089,6 +8130,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM du GROUP BY 1"
         ),
         "did_you_mean": _did_you_mean_sql(),
+        "word_break": _word_break_sql(),
         "best_fragments": _best_fragments_sql(),
         "proximity_rerank": _proximity_rerank_sql(),
         "snapshot_diff": _SNAP_DIFF_SQL,

@@ -2747,3 +2747,73 @@ def sdm_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score")
     )
+
+
+def word_break_suggest(
+    index: InvertedIndex,
+    terms: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """Word-break spell correction — Lucene
+    ``WordBreakSpellChecker.suggestWordBreaks``: an out-of-vocabulary
+    run-on term ("sparkjoin") is split at every interior position and
+    a split survives iff BOTH halves are dictionary words; suggestions
+    rank by combined document frequency (df1 + df2 DESC, split
+    position ASC — all-integer, engine-stable). In-vocabulary input
+    terms yield no suggestions (nothing to fix), mirroring
+    ``suggest_terms``' OOV-only rule.
+    -> (term, left, right, df_sum, rank), rank <= k.
+
+    Plan: |terms| x |term length| split candidates (a literal-sequence
+    explode — query-sized, never corpus-sized), two broadcast joins
+    against the vocab-sized term dictionary, one bounded window."""
+    if not terms:
+        raise ValueError("word_break_suggest: empty terms")
+    spark = index.postings.sparkSession
+    t = spark.createDataFrame([(w,) for w in terms], "term string")
+    vocab = index.term_stats.select("term", "df")
+    oov = t.join(vocab.select("term"), "term", "left_anti")
+    cand = (
+        oov.select(
+            "term",
+            F.explode(
+                F.sequence(F.lit(1), F.length("term") - 1)
+            ).alias("p"),
+        )
+        .select(
+            "term",
+            "p",
+            F.expr("substr(term, 1, p)").alias("left"),
+            F.expr("substr(term, p + 1)").alias("right"),
+        )
+    )
+    j = (
+        cand.join(
+            F.broadcast(
+                vocab.select(
+                    F.col("term").alias("left"), F.col("df").alias("_d1")
+                )
+            ),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("term").alias("right"), F.col("df").alias("_d2")
+                )
+            ),
+            "right",
+        )
+        .select(
+            "term", "p", "left", "right",
+            (F.col("_d1") + F.col("_d2")).cast("long").alias("df_sum"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("df_sum").desc(), F.col("p").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("term", "left", "right", "df_sum", "rank")
+    )

@@ -1934,3 +1934,20 @@ def test_comb_fuse_zsum_hand_computed(spark):
     assert out[3] == pytest.approx(0.0, abs=1e-12)
     with pytest.raises(ValueError):
         rt.comb_fuse(runs, method="nope")
+
+
+def test_word_break_suggest(spark, index):
+    """OOV run-ons split into dictionary halves ranked by combined df;
+    in-vocab terms and unsplittable junk produce nothing."""
+    # fixture vocab (EN analyzer): quick/brown/fox/... 'spark' appears
+    out = rt.word_break_suggest(
+        index, ["quickbrown", "spark", "zzqqzz"], k=3
+    ).collect()
+    got = {(r["term"], r["left"], r["right"]): (r["df_sum"], r["rank"])
+           for r in out}
+    assert ("quickbrown", "quick", "brown") in got
+    assert all(t == "quickbrown" for t, _, _ in got)
+    # rank 1 is the highest-df split
+    best = min(got.items(), key=lambda kv: kv[1][1])
+    assert best[1][1] == 1
+    assert max(v[0] for v in got.values()) == best[1][0]
