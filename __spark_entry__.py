@@ -1586,6 +1586,31 @@ FROM per
 """
 
 
+_TRIANGLES_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE least(src, dst) < greatest(src, dst)),
+tri AS (SELECT count(*)::BIGINT AS n_triangles
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        WHERE EXISTS (SELECT 1 FROM und e3
+                      WHERE e3.a = e1.a AND e3.b = e2.b))
+SELECT (SELECT count(*) FROM (
+          SELECT DISTINCT x FROM (SELECT src AS x FROM edges
+                                  UNION ALL SELECT dst FROM edges)
+        ))::BIGINT AS n_nodes,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+       tri.n_triangles
+FROM tri
+"""
+
 _PAGERANK_SQL = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -5684,6 +5709,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "n_rel", F.round("rprec", 4).alias("rprec")
         )
 
+    def link_triangles(spark, sf):
+        # triangle count on the undirected simplification of the
+        # synthetic link graph (ordered-edge join, all-integer)
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        return gr.triangle_count(edges).select(
+            "n_nodes", "n_edges", "n_triangles"
+        )
+
     def link_pagerank(spark, sf):
         # 3-iteration PageRank over the deterministic 3-out-regular
         # synthetic link graph (doc ids are contiguous 0..n-1 in the
@@ -7809,6 +7844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iprec_at_recall": iprec_at_recall,
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
+        "link_triangles": link_triangles,
         "link_hits": link_hits,
         "link_ppr": link_ppr,
         "term_pmi": term_pmi,
@@ -8064,6 +8100,7 @@ def oracle_sql() -> dict[str, str]:
         "iprec_at_recall": _IPREC_SQL,
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,
+        "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,
         "link_ppr": _PPR_SQL,
         "term_pmi": _PMI_SQL,

@@ -261,3 +261,49 @@ def pagerank_regular_exact(
         F.col("a").alias("pr_num"),
         (F.col("a") / F.lit(denom)).alias("pr"),
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Distributed triangle counting — the ordered-edge (a < b < c)
+    join, i.e. the classic MapReduce/Spark triangle algorithm (Suri &
+    Vassilvitskii WWW'11's node-iterator++ without the degree
+    re-ordering): the directed multigraph is first undirected and
+    simplified (least/greatest, self-loops dropped, duplicates
+    collapsed), then each triangle is counted exactly once via
+
+        e1(a, b) JOIN e2(b, c) JOIN e3(a, c)   with a < b < c.
+
+    -> one row (n_nodes, n_edges, n_triangles) — all-integer.
+
+    Scale: two shuffles on edge endpoints; the known weakness is a
+    high-degree hub making the e1-e2 join quadratic in its degree —
+    production-grade compact-forward orders endpoints by DEGREE before
+    the a<b<c cut so hubs land on the small side; at 100 TB swap the
+    id ordering for (degree, id) ordering (one extra degree join),
+    same plan otherwise."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=False)
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a"), F.col("b").alias("c"))
+    tri = (
+        und.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("x"))
+        .unionAll(edges.select(F.col("dst").alias("x")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return nodes.crossJoin(ne).crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

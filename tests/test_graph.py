@@ -152,3 +152,20 @@ def test_personalized_pagerank_exact(spark):
     # seeds keep personalized mass concentrated: every seed outranks
     # the global-uniform value only when walks return; just sanity
     assert any(got[v][0] > 0 for v in range(n) if v % 5 != 0)
+
+
+def test_triangle_count_hand_computed(spark):
+    """K4 has 4 triangles; direction, duplicates and self-loops are
+    simplified away; a square has none."""
+    from luc4ir_spark.operators import graph as gr
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 += [(0, 0), (1, 2), (1, 2)]  # self-loop + duplicate edges
+    e = spark.createDataFrame(k4, "src long, dst long")
+    r = gr.triangle_count(e).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    square = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    r2 = gr.triangle_count(square).collect()[0]
+    assert r2["n_triangles"] == 0 and r2["n_edges"] == 4
