@@ -891,6 +891,50 @@ SELECT qid, doc_id, rank, fused FROM (
 
 
 _CMS_DEPTH, _CMS_WIDTH = 4, 64
+_BLOOM_M, _BLOOM_K = 256, 3
+_BLOOM_PROBES = [
+    "the", "spark", "data", "zzznotaterm", "qqqq", "windowx",
+]
+
+
+def _bloom_sql() -> str:
+    """Replays bloom_filter_bits + bloom_might_contain over the vocab:
+    same md5-60bit ids, same double hashing, bit set as a DISTINCT
+    relation, probe = all k bits present."""
+    from luc4ir_spark.functions import hashing as hx
+    from luc4ir_spark.operators.sketches import CMS_SALT
+
+    m, k = _BLOOM_M, _BLOOM_K
+    vals = ", ".join(f"('{w}')" for w in _BLOOM_PROBES)
+
+    def hashed(src: str) -> str:
+        return f"""
+  SELECT term,
+         ({hx.MIX_A} * (tid % {hx.MIX_P}) + {hx.MIX_B}) % {hx.MIX_P} AS h1,
+         1 + (({hx.MIX_A} * ((tid + {CMS_SALT}) % {hx.MIX_P})
+               + {hx.MIX_B}) % {hx.MIX_P}) % ({m} - 1) AS h2
+  FROM (SELECT term,
+               ('0x' || substr(md5(term), 1, 15))::BIGINT AS tid
+        FROM {src})"""
+
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+vh AS ({hashed("dft")}),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % {m} AS bit
+  FROM vh, unnest(range({k})) AS r(i)
+),
+pr(term) AS (VALUES {vals}),
+ph AS ({hashed("pr")}),
+pb AS (
+  SELECT term AS key, (h1 + i * h2) % {m} AS bit
+  FROM ph, unnest(range({k})) AS r(i)
+)
+SELECT key,
+       sum(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END)
+         = {k} AS might_contain
+FROM pb GROUP BY 1
+"""
 
 
 def _countmin_sql() -> str:
@@ -5813,6 +5857,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             depth=_CMS_DEPTH, width=_CMS_WIDTH,
         )
 
+    def bloom_membership(spark, sf):
+        # portable Bloom filter over the vocab + membership probes;
+        # deterministic bits, so both the false-negative-free hits and
+        # any false positives replay exactly
+        from luc4ir_spark.operators import sketches as sk
+
+        idx = _index(spark, sf)
+        bits = sk.bloom_filter_bits(
+            idx.term_stats, "term", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+        )
+        probes = spark.createDataFrame(
+            [(w,) for w in _BLOOM_PROBES], "term string"
+        )
+        out = sk.bloom_might_contain(
+            bits, probes, "term", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+        )
+        return out.select("key", "might_contain")
+
     def distinct_sketch(spark, sf):
         # per-event-type approximate distinct users via the KMV sketch
         # over the portable mix hash — deterministic, so the oracle
@@ -7851,6 +7913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
         "countmin_sketch": countmin_sketch,
+        "bloom_membership": bloom_membership,
         "event_rollup": event_rollup,
         "zorder_events": zorder_events,
         "synonym_query": synonym_query,
@@ -8107,6 +8170,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
         "countmin_sketch": _countmin_sql(),
+        "bloom_membership": _bloom_sql(),
         "event_rollup": _ROLLUP_SQL,
         "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MIX_P, mix_id_expr
 
-__all__ = ["distinct_kmv_sketch", "countmin_sketch", "countmin_estimate"]
+__all__ = [
+    "distinct_kmv_sketch",
+    "countmin_sketch",
+    "countmin_estimate",
+    "bloom_filter_bits",
+    "bloom_might_contain",
+]
 
 
 def distinct_kmv_sketch(
@@ -180,3 +186,104 @@ def countmin_estimate(
             F.min(F.coalesce("total", F.lit(0))).cast("long").alias("est")
         )
     )
+
+
+def bloom_filter_bits(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Engine-portable Bloom filter (Bloom 1970) built as a relation:
+    the set of SET bit positions, with the k probe positions per key
+    derived by the same Kirsch-Mitzenmacher double hashing as
+    ``countmin_sketch`` (h1 + i*h2 over the md5-60bit key id — K-M '06
+    proves two hashes suffice). -> (bit long), distinct.
+
+    Why a relation and not a bitmap blob: the bit set IS the mergeable
+    sketch (union across shards = UNION of bit rows), it broadcast-
+    joins directly as a semi-join pre-filter — the Bloom-pushdown
+    pattern Spark applies to shuffle joins — and it is bit-identical
+    on any engine reproducing md5 + mix, so an approximate structure
+    gets an exact oracle. m_bits/8 bytes as a bitmap; |bits| rows
+    here — both tiny next to the corpus."""
+    tid = F.expr(f"conv(substr(md5({key_col}), 1, 15), 16, 10)").cast(
+        "long"
+    )
+    keyed = keys.select(
+        mix_id_expr(tid).alias("_h1"),
+        (
+            F.lit(1)
+            + F.pmod(
+                mix_id_expr(tid + F.lit(CMS_SALT)), F.lit(m_bits - 1)
+            )
+        ).cast("long").alias("_h2"),
+    )
+    return (
+        keyed.select(
+            "_h1", "_h2",
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias(
+                "i"
+            ),
+        )
+        .select(
+            F.pmod(
+                F.col("_h1") + F.col("i") * F.col("_h2"), F.lit(m_bits)
+            ).cast("long").alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe against ``bloom_filter_bits`` output: a key
+    MIGHT be in the set iff all k of its bit positions are set (no
+    false negatives; false-positive rate ~ (1 - e^(-kn/m))^k).
+    -> (key, might_contain boolean). The probe side joins the tiny
+    broadcast bit relation — the exact shape of a Bloom-pushdown
+    pre-filter ahead of an expensive join."""
+    tid = F.expr(f"conv(substr(md5({key_col}), 1, 15), 16, 10)").cast(
+        "long"
+    )
+    p = probes.select(
+        F.col(key_col).alias("key"),
+        mix_id_expr(tid).alias("_h1"),
+        (
+            F.lit(1)
+            + F.pmod(
+                mix_id_expr(tid + F.lit(CMS_SALT)), F.lit(m_bits - 1)
+            )
+        ).cast("long").alias("_h2"),
+    ).select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
+        "_h1", "_h2",
+    ).select(
+        "key",
+        F.pmod(
+            F.col("_h1") + F.col("i") * F.col("_h2"), F.lit(m_bits)
+        ).cast("long").alias("bit"),
+    )
+    hit = (
+        p.join(
+            F.broadcast(
+                bits.select(F.col("bit"), F.lit(1).alias("_set"))
+            ),
+            "bit",
+            "left",
+        )
+        .groupBy("key")
+        .agg(
+            (
+                F.sum(F.coalesce("_set", F.lit(0)))
+                == F.lit(int(k_hashes))
+            ).alias("might_contain")
+        )
+    )
+    return hit

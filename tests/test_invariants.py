@@ -400,3 +400,35 @@ def test_countmin_sketch_guarantee_and_linearity(spark):
     for r in sa.collect() + sb.collect():
         merged[(r["r"], r["c"])] = merged.get((r["r"], r["c"]), 0) + r["total"]
     assert merged == cells
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every inserted key probes true (no false negatives — the Bloom
+    guarantee); union of shard bit sets == whole-set bit set."""
+    from luc4ir_spark.operators import sketches as sk
+
+    keys = [(f"k{i}",) for i in range(60)]
+    kdf = spark.createDataFrame(keys, "key string")
+    bits = sk.bloom_filter_bits(kdf, "key", m_bits=512, k_hashes=3)
+    probe_in = sk.bloom_might_contain(
+        bits, kdf, "key", m_bits=512, k_hashes=3
+    ).collect()
+    assert all(r["might_contain"] for r in probe_in)
+    # out-of-set probes: mostly false at this fill (n=60, m=512, k=3)
+    out_keys = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(40)], "key string"
+    )
+    probe_out = sk.bloom_might_contain(
+        bits, out_keys, "key", m_bits=512, k_hashes=3
+    ).collect()
+    fp = sum(bool(r["might_contain"]) for r in probe_out)
+    assert fp < 10  # fp rate ~ (1 - e^(-3*60/512))^3 ≈ 2.6%
+    # linear merge: bits(a ∪ b) == bits(a) ∪ bits(b)
+    a = spark.createDataFrame(keys[:30], "key string")
+    b = spark.createDataFrame(keys[30:], "key string")
+    ba = {r["bit"] for r in sk.bloom_filter_bits(
+        a, "key", m_bits=512, k_hashes=3).collect()}
+    bb = {r["bit"] for r in sk.bloom_filter_bits(
+        b, "key", m_bits=512, k_hashes=3).collect()}
+    whole = {r["bit"] for r in bits.collect()}
+    assert ba | bb == whole
