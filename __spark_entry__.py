@@ -3997,6 +3997,51 @@ SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
 
+def _ann_multiprobe_sql() -> str:
+    """Replays lsh_multiprobe_topk: single seed-42 table, query probes
+    = own bucket + every 1-bit flip, corpus cap, exact-cosine rerank."""
+    from luc4ir_spark.operators.annsearch import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        _planes,
+    )
+
+    planes = _planes(64, 8, 42)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+bc0 AS (SELECT vec_id, cv, {_bucket_sql("cv", planes)} AS ck FROM c),
+bc AS (SELECT *, count(*) OVER (PARTITION BY ck) AS bn FROM bc0),
+bq AS (SELECT query_id, qv, {_bucket_sql("qv", planes)} AS qk FROM q),
+pr AS (
+  SELECT query_id, qv,
+         CASE WHEN i = 0 THEN qk
+              ELSE xor(qk, (1::BIGINT << (i - 1)::INT)) END AS probe
+  FROM bq, unnest(range(9)) AS r(i)
+),
+cand AS (
+  SELECT pr.query_id, c.vec_id
+  FROM pr JOIN bc c ON c.ck = pr.probe
+  WHERE c.bn <= {DEFAULT_MAX_BUCKET_SIZE}
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_dot_product(c.cv, q.qv)
+         / (sqrt(list_dot_product(c.cv, c.cv))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM cand JOIN c USING (vec_id) JOIN q USING (query_id)
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM s
+)
+SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
+"""
+
+
 def _near_dup_lsh_sql(threshold: float = 0.4) -> str:
     from luc4ir_spark.operators.annsearch import DEFAULT_MAX_BUCKET_SIZE
 
@@ -7038,6 +7083,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def ann_multiprobe_topk(spark, sf):
+        # multi-probe LSH: one table, the query probes its bucket plus
+        # every 1-bit flip; plane literals make the oracle exact
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.lsh_multiprobe_topk(
+            emb, queries, k=5, n_planes=8, seed=42
+        )
+        return out.select(
+            "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+        )
+
     def ann_ivf_topk(spark, sf):
         # IVF coarse-quantizer path: deterministic lowest-id centroids
         # (SQL-replayable), 4-of-16 probe, exact rerank
@@ -8026,6 +8085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": ann_quantized_topk,
         "ann_truncated_topk": ann_truncated_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_multiprobe_topk": ann_multiprobe_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
@@ -8307,6 +8367,7 @@ FROM c
         "ann_quantized_topk": _ann_quantized_sql(),
         "ann_truncated_topk": _ANN_TRUNCATED_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_multiprobe_topk": _ann_multiprobe_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_near_dups_lsh": _near_dup_lsh_sql(),
         "token_count": (

@@ -1789,3 +1789,43 @@ def test_lsh_recall_report(spark):
     assert rep["n_missed"] == n_ex - n_ls  # verified LSH ⊆ exact
     assert rep["recall"] == round(n_ls / n_ex, 4)
     assert n_ex >= 1  # the identical pair is always in the exact set
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Probing the 1-bit-flip neighborhood can only ADD candidates vs
+    the same single table unprobed, so multi-probe recall vs brute
+    force >= single-table recall; results stay a subset of exact
+    cosine order within candidates."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 64)).tolist()
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in annsearch.cosine_topk(
+            corpus, queries, k=5
+        ).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in annsearch.lsh_multiprobe_topk(
+            corpus, queries, k=5, n_planes=8, seed=42
+        ).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in annsearch.lsh_cosine_topk(
+            corpus, queries, k=5, n_planes=8, n_tables=1, seed=42
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    # every query finds at least itself (identical vector, same bucket)
+    for qid in range(5):
+        assert (qid, qid) in multi
