@@ -7035,6 +7035,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def ann_recall(spark, sf):
+        # recall@5 of the multi-probe LSH run vs the exact top-5
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ap = ann.lsh_multiprobe_topk(
+            emb, queries, k=5, n_planes=8, seed=42
+        )
+        ex = ann.cosine_topk(emb, queries, k=5)
+        return ann.ann_recall_report(ap, ex).select(
+            "n_exact", "n_approx", "n_hit", "recall"
+        )
+
     def ann_quantized_topk(spark, sf):
         # SQ8 search asymmetry: int8-quantized corpus, exact queries
         emb = _emb(spark, sf)
@@ -8086,6 +8100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_truncated_topk": ann_truncated_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_multiprobe_topk": ann_multiprobe_topk,
+        "ann_recall": ann_recall,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
@@ -8368,6 +8383,19 @@ FROM c
         "ann_truncated_topk": _ANN_TRUNCATED_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_multiprobe_topk": _ann_multiprobe_sql(),
+        "ann_recall": f"""
+WITH ap AS ({_ann_multiprobe_sql()}),
+ex AS ({_ANN_SQL}),
+h AS (SELECT count(*)::BIGINT AS n_hit FROM ex
+      WHERE EXISTS (SELECT 1 FROM ap
+                    WHERE ap.query_id = ex.query_id
+                    AND ap.vec_id = ex.vec_id))
+SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+       (SELECT count(*) FROM ap)::BIGINT AS n_approx,
+       h.n_hit,
+       round(h.n_hit * 1.0 / (SELECT count(*) FROM ex), 4) AS recall
+FROM h
+""",
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_near_dups_lsh": _near_dup_lsh_sql(),
         "token_count": (

@@ -872,3 +872,34 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cosine")
     )
+
+
+def ann_recall_report(
+    approx_run: DataFrame,
+    exact_run: DataFrame,
+) -> DataFrame:
+    """Recall@k of an approximate ANN run against the exact top-k —
+    the calibration number every ANN deployment tracks (the twin of
+    ``dedup.lsh_recall_report`` for the vector side). Both inputs are
+    (query_id, vec_id, rank, ...) runs of the same k.
+    -> one row (n_exact, n_approx, n_hit, recall); recall =
+    |approx ∩ exact| / |exact|. Run-sized relations only."""
+    a = approx_run.select("query_id", "vec_id")
+    e = exact_run.select("query_id", "vec_id")
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_a = a.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    n_h = e.join(a, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        n_e.crossJoin(n_a)
+        .crossJoin(n_h)
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            F.round(
+                F.col("n_hit") * F.lit(1.0) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

@@ -1829,3 +1829,31 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     # every query finds at least itself (identical vector, same bucket)
     for qid in range(5):
         assert (qid, qid) in multi
+
+
+def test_ann_recall_report_tie_out(spark):
+    """Recall report ties out against set arithmetic on the two runs;
+    identical runs give recall 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 64)).tolist()
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    ex = annsearch.cosine_topk(corpus, queries, k=5)
+    ap = annsearch.lsh_multiprobe_topk(
+        corpus, queries, k=5, n_planes=8, seed=42
+    )
+    rep = annsearch.ann_recall_report(ap, ex).collect()[0]
+    es = {(r["query_id"], r["vec_id"]) for r in ex.collect()}
+    aps = {(r["query_id"], r["vec_id"]) for r in ap.collect()}
+    assert rep["n_exact"] == len(es) and rep["n_approx"] == len(aps)
+    assert rep["n_hit"] == len(es & aps)
+    assert rep["recall"] == round(len(es & aps) / len(es), 4)
+    same = annsearch.ann_recall_report(ex, ex).collect()[0]
+    assert same["recall"] == 1.0
