@@ -4458,6 +4458,26 @@ def _sample_stratified_sql() -> str:
 _TEMP_BUDGET = 5000  # temperature_mix gate: token budget
 
 
+def _assign_splits_sql() -> str:
+    """Replays utilsops.assign_splits: the same mix bucket, integer
+    thresholds generated from the same fracs."""
+    from luc4ir_spark.functions import hashing as hx
+
+    t = int(round(0.1 * _SAMPLE_RES))
+    v = int(round(0.1 * _SAMPLE_RES))
+    bucket = (
+        f"(({hx.MIX_A} * ((doc_id + {_SAMPLE_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P}) % {_SAMPLE_RES}"
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN {bucket} < {t} THEN 'test'
+            WHEN {bucket} < {t + v} THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def _temperature_mix_sql() -> str:
     """Replays sample_temperature_mix: per-source token mass,
     isqrt via floor(sqrt(...)) (IEEE sqrt is correctly rounded, so
@@ -7198,6 +7218,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resolution=_SAMPLE_RES,
         ).select("doc_id", "lang")
 
+    def assign_splits(spark, sf):
+        # deterministic train/val/test assignment by mix-hash bucket
+        from luc4ir_spark.operators import utilsops as uo
+
+        return uo.assign_splits(
+            _docs(spark, sf).select("doc_id"),
+            val_frac=0.1, test_frac=0.1,
+            seed=_SAMPLE_SEED, resolution=_SAMPLE_RES,
+        ).select("doc_id", "split")
+
     def temperature_mix(spark, sf):
         # alpha=1/2 temperature mixture sampling; integer-exact
         # isqrt-based thresholds + the mix-hash Bernoulli
@@ -8127,6 +8157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": quality_filter,
         "sample_stratified": sample_stratified,
         "temperature_mix": temperature_mix,
+        "assign_splits": assign_splits,
         "corpus_composition": corpus_composition,
         "chunk_documents": chunk_documents,
         "dedup_lines": dedup_lines,
@@ -8413,6 +8444,7 @@ FROM h
         "quality_filter": _quality_filter_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "temperature_mix": _temperature_mix_sql(),
+        "assign_splits": _assign_splits_sql(),
         "corpus_composition": _corpus_composition_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "dedup_lines": _dedup_lines_sql(),

@@ -326,3 +326,41 @@ def sample_temperature_mix(
         F.lit(int(resolution)),
     )
     return df.filter(bucket < thresh)
+
+
+def assign_splits(
+    df: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    resolution: int = 10000,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by hash bucket —
+    the reproducible alternative to randomSplit (whose outcome depends
+    on partitioning): a row's split is a pure function of its id, so
+    the assignment is stable across runs, cluster sizes, engines, and
+    INCREMENTAL INGESTION (new rows join a split without reshuffling
+    old ones — the property eval-set hygiene actually needs):
+
+        bucket = pmod(mix(id + seed), resolution)
+        test:  bucket <  floor(test_frac * resolution)
+        val:   next  floor(val_frac * resolution) buckets
+        train: the rest
+
+    -> df + a ``split`` string column. Scan-local projection: no
+    shuffle, no count pass, no state."""
+    from ..functions.hashing import mix_id_expr
+
+    t = int(round(test_frac * resolution))
+    v = int(round(val_frac * resolution))
+    bucket = F.pmod(
+        mix_id_expr(F.col(id_col) + F.lit(int(seed))),
+        F.lit(int(resolution)),
+    )
+    split = (
+        F.when(bucket < t, F.lit("test"))
+        .when(bucket < t + v, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

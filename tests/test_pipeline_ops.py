@@ -1857,3 +1857,26 @@ def test_ann_recall_report_tie_out(spark):
     assert rep["recall"] == round(len(es & aps) / len(es), 4)
     same = annsearch.ann_recall_report(ex, ex).collect()[0]
     assert same["recall"] == 1.0
+
+
+def test_assign_splits_stable_and_incremental(spark):
+    """Split assignment is a pure function of the id: re-running and
+    growing the corpus never reassigns existing rows; proportions land
+    near the fracs."""
+    from luc4ir_spark.operators import utilsops as uo
+
+    small = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in uo.assign_splits(small, 0.1, 0.1, seed=5).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in uo.assign_splits(big, 0.1, 0.1, seed=5).collect()}
+    assert all(b[d] == s for d, s in a.items())  # incremental-stable
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 0.07 < c["test"] / 4000 < 0.13
+    assert 0.07 < c["val"] / 4000 < 0.13
+    assert c["train"] / 4000 > 0.74
+    # disjoint + exhaustive by construction
+    assert set(c) == {"train", "val", "test"}
