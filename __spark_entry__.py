@@ -4458,6 +4458,29 @@ def _sample_stratified_sql() -> str:
 _TEMP_BUDGET = 5000  # temperature_mix gate: token budget
 
 
+def _weighted_sample_sql() -> str:
+    """Replays sample_weighted: same mix-derived u, pow(u, 1/w),
+    top-25 by (key DESC, doc_id ASC)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mixv = (
+        f"(({hx.MIX_A} * ((doc_id + {_SAMPLE_SEED}) % {hx.MIX_P})"
+        f" + {hx.MIX_B}) % {hx.MIX_P})"
+    )
+    return f"""
+WITH k AS (
+  SELECT doc_id, n_chars::BIGINT AS weight,
+         pow(({mixv} + 1)::DOUBLE / {float(hx.MIX_P)!r},
+             1.0 / greatest(n_chars::DOUBLE, 1.0)) AS key
+  FROM documents
+),
+t AS (SELECT * FROM k ORDER BY key DESC, doc_id ASC LIMIT 25)
+SELECT doc_id, weight, round(key, 4) AS key,
+       row_number() OVER (ORDER BY key DESC, doc_id ASC)::BIGINT AS rank
+FROM t
+"""
+
+
 def _assign_splits_sql() -> str:
     """Replays utilsops.assign_splits: the same mix bucket, integer
     thresholds generated from the same fracs."""
@@ -7218,6 +7241,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resolution=_SAMPLE_RES,
         ).select("doc_id", "lang")
 
+    def weighted_sample(spark, sf):
+        # Efraimidis-Spirakis A-ES: top-25 by u^(1/n_chars), u from
+        # the portable mix hash
+        from luc4ir_spark.operators import utilsops as uo
+
+        return uo.sample_weighted(
+            _docs(spark, sf), n=25, weight_col="n_chars",
+            seed=_SAMPLE_SEED,
+        ).select("doc_id", "weight", "key", "rank")
+
     def assign_splits(spark, sf):
         # deterministic train/val/test assignment by mix-hash bucket
         from luc4ir_spark.operators import utilsops as uo
@@ -8158,6 +8191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "temperature_mix": temperature_mix,
         "assign_splits": assign_splits,
+        "weighted_sample": weighted_sample,
         "corpus_composition": corpus_composition,
         "chunk_documents": chunk_documents,
         "dedup_lines": dedup_lines,
@@ -8445,6 +8479,7 @@ FROM h
         "sample_stratified": _sample_stratified_sql(),
         "temperature_mix": _temperature_mix_sql(),
         "assign_splits": _assign_splits_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "corpus_composition": _corpus_composition_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "dedup_lines": _dedup_lines_sql(),

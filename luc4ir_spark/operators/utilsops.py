@@ -364,3 +364,43 @@ def assign_splits(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def sample_weighted(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    (IPL 2006) A-ES: each row gets priority key u^(1/w) with u uniform
+    in (0, 1], and the n largest keys are the sample (inclusion
+    probability proportional to weight). u is DETERMINISTIC from the
+    portable mix hash — u = (mix(id + seed) + 1) / P — so the sample
+    is a pure function of (ids, weights, seed), reproducible across
+    runs, cluster sizes, and engines.
+    -> (doc_id, weight, key, rank), rank <= n by (key DESC, id ASC).
+
+    Scale: the top-n runs as TakeOrderedAndProject (per-partition
+    partial top-n, one tiny final merge — A-ES keys are order
+    statistics, so shard-top-n then merge is exact); the rank window
+    touches only the n survivors. No global sort, no state."""
+    from ..functions.hashing import MIX_P, mix_id_expr
+
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    u = (
+        mix_id_expr(F.col(id_col) + F.lit(int(seed))) + F.lit(1)
+    ).cast("double") / F.lit(float(MIX_P))
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.pow(u, F.lit(1.0) / w).alias("key"),
+    )
+    top = keyed.orderBy(
+        F.col("key").desc(), F.col("doc_id").asc()
+    ).limit(int(n))
+    rw = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(rw).cast("long")
+    ).select("doc_id", "weight", F.round("key", 4).alias("key"), "rank")

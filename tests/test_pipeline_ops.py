@@ -1880,3 +1880,38 @@ def test_assign_splits_stable_and_incremental(spark):
     assert c["train"] / 4000 > 0.74
     # disjoint + exhaustive by construction
     assert set(c) == {"train", "val", "test"}
+
+
+def test_sample_weighted_pure_python_replay(spark):
+    """The A-ES sample equals a pure-Python replay of u^(1/w) over the
+    mix stream; heavier rows are sampled more often across seeds."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+    from luc4ir_spark.operators import utilsops as uo
+
+    rows = [(i, 1 if i < 50 else 100) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def replay(seed, n):
+        keys = []
+        for d, w in rows:
+            u = ((MIX_A * ((d + seed) % MIX_P) + MIX_B) % MIX_P + 1) / MIX_P
+            keys.append((u ** (1.0 / max(w, 1.0)), -d, d))
+        keys.sort(reverse=True)
+        return [d for _, _, d in keys[:n]]
+
+    got = [
+        r["doc_id"]
+        for r in sorted(
+            uo.sample_weighted(
+                df, n=10, weight_col="n_chars", seed=3
+            ).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == replay(3, 10)
+    # weight dominance: the 10 heavy rows (w=100) vastly out-sample
+    # the 50 light rows across seeds
+    heavy = sum(
+        sum(d >= 50 for d in replay(s, 10)) for s in range(20)
+    )
+    assert heavy > 120  # >60% of 200 slots to the 10 heavy rows
