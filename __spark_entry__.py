@@ -4458,6 +4458,36 @@ def _sample_stratified_sql() -> str:
 _TEMP_BUDGET = 5000  # temperature_mix gate: token budget
 
 
+def _hygiene_funnel_sql() -> str:
+    """Composes the already-gated stage oracles into the cascade
+    counts: distinct-digest representatives, quality keepers, raw-xent
+    <= 3.41 LM keepers."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+cf2 AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS c FROM toks),
+xe AS (
+  SELECT tf.doc_id FROM tf JOIN cf2 USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot t
+  GROUP BY tf.doc_id, dl.doc_len
+  HAVING -sum(tf.tf * ln(cf2.cf / t.c)) / dl.doc_len <= 3.41
+),
+qf AS (SELECT doc_id, keep FROM ({_quality_filter_sql()})),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s3 AS (SELECT r.doc_id FROM reps r JOIN qf USING (doc_id)
+       WHERE qf.keep),
+s4 AS (SELECT doc_id FROM s3 WHERE doc_id IN (SELECT doc_id FROM xe))
+SELECT 1::BIGINT AS stage, 'raw' AS name,
+       (SELECT count(*) FROM documents)::BIGINT AS n_docs
+UNION ALL SELECT 2::BIGINT, 'exact_dedup',
+       (SELECT count(*) FROM reps)::BIGINT
+UNION ALL SELECT 3::BIGINT, 'quality',
+       (SELECT count(*) FROM s3)::BIGINT
+UNION ALL SELECT 4::BIGINT, 'lm_xent',
+       (SELECT count(*) FROM s4)::BIGINT
+"""
+
+
 def _weighted_sample_sql() -> str:
     """Replays sample_weighted: same mix-derived u, pow(u, 1/w),
     top-25 by (key DESC, doc_id ASC)."""
@@ -7229,6 +7259,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf), content_col="text")
 
+    def hygiene_funnel(spark, sf):
+        # the batch hygiene cascade in one report: raw -> exact-dedup
+        # representatives -> C4/Gopher quality keepers -> CCNet LM
+        # keepers (each stage composes the already-gated operator)
+        docs = _docs(spark, sf)
+        idx = _index(spark, sf)
+        reps = (
+            docs.groupBy(F.md5("text").alias("dg"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        q = (
+            ts.quality_filter(docs, content_col="text")
+            .filter("keep")
+            .select("doc_id")
+        )
+        s3 = reps.join(q, "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        lm = ix.lm_quality_filter(idx, max_xent=3.41).select("doc_id")
+        s4 = s3.join(lm, "doc_id", "left_semi")
+
+        def stage(i, name, rel):
+            return rel.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
+            ).select(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(name).alias("name"),
+                "n_docs",
+            )
+
+        return (
+            stage(1, "raw", docs)
+            .unionByName(stage(2, "exact_dedup", reps))
+            .unionByName(stage(3, "quality", s3))
+            .unionByName(stage(4, "lm_xent", s4))
+        )
+
     def sample_stratified(spark, sf):
         from luc4ir_spark.operators import utilsops as uo
 
@@ -8192,6 +8260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": temperature_mix,
         "assign_splits": assign_splits,
         "weighted_sample": weighted_sample,
+        "hygiene_funnel": hygiene_funnel,
         "corpus_composition": corpus_composition,
         "chunk_documents": chunk_documents,
         "dedup_lines": dedup_lines,
@@ -8480,6 +8549,7 @@ FROM h
         "temperature_mix": _temperature_mix_sql(),
         "assign_splits": _assign_splits_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "hygiene_funnel": _hygiene_funnel_sql(),
         "corpus_composition": _corpus_composition_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "dedup_lines": _dedup_lines_sql(),
