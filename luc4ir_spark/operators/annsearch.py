@@ -833,8 +833,12 @@ def lsh_multiprobe_topk(
                 f"lsh_multiprobe_topk: max_bucket_size="
                 f"{max_bucket_size} dropped {n_dropped} corpus buckets"
             )
+        # the cap relation is <= 2^n_planes rows — broadcast statically
+        # (lsh_cosine_topk leaves this to AQE; here the single table
+        # makes the bound a compile-time fact)
         ckeyed = ckeyed.join(
-            bsz.filter(F.col("_bn") <= max_bucket_size), "bucket"
+            F.broadcast(bsz.filter(F.col("_bn") <= max_bucket_size)),
+            "bucket",
         ).select("vec_id", "cv", "cn", "bucket")
     q = with_norm(
         queries.select("query_id", F.col(vec_col)), vec_col

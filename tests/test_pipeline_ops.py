@@ -1915,3 +1915,27 @@ def test_sample_weighted_pure_python_replay(spark):
         sum(d >= 50 for d in replay(s, 10)) for s in range(20)
     )
     assert heavy > 120  # >60% of 200 slots to the 10 heavy rows
+
+
+def test_lsh_multiprobe_plan_shape(spark):
+    """The corpus side is bucketed in ONE pass and never shuffled
+    before the candidate join (broadcast query side); the only
+    exchange of candidate rows is the final top-k window."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 64)).tolist()
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id < 2").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = annsearch.lsh_multiprobe_topk(
+        corpus, queries, k=3, n_planes=8, seed=42
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # probe join is broadcast
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
