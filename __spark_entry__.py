@@ -2425,13 +2425,23 @@ def _sim2_sql(kind: str) -> str:
             f" + 0.5 * ln({two_pi} * tfn) / ln(2.0))"
             " / (tfn + 1.0)"
         )
+    elif kind == "dfi":
+        # DFI standardized independence (Lucene DFISimilarity):
+        # tfn here is the EXPECTED tf under independence,
+        # e = (cf+1)*dl/(total_tokens+1); terms with tf <= e score 0
+        tfn = "(dft.cf + 1.0) * dl.doc_len / (s.total_tokens + 1.0)"
+        score = (
+            "CASE WHEN tf > tfn"
+            " THEN ln((tf - tfn) / sqrt(tfn) + 1.0) / ln(2.0)"
+            " ELSE 0.0 END"
+        )
     else:
         raise ValueError(kind)
     return f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 post AS (
   SELECT q.qid, tf.doc_id, dft.df * 1.0 AS df, s.n_docs * 1.0 AS n_docs,
-         dft.cf * 1.0 / s.n_docs AS lam,
+         dft.cf * 1.0 / s.n_docs AS lam, tf.tf * 1.0 AS tf,
          {tfn} AS tfn
   FROM q JOIN dft USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
@@ -6187,6 +6197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DFR PL2 (Terrier default; Poisson + Laplace + H2, c=1)
         return _lm_run(spark, sf, "pl2")
 
+    def dfi_topk(spark, sf):
+        # Divergence From Independence (Lucene DFISimilarity,
+        # IndependenceStandardized)
+        return _lm_run(spark, sf, "dfi")
+
     def boosting_topk(spark, sf):
         # BoostingQuery parity: docs containing the demote term stay in
         # the list but are pushed down by negative_boost before ranking
@@ -8148,6 +8163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_topk": lmjm_topk,
         "dfr_topk": dfr_topk,
         "pl2_topk": pl2_topk,
+        "dfi_topk": dfi_topk,
         "sdm_topk": sdm_topk,
         "ib_topk": ib_topk,
         "f2exp_topk": f2exp_topk,
@@ -8409,6 +8425,7 @@ def oracle_sql() -> dict[str, str]:
         "lmjm_topk": _lm_sql("lmjm"),
         "dfr_topk": _sim2_sql("dfr_inl2"),
         "pl2_topk": _sim2_sql("pl2"),
+        "dfi_topk": _sim2_sql("dfi"),
         "sdm_topk": _sdm_sql(),
         "ib_topk": _sim2_sql("ib_ll"),
         "f2exp_topk": _sim2_sql("f2exp"),

@@ -42,7 +42,7 @@ BM25_B_DEFAULT = 0.3
 @dataclass(frozen=True)
 class Similarity:
     kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
-    #                   # | dfr_inl2 | ib_ll | f2exp | pl2
+    #                   # | dfr_inl2 | ib_ll | f2exp | pl2 | dfi
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
@@ -168,6 +168,24 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             + F.lit(0.5) * F.log(two_pi * tfn) / ln2
         )
         return w * num / (tfn + F.lit(1.0))
+    if sim.kind == "dfi":
+        # Divergence From Independence (Kocabas, Dincer & Karaoglan
+        # IRJ'14; the public Lucene DFISimilarity with
+        # IndependenceStandardized): expected co-occurrence under
+        # independence e = (cf+1)*dl/(total_tokens+1); a term only
+        # contributes when its observed tf EXCEEDS e, with
+        # score = log2((tf - e)/sqrt(e) + 1). The +1s mirror Lucene's
+        # smoothing of totalTermFreq/numberOfFieldTokens. Arithmetic
+        # shape mirrors the oracle SQL term-for-term.
+        expected = (
+            (F.col("cf").cast("double") + F.lit(1.0))
+            * dl
+            / F.lit(float(stats.total_tokens) + 1.0)
+        )
+        raw = (
+            F.log((tf - expected) / F.sqrt(expected) + F.lit(1.0)) / ln2
+        )
+        return w * F.when(tf > expected, raw).otherwise(F.lit(0.0))
     if sim.kind == "f2exp":
         # Axiomatic F2EXP (Fang & Zhai SIGIR'05; Lucene
         # AxiomaticF2EXP, s=0.5, k=0.35):

@@ -1384,6 +1384,37 @@ def test_pl2_hand_computed(spark, index):
         assert r["score"] == pytest.approx(exp, rel=1e-12), r["doc_id"]
 
 
+def test_dfi_hand_computed(spark, index):
+    """Single-term query: per-doc DFI (standardized independence)
+    scores vs the published closed form (Lucene DFISimilarity:
+    e = (cf+1)*dl/(total_tokens+1), score = log2((tf-e)/sqrt(e)+1)
+    when tf > e, else 0) computed in pure Python."""
+    toks, n, dls, avgdl, df = _tiny_stats()
+    cf = sum(ts.count("spark") for ts in toks.values())
+    total_tokens = sum(dls.values())
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    log2 = math.log(2.0)
+    run = rt.score_queries(
+        index, qt, k=10, sim=rt.Similarity(kind="dfi")
+    ).collect()
+    assert run
+    saw_positive = False
+    for r in run:
+        tf = toks[r["doc_id"]].count("spark")
+        dl = dls[r["doc_id"]]
+        e = (cf + 1.0) * dl / (total_tokens + 1.0)
+        exp = (
+            math.log((tf - e) / math.sqrt(e) + 1.0) / log2
+            if tf > e
+            else 0.0
+        )
+        saw_positive = saw_positive or exp > 0.0
+        assert r["score"] == pytest.approx(exp, rel=1e-12, abs=1e-15), (
+            r["doc_id"]
+        )
+    assert saw_positive  # the closed form was actually exercised
+
+
 def test_boosting_query(spark, index):
     """Docs matching the demote term keep their slot but at score*0.25;
     undemoted docs are untouched; ordering reflects demotion."""
