@@ -5253,6 +5253,57 @@ FROM s
 """
 
 
+def _classifier_eval_sql() -> str:
+    """Replays textstats.classifier_eval over the classifier_score
+    logits: labels = mix(doc_id) % 2 (the portable hash, so both
+    engines derive the identical label column), confusion counts at
+    the logit>=0 operating point, and the exact Mann-Whitney AUC with
+    doubled integer mid-ranks (2*cum - c + 1) — one division at the
+    end, identical arithmetic shape on both engines."""
+    from luc4ir_spark.functions import hashing as hx
+
+    y = f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B}) % {hx.MIX_P}) % 2"
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+w AS (SELECT DISTINCT term, {_CLS_WEIGHT_SQL} AS weight FROM toks),
+s AS (SELECT tf.doc_id, sum(tf.tf * w.weight) / dl.doc_len AS logit
+      FROM tf JOIN w USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id, dl.doc_len),
+j AS (SELECT logit AS sc,
+             CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS k,
+             ({y})::INT AS y
+      FROM s),
+conf AS (SELECT count(*)::BIGINT AS n,
+                sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg,
+                sum(k * y)::BIGINT AS tp, sum(k * (1 - y))::BIGINT AS fp,
+                sum((1 - k) * y)::BIGINT AS fn,
+                sum((1 - k) * (1 - y))::BIGINT AS tn
+         FROM j),
+g AS (SELECT sc, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+      FROM j GROUP BY 1),
+g2 AS (SELECT p, c,
+              sum(c) OVER (ORDER BY sc
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+       FROM g),
+r AS (SELECT sum(p * (2 * cum - c + 1))::BIGINT AS r2 FROM g2),
+m AS (SELECT n, n_pos, n_neg, tp, fp, fn, tn,
+             CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS pr,
+             CASE WHEN n_pos > 0 THEN tp / n_pos ELSE 0.0 END AS rc,
+             CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN (r2 - n_pos * (n_pos + 1))
+                       / (2.0 * n_pos * n_neg)
+                  ELSE 0.5 END AS auc
+      FROM conf CROSS JOIN r)
+SELECT n, n_pos, n_neg, tp, fp, fn, tn,
+       round(pr, 4) AS precision, round(rc, 4) AS recall,
+       round(CASE WHEN pr + rc > 0
+                  THEN 2.0 * pr * rc / (pr + rc) ELSE 0.0 END, 4) AS f1,
+       round(auc, 4) AS auc
+FROM m
+"""
+
+
 def _duplicate_spans_sql() -> str:
     """Replays dedup.duplicate_spans: non-overlapping full 4-token
     windows, 60-bit md5 span ids, keeper = min(doc_id * 2^20 +
@@ -7713,6 +7764,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "keep",
         )
 
+    def classifier_eval(spark, sf):
+        # held-out evaluation of the linear classifier: labels = mix
+        # parity of doc_id (engine-portable), confusion + exact
+        # rank-sum AUC with integer mid-ranks
+        from luc4ir_spark.functions import hashing as hx
+
+        idx = _index(spark, sf)
+        sid = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast(
+            "long"
+        )
+        wts = idx.term_stats.select(
+            "term",
+            (F.pmod(sid, F.lit(2001)) - 1000).cast("double").alias(
+                "weight"
+            ),
+        )
+        preds = ts.classifier_score(
+            _docs(spark, sf), wts, bias=0.0, threshold=0.5,
+            content_col="text",
+        )
+        labels = _docs(spark, sf).select(
+            "doc_id",
+            F.pmod(hx.mix_id_expr("doc_id"), F.lit(2)).cast("int").alias(
+                "label"
+            ),
+        )
+        out = ts.classifier_eval(preds, labels)
+        return out.select(
+            "n", "n_pos", "n_neg", "tp", "fp", "fn", "tn",
+            F.round("precision", 4).alias("precision"),
+            F.round("recall", 4).alias("recall"),
+            F.round("f1", 4).alias("f1"),
+            F.round("auc", 4).alias("auc"),
+        )
+
     def duplicate_spans(spark, sf):
         # C4/Lee-et-al. span dedup: globally repeated fixed-token spans
         # with occurrence mass and first-occurrence keeper
@@ -8253,6 +8339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "duplicate_spans": duplicate_spans,
         "classifier_score": classifier_score,
+        "classifier_eval": classifier_eval,
         "similar_docs": similar_docs,
         "phrase_query": phrase_query,
         "bm25_must_not": bm25_must_not,
@@ -8588,6 +8675,7 @@ FROM h
         ),
         "duplicate_spans": _duplicate_spans_sql(),
         "classifier_score": _classifier_score_sql(),
+        "classifier_eval": _classifier_eval_sql(),
         "similar_docs": _similar_docs_sql(),
         "phrase_query": _phrase_query_sql(),
         "bm25_must_not": _bm25_must_not_sql(),

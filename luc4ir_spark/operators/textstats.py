@@ -793,6 +793,109 @@ def classifier_score(
     )
 
 
+def classifier_eval(
+    preds: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "logit",
+    keep_col: str = "keep",
+    label_col: str = "label",
+    grid_decimals: int | None = None,
+) -> DataFrame:
+    """Binary-classifier evaluation against a labeled set — the
+    held-out-eval step that closes the loop on ``classifier_score``
+    (train/apply/EVALUATE, the standard quality-classifier workflow in
+    crawl pipelines): confusion counts + precision/recall/F1 at the
+    operating point (``keep_col``), and EXACT ROC AUC via the
+    Mann-Whitney rank statistic with mid-rank tie handling,
+
+        AUC = (R1 - P(P+1)/2) / (P*N),  R1 = sum of positive mid-ranks
+
+    computed all-integer (mid-ranks are tracked doubled, 2*rank_start +
+    group_size - 1, so .5 mid-ranks never touch floats) — the one
+    division happens last, making the result fold-order-exact
+    cross-engine. Degenerate denominators (no predicted positives, no
+    positives/negatives at all) yield 0.0 / 0.5 respectively rather
+    than nulls. -> one row (n, n_pos, n_neg, tp, fp, fn, tn long;
+    precision, recall, f1, auc double).
+
+    Plan shape: one equi-join on the id, one full aggregate for the
+    confusion counts, one map-side-combined groupBy(score) for the tie
+    groups, then a single cumulative window over the DISTINCT-score
+    relation. Exact AUC fundamentally needs the global score CDF; with
+    ``grid_decimals`` set the scores are first rounded to that grid, so
+    the windowed relation is grid-bounded (the standard histogram-AUC
+    practice at web scale — at 100 TB run grid_decimals=4 and the
+    window sees <=20k rows regardless of corpus size)."""
+    s = F.col(score_col).cast("double")
+    if grid_decimals is not None:
+        s = F.round(s, grid_decimals)
+    j = preds.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        F.col(keep_col).cast("int").alias("_k"),
+    ).join(
+        labels.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("int").alias("_y"),
+        ),
+        "_id",
+    )
+    conf = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("_y")).cast("long").alias("n_neg"),
+        F.sum(F.col("_k") * F.col("_y")).cast("long").alias("tp"),
+        F.sum(F.col("_k") * (1 - F.col("_y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("_k")) * F.col("_y")).cast("long").alias("fn"),
+        F.sum((1 - F.col("_k")) * (1 - F.col("_y"))).cast("long").alias(
+            "tn"
+        ),
+    )
+    groups = j.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        F.sum("_y").cast("long").alias("_p"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    # doubled mid-rank of a tie group = 2*cum - c + 1 (rank_start =
+    # cum - c + 1); R1 doubled = sum over groups of p * that — integer
+    r2 = (
+        groups.withColumn("_cum", F.sum("_c").over(w))
+        .agg(
+            F.sum(
+                F.col("_p") * (2 * F.col("_cum") - F.col("_c") + 1)
+            ).cast("long").alias("r2")
+        )
+    )
+    prec_den = F.col("tp") + F.col("fp")
+    prec = F.when(prec_den > 0, F.col("tp") / prec_den).otherwise(0.0)
+    rec = F.when(
+        F.col("n_pos") > 0, F.col("tp") / F.col("n_pos")
+    ).otherwise(0.0)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (
+            F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+        ) / (2.0 * F.col("n_pos") * F.col("n_neg")),
+    ).otherwise(0.5)
+    out = conf.crossJoin(F.broadcast(r2)).select(
+        "n", "n_pos", "n_neg", "tp", "fp", "fn", "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        "r2",
+        auc.alias("auc"),
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2.0 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(0.0)
+    return out.select(
+        "n", "n_pos", "n_neg", "tp", "fp", "fn", "tn",
+        "precision", "recall", f1.alias("f1"), "auc",
+    )
+
+
 def apply_vocab(
     docs: DataFrame,
     vocab: DataFrame,

@@ -1231,6 +1231,45 @@ def test_classifier_score_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_classifier_eval_hand_computed(spark):
+    """Confusion counts, P/R/F1 and tie-aware AUC against hand
+    arithmetic. Scores (asc): -2(y0) < 0(y1,k) == 0(y0,k) < 1(y1,k);
+    mid-ranks of the tied pair are 2.5 each, so
+    R1 = 2.5 + 4 = 6.5, AUC = (6.5 - 2*3/2) / (2*2) = 0.875."""
+    preds = spark.createDataFrame(
+        [(0, -2.0, False), (1, 0.0, True), (2, 0.0, True),
+         (3, 1.0, True)],
+        "doc_id long, logit double, keep boolean",
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (3, 1)], "doc_id long, label int"
+    )
+    r = textstats.classifier_eval(preds, labels).collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 0, 1)
+    assert r["precision"] == pytest.approx(2 / 3, rel=1e-12)
+    assert r["recall"] == pytest.approx(1.0, rel=1e-12)
+    assert r["f1"] == pytest.approx(0.8, rel=1e-12)
+    assert r["auc"] == pytest.approx(0.875, rel=1e-12)
+
+
+def test_classifier_eval_degenerate(spark):
+    """No predicted positives -> precision/f1 0.0; single-class labels
+    -> auc falls back to 0.5 rather than dividing by zero."""
+    preds = spark.createDataFrame(
+        [(0, -1.0, False), (1, -2.0, False)],
+        "doc_id long, logit double, keep boolean",
+    )
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 1)], "doc_id long, label int"
+    )
+    r = textstats.classifier_eval(preds, labels).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 2, 0)
+    assert r["precision"] == 0.0 and r["f1"] == 0.0
+    assert r["recall"] == 0.0
+    assert r["auc"] == 0.5
+
+
 def test_apply_vocab_hand_computed(spark):
     """OOV accounting against an explicit vocab; empty docs excluded;
     the literal-vocab path is a zero-shuffle projection."""
