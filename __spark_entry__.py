@@ -4326,6 +4326,37 @@ SELECT doc_id, n_tok::BIGINT AS n_tokens,
 FROM m
 """
 
+_READABILITY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || repeat('. more words here', (doc_id % 3)::INT) || '.'
+           AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, lower(text) AS low,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM d
+),
+b AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(low, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         (len(regexp_extract_all(low, '[aeiouy]+'))
+          + len(list_filter(toks,
+                x -> NOT regexp_matches(x, '[aeiouy]'))))::BIGINT
+           AS n_syllables
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835::DOUBLE
+             - 1.015::DOUBLE * (n_words / n_sentences)
+             - 84.6::DOUBLE * (n_syllables / n_words), 4) AS flesch
+FROM b
+"""
+
+
 def _langid_sql() -> str:
     """Generated from ts.LANG_MARKERS so widening the marker table keeps
     the oracle in sync; the CASE checks languages in sorted order, which
@@ -7292,6 +7323,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def repetition_stats(spark, sf):
         return ts.repetition_stats(_docs(spark, sf), content_col="text")
 
+    def readability(spark, sf):
+        # Flesch reading-ease; the synthetic corpus has no sentence
+        # punctuation, so plant a doc_id-derived sentence tail
+        # (deterministic, replayed identically in the oracle) so the
+        # sentence-count path is actually exercised
+        d = _docs(spark, sf).withColumn(
+            "text_r",
+            F.concat(
+                F.col("text"),
+                F.expr("repeat('. more words here', cast(doc_id % 3 as int))"),
+                F.lit("."),
+            ),
+        )
+        out = ts.readability(d, content_col="text_r")
+        return out.select(
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            F.round("flesch", 4).alias("flesch"),
+        )
+
     def pii_redaction(spark, sf):
         # plant one email / dotted quad / phone per doc (doc_id-derived,
         # deterministic), then scrub — same augmentation in the oracle
@@ -8355,6 +8405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap_sample": source_cap_sample,
         "token_count": token_count,
         "quality_score": quality_score,
+        "readability": readability,
         "repetition_stats": repetition_stats,
         "pii_redaction": pii_redaction,
         "lang_id": lang_id,
@@ -8645,6 +8696,7 @@ FROM h
             " length(text)::BIGINT AS n_chars FROM documents"
         ),
         "quality_score": _QUALITY_SQL,
+        "readability": _READABILITY_SQL,
         "repetition_stats": _REPETITION_SQL,
         "pii_redaction": _pii_sql(),
         "lang_id": _LANGID_SQL,

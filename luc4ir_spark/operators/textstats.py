@@ -793,6 +793,58 @@ def classifier_score(
     )
 
 
+def readability(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability signal
+    (Flesch 1948; the same heuristic family C4/Gopher-style pipelines
+    use as a cheap quality feature):
+
+        206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    with the standard cheap proxies: words = ``simple`` tokens,
+    sentences = runs of [.!?] (min 1), syllables = vowel-GROUP runs
+    ([aeiouy]+) with vowel-less words counting 1. Because the simple
+    tokenizer splits on non-alphanumerics, vowel runs cannot span word
+    boundaries, so one regexp count over the whole lowered text equals
+    the per-word sum — no explode, no UDF; the operator is a pure
+    zero-shuffle codegen projection (the one HOF, the vowel-less-word
+    filter, evaluates once per row in the same project).
+    Zero-token documents yield no row.
+    -> (doc_id, n_words, n_sentences, n_syllables long, flesch double).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_tokens(content_col).alias("_t"),
+        F.lower(F.col(content_col)).alias("_low"),
+    ).filter(F.size("_t") > 0)
+    n_words = F.size("_t").cast("long")
+    n_sent = F.greatest(
+        F.regexp_count("_low", F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syl = (
+        F.regexp_count("_low", F.lit("[aeiouy]+"))
+        + F.size(F.filter("_t", lambda t: ~t.rlike("[aeiouy]")))
+    ).cast("long")
+    out = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        flesch.alias("flesch"),
+    )
+
+
 def classifier_eval(
     preds: DataFrame,
     labels: DataFrame,

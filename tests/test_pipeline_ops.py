@@ -1231,6 +1231,37 @@ def test_classifier_score_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_readability_hand_computed(spark):
+    """Flesch components against hand counts: vowel-group syllables,
+    vowel-less words counting 1, [.!?]+ runs collapsing to one
+    sentence break, zero-token docs dropped."""
+    docs = spark.createDataFrame(
+        [
+            # words: the(1) cat(1) sat(1) -> syl 3; "Wow!!" one run;
+            # 2 sentences, 4 words (wow), syl 4
+            (0, "The cat sat. Wow!!"),
+            # "xyz" -> y vowel-group (1); "123" vowel-less -> 1;
+            # no punctuation -> 1 sentence; 2 words, 2 syllables
+            (1, "xyz 123"),
+            (2, "   "),  # zero tokens -> no row
+        ],
+        "doc_id long, content string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.readability(docs).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (
+        4, 2, 4,
+    )
+    assert r0["flesch"] == pytest.approx(
+        206.835 - 1.015 * (4 / 2) - 84.6 * (4 / 4), rel=1e-12
+    )
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (
+        2, 1, 2,
+    )
+
+
 def test_classifier_eval_hand_computed(spark):
     """Confusion counts, P/R/F1 and tie-aware AUC against hand
     arithmetic. Scores (asc): -2(y0) < 0(y1,k) == 0(y0,k) < 1(y1,k);
