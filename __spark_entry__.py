@@ -1803,6 +1803,54 @@ GROUP BY ROLLUP (event_type, day_us, hour_us)
 """
 
 
+_EWMA_W = 8
+
+
+def _event_ewma_sql() -> str:
+    """Replays eventops.event_ewma: densified daily grid, W-term
+    integer lag kernel (weights 2^(W-1-j)), one final division. The
+    kernel terms are generated from the same W so both engines stay
+    in sync; all sums are integer, so fold order is irrelevant."""
+    w = _EWMA_W
+    num_terms = [f"x * {1 << (w - 1)}"]
+    den_terms = [str(1 << (w - 1))]
+    for j in range(1, w):
+        wt = 1 << (w - 1 - j)
+        num_terms.append(f"coalesce(lag(x, {j}) OVER wd, 0) * {wt}")
+        den_terms.append(
+            f"CASE WHEN lag(x, {j}) OVER wd IS NULL THEN 0 ELSE {wt} END"
+        )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('day', ts))::BIGINT AS day_idx,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM daily),
+grid AS (
+  SELECT t.event_type, gs.g::BIGINT AS day_idx
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS g FROM b) gs
+),
+dense AS (
+  SELECT g.event_type, g.day_idx, coalesce(d.x, 0)::BIGINT AS x
+  FROM grid g LEFT JOIN daily d USING (event_type, day_idx)
+),
+e AS (
+  SELECT event_type, day_idx, x,
+         ({' + '.join(num_terms)})::BIGINT AS num,
+         ({' + '.join(den_terms)})::BIGINT AS den
+  FROM dense
+  WINDOW wd AS (PARTITION BY event_type ORDER BY day_idx)
+)
+SELECT event_type, (day_idx * 86400000000)::BIGINT AS day_us,
+       x AS n_events, round(num / den, 4) AS ewma
+FROM e
+"""
+
+
 _PPR_SQL = """
 WITH nodes AS (SELECT doc_id AS id,
                CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS seed
@@ -6662,6 +6710,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src", "dst", "n_transitions"
         )
 
+    def event_ewma(spark, sf):
+        # truncated-kernel EWMA (alpha=1/2) of densified daily counts
+        # per type — integer kernel weights, one final division
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.event_ewma(ev_df, window_days=_EWMA_W)
+        return out.select(
+            "event_type", "day_us", "n_events",
+            F.round("ewma", 4).alias("ewma"),
+        )
+
     def event_retention(spark, sf):
         # cohort retention matrix over the event stream (first-day
         # cohorts × day offsets, distinct active users per cell)
@@ -8425,6 +8485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_hopping": event_window_hopping,
         "event_funnel": event_funnel,
         "event_transitions": event_transitions,
+        "event_ewma": event_ewma,
         "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
@@ -8815,6 +8876,7 @@ UNION ALL SELECT 3::BIGINT, 'purchase',
             " round(sum(value), 4) AS sum_value"
             " FROM ev2 GROUP BY 1, 2"
         ),
+        "event_ewma": _event_ewma_sql(),
         "event_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
 lagged AS (

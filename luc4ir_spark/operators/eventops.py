@@ -443,3 +443,84 @@ def event_transitions(
     return pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions")
     )
+
+
+def event_ewma(
+    events: DataFrame,
+    window_days: int = 8,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type EWMA of DAILY event counts with alpha = 1/2 and a
+    truncated kernel — the trend-smoothing signal behind anomaly/
+    trending detectors over event logs:
+
+        ewma_n = sum_{j<W} 2^(W-1-j) * x_{n-j} / sum_{j<W} 2^(W-1-j)
+
+    over the DENSIFIED day grid (missing days count 0 — a silent day
+    decays the average; at the series head the kernel renormalizes
+    over the days that exist). With alpha = 1/2 the kernel weights are
+    the integers 2^(W-1-j), so numerator and denominator stay
+    all-integer and the single final division is fold-order-exact
+    cross-engine. W = ``window_days`` truncates the tail (weight below
+    2^-W is noise anyway); the kernel unrolls into W lag() terms — no
+    self-join.
+
+    Plan shape: one map-side-combined groupBy to daily counts (the
+    only pass over the raw log); everything after runs on the
+    |types| x |days| relation — a broadcast bounds crossJoin +
+    sequence() explode for the grid, then a single per-type window.
+    -> (event_type, day_us long, n_events long, ewma double)."""
+    w_len = int(window_days)
+    day_idx = F.expr(
+        f"timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" date_trunc('DAY', {ts_col}))"
+    ).cast("long")
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            day_idx.alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = daily.agg(
+        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
+    )
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias(
+                "day_idx"
+            ),
+        )
+    )
+    dense = grid.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type",
+        "day_idx",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    num = F.col("x") * F.lit(1 << (w_len - 1))
+    den = F.lit(1 << (w_len - 1)).cast("long")
+    for j in range(1, w_len):
+        lx = F.lag("x", j).over(w)
+        wt = 1 << (w_len - 1 - j)
+        num = num + F.coalesce(lx, F.lit(0)) * F.lit(wt)
+        den = den + F.when(lx.isNull(), F.lit(0)).otherwise(F.lit(wt))
+    out = dense.select(
+        "event_type",
+        (F.col("day_idx") * F.lit(86_400_000_000)).cast("long").alias(
+            "day_us"
+        ),
+        F.col("x").alias("n_events"),
+        num.cast("long").alias("_num"),
+        den.cast("long").alias("_den"),
+    )
+    return out.select(
+        "event_type", "day_us", "n_events",
+        (F.col("_num") / F.col("_den")).alias("ewma"),
+    )

@@ -339,3 +339,44 @@ def test_event_transitions_hand_computed(spark):
     }
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
                    ("c", "a"): 1}
+
+
+def test_event_ewma_hand_computed(spark):
+    """W=3 kernel (weights 4,2,1): head renormalization over the days
+    that exist, a silent (densified) day counting 0, and a second type
+    windowed independently."""
+    rows = [
+        # type a: day0 -> 2 events, day1 -> 1, day2 -> none, day3 -> 4
+        (1, datetime(2024, 1, 1, 10), "a"),
+        (2, datetime(2024, 1, 1, 11), "a"),
+        (3, datetime(2024, 1, 2, 9), "a"),
+        (4, datetime(2024, 1, 4, 9), "a"),
+        (5, datetime(2024, 1, 4, 10), "a"),
+        (6, datetime(2024, 1, 4, 11), "a"),
+        (7, datetime(2024, 1, 4, 12), "a"),
+        # type b: only day1 -> grid densifies days 0..3 with zeros
+        (8, datetime(2024, 1, 2, 9), "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = eo.event_ewma(ev, window_days=3)
+    us = 86_400_000_000
+    d0 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days * us
+    got = {
+        (r["event_type"], r["day_us"]): (r["n_events"], r["ewma"])
+        for r in out.collect()
+    }
+    # type a: day0 ewma = 2*4/4 = 2.0 (head: only weight 4 exists);
+    # day1 = (1*4 + 2*2)/(4+2) = 8/6; day2 = (0*4+1*2+2*1)/7 = 4/7;
+    # day3 = (4*4+0*2+1*1)/7 = 17/7
+    assert got[("a", d0)] == (2, pytest.approx(2.0))
+    assert got[("a", d0 + us)] == (1, pytest.approx(8 / 6, rel=1e-12))
+    assert got[("a", d0 + 2 * us)] == (0, pytest.approx(4 / 7, rel=1e-12))
+    assert got[("a", d0 + 3 * us)] == (4, pytest.approx(17 / 7, rel=1e-12))
+    # type b rides the same global grid: 4 rows; day0 exists as a
+    # densified zero, so day1's kernel renormalizes over weights 4+2
+    assert got[("b", d0)] == (0, pytest.approx(0.0))
+    assert got[("b", d0 + us)] == (1, pytest.approx(4 / 6, rel=1e-12))
+    assert got[("b", d0 + 2 * us)] == (0, pytest.approx(2 / 7, rel=1e-12))
+    assert len(got) == 8
