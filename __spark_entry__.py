@@ -5270,6 +5270,98 @@ FROM rk
 """
 
 
+_FRIEDMAN_K = 3  # systems compared by the Friedman gate
+
+
+def _friedman_ap_block(p: str, score: str) -> str:
+    """Per-query-AP CTE chain for ONE system's run — the `_ap_block`
+    shape with a pluggable per-term scoring expression so the Friedman
+    gate can replay three different similarities over the same scan."""
+    return f"""
+scored_{p} AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+run_{p} AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+    FROM scored_{p}) WHERE rank <= {TOPK}
+),
+w_{p} AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS is_rel,
+         sum(CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END)
+           OVER (PARTITION BY r.qid ORDER BY r.rank) AS cum_rel
+  FROM run_{p} r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = qr.docid
+),
+ap_{p} AS (
+  SELECT w.qid,
+         CASE WHEN coalesce(t.num_rel, 0) > 0
+              THEN coalesce(sum(CASE WHEN is_rel > 0 THEN cum_rel / rank END), 0.0) / t.num_rel
+              ELSE 0.0 END AS ap
+  FROM w_{p} w LEFT JOIN totals t USING (qid)
+  GROUP BY w.qid, t.num_rel
+)"""
+
+
+def _run_friedman_sql() -> str:
+    """Replays evaluation.friedman_test over per-query AP of THREE
+    systems (bm25 / classic / lmdir, the exact scoring expressions of
+    their green gates): APs rounded 4dp BEFORE ranking, ascending
+    average ranks within each qid block, tie-uncorrected chi^2_F.
+    Ranks are multiples of 0.5, so every sum is exact in float64."""
+    bm25 = (
+        "ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+        f" * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl))"
+    )
+    classic = (
+        "sqrt(tf.tf) * (1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)))"
+        " * (1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)))"
+        " / sqrt(dl.doc_len)"
+    )
+    lmdir = (
+        f"greatest(ln(1.0 + tf.tf / ({MU} * dft.cf / s.total_tokens))"
+        f" + ln({MU} / (dl.doc_len + {MU})), 0.0)"
+    )
+    k = _FRIEDMAN_K
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_QRELS_SQL},
+totals AS (SELECT qid, count(*)::BIGINT AS num_rel FROM qrels
+           WHERE rel >= 1.0 GROUP BY qid),
+{_friedman_ap_block('fb', bm25)},
+{_friedman_ap_block('fc', classic)},
+{_friedman_ap_block('fl', lmdir)},
+u AS (
+  SELECT 'bm25' AS system, qid, round(ap, 4) AS m FROM ap_fb
+  UNION ALL SELECT 'classic', qid, round(ap, 4) FROM ap_fc
+  UNION ALL SELECT 'lmdir', qid, round(ap, 4) FROM ap_fl
+),
+com AS (SELECT qid FROM u GROUP BY qid HAVING count(*) = {k}),
+rk AS (
+  SELECT u.system, u.qid,
+         rank() OVER (PARTITION BY u.qid ORDER BY u.m)
+           + (count(*) OVER (PARTITION BY u.qid, u.m) - 1) / 2.0 AS avg_rank
+  FROM u JOIN com USING (qid)
+),
+ps AS (SELECT system, count(*)::BIGINT AS n_queries,
+              sum(avg_rank) AS rank_sum
+       FROM rk GROUP BY 1),
+tt AS (SELECT max(n_queries)::DOUBLE AS n,
+              sum(rank_sum * rank_sum) AS ssum FROM ps)
+SELECT ps.system, ps.n_queries, round(ps.rank_sum, 4) AS rank_sum,
+       round(ps.rank_sum / ps.n_queries::DOUBLE, 4) AS mean_rank,
+       round(12.0 * tt.ssum / (tt.n * {float(k * (k + 1))})
+             - {float(3 * (k + 1))} * tt.n, 4) AS chi2_f
+FROM ps CROSS JOIN tt
+"""
+
+
 def _snippets_sql() -> str:
     """Replays retrieval.make_snippets over the BM25 run: earliest
     query-term substring position (strpos == Spark instr: 1-based, 0
@@ -7760,6 +7852,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("w_minus", 4).alias("w_minus"),
         )
 
+    def run_friedman(spark, sf):
+        # Friedman rank test across THREE systems (bm25 / classic /
+        # lmdir) on per-query AP — 4dp-rounded metrics, ascending
+        # average ranks, tie-uncorrected chi^2_F
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        qrels = _pseudo_qrels(spark, sf)
+
+        def perq(run):
+            return ev.per_query_metrics(
+                run.withColumn("docid", F.col("doc_id").cast("string")),
+                qrels, p_at=5, ndcg_at=10,
+            )
+
+        runs = [
+            ("bm25", perq(rt.score_queries(idx, qt, k=TOPK))),
+            ("classic", perq(rt.score_queries(
+                idx, qt, k=TOPK,
+                sim=rt.Similarity(kind="classic", mu=MU, lam=LAM),
+            ))),
+            ("lmdir", perq(rt.score_queries(
+                idx, qt, k=TOPK,
+                sim=rt.Similarity(kind="lmdir", mu=MU, lam=LAM),
+            ))),
+        ]
+        fr = ev.friedman_test(runs, metric_col="ap")
+        return fr.select(
+            "system",
+            "n_queries",
+            F.round("rank_sum", 4).alias("rank_sum"),
+            F.round("mean_rank", 4).alias("mean_rank"),
+            F.round("chi2_f", 4).alias("chi2_f"),
+        )
+
     def snippets(spark, sf):
         # simplified highlighter: window around the earliest query-term
         # occurrence in each BM25 hit
@@ -8367,6 +8493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": rescore_run,
         "range_facets": range_facets,
         "run_wilcoxon": run_wilcoxon,
+        "run_friedman": run_friedman,
         "span_not": span_not,
         "block_join": block_join,
         "block_join_total": block_join_total,
@@ -8632,6 +8759,7 @@ def oracle_sql() -> dict[str, str]:
         "rescore_topk": _rescore_sql(),
         "range_facets": _range_facets_sql(),
         "run_wilcoxon": _run_wilcoxon_sql(),
+        "run_friedman": _run_friedman_sql(),
         "span_not": _span_not_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),

@@ -544,6 +544,90 @@ def wilcoxon_signed_rank(
     )
 
 
+def friedman_test(
+    per_query_runs: list,
+    metric_col: str = "ap",
+    qid_col: str = "qid",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Friedman rank test across k >= 3 systems on a per-query metric —
+    the standard multi-system significance test when the paired t /
+    Wilcoxon two-system tests don't apply (trec_eval users compare many
+    runs at once; Demšar JMLR'06 recommends Friedman for exactly this).
+    Input: ``[(system_name, per_query_metrics_df), ...]``. Queries are
+    blocks: only qids present in ALL k systems are kept (the paired
+    analogue of the t-test's inner join). Within each query the k
+    systems are ranked ASCENDING on the metric (best system -> highest
+    mean rank) with AVERAGE ranks for ties; metrics are rounded to
+    ``round_dp`` BEFORE ranking so tie groups are stable across engines
+    (same convention as `wilcoxon_signed_rank`). The statistic is the
+    classic (tie-uncorrected) chi^2_F = 12/(n·k·(k+1)) · Σ_j R_j² −
+    3·n·(k+1), where R_j is system j's rank sum over the n common
+    queries. -> one row per system (system, n_queries, rank_sum,
+    mean_rank, chi2_f; chi2_f repeated on every row). All windows and
+    aggregates run over topics×k-sized data — driver-trivial at any
+    corpus scale. Ranks are multiples of 0.5, so every sum here is
+    exact in float64 and the statistic is fold-order independent."""
+    k = len(per_query_runs)
+    if k < 2:
+        raise ValueError("friedman_test needs >= 2 systems")
+    tagged = None
+    for name, df in per_query_runs:
+        t = df.select(
+            F.lit(name).alias("system"),
+            F.col(qid_col).alias("qid"),
+            F.round(F.col(metric_col), round_dp).alias("_m"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    common = (
+        tagged.withColumn(
+            "_k", F.count(F.lit(1)).over(Window.partitionBy("qid"))
+        )
+        .filter(F.col("_k") == k)
+        .drop("_k")
+    )
+    ranked = (
+        common.withColumn(
+            "_r",
+            F.rank().over(Window.partitionBy("qid").orderBy("_m")),
+        )
+        .withColumn(
+            "_nt",
+            F.count(F.lit(1)).over(Window.partitionBy("qid", "_m")),
+        )
+        .withColumn(
+            "avg_rank", F.col("_r") + (F.col("_nt") - F.lit(1)) / 2.0
+        )
+    )
+    per_sys = ranked.groupBy("system").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("avg_rank").alias("rank_sum"),
+    )
+    tot = per_sys.agg(
+        F.max("n_queries").cast("double").alias("_n"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum")).alias("_ssum"),
+    )
+    # chi2 spelled EXACTLY as the oracle does (12·ssum/(n·k(k+1)) −
+    # 3(k+1)·n) so both engines run the same float64 expression shape.
+    chi2 = (
+        F.lit(12.0) * F.col("_ssum")
+        / (F.col("_n") * F.lit(float(k * (k + 1))))
+        - F.lit(float(3 * (k + 1))) * F.col("_n")
+    )
+    return (
+        per_sys.crossJoin(F.broadcast(tot))
+        .select(
+            "system",
+            "n_queries",
+            "rank_sum",
+            (F.col("rank_sum") / F.col("n_queries").cast("double")).alias(
+                "mean_rank"
+            ),
+            chi2.alias("chi2_f"),
+        )
+    )
+
+
 def rbo_weights(k: int, p: float) -> list[float]:
     """Per-first-shared-depth RBO weights: a doc whose LATER rank
     across the two lists is m contributes Σ_{d=m..k} (1-p)·p^(d-1)/d

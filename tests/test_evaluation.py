@@ -478,6 +478,42 @@ def test_wilcoxon_rounding_stabilizes_ties(spark):
     assert row["w_minus"] == pytest.approx(0.0)
 
 
+def test_friedman_hand_computed(spark):
+    """3 systems x 4 queries with within-block ties; a q5 present in
+    only one system must drop (blocks = qids common to ALL systems).
+    Ranks (ascending AP, average for ties):
+      q1: C=1 B=2 A=3; q2: C=1 A=B=2.5; q3: B=C=1.5 A=3;
+      q4: A=1 B=2 C=3 -> R_A=9.5 R_B=8 R_C=6.5 (sum 24 = n*k(k+1)/2)
+    chi2_F = 12/(4*3*4)*(9.5^2+8^2+6.5^2) - 3*4*4 = 1.125."""
+    a = spark.createDataFrame(
+        [("q1", 0.5), ("q2", 0.4), ("q3", 0.6), ("q4", 0.1),
+         ("q5", 0.9)],
+        "qid string, ap double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 0.3), ("q2", 0.4), ("q3", 0.2), ("q4", 0.3)],
+        "qid string, ap double",
+    )
+    c = spark.createDataFrame(
+        [("q1", 0.1), ("q2", 0.2), ("q3", 0.2), ("q4", 0.5)],
+        "qid string, ap double",
+    )
+    rows = {
+        r["system"]: r
+        for r in ev.friedman_test(
+            [("A", a), ("B", b), ("C", c)]
+        ).collect()
+    }
+    assert set(rows) == {"A", "B", "C"}
+    assert all(r["n_queries"] == 4 for r in rows.values())
+    assert rows["A"]["rank_sum"] == pytest.approx(9.5)
+    assert rows["B"]["rank_sum"] == pytest.approx(8.0)
+    assert rows["C"]["rank_sum"] == pytest.approx(6.5)
+    assert rows["A"]["mean_rank"] == pytest.approx(9.5 / 4)
+    for r in rows.values():
+        assert r["chi2_f"] == pytest.approx(1.125)
+
+
 def test_risk_metric_hand_computed(spark):
     """Deltas {+0.2, -0.1, 0}: URisk_1 = (0.2 - 2*0.1)/3 = 0."""
     a = spark.createDataFrame(
