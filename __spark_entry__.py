@@ -1015,6 +1015,67 @@ SELECT qid, doc_id, rank, borda FROM (
 """
 
 
+def _condorcet_fuse_sql() -> str:
+    """Replays retrieval.condorcet_fuse over the bm25 + lmdir +
+    classic top-k runs: absent docs rank TOPK+1 (two absences = that
+    system abstains on the pair), a beats b on strict duel-win
+    majority, Copeland = wins − losses. All-integer."""
+    classic = (
+        "sqrt(tf.tf) * (1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)))"
+        " * (1.0 + ln((s.n_docs + 1.0) / (dft.df + 1.0)))"
+        " / sqrt(dl.doc_len)"
+    )
+    return f"""
+WITH {_two_run_ctes()},
+sc AS (
+  SELECT q.qid, tf.doc_id, sum({classic}) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+rc AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM sc
+),
+r AS (
+  SELECT 'bm25' AS run_id, qid, doc_id, rank FROM rb WHERE rank <= {TOPK}
+  UNION ALL
+  SELECT 'lmdir', qid, doc_id, rank FROM rl WHERE rank <= {TOPK}
+  UNION ALL
+  SELECT 'classic', qid, doc_id, rank FROM rc WHERE rank <= {TOPK}
+),
+c AS (SELECT DISTINCT qid, doc_id FROM r),
+g AS (
+  SELECT c.qid, ri.run_id, c.doc_id,
+         coalesce(r.rank, {TOPK + 1})::BIGINT AS rank
+  FROM c CROSS JOIN (SELECT DISTINCT run_id FROM r) ri
+  LEFT JOIN r ON r.qid = c.qid AND r.run_id = ri.run_id
+             AND r.doc_id = c.doc_id
+),
+duel AS (
+  SELECT a.qid, a.doc_id, b.doc_id AS opp,
+         sum(CASE WHEN a.rank < b.rank THEN 1 ELSE 0 END) AS w,
+         sum(CASE WHEN a.rank > b.rank THEN 1 ELSE 0 END) AS l
+  FROM g a JOIN g b
+    ON a.qid = b.qid AND a.run_id = b.run_id AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+),
+cop AS (
+  SELECT qid, doc_id,
+         sum(CASE WHEN w > l THEN 1 WHEN w < l THEN -1
+                  ELSE 0 END)::BIGINT AS copeland
+  FROM duel GROUP BY 1, 2
+)
+SELECT qid, doc_id, rank, copeland FROM (
+  SELECT qid, doc_id, copeland,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY copeland DESC, doc_id ASC)::BIGINT AS rank
+  FROM cop) WHERE rank <= {TOPK}
+"""
+
+
 def _eval_macro_sql() -> str:
     """Replays macro_metrics_extended over the BM25 run + pseudo
     qrels: MRR / MAP / GMAP(eps) / Success@5."""
@@ -5987,6 +6048,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "doc_id", "rank", "borda"
         )
 
+    def condorcet_fuse(spark, sf):
+        # Copeland/Condorcet fusion of the bm25 + lmdir + classic
+        # runs: strict duel-win majority, wins − losses, all-integer
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        r1 = rt.score_queries(idx, qt, k=TOPK)
+        r2 = rt.score_queries(
+            idx, qt, k=TOPK,
+            sim=rt.Similarity(kind="lmdir", mu=MU, lam=LAM),
+        )
+        r3 = rt.score_queries(
+            idx, qt, k=TOPK,
+            sim=rt.Similarity(kind="classic", mu=MU, lam=LAM),
+        )
+        runs = (
+            r1.withColumn("run_id", F.lit("bm25"))
+            .unionByName(r2.withColumn("run_id", F.lit("lmdir")))
+            .unionByName(r3.withColumn("run_id", F.lit("classic")))
+            .select("run_id", "qid", "doc_id", "rank")
+        )
+        return rt.condorcet_fuse(runs, pool_k=TOPK, topk=TOPK).select(
+            "qid", "doc_id", "rank", "copeland"
+        )
+
     def ltr_features(spark, sf):
         # LTR feature logging: six query-doc features in one scan over
         # the BM25 top-k candidates
@@ -8470,6 +8555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": char_entropy,
         "comb_fuse": comb_fuse,
         "borda_fuse": borda_fuse,
+        "condorcet_fuse": condorcet_fuse,
         "zscore_fuse": zscore_fuse,
         "ltr_features": ltr_features,
         "eval_macro": eval_macro,
@@ -8738,6 +8824,7 @@ def oracle_sql() -> dict[str, str]:
         "comb_fuse": _comb_fuse_sql(),
         "zscore_fuse": _comb_fuse_sql(method="zsum"),
         "borda_fuse": _borda_fuse_sql(),
+        "condorcet_fuse": _condorcet_fuse_sql(),
         "ltr_features": _ltr_features_sql(),
         "eval_macro": _eval_macro_sql(),
         "bm25_plus": _bm25_plus_sql(),

@@ -2573,6 +2573,90 @@ def rrf_fuse(
     ).filter(F.col("rank") <= topk)
 
 
+def condorcet_fuse(
+    runs: DataFrame,
+    pool_k: int,
+    topk: int = 10,
+) -> DataFrame:
+    """Condorcet-style rank fusion via Copeland scoring (Montague &
+    Aslam CIKM'02, "Condorcet fusion for improved retrieval"): each
+    system is a voter; document a beats document b when a MAJORITY of
+    systems rank a above b (a doc absent from a system's top ``pool_k``
+    ranks below every present doc there; both absent = that system
+    abstains on the pair). The Copeland score is wins − losses over all
+    pairwise duels; Montague & Aslam sort with the pairwise-majority
+    comparator directly — Copeland is the standard well-defined
+    linearization of the same majority graph (identical order whenever
+    a Condorcet ranking exists). ``runs`` carries
+    (run_id, qid, doc_id, rank) for any number of stacked systems.
+    All-integer arithmetic — no score calibration, no float tie hazard;
+    final ties break doc_id ASC. -> (qid, doc_id, rank, copeland),
+    rank <= topk.
+
+    Scale shape: candidates per query are bounded by systems×pool_k,
+    so the duel stage is queries × systems × (systems·pool_k)² rows —
+    corpus-independent (e.g. 3 systems, pool 10: ≤ 2,700 duel rows per
+    query). One shuffle by qid; the corpus is never touched."""
+    r = runs.filter(F.col("rank") <= int(pool_k)).select(
+        "qid", "run_id", "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    cands = r.select("qid", "doc_id").distinct()
+    rids = r.select("run_id").distinct()
+    # absent docs rank pool_k+1: below every present rank, and two
+    # absences compare equal -> the system abstains on that pair
+    grid = (
+        cands.crossJoin(F.broadcast(rids))
+        .join(r, ["qid", "run_id", "doc_id"], "left")
+        .select(
+            "qid", "run_id", "doc_id",
+            F.coalesce("rank", F.lit(int(pool_k) + 1).cast("long"))
+            .alias("rank"),
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    duel = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.run_id") == F.col("b.run_id"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.qid").alias("qid"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("opp"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.rank") < F.col("b.rank"), 1).otherwise(0)
+            ).alias("w"),
+            F.sum(
+                F.when(F.col("a.rank") > F.col("b.rank"), 1).otherwise(0)
+            ).alias("l"),
+        )
+    )
+    cop = (
+        duel.select(
+            "qid", "doc_id",
+            F.when(F.col("w") > F.col("l"), 1)
+            .when(F.col("w") < F.col("l"), -1)
+            .otherwise(0)
+            .alias("_pt"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("_pt").cast("long").alias("copeland"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("copeland").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cop.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "doc_id", "rank", "copeland")
+    )
+
+
 def sdm_topk(
     index: InvertedIndex,
     positional: DataFrame,

@@ -1856,6 +1856,32 @@ def test_borda_fuse_hand_computed(spark):
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
 
 
+def test_condorcet_fuse_hand_computed(spark):
+    """Copeland over 3 voters, pool_k=3 (absent = rank 4):
+    q1 ranks A:(d1,d2,d3) B:(d2,d1,d4) C:(d1,d4,d2) ->
+    d1 wins every duel (+3), d2 beats d3/d4 loses d1 (+1),
+    d4 beats only d3 (-1), d3 loses all (-3).
+    q2: d1 only in A, d2 only in B, C abstains (both absent) ->
+    duel splits 1-1 = tie, both score 0, doc_id tie-break."""
+    runs = spark.createDataFrame(
+        [
+            ("a", "q1", 1, 1), ("a", "q1", 2, 2), ("a", "q1", 3, 3),
+            ("b", "q1", 2, 1), ("b", "q1", 1, 2), ("b", "q1", 4, 3),
+            ("c", "q1", 1, 1), ("c", "q1", 4, 2), ("c", "q1", 2, 3),
+            ("a", "q2", 1, 1),
+            ("b", "q2", 2, 1),
+        ],
+        "run_id string, qid string, doc_id long, rank long",
+    )
+    out = rt.condorcet_fuse(runs, pool_k=3, topk=10).collect()
+    q1 = {r["doc_id"]: (r["copeland"], r["rank"])
+          for r in out if r["qid"] == "q1"}
+    assert q1 == {1: (3, 1), 2: (1, 2), 4: (-1, 3), 3: (-3, 4)}
+    q2 = {r["doc_id"]: (r["copeland"], r["rank"])
+          for r in out if r["qid"] == "q2"}
+    assert q2 == {1: (0, 1), 2: (0, 2)}
+
+
 def test_ltr_features_consistent_with_scorers(spark, index):
     """The bm25/lmdir feature columns equal the dedicated scorers'
     outputs for the same candidates; integer features hand-check."""
