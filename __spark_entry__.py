@@ -5331,6 +5331,60 @@ FROM rk
 """
 
 
+_PBM_Q, _PBM_D, _PBM_POS, _PBM_ITERS = 8, 25, 5, 2
+
+
+def _click_model_sql() -> str:
+    """Replays evaluation.pbm_click_model over the deterministic
+    impression log derived from events (qid = user_id%Q, doc =
+    event_id%D, pos = pmod(mix(event_id),P)+1, clicked = event_type =
+    'click'): the combo collapse, then _PBM_ITERS EM rounds generated
+    from the same constant so both engines run the identical chain.
+    Posterior expressions are spelled g*(1-r)/(1-g*r) with the same
+    association as the engine."""
+    mix = (
+        "((2654435761 * (event_id % 2147483647) + 2246822519)"
+        " % 2147483647)"
+    )
+    prev_g, prev_r = "g0", "r0"
+    iters = []
+    for i in range(1, _PBM_ITERS + 1):
+        iters.append(f"""
+j{i} AS (
+  SELECT c.pos, c.qid, c.doc, c.clicked, c.n,
+         CASE WHEN c.clicked THEN 1.0
+              ELSE gg.g * (1.0 - rr.r) / (1.0 - gg.g * rr.r) END AS pe,
+         CASE WHEN c.clicked THEN 1.0
+              ELSE rr.r * (1.0 - gg.g) / (1.0 - gg.g * rr.r) END AS pr
+  FROM combos c JOIN {prev_g} gg USING (pos)
+  JOIN {prev_r} rr USING (qid, doc)
+),
+g{i} AS (SELECT pos, sum(n * pe) / sum(n) AS g FROM j{i} GROUP BY 1),
+r{i} AS (SELECT qid, doc, sum(n * pr) / sum(n) AS r
+         FROM j{i} GROUP BY 1, 2)""")
+        prev_g, prev_r = f"g{i}", f"r{i}"
+    return f"""
+WITH imp AS (
+  SELECT 'q' || (user_id % {_PBM_Q}) AS qid,
+         event_id % {_PBM_D} AS doc,
+         ({mix} % {_PBM_POS}) + 1 AS pos,
+         event_type = 'click' AS clicked
+  FROM events
+),
+combos AS (SELECT pos, qid, doc, clicked, count(*)::BIGINT AS n
+           FROM imp GROUP BY 1, 2, 3, 4),
+g0 AS (SELECT DISTINCT pos, 0.5 AS g FROM combos),
+r0 AS (SELECT DISTINCT qid, doc, 0.5 AS r FROM combos),
+{','.join(iters)}
+SELECT c.pos, c.n_impressions, c.n_clicks,
+       round(gg.g, 4) AS gamma
+FROM (SELECT pos, sum(n)::BIGINT AS n_impressions,
+             sum(CASE WHEN clicked THEN n ELSE 0 END)::BIGINT AS n_clicks
+      FROM combos GROUP BY 1) c
+JOIN {prev_g} gg USING (pos)
+"""
+
+
 _FRIEDMAN_K = 3  # systems compared by the Friedman gate
 
 
@@ -7971,6 +8025,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("chi2_f", 4).alias("chi2_f"),
         )
 
+    def click_model_pbm(spark, sf):
+        # PBM click-model EM (2 rounds) over the deterministic
+        # impression log derived from events; examination propensity
+        # per position
+        from luc4ir_spark.functions.hashing import mix_id_expr
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        imp = ev_df.select(
+            F.concat(
+                F.lit("q"),
+                (F.col("user_id") % _PBM_Q).cast("string"),
+            ).alias("qid"),
+            (F.col("event_id") % _PBM_D).alias("doc_id"),
+            (
+                F.pmod(mix_id_expr(F.col("event_id")), F.lit(_PBM_POS))
+                + 1
+            ).alias("pos"),
+            (F.col("event_type") == "click").alias("clicked"),
+        )
+        gamma, _rel = ev.pbm_click_model(imp, n_iter=_PBM_ITERS)
+        return gamma.select(
+            "pos", "n_impressions", "n_clicks",
+            F.round("gamma", 4).alias("gamma"),
+        )
+
     def snippets(spark, sf):
         # simplified highlighter: window around the earliest query-term
         # occurrence in each BM25 hit
@@ -8580,6 +8659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facets": range_facets,
         "run_wilcoxon": run_wilcoxon,
         "run_friedman": run_friedman,
+        "click_model_pbm": click_model_pbm,
         "span_not": span_not,
         "block_join": block_join,
         "block_join_total": block_join_total,
@@ -8847,6 +8927,7 @@ def oracle_sql() -> dict[str, str]:
         "range_facets": _range_facets_sql(),
         "run_wilcoxon": _run_wilcoxon_sql(),
         "run_friedman": _run_friedman_sql(),
+        "click_model_pbm": _click_model_sql(),
         "span_not": _span_not_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),

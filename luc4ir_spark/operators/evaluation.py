@@ -628,6 +628,108 @@ def friedman_test(
     )
 
 
+def pbm_click_model(
+    impressions: DataFrame,
+    n_iter: int = 2,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    click_col: str = "clicked",
+) -> tuple:
+    """Position-Based Model click debiasing via EM (Craswell et al.
+    WSDM'08 propose PBM; Chuklin, Markov & de Rijke's "Click Models
+    for Web Search" ch. 4 gives the EM updates). P(click) = γ_pos ·
+    r_(q,d); both start at 0.5 and alternate:
+
+      E-step (unclicked): P(E|C=0) = γ(1−r)/(1−γr),
+                          P(R|C=0) = r(1−γ)/(1−γr);  clicked ⇒ both 1
+      M-step: γ_pos = Σ n·P(E) / Σ n over impressions at pos,
+              r_qd  = Σ n·P(R) / Σ n over impressions of (q,d)
+
+    The input log is first collapsed to (pos, qid, doc, clicked) combos
+    with integer counts — the EM statistics are identical and each
+    iteration then joins/aggregates combo-sized data, not the raw log
+    (at 100 TB the log collapses by the dedup factor of repeated
+    impressions; the per-iteration shuffle keys are pos — tiny,
+    broadcast — and (q,d) — the natural partition key). The combo
+    relation and each iteration's γ/r are localCheckpoint'ed
+    (GC-scoped) so the loop's plan stays linear instead of doubling
+    per iteration. Returns ``(gamma_df, rel_df)``:
+    gamma_df = (pos, n_impressions, n_clicks, gamma),
+    rel_df = (qid, doc, n_impressions, n_clicks, rel)."""
+    c = impressions.select(
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(qid_col).alias("qid"),
+        F.col(doc_col).alias("doc"),
+        F.col(click_col).cast("boolean").alias("clicked"),
+    )
+    combos = (
+        c.groupBy("pos", "qid", "doc", "clicked")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    gamma = combos.select("pos").distinct().withColumn("g", F.lit(0.5))
+    rel = (
+        combos.select("qid", "doc").distinct().withColumn("r", F.lit(0.5))
+    )
+    for _ in range(int(n_iter)):
+        denom = F.lit(1.0) - F.col("g") * F.col("r")
+        j = (
+            combos.join(F.broadcast(gamma), "pos")
+            .join(rel, ["qid", "doc"])
+            .withColumn(
+                "_pe",
+                F.when(F.col("clicked"), F.lit(1.0)).otherwise(
+                    F.col("g") * (F.lit(1.0) - F.col("r")) / denom
+                ),
+            )
+            .withColumn(
+                "_pr",
+                F.when(F.col("clicked"), F.lit(1.0)).otherwise(
+                    F.col("r") * (F.lit(1.0) - F.col("g")) / denom
+                ),
+            )
+        )
+        gamma = (
+            j.groupBy("pos")
+            .agg(
+                (
+                    F.sum(F.col("n") * F.col("_pe")) / F.sum("n")
+                ).alias("g")
+            )
+            .localCheckpoint(eager=False)
+        )
+        rel = (
+            j.groupBy("qid", "doc")
+            .agg(
+                (
+                    F.sum(F.col("n") * F.col("_pr")) / F.sum("n")
+                ).alias("r")
+            )
+            .localCheckpoint(eager=False)
+        )
+    pos_counts = combos.groupBy("pos").agg(
+        F.sum("n").cast("long").alias("n_impressions"),
+        F.sum(F.when(F.col("clicked"), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_clicks"),
+    )
+    qd_counts = combos.groupBy("qid", "doc").agg(
+        F.sum("n").cast("long").alias("n_impressions"),
+        F.sum(F.when(F.col("clicked"), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_clicks"),
+    )
+    gamma_df = pos_counts.join(gamma, "pos").select(
+        "pos", "n_impressions", "n_clicks", F.col("g").alias("gamma")
+    )
+    rel_df = qd_counts.join(rel, ["qid", "doc"]).select(
+        "qid", "doc", "n_impressions", "n_clicks",
+        F.col("r").alias("rel"),
+    )
+    return gamma_df, rel_df
+
+
 def rbo_weights(k: int, p: float) -> list[float]:
     """Per-first-shared-depth RBO weights: a doc whose LATER rank
     across the two lists is m contributes Σ_{d=m..k} (1-p)·p^(d-1)/d

@@ -514,6 +514,38 @@ def test_friedman_hand_computed(spark):
         assert r["chi2_f"] == pytest.approx(1.125)
 
 
+def test_pbm_click_model_hand_computed(spark):
+    """Tiny log: (q,d1,pos1,click)x2, (q,d1,pos2,no), (q,d2,pos1,no).
+    Iter 1 (g=r=0.5): unclicked posterior = 1/3 ->
+      gamma = {p1: 7/9, p2: 1/3}, rel = {d1: 7/9, d2: 1/3}.
+    Iter 2: unclicked pe/pr both land on exactly 0.7 (d2@p1 pe:
+      (7/9·2/3)/(20/27) = 0.7) and 0.1 ->
+      gamma = {p1: 0.9, p2: 0.1}, rel = {d1: 0.9, d2: 0.1}."""
+    imp = spark.createDataFrame(
+        [
+            ("q", 1, 1, True), ("q", 1, 1, True),
+            ("q", 1, 2, False), ("q", 2, 1, False),
+        ],
+        "qid string, doc_id long, pos long, clicked boolean",
+    )
+    g1, r1 = ev.pbm_click_model(imp, n_iter=1)
+    got_g1 = {r["pos"]: r for r in g1.collect()}
+    assert got_g1[1]["gamma"] == pytest.approx(7 / 9)
+    assert got_g1[2]["gamma"] == pytest.approx(1 / 3)
+    assert got_g1[1]["n_impressions"] == 3
+    assert got_g1[1]["n_clicks"] == 2
+    got_r1 = {r["doc"]: r["rel"] for r in r1.collect()}
+    assert got_r1[1] == pytest.approx(7 / 9)
+    assert got_r1[2] == pytest.approx(1 / 3)
+    g2, r2 = ev.pbm_click_model(imp, n_iter=2)
+    got_g2 = {r["pos"]: r["gamma"] for r in g2.collect()}
+    assert got_g2[1] == pytest.approx(0.9)
+    assert got_g2[2] == pytest.approx(0.1)
+    got_r2 = {r["doc"]: r["rel"] for r in r2.collect()}
+    assert got_r2[1] == pytest.approx(0.9)
+    assert got_r2[2] == pytest.approx(0.1)
+
+
 def test_risk_metric_hand_computed(spark):
     """Deltas {+0.2, -0.1, 0}: URisk_1 = (0.2 - 2*0.1)/3 = 0."""
     a = spark.createDataFrame(
