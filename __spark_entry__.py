@@ -5331,6 +5331,45 @@ FROM rk
 """
 
 
+_DSIR_B, _DSIR_ALPHA, _DSIR_TOPN = 16, 0.5, 20
+_DSIR_TARGET = "src1"  # the in-domain subset the DSIR gate targets
+
+
+def _dsir_select_sql() -> str:
+    """Replays textstats.dsir_select: md5-60bit unigram buckets,
+    add-alpha smoothed target/raw bucket LMs, per-doc tf-weighted
+    log-ratio, top-n by the 4dp-rounded weight (doc_id tie-break)."""
+    a = repr(float(_DSIR_ALPHA))
+    ab = repr(float(_DSIR_ALPHA * _DSIR_B))
+    return f"""
+WITH {_TOKS}, {_TF},
+tgt AS (SELECT doc_id, source = '{_DSIR_TARGET}' AS is_tgt
+        FROM documents),
+fb AS (SELECT tf.doc_id, tf.tf, g.is_tgt,
+              ('0x' || substr(md5(tf.term), 1, 15))::BIGINT
+                % {_DSIR_B} AS bucket
+       FROM tf JOIN tgt g USING (doc_id)),
+bc AS (SELECT bucket, sum(tf)::BIGINT AS raw_cnt,
+              sum(CASE WHEN is_tgt THEN tf ELSE 0 END)::BIGINT AS tgt_cnt
+       FROM fb GROUP BY 1),
+tot AS (SELECT sum(raw_cnt)::BIGINT AS raw_total,
+               sum(tgt_cnt)::BIGINT AS tgt_total FROM bc),
+lr AS (SELECT bucket,
+              ln((tgt_cnt + {a}) / (tgt_total + {ab}))
+              - ln((raw_cnt + {a}) / (raw_total + {ab})) AS lr
+       FROM bc CROSS JOIN tot),
+w AS (SELECT fb.doc_id, sum(fb.tf)::BIGINT AS n_tokens,
+             round(sum(fb.tf * lr.lr), 4) AS log_weight
+      FROM fb JOIN lr USING (bucket) GROUP BY 1),
+r AS (SELECT doc_id, n_tokens, log_weight,
+             row_number() OVER (ORDER BY log_weight DESC,
+                                doc_id ASC)::BIGINT AS rank
+      FROM w)
+SELECT doc_id, n_tokens, rank, log_weight
+FROM r WHERE rank <= {_DSIR_TOPN}
+"""
+
+
 _PBM_Q, _PBM_D, _PBM_POS, _PBM_ITERS = 8, 25, 5, 2
 
 
@@ -7663,6 +7702,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def dsir_select(spark, sf):
+        # DSIR importance-resampling selection: hashed-unigram
+        # target/raw LMs, per-doc log-ratio weight, top-n keep set
+        docs = _docs(spark, sf).withColumn(
+            "is_target", F.col("source") == _DSIR_TARGET
+        )
+        return ts.dsir_select(
+            docs,
+            n_buckets=_DSIR_B,
+            alpha=_DSIR_ALPHA,
+            topn=_DSIR_TOPN,
+            content_col="text",
+        )
+
     def quality_filter(spark, sf):
         return ts.quality_filter(_docs(spark, sf), content_col="text")
 
@@ -8660,6 +8713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_wilcoxon": run_wilcoxon,
         "run_friedman": run_friedman,
         "click_model_pbm": click_model_pbm,
+        "dsir_select": dsir_select,
         "span_not": span_not,
         "block_join": block_join,
         "block_join_total": block_join_total,
@@ -8928,6 +8982,7 @@ def oracle_sql() -> dict[str, str]:
         "run_wilcoxon": _run_wilcoxon_sql(),
         "run_friedman": _run_friedman_sql(),
         "click_model_pbm": _click_model_sql(),
+        "dsir_select": _dsir_select_sql(),
         "span_not": _span_not_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),

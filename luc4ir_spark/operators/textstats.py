@@ -793,6 +793,102 @@ def classifier_score(
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    n_buckets: int = 16,
+    alpha: float = 0.5,
+    topn: int = 10,
+    target_col: str = "is_target",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. NeurIPS'23, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log importance ratio of a TARGET distribution
+    (the in-domain subset flagged by ``target_col``) to the RAW corpus
+    distribution, both estimated over hashed unigram buckets, then keep
+    the ``topn`` highest-weight documents:
+
+      log w(d) = Σ_t tf(t,d) · [ ln p̂_tgt(b(t)) − ln p̂_raw(b(t)) ]
+
+    with b(t) = md5-60bit(t) mod ``n_buckets`` (the repo's portable
+    string hash — identical in Spark `conv` and DuckDB hex-cast) and
+    add-``alpha`` smoothing p̂(b) = (cnt_b + α)/(total + α·B). Xie et
+    al. sample from softmax weights; the deterministic top-n variant
+    here is their "top-k heuristic" baseline (§4.1). Weights are
+    rounded to 4dp BEFORE ranking (ties break doc_id ASC) so the keep
+    set is engine-stable. -> (doc_id, n_tokens, rank, log_weight).
+
+    Plan shape: one tf explode + map-side-combined groupBy (the index
+    build's silhouette), bucket stats are a B-row relation joined back
+    as a BROADCAST, and the top-n is orderBy+limit —
+    TakeOrderedAndProject (per-partition heaps, driver merges topn
+    rows), never a global window over the corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(target_col).cast("boolean").alias("_tgt"),
+        simple_tokens(content_col).alias("_toks"),
+    )
+    flat = (
+        toks.select(
+            "doc_id", "_tgt", F.explode("_toks").alias("term")
+        )
+        .groupBy("doc_id", "_tgt", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.expr("conv(substr(md5(term), 1, 15), 16, 10)")
+                .cast("long"),
+                F.lit(int(n_buckets)),
+            ),
+        )
+    )
+    bcnt = flat.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("raw_cnt"),
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tgt_cnt"),
+    )
+    tot = bcnt.agg(
+        F.sum("raw_cnt").cast("long").alias("raw_total"),
+        F.sum("tgt_cnt").cast("long").alias("tgt_total"),
+    )
+    a, ab = float(alpha), float(alpha * n_buckets)
+    lr = bcnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("tgt_cnt") + F.lit(a))
+                / (F.col("tgt_total") + F.lit(ab))
+            )
+            - F.log(
+                (F.col("raw_cnt") + F.lit(a))
+                / (F.col("raw_total") + F.lit(ab))
+            )
+        ).alias("lr"),
+    )
+    w = (
+        flat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lr")), 4).alias(
+                "log_weight"
+            ),
+        )
+    )
+    sel = w.orderBy(
+        F.col("log_weight").desc(), F.col("doc_id").asc()
+    ).limit(int(topn))
+    rank_w = Window.orderBy(
+        F.col("log_weight").desc(), F.col("doc_id").asc()
+    )
+    return sel.withColumn(
+        "rank", F.row_number().over(rank_w).cast("long")
+    ).select("doc_id", "n_tokens", "rank", "log_weight")
+
+
 def readability(
     docs: DataFrame,
     content_col: str = "content",

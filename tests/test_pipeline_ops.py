@@ -1231,6 +1231,65 @@ def test_classifier_score_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dsir_select_pure_python_replay(spark):
+    """Replays dsir_select exactly in pure Python (same md5-60bit
+    buckets, same smoothing, same rounded ordering) and checks the
+    full selection; also sanity: a doc made purely of target-heavy
+    tokens must outrank one sharing no token with the target."""
+    import hashlib
+    import math
+    import re
+
+    texts = {
+        0: ("aaa aaa bbb", True),
+        1: ("aaa bbb", False),
+        2: ("ccc ccc", False),
+        3: ("aaa aaa aaa", False),
+    }
+    docs = spark.createDataFrame(
+        [(d, t, tgt) for d, (t, tgt) in texts.items()],
+        "doc_id long, content string, is_target boolean",
+    )
+    B, alpha = 4, 0.5
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % B
+
+    raw, tgt = {}, {}
+    per_doc = {}
+    for d, (t, is_t) in texts.items():
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        tf = {}
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+        per_doc[d] = tf
+        for w, n in tf.items():
+            raw[bucket(w)] = raw.get(bucket(w), 0) + n
+            if is_t:
+                tgt[bucket(w)] = tgt.get(bucket(w), 0) + n
+    rt_, tt = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.log((tgt.get(b, 0) + alpha) / (tt + alpha * B))
+        - math.log((raw[b] + alpha) / (rt_ + alpha * B))
+        for b in raw
+    }
+    exp = {
+        d: round(sum(n * lr[bucket(w)] for w, n in tf.items()), 4)
+        for d, tf in per_doc.items()
+    }
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    out = textstats.dsir_select(
+        docs, n_buckets=B, alpha=alpha, topn=4
+    ).collect()
+    got = sorted(out, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == order
+    for r in got:
+        assert r["log_weight"] == pytest.approx(exp[r["doc_id"]])
+        assert r["n_tokens"] == sum(per_doc[r["doc_id"]].values())
+    # the weights genuinely separate docs (not all in one tie group)
+    assert len(set(exp.values())) > 1
+
+
 def test_readability_hand_computed(spark):
     """Flesch components against hand counts: vowel-group syllables,
     vowel-less words counting 1, [.!?]+ runs collapsing to one
