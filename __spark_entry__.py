@@ -993,6 +993,61 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+_LTR_L2 = 1.0
+
+
+def _ltr_train_sql() -> str:
+    """Replays retrieval.ltr_train_ridge over the ltr_features
+    candidates labeled by the pseudo qrels: sufficient statistics in
+    one aggregate, 2x2 ridge solve and statistics-only MSE as stepwise
+    projections with the engine's exact float64 associations."""
+    lam = repr(float(_LTR_L2))
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_QRELS_SQL},
+feat AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS x1,
+         sum( greatest(ln(1.0 + tf.tf / ({MU} * dft.cf / s.total_tokens))
+              + ln({MU} / (dl.doc_len + {MU})), 0.0) ) AS x2
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT qid, doc_id, x1, x2 FROM (
+    SELECT qid, doc_id, x1, x2,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY x1 DESC, doc_id ASC)::BIGINT AS rank
+    FROM feat) WHERE rank <= {TOPK}
+),
+lab AS (
+  SELECT c.x1, c.x2,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS y
+  FROM cand c LEFT JOIN qrels qr
+    ON c.qid = qr.qid AND c.doc_id = qr.docid
+),
+st AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(x1 * y) AS b1, sum(x2 * y) AS b2, sum(y * y) AS syy
+  FROM lab
+),
+p1 AS (SELECT *, s11 + {lam} AS s11p, s22 + {lam} AS s22p FROM st),
+p2 AS (SELECT *, s11p * s22p - s12 * s12 AS det FROM p1),
+p3 AS (SELECT *,
+              (s22p * b1 - s12 * b2) / det AS w1,
+              (s11p * b2 - s12 * b1) / det AS w2
+       FROM p2)
+SELECT n, round(w1, 4) AS w1, round(w2, 4) AS w2,
+       round((syy - 2.0 * (w1 * b1 + w2 * b2)
+              + (w1 * w1 * s11 + 2.0 * (w1 * w2 * s12)
+                 + w2 * w2 * s22)) / n::DOUBLE, 4) AS mse
+FROM p3
+"""
+
+
 def _borda_fuse_sql() -> str:
     """Replays borda_fuse over the bm25 + lmdir top-k runs: each run
     awards TOPK - rank + 1 points, absent docs get nothing,
@@ -6141,6 +6196,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "doc_id", "rank", "borda"
         )
 
+    def ltr_train(spark, sf):
+        # closed-form 2-feature ridge over the LTR feature log labeled
+        # by the pseudo qrels: sufficient-statistics aggregate + 2x2
+        # solve, statistics-only MSE
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        feats = rt.ltr_features(idx, qt, k=TOPK)
+        qrels = _pseudo_qrels(spark, sf)
+        labeled = (
+            feats.withColumn("docid", F.col("doc_id").cast("string"))
+            .join(qrels, ["qid", "docid"], "left")
+            .withColumn(
+                "label",
+                F.when(
+                    F.coalesce(F.col("rel"), F.lit(0.0)) >= 1.0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        out = rt.ltr_train_ridge(
+            labeled, feature_cols=("bm25", "lmdir"),
+            label_col="label", l2=_LTR_L2,
+        )
+        return out.select(
+            "n",
+            F.round("w1", 4).alias("w1"),
+            F.round("w2", 4).alias("w2"),
+            F.round("mse", 4).alias("mse"),
+        )
+
     def condorcet_fuse(spark, sf):
         # Copeland/Condorcet fusion of the bm25 + lmdir + classic
         # runs: strict duel-win majority, wins − losses, all-integer
@@ -8688,6 +8773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comb_fuse": comb_fuse,
         "borda_fuse": borda_fuse,
         "condorcet_fuse": condorcet_fuse,
+        "ltr_train": ltr_train,
         "zscore_fuse": zscore_fuse,
         "ltr_features": ltr_features,
         "eval_macro": eval_macro,
@@ -8959,6 +9045,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_fuse": _comb_fuse_sql(method="zsum"),
         "borda_fuse": _borda_fuse_sql(),
         "condorcet_fuse": _condorcet_fuse_sql(),
+        "ltr_train": _ltr_train_sql(),
         "ltr_features": _ltr_features_sql(),
         "eval_macro": _eval_macro_sql(),
         "bm25_plus": _bm25_plus_sql(),

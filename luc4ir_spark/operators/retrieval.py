@@ -2573,6 +2573,70 @@ def rrf_fuse(
     ).filter(F.col("rank") <= topk)
 
 
+def ltr_train_ridge(
+    features: DataFrame,
+    feature_cols: tuple = ("bm25", "lmdir"),
+    label_col: str = "label",
+    l2: float = 1.0,
+) -> DataFrame:
+    """Pointwise LTR training as closed-form two-feature ridge
+    regression (regularized least squares — the classic pointwise
+    baseline in Liu's "Learning to Rank for IR" survey, §2.2): solve
+    (XᵀX + λI)w = Xᵀy for the feature table's two columns and report
+    the weights plus the training MSE.
+
+    Distribution shape: the ONLY corpus-sized work is one map-side-
+    combined scalar aggregate producing the sufficient statistics
+    (n, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, Σy²); the 2×2 solve and the MSE
+    (computed FROM the statistics — yᵀy − 2wᵀb + wᵀSw — so there is no
+    second pass over the data) are a one-row projection. This is the
+    same pattern a 1000-executor ranker trainer wants: ship sufficient
+    statistics, not rows. No intercept term (add a constant feature
+    upstream if needed); λ is added to the diagonal only.
+    -> one row (n, w1, w2, mse)."""
+    f1, f2 = feature_cols
+    x1, x2, y = F.col(f1), F.col(f2), F.col(label_col)
+    stats = features.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * y).alias("b1"),
+        F.sum(x2 * y).alias("b2"),
+        F.sum(y * y).alias("syy"),
+    )
+    lam = float(l2)
+    # stepwise projections keep the float64 expression shape identical
+    # to the SQL replay (same associations, same literal spellings)
+    s1 = stats.withColumn(
+        "s11p", F.col("s11") + F.lit(lam)
+    ).withColumn("s22p", F.col("s22") + F.lit(lam))
+    s2 = s1.withColumn(
+        "det",
+        F.col("s11p") * F.col("s22p") - F.col("s12") * F.col("s12"),
+    )
+    s3 = s2.withColumn(
+        "w1",
+        (F.col("s22p") * F.col("b1") - F.col("s12") * F.col("b2"))
+        / F.col("det"),
+    ).withColumn(
+        "w2",
+        (F.col("s11p") * F.col("b2") - F.col("s12") * F.col("b1"))
+        / F.col("det"),
+    )
+    mse = (
+        F.col("syy")
+        - F.lit(2.0)
+        * (F.col("w1") * F.col("b1") + F.col("w2") * F.col("b2"))
+        + (
+            F.col("w1") * F.col("w1") * F.col("s11")
+            + F.lit(2.0) * (F.col("w1") * F.col("w2") * F.col("s12"))
+            + F.col("w2") * F.col("w2") * F.col("s22")
+        )
+    ) / F.col("n").cast("double")
+    return s3.select("n", "w1", "w2", mse.alias("mse"))
+
+
 def condorcet_fuse(
     runs: DataFrame,
     pool_k: int,

@@ -1856,6 +1856,25 @@ def test_borda_fuse_hand_computed(spark):
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
 
 
+def test_ltr_train_ridge_hand_computed(spark):
+    """2x2 ridge vs hand arithmetic: X = [(1,0),(0,1),(1,1),(2,1)],
+    y = (1,0,1,1), lambda=1 -> S+I = [[7,3],[3,4]], b = (4,2),
+    det 19, w = (10/19, 2/19); MSE from the statistics identity
+    = 143/1444."""
+    feats = spark.createDataFrame(
+        [(1.0, 0.0, 1.0), (0.0, 1.0, 0.0),
+         (1.0, 1.0, 1.0), (2.0, 1.0, 1.0)],
+        "x1 double, x2 double, y double",
+    )
+    row = rt.ltr_train_ridge(
+        feats, feature_cols=("x1", "x2"), label_col="y", l2=1.0
+    ).collect()[0]
+    assert row["n"] == 4
+    assert row["w1"] == pytest.approx(10 / 19, rel=1e-12)
+    assert row["w2"] == pytest.approx(2 / 19, rel=1e-12)
+    assert row["mse"] == pytest.approx(143 / 1444, rel=1e-9)
+
+
 def test_condorcet_fuse_hand_computed(spark):
     """Copeland over 3 voters, pool_k=3 (absent = rank 4):
     q1 ranks A:(d1,d2,d3) B:(d2,d1,d4) C:(d1,d4,d2) ->
