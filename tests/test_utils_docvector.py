@@ -106,14 +106,20 @@ def test_samplers(spark):
         for r in uo.sample_uniform(df.repartition(7), 10, seed=1).collect()
     )
     assert a == c
-    s2 = uo.sample_weighted(df, 20, "w", seed=3)
+    s2 = uo.sample_weighted(df, 20, "w", id_col="id", seed=3)
     assert s2.count() == 20
-    # plan shape: distributed top-n, no single-partition window/sort
+    # plan shape: distributed top-n for both samplers
     for sample in (uo.sample_uniform(df, 10, seed=1),
-                   uo.sample_weighted(df, 20, "w", seed=3)):
+                   uo.sample_weighted(df, 20, "w", id_col="id", seed=3)):
         plan = sample._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
-        assert "Window" not in plan
+    # the uniform sampler is windowless; the weighted sampler's rank
+    # window is AFTER the limit, so it only ever sees the n survivors
+    plan_u = (
+        uo.sample_uniform(df, 10, seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan_u
 
 
 def test_quantize_doc_len(spark):
