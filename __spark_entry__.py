@@ -5386,6 +5386,38 @@ FROM rk
 """
 
 
+_LB_MAX = 1024
+
+
+def _length_buckets_sql() -> str:
+    """Replays textstats.length_buckets: the same literal power-of-two
+    CASE chain (generated from _LB_MAX on both engines), integer
+    padding arithmetic, one 4dp division."""
+    bounds, b = [], 1
+    while b < _LB_MAX:
+        bounds.append(b)
+        b *= 2
+    case = (
+        "CASE "
+        + " ".join(f"WHEN doc_len <= {bd} THEN {bd}" for bd in bounds)
+        + f" ELSE {b} END"
+    )
+    return f"""
+WITH {_TOKS}, {_DL},
+pd AS (SELECT doc_id, least(doc_len, {b})::BIGINT AS doc_len,
+              ({case})::BIGINT AS bucket_len FROM dl
+       WHERE doc_len > 0),
+g AS (SELECT bucket_len, count(*)::BIGINT AS n_docs,
+             sum(doc_len)::BIGINT AS total_tokens
+      FROM pd GROUP BY 1)
+SELECT bucket_len, n_docs, total_tokens,
+       (n_docs * bucket_len - total_tokens)::BIGINT AS total_padding,
+       round(total_tokens::DOUBLE / (n_docs * bucket_len)::DOUBLE, 4)
+         AS efficiency
+FROM g
+"""
+
+
 _DSIR_B, _DSIR_ALPHA, _DSIR_TOPN = 16, 0.5, 20
 _DSIR_TARGET = "src1"  # the in-domain subset the DSIR gate targets
 
@@ -7787,6 +7819,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def length_buckets(spark, sf):
+        # power-of-two padding buckets + per-bucket padding efficiency
+        out = ts.length_buckets(
+            _docs(spark, sf), max_len=_LB_MAX, content_col="text"
+        )
+        return out.select(
+            "bucket_len", "n_docs", "total_tokens", "total_padding",
+            F.round("efficiency", 4).alias("efficiency"),
+        )
+
     def dsir_select(spark, sf):
         # DSIR importance-resampling selection: hashed-unigram
         # target/raw LMs, per-doc log-ratio weight, top-n keep set
@@ -8800,6 +8842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_friedman": run_friedman,
         "click_model_pbm": click_model_pbm,
         "dsir_select": dsir_select,
+        "length_buckets": length_buckets,
         "span_not": span_not,
         "block_join": block_join,
         "block_join_total": block_join_total,
@@ -9070,6 +9113,7 @@ def oracle_sql() -> dict[str, str]:
         "run_friedman": _run_friedman_sql(),
         "click_model_pbm": _click_model_sql(),
         "dsir_select": _dsir_select_sql(),
+        "length_buckets": _length_buckets_sql(),
         "span_not": _span_not_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),

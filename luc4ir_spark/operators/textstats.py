@@ -793,6 +793,72 @@ def classifier_score(
     )
 
 
+def length_buckets(
+    docs: DataFrame,
+    max_len: int = 65536,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching — the
+    standard training-pipeline layout when sequences are padded to the
+    nearest power-of-two bucket (dynamic batching à la tensor2tensor /
+    fairseq `--required-batch-size-multiple` bucketing): every doc is
+    assigned bucket_len = smallest power of two >= its simple-token
+    count (zero-token docs drop; docs longer than ``max_len`` clamp
+    into the top bucket and their counted tokens TRUNCATE to it — the
+    usual max-sequence-length cut), and per bucket we report how much
+    of the padded tensor is real data:
+
+      efficiency = total_tokens / (n_docs · bucket_len)
+
+    The bucket assignment is a LITERAL CASE chain generated from
+    ``max_len`` (all-integer — no log2 float hazard: log2 of a
+    power of two is not reliably exact across engines) and the report
+    is one map-side-combined groupBy over ~log2(max_len) keys.
+    -> (bucket_len, n_docs, total_tokens, total_padding, efficiency)."""
+    n = F.size(simple_tokens(content_col)).cast("long")
+    bounds = []
+    b = 1
+    while b < int(max_len):
+        bounds.append(b)
+        b *= 2
+    bounds.append(b)
+    nn = F.col("_n")
+    bucket = F.lit(int(bounds[-1]))  # clamp: everything above tops out
+    for bd in reversed(bounds[:-1]):
+        bucket = F.when(nn <= F.lit(bd), F.lit(bd)).otherwise(bucket)
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            F.least(F.col("_n"), F.lit(int(bounds[-1])))
+            .cast("long")
+            .alias("_n"),
+            bucket.cast("long").alias("bucket_len"),
+        )
+    )
+    return (
+        per_doc.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket_len") - F.col("total_tokens"))
+            .cast("long")
+            .alias("total_padding"),
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_len")).cast("double")
+            ).alias("efficiency"),
+        )
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     n_buckets: int = 16,

@@ -1231,6 +1231,33 @@ def test_classifier_score_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_length_buckets_hand_computed(spark):
+    """Power-of-two buckets: 3 tokens -> 4, 4 -> 4, 5 -> 8, 1 -> 1;
+    docs above max_len clamp to the top bucket and truncate to it;
+    empty docs drop."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"), (1, "a b c d"), (2, "a b c d e"),
+            (3, "a"), (4, ""), (5, " ".join(["x"] * 20)),
+        ],
+        "doc_id long, content string",
+    )
+    out = {r["bucket_len"]: r
+           for r in textstats.length_buckets(docs, max_len=8).collect()}
+    assert set(out) == {1, 4, 8}
+    assert out[1]["n_docs"] == 1 and out[1]["total_padding"] == 0
+    assert out[4]["n_docs"] == 2
+    assert out[4]["total_tokens"] == 7
+    assert out[4]["total_padding"] == 1
+    assert out[4]["efficiency"] == pytest.approx(7 / 8)
+    # doc 2 (5 tokens) and doc 5 (20 tokens -> truncated to 8) share
+    # bucket 8: tokens 5 + 8 = 13, padding 3, efficiency 13/16
+    assert out[8]["n_docs"] == 2
+    assert out[8]["total_tokens"] == 13
+    assert out[8]["total_padding"] == 3
+    assert out[8]["efficiency"] == pytest.approx(13 / 16)
+
+
 def test_dsir_select_pure_python_replay(spark):
     """Replays dsir_select exactly in pure Python (same md5-60bit
     buckets, same smoothing, same rounded ordering) and checks the
