@@ -5386,6 +5386,52 @@ FROM rk
 """
 
 
+_HLL_M, _HLL_W = 64, 48
+
+
+def _hll_distinct_sql() -> str:
+    """Replays sketches.hll_distinct (m=_HLL_M registers, LSB-first
+    rho over _HLL_W bits as a literal CASE chain, alpha/linear-counting
+    constants emitted via repr so both engines share the doubles)."""
+    from luc4ir_spark.operators.sketches import hll_alpha
+
+    m, w = _HLL_M, _HLL_W
+    mf = float(m)
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h2 % {1 << i} = {1 << (i - 1)} THEN {i}"
+            for i in range(1, w + 1)
+        )
+        + f" ELSE {w + 1} END"
+    )
+    num = repr(float(hll_alpha(m)) * mf * mf)
+    return f"""
+WITH k AS (
+  SELECT event_type AS g,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS tid
+  FROM events
+),
+kj AS (SELECT g, tid % {m} AS j, tid // {m} AS h2 FROM k),
+r AS (SELECT g, j, max({rho_case})::BIGINT AS mj FROM kj GROUP BY 1, 2),
+p AS (SELECT g, count(*)::BIGINT AS n_registers,
+             sum(power(2.0, -mj)) AS rsum FROM r GROUP BY 1),
+p2 AS (SELECT g, n_registers, ({m} - n_registers)::BIGINT AS vz, rsum
+       FROM p),
+e AS (SELECT g, n_registers, vz,
+             {num} / (rsum + vz::DOUBLE) AS e_raw FROM p2),
+x AS (SELECT event_type AS g, count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+SELECT e.g AS event_type, e.n_registers, e.vz AS v_zero,
+       round(CASE WHEN e_raw <= {repr(2.5 * mf)} AND vz > 0
+                  THEN {repr(mf)} * ln({repr(mf)} / vz::DOUBLE)
+                  ELSE e_raw END, 4) AS est_distinct,
+       x.n_exact
+FROM e JOIN x USING (g)
+"""
+
+
 _LB_MAX = 1024
 
 
@@ -6519,6 +6565,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bits, probes, "term", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
         )
         return out.select("key", "might_contain")
+
+    def hll_distinct(spark, sf):
+        # per-event-type HyperLogLog distinct users over the portable
+        # md5-60bit hash — deterministic registers, so the oracle
+        # replays the sketch itself; n_exact shows the real error
+        from luc4ir_spark.operators import sketches as sk
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        keyed = ev_df.select(
+            "event_type", F.col("user_id").cast("string").alias("key")
+        )
+        est = sk.hll_distinct(
+            keyed, "key", group_col="event_type", m=_HLL_M, w=_HLL_W
+        )
+        exact = ev_df.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact")
+        )
+        return est.join(exact, "event_type").select(
+            "event_type", "n_registers", "v_zero",
+            F.round("est_distinct", 4).alias("est_distinct"),
+            "n_exact",
+        )
 
     def distinct_sketch(spark, sf):
         # per-event-type approximate distinct users via the KMV sketch
@@ -8797,6 +8865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": term_pmi,
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
+        "hll_distinct": hll_distinct,
         "countmin_sketch": countmin_sketch,
         "bloom_membership": bloom_membership,
         "event_rollup": event_rollup,
@@ -9069,6 +9138,7 @@ def oracle_sql() -> dict[str, str]:
         "term_pmi": _PMI_SQL,
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
+        "hll_distinct": _hll_distinct_sql(),
         "countmin_sketch": _countmin_sql(),
         "bloom_membership": _bloom_sql(),
         "event_rollup": _ROLLUP_SQL,

@@ -86,6 +86,91 @@ def distinct_kmv_sketch(
 CMS_SALT = 982451653  # second hash stream offset (prime)
 
 
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al.'s bias-correction constant: tabulated for small
+    m, 0.7213/(1 + 1.079/m) for m >= 128. Emitted as a literal into
+    both engines so the estimate arithmetic is shared exactly."""
+    return _HLL_ALPHA.get(int(m), 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_distinct(
+    df,
+    key_col: str,
+    group_col: str | None = None,
+    m: int = 64,
+    w: int = 48,
+):
+    """HyperLogLog distinct-count estimation (Flajolet, Fusy, Gandouet
+    & Meunier, AofA'07) — engine-portable like every sketch here: the
+    hash is the repo's md5-60bit string id, so both engines build the
+    IDENTICAL register file.
+
+        tid  = first 60 bits of md5(key)
+        j    = tid mod m                    (register)
+        h2   = tid div m                    (rank stream)
+        ρ    = position of the LOWEST set bit of h2 within w bits
+               (+1-based; h2 with no set bit in w bits → w+1) —
+               Flajolet's ρ applied LSB-first, valid for any uniform
+               hash direction, and computable as an all-integer
+               literal CASE chain (no float log2)
+        M_j  = max ρ over keys landing in register j
+
+    Estimate: E = α_m·m² / (Σ_present 2^(−M_j) + V), where V = number
+    of never-hit registers (each contributes 2⁻⁰ = 1), with the
+    small-range correction E ≤ 2.5m ∧ V > 0 → m·ln(m/V) (linear
+    counting). -> one row per group:
+    (group?, n_registers, v_zero, est_distinct).
+
+    Scale shape: one map-side-combined max-aggregate to (group, j) —
+    at most m rows per group leave the mappers regardless of input
+    size — then one tiny per-group reduction. Merging shard sketches =
+    max per register (HLL is a lattice), the same union-then-max this
+    plan already performs."""
+    rho_src = F.col("_h2")
+    rho = F.lit(int(w) + 1)
+    for i in range(int(w), 0, -1):
+        rho = F.when(
+            F.pmod(rho_src, F.lit(1 << i)) == F.lit(1 << (i - 1)),
+            F.lit(i),
+        ).otherwise(rho)
+    keyed = df.select(
+        *([F.col(group_col).alias("_g")] if group_col else []),
+        F.expr(f"conv(substr(md5({key_col}), 1, 15), 16, 10)")
+        .cast("long")
+        .alias("_tid"),
+    ).select(
+        *(["_g"] if group_col else []),
+        F.pmod(F.col("_tid"), F.lit(int(m))).cast("long").alias("_j"),
+        F.expr(f"_tid div {int(m)}").alias("_h2"),
+    )
+    regs = keyed.withColumn("_rho", rho.cast("long")).groupBy(
+        *(["_g"] if group_col else []), "_j"
+    ).agg(F.max("_rho").alias("_mj"))
+    per = regs.groupBy(*(["_g"] if group_col else [])).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("_mj"))).alias("_rsum"),
+    )
+    mf = float(m)
+    alpha = float(hll_alpha(m))
+    v = (F.lit(int(m)) - F.col("n_registers")).cast("long")
+    e_raw = F.lit(alpha * mf * mf) / (
+        F.col("_rsum") + v.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * mf)) & (v > 0),
+        F.lit(mf) * F.log(F.lit(mf) / v.cast("double")),
+    ).otherwise(e_raw)
+    cols = ([F.col("_g").alias(group_col)] if group_col else []) + [
+        "n_registers",
+        v.alias("v_zero"),
+        est.alias("est_distinct"),
+    ]
+    return per.select(*cols)
+
+
 def countmin_sketch(
     key_counts: DataFrame,
     key_col: str,
