@@ -4300,6 +4300,72 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+_PQ_M, _PQ_K, _PQ_DIM, _PQ_TOPK = 4, 8, 64, 5
+
+
+def _ann_pq_sql() -> str:
+    """Replays annsearch.pq_adc_topk: lowest-id codebook, per-subspace
+    argmin codes via DuckDB's lexicographic struct min (ties -> lower
+    cid, same as Spark min(struct)), per-query ADC tables, explicit
+    left-associated m-term distance sum, 4dp-rounded ordering."""
+    dsub = _PQ_DIM // _PQ_M
+
+    def l2(a: str, b: str, m: int) -> str:
+        return " + ".join(
+            f"({a}[{m * dsub + i + 1}] - {b}[{m * dsub + i + 1}])"
+            f" * ({a}[{m * dsub + i + 1}] - {b}[{m * dsub + i + 1}])"
+            for i in range(dsub)
+        )
+
+    enc_cols = ",\n         ".join(
+        f"{l2('c.v', 'b.cv', m)} AS d{m}" for m in range(_PQ_M)
+    )
+    code_cols = ", ".join(
+        f"(min(struct_pack(d := d{m}, cid := cid))).cid AS c{m}"
+        for m in range(_PQ_M)
+    )
+    t_cols = ",\n         ".join(
+        f"{l2('q.qv', 'b.cv', m)} AS t{m}" for m in range(_PQ_M)
+    )
+    joins = "\n  ".join(
+        f"JOIN dtab d{m} ON d{m}.query_id = a.query_id"
+        f" AND d{m}.cid = a.c{m}"
+        for m in range(_PQ_M)
+    )
+    adist = " + ".join(f"d{m}.t{m}" for m in range(_PQ_M))
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+book AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id
+         LIMIT {_PQ_K}),
+enc AS (
+  SELECT c.vec_id, b.cid,
+         {enc_cols}
+  FROM c CROSS JOIN book b
+),
+codes AS (SELECT vec_id, {code_cols} FROM enc GROUP BY 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+dtab AS (
+  SELECT q.query_id, b.cid,
+         {t_cols}
+  FROM q CROSS JOIN book b
+),
+a AS (SELECT co.vec_id, qq.query_id, {', '.join(f'co.c{m}' for m in range(_PQ_M))}
+      FROM codes co CROSS JOIN (SELECT query_id FROM q) qq),
+s AS (
+  SELECT a.query_id, a.vec_id, round({adist}, 4) AS adist
+  FROM a
+  {joins}
+),
+r AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY adist ASC, vec_id ASC)::BIGINT AS rank
+  FROM s
+)
+SELECT query_id, vec_id, rank, adist FROM r WHERE rank <= {_PQ_TOPK}
+"""
+
+
 # hybrid RRF: the BM25 run CTEs + an exact-cosine run over literal
 # qid->vec_id query embeddings, fused by 1/(60+rank) sums (absent run
 # contributes 0), re-ranked (rrf DESC, doc_id ASC) — replays
@@ -7810,6 +7876,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def ann_pq_topk(spark, sf):
+        # product-quantization ADC top-k: lowest-id codebook,
+        # per-subspace argmin codes, per-query distance tables
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.pq_adc_topk(
+            emb, queries, k=_PQ_TOPK, m_sub=_PQ_M, n_codes=_PQ_K,
+            dim=_PQ_DIM,
+        )
+        return out.select("query_id", "vec_id", "rank", "adist")
+
     def minhash_lsh_pairs(spark, sf):
         # LSH banding + exact-Jaccard verify; fully deterministic
         # (fixed (a,b) literals + hash shingle ids), so the SQL oracle
@@ -8866,6 +8945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
         "hll_distinct": hll_distinct,
+        "ann_pq_topk": ann_pq_topk,
         "countmin_sketch": countmin_sketch,
         "bloom_membership": bloom_membership,
         "event_rollup": event_rollup,
@@ -9139,6 +9219,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
         "hll_distinct": _hll_distinct_sql(),
+        "ann_pq_topk": _ann_pq_sql(),
         "countmin_sketch": _countmin_sql(),
         "bloom_membership": _bloom_sql(),
         "event_rollup": _ROLLUP_SQL,

@@ -593,6 +593,124 @@ def ivf_cosine_topk(
     )
 
 
+def _sub_l2sq(a, b, start: int, dsub: int):
+    """Squared L2 distance between two array columns over the slice
+    [start, start+dsub) (1-based), spelled as an EXPLICIT left-
+    associated element_at sum — whole-stage-codegen friendly (no HOF
+    lambdas, see the repo's CodegenFallback notes) and bit-identical
+    to the oracle's generated (a[i]-b[i])*(a[i]-b[i]) + ... chain."""
+    expr = None
+    for i in range(dsub):
+        d = F.element_at(a, start + i) - F.element_at(b, start + i)
+        t = d * d
+        expr = t if expr is None else expr + t
+    return expr
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze & Schmid, TPAMI'11, "Product Quantization for
+    Nearest Neighbor Search"): the vector is split into ``m_sub``
+    subvectors, each encoded as the id of its nearest codebook
+    centroid (squared-L2), so a corpus vector becomes m_sub small
+    integers — the representation that makes 10⁹-vector search
+    memory-feasible. Queries stay un-quantized (ADC): per query one
+    (m_sub × n_codes) distance table is computed, and the approximate
+    distance of a corpus vector is the sum of its codes' table
+    entries.
+
+    Codebook: the ``n_codes`` lowest-id corpus vectors' subvectors —
+    DETERMINISTIC (SQL-replayable for the oracle) but not
+    data-adaptive, exactly like `ivf_cosine_topk`'s default; a
+    per-subspace k-means codebook (`train_ivf_centroids` on sliced
+    inputs) plugs into the same plumbing.
+
+    Scale shape: encode = corpus × BROADCAST codebook with per-
+    subspace min(struct(dist, cid)) aggregates — map-side combinable,
+    one shuffle by vector id, ties break to the smaller cid; the codes
+    table is m_sub integers per vector (the ~dim·4/m_sub-fold
+    compression is the point); search = m_sub BROADCAST hash joins of
+    the codes table against the per-query distance tables (Q·n_codes
+    rows each) and a per-query WindowGroupLimit top-k. The approximate
+    distance is an explicit left-associated m_sub-term sum — no
+    fold-order ambiguity — and is rounded to 4dp BEFORE ranking
+    (vec_id tie-break) so the result set is engine-stable.
+    -> (query_id, vec_id, rank, adist)."""
+    dsub = int(dim) // int(m_sub)
+    to_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_d.alias("v")
+    ).localCheckpoint(eager=False)
+    # ^ consumed twice (codebook head + encode scan); HOF exprIds in
+    # the cast chain defeat plan-level reuse without it
+    book = (
+        c.orderBy("vec_id")
+        .limit(int(n_codes))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    enc = c.crossJoin(F.broadcast(book))
+    aggs = [
+        F.min(
+            F.struct(
+                _sub_l2sq(
+                    F.col("v"), F.col("cv"), m * dsub + 1, dsub
+                ).alias("d"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias(f"_a{m}")
+        for m in range(m_sub)
+    ]
+    codes = (
+        enc.groupBy("vec_id")
+        .agg(*aggs)
+        .select(
+            "vec_id",
+            *[F.col(f"_a{m}.cid").alias(f"c{m}") for m in range(m_sub)],
+        )
+    )
+    qd = queries.select(
+        F.col(query_id_col).alias("query_id"), to_d.alias("qv")
+    ).localCheckpoint(eager=False)
+    dtab = qd.crossJoin(F.broadcast(book)).select(
+        "query_id",
+        "cid",
+        *[
+            _sub_l2sq(F.col("qv"), F.col("cv"), m * dsub + 1, dsub)
+            .alias(f"t{m}")
+            for m in range(m_sub)
+        ],
+    )
+    out = codes.crossJoin(F.broadcast(qd.select("query_id")))
+    for m in range(m_sub):
+        dm = dtab.select(
+            "query_id", F.col("cid").alias(f"c{m}"), f"t{m}"
+        )
+        out = out.join(F.broadcast(dm), ["query_id", f"c{m}"])
+    adist = None
+    for m in range(m_sub):
+        tm = F.col(f"t{m}")
+        adist = tm if adist is None else adist + tm
+    scored = out.withColumn("_ad", F.round(adist, 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ad").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.col("_ad").alias("adist"))
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

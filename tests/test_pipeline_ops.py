@@ -387,6 +387,57 @@ def test_ivf_topk(spark, embeddings):
         sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact)
 
 
+def test_pq_adc_topk_numpy_replay(spark):
+    """pq_adc_topk vs a numpy replay of the whole pipeline (lowest-id
+    codebook, per-subspace argmin with lower-cid ties, ADC sum,
+    4dp-rounded ordering) on a small deterministic corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, m_sub, n_codes, k = 8, 2, 4, 3
+    vecs = rng.randn(12, dim).round(2).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = annsearch.pq_adc_topk(
+        df, queries, k=k, m_sub=m_sub, n_codes=n_codes, dim=dim
+    ).collect()
+
+    # numpy replay (float32 parquet round-trip does not apply here:
+    # createDataFrame stores float32, cast back like the engine does)
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    dsub = dim // m_sub
+    book = v32[:n_codes]
+    codes = np.zeros((len(v32), m_sub), dtype=int)
+    for m in range(m_sub):
+        sl = slice(m * dsub, (m + 1) * dsub)
+        d = ((v32[:, None, sl] - book[None, :, sl]) ** 2).sum(axis=2)
+        codes[:, m] = d.argmin(axis=1)  # argmin takes first = lowest cid
+    exp = {}
+    for q in range(3):
+        dt = np.zeros((m_sub, n_codes))
+        for m in range(m_sub):
+            sl = slice(m * dsub, (m + 1) * dsub)
+            dt[m] = ((v32[q, sl] - book[:, sl]) ** 2).sum(axis=1)
+        ad = np.array(
+            [sum(dt[m, codes[i, m]] for m in range(m_sub))
+             for i in range(len(v32))]
+        ).round(4)
+        order = sorted(range(len(v32)), key=lambda i: (ad[i], i))[:k]
+        exp[q] = [(i, ad[i]) for i in order]
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adist"])
+        )
+    for q in range(3):
+        assert [i for i, _ in got[q]] == [i for i, _ in exp[q]]
+        for (gi, ga), (_, ea) in zip(got[q], exp[q]):
+            assert ga == pytest.approx(ea, abs=2e-4)
+
+
 def test_ivf_trained_centroids_recall(spark):
     """pyspark.ml KMeans centroids plugged into the IVF plumbing reach
     recall@5 >= 0.9 at n_probe=4 on clustered data (the regime IVF is
