@@ -4300,6 +4300,73 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+# SimpleQueryParser gate: AND of [term, "phrase", prefix*]; an OR
+# group with a negation; a no-expansion prefix (matches nothing)
+_SQS_QUERIES: list[tuple[str, str]] = [
+    ("s1", 'spark "slow hash" que*'),
+    ("s2", "stream|batch -dup"),
+    ("s3", "zzz*"),
+]
+
+
+def _sqs_sql() -> str:
+    """Replays retrieval.simple_query_string over _SQS_QUERIES
+    structurally: s1 = spark AND phrase(slow hash) AND any(que%-
+    expansion); s2 = (stream OR batch) AND NOT dup; s3 = a prefix with
+    no vocabulary expansion -> zero rows. Scoring = BM25 sum over the
+    matched scoring terms (group members + expansions + phrase words),
+    ranked after the candidate restriction."""
+    contrib = (
+        "ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+        f" * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl))"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM
+      (SELECT doc_id, list_filter(
+         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         x -> x <> '') AS toks FROM documents)),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e),
+ph AS (SELECT DISTINCT p1.doc_id FROM pos p1 JOIN pos p2
+         ON p2.doc_id = p1.doc_id AND p2.p = p1.p + 1
+       WHERE p1.term = 'slow' AND p2.term = 'hash'),
+exp1 AS (SELECT DISTINCT term FROM tf WHERE term LIKE 'que%'),
+docs0 AS (SELECT DISTINCT doc_id FROM tf),
+c1 AS (SELECT d.doc_id FROM docs0 d
+       WHERE EXISTS (SELECT 1 FROM tf t
+                     WHERE t.doc_id = d.doc_id AND t.term = 'spark')
+         AND EXISTS (SELECT 1 FROM tf t JOIN exp1 x ON t.term = x.term
+                     WHERE t.doc_id = d.doc_id)
+         AND EXISTS (SELECT 1 FROM ph WHERE ph.doc_id = d.doc_id)),
+c2 AS (SELECT d.doc_id FROM docs0 d
+       WHERE EXISTS (SELECT 1 FROM tf t WHERE t.doc_id = d.doc_id
+                     AND t.term IN ('stream', 'batch'))
+         AND NOT EXISTS (SELECT 1 FROM tf t
+                         WHERE t.doc_id = d.doc_id AND t.term = 'dup')),
+cand AS (SELECT 's1' AS qid, doc_id FROM c1
+         UNION ALL SELECT 's2', doc_id FROM c2),
+st AS (SELECT 's1' AS qid, 'spark' AS term
+       UNION ALL SELECT 's1', 'slow'
+       UNION ALL SELECT 's1', 'hash'
+       UNION ALL SELECT 's2', 'stream'
+       UNION ALL SELECT 's2', 'batch'
+       UNION ALL SELECT 's1', term FROM exp1),
+scored AS (
+  SELECT q.qid, tf.doc_id, sum({contrib}) AS s_raw
+  FROM st q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+r AS (SELECT sc.qid, sc.doc_id,
+             row_number() OVER (PARTITION BY sc.qid
+                 ORDER BY sc.s_raw DESC, sc.doc_id ASC)::BIGINT AS rank,
+             round(sc.s_raw, 4) AS score
+      FROM scored sc JOIN cand
+        ON cand.qid = sc.qid AND cand.doc_id = sc.doc_id)
+SELECT qid, doc_id, rank, score FROM r WHERE rank <= {TOPK}
+"""
+
+
 _PQ_M, _PQ_K, _PQ_DIM, _PQ_TOPK = 4, 8, 64, 5
 
 
@@ -8441,6 +8508,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "phrase_freq"
         )
 
+    def simple_query_string(spark, sf):
+        # Lucene SimpleQueryParser end-to-end: AND-of-items with OR
+        # groups, prefixes, phrases, negation; BM25 over matched terms
+        idx = _index(spark, sf)
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        out = rt.simple_query_string(
+            idx, pos, _SQS_QUERIES, k=TOPK, cfg=SIMPLE
+        )
+        return out.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
     def sdm_topk(spark, sf):
         # Metzler-Croft sequential dependence model: unigram + #od1 +
         # #uw8 Dirichlet features over the positional index
@@ -8946,6 +9030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": distinct_sketch,
         "hll_distinct": hll_distinct,
         "ann_pq_topk": ann_pq_topk,
+        "simple_query_string": simple_query_string,
         "countmin_sketch": countmin_sketch,
         "bloom_membership": bloom_membership,
         "event_rollup": event_rollup,
@@ -9220,6 +9305,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sketch": _KMV_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        "simple_query_string": _sqs_sql(),
         "countmin_sketch": _countmin_sql(),
         "bloom_membership": _bloom_sql(),
         "event_rollup": _ROLLUP_SQL,

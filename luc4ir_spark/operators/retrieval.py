@@ -211,6 +211,7 @@ def score_queries(
     min_should_match: int = 0,
     after: DataFrame | None = None,
     filter_docs: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Score all queries in one pass -> (qid, doc_id, rank, score).
 
@@ -247,6 +248,13 @@ def score_queries(
     query-independent doc metadata, so at scale it is a pushed-down
     parquet predicate on the docs table feeding this semi-join — left
     unhinted so AQE broadcasts it only when it actually is small.
+    ``candidates``: optional PER-QUERY (qid, doc_id) allowed set —
+    the query-dependent analogue of ``filter_docs`` for composed
+    operators (e.g. simple_query_string's item-satisfaction set):
+    semi-joined on (qid, doc_id) after aggregation, before ranking,
+    scores unaffected. The set is run-shaped (queries × matching
+    docs), already keyed like ``matched`` — a co-partitioned semi
+    join, never a corpus scan.
     """
     sim = sim or Similarity()
     if "weight" not in query_terms.columns:
@@ -324,6 +332,12 @@ def score_queries(
     if filter_docs is not None:
         matched = matched.join(
             filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    if candidates is not None:
+        matched = matched.join(
+            candidates.select("qid", "doc_id").distinct(),
+            ["qid", "doc_id"],
+            "left_semi",
         )
     if exclude_terms is not None:
         excl = (
@@ -1666,6 +1680,180 @@ def boolean_query(
         must_terms=must,
         exclude_terms=excl,
     )
+
+
+def parse_simple_query_string(
+    qid: str, text: str, cfg: AnalyzerConfig | None = None
+) -> tuple[list, list, list, list]:
+    """Parse the Lucene SimpleQueryParser grammar's flat subset
+    (queryparser.simple.SimpleQueryParser with AND as the default
+    operator): whitespace-separated ITEMS are all required; within an
+    item ``a|b`` separates OR alternatives; a leading ``-`` negates
+    the item (plain-term negation); ``"..."`` is an exact phrase item;
+    a trailing ``*`` makes an alternative a prefix. Alternative bodies
+    run through the analyzer (a body analyzing to several tokens
+    contributes them all as OR members; one analyzing to nothing
+    drops; an item losing ALL alternatives drops entirely). Prefix
+    stems are normalized to the simple token space. Returns
+    ``(items, phrases, prefixes, negations)``:
+      items:     [(item_id, [term, ...])]  exact OR members per item
+      phrases:   [(item_id, [terms])]      exact phrase items
+      prefixes:  [(item_id, prefix)]       prefix OR members per item
+      negations: [term, ...]
+    Item ids number every surviving positive item; a matching doc must
+    satisfy each one. Parsing is driver-side over query strings —
+    query-sized, never data-sized (the reference parses per query on
+    one thread too)."""
+    import re as _re
+
+    cfg = cfg or AnalyzerConfig()
+    items: list = []
+    phrases: list = []
+    prefixes: list = []
+    negations: list = []
+    nid = 0
+    for i, chunk in enumerate(text.split('"')):
+        if i % 2 == 1:  # inside quotes
+            toks = analyze_text(chunk, cfg)
+            if toks:
+                phrases.append((nid, toks))
+                nid += 1
+            continue
+        for raw in chunk.split():
+            neg = raw.startswith("-")
+            body = raw[1:] if neg else raw
+            if not body:
+                continue
+            if neg:
+                negations.extend(analyze_text(body, cfg))
+                continue
+            terms: list = []
+            pfx: list = []
+            for alt in body.split("|"):
+                if not alt:
+                    continue
+                if alt.endswith("*"):
+                    stem = _re.sub(r"[^a-z0-9]+", "", alt[:-1].lower())
+                    if stem:
+                        pfx.append(stem)
+                else:
+                    terms.extend(analyze_text(alt, cfg))
+            if terms or pfx:
+                items.append((nid, terms))
+                for p in pfx:
+                    prefixes.append((nid, p))
+                nid += 1
+    return items, phrases, prefixes, negations
+
+
+def simple_query_string(
+    index: InvertedIndex,
+    positional: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    sim: Similarity | None = None,
+    cfg: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Lucene SimpleQueryParser execution end-to-end: AND-of-items
+    semantics — a candidate doc must satisfy EVERY positive item
+    (exact term, ``a|b`` OR group, ``pre*`` prefix group, ``"..."``
+    phrase) and contain NO negated term; scoring is the plain BM25
+    (or ``sim``) sum over every matched scoring term (group members,
+    dictionary-expanded prefixes, phrase words — one TermQuery per
+    occurrence, like `boolean_query`), delegated to `score_queries`
+    with the item-satisfaction set as its per-query ``candidates``
+    semi-join. A query whose items expand to nothing (e.g. a prefix
+    matching no vocabulary term) matches no documents — Lucene's
+    empty-rewrite MUST clause.
+
+    Plan shape: ONE postings scan resolves all group matches (the
+    per-item term table is query-sized and broadcast), each phrase
+    runs the positional-intersection chain of `phrase_query`, the
+    satisfaction count is a map-side-combined countDistinct(item) ==
+    n_items filter, and scoring reuses `score_queries`' single
+    broadcast scan. -> (qid, doc_id, rank, score)."""
+    spark = index.postings.sparkSession
+    group_rows: list = []
+    prefix_rows: list = []
+    phrase_items: list = []
+    neg_rows: list = []
+    n_items: dict = {}
+    for qid, text in queries:
+        items, phrases, prefixes, negs = parse_simple_query_string(
+            qid, text, cfg
+        )
+        n_items[qid] = len(items) + len(phrases)
+        for iid, terms in items:
+            for t in terms:
+                group_rows.append((qid, iid, t))
+        for iid, p in prefixes:
+            prefix_rows.append((qid, iid, p))
+        for iid, ph in phrases:
+            phrase_items.append((qid, iid, ph))
+        for t in negs:
+            neg_rows.append((qid, t))
+    gt = spark.createDataFrame(
+        group_rows, "qid string, item_id long, term string"
+    )
+    if prefix_rows:
+        pq = spark.createDataFrame(
+            prefix_rows, "qid string, item_id long, prefix string"
+        )
+        exp = (
+            index.term_stats.select("term")
+            .join(
+                F.broadcast(pq),
+                F.col("term").startswith(F.col("prefix")),
+            )
+            .select("qid", "item_id", "term")
+        )
+        gt = gt.unionByName(exp)
+    matched = (
+        index.postings.join(
+            F.broadcast(gt.select("qid", "item_id", "term").distinct()),
+            "term",
+        ).select("qid", "item_id", "doc_id")
+    )
+    phrase_term_rows: list = []
+    for qid, iid, ph in phrase_items:
+        pm = phrase_query(positional, ph).select(
+            F.lit(qid).alias("qid"),
+            F.lit(iid).cast("long").alias("item_id"),
+            "doc_id",
+        )
+        matched = matched.unionByName(pm)
+        for t in ph:
+            phrase_term_rows.append((qid, t))
+    need = spark.createDataFrame(
+        [(q, n) for q, n in n_items.items()], "qid string, _need long"
+    )
+    cands = (
+        matched.distinct()
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("item_id").cast("long").alias("_ni"))
+        .join(F.broadcast(need), "qid")
+        .filter((F.col("_ni") == F.col("_need")) & (F.col("_need") > 0))
+        .select("qid", "doc_id")
+    )
+    if neg_rows:
+        neg = spark.createDataFrame(neg_rows, "qid string, term string")
+        negd = (
+            index.postings.join(F.broadcast(neg), "term")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+        cands = cands.join(negd, ["qid", "doc_id"], "left_anti")
+    all_terms = gt.select("qid", "term")
+    if phrase_term_rows:
+        all_terms = all_terms.unionByName(
+            spark.createDataFrame(
+                phrase_term_rows, "qid string, term string"
+            )
+        )
+    scoring = all_terms.groupBy("qid", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+    return score_queries(index, scoring, k=k, sim=sim, candidates=cands)
 
 
 def suggest_terms(

@@ -1856,6 +1856,44 @@ def test_borda_fuse_hand_computed(spark):
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
 
 
+def test_simple_query_string_semantics(spark):
+    """AND-of-items with phrase / OR-group / prefix / negation, plus
+    the empty-expansion prefix matching nothing; parser structure."""
+    docs = [
+        (1, "red fox jumps high"),
+        (2, "red dog jumps"),
+        (3, "blue fox runs fast jumps"),
+        (4, "red fox high jumps"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    idx = ix.build_index(df, ix.IndexConfig(analyzer=EN))
+    pos = ix.build_positional_postings(ix.tokenize(df, EN))
+    qs = [
+        ("a", 'red "fox jumps"'),
+        ("b", "fox|dog -blue"),
+        ("c", "ju* red"),
+        ("d", "qqq*"),
+    ]
+    out = rt.simple_query_string(idx, pos, qs, k=10, cfg=EN)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["doc_id"])
+    assert got["a"] == {1}          # phrase is consecutive-only
+    assert got["b"] == {1, 2, 4}    # OR group minus negation
+    assert got["c"] == {1, 2, 4}    # ju* -> jump, AND red
+    assert "d" not in got           # prefix expands to nothing
+    items, phrases, prefixes, negs = rt.parse_simple_query_string(
+        "x", 'red "fox jumps" ju* a|b -c', EN
+    )
+    exp_ab = analyze_text("a", EN) + analyze_text("b", EN)
+    assert [(i, ts) for i, ts in items] == [
+        (0, analyze_text("red", EN)), (2, []), (3, exp_ab)
+    ]
+    assert phrases == [(1, analyze_text("fox jumps", EN))]
+    assert prefixes == [(2, "ju")]
+    assert negs == analyze_text("c", EN)
+
+
 def test_ltr_train_ridge_hand_computed(spark):
     """2x2 ridge vs hand arithmetic: X = [(1,0),(0,1),(1,1),(2,1)],
     y = (1,0,1,1), lambda=1 -> S+I = [[7,3],[3,4]], b = (4,2),
