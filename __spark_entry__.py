@@ -4300,6 +4300,38 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+def _centroid_classify_sql() -> str:
+    """Replays textstats.centroid_classify: tf·ln(N/df) weights,
+    per-source summed centroids, cosine argmax with 4dp rounding and
+    label-ASC ties, confusion counts."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+lb AS (SELECT doc_id, source AS lbl FROM documents),
+w AS (SELECT tf.doc_id, lb.lbl, tf.term,
+             tf.tf * ln(s.n_docs / dft.df) AS wt
+      FROM tf JOIN lb USING (doc_id) JOIN dft USING (term)
+      CROSS JOIN stats s),
+dnorm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS dn FROM w GROUP BY 1),
+cent AS (SELECT lbl, term, sum(wt) AS cw FROM w GROUP BY 1, 2),
+cnorm AS (SELECT lbl, sqrt(sum(cw * cw)) AS cn FROM cent GROUP BY 1),
+dots AS (SELECT w.doc_id, c.lbl AS cand, sum(w.wt * c.cw) AS dot
+         FROM w JOIN cent c USING (term) GROUP BY 1, 2),
+sims AS (SELECT d.doc_id, d.cand,
+                round(d.dot / (dn.dn * cn.cn), 4) AS cos
+         FROM dots d JOIN dnorm dn USING (doc_id)
+         JOIN cnorm cn ON cn.lbl = d.cand),
+pred AS (SELECT doc_id, cand AS pred_label FROM (
+           SELECT doc_id, cand,
+                  row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cos DESC, cand ASC) AS rn
+           FROM sims) WHERE rn = 1)
+SELECT lb.lbl AS true_label, p.pred_label,
+       count(*)::BIGINT AS n_docs
+FROM lb JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 # SimpleQueryParser gate: AND of [term, "phrase", prefix*]; an OR
 # group with a negation; a no-expansion prefix (matches nothing)
 _SQS_QUERIES: list[tuple[str, str]] = [
@@ -8033,6 +8065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def centroid_classify(spark, sf):
+        # Rocchio nearest-centroid source classification + confusion
+        out = ts.centroid_classify(
+            _docs(spark, sf), label_col="source", content_col="text"
+        )
+        return out.select("true_label", "pred_label", "n_docs")
+
     def length_buckets(spark, sf):
         # power-of-two padding buckets + per-bucket padding efficiency
         out = ts.length_buckets(
@@ -9077,6 +9116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_model_pbm": click_model_pbm,
         "dsir_select": dsir_select,
         "length_buckets": length_buckets,
+        "centroid_classify": centroid_classify,
         "span_not": span_not,
         "block_join": block_join,
         "block_join_total": block_join_total,
@@ -9351,6 +9391,7 @@ def oracle_sql() -> dict[str, str]:
         "click_model_pbm": _click_model_sql(),
         "dsir_select": _dsir_select_sql(),
         "length_buckets": _length_buckets_sql(),
+        "centroid_classify": _centroid_classify_sql(),
         "span_not": _span_not_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),

@@ -955,6 +955,101 @@ def dsir_select(
     ).select("doc_id", "n_tokens", "rank", "log_weight")
 
 
+def centroid_classify(
+    docs: DataFrame,
+    label_col: str = "source",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) text classification — the classic
+    IR classifier (Rocchio'71 as a classifier; Manning, Raghavan &
+    Schütze IIR §14.2): each label's centroid is the sum of its
+    documents' tf-idf vectors (the MEAN direction — cosine is
+    scale-invariant, so the /|class| normalization is skipped), every
+    document is assigned the label whose centroid it is most cosine-
+    similar to, and the output is the label confusion matrix
+    (true_label, pred_label, n_docs). Weights are
+    tf · ln(N/df) over the simple token space; similarities are
+    rounded to ``round_dp`` BEFORE the argmax (ties break label ASC)
+    so the assignment is engine-stable.
+
+    Plan shape: tf extraction is the usual explode + map-side-combined
+    groupBy; the centroid matrix is (vocab × labels)-sized — label
+    cardinality is small by construction (sources, languages), so it
+    broadcasts; the doc-side dot products are ONE postings-shaped join
+    against that broadcast followed by a (doc, label) aggregate; the
+    argmax is a per-doc WindowGroupLimit. Nothing corpus² anywhere."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("_lbl"),
+        simple_tokens(content_col).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    flat = (
+        toks.select("doc_id", "_lbl", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "_lbl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = flat.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = flat.select("doc_id").distinct().count()
+    w = flat.join(F.broadcast(dft), "term").select(
+        "doc_id",
+        "_lbl",
+        "term",
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("wt"),
+    ).localCheckpoint(eager=False)
+    # ^ consumed three times (doc norms, centroids, dot products)
+    dnorm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("dn")
+    )
+    cent = w.groupBy("_lbl", "term").agg(F.sum("wt").alias("cw"))
+    cnorm = cent.groupBy("_lbl").agg(
+        F.sqrt(F.sum(F.col("cw") * F.col("cw"))).alias("cn")
+    )
+    dots = (
+        w.select("doc_id", "term", "wt")
+        .join(
+            F.broadcast(
+                cent.select(F.col("_lbl").alias("_cand"), "term", "cw")
+            ),
+            "term",
+        )
+        .groupBy("doc_id", "_cand")
+        .agg(F.sum(F.col("wt") * F.col("cw")).alias("dot"))
+    )
+    sims = (
+        dots.join(dnorm, "doc_id")
+        .join(F.broadcast(cnorm.select(F.col("_lbl").alias("_cand"), "cn")),
+              "_cand")
+        .select(
+            "doc_id",
+            "_cand",
+            F.round(
+                F.col("dot") / (F.col("dn") * F.col("cn")), round_dp
+            ).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("cos").desc(), F.col("_cand").asc()
+    )
+    pred = (
+        sims.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("_cand").alias("pred_label"))
+    )
+    truth = toks.select("doc_id", F.col("_lbl").alias("true_label"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def readability(
     docs: DataFrame,
     content_col: str = "content",

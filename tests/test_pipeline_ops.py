@@ -1282,6 +1282,28 @@ def test_classifier_score_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_centroid_classify_confusion(spark):
+    """Separable two-class corpus: the fruit docs classify to their
+    own centroid, the mislabeled car doc (true x, pure car/truck
+    text) lands on the y centroid — exactly one off-diagonal cell.
+    cos(d5, y) = 1 (same direction), cos(d5, x) ~= 0.18."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana", "x"),
+            (2, "apple banana banana", "x"),
+            (3, "car truck truck", "y"),
+            (4, "car car truck", "y"),
+            (5, "car truck", "x"),
+        ],
+        "doc_id long, content string, source string",
+    )
+    out = {
+        (r["true_label"], r["pred_label"]): r["n_docs"]
+        for r in textstats.centroid_classify(docs).collect()
+    }
+    assert out == {("x", "x"): 2, ("x", "y"): 1, ("y", "y"): 2}
+
+
 def test_length_buckets_hand_computed(spark):
     """Power-of-two buckets: 3 tokens -> 4, 4 -> 4, 5 -> 8, 1 -> 1;
     docs above max_len clamp to the top bucket and truncate to it;
