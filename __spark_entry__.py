@@ -4300,6 +4300,55 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+_LLR_TOPN, _LLR_MIN_C = 20, 2
+
+
+def _collocations_llr_sql() -> str:
+    """Replays textstats.collocations_llr: adjacent bigram counts,
+    marginals, Dunning entropy-form LLR with xlx(0)=0, top-n by the
+    4dp-rounded score (w1, w2 ties)."""
+
+    def xlx(x: str) -> str:
+        return (
+            f"CASE WHEN {x} > 0 THEN ({x})::DOUBLE * ln(({x})::DOUBLE)"
+            " ELSE 0.0 END"
+        )
+
+    llr = (
+        "2.0 * ("
+        + xlx("c")
+        + " + " + xlx("c1 - c")
+        + " + " + xlx("c2 - c")
+        + " + " + xlx("n - c1 - c2 + c")
+        + " - " + xlx("c1")
+        + " - " + xlx("n - c1")
+        + " - " + xlx("c2")
+        + " - " + xlx("n - c2")
+        + " + " + xlx("n")
+        + ")"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS tk FROM documents),
+e AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM t
+      WHERE len(tk) >= 2),
+bg AS (SELECT tk[i::INT] AS w1, tk[(i+1)::INT] AS w2,
+              count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+l AS (SELECT w1, sum(c)::BIGINT AS c1 FROM bg GROUP BY 1),
+r AS (SELECT w2, sum(c)::BIGINT AS c2 FROM bg GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM bg),
+s AS (SELECT bg.w1, bg.w2, bg.c, round({llr}, 4) AS llr
+      FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+      WHERE bg.c >= {_LLR_MIN_C}),
+rk AS (SELECT w1, w2, c, llr,
+              row_number() OVER (ORDER BY llr DESC, w1 ASC,
+                                 w2 ASC)::BIGINT AS rank
+       FROM s)
+SELECT w1, w2, c, rank, llr FROM rk WHERE rank <= {_LLR_TOPN}
+"""
+
+
 def _centroid_classify_sql() -> str:
     """Replays textstats.centroid_classify: tf·ln(N/df) weights,
     per-source summed centroids, cosine argmax with 4dp rounding and
@@ -8065,6 +8114,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def collocations_llr(spark, sf):
+        # Dunning LLR bigram collocations, top-20
+        out = ts.collocations_llr(
+            _docs(spark, sf), topn=_LLR_TOPN, min_count=_LLR_MIN_C,
+            content_col="text",
+        )
+        return out.select("w1", "w2", "c", "rank", "llr")
+
     def centroid_classify(spark, sf):
         # Rocchio nearest-centroid source classification + confusion
         out = ts.centroid_classify(
@@ -9117,6 +9174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select,
         "length_buckets": length_buckets,
         "centroid_classify": centroid_classify,
+        "collocations_llr": collocations_llr,
         "span_not": span_not,
         "block_join": block_join,
         "block_join_total": block_join_total,
@@ -9392,6 +9450,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql(),
         "length_buckets": _length_buckets_sql(),
         "centroid_classify": _centroid_classify_sql(),
+        "collocations_llr": _collocations_llr_sql(),
         "span_not": _span_not_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),

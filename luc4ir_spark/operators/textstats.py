@@ -1448,6 +1448,92 @@ def blocklist_filter(
     )
 
 
+def collocations_llr(
+    docs: DataFrame,
+    topn: int = 20,
+    min_count: int = 2,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning CL'93,
+    "Accurate Methods for the Statistics of Surprise and
+    Coincidence") over adjacent simple-token bigrams: each bigram is
+    scored by the LLR of w1/w2 dependence from the 2×2 contingency
+    table k11 = c(w1 w2), k12 = c(w1 ·) − k11, k21 = c(· w2) − k11,
+    k22 = N − k11 − k12 − k21, using the entropy form
+
+      LLR = 2·( Σ xlx(k) − xlx(c1) − xlx(N−c1) − xlx(c2) − xlx(N−c2)
+                + xlx(N) ),  xlx(x) = x·ln(x), xlx(0) = 0
+
+    (row/column sums spelled via the marginals c1 = c(w1 ·),
+    c2 = c(· w2) — the identical expression the oracle runs). Unlike
+    `term_cooccurrence_pmi` (document-level co-occurrence), this is
+    SEQUENCE adjacency — the classic collocation / phrase-discovery
+    signal. Bigrams below ``min_count`` are not scored (marginals
+    still count them). -> (w1, w2, c, rank, llr), the ``topn`` highest
+    by 4dp-rounded LLR (ties w1, w2 ASC).
+
+    Scale shape: the bigram table is the vocab²-bounded map-side-
+    combined aggregate of `suggest_next_words` (LITERAL index explode
+    over the materialized token array); marginals are two more tiny
+    aggregates broadcast back; the top-n is orderBy+limit —
+    TakeOrderedAndProject, never a global window."""
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    i = F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i")
+    bg = (
+        t.filter(F.size("tk") >= 2)
+        .select("tk", i)
+        .select(
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # ^ consumed four times (marginals x2, total, the scored rows)
+    left = bg.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    right = bg.groupBy("w2").agg(F.sum("c").cast("long").alias("c2"))
+    tot = bg.agg(F.sum("c").cast("long").alias("n"))
+
+    def xlx(x):
+        return F.when(
+            x > 0, x.cast("double") * F.log(x.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    j = (
+        bg.filter(F.col("c") >= int(min_count))
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("c")
+    k12 = F.col("c1") - F.col("c")
+    k21 = F.col("c2") - F.col("c")
+    k22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c")
+    llr = F.lit(2.0) * (
+        xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+        - xlx(F.col("c1")) - xlx(F.col("n") - F.col("c1"))
+        - xlx(F.col("c2")) - xlx(F.col("n") - F.col("c2"))
+        + xlx(F.col("n"))
+    )
+    scored = j.select(
+        "w1", "w2", "c", F.round(llr, 4).alias("llr")
+    )
+    sel = scored.orderBy(
+        F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(topn))
+    rw = Window.orderBy(
+        F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return sel.withColumn(
+        "rank", F.row_number().over(rw).cast("long")
+    ).select("w1", "w2", "c", "rank", "llr")
+
+
 def suggest_next_words(
     docs: DataFrame,
     context_terms: DataFrame | list[str],

@@ -1282,6 +1282,30 @@ def test_classifier_score_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_collocations_llr_hand_computed(spark):
+    """One doc 'a b a b c': bigrams (a,b)x2, (b,a), (b,c), N=4.
+    For (a,b): k11=2, k12=k21=0, k22=2 -> entropy form collapses to
+    LLR = 8·ln2 ~= 5.5452. min_count=2 drops the singletons."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, content string"
+    )
+    out = textstats.collocations_llr(docs, topn=5, min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["c"], r["rank"]) == ("a", "b", 2, 1)
+    assert r["llr"] == pytest.approx(round(8 * math.log(2), 4))
+    # with min_count=1 the independent singletons score lower
+    all_rows = {
+        (r["w1"], r["w2"]): r["llr"]
+        for r in textstats.collocations_llr(
+            docs, topn=5, min_count=1
+        ).collect()
+    }
+    assert all_rows[("a", "b")] > all_rows[("b", "a")]
+
+
 def test_centroid_classify_confusion(spark):
     """Separable two-class corpus: the fruit docs classify to their
     own centroid, the mislabeled car doc (true x, pure car/truck
