@@ -4303,6 +4303,34 @@ SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 _LLR_TOPN, _LLR_MIN_C = 20, 2
 
 
+_SW_SLOP = 3
+
+
+def _span_within_sql() -> str:
+    """Replays retrieval.span_within_query(big=(slow,batch),
+    little=hash, slop=_SW_SLOP): little positions contained in some
+    ordered (t1 ... t2) span, correlated EXISTS over the replayed
+    position table with the engine's exact range conditions."""
+    w = _SW_SLOP + 1
+    return rf"""
+WITH t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e)
+SELECT p3.doc_id, count(*)::BIGINT AS n_within
+FROM pos p3
+WHERE p3.term = '{_PHRASE[1]}'
+  AND EXISTS (
+    SELECT 1 FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id
+    WHERE p1.doc_id = p3.doc_id
+      AND p1.term = '{_PHRASE[0]}' AND p2.term = '{_PHRASE[2]}'
+      AND p1.p <= p3.p AND p2.p >= p3.p AND p2.p > p1.p
+      AND p2.p - p1.p <= {w})
+GROUP BY 1
+"""
+
+
 def _collocations_llr_sql() -> str:
     """Replays textstats.collocations_llr: adjacent bigram counts,
     marginals, Dunning entropy-form LLR with xlx(0)=0, top-n by the
@@ -7056,6 +7084,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pre=_SPANNOT_PRE, post=_SPANNOT_POST,
         ).select("doc_id", "spannot_freq")
 
+    def span_within(spark, sf):
+        # SpanWithinQuery: 'hash' occurrences inside an ordered
+        # (slow ... batch) span with slop 3
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.span_within_query(
+            pos, (_PHRASE[0], _PHRASE[2]), _PHRASE[1], slop=_SW_SLOP
+        ).select("doc_id", "n_within")
+
     def block_join(spark, sf):
         # ToParentBlockJoinQuery (ScoreMode.Max): BM25 over chunk
         # children with packed ids, parents take their best child
@@ -9176,6 +9215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": centroid_classify,
         "collocations_llr": collocations_llr,
         "span_not": span_not,
+        "span_within": span_within,
         "block_join": block_join,
         "block_join_total": block_join_total,
         "block_join_children": block_join_children,
@@ -9452,6 +9492,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_classify": _centroid_classify_sql(),
         "collocations_llr": _collocations_llr_sql(),
         "span_not": _span_not_sql(),
+        "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),
         "block_join_children": _block_join_children_sql(),

@@ -774,6 +774,62 @@ def span_first_query(
     )
 
 
+def span_within_query(
+    positional: DataFrame,
+    big: tuple,
+    little: str,
+    slop: int = 0,
+) -> DataFrame:
+    """Lucene SpanWithinQuery: occurrences of the ``little`` term that
+    lie entirely inside some span of the ``big`` SpanNearQuery — here
+    the ordered pair (t1 … t2) with at most ``slop`` tokens between
+    them (span = [p1, p2], match when p1 ≤ p3 ≤ p2). -> (doc_id,
+    n_within) = count of little occurrences contained in at least one
+    big span (docs with none yield no row, like every span operator
+    here).
+
+    Plan: three doc_id equi-joins of term-filtered positional cells
+    (each side ≤ df(term) rows) and ONE per-row nested array
+    quantifier over the stored position arrays — per-row work bounded
+    by tf(t1)·tf(t2)·tf(little), no explode, no corpus-wide
+    positional shuffle. The pruned positional relation is
+    localCheckpoint'ed for the three consumers (same reuse note as
+    `span_not_query`)."""
+    t1, t2 = big
+    positional = positional.filter(
+        F.col("term").isin(list(dict.fromkeys([t1, t2, little])))
+    ).localCheckpoint(eager=False)
+
+    def cell(t: str, name: str) -> DataFrame:
+        return positional.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(name)
+        )
+
+    j = (
+        cell(little, "_p3")
+        .join(cell(t1, "_p1"), "doc_id")
+        .join(cell(t2, "_p2"), "doc_id")
+    )
+    width = F.lit(int(slop) + 1)
+    contained = F.filter(
+        F.col("_p3"),
+        lambda p3: F.exists(
+            F.col("_p1"),
+            lambda p1: (p1 <= p3)
+            & F.exists(
+                F.col("_p2"),
+                lambda p2: (p2 >= p3) & (p2 > p1) & (p2 - p1 <= width),
+            ),
+        ),
+    )
+    return (
+        j.select(
+            "doc_id", F.size(contained).cast("long").alias("n_within")
+        )
+        .filter(F.col("n_within") > 0)
+    )
+
+
 def span_not_query(
     positional: DataFrame,
     include: list[str],

@@ -1492,6 +1492,46 @@ def test_range_facet_counts(spark):
     }
 
 
+def test_span_within_query(spark):
+    """Containment corners: inside counts (endpoints inclusive),
+    outside doesn't, the big pair must be ordered within slop, and
+    multiple little occurrences in one span each count."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "x", "b"]),            # x in [0,2] -> 1
+            (1, ["a", "b", "x"]),            # x at 2 > span end 1 -> 0
+            (2, ["x", "a", "b"]),            # x before span -> 0
+            (3, ["a", "x", "x", "b"]),       # two x inside -> 2
+            (4, ["b", "x", "a"]),            # unordered pair -> no span
+            (5, ["a", "x", "y", "y", "b"]),  # b-a = 4 > slop+1 = 3 -> 0
+            (6, ["a", "x"]),                 # no b -> no row
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+    got = {
+        r["doc_id"]: r["n_within"]
+        for r in rt.span_within_query(
+            pos, ("a", "b"), "x", slop=2
+        ).collect()
+    }
+    assert got == {0: 1, 3: 2}
+    # endpoint inclusivity: little AT the span start/end counts
+    pos2 = ix.build_positional_postings(
+        spark.createDataFrame(
+            [(0, ["x", "q", "b"])], "doc_id long, tokens array<string>"
+        )
+    )
+    # big = (x, b): span [0, 2]; little = x at position 0 (the start)
+    got2 = {
+        r["doc_id"]: r["n_within"]
+        for r in rt.span_within_query(
+            pos2, ("x", "b"), "x", slop=2
+        ).collect()
+    }
+    assert got2 == {0: 1}
+
+
 def test_span_not_query(spark):
     """Hand-built positions: 'a b' spans at 0 and 5; exclusion 'x' at 7
     kills the second span when post >= 1 (span [5,6] widened to [5,7])
