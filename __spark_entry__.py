@@ -2303,10 +2303,18 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
 BIGRAM_JACCARD_T = 0.8
 
 
-def _jaccard_capped_sql(sh_cte: str, threshold: float) -> str:
-    """Shared candidate-cap + full-verify jaccard SQL over a CTE chain
-    ending in sh(doc_id, shingle) — replays dedup.jaccard_pairs with
-    its default max_shingle_df exactly."""
+def _jaccard_capped_sql(
+    sh_cte: str, threshold: float, measure: str = "jaccard"
+) -> str:
+    """Shared candidate-cap + full-verify similarity SQL over a CTE
+    chain ending in sh(doc_id, shingle) — replays dedup.jaccard_pairs
+    (measure='jaccard') or dedup.containment_pairs
+    (measure='containment', overlap coefficient) with the default
+    max_shingle_df exactly."""
+    if measure == "containment":
+        expr = "i.common / least(sa.sz, sb.sz)::DOUBLE"
+    else:
+        expr = "i.common / (sa.sz + sb.sz - i.common)::DOUBLE"
     return f"""
 {sh_cte},
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
@@ -2330,9 +2338,9 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.a, i.b,
-       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
+       round({expr}, 4) AS {measure}
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {threshold}
+WHERE {expr} >= {threshold}
 """
 
 
@@ -3736,6 +3744,14 @@ _JACCARD_SQL = _jaccard_capped_sql(
     f"WITH {_TOKS}, sh AS (SELECT DISTINCT doc_id, term AS shingle"
     " FROM toks)",
     JACCARD_T,
+)
+
+_CONTAIN_T = 0.9
+_CONTAIN_SQL = _jaccard_capped_sql(
+    f"WITH {_TOKS}, sh AS (SELECT DISTINCT doc_id, term AS shingle"
+    " FROM toks)",
+    _CONTAIN_T,
+    measure="containment",
 )
 
 # connected components over the jaccard pair graph: transitive closure
@@ -7878,6 +7894,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
         return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
+    def containment_pairs(spark, sf):
+        # overlap-coefficient near-subset pairs (Broder containment)
+        out = dd.containment_pairs(
+            _tokens(spark, sf), threshold=_CONTAIN_T
+        )
+        return out.select(
+            "a", "b", F.round("containment", 4).alias("containment")
+        )
+
     def minhash_signatures(spark, sf):
         return dd.minhash_signatures(_tokens(spark, sf), num_hashes=8)
 
@@ -9276,6 +9301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lookup": doc_lookup,
         "exact_dedup": exact_dedup,
         "jaccard_pairs": jaccard_pairs,
+        "containment_pairs": containment_pairs,
         "lsh_calibration": lsh_calibration,
         "minhash_signatures": minhash_signatures,
         "minhash_join": minhash_join,
@@ -9567,6 +9593,7 @@ def oracle_sql() -> dict[str, str]:
             " min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
         ),
         "jaccard_pairs": _JACCARD_SQL,
+        "containment_pairs": _CONTAIN_SQL,
         "lsh_calibration": f"""
 WITH ex AS ({_JACCARD_SQL}),
 ls AS ({_MINHASH_LSH_SQL}),

@@ -232,6 +232,70 @@ DEFAULT_MAX_SHINGLE_DF = 10_000
 DEFAULT_MAX_BUCKET_SIZE = 100_000
 
 
+def containment_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    shingle_size: int = 1,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    log=None,
+) -> DataFrame:
+    """All-pairs OVERLAP-COEFFICIENT >= threshold — the asymmetric
+    near-SUBSET detector Jaccard misses: ov(A,B) = |A∩B| / min(|A|,
+    |B|) is ~1 whenever one doc's shingle set is (nearly) contained in
+    the other's, however different their lengths (quote extraction,
+    boilerplate-plus-payload pages, truncated mirrors — Broder'97
+    defines this as "containment" next to "resemblance"). Candidate
+    generation, the df skew cap, and the verify-on-FULL-sets contract
+    are exactly `jaccard_pairs`'s (cap bounds recall only, reported
+    values are exact). -> (a, b, containment), a < b — containment is
+    symmetric in this min form; per-direction subset checks divide
+    common by the chosen side's size downstream."""
+    sh = tokens_or_shingles(docs, tokens_col, shingle_size)
+    if max_shingle_df is None:
+        cand_sh = sh.localCheckpoint(eager=False)
+    else:
+        sh = sh.localCheckpoint(eager=False)
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        if log is not None:
+            n_dropped = dfc.filter(F.col("sdf") > max_shingle_df).count()
+            log(
+                f"containment_pairs: max_shingle_df={max_shingle_df} "
+                f"dropped {n_dropped} distinct shingles from candidates"
+            )
+        cand_sh = sh.join(
+            dfc.filter(F.col("sdf") <= max_shingle_df), "shingle"
+        ).select("doc_id", "shingle")
+    a = cand_sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = cand_sh.select(F.col("doc_id").alias("b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    shset = shingle_set_expr(tokens_col, shingle_size)
+    arrs = docs.select(
+        "doc_id", F.transform(shset, _shingle_id_expr).alias("_ss")
+    ).localCheckpoint(eager=False)
+    aa = arrs.select(F.col("doc_id").alias("a"), F.col("_ss").alias("_sa"))
+    ab = arrs.select(F.col("doc_id").alias("b"), F.col("_ss").alias("_sb"))
+    return (
+        cands.join(aa, "a")
+        .join(ab, "b")
+        .withColumn(
+            "common", F.size(F.array_intersect("_sa", "_sb")).cast("long")
+        )
+        .withColumn(
+            "containment",
+            F.col("common")
+            / F.least(F.size("_sa"), F.size("_sb")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     tokens_col: str = "tokens",

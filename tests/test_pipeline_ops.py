@@ -79,6 +79,36 @@ def test_jaccard_pairs(spark, tokens_df):
         assert got[k] == pytest.approx(v)
 
 
+def test_containment_pairs_subset_detection(spark):
+    """Overlap coefficient flags the near-subset pair Jaccard misses:
+    [a,b] inside [a,b,c,d] has ov = 1.0 but jaccard only 0.5."""
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d"]),
+            (2, ["a", "b"]),
+            (3, ["a", "x"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    strict = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.99).collect()
+    }
+    assert set(strict) == {(1, 2)}
+    assert strict[(1, 2)] == pytest.approx(1.0)
+    loose = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert loose == {
+        (1, 2): pytest.approx(1.0),
+        (1, 3): pytest.approx(0.5),
+        (2, 3): pytest.approx(0.5),
+    }
+    # jaccard at the same 0.99 threshold finds nothing
+    assert not dedup.jaccard_pairs(docs, threshold=0.99).collect()
+
+
 def test_minhash_lsh_finds_near_dups(spark, tokens_df):
     pairs = dedup.minhash_lsh_pairs(
         tokens_df, num_hashes=8, band_size=2, threshold=0.5
