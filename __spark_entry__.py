@@ -1967,6 +1967,38 @@ FROM e
 """
 
 
+_ANOM_W, _ANOM_Z, _ANOM_MIN = 7, 2.0, 4
+
+
+def _event_anomaly_sql() -> str:
+    """Replays eventops.event_anomaly: trailing-window mean/stddev
+    baseline excluding the current day, min-history + positive-
+    variance guards, |z| > threshold flag (verified boundary-safe at
+    sf0.01: nearest |z| is 0.015 from the 2.0 cut)."""
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('day', ts))::BIGINT AS day_idx,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day_idx, x,
+         avg(x) OVER wd AS m, stddev_samp(x) OVER wd AS s,
+         count(x) OVER wd AS c
+  FROM daily
+  WINDOW wd AS (PARTITION BY event_type ORDER BY day_idx
+                ROWS BETWEEN {_ANOM_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, (day_idx * 86400000000)::BIGINT AS day_us,
+       x AS n_events, round((x - m) / s, 4) AS z
+FROM w
+WHERE c >= {_ANOM_MIN} AND s IS NOT NULL AND s > 0
+  AND abs((x - m) / s) > {repr(float(_ANOM_Z))}
+"""
+
+
 _PPR_SQL = """
 WITH nodes AS (SELECT doc_id AS id,
                CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS seed
@@ -7446,6 +7478,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("ewma", 4).alias("ewma"),
         )
 
+    def event_anomaly(spark, sf):
+        # trailing z-score spike/drop detection on daily counts
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.event_anomaly(
+            ev_df, window_days=_ANOM_W, z_threshold=_ANOM_Z,
+            min_history=_ANOM_MIN,
+        )
+        return out.select(
+            "event_type", "day_us", "n_events",
+            F.round("z", 4).alias("z"),
+        )
+
     def event_retention(spark, sf):
         # cohort retention matrix over the event stream (first-day
         # cohorts × day offsets, distinct active users per cell)
@@ -9360,6 +9406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": event_funnel,
         "event_transitions": event_transitions,
         "event_ewma": event_ewma,
+        "event_anomaly": event_anomaly,
         "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
@@ -9764,6 +9811,7 @@ UNION ALL SELECT 3::BIGINT, 'purchase',
             " FROM ev2 GROUP BY 1, 2"
         ),
         "event_ewma": _event_ewma_sql(),
+        "event_anomaly": _event_anomaly_sql(),
         "event_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
 lagged AS (

@@ -445,6 +445,69 @@ def event_transitions(
     )
 
 
+def event_anomaly(
+    events: DataFrame,
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+    min_history: int = 4,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Trailing z-score anomaly detection over daily event counts —
+    the classic ops-metrics spike/drop detector: each (type, day) is
+    scored against the PRECEDING ``window_days`` days' mean and sample
+    stddev (the current day is excluded from its own baseline), and
+    days with |z| > ``z_threshold`` are flagged. Days with fewer than
+    ``min_history`` baseline observations or zero baseline variance
+    yield no row (cold start / constant series are not anomalies).
+    Operates on OBSERVED days; zero-fill silent days upstream with
+    `event_ewma`'s densified grid when absent days should count.
+    -> (event_type, day_us, n_events, z) for flagged days only.
+
+    Plan shape: one map-side-combined groupBy to daily counts (the
+    only pass over the raw log); the rolling window runs on the
+    |types| × |days| relation partitioned by type — tiny, bounded,
+    never the raw events."""
+    day_idx = F.expr(
+        f"timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" date_trunc('DAY', {ts_col}))"
+    ).cast("long")
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            day_idx.alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-int(window_days), -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day_idx",
+        "x",
+        F.avg("x").over(wd).alias("_m"),
+        F.stddev_samp("x").over(wd).alias("_s"),
+        F.count("x").over(wd).alias("_c"),
+    ).filter(
+        (F.col("_c") >= int(min_history))
+        & F.col("_s").isNotNull()
+        & (F.col("_s") > 0)
+    )
+    out = scored.select(
+        "event_type",
+        (F.col("day_idx") * F.lit(86400000000)).cast("long").alias(
+            "day_us"
+        ),
+        F.col("x").alias("n_events"),
+        ((F.col("x") - F.col("_m")) / F.col("_s")).alias("z"),
+    )
+    return out.filter(F.abs(F.col("z")) > F.lit(float(z_threshold)))
+
+
 def event_ewma(
     events: DataFrame,
     window_days: int = 8,

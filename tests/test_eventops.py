@@ -341,6 +341,40 @@ def test_event_transitions_hand_computed(spark):
                    ("c", "a"): 1}
 
 
+def test_event_anomaly_hand_computed(spark):
+    """Day 5 of type a spikes to 10 against baseline {4,5,6,5,5}
+    (mean 5, sd sqrt(0.5)) -> z = 5/sqrt(0.5) ~= 7.0711 flagged; the
+    in-band days are not; type b spikes over a CONSTANT baseline
+    (sd 0) and must be skipped, not flagged or divided by zero."""
+    import math
+
+    a_counts = [4, 5, 6, 5, 5, 10]
+    b_counts = [3, 3, 3, 3, 3, 9]
+    rows = []
+    eid = 0
+    for day, (na, nb) in enumerate(zip(a_counts, b_counts)):
+        for k in range(na):
+            rows.append((eid, datetime(2024, 1, 1 + day, 1 + k), "a"))
+            eid += 1
+        for k in range(nb):
+            rows.append((eid, datetime(2024, 1, 1 + day, 1 + k), "b"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = eo.event_anomaly(
+        ev, window_days=7, z_threshold=2.0, min_history=4
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    us = 86_400_000_000
+    d5 = (datetime(2024, 1, 6) - datetime(1970, 1, 1)).days * us
+    assert r["event_type"] == "a"
+    assert r["day_us"] == d5
+    assert r["n_events"] == 10
+    assert r["z"] == pytest.approx(5 / math.sqrt(0.5), rel=1e-9)
+
+
 def test_event_ewma_hand_computed(spark):
     """W=3 kernel (weights 4,2,1): head renormalization over the days
     that exist, a silent (densified) day counting 0, and a second type
