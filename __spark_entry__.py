@@ -1967,6 +1967,41 @@ FROM e
 """
 
 
+_DRIFT_S, _DRIFT_TOPN = 4, 15
+
+
+def _shard_idf_drift_sql() -> str:
+    """Replays indexer.shard_idf_drift: mix-hash doc sharding, absent
+    shards count df_local 0, max |idf_local - idf_global| per term,
+    top-n by the 4dp-rounded drift (term ties)."""
+    mix = "((2654435761 * (doc_id % 2147483647) + 2246822519) % 2147483647)"
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+shp AS (SELECT term, {mix} % {_DRIFT_S} AS shard FROM tf),
+dfl AS (SELECT term, shard, count(*)::BIGINT AS df_l
+        FROM shp GROUP BY 1, 2),
+ns AS (SELECT {mix} % {_DRIFT_S} AS shard, count(*)::BIGINT AS n_s
+       FROM dl GROUP BY 1),
+grid AS (SELECT dft.term, dft.df, g.g AS shard
+         FROM dft CROSS JOIN (SELECT unnest(range({_DRIFT_S})) AS g) g),
+j AS (SELECT grid.term, grid.df,
+             coalesce(dfl.df_l, 0)::BIGINT AS df_l, ns.n_s
+      FROM grid LEFT JOIN dfl
+        ON dfl.term = grid.term AND dfl.shard = grid.shard
+      JOIN ns ON ns.shard = grid.shard),
+d AS (SELECT j.term, j.df,
+             abs(ln(1.0 + (n_s::DOUBLE - df_l + 0.5) / (df_l + 0.5))
+                 - ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))) AS dd
+      FROM j CROSS JOIN stats s),
+a AS (SELECT term, df, round(max(dd), 4) AS drift FROM d GROUP BY 1, 2),
+r AS (SELECT term, df, drift,
+             row_number() OVER (ORDER BY drift DESC,
+                                term ASC)::BIGINT AS rank
+      FROM a)
+SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
+"""
+
+
 _ANOM_W, _ANOM_Z, _ANOM_MIN = 7, 2.0, 4
 
 
@@ -7381,6 +7416,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.octet_length("blob").cast("long").alias("blob_bytes"),
         )
 
+    def shard_idf_drift(spark, sf):
+        # distributed-search local-vs-global idf drift per term
+        idx = _index(spark, sf)
+        out = ix.shard_idf_drift(
+            idx, n_shards=_DRIFT_S, topn=_DRIFT_TOPN
+        )
+        return out.select("term", "df", "rank", "drift")
+
     def shard_skew(spark, sf):
         # salted-layout balance report: per-shard blob/posting/byte
         # totals over the same pinned layout as index_disk_usage
@@ -9407,6 +9450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": event_transitions,
         "event_ewma": event_ewma,
         "event_anomaly": event_anomaly,
+        "shard_idf_drift": shard_idf_drift,
         "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
@@ -9812,6 +9856,7 @@ UNION ALL SELECT 3::BIGINT, 'purchase',
         ),
         "event_ewma": _event_ewma_sql(),
         "event_anomaly": _event_anomaly_sql(),
+        "shard_idf_drift": _shard_idf_drift_sql(),
         "event_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
 lagged AS (

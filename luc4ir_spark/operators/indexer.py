@@ -605,6 +605,69 @@ def idf_lucene(df_col, n_docs: int):
     )
 
 
+def shard_idf_drift(
+    index: InvertedIndex, n_shards: int = 4, topn: int = 15
+) -> DataFrame:
+    """Distributed-search statistics drift report: how far each term's
+    SHARD-LOCAL Lucene idf can stray from the global one when the
+    corpus is hash-sharded — the classic distributed-IR correctness
+    hazard (a sharded deployment scoring with local stats ranks
+    differently per shard; Lucene solves it with a global-stats pass,
+    e.g. solr/ES distributed idf). Shards are pmod(mix(doc_id), S)
+    (the repo's portable hash); a term absent from a shard counts
+    df_local = 0 there (the worst drift case). drift(term) =
+    max_shards |idf_local − idf_global|, reported for the ``topn``
+    largest (4dp-rounded, term-ASC ties). -> (term, df, rank, drift).
+
+    Plan shape: one map-side-combined (term, shard) count over the
+    postings, a broadcast S-row shard-size relation, the term×S grid
+    via a literal sequence explode over the vocab-sized term_stats,
+    and a TakeOrderedAndProject top-n — nothing corpus² and no global
+    window."""
+    from ..functions.hashing import mix_id_expr
+
+    s = int(n_shards)
+    shard_of = F.pmod(mix_id_expr(F.col("doc_id")), F.lit(s))
+    dfl = (
+        index.postings.select("term", shard_of.alias("shard"))
+        .groupBy("term", "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_l"))
+    )
+    ns = (
+        index.doc_stats.select(shard_of.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    )
+    grid = index.term_stats.select(
+        "term",
+        "df",
+        F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_sh"),
+    ).select("term", "df", F.col("_sh").cast("long").alias("shard"))
+    j = (
+        grid.join(dfl, ["term", "shard"], "left")
+        .join(F.broadcast(ns), "shard")
+        .withColumn("df_l", F.coalesce(F.col("df_l"), F.lit(0)))
+    )
+    idf_l = F.log(
+        F.lit(1.0)
+        + (F.col("n_s").cast("double") - F.col("df_l") + F.lit(0.5))
+        / (F.col("df_l") + F.lit(0.5))
+    )
+    idf_g = idf_lucene(F.col("df"), index.stats.n_docs)
+    agg = (
+        j.select("term", "df", F.abs(idf_l - idf_g).alias("_d"))
+        .groupBy("term", "df")
+        .agg(F.round(F.max("_d"), 4).alias("drift"))
+    )
+    sel = agg.orderBy(
+        F.col("drift").desc(), F.col("term").asc()
+    ).limit(int(topn))
+    rw = Window.orderBy(F.col("drift").desc(), F.col("term").asc())
+    return sel.withColumn(
+        "rank", F.row_number().over(rw).cast("long")
+    ).select("term", "df", "rank", "drift")
+
+
 def idf_dump(index: InvertedIndex) -> DataFrame:
     """term -> log(N/df) dump (reference: retriever/MsMarcoTopDocs.java:64-76)."""
     return index.term_stats.select(

@@ -1896,6 +1896,50 @@ def test_borda_fuse_hand_computed(spark):
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
 
 
+def test_shard_idf_drift_pure_python_replay(index):
+    """shard_idf_drift vs a dict replay (same mix shards, absent
+    shard = df_local 0, Lucene idf) over the module corpus."""
+    import math
+
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    s = 2
+    toks = {d: set(analyze_text(t, EN)) for d, t in DOCS}
+    n = len(DOCS)
+
+    def shard(d):
+        return ((MIX_A * (d % MIX_P) + MIX_B) % MIX_P) % s
+
+    n_s = {}
+    for d in toks:
+        n_s[shard(d)] = n_s.get(shard(d), 0) + 1
+    df_g, df_l = {}, {}
+    for d, ts in toks.items():
+        for t in ts:
+            df_g[t] = df_g.get(t, 0) + 1
+            df_l[(t, shard(d))] = df_l.get((t, shard(d)), 0) + 1
+
+    def idf(nn, df):
+        return math.log(1.0 + (nn - df + 0.5) / (df + 0.5))
+
+    exp = {}
+    for t, dfg in df_g.items():
+        exp[t] = round(
+            max(
+                abs(idf(n_s[sh], df_l.get((t, sh), 0)) - idf(n, dfg))
+                for sh in range(s)
+            ),
+            4,
+        )
+    out = ix.shard_idf_drift(index, n_shards=s, topn=1000).collect()
+    assert len(out) == len(df_g)
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r in out:
+        assert r["drift"] == pytest.approx(exp[r["term"]])
+        assert order[r["rank"] - 1][0] == r["term"]
+        assert r["df"] == df_g[r["term"]]
+
+
 def test_simple_query_string_semantics(spark):
     """AND-of-items with phrase / OR-group / prefix / negation, plus
     the empty-expansion prefix matching nothing; parser structure."""
