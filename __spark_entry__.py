@@ -2002,6 +2002,49 @@ SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
 """
 
 
+def _rfm_sql() -> str:
+    """Replays eventops.rfm_report: per-user day/count/cents rollup,
+    exact interpolated quintile boundaries (quantile_cont == Spark
+    percentile on integers), strict-comparison scores, rfm digit."""
+    qs = [0.2, 0.4, 0.6, 0.8]
+    bcols = ", ".join(
+        f"quantile_cont({m}, {q}) AS {m[0]}{i + 1}"
+        for m in ("recency_days", "frequency", "monetary_cents")
+        for i, q in enumerate(qs)
+    )
+
+    def sc(col: str, p: str, op: str) -> str:
+        return "(1 + " + " + ".join(
+            f"({col} {op} b.{p}{i + 1})::BIGINT" for i in range(4)
+        ) + ")::BIGINT"
+
+    return f"""
+WITH base AS (
+  SELECT user_id,
+         date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('day', ts))::BIGINT AS d,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+mx AS (SELECT max(d) AS maxd FROM base),
+pu AS (SELECT user_id, (mx.maxd - max(d))::BIGINT AS recency_days,
+              count(*)::BIGINT AS frequency,
+              sum(cents)::BIGINT AS monetary_cents
+       FROM base CROSS JOIN mx GROUP BY user_id, mx.maxd),
+b AS (SELECT {bcols} FROM pu),
+s AS (SELECT pu.user_id, pu.recency_days, pu.frequency,
+             pu.monetary_cents,
+             {sc('recency_days', 'r', '<')} AS r_score,
+             {sc('frequency', 'f', '>')} AS f_score,
+             {sc('monetary_cents', 'm', '>')} AS m_score
+      FROM pu CROSS JOIN b)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
+FROM s
+"""
+
+
 _ANOM_W, _ANOM_Z, _ANOM_MIN = 7, 2.0, 4
 
 
@@ -7521,6 +7564,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("ewma", 4).alias("ewma"),
         )
 
+    def user_rfm(spark, sf):
+        # RFM segmentation via broadcast quantile boundaries
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.rfm_report(ev_df)
+        return out.select(
+            "user_id", "recency_days", "frequency", "monetary_cents",
+            "r_score", "f_score", "m_score", "rfm",
+        )
+
     def event_anomaly(spark, sf):
         # trailing z-score spike/drop detection on daily counts
         from luc4ir_spark.operators import eventops as eo
@@ -9451,6 +9505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_ewma": event_ewma,
         "event_anomaly": event_anomaly,
         "shard_idf_drift": shard_idf_drift,
+        "user_rfm": user_rfm,
         "dedup_streamed": dedup_streamed,
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
@@ -9857,6 +9912,7 @@ UNION ALL SELECT 3::BIGINT, 'purchase',
         "event_ewma": _event_ewma_sql(),
         "event_anomaly": _event_anomaly_sql(),
         "shard_idf_drift": _shard_idf_drift_sql(),
+        "user_rfm": _rfm_sql(),
         "event_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
 lagged AS (

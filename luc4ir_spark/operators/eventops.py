@@ -445,6 +445,93 @@ def event_transitions(
     )
 
 
+def rfm_report(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM user segmentation (recency / frequency / monetary, the
+    classic marketing-analytics scoring; Hughes' "Strategic Database
+    Marketing" popularized it): per user, days since last event
+    (relative to the log's max day), event count, and value total in
+    integer cents; each dimension scored 1-5 by QUINTILE with 5 =
+    best (most recent / most frequent / highest spend), rfm =
+    100·R + 10·F + M.
+
+    Scale shape: scores come from BROADCAST quantile boundaries (one
+    tiny percentile aggregate over the per-user relation, then four
+    integer comparisons per row) — NOT a global ntile window, which
+    would be a single-reducer sort over every user; the only
+    corpus-sized work is the per-user groupBy. Boundaries are exact
+    interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont on these integer inputs); a metric exactly ON a
+    boundary does not pass it (strict comparison) on either engine.
+    -> (user_id, recency_days, frequency, monetary_cents, r_score,
+    f_score, m_score, rfm)."""
+    day_idx = F.expr(
+        f"timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" date_trunc('DAY', {ts_col}))"
+    ).cast("long")
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        day_idx.alias("_d"),
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+    )
+    mx = base.agg(F.max("_d").alias("_maxd"))
+    pu = (
+        base.groupBy("user_id")
+        .agg(
+            F.max("_d").alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("_cents").cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.col("_maxd") - F.col("_last")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+        .localCheckpoint(eager=False)
+    )
+    # ^ consumed twice: the boundary aggregate and the scored output
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    bounds = pu.agg(
+        F.expr(f"percentile(recency_days, {qs})").alias("_br"),
+        F.expr(f"percentile(frequency, {qs})").alias("_bf"),
+        F.expr(f"percentile(monetary_cents, {qs})").alias("_bm"),
+    )
+
+    def score(col, barr, lower_better: bool):
+        e = F.lit(1).cast("long")
+        for i in range(1, 5):
+            b = F.element_at(F.col(barr), i)
+            hit = (F.col(col) < b) if lower_better else (F.col(col) > b)
+            e = e + F.when(hit, 1).otherwise(0)
+        return e.cast("long")
+
+    out = pu.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", "_br", True).alias("r_score"),
+        score("frequency", "_bf", False).alias("f_score"),
+        score("monetary_cents", "_bm", False).alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm",
+        (
+            F.col("r_score") * 100
+            + F.col("f_score") * 10
+            + F.col("m_score")
+        ).cast("long"),
+    )
+
+
 def event_anomaly(
     events: DataFrame,
     window_days: int = 7,

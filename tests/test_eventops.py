@@ -341,6 +341,31 @@ def test_event_transitions_hand_computed(spark):
                    ("c", "a"): 1}
 
 
+def test_rfm_report_hand_computed(spark):
+    """5 users with metrics 1..5 on every dimension: interpolated
+    quintile boundaries over [1..5] are (1.8, 2.6, 3.4, 4.2), so user
+    u scores exactly u on R (recency 5-u days), F (u events) and M
+    (10u cents) -> rfm = 111·u."""
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for k in range(u):  # u events, all on day u-1, value 0.10
+            rows.append((eid, datetime(2024, 1, u, 1 + k), u, 0.10))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {r["user_id"]: r for r in eo.rfm_report(ev).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for u in range(1, 6):
+        r = out[u]
+        assert r["recency_days"] == 5 - u
+        assert r["frequency"] == u
+        assert r["monetary_cents"] == 10 * u
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (u, u, u)
+        assert r["rfm"] == 111 * u
+
+
 def test_event_anomaly_hand_computed(spark):
     """Day 5 of type a spikes to 10 against baseline {4,5,6,5,5}
     (mean 5, sd sqrt(0.5)) -> z = 5/sqrt(0.5) ~= 7.0711 flagged; the
