@@ -2002,6 +2002,42 @@ SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
 """
 
 
+_HEAPS_K = 5
+
+
+def _heaps_sql() -> str:
+    """Replays textstats.heaps_law: first-occurrence vocabulary
+    counting against the max_id·k/K checkpoint grid, lag-based local
+    Heaps exponent with the equal-tokens guard."""
+    return f"""
+WITH {_TOKS}, {_DL},
+fo AS (SELECT term, min(doc_id) AS fo FROM toks GROUP BY 1),
+mx AS (SELECT max(doc_id) AS mid FROM dl),
+grid AS (SELECT g.g::BIGINT AS checkpoint,
+                (mx.mid * g.g) // {_HEAPS_K} AS max_doc_id
+         FROM (SELECT unnest(range(1, {_HEAPS_K + 1})) AS g) g
+         CROSS JOIN mx),
+v AS (SELECT grid.checkpoint, grid.max_doc_id,
+             count(*)::BIGINT AS vocab
+      FROM fo CROSS JOIN grid WHERE fo.fo <= grid.max_doc_id
+      GROUP BY 1, 2),
+t AS (SELECT grid.checkpoint, grid.max_doc_id,
+             sum(dl.doc_len)::BIGINT AS n_tokens
+      FROM dl CROSS JOIN grid WHERE dl.doc_id <= grid.max_doc_id
+      GROUP BY 1, 2),
+c AS (SELECT v.checkpoint, v.max_doc_id, t.n_tokens, v.vocab,
+             lag(v.vocab) OVER wd AS pv,
+             lag(t.n_tokens) OVER wd AS pt
+      FROM v JOIN t USING (checkpoint, max_doc_id)
+      WINDOW wd AS (ORDER BY v.checkpoint))
+SELECT checkpoint, max_doc_id, n_tokens, vocab,
+       round(CASE WHEN pt IS NOT NULL AND n_tokens <> pt
+             THEN ln(vocab::DOUBLE / pv::DOUBLE)
+                  / ln(n_tokens::DOUBLE / pt::DOUBLE) END, 4) AS beta
+FROM c
+"""
+
+
 def _rfm_sql() -> str:
     """Replays eventops.rfm_report: per-user day/count/cents rollup,
     exact interpolated quintile boundaries (quantile_cont == Spark
@@ -8321,6 +8357,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def heaps_law(spark, sf):
+        # Heaps'-law vocabulary growth at 5 doc-id checkpoints
+        out = ts.heaps_law(
+            _docs(spark, sf), n_checkpoints=_HEAPS_K, content_col="text"
+        )
+        return out.select(
+            "checkpoint", "max_doc_id", "n_tokens", "vocab",
+            F.round("beta", 4).alias("beta"),
+        )
+
     def collocations_llr(spark, sf):
         # Dunning LLR bigram collocations, top-20
         out = ts.collocations_llr(
@@ -9382,6 +9428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": length_buckets,
         "centroid_classify": centroid_classify,
         "collocations_llr": collocations_llr,
+        "heaps_law": heaps_law,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -9663,6 +9710,7 @@ def oracle_sql() -> dict[str, str]:
         "length_buckets": _length_buckets_sql(),
         "centroid_classify": _centroid_classify_sql(),
         "collocations_llr": _collocations_llr_sql(),
+        "heaps_law": _heaps_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

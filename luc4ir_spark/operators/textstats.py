@@ -1448,6 +1448,73 @@ def blocklist_filter(
     )
 
 
+def heaps_law(
+    docs: DataFrame,
+    n_checkpoints: int = 5,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth report (V = K·Tᵝ; Heaps'78 /
+    Manning-Raghavan-Schütze IIR §5.1.1): at ``n_checkpoints`` doc-id
+    prefixes of the corpus (c_k = floor(max_id·k/K) — ingestion-order
+    proxy), report cumulative token count T_k, vocabulary size V_k,
+    and the local exponent beta_k = ln(V_k/V_{k-1}) / ln(T_k/T_{k-1})
+    — the standard sanity check that a corpus' vocabulary grows
+    sublinearly (β ≈ 0.4-0.6 for natural text; β near 0 here flags a
+    closed synthetic vocabulary, β near 1 flags id-like token noise).
+
+    Plan shape: NO cumulative scan — V_k is counted from each term's
+    FIRST-OCCURRENCE doc id (one min-aggregate over the postings,
+    vocab-sized) joined against the K-row checkpoint grid, and T_k
+    from the doc-length relation the same way; everything after the
+    two base aggregates is K-row arithmetic.
+    -> (checkpoint, max_doc_id, n_tokens, vocab, beta) — beta NULL at
+    the first checkpoint."""
+    k_n = int(n_checkpoints)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_tokens(content_col).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    flat = toks.select(
+        "doc_id", F.explode("_toks").alias("term")
+    )
+    fo = flat.groupBy("term").agg(F.min("doc_id").alias("fo"))
+    dl = toks.select(
+        "doc_id", F.size("_toks").cast("long").alias("dl")
+    )
+    max_id = dl.agg(F.max("doc_id")).collect()[0][0]
+    spark = docs.sparkSession
+    grid = spark.createDataFrame(
+        [(k, int(max_id) * k // k_n) for k in range(1, k_n + 1)],
+        "checkpoint long, max_doc_id long",
+    )
+    vocab = (
+        fo.crossJoin(F.broadcast(grid))
+        .filter(F.col("fo") <= F.col("max_doc_id"))
+        .groupBy("checkpoint", "max_doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    tokens = (
+        dl.crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") <= F.col("max_doc_id"))
+        .groupBy("checkpoint", "max_doc_id")
+        .agg(F.sum("dl").cast("long").alias("n_tokens"))
+    )
+    cur = vocab.join(tokens, ["checkpoint", "max_doc_id"])
+    w = Window.orderBy("checkpoint")
+    prev_v = F.lag("vocab").over(w)
+    prev_t = F.lag("n_tokens").over(w)
+    beta = F.when(
+        prev_t.isNotNull() & (F.col("n_tokens") != prev_t),
+        F.log(F.col("vocab").cast("double") / prev_v.cast("double"))
+        / F.log(F.col("n_tokens").cast("double") / prev_t.cast("double")),
+    )
+    return cur.select(
+        "checkpoint", "max_doc_id", "n_tokens", "vocab",
+        beta.alias("beta"),
+    )
+
+
 def collocations_llr(
     docs: DataFrame,
     topn: int = 20,

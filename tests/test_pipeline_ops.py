@@ -1312,6 +1312,46 @@ def test_classifier_score_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_heaps_law_hand_computed(spark):
+    """4 docs, 2 checkpoints (max_id=4 -> cuts at 2 and 4):
+    docs 1-2 hold tokens {a,b} (T=4, V=2); docs 3-4 add {c} and
+    repeats (T=9, V=3) -> beta = ln(3/2)/ln(9/4); first checkpoint
+    beta NULL; a no-new-tokens checkpoint guard yields NULL not inf."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"), (2, "a b"), (3, "c a b"), (4, "a b"),
+        ],
+        "doc_id long, content string",
+    )
+    out = {
+        r["checkpoint"]: r
+        for r in textstats.heaps_law(docs, n_checkpoints=2).collect()
+    }
+    assert out[1]["max_doc_id"] == 2
+    assert out[1]["n_tokens"] == 4 and out[1]["vocab"] == 2
+    assert out[1]["beta"] is None
+    assert out[2]["n_tokens"] == 9 and out[2]["vocab"] == 3
+    assert out[2]["beta"] == pytest.approx(
+        math.log(3 / 2) / math.log(9 / 4)
+    )
+    # equal-tokens guard: K=4 over max_id=2 duplicates the cut at 1
+    # (checkpoints 2 and 3 see the same prefix) -> beta NULL, not inf
+    docs2 = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, content string"
+    )
+    rows = {
+        r["checkpoint"]: r
+        for r in textstats.heaps_law(docs2, n_checkpoints=4).collect()
+    }
+    assert 1 not in rows  # cut 0 covers no docs
+    assert rows[2]["beta"] is None  # first surviving row
+    assert rows[3]["n_tokens"] == rows[2]["n_tokens"]
+    assert rows[3]["beta"] is None  # the guard, not infinity
+    assert rows[4]["beta"] == pytest.approx(1.0)  # ln(3/2)/ln(3/2)
+
+
 def test_collocations_llr_hand_computed(spark):
     """One doc 'a b a b c': bigrams (a,b)x2, (b,a), (b,c), N=4.
     For (a,b): k11=2, k12=k21=0, k22=2 -> entropy form collapses to
