@@ -2002,6 +2002,85 @@ SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
 """
 
 
+_XQ_CANDS, _XQ_OUT, _XQ_LAM = 5, 3, 0.5
+
+
+def _xquad_sql() -> str:
+    """Replays feedback.xquad_rerank: per-term BM25 contributions,
+    candidate-normalized P(d|q) / P(d|t), uniform query-term aspects,
+    and the _XQ_OUT-step greedy unroll (4dp-rounded gains, doc ASC
+    ties, coverage multiplied by (1 - P(pick|t)) after each pick)."""
+    one_m_lam = repr(1.0 - _XQ_LAM)
+    lam = repr(float(_XQ_LAM))
+    steps, picks_sel = [], []
+    for i in range(1, _XQ_OUT + 1):
+        prev_cov = "cov0" if i == 1 else f"cov{i - 1}"
+        excl = " ".join(
+            f"AND NOT EXISTS (SELECT 1 FROM p{j} WHERE p{j}.qid = r.qid"
+            f" AND p{j}.doc_id = r.doc_id)"
+            for j in range(1, i)
+        )
+        steps.append(f"""
+div{i} AS (SELECT pa.qid, pa.doc_id, sum(pa.pa * cv.c) AS d
+           FROM pa JOIN {prev_cov} cv
+             ON cv.qid = pa.qid AND cv.term = pa.term
+           GROUP BY 1, 2),
+g{i} AS (SELECT r.qid, r.doc_id,
+                round({one_m_lam} * r.rel
+                      + {lam} * (coalesce(d.d, 0.0) / n.nt), 4) AS g
+         FROM rel r JOIN ntq n USING (qid)
+         LEFT JOIN div{i} d
+           ON d.qid = r.qid AND d.doc_id = r.doc_id
+         WHERE 1 = 1 {excl}),
+p{i} AS (SELECT qid, doc_id, g FROM (
+           SELECT qid, doc_id, g,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY g DESC, doc_id ASC) AS rn
+           FROM g{i}) WHERE rn = 1),
+cov{i} AS (SELECT cv.qid, cv.term,
+                  cv.c * (1.0 - coalesce(pp.pa, 0.0)) AS c
+           FROM {prev_cov} cv LEFT JOIN
+             (SELECT pa.qid, pa.term, pa.pa FROM pa
+              JOIN p{i} ON p{i}.qid = pa.qid
+                       AND p{i}.doc_id = pa.doc_id) pp
+             ON pp.qid = cv.qid AND pp.term = cv.term)""")
+        picks_sel.append(
+            f"SELECT qid, doc_id, {i}::BIGINT AS rank, g AS xquad"
+            f" FROM p{i}"
+        )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+qd AS (SELECT DISTINCT qid, term FROM q),
+pdt0 AS (
+  SELECT qd.qid, qd.term, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) AS sc
+  FROM qd JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+cand AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, sum(sc) AS score,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY sum(sc) DESC, doc_id ASC)::BIGINT AS rank
+    FROM pdt0 GROUP BY qid, doc_id) WHERE rank <= {_XQ_CANDS}
+),
+rel AS (SELECT c.qid, c.doc_id, c.score / z.zs AS rel
+        FROM cand c JOIN (SELECT qid, sum(score) AS zs FROM cand
+                          GROUP BY 1) z USING (qid)),
+pdt AS (SELECT p.* FROM pdt0 p
+        JOIN cand ON cand.qid = p.qid AND cand.doc_id = p.doc_id),
+zt AS (SELECT qid, term, sum(sc) AS z FROM pdt GROUP BY 1, 2),
+pa AS (SELECT p.qid, p.term, p.doc_id, p.sc / z.z AS pa
+       FROM pdt p JOIN zt z ON z.qid = p.qid AND z.term = p.term
+       WHERE z.z > 0),
+ntq AS (SELECT qid, count(*)::DOUBLE AS nt FROM qd GROUP BY 1),
+cov0 AS (SELECT qid, term, 1.0 AS c FROM qd),
+{','.join(steps)}
+{' UNION ALL '.join(picks_sel)}
+"""
+
+
 _HEAPS_K = 5
 
 
@@ -8357,6 +8436,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def xquad_rerank(spark, sf):
+        # xQuAD diversification: uniform query-term aspects, 3 greedy
+        # picks from the BM25 top-5, coverage-discounted gains
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = fb.xquad_rerank(
+            idx, qt, k_cands=_XQ_CANDS, k_out=_XQ_OUT, lam=_XQ_LAM
+        )
+        return out.select("qid", "doc_id", "rank", "xquad")
+
     def heaps_law(spark, sf):
         # Heaps'-law vocabulary growth at 5 doc-id checkpoints
         out = ts.heaps_law(
@@ -9429,6 +9518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": centroid_classify,
         "collocations_llr": collocations_llr,
         "heaps_law": heaps_law,
+        "xquad_rerank": xquad_rerank,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -9711,6 +9801,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_classify": _centroid_classify_sql(),
         "collocations_llr": _collocations_llr_sql(),
         "heaps_law": _heaps_sql(),
+        "xquad_rerank": _xquad_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

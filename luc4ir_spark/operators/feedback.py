@@ -490,6 +490,155 @@ def diversity_rerank(
     )
 
 
+def xquad_rerank(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k_cands: int = 5,
+    k_out: int = 3,
+    lam: float = 0.5,
+) -> DataFrame:
+    """xQuAD explicit diversification (Santos, Macdonald & Ounis
+    WWW'10, "Exploiting Query Reformulations for Web Result
+    Diversification") with the standard uniform-query-aspects
+    instantiation (each query TERM is one aspect, P(t|q) = 1/|terms|):
+    greedily pick
+
+      gain(d) = (1−λ)·P(d|q) + λ·(1/nt)·Σ_t P(d|t)·Π_{d'∈S}(1−P(d'|t))
+
+    where P(d|q) is the candidate-normalized BM25 score and P(d|t) the
+    candidate-normalized per-term BM25 contribution; after each pick
+    the aspect coverage c_t multiplies by (1 − P(pick|t)), so aspects
+    already covered stop paying. Gains are rounded to 4dp BEFORE each
+    argmax (doc_id ties ASC) — the engine-stable greedy convention.
+    -> (qid, doc_id, rank, xquad) for the k_out picks, xquad = the
+    selection-step gain.
+
+    Fully relational (unlike `diversity_rerank`'s pandas kernel —
+    xQuAD's gain is a per-aspect SUM, so each greedy step is a
+    run-sized join + aggregate): every relation after the one postings
+    scan is (queries × k_cands) or (queries × terms)-sized; the k_out
+    loop localCheckpoints its tiny state so the plan stays linear."""
+    from .retrieval import Similarity, idf_lucene
+
+    sim = Similarity()
+    qt = query_terms.select("qid", "term").distinct()
+    ts = index.term_stats.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    qte = qt.join(F.broadcast(ts), "term").withColumn(
+        "idf", idf_lucene(F.col("df"), index.stats.n_docs)
+    )
+    contrib = F.col("idf") * F.col("tf") / (
+        F.col("tf")
+        + F.lit(sim.k1)
+        * (
+            F.lit(1.0)
+            - F.lit(sim.b)
+            + F.lit(sim.b)
+            * F.col("doc_len")
+            / F.lit(float(index.stats.avgdl))
+        )
+    )
+    pdt_all = index.postings.join(F.broadcast(qte), "term").select(
+        "qid", "term", "doc_id", contrib.alias("s")
+    )
+    run = (
+        pdt_all.groupBy("qid", "doc_id")
+        .agg(F.sum("s").alias("score"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= int(k_cands))
+        .localCheckpoint(eager=False)
+    )
+    qsum = run.groupBy("qid").agg(F.sum("score").alias("_zs"))
+    rel = run.join(qsum, "qid").select(
+        "qid", "doc_id", (F.col("score") / F.col("_zs")).alias("rel")
+    )
+    pdt = pdt_all.join(
+        run.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi"
+    )
+    zt = pdt.groupBy("qid", "term").agg(F.sum("s").alias("_z"))
+    pa = (
+        pdt.join(zt.filter(F.col("_z") > 0), ["qid", "term"])
+        .select(
+            "qid", "term", "doc_id", (F.col("s") / F.col("_z")).alias("pa")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nt = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("double").alias("_nt")
+    )
+    cov = qt.select("qid", "term").withColumn("c", F.lit(1.0))
+    remaining = rel
+    picks = []
+    for step in range(1, int(k_out) + 1):
+        div = (
+            pa.join(cov, ["qid", "term"])
+            .groupBy("qid", "doc_id")
+            .agg(F.sum(F.col("pa") * F.col("c")).alias("_div"))
+        )
+        gained = (
+            remaining.join(div, ["qid", "doc_id"], "left")
+            .join(F.broadcast(nt), "qid")
+            .select(
+                "qid",
+                "doc_id",
+                "rel",
+                F.round(
+                    F.lit(1.0 - float(lam)) * F.col("rel")
+                    + F.lit(float(lam))
+                    * (
+                        F.coalesce(F.col("_div"), F.lit(0.0))
+                        / F.col("_nt")
+                    ),
+                    4,
+                ).alias("g"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("g").desc(), F.col("doc_id").asc()
+        )
+        pick = (
+            gained.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "qid", "doc_id",
+                F.lit(step).cast("long").alias("rank"),
+                F.col("g").alias("xquad"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        remaining = remaining.join(
+            pick.select("qid", "doc_id"), ["qid", "doc_id"], "left_anti"
+        ).localCheckpoint(eager=False)
+        pa_pick = pa.join(
+            pick.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi"
+        ).select("qid", "term", F.col("pa").alias("_pp"))
+        cov = (
+            cov.join(pa_pick, ["qid", "term"], "left")
+            .select(
+                "qid",
+                "term",
+                (
+                    F.col("c")
+                    * (F.lit(1.0) - F.coalesce(F.col("_pp"), F.lit(0.0)))
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def retrieve_with_feedback(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -340,3 +340,41 @@ def test_rocchio_expand_hand_computed(spark):
     assert out["b"] == pt.approx(0.5 * cent["b"], rel=1e-12)
     assert "c" not in out  # truncated (tie broken by term ASC)
     assert "d" not in out  # doc 3 is outside the pseudo-relevant pool
+
+
+def test_xquad_rerank_properties(spark):
+    """lam=0 degenerates to the BM25 candidate order (gains = 4dp
+    relevance); lam=1 forces aspect coverage — the first two picks
+    jointly contain BOTH query terms even though the two best BM25
+    docs only cover one."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "aa aa"), (3, "bb")],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=SIMPLE))
+    qt = rt.queries_to_terms(spark, [("x1", "aa bb")], SIMPLE)
+    base = [
+        r["doc_id"]
+        for r in rt.score_queries(idx, qt, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    lam0 = (
+        fb.xquad_rerank(idx, qt, k_cands=3, k_out=3, lam=0.0)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["doc_id"] for r in lam0] == base
+    assert all(
+        lam0[i]["xquad"] >= lam0[i + 1]["xquad"] for i in range(2)
+    )
+    lam1 = (
+        fb.xquad_rerank(idx, qt, k_cands=3, k_out=2, lam=1.0)
+        .orderBy("rank")
+        .collect()
+    )
+    texts = {1: {"aa"}, 2: {"aa"}, 3: {"bb"}}
+    covered = set()
+    for r in lam1:
+        covered |= texts[r["doc_id"]]
+    assert covered == {"aa", "bb"}
