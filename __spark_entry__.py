@@ -2002,6 +2002,31 @@ SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
 """
 
 
+_COMPACT_S = 8
+
+
+def _index_compact_sql() -> str:
+    """Replays indexer.compact_doc_ids over the documents table:
+    shard-major mix order, S-row offsets, partitioned row_number."""
+    mix = "((2654435761 * (doc_id % 2147483647) + 2246822519) % 2147483647)"
+    return f"""
+WITH k AS (SELECT doc_id AS old_id, {mix} AS mkey,
+                  {mix} % {_COMPACT_S} AS shard
+           FROM documents),
+c AS (SELECT shard, count(*)::BIGINT AS n FROM k GROUP BY 1),
+o AS (SELECT shard,
+             coalesce(sum(n) OVER (ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS off
+      FROM c)
+SELECT k.old_id,
+       (o.off + row_number() OVER (PARTITION BY k.shard
+            ORDER BY k.mkey, k.old_id) - 1)::BIGINT AS new_id,
+       k.shard::BIGINT AS shard
+FROM k JOIN o USING (shard)
+"""
+
+
 _XQ_CANDS, _XQ_OUT, _XQ_LAM = 5, 3, 0.5
 
 
@@ -8436,6 +8461,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def index_compact(spark, sf):
+        # forceMerge-style dense docid renumbering (shard-major mix
+        # order, no global sort)
+        out = ix.compact_doc_ids(
+            _docs(spark, sf), n_shards=_COMPACT_S
+        )
+        return out.select("old_id", "new_id", "shard")
+
     def xquad_rerank(spark, sf):
         # xQuAD diversification: uniform query-term aspects, 3 greedy
         # picks from the BM25 top-5, coverage-discounted gains
@@ -9519,6 +9552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_llr": collocations_llr,
         "heaps_law": heaps_law,
         "xquad_rerank": xquad_rerank,
+        "index_compact": index_compact,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -9802,6 +9836,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_llr": _collocations_llr_sql(),
         "heaps_law": _heaps_sql(),
         "xquad_rerank": _xquad_sql(),
+        "index_compact": _index_compact_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -605,6 +605,94 @@ def idf_lucene(df_col, n_docs: int):
     )
 
 
+def compact_doc_ids(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense doc-id renumbering — what Lucene's forceMerge does to
+    docids after deletes (IndexWriter.forceMerge compacts segments and
+    renumbers documents densely; reference behavior: a merged index
+    has ids [0, numDocs)): map every live doc id to a dense [0, n)
+    id. Lucene's order is segment-insertion; ours is SHARD-MAJOR mix
+    order — any bijection is a valid compaction, and this one needs NO
+    global sort: new_id = shard_offset + row_number within the doc's
+    pmod(mix(id), S) shard, with the S shard offsets computed from one
+    S-row count aggregate. All-integer, deterministic, and
+    SQL-replayable. -> (old_id, new_id, shard).
+
+    Scale shape: one map-side-combined shard count, one BROADCAST
+    S-row offset relation, and a PARTITIONED row_number window (each
+    shard sorts independently — the whole point; a global
+    row_number/orderBy would funnel every doc through one reducer).
+    Compose with `index_delete` for the delete→compact cycle and with
+    `remap_index` to rewrite the posting tables."""
+    from ..functions.hashing import mix_id_expr
+
+    s = int(n_shards)
+    keyed = docs.select(
+        F.col(id_col).alias("old_id"),
+        mix_id_expr(F.col(id_col)).alias("_mkey"),
+    ).withColumn("shard", F.pmod(F.col("_mkey"), F.lit(s)).cast("long"))
+    counts = keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    off_w = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+    )
+    rn_w = Window.partitionBy("shard").orderBy("_mkey", "old_id")
+    return (
+        keyed.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "new_id",
+            (F.col("_off") + F.row_number().over(rn_w) - F.lit(1))
+            .cast("long"),
+        )
+        .select("old_id", "new_id", "shard")
+    )
+
+
+def remap_index(index: InvertedIndex, mapping: DataFrame) -> InvertedIndex:
+    """Rewrite an index's doc-keyed tables through a `compact_doc_ids`
+    mapping (old_id, new_id) — the table-level half of forceMerge's
+    renumbering. Term-keyed statistics are id-invariant and pass
+    through untouched; doc_stats and the flat postings re-key via one
+    broadcast-friendly equi-join each (the mapping is doc-count-sized
+    and co-partitioned by the join key at scale)."""
+    m = mapping.select(
+        F.col("old_id").alias("doc_id"), F.col("new_id")
+    )
+    new_docs = (
+        index.doc_stats.join(m, "doc_id")
+        .drop("doc_id")
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    new_post = (
+        index.postings.join(m, "doc_id")
+        .drop("doc_id")
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    # re-select the original column order: downstream unions and
+    # spine builders assume a stable schema (see index_delete's note)
+    new_docs = new_docs.select(*index.doc_stats.columns)
+    new_post = new_post.select(*index.postings.columns)
+    return InvertedIndex(
+        doc_stats=new_docs,
+        postings=new_post,
+        term_stats=index.term_stats,
+        stats=index.stats,
+        config=index.config,
+        blobs=None,
+    )
+
+
 def shard_idf_drift(
     index: InvertedIndex, n_shards: int = 4, topn: int = 15
 ) -> DataFrame:

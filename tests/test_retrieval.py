@@ -1896,6 +1896,27 @@ def test_borda_fuse_hand_computed(spark):
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
 
 
+def test_compact_doc_ids_and_remap(spark, index):
+    """compact_doc_ids is a bijection onto [0, n); remap_index keeps
+    retrieval results identical up to the relabeling (same scores at
+    every rank, doc ids mapped through)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, content string")
+    mapping = ix.compact_doc_ids(df, n_shards=3)
+    rows = mapping.collect()
+    assert sorted(r["new_id"] for r in rows) == list(range(len(DOCS)))
+    assert {r["old_id"] for r in rows} == {d for d, _ in DOCS}
+    m = {r["old_id"]: r["new_id"] for r in rows}
+    remapped = ix.remap_index(index, mapping)
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    orig = rt.score_queries(index, qt, k=10).collect()
+    new = rt.score_queries(remapped, qt, k=10).collect()
+    exp = {(r["qid"], m[r["doc_id"]]): r["score"] for r in orig}
+    got = {(r["qid"], r["doc_id"]): r["score"] for r in new}
+    assert set(got) == set(exp)
+    for k_, v in exp.items():
+        assert got[k_] == pytest.approx(v, rel=1e-12)
+
+
 def test_shard_idf_drift_pure_python_replay(index):
     """shard_idf_drift vs a dict replay (same mix shards, absent
     shard = df_local 0, Lucene idf) over the module corpus."""
