@@ -1800,6 +1800,51 @@ FROM a3 CROSS JOIN nn
 """
 
 
+def _pagerank_boost_sql() -> str:
+    """Replays function_score over the BM25 run with the synthetic-
+    graph PageRank prior as boost = 1 + ln(1 + pr) — the classic
+    link-prior × relevance composition (Brin-Page'98 meets BM25)."""
+    return f"""
+WITH {_BM25_RUN_CTES},
+nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+a0 AS (SELECT id, 1::BIGINT AS a FROM nodes),
+c1 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a0 a ON e.src = a.id GROUP BY 1),
+a1 AS (SELECT nd.id, (9 + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c1 c USING (id)),
+c2 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a1 a ON e.src = a.id GROUP BY 1),
+a2 AS (SELECT nd.id, (540 + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c2 c USING (id)),
+c3 AS (SELECT e.dst AS id, sum(a.a)::BIGINT AS s
+       FROM edges e JOIN a2 a ON e.src = a.id GROUP BY 1),
+a3 AS (SELECT nd.id, (32400 + 17 * coalesce(c.s, 0))::BIGINT AS a
+       FROM nodes nd LEFT JOIN c3 c USING (id)),
+prt AS (SELECT a3.id AS doc_id, a3.a / (nn.n * 216000.0) AS pr
+        FROM a3 CROSS JOIN nn),
+boosted AS (
+  SELECT r.qid, r.doc_id,
+         r.score * (1.0 + ln(1.0 + prt.pr)) AS s
+  FROM ranked r JOIN prt USING (doc_id)
+  WHERE r.rank <= {TOPK}
+)
+SELECT qid, doc_id, rank, score FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+         round(s, 4) AS score
+  FROM boosted) WHERE rank <= {TOPK}
+"""
+
+
 _HITS_SQL = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -6981,6 +7026,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pr", 4).alias("pr"),
         )
 
+    def pagerank_boost(spark, sf):
+        # link-prior × relevance: function_score with boost =
+        # 1 + ln(1 + PageRank) over the synthetic graph
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        pr = gr.pagerank_regular_exact(
+            docs, edges, n, n_iter=3, id_col="doc_id"
+        ).select(F.col("id").alias("doc_id"), "pr")
+        out = rt.function_score(
+            run, pr,
+            F.lit(1.0) + F.log(F.lit(1.0) + F.col("pr")),
+            k=TOPK,
+        )
+        return out.select(
+            "qid", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
     def link_hits(spark, sf):
         # 2-iteration unnormalized HITS over the same synthetic link
         # graph as link_pagerank; all scores are integers so the gate
@@ -9553,6 +9621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": heaps_law,
         "xquad_rerank": xquad_rerank,
         "index_compact": index_compact,
+        "pagerank_boost": pagerank_boost,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -9837,6 +9906,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law": _heaps_sql(),
         "xquad_rerank": _xquad_sql(),
         "index_compact": _index_compact_sql(),
+        "pagerank_boost": _pagerank_boost_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -1896,6 +1896,42 @@ def test_borda_fuse_hand_computed(spark):
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
 
 
+def test_pagerank_boost_composition(spark, index):
+    """The pagerank-prior boost equals the hand composition of the
+    two already-tested pieces: score' = bm25 · (1 + ln(1 + pr))."""
+    import math
+
+    from luc4ir_spark.operators import graph as gr
+
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    run = rt.score_queries(index, qt, k=10)
+    docs = spark.createDataFrame(
+        [(d,) for d, _ in DOCS], "doc_id long"
+    )
+    n = len(DOCS)
+    edges = gr.synthetic_link_graph(docs, n)
+    prdf = gr.pagerank_regular_exact(
+        docs, edges, n, n_iter=3, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "pr")
+    pr = {r["doc_id"]: r["pr"] for r in prdf.collect()}
+    exp = {}
+    for r in run.collect():
+        exp.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["score"] * (1.0 + math.log(1.0 + pr[r["doc_id"]])))
+        )
+    out = rt.function_score(
+        run, prdf, F.lit(1.0) + F.log(F.lit(1.0) + F.col("pr")), k=10
+    ).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, rows in exp.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        assert [d for d, _ in got[qid]] == [d for d, _ in rows]
+        for (gd, gs), (_, es) in zip(got[qid], rows):
+            assert gs == pytest.approx(es, rel=1e-12)
+
+
 def test_compact_doc_ids_and_remap(spark, index):
     """compact_doc_ids is a bijection onto [0, n); remap_index keeps
     retrieval results identical up to the relabeling (same scores at
