@@ -5405,6 +5405,34 @@ _MLT_DOC = 3
 _MLT_TERMS = 5
 
 
+def _classifier_calibration_sql() -> str:
+    """Replays evaluation.calibration_bins over the classifier_score
+    sigmoid scores + mix-parity labels: equal-width floor bins (safe —
+    logits are bit-identical cross-engine), per-bin mean score and
+    observed positive rate."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+w AS (SELECT DISTINCT term, {_CLS_WEIGHT_SQL} AS weight FROM toks),
+s AS (SELECT tf.doc_id, sum(tf.tf * w.weight) / dl.doc_len AS logit
+      FROM tf JOIN w USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id, dl.doc_len),
+p AS (SELECT doc_id, 1.0 / (1.0 + exp(-logit)) AS score FROM s),
+l AS (SELECT doc_id,
+             ((2654435761 * (doc_id % 2147483647) + 2246822519)
+              % 2147483647) % 2 AS label
+      FROM documents),
+j AS (SELECT p.score, l.label FROM p JOIN l USING (doc_id)),
+g AS (SELECT least(floor(score * 10), 9)::BIGINT AS bin,
+             count(*)::BIGINT AS n,
+             sum(label)::BIGINT AS n_pos,
+             avg(score) AS mean_score
+      FROM j GROUP BY 1)
+SELECT bin, n, n_pos, round(mean_score, 4) AS mean_score,
+       round(n_pos::DOUBLE / n::DOUBLE, 4) AS pos_rate
+FROM g
+"""
+
+
 def _semantic_dedup_sql() -> str:
     """Replays annsearch.semantic_dedup: centroids = the K lowest-id
     vectors (recomputed from the table — the engine collects the same
@@ -9149,6 +9177,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auc", 4).alias("auc"),
         )
 
+    def classifier_calibration(spark, sf):
+        # reliability-diagram bins over the md5-weight classifier's
+        # sigmoid scores vs the mix-parity labels
+        from luc4ir_spark.functions import hashing as hx
+
+        idx = _index(spark, sf)
+        sid = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast(
+            "long"
+        )
+        wts = idx.term_stats.select(
+            "term",
+            (F.pmod(sid, F.lit(2001)) - 1000).cast("double").alias(
+                "weight"
+            ),
+        )
+        preds = ts.classifier_score(
+            _docs(spark, sf), wts, bias=0.0, threshold=0.5,
+            content_col="text",
+        )
+        labels = _docs(spark, sf).select(
+            "doc_id",
+            F.pmod(hx.mix_id_expr("doc_id"), F.lit(2)).cast("int").alias(
+                "label"
+            ),
+        )
+        out = ev.calibration_bins(
+            preds.join(labels, "doc_id"), n_bins=10
+        )
+        return out.select(
+            "bin", "n", "n_pos",
+            F.round("mean_score", 4).alias("mean_score"),
+            F.round("pos_rate", 4).alias("pos_rate"),
+        )
+
     def duplicate_spans(spark, sf):
         # C4/Lee-et-al. span dedup: globally repeated fixed-token spans
         # with occurrence mass and first-occurrence keeper
@@ -9622,6 +9684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xquad_rerank": xquad_rerank,
         "index_compact": index_compact,
         "pagerank_boost": pagerank_boost,
+        "classifier_calibration": classifier_calibration,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -9907,6 +9970,7 @@ def oracle_sql() -> dict[str, str]:
         "xquad_rerank": _xquad_sql(),
         "index_compact": _index_compact_sql(),
         "pagerank_boost": _pagerank_boost_sql(),
+        "classifier_calibration": _classifier_calibration_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

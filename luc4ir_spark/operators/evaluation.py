@@ -628,6 +628,45 @@ def friedman_test(
     )
 
 
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins — the standard classifier calibration
+    report (Niculescu-Mizil & Caruana ICML'05; DeGroot-Fienberg
+    calibration): rows with probability scores in [0, 1] and binary
+    labels are bucketed into ``n_bins`` equal-width bins
+    (bin = min(floor(score·B), B−1) so score 1.0 lands in the top
+    bin), and each bin reports count, positives, mean predicted score
+    and observed positive rate — well-calibrated means the last two
+    match per bin. -> (bin, n, n_pos, mean_score, pos_rate).
+
+    One map-side-combined groupBy over at most B keys — corpus-scale
+    trivial. The floor binning is engine-safe whenever the scores are
+    the identical float64 on both engines (true for this repo's
+    bit-exact classifier logits)."""
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(int(n_bins))),
+        F.lit(int(n_bins) - 1),
+    ).cast("long")
+    g = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+        F.avg(F.col(score_col)).alias("mean_score"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_score",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+    )
+
+
 def pbm_click_model(
     impressions: DataFrame,
     n_iter: int = 2,

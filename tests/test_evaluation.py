@@ -514,6 +514,25 @@ def test_friedman_hand_computed(spark):
         assert r["chi2_f"] == pytest.approx(1.125)
 
 
+def test_calibration_bins_hand_computed(spark):
+    """Equal-width bins: 0.05->0, 0.15->1, 0.95->9, and score 1.0
+    clamps into bin 9; per-bin mean/pos-rate arithmetic."""
+    rows = [
+        (0.05, 0), (0.08, 1),       # bin 0: n=2, pos=1
+        (0.15, 0),                  # bin 1
+        (0.95, 1), (1.0, 1),        # bin 9 (1.0 clamped)
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in ev.calibration_bins(df).collect()}
+    assert set(out) == {0, 1, 9}
+    assert out[0]["n"] == 2 and out[0]["n_pos"] == 1
+    assert out[0]["mean_score"] == pytest.approx(0.065)
+    assert out[0]["pos_rate"] == pytest.approx(0.5)
+    assert out[1]["n"] == 1 and out[1]["n_pos"] == 0
+    assert out[9]["n"] == 2 and out[9]["n_pos"] == 2
+    assert out[9]["pos_rate"] == pytest.approx(1.0)
+
+
 def test_pbm_click_model_hand_computed(spark):
     """Tiny log: (q,d1,pos1,click)x2, (q,d1,pos2,no), (q,d2,pos1,no).
     Iter 1 (g=r=0.5): unclicked posterior = 1/3 ->
