@@ -1048,6 +1048,59 @@ FROM p3
 """
 
 
+def _ltr_apply_sql() -> str:
+    """Replays retrieval.ltr_apply_linear over the ltr_train model:
+    the full train CTE chain, then score = w1·x1 + w2·x2 re-ranked
+    per query."""
+    lam = repr(float(_LTR_L2))
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+{_QRELS_SQL},
+feat AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS x1,
+         sum( greatest(ln(1.0 + tf.tf / ({MU} * dft.cf / s.total_tokens))
+              + ln({MU} / (dl.doc_len + {MU})), 0.0) ) AS x2
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT qid, doc_id, x1, x2 FROM (
+    SELECT qid, doc_id, x1, x2,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY x1 DESC, doc_id ASC)::BIGINT AS rank
+    FROM feat) WHERE rank <= {TOPK}
+),
+lab AS (
+  SELECT c.x1, c.x2,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0 THEN 1.0 ELSE 0.0 END AS y
+  FROM cand c LEFT JOIN qrels qr
+    ON c.qid = qr.qid AND c.doc_id = qr.docid
+),
+st AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(x1 * y) AS b1, sum(x2 * y) AS b2, sum(y * y) AS syy
+  FROM lab
+),
+p1 AS (SELECT *, s11 + {lam} AS s11p, s22 + {lam} AS s22p FROM st),
+p2 AS (SELECT *, s11p * s22p - s12 * s12 AS det FROM p1),
+p3 AS (SELECT (s22p * b1 - s12 * b2) / det AS w1,
+              (s11p * b2 - s12 * b1) / det AS w2
+       FROM p2),
+sc AS (SELECT c.qid, c.doc_id, w.w1 * c.x1 + w.w2 * c.x2 AS s
+       FROM cand c CROSS JOIN p3 w)
+SELECT qid, doc_id, rank, score FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+         round(s, 4) AS score
+  FROM sc) WHERE rank <= {TOPK}
+"""
+
+
 def _borda_fuse_sql() -> str:
     """Replays borda_fuse over the bm25 + lmdir top-k runs: each run
     awards TOPK - rank + 1 points, absent docs get nothing,
@@ -6885,6 +6938,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("mse", 4).alias("mse"),
         )
 
+    def ltr_apply(spark, sf):
+        # train->serve: apply the ridge model to the feature log and
+        # re-rank (no driver-side weight collection)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        feats = rt.ltr_features(idx, qt, k=TOPK)
+        qrels = _pseudo_qrels(spark, sf)
+        labeled = (
+            feats.withColumn("docid", F.col("doc_id").cast("string"))
+            .join(qrels, ["qid", "docid"], "left")
+            .withColumn(
+                "label",
+                F.when(
+                    F.coalesce(F.col("rel"), F.lit(0.0)) >= 1.0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        model = rt.ltr_train_ridge(
+            labeled, feature_cols=("bm25", "lmdir"),
+            label_col="label", l2=_LTR_L2,
+        )
+        out = rt.ltr_apply_linear(
+            feats, model, feature_cols=("bm25", "lmdir"), k=TOPK
+        )
+        return out.select(
+            "qid", "doc_id", "rank",
+            F.round("score", 4).alias("score"),
+        )
+
     def condorcet_fuse(spark, sf):
         # Copeland/Condorcet fusion of the bm25 + lmdir + classic
         # runs: strict duel-win majority, wins − losses, all-integer
@@ -9651,6 +9734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "borda_fuse": borda_fuse,
         "condorcet_fuse": condorcet_fuse,
         "ltr_train": ltr_train,
+        "ltr_apply": ltr_apply,
         "zscore_fuse": zscore_fuse,
         "ltr_features": ltr_features,
         "eval_macro": eval_macro,
@@ -9939,6 +10023,7 @@ def oracle_sql() -> dict[str, str]:
         "borda_fuse": _borda_fuse_sql(),
         "condorcet_fuse": _condorcet_fuse_sql(),
         "ltr_train": _ltr_train_sql(),
+        "ltr_apply": _ltr_apply_sql(),
         "ltr_features": _ltr_features_sql(),
         "eval_macro": _eval_macro_sql(),
         "bm25_plus": _bm25_plus_sql(),

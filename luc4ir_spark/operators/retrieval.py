@@ -2881,6 +2881,41 @@ def ltr_train_ridge(
     return s3.select("n", "w1", "w2", mse.alias("mse"))
 
 
+def ltr_apply_linear(
+    features: DataFrame,
+    model: DataFrame,
+    feature_cols: tuple = ("bm25", "lmdir"),
+    k: int = 10,
+) -> DataFrame:
+    """Serve a linear LTR model (the `ltr_train_ridge` output — one
+    row with w1, w2) over a feature log: score = w1·f1 + w2·f2,
+    re-ranked per query — the train→serve loop of a pointwise ranker
+    without any driver-side weight collection (the one-row model
+    relation broadcasts into a projection; swapping in a refreshed
+    model is swapping a one-row table). -> (qid, doc_id, rank, score),
+    rank <= k, ranked on the raw combined score (doc_id ties ASC) like
+    every scorer here."""
+    f1, f2 = feature_cols
+    j = features.select("qid", "doc_id", f1, f2).crossJoin(
+        F.broadcast(model.select("w1", "w2"))
+    )
+    scored = j.select(
+        "qid",
+        "doc_id",
+        (F.col("w1") * F.col(f1) + F.col("w2") * F.col(f2)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
 def condorcet_fuse(
     runs: DataFrame,
     pool_k: int,

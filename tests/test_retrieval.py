@@ -2054,6 +2054,26 @@ def test_ltr_train_ridge_hand_computed(spark):
     assert row["mse"] == pytest.approx(143 / 1444, rel=1e-9)
 
 
+def test_ltr_apply_linear_hand_computed(spark):
+    """Applying a known one-row model reproduces w1·f1 + w2·f2 with
+    the per-query re-rank and doc_id tie-break."""
+    feats = spark.createDataFrame(
+        [("q", 1, 2.0, 1.0), ("q", 2, 1.0, 3.0), ("q", 3, 0.0, 0.0)],
+        "qid string, doc_id long, bm25 double, lmdir double",
+    )
+    model = spark.createDataFrame([(0.5, 1.0)], "w1 double, w2 double")
+    out = sorted(
+        rt.ltr_apply_linear(feats, model, k=3).collect(),
+        key=lambda r: r["rank"],
+    )
+    # scores: d1 = 2.0, d2 = 3.5, d3 = 0.0
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (2, pytest.approx(3.5)),
+        (1, pytest.approx(2.0)),
+        (3, pytest.approx(0.0)),
+    ]
+
+
 def test_condorcet_fuse_hand_computed(spark):
     """Copeland over 3 voters, pool_k=3 (absent = rank 4):
     q1 ranks A:(d1,d2,d3) B:(d2,d1,d4) C:(d1,d4,d2) ->
