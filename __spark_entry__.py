@@ -2100,6 +2100,58 @@ SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
 """
 
 
+_TMAX_TOPN, _BURST_MIN_DF, _BURST_TOPN = 20, 5, 20
+
+
+def _term_max_contrib_sql() -> str:
+    """Replays indexer.term_max_contrib: lexicographic struct-max per
+    term (ties -> larger doc_id), top-n by rounded bound."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+c AS (
+  SELECT tf.term, dft.df,
+         (max(struct_pack(
+            c := ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)),
+            doc_id := tf.doc_id))).doc_id AS doc_id,
+         round((max(struct_pack(
+            c := ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)),
+            doc_id := tf.doc_id))).c, 4) AS max_contrib
+  FROM tf JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+r AS (SELECT term, df, doc_id, max_contrib,
+             row_number() OVER (ORDER BY max_contrib DESC,
+                                term ASC)::BIGINT AS rank
+      FROM c)
+SELECT term, df, doc_id, rank, max_contrib
+FROM r WHERE rank <= {_TMAX_TOPN}
+"""
+
+
+def _term_burstiness_sql() -> str:
+    """Replays indexer.term_burstiness: cf/df mean tf and Katz repeat
+    probability, df floor, top-n by rounded mean tf (term ties)."""
+    return f"""
+WITH {_TOKS}, {_TF},
+per AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+               sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_repeat
+        FROM tf GROUP BY 1 HAVING count(*) >= {_BURST_MIN_DF}),
+s AS (SELECT term, df, cf, n_repeat,
+             round(cf::DOUBLE / df::DOUBLE, 4) AS mean_tf,
+             round(n_repeat::DOUBLE / df::DOUBLE, 4) AS p_repeat
+      FROM per),
+r AS (SELECT *, row_number() OVER (ORDER BY mean_tf DESC,
+                                   term ASC)::BIGINT AS rank
+      FROM s)
+SELECT term, df, cf, n_repeat, rank, mean_tf, p_repeat
+FROM r WHERE rank <= {_BURST_TOPN}
+"""
+
+
 _COMPACT_S = 8
 
 
@@ -8640,6 +8692,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def term_max_scores(spark, sf):
+        # MaxScore/WAND per-term global upper bounds + argmax doc
+        idx = _index(spark, sf)
+        out = ix.term_max_contrib(idx, topn=_TMAX_TOPN, k1=K1, b=B)
+        return out.select("term", "df", "doc_id", "rank", "max_contrib")
+
+    def term_burstiness(spark, sf):
+        # Church-Gale burstiness: mean within-doc tf + repeat prob
+        idx = _index(spark, sf)
+        out = ix.term_burstiness(
+            idx, min_df=_BURST_MIN_DF, topn=_BURST_TOPN
+        )
+        return out.select(
+            "term", "df", "cf", "n_repeat", "rank", "mean_tf",
+            "p_repeat",
+        )
+
     def index_compact(spark, sf):
         # forceMerge-style dense docid renumbering (shard-major mix
         # order, no global sort)
@@ -9769,6 +9838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_compact": index_compact,
         "pagerank_boost": pagerank_boost,
         "classifier_calibration": classifier_calibration,
+        "term_max_scores": term_max_scores,
+        "term_burstiness": term_burstiness,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10056,6 +10127,8 @@ def oracle_sql() -> dict[str, str]:
         "index_compact": _index_compact_sql(),
         "pagerank_boost": _pagerank_boost_sql(),
         "classifier_calibration": _classifier_calibration_sql(),
+        "term_max_scores": _term_max_contrib_sql(),
+        "term_burstiness": _term_burstiness_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -605,6 +605,101 @@ def idf_lucene(df_col, n_docs: int):
     )
 
 
+def term_max_contrib(
+    index: InvertedIndex,
+    topn: int = 20,
+    k1: float = 0.7,
+    b: float = 0.3,
+) -> DataFrame:
+    """Per-term global score upper bounds — the table MaxScore (Turtle
+    & Flood'95) and WAND keep to skip non-competitive documents: for
+    every term, the maximum single-posting BM25 contribution and the
+    doc achieving it (the compressed spine already stores per-BLOCK
+    maxima; this is the term-level roll-up). Reported for the ``topn``
+    largest bounds (4dp-rounded, term ties ASC). Ties on the max
+    contribution resolve to the LARGER doc_id (lexicographic
+    struct-max, identical in DuckDB). -> (term, df, doc_id,
+    max_contrib).
+
+    One map-side-combined max(struct) over the postings + a
+    TakeOrderedAndProject — corpus-scale trivial."""
+    contrib = idf_lucene(F.col("df"), index.stats.n_docs) * F.col(
+        "tf"
+    ) / (
+        F.col("tf")
+        + F.lit(float(k1))
+        * (
+            F.lit(1.0)
+            - F.lit(float(b))
+            + F.lit(float(b))
+            * F.col("doc_len")
+            / F.lit(float(index.stats.avgdl))
+        )
+    )
+    rows = index.postings.join(
+        F.broadcast(index.term_stats.select("term", "df")), "term"
+    ).select("term", "df", F.struct(contrib.alias("c"), "doc_id").alias("_s"))
+    agg = (
+        rows.groupBy("term", "df")
+        .agg(F.max("_s").alias("_m"))
+        .select(
+            "term",
+            "df",
+            F.col("_m.doc_id").alias("doc_id"),
+            F.round(F.col("_m.c"), 4).alias("max_contrib"),
+        )
+    )
+    sel = agg.orderBy(
+        F.col("max_contrib").desc(), F.col("term").asc()
+    ).limit(int(topn))
+    rw = Window.orderBy(F.col("max_contrib").desc(), F.col("term").asc())
+    return sel.withColumn(
+        "rank", F.row_number().over(rw).cast("long")
+    ).select("term", "df", "doc_id", "rank", "max_contrib")
+
+
+def term_burstiness(
+    index: InvertedIndex,
+    min_df: int = 5,
+    topn: int = 20,
+) -> DataFrame:
+    """Term burstiness (Church & Gale'95, "Poisson mixtures"; Katz'96
+    adaptation): content-bearing words REPEAT within the documents
+    they appear in, function words don't — mean within-doc tf
+    (cf/df, exact rational) and the repeat probability
+    P(tf ≥ 2 | tf ≥ 1) = |{d: tf ≥ 2}| / df. Terms below ``min_df``
+    are too rare to estimate and drop. Top-n by (4dp-rounded mean tf
+    DESC, term ASC). -> (term, df, cf, n_repeat, rank, mean_tf,
+    p_repeat). One map-side-combined aggregate over the postings."""
+    per = index.postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+    ).filter(F.col("df") >= int(min_df))
+    scored = per.select(
+        "term",
+        "df",
+        "cf",
+        "n_repeat",
+        F.round(
+            F.col("cf").cast("double") / F.col("df").cast("double"), 4
+        ).alias("mean_tf"),
+        F.round(
+            F.col("n_repeat").cast("double") / F.col("df").cast("double"),
+            4,
+        ).alias("p_repeat"),
+    )
+    sel = scored.orderBy(
+        F.col("mean_tf").desc(), F.col("term").asc()
+    ).limit(int(topn))
+    rw = Window.orderBy(F.col("mean_tf").desc(), F.col("term").asc())
+    return sel.withColumn(
+        "rank", F.row_number().over(rw).cast("long")
+    ).select("term", "df", "cf", "n_repeat", "rank", "mean_tf", "p_repeat")
+
+
 def compact_doc_ids(
     docs: DataFrame,
     n_shards: int = 8,

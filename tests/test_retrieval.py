@@ -1896,6 +1896,68 @@ def test_borda_fuse_hand_computed(spark):
         out2, key=lambda r: r["rank"])] == [(2, 1), (5, 2)]
 
 
+def test_term_max_contrib_upper_bound(spark, index):
+    """Every term's reported bound equals the max over its postings of
+    the brute BM25 contribution (pure-Python replay), the argmax doc
+    matches (larger doc on ties), and the bound dominates the per-doc
+    contributions — the MaxScore invariant."""
+    import math
+
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    n = len(DOCS)
+    dls = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    dfm = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfm[t] = dfm.get(t, 0) + 1
+
+    def contrib(t, d):
+        tf = toks[d].count(t)
+        idf = math.log(1 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5))
+        return idf * tf / (tf + 0.7 * (1 - 0.3 + 0.3 * dls[d] / avgdl))
+
+    out = ix.term_max_contrib(index, topn=1000).collect()
+    assert len(out) == len(dfm)
+    for r in out:
+        t = r["term"]
+        per_doc = {
+            d: contrib(t, d) for d in toks if toks[d].count(t) > 0
+        }
+        best = max(per_doc.values())
+        assert r["max_contrib"] == pytest.approx(round(best, 4))
+        exp_doc = max(
+            d for d, c in per_doc.items()
+            if abs(c - best) < 1e-12
+        )
+        assert r["doc_id"] == exp_doc
+
+
+def test_term_burstiness_hand_computed(spark):
+    """cf/df and repeat probability vs hand counts; the df floor
+    drops rare terms."""
+    docs = spark.createDataFrame(
+        [
+            (0, "x x x y"), (1, "x y"), (2, "x x z"),
+        ],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(docs, ix.IndexConfig(
+        analyzer=AnalyzerConfig(mode="simple")))
+    out = {
+        r["term"]: r
+        for r in ix.term_burstiness(idx, min_df=2, topn=10).collect()
+    }
+    # x: df 3, cf 6, repeat in docs 0 and 2 -> mean 2.0, p 2/3
+    # y: df 2, cf 2, no repeats -> mean 1.0, p 0; z: df 1 dropped
+    assert set(out) == {"x", "y"}
+    assert out["x"]["mean_tf"] == pytest.approx(2.0)
+    assert out["x"]["p_repeat"] == pytest.approx(round(2 / 3, 4))
+    assert out["y"]["mean_tf"] == pytest.approx(1.0)
+    assert out["y"]["p_repeat"] == 0.0
+    assert out["x"]["rank"] == 1
+
+
 def test_pagerank_boost_composition(spark, index):
     """The pagerank-prior boost equals the hand composition of the
     two already-tested pieces: score' = bm25 · (1 + ln(1 + pr))."""
