@@ -417,6 +417,40 @@ def test_ivf_topk(spark, embeddings):
         sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact)
 
 
+def test_session8_plan_shapes(spark, embeddings):
+    """Plan-regression guards for the heavier new operators: PQ's
+    code/table joins must broadcast (never sort-merge or a raw
+    cartesian over the corpus), DSIR's top-n must be
+    TakeOrderedAndProject (never a global corpus window), and the
+    centroid classifier's label matrix must broadcast."""
+    queries = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = annsearch.pq_adc_topk(
+        embeddings, queries, k=3, m_sub=4, n_codes=8, dim=64
+    )
+    plan = pq._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 7} common", i % 2 == 0)
+         for i in range(40)],
+        "doc_id long, content string, is_target boolean",
+    )
+    ds = textstats.dsir_select(docs, n_buckets=8, alpha=0.5, topn=5)
+    plan = ds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+    cc = textstats.centroid_classify(
+        docs.withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    )
+    plan = cc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pq_adc_topk_numpy_replay(spark):
     """pq_adc_topk vs a numpy replay of the whole pipeline (lowest-id
     codebook, per-subspace argmin with lower-cid ties, ADC sum,
