@@ -859,6 +859,60 @@ def length_buckets(
     )
 
 
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+    reg_param: float = 0.0,
+):
+    """Train a linear quality/domain classifier with pyspark.ml and
+    emit it in the engine's SERVING format — a (term, weight)
+    DataFrame + bias for `classifier_score` — the trained counterpart
+    of that operator's model-as-data contract (the same relationship
+    `train_ivf_centroids` has to `ivf_cosine_topk`): CountVectorizer
+    term-count features (the vocabulary IS the feature index, so
+    coefficients map back to terms losslessly) into
+    LogisticRegression. Features are raw term counts; the serving side
+    divides by doc length, so the learned weights are on the
+    relative-frequency scale up to the per-doc length factor the
+    optimizer absorbs — for exact parity train-side docs and
+    serve-side docs go through the same `simple` tokenizer.
+
+    Returns ``(weights_df, intercept)``. Training is the standard
+    distributed LBFGS of spark.ml (treeAggregate gradient passes) —
+    sandbox-tested for accuracy in pytest, not oracle-gated: LBFGS
+    float reductions are not bit-reproducible across engines, which is
+    exactly why the gated classifier uses a data-supplied model."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import CountVectorizer
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("double").alias("label"),
+        simple_tokens(content_col).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    cv = CountVectorizer(inputCol="tokens", outputCol="features")
+    cv_model = cv.fit(toks)
+    feats = cv_model.transform(toks)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=int(max_iter),
+        regParam=float(reg_param),
+    )
+    lr_model = lr.fit(feats)
+    coefs = lr_model.coefficients.toArray().tolist()
+    vocab = list(cv_model.vocabulary)
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        list(zip(vocab, [float(c) for c in coefs])),
+        "term string, weight double",
+    )
+    return weights, float(lr_model.intercept)
+
+
 def dsir_select(
     docs: DataFrame,
     n_buckets: int = 16,

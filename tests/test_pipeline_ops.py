@@ -1459,6 +1459,29 @@ def test_length_buckets_hand_computed(spark):
     assert out[8]["efficiency"] == pytest.approx(13 / 16)
 
 
+def test_train_quality_classifier_end_to_end(spark):
+    """spark.ml LR trained on a separable corpus, served through
+    classifier_score's (term, weight) contract: every training doc
+    classifies correctly and the learned signs point the right way."""
+    rows = []
+    for i in range(20):
+        rows.append((i, "good clean prose text here", 1))
+        rows.append((100 + i, "spam junk garbage noise", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, label int"
+    )
+    weights, bias = textstats.train_quality_classifier(docs)
+    w = {r["term"]: r["weight"] for r in weights.collect()}
+    assert w["good"] > 0 > w["spam"]
+    scored = textstats.classifier_score(
+        docs, weights, bias=bias, threshold=0.5
+    )
+    got = {r["doc_id"]: r["keep"] for r in scored.collect()}
+    for i in range(20):
+        assert got[i] is True
+        assert got[100 + i] is False
+
+
 def test_dsir_select_pure_python_replay(spark):
     """Replays dsir_select exactly in pure Python (same md5-60bit
     buckets, same smoothing, same rounded ordering) and checks the
