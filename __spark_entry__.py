@@ -2100,6 +2100,46 @@ SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
 """
 
 
+_KW_TOPM = 3
+
+
+def _doc_keywords_sql() -> str:
+    """Replays textstats.doc_keywords: tf·ln(N/df) per (doc, term),
+    4dp-rounded top-m per doc (term-ASC ties)."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+w AS (SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(s.n_docs / dft.df), 4) AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN stats s),
+r AS (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC)::BIGINT AS rank
+      FROM w)
+SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
+"""
+
+
+def _funnel_latency_sql() -> str:
+    """Replays eventops.funnel_latency(view -> purchase): greedy-
+    earliest per-user latencies in integer microseconds, exact-integer
+    mean division, interpolated median."""
+    return """
+WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS t
+              FROM events),
+f AS (SELECT user_id, min(t) AS t0 FROM base
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT b.user_id, min(b.t - f.t0) AS lat
+      FROM base b JOIN f USING (user_id)
+      WHERE b.event_type = 'purchase' AND b.t >= f.t0 GROUP BY 1)
+SELECT count(*)::BIGINT AS n_users,
+       count(c.lat)::BIGINT AS n_converted,
+       round(sum(c.lat)::DOUBLE / count(c.lat)::DOUBLE, 4)
+         AS mean_latency_us,
+       round(quantile_cont(c.lat, 0.5), 4) AS median_latency_us
+FROM f LEFT JOIN c USING (user_id)
+"""
+
+
 _TMAX_TOPN, _BURST_MIN_DF, _BURST_TOPN = 20, 5, 20
 
 
@@ -8692,6 +8732,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def doc_keywords(spark, sf):
+        # per-doc tf-idf top-3 keywords (rounded ordering)
+        out = ts.doc_keywords(
+            _docs(spark, sf), topm=_KW_TOPM, content_col="text"
+        )
+        return out.select("doc_id", "term", "rank", "tfidf")
+
+    def funnel_latency(spark, sf):
+        # view->purchase time-to-convert summary (µs-exact)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.funnel_latency(ev_df)
+        return out.select(
+            "n_users", "n_converted",
+            F.round("mean_latency_us", 4).alias("mean_latency_us"),
+            F.round("median_latency_us", 4).alias("median_latency_us"),
+        )
+
     def term_max_scores(spark, sf):
         # MaxScore/WAND per-term global upper bounds + argmax doc
         idx = _index(spark, sf)
@@ -9840,6 +9899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": classifier_calibration,
         "term_max_scores": term_max_scores,
         "term_burstiness": term_burstiness,
+        "doc_keywords": doc_keywords,
+        "funnel_latency": funnel_latency,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10129,6 +10190,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_calibration": _classifier_calibration_sql(),
         "term_max_scores": _term_max_contrib_sql(),
         "term_burstiness": _term_burstiness_sql(),
+        "doc_keywords": _doc_keywords_sql(),
+        "funnel_latency": _funnel_latency_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -445,6 +445,54 @@ def event_transitions(
     )
 
 
+def funnel_latency(
+    events: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert report for one funnel edge: per user, the
+    latency from the FIRST ``first_type`` event to the first
+    ``then_type`` at-or-after it (greedy-earliest, the same convention
+    as `funnel_counts`); users who never convert count in n_users
+    only. One summary row: (n_users, n_converted, mean_latency_us,
+    median_latency_us) — integer-microsecond latencies, so the mean is
+    one division of exact integers and the median is the interpolated
+    percentile both engines share (Spark `percentile` == DuckDB
+    quantile_cont).
+
+    Plan shape: two map-side-combined per-user min-aggregates over a
+    filtered scan + one scalar reduction — no window over raw
+    events."""
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        epoch_us(ts_col).alias("t_us"),
+    )
+    first = base.filter(F.col("etype") == first_type).groupBy(
+        "user_id"
+    ).agg(F.min("t_us").alias("t0"))
+    conv = (
+        base.filter(F.col("etype") == then_type)
+        .join(first, "user_id")
+        .filter(F.col("t_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("t_us") - F.col("t0")).alias("lat_us"))
+    )
+    joined = first.join(conv, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("lat_us").cast("long").alias("n_converted"),
+        (
+            F.sum("lat_us").cast("double")
+            / F.count("lat_us").cast("double")
+        ).alias("mean_latency_us"),
+        F.expr("percentile(lat_us, 0.5)").alias("median_latency_us"),
+    )
+
+
 def rfm_report(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1502,6 +1502,54 @@ def blocklist_filter(
     )
 
 
+def doc_keywords(
+    docs: DataFrame,
+    topm: int = 3,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction — the tf·idf term-selection
+    heuristic behind tagging / related-terms UIs (and the float-scored
+    cousin of `more_like_this`'s integer-keyed selection; Salton &
+    Buckley'88 term weighting): each doc keeps its ``topm`` terms by
+    tf · ln(N/df), ranked on the 4dp-ROUNDED weight (term-ASC ties) so
+    the keep set is engine-stable. -> (doc_id, term, rank, tfidf).
+
+    Plan shape: the index build's tf explode + one broadcast df join +
+    a per-doc WindowGroupLimit (partial top-m before the shuffle) —
+    never a global sort."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_tokens(content_col).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    flat = (
+        toks.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = flat.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = toks.count()
+    w = flat.join(F.broadcast(dft), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            4,
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= int(topm))
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
 def heaps_law(
     docs: DataFrame,
     n_checkpoints: int = 5,

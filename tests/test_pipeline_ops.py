@@ -1410,6 +1410,63 @@ def test_collocations_llr_hand_computed(spark):
     assert all_rows[("a", "b")] > all_rows[("b", "a")]
 
 
+def test_doc_keywords_hand_computed(spark):
+    """tf·ln(N/df) top-m with rounded ordering: the repeated rare term
+    wins; ubiquitous terms score 0 and lose to any positive weight."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+        "doc_id long, content string",
+    )
+    out = {}
+    for r in textstats.doc_keywords(docs, topm=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tfidf"])
+        )
+    d1 = sorted(out[1])
+    assert d1[0][1] == "rare"
+    assert d1[0][2] == pytest.approx(round(2 * math.log(3 / 1), 4))
+    # 'common' has df 3 of 3 docs -> idf ln(1) = 0
+    assert d1[1] == (2, "common", 0.0)
+    # doc 2: 'other' (df 2) beats 'common' (0)
+    assert sorted(out[2])[0][1] == "other"
+
+
+def test_funnel_latency_hand_computed(spark):
+    """Greedy-earliest latencies: u1 converts 30 min after the FIRST
+    view (a later view doesn't reset the clock), u2's purchase
+    BEFORE any view doesn't count but the later one does, u3 never
+    converts. mean of {1.8e9, 0.6e9} = 1.2e9 µs, median likewise."""
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 10, 0), 1, "view"),
+        (1, datetime(2024, 1, 1, 10, 15), 1, "view"),
+        (2, datetime(2024, 1, 1, 10, 30), 1, "purchase"),
+        (3, datetime(2024, 1, 1, 9, 0), 2, "purchase"),
+        (4, datetime(2024, 1, 1, 11, 0), 2, "view"),
+        (5, datetime(2024, 1, 1, 11, 10), 2, "purchase"),
+        (6, datetime(2024, 1, 1, 12, 0), 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    from luc4ir_spark.operators import eventops as eo
+
+    r = eo.funnel_latency(ev).collect()[0]
+    assert r["n_users"] == 3
+    assert r["n_converted"] == 2
+    assert r["mean_latency_us"] == pytest.approx(
+        (1800 + 600) / 2 * 1_000_000
+    )
+    assert r["median_latency_us"] == pytest.approx(1200 * 1_000_000)
+
+
 def test_centroid_classify_confusion(spark):
     """Separable two-class corpus: the fruit docs classify to their
     own centroid, the mislabeled car doc (true x, pure car/truck
