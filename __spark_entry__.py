@@ -2100,6 +2100,59 @@ SELECT term, df, rank, drift FROM r WHERE rank <= {_DRIFT_TOPN}
 """
 
 
+_CH_BITS, _CH_N1, _CH_N2 = 60, 4, 5
+
+
+def _ch_points(n: int) -> list[tuple[str, int]]:
+    """Ring points for nodes node-0..node-(n-1): md5-60bit of the node
+    name — driver-side literals shared verbatim with the oracle."""
+    import hashlib
+
+    return [
+        (
+            f"node-{i}",
+            int(hashlib.md5(f"node-{i}".encode()).hexdigest()[:15], 16),
+        )
+        for i in range(n)
+    ]
+
+
+def _consistent_hashing_sql() -> str:
+    """Replays two consistent_hash_assign runs (N=4 and N=5 nodes,
+    same literal ring points) and their transition matrix — the
+    consistent-hashing guarantee made visible: only the NEW node
+    steals docs, every other cell is diagonal."""
+    span = 1 << _CH_BITS
+
+    def values(n: int) -> str:
+        return ", ".join(
+            f"('{name}', {p})" for name, p in _ch_points(n)
+        )
+
+    def assign(cte: str, nodes: str, out: str) -> str:
+        return f"""
+{cte} AS (
+  SELECT d.doc_id,
+         (min(struct_pack(
+            e := CASE WHEN n.point >= d.pos THEN n.point
+                      ELSE n.point + {span} END,
+            n := n.node_id))).n AS {out}
+  FROM d CROSS JOIN {nodes} n GROUP BY d.doc_id)"""
+
+    return f"""
+WITH nodes4(node_id, point) AS (VALUES {values(_CH_N1)}),
+nodes5(node_id, point) AS (VALUES {values(_CH_N2)}),
+d AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {span} AS pos
+      FROM documents),
+{assign('a', 'nodes4', 'node4')},
+{assign('b', 'nodes5', 'node5')}
+SELECT a.node4, b.node5, count(*)::BIGINT AS n_docs
+FROM a JOIN b USING (doc_id) GROUP BY 1, 2
+"""
+
+
 _KW_TOPM = 3
 
 
@@ -8732,6 +8785,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def consistent_hashing(spark, sf):
+        # ring routing at N=4 vs N=5 nodes: the transition matrix
+        # shows only the new node steals docs
+        docs = _docs(spark, sf).select("doc_id")
+        a = ut.consistent_hash_assign(
+            docs, _ch_points(_CH_N1), ring_bits=_CH_BITS
+        ).withColumnRenamed("node_id", "node4")
+        b = ut.consistent_hash_assign(
+            docs, _ch_points(_CH_N2), ring_bits=_CH_BITS
+        ).withColumnRenamed("node_id", "node5")
+        return (
+            a.join(b, "doc_id")
+            .groupBy("node4", "node5")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
     def doc_keywords(spark, sf):
         # per-doc tf-idf top-3 keywords (rounded ordering)
         out = ts.doc_keywords(
@@ -9901,6 +9970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": term_burstiness,
         "doc_keywords": doc_keywords,
         "funnel_latency": funnel_latency,
+        "consistent_hashing": consistent_hashing,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10192,6 +10262,7 @@ def oracle_sql() -> dict[str, str]:
         "term_burstiness": _term_burstiness_sql(),
         "doc_keywords": _doc_keywords_sql(),
         "funnel_latency": _funnel_latency_sql(),
+        "consistent_hashing": _consistent_hashing_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

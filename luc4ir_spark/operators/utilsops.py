@@ -57,6 +57,59 @@ def _row_hash(df: DataFrame, seed: int, key_cols: list[str] | None):
     return F.xxhash64(F.lit(seed), *[F.col(c) for c in cols])
 
 
+def consistent_hash_assign(
+    docs: DataFrame,
+    node_points: list,
+    id_col: str = "doc_id",
+    ring_bits: int = 60,
+) -> DataFrame:
+    """Consistent-hashing ring assignment (Karger et al. STOC'97) —
+    the shard-routing scheme that makes cluster resizes move only
+    ~1/(N+1) of the keys: each node owns one point on a 2^ring_bits
+    ring, a doc hashes to its position (the repo's portable md5-60bit
+    of the id string) and is owned by the first node point clockwise
+    (wrapping past the top). ``node_points`` is [(node_id, point),
+    ...] — literals computed driver-side (e.g. md5 of the node name)
+    so any engine replays them. -> (doc_id, node_id).
+
+    Plan shape: one BROADCAST cross join docs × N points with the
+    wrap handled arithmetically (candidate = point + span when the
+    point is behind the doc) and a map-side min(struct) argmin — one
+    shuffle by doc id, no windows. Virtual nodes = more (node, point)
+    rows through the same plan."""
+    spark = docs.sparkSession
+    span = 1 << int(ring_bits)
+    nodes = spark.createDataFrame(
+        [(str(n), int(p)) for n, p in node_points],
+        "node_id string, point long",
+    )
+    pos = F.pmod(
+        F.expr(
+            f"conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
+        ).cast("long"),
+        F.lit(span),
+    )
+    keyed = docs.select(F.col(id_col).alias("doc_id"), pos.alias("_pos"))
+    cand = keyed.crossJoin(F.broadcast(nodes)).select(
+        "doc_id",
+        "node_id",
+        F.when(
+            F.col("point") >= F.col("_pos"), F.col("point")
+        ).otherwise(F.col("point") + F.lit(span)).alias("_eff"),
+    )
+    return (
+        cand.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_eff").alias("e"), F.col("node_id").alias("n")
+                )
+            ).alias("_m")
+        )
+        .select("doc_id", F.col("_m.n").alias("node_id"))
+    )
+
+
 def sample_uniform(
     df: DataFrame, n: int, seed: int = 42, key_cols: list[str] | None = None
 ) -> DataFrame:
@@ -70,7 +123,7 @@ def sample_uniform(
     return df.withColumn("_k", key).orderBy("_k").limit(n).drop("_k")
 
 
-def sample_weighted(
+def sample_weighted_rows(
     df: DataFrame,
     n: int,
     weight_col: str,
@@ -78,10 +131,13 @@ def sample_weighted(
     key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Weighted sampling without replacement via the exponential-sort
-    trick (Efraimidis-Spirakis): key = u^(1/w) with u derived from the
-    stable row hash; top-n keys via ORDER BY LIMIT
-    (TakeOrderedAndProject — same no-global-sort shape as
-    ``sample_uniform``)."""
+    trick (Efraimidis-Spirakis), returning the ORIGINAL rows: key =
+    u^(1/w) with u derived from the stable row CONTENT hash; top-n
+    keys via ORDER BY LIMIT (TakeOrderedAndProject — same
+    no-global-sort shape as ``sample_uniform``). The id-keyed,
+    oracle-gated variant that reports its keys and ranks is
+    ``sample_weighted`` below — this row-content form predates it and
+    serves callers sampling rows without a stable id column."""
     u = (_row_hash(df, seed, key_cols).cast("double")
          / F.lit(float(2**63)) + 1.0) / 2.0
     key = F.pow(u, F.lit(1.0) / F.col(weight_col))

@@ -122,6 +122,41 @@ def test_samplers(spark):
     assert "Window" not in plan_u
 
 
+def test_consistent_hash_assign_invariants(spark):
+    """The Karger guarantee on a real ring: adding a node moves docs
+    ONLY onto the new node (no old->old movement), everything else
+    stays put; assignments replay exactly in pure Python."""
+    import hashlib
+
+    def pts(n):
+        return [
+            (f"n{i}",
+             int(hashlib.md5(f"n{i}".encode()).hexdigest()[:15], 16))
+            for i in range(n)
+        ]
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["node_id"]
+         for r in uo.consistent_hash_assign(docs, pts(3)).collect()}
+    b = {r["doc_id"]: r["node_id"]
+         for r in uo.consistent_hash_assign(docs, pts(4)).collect()}
+    span = 1 << 60
+
+    def expect(d, points):
+        pos = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % span
+        return min(
+            (p if p >= pos else p + span, n) for n, p in points
+        )[1]
+
+    for d in range(300):
+        assert a[d] == expect(d, pts(3))
+        assert b[d] == expect(d, pts(4))
+        if a[d] != b[d]:
+            assert b[d] == "n3"  # movers land ONLY on the new node
+    moved = sum(1 for d in range(300) if a[d] != b[d])
+    assert 0 < moved < 300  # the ring actually redistributes some
+
+
 def test_quantize_doc_len(spark):
     df = spark.createDataFrame(
         [(v,) for v in [0, 1, 17, 31, 32, 100, 1000, 123456]], "dl long"
