@@ -2153,6 +2153,65 @@ FROM a JOIN b USING (doc_id) GROUP BY 1, 2
 """
 
 
+_RB_NODES, _RB_VNODES = 4, 8
+
+
+def _rb_points(n_nodes: int, vnodes: int) -> list[tuple[str, int]]:
+    """Virtual-node ring points: vnode j of node-i hashes
+    'node-i#j' — literals shared verbatim with the oracle."""
+    import hashlib
+
+    return [
+        (
+            f"node-{i}",
+            int(
+                hashlib.md5(f"node-{i}#{j}".encode()).hexdigest()[:15],
+                16,
+            ),
+        )
+        for i in range(n_nodes)
+        for j in range(vnodes)
+    ]
+
+
+def _ring_balance_sql() -> str:
+    """Replays consistent_hash_assign at 1 vs _RB_VNODES virtual
+    nodes per physical node: per-(config, node) doc counts — the
+    load-smoothing effect of vnodes as data."""
+    span = 1 << _CH_BITS
+
+    def values(v: int) -> str:
+        return ", ".join(
+            f"('{n}', {p})" for n, p in _rb_points(_RB_NODES, v)
+        )
+
+    def assign(cte: str, nodes: str) -> str:
+        return f"""
+{cte} AS (
+  SELECT d.doc_id,
+         (min(struct_pack(
+            e := CASE WHEN n.point >= d.pos THEN n.point
+                      ELSE n.point + {span} END,
+            n := n.node_id))).n AS node_id
+  FROM d CROSS JOIN {nodes} n GROUP BY d.doc_id)"""
+
+    return f"""
+WITH n1(node_id, point) AS (VALUES {values(1)}),
+nv(node_id, point) AS (VALUES {values(_RB_VNODES)}),
+d AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {span} AS pos
+      FROM documents),
+{assign('a1', 'n1')},
+{assign('av', 'nv')}
+SELECT 'v1' AS config, node_id, count(*)::BIGINT AS n_docs
+FROM a1 GROUP BY 2
+UNION ALL
+SELECT 'v{_RB_VNODES}', node_id, count(*)::BIGINT
+FROM av GROUP BY 2
+"""
+
+
 _KW_TOPM = 3
 
 
@@ -8801,6 +8860,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         )
 
+    def ring_balance(spark, sf):
+        # vnode load smoothing: per-node counts at 1 vs 8 vnodes
+        docs = _docs(spark, sf).select("doc_id")
+
+        def counts(v, tag):
+            return (
+                ut.consistent_hash_assign(
+                    docs, _rb_points(_RB_NODES, v), ring_bits=_CH_BITS
+                )
+                .groupBy("node_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+                .select(
+                    F.lit(tag).alias("config"), "node_id", "n_docs"
+                )
+            )
+
+        return counts(1, "v1").unionByName(
+            counts(_RB_VNODES, f"v{_RB_VNODES}")
+        )
+
     def doc_keywords(spark, sf):
         # per-doc tf-idf top-3 keywords (rounded ordering)
         out = ts.doc_keywords(
@@ -9971,6 +10050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": doc_keywords,
         "funnel_latency": funnel_latency,
         "consistent_hashing": consistent_hashing,
+        "ring_balance": ring_balance,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10263,6 +10343,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _doc_keywords_sql(),
         "funnel_latency": _funnel_latency_sql(),
         "consistent_hashing": _consistent_hashing_sql(),
+        "ring_balance": _ring_balance_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),
