@@ -2231,6 +2231,29 @@ SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
 """
 
 
+_EVENT_LIFT_SQL = """
+WITH basket AS (SELECT DISTINCT user_id, event_type AS etype
+                FROM events),
+nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM basket),
+pt AS (SELECT etype, count(*)::BIGINT AS n_t FROM basket GROUP BY 1),
+pairs AS (
+  SELECT a.etype AS type_a, b.etype AS type_b, count(*)::BIGINT AS n_ab
+  FROM basket a JOIN basket b
+    ON a.user_id = b.user_id AND a.etype < b.etype
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(p.n_ab::DOUBLE / nu.n::DOUBLE, 4) AS support,
+       round(p.n_ab::DOUBLE / na.n_t::DOUBLE, 4) AS conf_a_b,
+       round((p.n_ab * nu.n)::DOUBLE / (na.n_t * nb.n_t)::DOUBLE, 4)
+         AS lift
+FROM pairs p
+JOIN pt na ON na.etype = p.type_a
+JOIN pt nb ON nb.etype = p.type_b
+CROSS JOIN nu
+"""
+
+
 def _funnel_latency_sql() -> str:
     """Replays eventops.funnel_latency(view -> purchase): greedy-
     earliest per-user latencies in integer microseconds, exact-integer
@@ -8887,6 +8910,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "term", "rank", "tfidf")
 
+    def event_lift(spark, sf):
+        # market-basket support/confidence/lift over per-user baskets
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.event_lift(ev_df)
+        return out.select(
+            "type_a", "type_b", "n_ab",
+            F.round("support", 4).alias("support"),
+            F.round("conf_a_b", 4).alias("conf_a_b"),
+            F.round("lift", 4).alias("lift"),
+        )
+
     def funnel_latency(spark, sf):
         # view->purchase time-to-convert summary (µs-exact)
         from luc4ir_spark.operators import eventops as eo
@@ -10051,6 +10087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": funnel_latency,
         "consistent_hashing": consistent_hashing,
         "ring_balance": ring_balance,
+        "event_lift": event_lift,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10344,6 +10381,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": _funnel_latency_sql(),
         "consistent_hashing": _consistent_hashing_sql(),
         "ring_balance": _ring_balance_sql(),
+        "event_lift": _EVENT_LIFT_SQL,
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -445,6 +445,73 @@ def event_transitions(
     )
 
 
+def event_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket association metrics over per-user event baskets
+    (Agrawal, Imieliński & Swami SIGMOD'93): for every unordered
+    event-type pair (a < b), the co-occurrence support, the a→b
+    confidence, and the lift
+
+      lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)
+
+    computed as ONE division of exact integer products — no float
+    folds anywhere. lift > 1 = the types co-occur more than
+    independence predicts. -> (type_a, type_b, n_ab, support,
+    conf_a_b, lift).
+
+    Plan shape: one distinct() to (user, type) baskets — map-side
+    combinable — then a per-user self-join whose fan-out is bounded
+    by (types-per-user choose 2), type-cardinality-sized aggregates,
+    and a broadcast of the tiny per-type counts. The raw log is
+    scanned once."""
+    basket = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+    ).distinct()
+    n_users = basket.select("user_id").distinct().count()
+    per_type = basket.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = basket.select("user_id", F.col("etype").alias("type_a"))
+    b = basket.select("user_id", F.col("etype").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = per_type.select(
+        F.col("etype").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("etype").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    n = F.lit(int(n_users)).cast("long")
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / n.cast("double")).alias(
+                "support"
+            ),
+            (
+                F.col("n_ab").cast("double")
+                / F.col("n_a").cast("double")
+            ).alias("conf_a_b"),
+            (
+                (F.col("n_ab") * n).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 def funnel_latency(
     events: DataFrame,
     first_type: str = "view",

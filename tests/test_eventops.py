@@ -341,6 +341,32 @@ def test_event_transitions_hand_computed(spark):
                    ("c", "a"): 1}
 
 
+def test_event_lift_hand_computed(spark):
+    """4 users: {a,b}, {a,b}, {a}, {c}. n_a=3 n_b=2 n_c=1 n_ab=2 ->
+    support 0.5, conf(a->b) 2/3, lift 2·4/(3·2) = 4/3; duplicate
+    events per user collapse; (a,c) never co-occur -> no row."""
+    rows = [
+        (0, datetime(2024, 1, 1, 1), 1, "a"),
+        (1, datetime(2024, 1, 1, 2), 1, "a"),  # dup type, same user
+        (2, datetime(2024, 1, 1, 3), 1, "b"),
+        (3, datetime(2024, 1, 1, 1), 2, "a"),
+        (4, datetime(2024, 1, 1, 2), 2, "b"),
+        (5, datetime(2024, 1, 1, 1), 3, "a"),
+        (6, datetime(2024, 1, 1, 1), 4, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r["type_a"], r["type_b"]): r
+           for r in eo.event_lift(ev).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["n_ab"] == 2
+    assert r["support"] == pytest.approx(0.5)
+    assert r["conf_a_b"] == pytest.approx(2 / 3)
+    assert r["lift"] == pytest.approx(4 / 3)
+
+
 def test_rfm_report_hand_computed(spark):
     """5 users with metrics 1..5 on every dimension: interpolated
     quintile boundaries over [1..5] are (1.8, 2.6, 3.4, 4.2), so user
