@@ -2231,6 +2231,32 @@ SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
 """
 
 
+_HNM_NEG = 2
+
+
+def _hard_negatives_sql() -> str:
+    """Replays retrieval.mine_hard_negatives over the BM25 run +
+    pseudo qrels: retrieved positives × the top-_HNM_NEG non-relevant
+    docs per query (unjudged = non-relevant)."""
+    return f"""
+WITH {_BM25_RUN_CTES},
+{_QRELS_SQL},
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+j AS (SELECT r.qid, r.doc_id, r.rank,
+             coalesce(qr.rel, 0.0) >= 1.0 AS is_pos
+      FROM runq r LEFT JOIN qrels qr
+        ON qr.qid = r.qid AND qr.docid = r.doc_id),
+pos AS (SELECT qid, doc_id AS pos_id FROM j WHERE is_pos),
+negs AS (SELECT qid, doc_id AS neg_id, neg_rank FROM (
+           SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY rank ASC, doc_id ASC)::BIGINT AS neg_rank
+           FROM j WHERE NOT is_pos) WHERE neg_rank <= {_HNM_NEG})
+SELECT p.qid, p.pos_id, n.neg_id, n.neg_rank
+FROM pos p JOIN negs n USING (qid)
+"""
+
+
 _EVENT_LIFT_SQL = """
 WITH basket AS (SELECT DISTINCT user_id, event_type AS etype
                 FROM events),
@@ -8910,6 +8936,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "term", "rank", "tfidf")
 
+    def hard_negatives(spark, sf):
+        # DPR-style BM25 hard-negative mining: retrieved positives ×
+        # top non-relevant docs
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        out = rt.mine_hard_negatives(
+            run, _pseudo_qrels(spark, sf), n_neg=_HNM_NEG
+        )
+        return out.select("qid", "pos_id", "neg_id", "neg_rank")
+
     def event_lift(spark, sf):
         # market-basket support/confidence/lift over per-user baskets
         from luc4ir_spark.operators import eventops as eo
@@ -10088,6 +10127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistent_hashing": consistent_hashing,
         "ring_balance": ring_balance,
         "event_lift": event_lift,
+        "hard_negatives": hard_negatives,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10382,6 +10422,7 @@ def oracle_sql() -> dict[str, str]:
         "consistent_hashing": _consistent_hashing_sql(),
         "ring_balance": _ring_balance_sql(),
         "event_lift": _EVENT_LIFT_SQL,
+        "hard_negatives": _hard_negatives_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

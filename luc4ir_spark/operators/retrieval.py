@@ -2881,6 +2881,59 @@ def ltr_train_ridge(
     return s3.select("n", "w1", "w2", mse.alias("mse"))
 
 
+def mine_hard_negatives(
+    run: DataFrame,
+    qrels: DataFrame,
+    n_neg: int = 2,
+    qid_col: str = "qid",
+    docid_col: str = "docid",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Hard-negative mining for retrieval-model training (the
+    BM25-negatives recipe of DPR, Karpukhin et al. EMNLP'20, and the
+    sentence-transformers MS MARCO setup): from a first-stage run,
+    pair every RETRIEVED relevant doc (a positive the retriever can
+    actually see) with the ``n_neg`` highest-ranked NON-relevant docs
+    of the same query — the confusable negatives that make contrastive
+    training work, vs. random negatives a model separates trivially.
+    Unjudged docs count as non-relevant (the standard assumption).
+    -> (qid, pos_id, neg_id, neg_rank), all integers: one row per
+    (positive × hard negative).
+
+    Plan shape: the run joins the qrels once (broadcast — qrels are
+    judgment-sized), negatives cut by a per-qid WindowGroupLimit, and
+    the triple fan-out is a run-sized equi-join on qid bounded by
+    positives × n_neg. The corpus is never touched."""
+    joined = run.join(
+        F.broadcast(
+            qrels.select(
+                F.col(qid_col).alias("qid"),
+                F.col(docid_col).alias("docid"),
+                F.col(rel_col).alias("_rel"),
+            )
+        ),
+        ["qid", "docid"],
+        "left",
+    ).withColumn(
+        "_is_pos", F.coalesce(F.col("_rel"), F.lit(0.0)) >= 1.0
+    )
+    pos = joined.filter(F.col("_is_pos")).select(
+        "qid", F.col("doc_id").alias("pos_id")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rank").asc(), F.col("doc_id").asc()
+    )
+    negs = (
+        joined.filter(~F.col("_is_pos"))
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= int(n_neg))
+        .select("qid", F.col("doc_id").alias("neg_id"), "neg_rank")
+    )
+    return pos.join(negs, "qid").select(
+        "qid", "pos_id", "neg_id", "neg_rank"
+    )
+
+
 def ltr_apply_linear(
     features: DataFrame,
     model: DataFrame,

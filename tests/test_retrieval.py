@@ -2116,6 +2116,31 @@ def test_ltr_train_ridge_hand_computed(spark):
     assert row["mse"] == pytest.approx(143 / 1444, rel=1e-9)
 
 
+def test_mine_hard_negatives_hand_computed(spark):
+    """Retrieved positives pair with the top-n non-relevant docs in
+    run order; unjudged counts as negative; a query with no retrieved
+    positive yields nothing."""
+    run = spark.createDataFrame(
+        [
+            ("q1", 10, "10", 1), ("q1", 11, "11", 2),
+            ("q1", 12, "12", 3), ("q1", 13, "13", 4),
+            ("q2", 20, "20", 1),
+        ],
+        "qid string, doc_id long, docid string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "11", 1.0), ("q1", "12", 0.0), ("q2", "99", 1.0)],
+        "qid string, docid string, rel double",
+    )
+    out = {
+        (r["qid"], r["pos_id"], r["neg_id"]): r["neg_rank"]
+        for r in rt.mine_hard_negatives(run, qrels, n_neg=2).collect()
+    }
+    # q1: positive 11; negatives in run order: 10 (rank1), 12 (judged
+    # 0), cut at 2 -> 13 excluded. q2: no retrieved positive.
+    assert out == {("q1", 11, 10): 1, ("q1", 11, 12): 2}
+
+
 def test_ltr_apply_linear_hand_computed(spark):
     """Applying a known one-row model reproduces w1·f1 + w2·f2 with
     the per-query re-rank and doc_id tie-break."""
