@@ -1542,6 +1542,53 @@ SELECT w1, w2, c, rank FROM rk WHERE rank <= 3
 """
 
 
+_TRI_L3, _TRI_L2 = 0.6, 0.3
+
+
+def _trigram_xent_sql() -> str:
+    """Replays trigram_cross_entropy: Jelinek-Mercer three-way
+    interpolation with the weights (and the computed 1-l3-l2) emitted
+    via repr so both engines share the exact doubles."""
+    l3 = repr(float(_TRI_L3))
+    l2 = repr(float(_TRI_L2))
+    l1 = repr(1.0 - float(_TRI_L3) - float(_TRI_L2))
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(tk) AS w FROM t),
+c1 AS (SELECT w, count(*)::DOUBLE AS c FROM u GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n FROM u),
+bg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*)::DOUBLE AS c12
+  FROM t, unnest(range(1, len(tk))) AS r(i)
+  GROUP BY 1, 2
+),
+tg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+  FROM t, unnest(range(1, len(tk) - 1)) AS r(i)
+),
+tt AS (SELECT doc_id, w1, w2, w3, count(*)::DOUBLE AS tf
+       FROM tg GROUP BY 1, 2, 3, 4),
+c3 AS (SELECT w1, w2, w3, sum(tf) AS c123 FROM tt GROUP BY 1, 2, 3)
+SELECT tt.doc_id,
+       round(-sum(tt.tf * ln({l3} * c3.c123 / b12.c12
+                             + {l2} * b23.c12 / a2.c
+                             + {l1} * a3.c / tot.n))
+             / sum(tt.tf), 4) AS xent_trigram
+FROM tt
+JOIN c3 USING (w1, w2, w3)
+JOIN bg b12 ON b12.w1 = tt.w1 AND b12.w2 = tt.w2
+JOIN bg b23 ON b23.w1 = tt.w2 AND b23.w2 = tt.w3
+JOIN c1 a2 ON tt.w2 = a2.w
+JOIN c1 a3 ON tt.w3 = a3.w
+CROSS JOIN tot
+GROUP BY tt.doc_id
+"""
+
+
 def _bigram_xent_sql() -> str:
     """Replays bigram_cross_entropy; the interpolation weights are
     emitted via repr() so (1 - lam) is the SAME double on both engines."""
@@ -8949,6 +8996,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("qid", "pos_id", "neg_id", "neg_rank")
 
+    def trigram_lm_xent(spark, sf):
+        # interpolated trigram corpus-LM cross-entropy per doc
+        out = ts.trigram_cross_entropy(
+            _docs(spark, sf), content_col="text",
+            lam3=_TRI_L3, lam2=_TRI_L2,
+        )
+        return out.select("doc_id", "xent_trigram")
+
     def event_lift(spark, sf):
         # market-basket support/confidence/lift over per-user baskets
         from luc4ir_spark.operators import eventops as eo
@@ -10128,6 +10183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_balance": ring_balance,
         "event_lift": event_lift,
         "hard_negatives": hard_negatives,
+        "trigram_lm_xent": trigram_lm_xent,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10423,6 +10479,7 @@ def oracle_sql() -> dict[str, str]:
         "ring_balance": _ring_balance_sql(),
         "event_lift": _EVENT_LIFT_SQL,
         "hard_negatives": _hard_negatives_sql(),
+        "trigram_lm_xent": _trigram_xent_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -404,6 +404,98 @@ def bigram_cross_entropy(
     )
 
 
+def trigram_cross_entropy(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    lam3: float = 0.6,
+    lam2: float = 0.3,
+) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated TRIGRAM corpus LM —
+    one more order up from `bigram_cross_entropy` toward the KenLM
+    perplexity filters (Jelinek-Mercer interpolation, the classic
+    n-gram smoothing):
+
+      p(w3|w1w2) = λ3·c(w1w2w3)/c(w1w2) + λ2·c(w2w3)/c(w2)
+                   + (1−λ3−λ2)·c(w3)/T
+
+    xent(d) = −Σ tf·ln p / Σ tf over the doc's trigrams; the unigram
+    floor keeps every probability positive. Docs with fewer than 3
+    tokens have no trigrams and are omitted.
+
+    Plan shape: same as the bigram signal — LITERAL index-sequence
+    explode over the materialized token array, vocab^k-bounded count
+    tables joined unhinted (AQE broadcasts while small), one scalar
+    action for T."""
+    l3, l2 = float(lam3), float(lam2)
+    l1 = 1.0 - l3 - l2
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    uni = t.select("doc_id", F.explode("tk").alias("w"))
+    c1 = uni.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = float(uni.count())
+    ib = F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i")
+    bg = (
+        t.filter(F.size("tk") >= 2)
+        .select("tk", ib)
+        .select(
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    )
+    it = F.explode(F.sequence(F.lit(1), F.size("tk") - 2)).alias("i")
+    tt = (
+        t.filter(F.size("tk") >= 3)
+        .select("doc_id", "tk", it)
+        .select(
+            "doc_id",
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+            F.element_at("tk", F.col("i") + 2).alias("w3"),
+        )
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    c3 = tt.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c123"))
+    p = (
+        F.lit(l3) * F.col("c123") / F.col("c12")
+        + F.lit(l2) * F.col("c23") / F.col("c_w2")
+        + F.lit(l1) * F.col("c_w3") / F.lit(total)
+    )
+    return (
+        tt.join(c3, ["w1", "w2", "w3"])
+        .join(bg, ["w1", "w2"])
+        .join(
+            bg.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c12").alias("c23"),
+            ),
+            ["w2", "w3"],
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c").alias("c_w2")),
+            "w2",
+        )
+        .join(
+            c1.select(F.col("w").alias("w3"), F.col("c").alias("c_w3")),
+            "w3",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4
+            ).alias("xent_trigram")
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     content_col: str = "content",

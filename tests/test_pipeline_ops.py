@@ -1742,6 +1742,29 @@ def test_pack_sequences_no_global_sort(spark, docs_df):
     assert "SinglePartition" not in plan
 
 
+def test_trigram_cross_entropy_hand_computed(spark):
+    """Corpus 'a b a b a' + 'b a b' + 'x y': c(aba)=2, c(bab)=2,
+    c(ab)=c(ba)=3, c(a)=c(b)=4, T=10 (x,y count toward T) -> every
+    a/b trigram prob = .6·2/3 + .3·3/4 + .1·4/10 = 0.665; both docs'
+    xent = -ln 0.665. Sub-3-token docs drop from the output."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "b a b"), (3, "x y")],
+        "doc_id long, content string",
+    )
+    out = {
+        r["doc_id"]: r["xent_trigram"]
+        for r in textstats.trigram_cross_entropy(
+            docs, lam3=0.6, lam2=0.3
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    exp = round(-math.log(0.665), 4)
+    assert out[1] == pytest.approx(exp)
+    assert out[2] == pytest.approx(exp)
+
+
 def test_bigram_cross_entropy_hand_computed(spark):
     import math
     from collections import Counter
