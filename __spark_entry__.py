@@ -2278,6 +2278,37 @@ SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
 """
 
 
+_RELAX_MIN = 3
+
+
+def _query_relaxation_sql() -> str:
+    """Replays retrieval.query_relaxation_report: one matched-count
+    histogram, the msm grid, largest satisfying msm else the OR
+    fallback."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_values_queries()},
+qd AS (SELECT DISTINCT qid, term FROM q),
+nt AS (SELECT qid, count(*)::BIGINT AS n_terms FROM qd GROUP BY 1),
+mt AS (SELECT qd.qid, tf.doc_id, count(DISTINCT qd.term)::BIGINT AS nm
+       FROM qd JOIN tf USING (term) GROUP BY 1, 2),
+hist AS (SELECT qid, nm, count(*)::BIGINT AS cnt FROM mt GROUP BY 1, 2),
+grid AS (SELECT nt.qid, nt.n_terms, g.g::BIGINT AS m
+         FROM nt, unnest(range(1, nt.n_terms + 1)) AS g(g)),
+hits AS (SELECT grid.qid, grid.n_terms, grid.m,
+                coalesce(sum(CASE WHEN h.nm >= grid.m THEN h.cnt
+                             ELSE 0 END), 0)::BIGINT AS n_hits
+         FROM grid LEFT JOIN hist h ON h.qid = grid.qid
+         GROUP BY 1, 2, 3)
+SELECT qid, n_terms, m AS msm, (n_terms - m)::BIGINT AS level, n_hits
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+      ORDER BY (n_hits >= {_RELAX_MIN})::INT DESC,
+               CASE WHEN n_hits >= {_RELAX_MIN} THEN -m
+                    ELSE m END ASC) AS rn
+  FROM hits) WHERE rn = 1
+"""
+
+
 _HNM_NEG = 2
 
 
@@ -8983,6 +9014,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "term", "rank", "tfidf")
 
+    def query_relaxation(spark, sf):
+        # AND -> msm ladder -> OR fallback, all levels from ONE scan
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = rt.query_relaxation_report(
+            idx, qt, min_hits=_RELAX_MIN
+        )
+        return out.select("qid", "n_terms", "msm", "level", "n_hits")
+
     def hard_negatives(spark, sf):
         # DPR-style BM25 hard-negative mining: retrieved positives ×
         # top non-relevant docs
@@ -10184,6 +10224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_lift": event_lift,
         "hard_negatives": hard_negatives,
         "trigram_lm_xent": trigram_lm_xent,
+        "query_relaxation": query_relaxation,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10480,6 +10521,7 @@ def oracle_sql() -> dict[str, str]:
         "event_lift": _EVENT_LIFT_SQL,
         "hard_negatives": _hard_negatives_sql(),
         "trigram_lm_xent": _trigram_xent_sql(),
+        "query_relaxation": _query_relaxation_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

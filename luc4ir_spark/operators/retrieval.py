@@ -2881,6 +2881,72 @@ def ltr_train_ridge(
     return s3.select("n", "w1", "w2", mse.alias("mse"))
 
 
+def query_relaxation_report(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Query-relaxation ladder — the search-engine fallback behavior
+    of trying the strictest interpretation first (all terms, Lucene
+    MUST) and relaxing minimum_should_match one step at a time until
+    enough results exist (Solr's mm-relaxation recipe): for each query
+    pick the LARGEST msm whose candidate count reaches ``min_hits``,
+    falling back to plain OR (msm=1, whatever it yields) when no level
+    does. A query with an out-of-vocabulary term can never satisfy its
+    full-AND level — exactly Lucene's empty-postings MUST. -> one row
+    per query: (qid, n_terms, msm, level, n_hits) with
+    level = n_terms − msm (0 = pure AND).
+
+    Plan shape: EVERY level's count comes from ONE postings scan — the
+    per-doc matched-term counts collapse to a (qid, n_matched)
+    histogram (queries × n_terms rows), the msm grid is a literal
+    sequence explode over that, and the pick is a per-qid
+    WindowGroupLimit. No per-level rescans."""
+    qt = query_terms.select("qid", "term").distinct()
+    n_terms = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    matched = (
+        index.postings.join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("_nm"))
+    )
+    hist = matched.groupBy("qid", "_nm").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    grid = n_terms.select(
+        "qid",
+        "n_terms",
+        F.explode(F.sequence(F.lit(1), F.col("n_terms"))).alias("_m"),
+    )
+    hits = (
+        grid.join(hist, "qid", "left")
+        .groupBy("qid", "n_terms", "_m")
+        .agg(
+            F.sum(
+                F.when(F.col("_nm") >= F.col("_m"), F.col("_cnt"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    elig = (F.col("n_hits") >= F.lit(int(min_hits))).cast("int")
+    sk = F.when(elig == 1, -F.col("_m")).otherwise(F.col("_m"))
+    w = Window.partitionBy("qid").orderBy(elig.desc(), sk.asc())
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "qid",
+            "n_terms",
+            F.col("_m").alias("msm"),
+            (F.col("n_terms") - F.col("_m")).cast("long").alias("level"),
+            "n_hits",
+        )
+    )
+
+
 def mine_hard_negatives(
     run: DataFrame,
     qrels: DataFrame,

@@ -2116,6 +2116,40 @@ def test_ltr_train_ridge_hand_computed(spark):
     assert row["mse"] == pytest.approx(143 / 1444, rel=1e-9)
 
 
+def test_query_relaxation_ladder(spark):
+    """Corpus: 3 docs with both terms, 2 with only one. min_hits=3 is
+    met at full AND for q1; q2 ('aa zz') has an OOV term so AND is
+    unsatisfiable and msm=1 (level 1) serves; q3 all-OOV falls back
+    to OR with 0 hits."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb"), (2, "aa bb"), (3, "aa bb"),
+            (4, "aa"), (5, "bb"),
+        ],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(
+        docs, ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    )
+    qt = rt.queries_to_terms(
+        spark,
+        [("q1", "aa bb"), ("q2", "aa zz"), ("q3", "zz yy")],
+        AnalyzerConfig(mode="simple"),
+    )
+    out = {
+        r["qid"]: r
+        for r in rt.query_relaxation_report(
+            idx, qt, min_hits=3
+        ).collect()
+    }
+    assert (out["q1"]["msm"], out["q1"]["level"], out["q1"]["n_hits"]) \
+        == (2, 0, 3)
+    assert (out["q2"]["msm"], out["q2"]["level"], out["q2"]["n_hits"]) \
+        == (1, 1, 4)
+    assert (out["q3"]["msm"], out["q3"]["level"], out["q3"]["n_hits"]) \
+        == (1, 1, 0)
+
+
 def test_mine_hard_negatives_hand_computed(spark):
     """Retrieved positives pair with the top-n non-relevant docs in
     run order; unjudged counts as negative; a query with no retrieved
