@@ -2278,6 +2278,54 @@ SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
 """
 
 
+_INFAP_EPS = 0.00001
+
+
+def _inf_ap_sql() -> str:
+    """Replays evaluation.inferred_ap over the BM25 run with a
+    mix-parity 50% sample of the pseudo judgments: cumulative
+    judged/relevant-above windows, the no-special-case expected-
+    precision form, per-query division by the sampled-relevant
+    total."""
+    mix = (
+        "((2654435761 * ((d.doc_id + qn.qn) % 2147483647)"
+        " + 2246822519) % 2147483647)"
+    )
+    return f"""
+WITH {_BM25_RUN_CTES},
+sq AS (SELECT qn.qid, d.doc_id AS docid,
+              CASE WHEN (d.doc_id + qn.qn) % 6 = 0
+                   THEN 1.0 ELSE 0.0 END AS rel
+       FROM (SELECT DISTINCT qid,
+                    CAST(substr(qid, 2) AS BIGINT) AS qn FROM q) qn
+       CROSS JOIN documents d
+       WHERE (d.doc_id + qn.qn) % 3 = 0 AND {mix} % 2 = 0),
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+jj AS (SELECT r.qid, r.rank,
+              (sq.docid IS NOT NULL)::BIGINT AS judged,
+              (coalesce(sq.rel, 0.0) >= 1.0)::BIGINT AS is_rel
+       FROM runq r LEFT JOIN sq
+         ON sq.qid = r.qid AND sq.docid = r.doc_id),
+w AS (SELECT *, coalesce(sum(judged) OVER ab, 0) AS s,
+             coalesce(sum(is_rel) OVER ab, 0) AS r
+      FROM jj WINDOW ab AS (PARTITION BY qid ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+pq AS (SELECT qid,
+              sum(1.0 / rank + (s::DOUBLE / rank)
+                  * ((r::DOUBLE + {repr(_INFAP_EPS)})
+                     / (s::DOUBLE + {repr(2.0 * _INFAP_EPS)}))) AS tsum,
+              count(*)::BIGINT AS n_sampled_ret
+       FROM w WHERE judged = 1 AND is_rel = 1 GROUP BY 1),
+rtot AS (SELECT qid, count(*)::BIGINT AS r_sampled FROM sq
+         WHERE rel >= 1.0 GROUP BY 1)
+SELECT rtot.qid, rtot.r_sampled,
+       coalesce(pq.n_sampled_ret, 0)::BIGINT AS n_sampled_ret,
+       round(coalesce(pq.tsum, 0.0) / rtot.r_sampled::DOUBLE, 4)
+         AS inf_ap
+FROM rtot LEFT JOIN pq USING (qid)
+"""
+
+
 _RELAX_MIN = 3
 
 
@@ -9014,6 +9062,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "term", "rank", "tfidf")
 
+    def inf_ap(spark, sf):
+        # inferred AP over a mix-parity 50% judgment sample
+        from luc4ir_spark.functions import hashing as hx
+
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        qids = spark.createDataFrame(
+            [(qid,) for qid, _ in QUERY_SET], "qid string"
+        ).withColumn("qn", F.substring("qid", 2, 10).cast("long"))
+        sampled = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .crossJoin(qids)
+            .filter((F.col("doc_id") + F.col("qn")) % 3 == 0)
+            .filter(
+                F.pmod(
+                    hx.mix_id_expr(F.col("doc_id") + F.col("qn")),
+                    F.lit(2),
+                )
+                == 0
+            )
+            .select(
+                "qid",
+                F.col("doc_id").cast("string").alias("docid"),
+                F.when(
+                    (F.col("doc_id") + F.col("qn")) % 6 == 0, F.lit(1.0)
+                ).otherwise(F.lit(0.0)).alias("rel"),
+            )
+        )
+        out = ev.inferred_ap(run, sampled, eps=_INFAP_EPS)
+        return out.select(
+            "qid", "r_sampled", "n_sampled_ret",
+            F.round("inf_ap", 4).alias("inf_ap"),
+        )
+
     def query_relaxation(spark, sf):
         # AND -> msm ladder -> OR fallback, all levels from ONE scan
         idx = _index(spark, sf)
@@ -10225,6 +10311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": hard_negatives,
         "trigram_lm_xent": trigram_lm_xent,
         "query_relaxation": query_relaxation,
+        "inf_ap": inf_ap,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10522,6 +10609,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "trigram_lm_xent": _trigram_xent_sql(),
         "query_relaxation": _query_relaxation_sql(),
+        "inf_ap": _inf_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -628,6 +628,97 @@ def friedman_test(
     )
 
 
+def inferred_ap(
+    run: DataFrame,
+    sampled_qrels: DataFrame,
+    eps: float = 0.00001,
+    qid_col: str = "qid",
+    docid_col: str = "docid",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Inferred AP (Yilmaz & Aslam CIKM'06, trec_eval's infAP): the
+    unbiased AP estimator when only a RANDOM SAMPLE of the judgment
+    pool is assessed — the standard answer to judging cost at depth.
+    For each retrieved sampled-relevant doc at rank k, the expected
+    precision above it is estimated from the sampled docs within the
+    top k−1 (s judged, r relevant):
+
+      E[prec@k] = 1/k + (s/k) · (r + ε)/(s + 2ε)
+
+    (the algebraic form of the paper's ((k−1)/k)·(s/(k−1))·… that
+    needs no k=1 special case — at k=1 s=0 and the second term is 0),
+    and infAP = Σ E[prec@k] / R over the query's R sampled-relevant
+    docs (retrieved or not). Queries with R=0 yield no row, as
+    trec_eval does. -> (qid, r_sampled, n_sampled_ret, inf_ap).
+
+    Plan shape: one broadcast qrels join + per-qid cumulative windows
+    over run-depth-sized data — the AP silhouette exactly."""
+    j = run.select(
+        "qid", F.col("rank").cast("long").alias("rank"), docid_col
+    ).join(
+        F.broadcast(
+            sampled_qrels.select(
+                F.col(qid_col).alias("qid"),
+                F.col(docid_col).alias(docid_col),
+                F.col(rel_col).alias("_rel"),
+            )
+        ),
+        ["qid", docid_col],
+        "left",
+    ).select(
+        "qid",
+        "rank",
+        F.col("_rel").isNotNull().cast("long").alias("_judged"),
+        (F.coalesce(F.col("_rel"), F.lit(0.0)) >= 1.0)
+        .cast("long")
+        .alias("_is_rel"),
+    )
+    above = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = j.withColumn(
+        "_s", F.coalesce(F.sum("_judged").over(above), F.lit(0))
+    ).withColumn(
+        "_r", F.coalesce(F.sum("_is_rel").over(above), F.lit(0))
+    )
+    e = float(eps)
+    term = F.lit(1.0) / F.col("rank") + (
+        F.col("_s").cast("double") / F.col("rank")
+    ) * (
+        (F.col("_r").cast("double") + F.lit(e))
+        / (F.col("_s").cast("double") + F.lit(2.0 * e))
+    )
+    per_q = (
+        w.filter((F.col("_judged") == 1) & (F.col("_is_rel") == 1))
+        .groupBy("qid")
+        .agg(
+            F.sum(term).alias("_tsum"),
+            F.count(F.lit(1)).cast("long").alias("n_sampled_ret"),
+        )
+    )
+    r_tot = (
+        sampled_qrels.filter(F.col(rel_col) >= 1.0)
+        .groupBy(F.col(qid_col).alias("qid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("r_sampled"))
+    )
+    return (
+        r_tot.join(per_q, "qid", "left")
+        .select(
+            "qid",
+            "r_sampled",
+            F.coalesce(F.col("n_sampled_ret"), F.lit(0))
+            .cast("long")
+            .alias("n_sampled_ret"),
+            (
+                F.coalesce(F.col("_tsum"), F.lit(0.0))
+                / F.col("r_sampled").cast("double")
+            ).alias("inf_ap"),
+        )
+    )
+
+
 def calibration_bins(
     scored: DataFrame,
     score_col: str = "score",

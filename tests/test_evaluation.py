@@ -514,6 +514,40 @@ def test_friedman_hand_computed(spark):
         assert r["chi2_f"] == pytest.approx(1.125)
 
 
+def test_inferred_ap_hand_computed(spark):
+    """q1: sampled rels d1@1, d4@4 (+unretrieved d9), judged nonrel
+    d2@2. term(d1)=1; term(d4)=1/4 + (2/4)·(1+eps)/(2+2eps) = 1/4 +
+    1/2·1/2 = 0.5 exactly (the eps cancels); infAP = 1.5/3 = 0.5.
+    q2 has a sampled rel but nothing retrieved -> inf_ap 0; q3 has no
+    sampled rel -> no row."""
+    run = spark.createDataFrame(
+        [
+            ("q1", 1, "1"), ("q1", 2, "2"), ("q1", 3, "3"),
+            ("q1", 4, "4"),
+            ("q2", 1, "50"),
+            ("q3", 1, "60"),
+        ],
+        "qid string, rank long, docid string",
+    )
+    sq = spark.createDataFrame(
+        [
+            ("q1", "1", 1.0), ("q1", "2", 0.0), ("q1", "4", 1.0),
+            ("q1", "9", 1.0),
+            ("q2", "99", 1.0),
+            ("q3", "60", 0.0),
+        ],
+        "qid string, docid string, rel double",
+    )
+    out = {r["qid"]: r for r in ev.inferred_ap(run, sq).collect()}
+    assert set(out) == {"q1", "q2"}  # q3: no sampled relevant
+    r1 = out["q1"]
+    assert r1["r_sampled"] == 3 and r1["n_sampled_ret"] == 2
+    assert r1["inf_ap"] == pytest.approx(0.5, abs=1e-6)
+    r2 = out["q2"]
+    assert r2["r_sampled"] == 1 and r2["n_sampled_ret"] == 0
+    assert r2["inf_ap"] == 0.0
+
+
 def test_calibration_bins_hand_computed(spark):
     """Equal-width bins: 0.05->0, 0.15->1, 0.95->9, and score 1.0
     clamps into bin 9; per-bin mean/pos-rate arithmetic."""
