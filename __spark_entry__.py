@@ -2278,6 +2278,38 @@ SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
 """
 
 
+_ABANDON_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+           FROM events),
+lagged AS (
+  SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e
+),
+flags AS (
+  SELECT *,
+         CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+),
+per AS (
+  SELECT user_id, sid,
+         max(CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1 ELSE 0 END) AS conv
+  FROM sess GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       sum(conv)::BIGINT AS n_converted,
+       (count(*) - sum(conv))::BIGINT AS n_abandoned,
+       round((count(*) - sum(conv))::DOUBLE / count(*)::DOUBLE, 4)
+         AS abandonment_rate
+FROM per
+"""
+
+
 _INFAP_EPS = 0.00001
 
 
@@ -9062,6 +9094,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "term", "rank", "tfidf")
 
+    def session_abandonment(spark, sf):
+        # gaps-and-islands sessions with no click/purchase = abandoned
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.session_abandonment(ev_df)
+        return out.select(
+            "n_sessions", "n_converted", "n_abandoned",
+            F.round("abandonment_rate", 4).alias("abandonment_rate"),
+        )
+
     def inf_ap(spark, sf):
         # inferred AP over a mix-parity 50% judgment sample
         from luc4ir_spark.functions import hashing as hx
@@ -10312,6 +10355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_lm_xent": trigram_lm_xent,
         "query_relaxation": query_relaxation,
         "inf_ap": inf_ap,
+        "session_abandonment": session_abandonment,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10610,6 +10654,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_lm_xent": _trigram_xent_sql(),
         "query_relaxation": _query_relaxation_sql(),
         "inf_ap": _inf_ap_sql(),
+        "session_abandonment": _ABANDON_SQL,
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

@@ -512,6 +512,57 @@ def event_lift(
     )
 
 
+def session_abandonment(
+    events: DataFrame,
+    convert_types: tuple = ("click", "purchase"),
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Session abandonment rate — the funnel-health headline metric:
+    sessions (the same gaps-and-islands definition as `sessionize`)
+    containing NO conversion-type event are abandoned. -> one row
+    (n_sessions, n_converted, n_abandoned, abandonment_rate); the rate
+    is one division of exact integers.
+
+    Plan shape: identical to `sessionize` — per-user windows only
+    (bounded per-user sorts, never global), then a sessions-sized
+    aggregate and a scalar reduction."""
+    gap_us = int(gap_seconds * 1_000_000)
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        epoch_us(ts_col).alias("t_us"),
+        F.col(type_col).alias("etype"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("t_us").over(w)
+    sess = base.withColumn(
+        "ns",
+        (prev.isNull() | ((F.col("t_us") - prev) > F.lit(gap_us)))
+        .cast("int"),
+    ).withColumn("session_id", F.sum("ns").over(run).cast("long"))
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.col("etype").isin(list(convert_types)).cast("int")
+        ).alias("_conv")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("_conv").cast("long").alias("n_converted"),
+        (F.count(F.lit(1)) - F.sum("_conv"))
+        .cast("long")
+        .alias("n_abandoned"),
+        (
+            (F.count(F.lit(1)) - F.sum("_conv")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("abandonment_rate"),
+    )
+
+
 def funnel_latency(
     events: DataFrame,
     first_type: str = "view",

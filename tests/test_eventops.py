@@ -341,6 +341,27 @@ def test_event_transitions_hand_computed(spark):
                    ("c", "a"): 1}
 
 
+def test_session_abandonment_hand_computed(spark):
+    """u1: one session with a click (converted) + a second session
+    (gap > 30 min) with views only (abandoned); u2: one purchase-only
+    session (converted). 3 sessions, 1 abandoned -> rate 1/3."""
+    rows = [
+        (0, datetime(2024, 1, 1, 10, 0), 1, "view"),
+        (1, datetime(2024, 1, 1, 10, 5), 1, "click"),
+        (2, datetime(2024, 1, 1, 12, 0), 1, "view"),   # new session
+        (3, datetime(2024, 1, 1, 12, 10), 1, "view"),
+        (4, datetime(2024, 1, 1, 9, 0), 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = eo.session_abandonment(ev).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["n_converted"] == 2
+    assert r["n_abandoned"] == 1
+    assert r["abandonment_rate"] == pytest.approx(1 / 3)
+
+
 def test_event_lift_hand_computed(spark):
     """4 users: {a,b}, {a,b}, {a}, {c}. n_a=3 n_b=2 n_c=1 n_ab=2 ->
     support 0.5, conf(a->b) 2/3, lift 2·4/(3·2) = 4/3; duplicate
