@@ -2278,6 +2278,35 @@ SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
 """
 
 
+_KANON_K = 5
+
+
+def _k_anonymity_sql() -> str:
+    """Replays eventops.k_anonymity_report: power-of-two activity
+    buckets (literal CASE), dominant type via lexicographic struct max
+    (ties -> later type), combos under k flagged."""
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN n <= {1 << i} THEN {1 << i}" for i in range(20)
+        )
+        + f" ELSE {1 << 20} END"
+    )
+    return f"""
+WITH ut AS (SELECT user_id, event_type AS etype, count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2),
+prof AS (SELECT user_id, sum(c)::BIGINT AS n,
+                (max(struct_pack(c := c, t := etype))).t AS top_type
+         FROM ut GROUP BY 1),
+combos AS (SELECT ({case})::BIGINT AS activity_bucket, top_type,
+                  count(*)::BIGINT AS n_users
+           FROM prof GROUP BY 1, 2)
+SELECT activity_bucket, top_type, n_users,
+       n_users < {_KANON_K} AS at_risk
+FROM combos
+"""
+
+
 _ABANDON_SQL = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
            FROM events),
@@ -9094,6 +9123,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "term", "rank", "tfidf")
 
+    def k_anonymity(spark, sf):
+        # k-anonymity audit over (activity bucket, dominant type)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.k_anonymity_report(ev_df, k=_KANON_K)
+        return out.select(
+            "activity_bucket", "top_type", "n_users", "at_risk"
+        )
+
     def session_abandonment(spark, sf):
         # gaps-and-islands sessions with no click/purchase = abandoned
         from luc4ir_spark.operators import eventops as eo
@@ -10356,6 +10395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_relaxation": query_relaxation,
         "inf_ap": inf_ap,
         "session_abandonment": session_abandonment,
+        "k_anonymity": k_anonymity,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10655,6 +10695,7 @@ def oracle_sql() -> dict[str, str]:
         "query_relaxation": _query_relaxation_sql(),
         "inf_ap": _inf_ap_sql(),
         "session_abandonment": _ABANDON_SQL,
+        "k_anonymity": _k_anonymity_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

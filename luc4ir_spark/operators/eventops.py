@@ -512,6 +512,50 @@ def event_lift(
     )
 
 
+def k_anonymity_report(
+    events: DataFrame,
+    k: int = 5,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """k-anonymity audit over derived user profiles (Sweeney'02): the
+    quasi-identifier is (activity bucket, dominant event type) — the
+    kind of coarse behavioural profile an "anonymized" analytics
+    export leaks — and every profile combination shared by fewer than
+    ``k`` users is re-identification risk. Activity buckets are powers
+    of two (the all-integer CASE chain, no log floats); the dominant
+    type is max(count, type) with ties to the LATER type name
+    (lexicographic struct max — deterministic on both engines).
+    -> (activity_bucket, top_type, n_users, at_risk).
+
+    Plan shape: two map-side-combined aggregates (user×type counts →
+    user profiles) + one profile-cardinality-sized rollup. The raw log
+    is scanned once."""
+    ut = events.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    prof = ut.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("_n"),
+        F.max(
+            F.struct(F.col("c").alias("c"), F.col("etype").alias("t"))
+        ).alias("_m"),
+    )
+    n = F.col("_n")
+    bucket = F.lit(1 << 20)
+    for bd in [1 << i for i in range(20)][::-1]:
+        bucket = F.when(n <= F.lit(bd), F.lit(bd)).otherwise(bucket)
+    combos = prof.select(
+        bucket.cast("long").alias("activity_bucket"),
+        F.col("_m.t").alias("top_type"),
+    ).groupBy("activity_bucket", "top_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return combos.withColumn(
+        "at_risk", F.col("n_users") < F.lit(int(k))
+    )
+
+
 def session_abandonment(
     events: DataFrame,
     convert_types: tuple = ("click", "purchase"),

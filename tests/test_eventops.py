@@ -341,6 +341,33 @@ def test_event_transitions_hand_computed(spark):
                    ("c", "a"): 1}
 
 
+def test_k_anonymity_report_hand_computed(spark):
+    """Profiles: u1/u2 both (bucket 2, top 'b' — tie a=b=1 resolves to
+    the LATER type); u3 (bucket 4, top 'a'). k=2: the shared combo is
+    safe, the singleton is at risk."""
+    rows = [
+        (0, datetime(2024, 1, 1, 1), 1, "a"),
+        (1, datetime(2024, 1, 1, 2), 1, "b"),
+        (2, datetime(2024, 1, 1, 1), 2, "a"),
+        (3, datetime(2024, 1, 1, 2), 2, "b"),
+        (4, datetime(2024, 1, 1, 1), 3, "a"),
+        (5, datetime(2024, 1, 1, 2), 3, "a"),
+        (6, datetime(2024, 1, 1, 3), 3, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["activity_bucket"], r["top_type"]): r
+        for r in eo.k_anonymity_report(ev, k=2).collect()
+    }
+    assert set(out) == {(2, "b"), (4, "a")}
+    assert out[(2, "b")]["n_users"] == 2
+    assert out[(2, "b")]["at_risk"] is False
+    assert out[(4, "a")]["n_users"] == 1
+    assert out[(4, "a")]["at_risk"] is True
+
+
 def test_session_abandonment_hand_computed(spark):
     """u1: one session with a click (converted) + a second session
     (gap > 30 min) with views only (abandoned); u2: one purchase-only
