@@ -2278,6 +2278,38 @@ SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= {_KW_TOPM}
 """
 
 
+def _condensed_ap_sql() -> str:
+    """Replays evaluation.condensed_ap over the BM25 run + pseudo
+    qrels: unjudged docs removed, re-ranked condensed list, plain AP
+    with R = judged-relevant total."""
+    return f"""
+WITH {_BM25_RUN_CTES},
+{_QRELS_SQL},
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+j AS (SELECT r.qid, r.rank,
+             (qr.rel >= 1.0)::BIGINT AS is_rel
+      FROM runq r JOIN qrels qr
+        ON qr.qid = r.qid AND qr.docid = r.doc_id),
+c AS (SELECT qid, is_rel,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY rank)::BIGINT AS crank
+      FROM j),
+cc AS (SELECT *, sum(is_rel) OVER (PARTITION BY qid ORDER BY crank
+             ROWS UNBOUNDED PRECEDING) AS cumrel
+       FROM c),
+per AS (SELECT qid, count(*)::BIGINT AS n_judged_ret,
+               sum(CASE WHEN is_rel = 1
+                        THEN cumrel::DOUBLE / crank ELSE 0.0 END) AS psum
+        FROM cc GROUP BY 1),
+rt2 AS (SELECT qid, count(*)::BIGINT AS r FROM qrels
+        WHERE rel >= 1.0 GROUP BY 1)
+SELECT rt2.qid,
+       coalesce(per.n_judged_ret, 0)::BIGINT AS n_judged_ret,
+       round(coalesce(per.psum, 0.0) / rt2.r::DOUBLE, 4) AS ap_condensed
+FROM rt2 LEFT JOIN per USING (qid)
+"""
+
+
 _KANON_K = 5
 
 
@@ -9123,6 +9155,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "term", "rank", "tfidf")
 
+    def condensed_ap(spark, sf):
+        # AP over the judged-only condensed list (Sakai AP')
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        out = ev.condensed_ap(run, _pseudo_qrels(spark, sf))
+        return out.select(
+            "qid", "n_judged_ret",
+            F.round("ap_condensed", 4).alias("ap_condensed"),
+        )
+
     def k_anonymity(spark, sf):
         # k-anonymity audit over (activity bucket, dominant type)
         from luc4ir_spark.operators import eventops as eo
@@ -10396,6 +10441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inf_ap": inf_ap,
         "session_abandonment": session_abandonment,
         "k_anonymity": k_anonymity,
+        "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
         "block_join": block_join,
@@ -10696,6 +10742,7 @@ def oracle_sql() -> dict[str, str]:
         "inf_ap": _inf_ap_sql(),
         "session_abandonment": _ABANDON_SQL,
         "k_anonymity": _k_anonymity_sql(),
+        "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
         "block_join": _block_join_sql(),

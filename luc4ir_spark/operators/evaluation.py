@@ -628,6 +628,72 @@ def friedman_test(
     )
 
 
+def condensed_ap(
+    run: DataFrame,
+    qrels: DataFrame,
+    qid_col: str = "qid",
+    docid_col: str = "docid",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Condensed-list AP (AP' in Sakai SIGIR'07, "Alternatives to
+    Bpref"): remove UNJUDGED documents from the ranking entirely and
+    compute plain AP over the judged-only condensed list — the other
+    standard incomplete-judgment treatment next to bpref and infAP
+    (and Sakai's experiments prefer it to bpref). R = the query's
+    judged-relevant total; queries with R = 0 yield no row.
+    -> (qid, n_judged_ret, ap_condensed).
+
+    Plan shape: one broadcast qrels join, a per-qid re-rank window
+    over the judged survivors (run-depth bounded), and the usual
+    cumulative-precision aggregate."""
+    j = run.select(
+        "qid", F.col("rank").cast("long").alias("rank"), docid_col
+    ).join(
+        F.broadcast(
+            qrels.select(
+                F.col(qid_col).alias("qid"),
+                F.col(docid_col).alias(docid_col),
+                F.col(rel_col).alias("_rel"),
+            )
+        ),
+        ["qid", docid_col],
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    c = j.withColumn(
+        "crank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "_is_rel", (F.col("_rel") >= 1.0).cast("long")
+    )
+    cum = Window.partitionBy("qid").orderBy("crank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = c.withColumn("_cumrel", F.sum("_is_rel").over(cum))
+    per = c.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_judged_ret"),
+        F.sum(
+            F.when(
+                F.col("_is_rel") == 1,
+                F.col("_cumrel").cast("double") / F.col("crank"),
+            ).otherwise(F.lit(0.0))
+        ).alias("_psum"),
+    )
+    r_tot = (
+        qrels.filter(F.col(rel_col) >= 1.0)
+        .groupBy(F.col(qid_col).alias("qid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_r"))
+    )
+    return r_tot.join(per, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_judged_ret"), F.lit(0))
+        .cast("long")
+        .alias("n_judged_ret"),
+        (
+            F.coalesce(F.col("_psum"), F.lit(0.0))
+            / F.col("_r").cast("double")
+        ).alias("ap_condensed"),
+    )
+
+
 def inferred_ap(
     run: DataFrame,
     sampled_qrels: DataFrame,

@@ -514,6 +514,35 @@ def test_friedman_hand_computed(spark):
         assert r["chi2_f"] == pytest.approx(1.125)
 
 
+def test_condensed_ap_hand_computed(spark):
+    """Unjudged docs vanish before ranking: run (d1 rel, d2 UNJUDGED,
+    d3 nonrel, d4 rel) condenses to (d1, d3, d4) -> AP' = (1/1 + 2/3)
+    / R with R = 3 (d9 relevant but unretrieved); a query with no
+    judged retrieved docs scores 0."""
+    run = spark.createDataFrame(
+        [
+            ("q1", 1, "1"), ("q1", 2, "2"), ("q1", 3, "3"),
+            ("q1", 4, "4"),
+            ("q2", 1, "50"),
+        ],
+        "qid string, rank long, docid string",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("q1", "1", 1.0), ("q1", "3", 0.0), ("q1", "4", 1.0),
+            ("q1", "9", 1.0),
+            ("q2", "99", 1.0),
+        ],
+        "qid string, docid string, rel double",
+    )
+    out = {r["qid"]: r for r in ev.condensed_ap(run, qrels).collect()}
+    r1 = out["q1"]
+    assert r1["n_judged_ret"] == 3
+    assert r1["ap_condensed"] == pytest.approx((1.0 + 2 / 3) / 3)
+    r2 = out["q2"]
+    assert r2["n_judged_ret"] == 0 and r2["ap_condensed"] == 0.0
+
+
 def test_inferred_ap_hand_computed(spark):
     """q1: sampled rels d1@1, d4@4 (+unretrieved d9), judged nonrel
     d2@2. term(d1)=1; term(d4)=1/4 + (2/4)·(1+eps)/(2+2eps) = 1/4 +
