@@ -611,9 +611,15 @@ def proximity_query(
     for each next term, every surviving start keeps the EARLIEST
     in-order occurrence via a per-start fold over the (sorted,
     doc-length-bounded) position array; starts whose chain leaves the
-    window die. Joins stay doc_id equi-joins of term-filtered cells —
-    the rarest term still collapses fan-in — and everything is
-    per-row array arithmetic in one projection per phrase term."""
+    window die. The WALK must run in phrase order (the chain state is
+    sequential), so the rarest-term cost ordering lands as a seed
+    pre-prune instead: when terms[0] is not the rarest term, the seed
+    cell is left-semi-joined against the rarest term's doc_id set
+    (broadcast-sized right, one query-sized df lookup) before any
+    positional join — a stopword-led proximity query then walks from
+    ≤ df(rarest) rows, not df(stopword). Joins stay doc_id equi-joins
+    of term-filtered cells and everything is per-row array arithmetic
+    in one projection per phrase term."""
     if not terms:
         raise ValueError("proximity_query: empty terms")
     if window < len(terms) - 1:
@@ -621,6 +627,10 @@ def proximity_query(
     # one consumer per term — materialize the positional build once
     # (see phrase_query)
     positional = positional.localCheckpoint(eager=False)
+    dfs = _phrase_term_dfs(positional, terms)
+    if any(t not in dfs for t in terms):
+        return _empty_positional_result(positional, "prox_freq")
+    rare = min(set(terms), key=lambda t: (dfs[t], t))
     # s = array of structs (start, cur): start position and the
     # position its in-order chain has reached so far
     cur = positional.filter(F.col("term") == terms[0]).select(
@@ -630,6 +640,12 @@ def proximity_query(
             lambda p: F.struct(p.alias("start"), p.alias("cur")),
         ).alias("s"),
     )
+    if rare != terms[0]:
+        cur = cur.join(
+            positional.filter(F.col("term") == rare).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     for t in terms[1:]:
         nxt = positional.filter(F.col("term") == t).select(
             "doc_id", F.col("positions").alias("_p")
@@ -672,23 +688,38 @@ def unordered_window_query(
     all-terms-within-a-window condition): a match is an occurrence of
     ``terms[0]`` (the anchor) such that EVERY other term occurs
     somewhere within ±``window`` tokens of it, in any order.
-    -> (doc_id, uw_freq) = count of such anchors. Pick the rarest term
-    first — the anchor side drives the fan-in exactly like the phrase
-    chain. Terms must be distinct (a repeated term would satisfy its
-    own window).
+    -> (doc_id, uw_freq) = count of such anchors. uw_freq is
+    anchor-term-dependent, so the anchor CANNOT be reordered — pick
+    the rarest term first when the per-anchor count doesn't matter.
+    Terms must be distinct (a repeated term would satisfy its own
+    window).
 
     Plan: same shape as proximity_query — per-term doc_id equi-joins of
     dictionary-filtered positional cells, anchors thinned by a per-row
     array ``exists`` per companion term; one projection per term, no
-    explode, no shuffle beyond the equi-joins."""
+    explode, no shuffle beyond the equi-joins. When the caller's anchor
+    is NOT the rarest term, the anchor cell is pre-pruned by a
+    left-semi join on the rarest term's doc_ids (same seed pre-prune
+    as proximity_query) so a stopword anchor never seeds the walk at
+    its own df."""
     if not terms:
         raise ValueError("unordered_window_query: empty terms")
     if len(set(terms)) != len(terms):
         raise ValueError("unordered_window_query: terms must be distinct")
     positional = positional.localCheckpoint(eager=False)
+    dfs = _phrase_term_dfs(positional, terms)
+    if any(t not in dfs for t in terms):
+        return _empty_positional_result(positional, "uw_freq")
+    rare = min(terms, key=lambda t: (dfs[t], t))
     anchors = positional.filter(F.col("term") == terms[0]).select(
         "doc_id", F.col("positions").alias("a")
     )
+    if rare != terms[0]:
+        anchors = anchors.join(
+            positional.filter(F.col("term") == rare).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     for t in terms[1:]:
         nxt = positional.filter(F.col("term") == t).select(
             "doc_id", F.col("positions").alias("_p")
@@ -728,7 +759,11 @@ def phrase_query_compressed(
     ``proximity_query`` array walk. This is the 100 TB shape: the
     decode cost is candidates × positions, never corpus × positions.
     ``window=None`` = exact phrase; otherwise the ordered
-    within-window semantics of proximity_query."""
+    within-window semantics of proximity_query. The spine semi-join
+    chain runs in ASCENDING df order (df counted off the spine, one
+    query-sized job), so the candidate doc set starts at the rarest
+    term's df — a stopword in the phrase never seeds the
+    intersection."""
     if not terms:
         raise ValueError("phrase_query_compressed: empty terms")
     from .indexer import decode_positional_postings
@@ -737,8 +772,13 @@ def phrase_query_compressed(
     cells = compressed_positional.filter(
         F.col("term").isin(uniq)
     ).localCheckpoint(eager=False)
+    dfs = _phrase_term_dfs(cells, uniq)
+    if any(t not in dfs for t in uniq):
+        return _empty_positional_result(
+            cells, "phrase_freq" if window is None else "prox_freq"
+        )
     docs_all = None
-    for t in uniq:
+    for t in sorted(uniq, key=lambda t: (dfs[t], t)):
         d = cells.filter(F.col("term") == t).select("doc_id")
         docs_all = (
             d if docs_all is None
@@ -1062,44 +1102,51 @@ def multi_phrase_query(
     Plan: per step, the union of the alternatives' position arrays
     (alternative terms can't share a position, so the flattened sort is
     a strictly increasing merge) via a term-filtered groupBy — cells
-    are dictionary-pruned before any shuffle — then the same shifted
-    array-intersect chain as phrase_query, one projection per step."""
+    are dictionary-pruned before any shuffle — then the start-position
+    array_intersect chain of phrase_query (step j contributes
+    ``start ∈ step_positions_j - j``, order-independent), with steps
+    processed in ASCENDING summed-df order so the rarest step seeds
+    the walk (Lucene lead-with-cheapest, as in phrase_query); one
+    projection per step."""
     if not steps or any(not s for s in steps):
         raise ValueError("multi_phrase_query: empty steps")
     positional = positional.localCheckpoint(eager=False)
+    dfs = _phrase_term_dfs(
+        positional, [t for alts in steps for t in alts]
+    )
+    step_df = [sum(dfs.get(t, 0) for t in alts) for alts in steps]
+    if any(d == 0 for d in step_df):
+        return _empty_positional_result(positional, "phrase_freq")
+    order = sorted(range(len(steps)), key=lambda i: (step_df[i], i))
 
-    def step_cells(i: int, alts: list[str]) -> DataFrame:
+    def step_cell(i: int) -> DataFrame:
         return (
-            positional.filter(F.col("term").isin(list(alts)))
+            positional.filter(F.col("term").isin(list(steps[i])))
             .groupBy("doc_id")
             .agg(
                 F.sort_array(
                     F.flatten(F.collect_list("positions"))
-                ).alias(f"_p{i}")
+                ).alias("_p")
             )
         )
 
-    cur = step_cells(0, steps[0]).select(
-        "doc_id", F.col("_p0").alias("s")
+    j0 = order[0]
+    cur = step_cell(j0).select(
+        "doc_id",
+        F.transform("_p", lambda p: p - F.lit(j0)).alias("s"),
     )
-
-    def _advance(col_name: str, offset: int):
-        # single-parameter HOF lambda (a defaulted extra param would be
-        # read by Spark as a second lambda variable)
-        def pred(p):
-            return F.exists(
-                F.col(col_name), lambda q: q == p + F.lit(offset)
-            )
-
-        return pred
-
-    for i, alts in enumerate(steps[1:], start=1):
-        nxt = step_cells(i, alts)
+    for j in order[1:]:
         cur = (
-            cur.join(nxt, "doc_id")
-            .withColumn("s", F.filter("s", _advance(f"_p{i}", i)))
+            cur.join(step_cell(j), "doc_id")
+            .withColumn(
+                "s",
+                F.array_intersect(
+                    F.col("s"),
+                    F.transform("_p", lambda p: p - F.lit(j)),
+                ),
+            )
             .filter(F.size("s") > 0)
-            .drop(f"_p{i}")
+            .drop("_p")
         )
     return cur.select(
         "doc_id", F.size("s").cast("long").alias("phrase_freq")
@@ -2499,6 +2546,49 @@ def range_facet_counts(
     )
 
 
+def _phrase_term_dfs(
+    positional: DataFrame, terms: list[str]
+) -> dict[str, int]:
+    """df lookup for the phrase family's cost ordering (Lucene
+    ExactPhraseMatcher leads with the lowest-cost term): one
+    dictionary-filtered count per distinct term. The collect is
+    len(terms) rows — query-sized, never corpus-sized — and, because
+    the callers localCheckpoint the pruned positional relation first,
+    this action doubles as the checkpoint materialization the walk
+    reuses. Terms absent from the index are absent from the dict."""
+    rows = (
+        positional.filter(F.col("term").isin(list(set(terms))))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    return {r["term"]: r["df"] for r in rows}
+
+
+def _phrase_constraint_order(
+    dfs: dict[str, int], phrase: list[str]
+) -> list[tuple[str, int]]:
+    """Order the phrase's (term, offset) constraints by ascending df
+    (tie: term, offset) — the join order of the start-position
+    intersection walk. Pure and unit-testable; duplicate phrase terms
+    contribute one constraint per offset."""
+    return sorted(
+        ((t, j) for j, t in enumerate(phrase)),
+        key=lambda c: (dfs.get(c[0], 0), c[0], c[1]),
+    )
+
+
+def _empty_positional_result(
+    positional: DataFrame, freq_col: str
+) -> DataFrame:
+    """(doc_id, <freq_col>) with 0 rows — the fast path when a phrase
+    term is not in the dictionary (df lookup came back empty), saving
+    the join chain entirely."""
+    return positional.select("doc_id").limit(0).withColumn(
+        freq_col, F.lit(0).cast("long")
+    )
+
+
 def phrase_query(
     positional: DataFrame, phrase: list[str]
 ) -> DataFrame:
@@ -2509,27 +2599,35 @@ def phrase_query(
     phrase_freq the number of distinct start offsets (the value
     Lucene's ExactPhraseMatcher feeds its scorer).
 
-    Relational plan: the classic positional-intersection algorithm as
-    arrays — seed with the first term's position list, then for each
-    next term join its positional cell on doc_id and intersect
-    (shifted-by-one) position arrays, pruning non-survivors after
-    every step (`size > 0`), so selective phrases collapse the join
-    fan-in immediately. Per-row work is bounded by a document's
-    occurrence counts; the joins are doc_id equi-joins of
-    term-filtered cells (each side ≤ df(term) rows — the rare term
-    prunes everything downstream, exactly like Lucene leading with the
-    rarest term). Duplicate phrase terms are handled naturally (each
-    step re-filters the positional relation independently)."""
+    Relational plan: the positional-intersection algorithm over
+    candidate START positions — each phrase offset j contributes the
+    constraint ``start ∈ positions(term_j) - j``, so the walk is an
+    array_intersect chain of shifted position lists that is
+    order-independent. Constraints are processed in ASCENDING df order
+    (Lucene ExactPhraseMatcher's lead-with-cheapest cost ordering,
+    df looked up via one query-sized count job): the seed relation is
+    the RAREST term's cell, so a stopword-led phrase like "the quick
+    zebra" starts from df(zebra) rows, not df(the) — every subsequent
+    doc_id equi-join's left side is already ≤ the rarest df, pruned
+    further after each step (`size > 0`). Duplicate phrase terms are
+    one constraint per offset, each re-filtering the positional
+    relation independently."""
     if not phrase:
         raise ValueError("phrase_query: empty phrase")
     # the positional relation is consumed once per phrase term; plan
     # dedup re-derives the whole posexplode+collect build per consumer
     # (fresh exprIds defeat reuse) — materialize it once, GC-scoped
     positional = positional.localCheckpoint(eager=False)
-    cur = positional.filter(F.col("term") == phrase[0]).select(
-        "doc_id", F.col("positions").alias("s")
+    dfs = _phrase_term_dfs(positional, phrase)
+    if any(t not in dfs for t in phrase):
+        return _empty_positional_result(positional, "phrase_freq")
+    order = _phrase_constraint_order(dfs, phrase)
+    t0, j0 = order[0]
+    cur = positional.filter(F.col("term") == t0).select(
+        "doc_id",
+        F.transform("positions", lambda p: p - F.lit(j0)).alias("s"),
     )
-    for i, t in enumerate(phrase[1:], start=1):
+    for t, j in order[1:]:
         nxt = positional.filter(F.col("term") == t).select(
             "doc_id", F.col("positions").alias("_p")
         )
@@ -2538,7 +2636,8 @@ def phrase_query(
             .withColumn(
                 "s",
                 F.array_intersect(
-                    F.transform("s", lambda x: x + F.lit(1)), F.col("_p")
+                    F.col("s"),
+                    F.transform("_p", lambda p: p - F.lit(j)),
                 ),
             )
             .filter(F.size("s") > 0)

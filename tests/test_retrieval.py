@@ -2347,3 +2347,112 @@ def test_word_break_suggest(spark, index):
     best = min(got.items(), key=lambda kv: kv[1][1])
     assert best[1][1] == 1
     assert max(v[0] for v in got.values()) == best[1][0]
+
+
+def test_phrase_constraint_order_unit():
+    """The phrase walk's cost ordering is df-ascending with (term,
+    offset) tie-breaks — the rarest term seeds the join chain (Lucene
+    ExactPhraseMatcher lead-with-cheapest)."""
+    dfs = {"the": 100, "quick": 5, "zebra": 1}
+    assert rt._phrase_constraint_order(dfs, ["the", "quick", "zebra"]) == [
+        ("zebra", 2), ("quick", 1), ("the", 0)
+    ]
+    # duplicate phrase terms: one constraint per offset, offset-ordered
+    assert rt._phrase_constraint_order(dfs, ["the", "zebra", "the"]) == [
+        ("zebra", 1), ("the", 0), ("the", 2)
+    ]
+
+
+@pytest.fixture(scope="module")
+def skew_pos(spark):
+    """Positional index where 'the' is in every doc (the stopword) and
+    'zebra' is rare — the seed-choice stress shape."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["the", "quick", "zebra"]),
+            (1, ["the", "dog", "runs"]),
+            (2, ["the", "cat", "sat"]),
+            (3, ["the", "zebra", "the"]),
+            (4, ["the", "end"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    return ix.build_positional_postings(docs).localCheckpoint()
+
+
+def test_phrase_query_rare_term_seeds_join(skew_pos):
+    """Plan guard (VERDICT r4 item 1): for a stopword-led phrase the
+    first join's LEFT side is the RARE term's cell, not terms[0]'s."""
+    q = rt.phrase_query(skew_pos, ["the", "zebra"])
+    assert sorted(
+        (r["doc_id"], r["phrase_freq"]) for r in q.collect()
+    ) == [(3, 1)]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # left child prints before right in the plan tree: the zebra
+    # filter must appear before the stopword filter
+    zi, ti = plan.find("= zebra"), plan.find("= the")
+    assert zi != -1 and ti != -1 and zi < ti, plan
+
+
+def test_proximity_query_rare_seed_semi_join(skew_pos):
+    """proximity/unordered keep the walk in phrase order but pre-prune
+    the seed with a left-semi join on the rare term's doc_ids."""
+    prox = rt.proximity_query(skew_pos, ["the", "zebra"], 2)
+    assert sorted(
+        (r["doc_id"], r["prox_freq"]) for r in prox.collect()
+    ) == [(0, 1), (3, 1)]
+    plan = prox._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    # rarest-led query: no semi-join needed
+    prox2 = rt.proximity_query(skew_pos, ["zebra", "the"], 2)
+    plan2 = prox2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan2, plan2
+    uw = rt.unordered_window_query(skew_pos, ["the", "zebra"], 2)
+    uplan = uw._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in uplan, uplan
+    # uw_freq stays anchored on terms[0] ('the' occurrences), so the
+    # pre-prune must not change the counts: doc 3 has two anchors
+    assert sorted(
+        (r["doc_id"], r["uw_freq"]) for r in uw.collect()
+    ) == [(0, 1), (3, 2)]
+
+
+def test_multi_phrase_rare_step_first(skew_pos):
+    """multi_phrase processes steps in summed-df order; results match
+    phrase order regardless of which step is rare."""
+    got = sorted(
+        (r["doc_id"], r["phrase_freq"])
+        for r in rt.multi_phrase_query(
+            skew_pos, [["the"], ["zebra", "dog"]]
+        ).collect()
+    )
+    assert got == [(1, 1), (3, 1)]
+
+
+def test_phrase_family_missing_term_fast_empty(skew_pos):
+    """A term absent from the dictionary short-circuits to an empty
+    (but correctly-typed) result without building the join chain."""
+    for df, col in [
+        (rt.phrase_query(skew_pos, ["the", "unicorn"]), "phrase_freq"),
+        (rt.proximity_query(skew_pos, ["the", "unicorn"], 3), "prox_freq"),
+        (rt.unordered_window_query(skew_pos, ["the", "unicorn"], 3),
+         "uw_freq"),
+        (rt.multi_phrase_query(skew_pos, [["the"], ["unicorn"]]),
+         "phrase_freq"),
+    ]:
+        assert df.columns == ["doc_id", col]
+        assert df.count() == 0
+        assert dict(df.dtypes)[col] == "bigint"
+
+
+def test_phrase_compressed_rare_spine_order(skew_pos):
+    """The compressed path's spine semi-join chain is df-ascending and
+    still matches the flat walk."""
+    comp = ix.compress_positional_postings(skew_pos).localCheckpoint()
+    got = sorted(
+        (r["doc_id"], r["phrase_freq"])
+        for r in rt.phrase_query_compressed(comp, ["the", "zebra"]).collect()
+    )
+    assert got == [(3, 1)]
+    empty = rt.phrase_query_compressed(comp, ["the", "unicorn"])
+    assert empty.count() == 0
