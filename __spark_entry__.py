@@ -443,6 +443,92 @@ SELECT a, b, sum(cnt)::BIGINT AS cnt FROM pairs GROUP BY 1, 2
 """
 
 
+def _bpe_merges_sql(n_merges: int = None, min_count: int = 2) -> str:
+    """Replays the FULL iterative BPE trainer (bpetrain.bpe_train) by
+    unrolling ``n_merges`` merge iterations as a CTE chain generated
+    from one constant — the same unroll pattern as xquad_rerank's
+    3-step greedy and click_model_pbm's 2-round EM. Per iteration:
+    pair counts over the evolving symbol table, argmax (cnt DESC, a, b
+    — ASCII, so binary collation agrees across engines), then the
+    left-to-right non-overlapping merge application. Spark's
+    application is a skip-flag fold (_merge_pair_expr); the SQL replay
+    uses the equivalent greedy rule: mark candidate positions
+    (syms[i], syms[i+1]) = (a, b), group consecutive candidates into
+    islands (consecutive candidates only arise when a = b, e.g. 'aaaa'
+    under (a,a)), and merge the even offsets within each island.
+    Early stop (best count < min_count) is replayed by cutting the
+    emitted list at the first sub-threshold step. Multi-consumer CTEs
+    are AS MATERIALIZED — DuckDB otherwise inlines seqs{k} into both
+    its consumers and the chain re-plans exponentially."""
+    if n_merges is None:
+        n_merges = _BPE_MERGES
+    parts = [
+        _TOKS,
+        "w AS (SELECT term AS word, count(*)::BIGINT AS cnt"
+        " FROM toks GROUP BY 1)",
+        "seqs0 AS MATERIALIZED (SELECT word, cnt, "
+        "list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))"
+        " || ['</w>'] AS syms FROM w)",
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"pairs{k} AS (SELECT list_extract(syms, i) AS a, "
+            f"list_extract(syms, i + 1) AS b, cnt "
+            f"FROM seqs{k}, unnest(range(1, len(syms))) AS t(i) "
+            f"WHERE len(syms) >= 2)"
+        )
+        parts.append(
+            f"best{k} AS MATERIALIZED (SELECT a, b, sum(cnt)::BIGINT AS c "
+            f"FROM pairs{k} GROUP BY 1, 2 "
+            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if k < n_merges - 1:
+            parts.append(
+                f"pos{k} AS (SELECT word, cnt, i, "
+                f"list_extract(syms, i) AS s, "
+                f"CASE WHEN i < len(syms) THEN list_extract(syms, i + 1) "
+                f"END AS nx "
+                f"FROM seqs{k}, unnest(range(1, len(syms) + 1)) AS t(i))"
+            )
+            parts.append(
+                f"cnd{k} AS (SELECT p.*, "
+                f"coalesce(p.s = b.a AND p.nx = b.b, false) AS cand "
+                f"FROM pos{k} p CROSS JOIN best{k} b)"
+            )
+            parts.append(
+                f"isl{k} AS (SELECT *, CASE WHEN cand THEN "
+                f"i - row_number() OVER (PARTITION BY word, cand ORDER BY i) "
+                f"END AS isl FROM cnd{k})"
+            )
+            parts.append(
+                f"sel{k} AS (SELECT *, CASE WHEN cand THEN "
+                f"(i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0 "
+                f"ELSE false END AS sel FROM isl{k})"
+            )
+            parts.append(
+                f"drp{k} AS (SELECT *, "
+                f"coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i), "
+                f"false) AS prev_sel FROM sel{k})"
+            )
+            parts.append(
+                f"seqs{k + 1} AS MATERIALIZED (SELECT word, cnt, "
+                f"list(CASE WHEN sel THEN s || nx ELSE s END ORDER BY i) "
+                f"AS syms FROM drp{k} WHERE NOT prev_sel GROUP BY word, cnt)"
+            )
+    bests = " UNION ALL ".join(
+        f"SELECT {k} AS k, a, b, c FROM best{k}" for k in range(n_merges)
+    )
+    parts.append(f"bests AS ({bests})")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT k::BIGINT AS merge_idx, a, b FROM bests
+WHERE k < (SELECT coalesce(min(k), {n_merges}) FROM bests
+           WHERE c < {min_count})
+ORDER BY merge_idx
+"""
+    )
+
+
 def _upsert_sql() -> str:
     """Replays update_docs: term stats of the upserted index must equal
     a fresh build over the modified corpus."""
@@ -7141,9 +7227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bp.bpe_pair_counts(_docs(spark, sf), content_col="text")
 
     def bpe_merges(spark, sf):
-        # full iterative trainer — deterministic merge list; inherently
-        # non-SQL (each step depends on the last), so rows-only gate;
-        # pytest proves it equals a pure-Python BPE replay
+        # full iterative trainer — deterministic merge list, oracled by
+        # the CTE-unrolled merge loop (_bpe_merges_sql, one iteration
+        # block per merge); pytest additionally proves it equals a
+        # pure-Python BPE replay
         wc = bp.word_counts(_docs(spark, sf), content_col="text")
         merges = bp.bpe_train(wc, num_merges=_BPE_MERGES, min_count=2)
         return spark.createDataFrame(
@@ -10652,6 +10739,7 @@ def oracle_sql() -> dict[str, str]:
         "complete_prefix": _complete_prefix_sql(),
         "explain_score": _explain_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "index_upsert": _upsert_sql(),
         "trec_pooling": _pooling_sql(),
         "rank_correlation": _rank_corr_sql(),
