@@ -1356,6 +1356,7 @@ def apply_vocab(
     vocab: DataFrame,
     content_col: str = "content",
     id_col: str = "doc_id",
+    literal_max_terms: int = 10_000,
 ) -> DataFrame:
     """Vocabulary application with OOV accounting — the step between
     vocab building (``vocab_coverage``) and training-data
@@ -1365,29 +1366,66 @@ def apply_vocab(
     OOV rate this aggregates to is the go/no-go signal before
     committing a vocab to a training run.
 
-    Plan shape: ``vocab`` (a 1-column-of-terms relation, e.g.
-    vocab_coverage output) is collected into a literal array — vocab
-    tables are Zipf-bounded, trivially driver-sized — so the operator
-    is a ZERO-shuffle projection: no explode, no join, no aggregation;
-    per-token membership is an array_contains over the literal. For
-    tokenizer-scale vocabularies (>~10k entries) where a per-token
-    linear scan stings, the explode + broadcast-join twin is the same
-    two-shuffle silhouette as classifier_score — this literal form is
-    the hot path for filter-sized vocabularies."""
-    terms = sorted(r["term"] for r in vocab.select("term").collect())
-    arr = F.array(*[F.lit(t) for t in terms])
+    Plan shape, auto-switched on vocab size (probed with ONE bounded
+    ``limit(literal_max_terms + 1)`` collect, so neither path ever
+    pulls an unbounded vocab to the driver):
+
+    - ``<= literal_max_terms`` terms (filter-sized vocabularies, the
+      hot path): the vocab becomes a literal array and the operator is
+      a ZERO-shuffle projection — no explode, no join, no aggregation;
+      per-token membership is an array_contains over the literal.
+    - larger (tokenizer-scale vocabularies, e.g. a 100k BPE vocab): a
+      literal that size is a plan-size/codegen hazard with O(|vocab|)
+      per-token scans, so the twin runs explode + map-side-combined
+      (doc, term) tf groupBy + BROADCAST left join against the vocab +
+      one groupBy back to docs — the same two-shuffle silhouette as
+      ``classifier_score``, hash-probe membership instead of a linear
+      literal scan. Both paths return identical rows."""
+    probe = vocab.select("term").limit(literal_max_terms + 1).collect()
     toks = simple_tokens(content_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("_t")
     ).filter(F.size("_t") > 0)
-    n_oov = F.size(
-        F.filter("_t", lambda t: ~F.array_contains(arr, t))
-    ).cast("long")
-    return base.select(
+    if len(probe) <= literal_max_terms:
+        terms = sorted({r["term"] for r in probe})
+        arr = F.array(*[F.lit(t) for t in terms])
+        n_oov = F.size(
+            F.filter("_t", lambda t: ~F.array_contains(arr, t))
+        ).cast("long")
+        return base.select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            (n_oov / F.size("_t")).alias("oov_rate"),
+        )
+    flat = (
+        base.withColumn("_n", F.size("_t").cast("long"))
+        .select("doc_id", "_n", F.explode("_t").alias("term"))
+        .groupBy("doc_id", "_n", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    v = F.broadcast(
+        vocab.select("term").distinct().withColumn("_inv", F.lit(1))
+    )
+    agg = (
+        flat.join(v, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("_n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_inv").isNull(), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return agg.select(
         "doc_id",
-        F.size("_t").cast("long").alias("n_tokens"),
-        n_oov.alias("n_oov"),
-        (n_oov / F.size("_t")).alias("oov_rate"),
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
     )
 
 
