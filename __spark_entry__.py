@@ -1379,6 +1379,74 @@ FROM qids q LEFT JOIN (SELECT qid, sum(w) AS rbo FROM shared GROUP BY 1) s
 """
 
 
+def _interleave_sql(k: int = None, seed: int = 0) -> str:
+    """Replays interleave_team_draft (the former second rows-only
+    gate) by unrolling the k-round draft as a CTE chain generated from
+    one constant — the bpe_merges/xquad pattern applied to per-query
+    sequential state carried in DuckDB LISTS: per qid, the two runs
+    collapse to rank-ordered doc lists, then each of the 2k pick steps
+    is one CTE pair (compute `nxt` = first not-yet-picked doc of the
+    drafting side, then fold it into the picked list and the output
+    struct list). The coin replays functions/hashing.py mix exactly
+    (all intermediates < 2^63); exhausted lists make `nxt` NULL so the
+    python loop's `progressed` break is a no-op continuation here."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    if k is None:
+        k = TOPK
+    parts = [
+        "ila AS (SELECT qid, list(doc_id ORDER BY rank) AS la "
+        f"FROM rb WHERE rank <= {k} GROUP BY 1)",
+        "ilb AS (SELECT qid, list(doc_id ORDER BY rank) AS lb "
+        f"FROM rl WHERE rank <= {k} GROUP BY 1)",
+        """is0 AS (
+  SELECT qid,
+    CAST(CASE WHEN regexp_replace(qid, '[^0-9]', '', 'g') = '' THEN '0'
+         ELSE regexp_replace(qid, '[^0-9]', '', 'g') END AS BIGINT) AS qn,
+    la, lb,
+    CAST([] AS BIGINT[]) AS picked,
+    CAST([] AS STRUCT(pos BIGINT, doc BIGINT, team VARCHAR)[]) AS out
+  FROM ila JOIN ilb USING (qid))""",
+    ]
+    step = 0
+    for rnd in range(k):
+        coin = (
+            f"(({MIX_A} * ((qn * 1048576 + {rnd} + {seed}) % {MIX_P}) "
+            f"+ {MIX_B}) % {MIX_P}) & 1"
+        )
+        for phase in range(2):
+            first, second = ("a", "b") if phase == 0 else ("b", "a")
+            lfirst, lsecond = ("la", "lb") if phase == 0 else ("lb", "la")
+            parts.append(
+                f"""ip{step} AS (
+  SELECT qid, qn, la, lb, picked, out,
+    CASE WHEN ({coin}) = 0 THEN '{first}' ELSE '{second}' END AS team,
+    CASE WHEN len(out) >= {k} THEN NULL
+         ELSE list_filter(
+                CASE WHEN ({coin}) = 0 THEN {lfirst} ELSE {lsecond} END,
+                d -> NOT list_contains(picked, d))[1]
+    END AS nxt
+  FROM is{step})"""
+            )
+            parts.append(
+                f"""is{step + 1} AS (
+  SELECT qid, qn, la, lb,
+    CASE WHEN nxt IS NULL THEN picked ELSE picked || [nxt] END AS picked,
+    CASE WHEN nxt IS NULL THEN out
+         ELSE out || [struct_pack(pos := len(out) + 1, doc := nxt,
+                                  team := team)] END AS out
+  FROM ip{step})"""
+            )
+            step += 1
+    parts.append(f"ifin AS (SELECT qid, unnest(out) AS u FROM is{step})")
+    return (
+        f"WITH {_two_run_ctes()},\n"
+        + ",\n".join(parts)
+        + "\nSELECT qid, u.pos AS pos, u.doc AS doc_id, u.team AS team"
+        " FROM ifin"
+    )
+
+
 def _dismax_sql() -> str:
     """Replays dismax_topk: per-(qid, doc, term) BM25 contributions,
     combined as max + tie * (sum - max)."""
@@ -7600,8 +7668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("qid", F.round("rbo", 4).alias("rbo"))
 
     def interleave_runs(spark, sf):
-        # team-draft interleaving of the bm25/lmdir runs (rows-only:
-        # inherently sequential per query; pytest replays it exactly)
+        # team-draft interleaving of the bm25/lmdir runs, oracled by
+        # the CTE-unrolled draft (_interleave_sql: per-qid doc lists +
+        # 2k pick steps folding DuckDB list state)
         r1, r2 = _two_runs(spark, sf)
         return ev.interleave_team_draft(r1, r2, k=TOPK).select(
             "qid", "pos", "doc_id", "team"
@@ -10789,6 +10858,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_macro": _eval_macro_sql(),
         "bm25_plus": _bm25_plus_sql(),
         "rank_rbo": _rank_rbo_sql(),
+        "interleave_runs": _interleave_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),
