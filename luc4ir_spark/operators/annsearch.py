@@ -646,6 +646,13 @@ def pq_adc_topk(
     fold-order ambiguity — and is rounded to 4dp BEFORE ranking
     (vec_id tie-break) so the result set is engine-stable.
     -> (query_id, vec_id, rank, adist)."""
+    if int(dim) % int(m_sub) != 0:
+        # PQ conventionally requires even subspaces; silently dropping
+        # the trailing dim % m_sub dimensions from every distance
+        # would be a quiet accuracy bug
+        raise ValueError(
+            f"pq_adc_topk: dim={dim} not divisible by m_sub={m_sub}"
+        )
     dsub = int(dim) // int(m_sub)
     to_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(

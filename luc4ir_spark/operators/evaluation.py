@@ -569,8 +569,11 @@ def friedman_test(
     corpus scale. Ranks are multiples of 0.5, so every sum here is
     exact in float64 and the statistic is fold-order independent."""
     k = len(per_query_runs)
-    if k < 2:
-        raise ValueError("friedman_test needs >= 2 systems")
+    if k < 3:
+        # k = 2 degenerates to a sign-test-shaped statistic for which
+        # the chi^2_F reference distribution is unreliable — use
+        # wilcoxon_signed_rank / paired_ttest for two systems
+        raise ValueError("friedman_test needs >= 3 systems")
     tagged = None
     for name, df in per_query_runs:
         t = df.select(

@@ -3053,6 +3053,7 @@ def mine_hard_negatives(
     qid_col: str = "qid",
     docid_col: str = "docid",
     rel_col: str = "rel",
+    run_id_col: str = "doc_id",
 ) -> DataFrame:
     """Hard-negative mining for retrieval-model training (the
     BM25-negatives recipe of DPR, Karpukhin et al. EMNLP'20, and the
@@ -3065,34 +3066,46 @@ def mine_hard_negatives(
     -> (qid, pos_id, neg_id, neg_rank), all integers: one row per
     (positive × hard negative).
 
+    Column contracts: ``qid_col``/``docid_col`` name the join keys on
+    BOTH sides (the run must carry a doc key matching the qrels'
+    docid spelling); ``run_id_col`` names the run's integer doc id
+    that becomes pos_id/neg_id (it may be the same column as
+    ``docid_col`` when the run keys docs by integer id directly).
+
     Plan shape: the run joins the qrels once (broadcast — qrels are
     judgment-sized), negatives cut by a per-qid WindowGroupLimit, and
     the triple fan-out is a run-sized equi-join on qid bounded by
     positives × n_neg. The corpus is never touched."""
-    joined = run.join(
+    r = run.select(
+        F.col(qid_col).alias("qid"),
+        F.col(docid_col).alias("_dk"),
+        F.col(run_id_col).alias("_rid"),
+        "rank",
+    )
+    joined = r.join(
         F.broadcast(
             qrels.select(
                 F.col(qid_col).alias("qid"),
-                F.col(docid_col).alias("docid"),
+                F.col(docid_col).alias("_dk"),
                 F.col(rel_col).alias("_rel"),
             )
         ),
-        ["qid", "docid"],
+        ["qid", "_dk"],
         "left",
     ).withColumn(
         "_is_pos", F.coalesce(F.col("_rel"), F.lit(0.0)) >= 1.0
     )
     pos = joined.filter(F.col("_is_pos")).select(
-        "qid", F.col("doc_id").alias("pos_id")
+        "qid", F.col("_rid").alias("pos_id")
     )
     w = Window.partitionBy("qid").orderBy(
-        F.col("rank").asc(), F.col("doc_id").asc()
+        F.col("rank").asc(), F.col("_rid").asc()
     )
     negs = (
         joined.filter(~F.col("_is_pos"))
         .withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= int(n_neg))
-        .select("qid", F.col("doc_id").alias("neg_id"), "neg_rank")
+        .select("qid", F.col("_rid").alias("neg_id"), "neg_rank")
     )
     return pos.join(negs, "qid").select(
         "qid", "pos_id", "neg_id", "neg_rank"

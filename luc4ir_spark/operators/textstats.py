@@ -428,6 +428,13 @@ def trigram_cross_entropy(
     tables joined unhinted (AQE broadcasts while small), one scalar
     action for T."""
     l3, l2 = float(lam3), float(lam2)
+    if l3 < 0.0 or l2 < 0.0 or l3 + l2 >= 1.0:
+        # a non-positive unigram floor lets p <= 0 through and the
+        # cross-entropies silently go NaN
+        raise ValueError(
+            "trigram_cross_entropy: need lam3 >= 0, lam2 >= 0 and "
+            f"lam3 + lam2 < 1 (got lam3={l3}, lam2={l2})"
+        )
     l1 = 1.0 - l3 - l2
     toks = F.array_remove(
         F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""

@@ -773,3 +773,12 @@ def test_q_measure_graded(spark):
     # hit b@2: C=1, cg=3, cig(2) = 3 + 1 = 4 -> BR = (1+3)/(2+4); R=2
     assert r["num_rel"] == 2
     assert r["q_measure"] == pytest.approx((4.0 / 6.0) / 2, rel=1e-12)
+
+
+def test_friedman_rejects_two_systems(spark):
+    """k=2 degenerates to a sign-test shape where chi^2_F is
+    unreliable — the operator refuses it (ADVICE r4)."""
+    a = spark.createDataFrame([("q1", 0.5)], "qid string, ap double")
+    b = spark.createDataFrame([("q1", 0.3)], "qid string, ap double")
+    with pytest.raises(ValueError, match=">= 3 systems"):
+        ev.friedman_test([("A", a), ("B", b)])

@@ -2438,3 +2438,21 @@ def test_lsh_multiprobe_plan_shape(spark):
     assert "BroadcastHashJoin" in plan       # probe join is broadcast
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_validator_guards(spark):
+    """Loud failures instead of silent wrong numbers (ADVICE r4):
+    PQ with dim not divisible by m_sub would quietly drop trailing
+    dimensions; trigram lambdas summing >= 1 would push the unigram
+    floor negative and NaN the cross-entropies."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        annsearch.pq_adc_topk(emb, emb, dim=3, m_sub=2)
+    docs = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, content string"
+    )
+    for l3, l2 in [(0.7, 0.3), (0.8, 0.4), (-0.1, 0.5), (0.5, -0.1)]:
+        with pytest.raises(ValueError, match="trigram_cross_entropy"):
+            textstats.trigram_cross_entropy(docs, lam3=l3, lam2=l2)

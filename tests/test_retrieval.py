@@ -2174,6 +2174,24 @@ def test_mine_hard_negatives_hand_computed(spark):
     # 0), cut at 2 -> 13 excluded. q2: no retrieved positive.
     assert out == {("q1", 11, 10): 1, ("q1", 11, 12): 2}
 
+    # custom column spellings are honored on BOTH join sides, and the
+    # doc key may BE the integer id (docid_col == run_id_col)
+    run2 = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3)],
+        "topic string, doc_id long, rank long",
+    )
+    qrels2 = spark.createDataFrame(
+        [("q1", 11, 1.0)], "topic string, doc_id long, grade double"
+    )
+    out2 = {
+        (r["qid"], r["pos_id"], r["neg_id"]): r["neg_rank"]
+        for r in rt.mine_hard_negatives(
+            run2, qrels2, n_neg=2, qid_col="topic",
+            docid_col="doc_id", rel_col="grade", run_id_col="doc_id",
+        ).collect()
+    }
+    assert out2 == {("q1", 11, 10): 1, ("q1", 11, 12): 2}
+
 
 def test_ltr_apply_linear_hand_computed(spark):
     """Applying a known one-row model reproduces w1·f1 + w2·f2 with
