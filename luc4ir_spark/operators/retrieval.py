@@ -595,7 +595,10 @@ def more_like_this(
 
 
 def proximity_query(
-    positional: DataFrame, terms: list[str], window: int
+    positional: DataFrame,
+    terms: list[str],
+    window: int,
+    _dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Ordered proximity matching over the positional index — the
     within-``window`` relaxation between exact phrase (window =
@@ -624,10 +627,13 @@ def proximity_query(
         raise ValueError("proximity_query: empty terms")
     if window < len(terms) - 1:
         raise ValueError("window too small for the term count")
-    # one consumer per term — materialize the positional build once
-    # (see phrase_query)
-    positional = positional.localCheckpoint(eager=False)
-    dfs = _phrase_term_dfs(positional, terms)
+    # memoized df lookup on the input, then one dictionary-filtered
+    # checkpoint for the walk (see phrase_query; _dfs skips the lookup
+    # when the caller knows the dfs already)
+    dfs = _dfs if _dfs is not None else _phrase_term_dfs(positional, terms)
+    positional = positional.filter(
+        F.col("term").isin(list(set(terms)))
+    ).localCheckpoint(eager=False)
     if any(t not in dfs for t in terms):
         return _empty_positional_result(positional, "prox_freq")
     rare = min(set(terms), key=lambda t: (dfs[t], t))
@@ -706,8 +712,10 @@ def unordered_window_query(
         raise ValueError("unordered_window_query: empty terms")
     if len(set(terms)) != len(terms):
         raise ValueError("unordered_window_query: terms must be distinct")
-    positional = positional.localCheckpoint(eager=False)
     dfs = _phrase_term_dfs(positional, terms)
+    positional = positional.filter(
+        F.col("term").isin(list(terms))
+    ).localCheckpoint(eager=False)
     if any(t not in dfs for t in terms):
         return _empty_positional_result(positional, "uw_freq")
     rare = min(terms, key=lambda t: (dfs[t], t))
@@ -769,10 +777,10 @@ def phrase_query_compressed(
     from .indexer import decode_positional_postings
 
     uniq = list(dict.fromkeys(terms))
+    dfs = _phrase_term_dfs(compressed_positional, uniq)
     cells = compressed_positional.filter(
         F.col("term").isin(uniq)
     ).localCheckpoint(eager=False)
-    dfs = _phrase_term_dfs(cells, uniq)
     if any(t not in dfs for t in uniq):
         return _empty_positional_result(
             cells, "phrase_freq" if window is None else "prox_freq"
@@ -786,9 +794,12 @@ def phrase_query_compressed(
         )
     pruned = cells.join(docs_all, "doc_id", "left_semi")
     flat = decode_positional_postings(pruned)
+    # pass the spine dfs down — only the walk's join ORDER depends on
+    # them, so the pre-prune values are safe and the flat walk skips
+    # its own lookup job
     if window is None:
-        return phrase_query(flat, terms)
-    return proximity_query(flat, terms, window)
+        return phrase_query(flat, terms, _dfs=dfs)
+    return proximity_query(flat, terms, window, _dfs=dfs)
 
 
 def span_first_query(
@@ -1110,10 +1121,11 @@ def multi_phrase_query(
     projection per step."""
     if not steps or any(not s for s in steps):
         raise ValueError("multi_phrase_query: empty steps")
-    positional = positional.localCheckpoint(eager=False)
-    dfs = _phrase_term_dfs(
-        positional, [t for alts in steps for t in alts]
-    )
+    all_terms = [t for alts in steps for t in alts]
+    dfs = _phrase_term_dfs(positional, all_terms)
+    positional = positional.filter(
+        F.col("term").isin(list(set(all_terms)))
+    ).localCheckpoint(eager=False)
     step_df = [sum(dfs.get(t, 0) for t in alts) for alts in steps]
     if any(d == 0 for d in step_df):
         return _empty_positional_result(positional, "phrase_freq")
@@ -2552,17 +2564,30 @@ def _phrase_term_dfs(
     """df lookup for the phrase family's cost ordering (Lucene
     ExactPhraseMatcher leads with the lowest-cost term): one
     dictionary-filtered count per distinct term. The collect is
-    len(terms) rows — query-sized, never corpus-sized — and, because
-    the callers localCheckpoint the pruned positional relation first,
-    this action doubles as the checkpoint materialization the walk
-    reuses. Terms absent from the index are absent from the dict."""
+    len(terms) rows — query-sized, never corpus-sized — and the result
+    is MEMOIZED on the source DataFrame object (keyed by the term
+    set), so repeated phrase-family calls over the same relation (the
+    common batch shape: one positional index, many queries) pay the
+    scan once. Terms absent from the index are absent from the dict."""
+    key = frozenset(terms)
+    cache = getattr(positional, "_luc4ir_df_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            positional._luc4ir_df_cache = cache
+        except AttributeError:
+            pass
+    if key in cache:
+        return cache[key]
     rows = (
-        positional.filter(F.col("term").isin(list(set(terms))))
+        positional.filter(F.col("term").isin(list(key)))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .collect()
     )
-    return {r["term"]: r["df"] for r in rows}
+    dfs = {r["term"]: r["df"] for r in rows}
+    cache[key] = dfs
+    return dfs
 
 
 def _phrase_constraint_order(
@@ -2590,7 +2615,9 @@ def _empty_positional_result(
 
 
 def phrase_query(
-    positional: DataFrame, phrase: list[str]
+    positional: DataFrame,
+    phrase: list[str],
+    _dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Exact phrase matching over a positional index
     (``indexer.build_positional_postings``) — Lucene PhraseQuery
@@ -2611,14 +2638,25 @@ def phrase_query(
     doc_id equi-join's left side is already ≤ the rarest df, pruned
     further after each step (`size > 0`). Duplicate phrase terms are
     one constraint per offset, each re-filtering the positional
-    relation independently."""
+    relation independently. ``_dfs`` lets a caller that already knows
+    the dfs (phrase_query_compressed's spine) skip the lookup job —
+    only the ORDERING depends on the values, so approximate dfs are
+    safe."""
     if not phrase:
         raise ValueError("phrase_query: empty phrase")
+    # df lookup on the INPUT relation (memoized per object, so a batch
+    # of phrases over one index pays it once), then the walk's state:
     # the positional relation is consumed once per phrase term; plan
     # dedup re-derives the whole posexplode+collect build per consumer
-    # (fresh exprIds defeat reuse) — materialize it once, GC-scoped
-    positional = positional.localCheckpoint(eager=False)
-    dfs = _phrase_term_dfs(positional, phrase)
+    # (fresh exprIds defeat reuse) — materialize it once, GC-scoped,
+    # DICTIONARY-FILTERED first so the checkpoint holds only the
+    # phrase terms' cells (the walk's per-term filters then scan ≤
+    # Σ df(term) rows instead of re-scanning the full positional
+    # relation once per term)
+    dfs = _dfs if _dfs is not None else _phrase_term_dfs(positional, phrase)
+    positional = positional.filter(
+        F.col("term").isin(list(set(phrase)))
+    ).localCheckpoint(eager=False)
     if any(t not in dfs for t in phrase):
         return _empty_positional_result(positional, "phrase_freq")
     order = _phrase_constraint_order(dfs, phrase)

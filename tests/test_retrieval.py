@@ -2474,3 +2474,21 @@ def test_phrase_compressed_rare_spine_order(skew_pos):
     assert got == [(3, 1)]
     empty = rt.phrase_query_compressed(comp, ["the", "unicorn"])
     assert empty.count() == 0
+
+
+def test_phrase_df_lookup_memoized(skew_pos):
+    """The per-relation df lookup memoizes on the DataFrame object, so
+    a batch of phrase queries over one index pays the scan once."""
+    if hasattr(skew_pos, "_luc4ir_df_cache"):
+        del skew_pos._luc4ir_df_cache
+    rt.phrase_query(skew_pos, ["the", "zebra"]).collect()
+    cache = skew_pos._luc4ir_df_cache
+    assert cache[frozenset(["the", "zebra"])]["zebra"] == 2
+    # poisoning the cached entry proves the second call reads the memo
+    cache[frozenset(["the", "zebra"])] = {"the": 1, "zebra": 999}
+    got = sorted(
+        (r["doc_id"], r["phrase_freq"])
+        for r in rt.phrase_query(skew_pos, ["the", "zebra"]).collect()
+    )
+    assert got == [(3, 1)]  # ordering changed, results identical
+    del skew_pos._luc4ir_df_cache
