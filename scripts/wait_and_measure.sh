@@ -71,4 +71,16 @@ if [ ! -f BENCH/engine_cmp_r4.json ]; then
     && echo "$(date +%T) engine_cmp done" >> "$LOG"
 fi
 
+# second clean-window 16->32 build/query rep (VERDICT r4 item 5:
+# r4c showed build 0.77 / query 0.75 of ceiling once; one more rep
+# at ceiling >= 0.85 makes it evidence instead of anecdote)
+if [ ! -f BENCH/scaling_r5a_16v32.json ]; then
+  wait_clean
+  echo "$(date +%T) running build/query scaling 16v32" >> "$LOG"
+  SPARK_DRIVER_MEM=48g python scripts/scaling_bench.py \
+    --workloads build,query --low 16 --high 32 --reps 2 \
+    > BENCH/scaling_r5a_16v32.json 2>> "$LOG" \
+    && echo "$(date +%T) 16v32 scaling done" >> "$LOG"
+fi
+
 echo "=== wait_and_measure complete $(date) ===" >> "$LOG"
