@@ -491,3 +491,27 @@ def test_bloom_filter_no_false_negatives(spark):
         b, "key", m_bits=512, k_hashes=3).collect()}
     whole = {r["bit"] for r in bits.collect()}
     assert ba | bb == whole
+
+
+def test_phrase_family_plan_guards(spark):
+    """Plan-shape regression guards (VERDICT r4 items 1+7): the phrase
+    walk's seed join must be the rarest term's cell, and the ordered
+    walks must pre-prune a stopword seed with a broadcast-able
+    left-semi join — a stopword-led phrase must never seed the chain
+    at its own df."""
+    docs = spark.createDataFrame(
+        [(i, ["the"] + (["rareword"] if i == 0 else ["filler"]))
+         for i in range(50)],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs).localCheckpoint()
+    q = rt.phrase_query(pos, ["the", "rareword"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    zi, ti = plan.find("= rareword"), plan.find("= the")
+    assert zi != -1 and ti != -1 and zi < ti, plan
+    prox = rt.proximity_query(pos, ["the", "rareword"], 3)
+    pplan = prox._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in pplan, pplan
+    assert sorted(
+        (r["doc_id"], r["phrase_freq"]) for r in q.collect()
+    ) == [(0, 1)]
