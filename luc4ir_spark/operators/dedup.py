@@ -827,7 +827,14 @@ def _md5_hash64(col):
 # semantics are identical: (h >> b) & 1 is the same arithmetic-shift
 # bit extract in int64 on both engines, and the uint64 accumulate +
 # int64 view reproduces the SQL side's -(2^63) top-bit literal.
-SIMHASH_ENGINE = os.environ.get("SPARK_GRAFT_SIMHASH_ENGINE", "sql")
+# default flipped to "arrow" in round 5 on measured evidence
+# (BENCH/engine_cmp_r5.json, 5 interleaved reps at 60k docs: arrow
+# median 5.0 s vs sql 15.3 s, min 3.61 vs 5.98, values bit-identical;
+# minhash minima stay "sql" — sql won all 5 reps there, 1.56 vs
+# 4.16 s min). The per-bit filter-count HOF chain scales with
+# num_bits=64 interpreted passes; the numpy reduceat kernel pays one
+# Arrow transfer and wins.
+SIMHASH_ENGINE = os.environ.get("SPARK_GRAFT_SIMHASH_ENGINE", "arrow")
 
 
 def _simhash_arrow_udf(num_bits: int):
