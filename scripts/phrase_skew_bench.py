@@ -3,13 +3,18 @@
 rarest-term seeding (Lucene ExactPhraseMatcher lead-with-cheapest).
 
 Builds a skewed positional index: every document contains the
-stopword 'the'; only --rare-docs documents contain 'zebra', and those
-documents also contain the phrase "the zebra". The query is the
-stopword-led exact phrase ["the", "zebra"].
+stopwords 'and'/'the'; only --rare-docs documents contain 'zebra',
+and those documents contain the phrase "and the zebra". The query is
+the stopword-led exact phrase ["and", "the", "zebra"].
 
-Seeding the positional walk with terms[0] makes the first join's left
-side df('the') = the whole corpus; seeding with the rarest term makes
-it df('zebra') = --rare-docs. Both orders return identical rows (the
+Why THREE terms with two stopwords: with a 2-term phrase, AQE
+broadcasts the rare cell under either order and both plans stream the
+big cell exactly once — the orders tie. With two stopwords first,
+phrase order must join and×the (every document matches), computing
+the per-row position intersection over a CORPUS-SIZED intermediate
+and carrying it into the next join, before the rare term finally
+prunes; the rarest-first order keeps every intermediate at
+df('zebra') rows. Both orders return identical rows (the
 start-position intersection is order-independent); this script times
 the shipped df-ordered walk against a phrase-order walk forced
 through the _dfs override, interleaved within each rep so VM drift
@@ -50,6 +55,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=240_000)
     ap.add_argument("--rare-docs", type=int, default=50)
+    ap.add_argument("--stopword-tf", type=int, default=12)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument(
@@ -78,16 +84,24 @@ def main() -> None:
         shuffle_partitions=args.cpus,
         extra_conf={"spark.ui.enabled": "false"},
     )
-    # every doc: "the w<k> of the w<k+1> stuff"; rare docs additionally
-    # contain "... the zebra runs" so the phrase exists only there
+    # every doc: "and the w<k> " x --stopword-tf (realistic stopword
+    # densities — the per-row position arrays the naive walk
+    # intersects over the corpus-sized intermediate); rare docs end
+    # with "and the zebra runs" so the phrase exists only there
+    body = F.repeat(
+        F.concat(
+            F.lit("and the w"), (F.col("id") % 5000).cast("string"),
+            F.lit(" "),
+        ),
+        args.stopword_tf,
+    )
     base = spark.range(args.docs).select(
         F.col("id").alias("doc_id"),
         F.concat(
-            F.lit("the w"), (F.col("id") % 5000).cast("string"),
-            F.lit(" of the w"), ((F.col("id") + 7) % 5000).cast("string"),
+            body,
             F.when(
-                F.col("id") < args.rare_docs, F.lit(" and the zebra runs")
-            ).otherwise(F.lit(" and the filler walks")),
+                F.col("id") < args.rare_docs, F.lit("and the zebra runs")
+            ).otherwise(F.lit("and the filler walks")),
         ).alias("text"),
     )
     toks = base.select(
@@ -100,16 +114,18 @@ def main() -> None:
     n_cells = pos.count()  # materialized outside every timed window
     out["positional_cells"] = n_cells
 
-    phrase = ["the", "zebra"]
-    # forcing phrase order through _dfs: give terms[0] the smaller
-    # fake df so the constraint sort seeds with it
-    PHRASE_ORDER_DFS = {"the": 1, "zebra": 2}
+    phrase = ["and", "the", "zebra"]
+    # forcing phrase order through _dfs: fake dfs ascending in phrase
+    # position so the constraint sort reproduces the naive walk
+    PHRASE_ORDER_DFS = {"and": 1, "the": 2, "zebra": 3}
 
     def run(dfs) -> int:
         return rt.phrase_query(pos, phrase, _dfs=dfs).count()
 
     variants = {
-        "rare_seed": {"the": args.docs, "zebra": args.rare_docs},
+        "rare_seed": {
+            "and": args.docs, "the": args.docs, "zebra": args.rare_docs
+        },
         "phrase_order_seed": PHRASE_ORDER_DFS,
     }
     times: dict = {v: [] for v in variants}
