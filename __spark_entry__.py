@@ -1447,6 +1447,38 @@ def _interleave_sql(k: int = None, seed: int = 0) -> str:
     )
 
 
+def _interleave_credit_sql() -> str:
+    """Replays interleave_credit: the interleaved list (the full
+    _interleave_sql replay as a nested CTE), a deterministic mix-hash
+    click log derived from it, one (qid, doc_id) join + per-team
+    conditional counts, and the per-query winner call."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    return f"""
+WITH inter AS ({_interleave_sql()}),
+clicks AS (
+  SELECT qid, doc_id FROM inter
+  WHERE (({MIX_A} * ((doc_id * 1048576 + pos) % {MIX_P}) + {MIX_B})
+         % {MIX_P}) % 3 = 0
+),
+hits AS (
+  SELECT i.qid,
+         sum(CASE WHEN i.team = 'a' THEN 1 ELSE 0 END)::BIGINT AS clicks_a,
+         sum(CASE WHEN i.team = 'b' THEN 1 ELSE 0 END)::BIGINT AS clicks_b
+  FROM inter i JOIN clicks c ON i.qid = c.qid AND i.doc_id = c.doc_id
+  GROUP BY 1
+),
+base AS (SELECT DISTINCT qid FROM inter)
+SELECT b.qid,
+       coalesce(h.clicks_a, 0)::BIGINT AS clicks_a,
+       coalesce(h.clicks_b, 0)::BIGINT AS clicks_b,
+       CASE WHEN coalesce(h.clicks_a, 0) > coalesce(h.clicks_b, 0) THEN 'a'
+            WHEN coalesce(h.clicks_b, 0) > coalesce(h.clicks_a, 0) THEN 'b'
+            ELSE 'tie' END AS winner
+FROM base b LEFT JOIN hits h USING (qid)
+"""
+
+
 def _dismax_sql() -> str:
     """Replays dismax_topk: per-(qid, doc, term) BM25 contributions,
     combined as max + tie * (sum - max)."""
@@ -7676,6 +7708,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "pos", "doc_id", "team"
         )
 
+    def interleave_credit(spark, sf):
+        # team-draft credit assignment over a deterministic click log
+        # (click iff mix(doc_id*2^20 + pos) % 3 == 0 — the portable
+        # mix hash, replayed literally in the oracle)
+        from luc4ir_spark.functions.hashing import mix_id_expr
+
+        r1, r2 = _two_runs(spark, sf)
+        inter = ev.interleave_team_draft(r1, r2, k=TOPK)
+        clicks = inter.filter(
+            F.pmod(
+                mix_id_expr(
+                    F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+                ),
+                F.lit(3),
+            )
+            == 0
+        ).select("qid", "doc_id")
+        return ev.interleave_credit(inter, clicks)
+
     def extended_metrics(spark, sf):
         # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
         # the deterministic pseudo qrels
@@ -10556,6 +10607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_plus": bm25_plus,
         "rank_rbo": rank_rbo,
         "interleave_runs": interleave_runs,
+        "interleave_credit": interleave_credit,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -10859,6 +10911,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_plus": _bm25_plus_sql(),
         "rank_rbo": _rank_rbo_sql(),
         "interleave_runs": _interleave_sql(),
+        "interleave_credit": _interleave_credit_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

@@ -1070,6 +1070,54 @@ def interleave_team_draft(
     )
 
 
+def interleave_credit(
+    interleaved: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Team-draft credit assignment (the second half of Radlinski,
+    Kurup & Joachims CIKM'08): given an interleaved list
+    (``interleave_team_draft`` output: qid, pos, doc_id, team) and a
+    click log (qid, doc_id), count per query how many clicks landed on
+    each team's contributions and call the per-query winner ->
+    (qid, clicks_a, clicks_b, winner) with winner in {'a','b','tie'}.
+    Every interleaved query yields a row (no clicks = 0/0 tie), so
+    win rates aggregate directly. Duplicate click events count
+    multiply (the standard per-impression credit; pre-distinct the log
+    for per-doc credit).
+
+    Plan shape: one equi-join of the interleaved list (queries × k
+    rows) against the click log on (qid, doc_id) + one
+    map-side-combined groupBy — both relations are run-sized, never
+    corpus-sized."""
+    hits = (
+        interleaved.select("qid", "doc_id", "team")
+        .join(clicks.select("qid", "doc_id"), ["qid", "doc_id"])
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("team") == "a", 1).otherwise(0))
+            .cast("long")
+            .alias("clicks_a"),
+            F.sum(F.when(F.col("team") == "b", 1).otherwise(0))
+            .cast("long")
+            .alias("clicks_b"),
+        )
+    )
+    base = interleaved.select("qid").distinct()
+    out = base.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce("clicks_a", F.lit(0)).cast("long").alias("clicks_a"),
+        F.coalesce("clicks_b", F.lit(0)).cast("long").alias("clicks_b"),
+    )
+    return out.select(
+        "qid",
+        "clicks_a",
+        "clicks_b",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), F.lit("a"))
+        .when(F.col("clicks_b") > F.col("clicks_a"), F.lit("b"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
 def pool_runs(runs: DataFrame, depth: int = 100) -> DataFrame:
     """TREC judging-pool construction (the standard workflow behind the
     reference's qrels files: union of every run's top-``depth`` hits per

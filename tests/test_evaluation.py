@@ -782,3 +782,31 @@ def test_friedman_rejects_two_systems(spark):
     b = spark.createDataFrame([("q1", 0.3)], "qid string, ap double")
     with pytest.raises(ValueError, match=">= 3 systems"):
         ev.friedman_test([("A", a), ("B", b)])
+
+
+def test_interleave_credit_hand_computed(spark):
+    """Clicks credit the contributing team; click-less queries are
+    explicit 0/0 ties; duplicate click events count multiply."""
+    inter = spark.createDataFrame(
+        [
+            ("q1", 1, 10, "a"), ("q1", 2, 11, "b"), ("q1", 3, 12, "a"),
+            ("q2", 1, 20, "b"), ("q2", 2, 21, "a"),
+            ("q3", 1, 30, "a"),
+        ],
+        "qid string, pos long, doc_id long, team string",
+    )
+    clicks = spark.createDataFrame(
+        [("q1", 10), ("q1", 12), ("q1", 11),      # a=2, b=1 -> 'a'
+         ("q2", 20), ("q2", 20),                  # dup event: b=2 -> 'b'
+         ("q9", 99)],                             # unknown qid ignored
+        "qid string, doc_id long",
+    )
+    got = {
+        r["qid"]: (r["clicks_a"], r["clicks_b"], r["winner"])
+        for r in ev.interleave_credit(inter, clicks).collect()
+    }
+    assert got == {
+        "q1": (2, 1, "a"),
+        "q2": (0, 2, "b"),
+        "q3": (0, 0, "tie"),
+    }
