@@ -97,6 +97,17 @@ _EXPLAIN_DOCS = (3, 7, 11)
 
 # BPE trainer gate: merges learned from the corpus word counts
 _BPE_MERGES = 8
+# cc_redaction gate: one card-shaped literal per doc_id % 6 — three
+# Luhn-valid forms (plain / spaced / dashed), a checksum-invalid run,
+# a 13-digit timestamp-shaped run (candidate but invalid), and none
+_CC_SAMPLES = [
+    "4539578763621486",
+    "4111 1111 1111 1111",
+    "5500-0000-0000-0004",
+    "1234567890123456",
+    "1700000000000",
+    "",
+]
 
 # upsert gate: these docs get new text; upserted index == fresh build
 _UPSERT_DOCS = (3, 7, 11)
@@ -5683,6 +5694,52 @@ def _pii_sql() -> str:
     )
 
 
+def _cc_sql() -> str:
+    """cc_redaction oracle: replays the Luhn-validated card scrub —
+    candidates via regexp_extract_all over the augmented text, the
+    checksum as list_sum over the digit positions (identical
+    arithmetic to the operator's aggregate() fold), and the
+    replacement as list_reduce seeded with the text itself
+    ([text] || valid_cands — DuckDB list_reduce has no initial-value
+    parameter, and text/candidates are both VARCHAR so the seed trick
+    types out). The candidate regex is textstats.CC_CANDIDATE
+    verbatim; the planted literals come from _CC_SAMPLES so the two
+    sides can't drift."""
+    cases = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_CC_SAMPLES)
+    )
+    n = len(_CC_SAMPLES)
+    d = "regexp_replace(c, '[^0-9]', '', 'g')"
+    digit = f"ascii(substring({d}, i, 1)) - 48"
+    pred = (
+        f"length({d}) >= 13 AND length({d}) <= 19 AND "
+        f"list_sum(list_transform(range(1, length({d}) + 1), i -> "
+        f"CASE WHEN (length({d}) - i) % 2 = 1 THEN "
+        f"CASE WHEN ({digit}) * 2 > 9 THEN ({digit}) * 2 - 9 "
+        f"ELSE ({digit}) * 2 END "
+        f"ELSE {digit} END)) % 10 = 0"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' ' || CASE doc_id % {n} {cases} END AS t
+  FROM documents
+),
+v AS (
+  SELECT doc_id, t,
+         list_filter(
+           regexp_extract_all(t, '{ts.CC_CANDIDATE}'),
+           c -> {pred}) AS valid
+  FROM aug
+)
+SELECT doc_id,
+       len(valid)::BIGINT AS n_cc,
+       list_reduce([t] || valid,
+                   (acc, c) -> replace(acc, c, '[CC]')) AS clean
+FROM v
+"""
+
+
 # Gopher-style repetition signals: mode counts per doc via plain
 # group-by in SQL (the Spark side computes the same numbers with a
 # zero-shuffle sort + fold over each doc's token array)
@@ -9316,6 +9373,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ts.redact_pii(d, content_col="text_pii")
 
+    def cc_redaction(spark, sf):
+        # plant one card-shaped number per doc (doc_id-keyed literal
+        # from _CC_SAMPLES: valid plain/spaced/dashed + Luhn-invalid +
+        # timestamp-shaped + none) and run the Luhn-validated scrub;
+        # the oracle replays candidates/checksum/replace via
+        # regexp_extract_all + list_filter + list_reduce
+        arr = F.array(*[F.lit(s) for s in _CC_SAMPLES])
+        d = _docs(spark, sf).withColumn(
+            "text_cc",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.element_at(
+                    arr,
+                    (F.pmod(F.col("doc_id"), F.lit(len(_CC_SAMPLES))) + 1)
+                    .cast("int"),
+                ),
+            ),
+        )
+        return ts.redact_credit_cards(d, content_col="text_cc")
+
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
@@ -10753,6 +10831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": readability,
         "repetition_stats": repetition_stats,
         "pii_redaction": pii_redaction,
+        "cc_redaction": cc_redaction,
         "lang_id": lang_id,
         "quality_filter": quality_filter,
         "sample_stratified": sample_stratified,
@@ -11084,6 +11163,7 @@ FROM h
         "readability": _READABILITY_SQL,
         "repetition_stats": _REPETITION_SQL,
         "pii_redaction": _pii_sql(),
+        "cc_redaction": _cc_sql(),
         "lang_id": _LANGID_SQL,
         "quality_filter": _quality_filter_sql(),
         "sample_stratified": _sample_stratified_sql(),

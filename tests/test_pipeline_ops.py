@@ -2456,3 +2456,49 @@ def test_validator_guards(spark):
     for l3, l2 in [(0.7, 0.3), (0.8, 0.4), (-0.1, 0.5), (0.5, -0.1)]:
         with pytest.raises(ValueError, match="trigram_cross_entropy"):
             textstats.trigram_cross_entropy(docs, lam3=l3, lam2=l2)
+
+
+def test_redact_credit_cards_luhn(spark):
+    """Luhn-validated card scrub vs a pure-Python checksum replay:
+    valid plain/spaced/dashed forms redact (duplicates everywhere),
+    checksum-invalid runs and timestamp-shaped digit runs survive."""
+    def luhn_py(s):
+        ds = [int(c) for c in s if c.isdigit()]
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return 13 <= len(ds) <= 19 and total % 10 == 0
+
+    assert luhn_py("4539578763621486") and luhn_py("4111 1111 1111 1111")
+    assert not luhn_py("1234567890123456") and not luhn_py("1700000000000")
+    docs = spark.createDataFrame(
+        [
+            (0, "pay with 4539578763621486 now"),
+            (1, "card 4111 1111 1111 1111 thanks"),
+            (2, "order 1234567890123456 shipped"),
+            (3, "ts 1700000000000 logged"),
+            (4, "5500-0000-0000-0004 twice 5500-0000-0000-0004"),
+            (5, "no digits here"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {
+        r["doc_id"]: (r["n_cc"], r["clean"])
+        for r in textstats.redact_credit_cards(docs).collect()
+    }
+    assert got[0] == (1, "pay with [CC] now")
+    assert got[1] == (1, "card [CC] thanks")
+    assert got[2] == (0, "order 1234567890123456 shipped")
+    assert got[3] == (0, "ts 1700000000000 logged")
+    assert got[4] == (2, "[CC] twice [CC]")
+    assert got[5] == (0, "no digits here")
+    # hygiene family contract: zero-shuffle codegen projection
+    plan = (
+        textstats.redact_credit_cards(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
