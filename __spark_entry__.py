@@ -1490,6 +1490,36 @@ FROM base b LEFT JOIN hits h USING (qid)
 """
 
 
+def _interleave_sign_sql() -> str:
+    """Replays sign_test over the interleave_credit replay: tally
+    a/b/tie winners, then the doubled-tail exact binomial
+    p = min(1, 2·P(X <= min(n_a, n_b))) with C(m, j) as a quotient of
+    integer-valued double products (dyadic-exact at these sizes; j = 0
+    guarded because an empty list_product is NULL in DuckDB)."""
+    comb = (
+        "CASE WHEN j = 0 THEN 1.0 ELSE "
+        "list_product(list_transform(range(1, j + 1),"
+        " i -> 1.0 * (n_a + n_b - j + i))) / "
+        "list_product(list_transform(range(1, j + 1), i -> 1.0 * i)) END"
+    )
+    return f"""
+WITH credit AS ({_interleave_credit_sql()}),
+tallies AS (
+  SELECT count(*)::BIGINT AS n_queries,
+         sum(CASE WHEN winner = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN winner = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN winner NOT IN ('a', 'b') THEN 1 ELSE 0 END)::BIGINT
+           AS n_tie
+  FROM credit
+)
+SELECT n_queries, n_a, n_b, n_tie,
+       round(CASE WHEN n_a + n_b = 0 THEN 1.0 ELSE least(1.0,
+         2.0 * list_sum(list_transform(range(0, least(n_a, n_b) + 1),
+           j -> ({comb}) / pow(2.0, n_a + n_b)))) END, 4) AS p_value
+FROM tallies
+"""
+
+
 def _dismax_sql() -> str:
     """Replays dismax_topk: per-(qid, doc, term) BM25 contributions,
     combined as max + tie * (sum - max)."""
@@ -7784,6 +7814,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("qid", "doc_id")
         return ev.interleave_credit(inter, clicks)
 
+    def interleave_sign(spark, sf):
+        # exact binomial sign test over the interleaving winners —
+        # the significance call that closes the interleave → credit →
+        # decision pipeline; dyadic-exact p rounded at 4dp
+        credit = interleave_credit(spark, sf)
+        return ev.sign_test(credit).select(
+            "n_queries",
+            "n_a",
+            "n_b",
+            "n_tie",
+            F.round("p_value", 4).alias("p_value"),
+        )
+
     def extended_metrics(spark, sf):
         # bpref / ERR@k / RBP / judged-fraction over the BM25 run and
         # the deterministic pseudo qrels
@@ -10686,6 +10729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_rbo": rank_rbo,
         "interleave_runs": interleave_runs,
         "interleave_credit": interleave_credit,
+        "interleave_sign": interleave_sign,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -10991,6 +11035,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_rbo": _rank_rbo_sql(),
         "interleave_runs": _interleave_sql(),
         "interleave_credit": _interleave_credit_sql(),
+        "interleave_sign": _interleave_sign_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

@@ -1118,6 +1118,61 @@ def interleave_credit(
     )
 
 
+def sign_test(
+    outcomes: DataFrame,
+    winner_col: str = "winner",
+    a_label: str = "a",
+    b_label: str = "b",
+) -> DataFrame:
+    """Exact binomial sign test over per-query winners — the standard
+    significance call on interleaving outcomes (Radlinski & Craswell's
+    analysis of team-draft credit; also the classic paired sign test
+    when metric deltas are reduced to win/loss): ties drop, and under
+    H0 each non-tie query is a fair coin. -> ONE row (n_queries, n_a,
+    n_b, n_tie, p_value) with the DOUBLED-TAIL two-sided convention
+    p = min(1, 2·P(X <= min(n_a, n_b))), X ~ Binomial(n_a + n_b, 1/2);
+    m = 0 (all ties) reports p = 1.
+
+    Exactness: C(m, j)/2^m is a dyadic rational, and the fold computes
+    C(m, j) as a quotient of two integer-valued double products —
+    exact in IEEE while m! stays under 2^52 (m <= 17; the practical
+    interleaving experiment sizes the gate exercises — document
+    rounding applies beyond). The whole statistic is one global agg
+    over a topics-sized relation + a one-row projection with nested
+    HOF folds; nothing touches corpus-scale data."""
+    w = F.col(winner_col)
+    agg = outcomes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(w == a_label, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(w == b_label, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.when((w != a_label) & (w != b_label), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tie"),
+    )
+    # C(m, j) = prod_{i=1..j}(m - j + i) / j! — both products integer-
+    # valued doubles; j = 0 guarded (Spark sequence(1, 0) DESCENDS)
+    comb = (
+        "CASE WHEN j = 0 THEN 1.0D ELSE "
+        "aggregate(sequence(1, j), 1.0D,"
+        " (accn, i) -> accn * (n_a + n_b - j + i)) / "
+        "aggregate(sequence(1, j), 1.0D, (accd, i) -> accd * i) END"
+    )
+    p = F.expr(
+        "CASE WHEN n_a + n_b = 0 THEN 1.0D ELSE least(1.0D, "
+        "2.0D * aggregate(sequence(0, least(n_a, n_b)), 0.0D, "
+        f"(acc, j) -> acc + ({comb}) / power(2.0D, n_a + n_b)) ) END"
+    )
+    return agg.select(
+        "n_queries", "n_a", "n_b", "n_tie", p.alias("p_value")
+    )
+
+
 def pool_runs(runs: DataFrame, depth: int = 100) -> DataFrame:
     """TREC judging-pool construction (the standard workflow behind the
     reference's qrels files: union of every run's top-``depth`` hits per

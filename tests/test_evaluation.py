@@ -810,3 +810,25 @@ def test_interleave_credit_hand_computed(spark):
         "q2": (0, 2, "b"),
         "q3": (0, 0, "tie"),
     }
+
+
+def test_sign_test_exact_binomial(spark):
+    """Exact binomial sign test vs math.comb: ties drop, doubled-tail
+    two-sided p, all-tie and single-observation corners."""
+    from math import comb
+
+    def p_ref(na, nb):
+        m = na + nb
+        if m == 0:
+            return 1.0
+        k = min(na, nb)
+        return min(1.0, 2 * sum(comb(m, j) for j in range(k + 1)) / 2**m)
+
+    for na, nb, nt in [(7, 1, 2), (3, 3, 0), (0, 0, 4), (10, 2, 1),
+                       (1, 0, 0), (9, 8, 3)]:
+        rows = [("a",)] * na + [("b",)] * nb + [("tie",)] * nt
+        df = spark.createDataFrame(rows, "winner string")
+        r = ev.sign_test(df).collect()[0]
+        assert (r["n_a"], r["n_b"], r["n_tie"]) == (na, nb, nt)
+        assert r["n_queries"] == na + nb + nt
+        assert r["p_value"] == pytest.approx(p_ref(na, nb), abs=1e-12)
