@@ -1490,6 +1490,35 @@ FROM base b LEFT JOIN hits h USING (qid)
 """
 
 
+def _ips_eval_sql() -> str:
+    """Replays ips_utility: clicks = mix-hash-selected rows of the
+    bm25 run (rb), gamma = 1/pos, new ranking = the lmdir run (rl);
+    per click λ(rank_new)/γ_pos with λ = 1/log2(rank+1) spelled
+    ln/ln 2, unretrieved clicked docs contributing 0."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    return f"""
+WITH {_two_run_ctes()},
+clicks AS (
+  SELECT qid, doc_id, rank AS pos FROM rb
+  WHERE rank <= {TOPK}
+    AND (({MIX_A} * ((doc_id * 1048576 + rank) % {MIX_P}) + {MIX_B})
+         % {MIX_P}) % 3 = 0
+),
+j AS (
+  SELECT c.qid, c.doc_id, c.pos, r.rank
+  FROM clicks c LEFT JOIN (SELECT * FROM rl WHERE rank <= {TOPK}) r
+    ON c.qid = r.qid AND c.doc_id = r.doc_id
+)
+SELECT qid,
+       count(*)::BIGINT AS n_clicks,
+       round(sum(CASE WHEN rank IS NOT NULL
+                 THEN (1.0 / (ln(rank + 1.0) / ln(2.0))) / (1.0 / pos)
+                 ELSE 0.0 END), 4) AS ips_utility
+FROM j GROUP BY qid
+"""
+
+
 def _interleave_sign_sql() -> str:
     """Replays sign_test over the interleave_credit replay: tally
     a/b/tie winners, then the doubled-tail exact binomial
@@ -7814,6 +7843,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("qid", "doc_id")
         return ev.interleave_credit(inter, clicks)
 
+    def ips_eval(spark, sf):
+        # counterfactual offline evaluation: clicks logged on the bm25
+        # run (pos = its rank, click iff mix(doc_id*2^20 + pos) % 3 ==
+        # 0), examination propensities gamma = 1/pos, new ranking =
+        # the lmdir run — the IPS estimator up-weights deep clicks
+        from luc4ir_spark.functions.hashing import mix_id_expr
+
+        r1, r2 = _two_runs(spark, sf)
+        clicks = r1.select(
+            "qid", "doc_id", F.col("rank").alias("pos")
+        ).filter(
+            F.pmod(
+                mix_id_expr(
+                    F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+                ),
+                F.lit(3),
+            )
+            == 0
+        )
+        gamma = r1.select(F.col("rank").alias("pos")).distinct().select(
+            "pos", (F.lit(1.0) / F.col("pos")).alias("gamma")
+        )
+        out = ev.ips_utility(r2, clicks, gamma, weight="dcg")
+        return out.select(
+            "qid",
+            "n_clicks",
+            F.round("ips_utility", 4).alias("ips_utility"),
+        )
+
     def interleave_sign(spark, sf):
         # exact binomial sign test over the interleaving winners —
         # the significance call that closes the interleave → credit →
@@ -10730,6 +10788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_runs": interleave_runs,
         "interleave_credit": interleave_credit,
         "interleave_sign": interleave_sign,
+        "ips_eval": ips_eval,
         "qpp_pre": qpp_pre,
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
@@ -11036,6 +11095,7 @@ def oracle_sql() -> dict[str, str]:
         "interleave_runs": _interleave_sql(),
         "interleave_credit": _interleave_credit_sql(),
         "interleave_sign": _interleave_sign_sql(),
+        "ips_eval": _ips_eval_sql(),
         "qpp_pre": _qpp_pre_sql(),
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),

@@ -31,6 +31,8 @@ graded rel values.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1170,6 +1172,61 @@ def sign_test(
     )
     return agg.select(
         "n_queries", "n_a", "n_b", "n_tie", p.alias("p_value")
+    )
+
+
+def ips_utility(
+    run: DataFrame,
+    clicks: DataFrame,
+    gamma: DataFrame,
+    weight: str = "dcg",
+) -> DataFrame:
+    """Counterfactual (offline) evaluation of a NEW ranking from a
+    logged click stream — the inverse-propensity-scoring estimator of
+    unbiased learning-to-rank (Joachims, Swaminathan & Schnabel
+    WSDM'17): every logged click at presented position p counts
+    λ(rank_new) / γ_p, so clicks that examination bias made unlikely
+    (deep positions, small γ) are up-weighted and the estimate is
+    unbiased under the position-based model. ``clicks`` carries the
+    LOGGED (qid, doc_id, pos) click events; ``gamma`` the (pos, gamma)
+    examination propensities (e.g. ``pbm_click_model``'s gamma_df);
+    ``run`` the new ranking (qid, doc_id, rank). λ = 1/log2(rank+1)
+    (``weight='dcg'``) or 1/rank (``'rr'``); clicked docs the new
+    ranking does not retrieve contribute 0. -> (qid, n_clicks,
+    ips_utility) per query — macro-average downstream as needed.
+    log2 is spelled ln/ln 2 so oracles replay it bit-for-bit.
+
+    Plan shape: one (qid, doc_id) equi-join of two run-sized
+    relations + a broadcast join on pos (positions are a handful of
+    values) + one map-side-combined groupBy. Corpus never touched."""
+    if weight == "dcg":
+        lam = F.lit(1.0) / (
+            F.log(F.col("rank").cast("double") + 1.0) / math.log(2.0)
+        )
+    elif weight == "rr":
+        lam = F.lit(1.0) / F.col("rank").cast("double")
+    else:
+        raise ValueError("ips_utility: weight must be 'dcg' or 'rr'")
+    c = clicks.select("qid", "doc_id", F.col("pos").cast("long").alias("pos"))
+    g = F.broadcast(
+        gamma.select(
+            F.col("pos").cast("long").alias("pos"),
+            F.col("gamma").cast("double").alias("_g"),
+        )
+    )
+    j = (
+        c.join(g, "pos")
+        .join(run.select("qid", "doc_id", "rank"), ["qid", "doc_id"], "left")
+        .withColumn(
+            "_u",
+            F.when(F.col("rank").isNotNull(), lam / F.col("_g")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    return j.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.sum("_u").alias("ips_utility"),
     )
 
 

@@ -832,3 +832,41 @@ def test_sign_test_exact_binomial(spark):
         assert (r["n_a"], r["n_b"], r["n_tie"]) == (na, nb, nt)
         assert r["n_queries"] == na + nb + nt
         assert r["p_value"] == pytest.approx(p_ref(na, nb), abs=1e-12)
+
+
+def test_ips_utility_hand_computed(spark):
+    """IPS estimator: clicks weight lambda(new rank)/gamma(logged
+    pos); clicked docs the new run misses contribute 0; 'rr' weight
+    and the bad-weight guard."""
+    import math as m
+
+    run = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q2", 20, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    clicks = spark.createDataFrame(
+        [("q1", 11, 3), ("q1", 99, 1), ("q2", 20, 2)],
+        "qid string, doc_id long, pos long",
+    )
+    gamma = spark.createDataFrame(
+        [(1, 1.0), (2, 0.5), (3, 0.25)], "pos long, gamma double"
+    )
+    got = {
+        r["qid"]: (r["n_clicks"], r["ips_utility"])
+        for r in ev.ips_utility(run, clicks, gamma).collect()
+    }
+    # q1: click on 11 at logged pos 3 (gamma .25), new rank 2 ->
+    #     (1/log2(3)) / .25; click on 99 unretrieved -> 0
+    assert got["q1"][0] == 2
+    assert got["q1"][1] == pytest.approx(
+        (1.0 / m.log2(3.0)) / 0.25, rel=1e-12
+    )
+    # q2: click at pos 2 (gamma .5), new rank 1 -> (1/log2(2))/.5 = 2
+    assert got["q2"] == (1, pytest.approx(2.0))
+    rr = {
+        r["qid"]: r["ips_utility"]
+        for r in ev.ips_utility(run, clicks, gamma, weight="rr").collect()
+    }
+    assert rr["q1"] == pytest.approx((1.0 / 2.0) / 0.25)
+    with pytest.raises(ValueError):
+        ev.ips_utility(run, clicks, gamma, weight="nope")
