@@ -1514,7 +1514,11 @@ SELECT qid,
        count(*)::BIGINT AS n_clicks,
        round(sum(CASE WHEN rank IS NOT NULL
                  THEN (1.0 / (ln(rank + 1.0) / ln(2.0))) / (1.0 / pos)
-                 ELSE 0.0 END), 4) AS ips_utility
+                 ELSE 0.0 END), 4) AS ips_utility,
+       round(sum(CASE WHEN rank IS NOT NULL
+                 THEN (1.0 / (ln(rank + 1.0) / ln(2.0))) / (1.0 / pos)
+                 ELSE 0.0 END)
+             / sum(1.0 / (1.0 / pos)), 4) AS snips_utility
 FROM j GROUP BY qid
 """
 
@@ -7870,6 +7874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid",
             "n_clicks",
             F.round("ips_utility", 4).alias("ips_utility"),
+            F.round("snips_utility", 4).alias("snips_utility"),
         )
 
     def interleave_sign(spark, sf):

@@ -1193,8 +1193,12 @@ def ips_utility(
     ``run`` the new ranking (qid, doc_id, rank). λ = 1/log2(rank+1)
     (``weight='dcg'``) or 1/rank (``'rr'``); clicked docs the new
     ranking does not retrieve contribute 0. -> (qid, n_clicks,
-    ips_utility) per query — macro-average downstream as needed.
-    log2 is spelled ln/ln 2 so oracles replay it bit-for-bit.
+    ips_utility, snips_utility) per query — macro-average downstream
+    as needed. ``snips_utility`` is the self-normalized estimator
+    (Swaminathan & Joachims NeurIPS'15): the same weighted sum divided
+    by the query's total importance mass Σ 1/γ, trading the tiny bias
+    for much lower variance when propensities are small. log2 is
+    spelled ln/ln 2 so oracles replay it bit-for-bit.
 
     Plan shape: one (qid, doc_id) equi-join of two run-sized
     relations + a broadcast join on pos (positions are a handful of
@@ -1227,6 +1231,9 @@ def ips_utility(
     return j.groupBy("qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_clicks"),
         F.sum("_u").alias("ips_utility"),
+        (
+            F.sum("_u") / F.sum(F.lit(1.0) / F.col("_g"))
+        ).alias("snips_utility"),
     )
 
 

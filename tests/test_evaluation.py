@@ -863,6 +863,16 @@ def test_ips_utility_hand_computed(spark):
     )
     # q2: click at pos 2 (gamma .5), new rank 1 -> (1/log2(2))/.5 = 2
     assert got["q2"] == (1, pytest.approx(2.0))
+    # SNIPS: numerator as IPS, denominator = total mass sum(1/gamma)
+    snips = {
+        r["qid"]: r["snips_utility"]
+        for r in ev.ips_utility(run, clicks, gamma).collect()
+    }
+    assert snips["q1"] == pytest.approx(
+        ((1.0 / m.log2(3.0)) / 0.25) / (1.0 / 0.25 + 1.0 / 1.0),
+        rel=1e-12,
+    )
+    assert snips["q2"] == pytest.approx(2.0 / (1.0 / 0.5), rel=1e-12)
     rr = {
         r["qid"]: r["ips_utility"]
         for r in ev.ips_utility(run, clicks, gamma, weight="rr").collect()
