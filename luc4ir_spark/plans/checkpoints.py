@@ -280,6 +280,35 @@ def read_index_bucketed(
     )
 
 
+def save_positional_bucketed(
+    positional: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist a positional (or compressed-positional) index as a
+    Spark BUCKETED table, bucketed + sorted by ``term`` — the storage
+    layout that makes the phrase/proximity family's dictionary
+    filters prune at SCAN time: `term = x` / `term IN (...)`
+    predicates enable Spark's bucket pruning, so a 3-term phrase
+    query over a 100 TB positional store reads at most 3 of
+    ``n_buckets`` buckets (the scan node reports
+    ``SelectedBucketsCount: k out of N`` — plan-asserted in tests)
+    instead of scanning the whole store to find its cells. Same
+    catalog-table mechanics (and the same Iceberg bucket-transform
+    equivalence) as ``save_index_bucketed``. NOTE: pruning requires
+    the bucketed scan to survive planning — for filter-only plans
+    Spark's DisableUnnecessaryBucketedScan rule drops it unless
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    (set by ``session.get_spark``)."""
+    (
+        positional.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def write_events_partitioned(
     events: DataFrame,
     path: str,

@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep bucketed scans on even when no operator needs the
+        # distribution: bucket PRUNING (a dictionary filter over a
+        # term-bucketed positional store reading k of N buckets)
+        # rides the bucketed scan, and the DisableUnnecessaryBucketedScan
+        # rule would silently drop it for filter-only plans
+        .config(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false",
+        )
         .config("spark.ui.enabled", "false")
         # 8g execution memory measurably spills/anti-scales at 32 threads
         # (BENCH/BASELINE.md); the sandbox has 128 GiB — default high,

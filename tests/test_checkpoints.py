@@ -327,3 +327,35 @@ def test_partitioned_event_layout_prunes(spark, tmp_path):
     # reports the BASE relation pre-pruning, so it can't witness this)
     direct = spark.read.parquet(path + "/event_date=2024-01-02")
     assert {r["event_id"] for r in direct.collect()} == exp
+
+
+def test_positional_bucketed_scan_pruning(spark, tmp_path):
+    """A term-bucketed positional store prunes at SCAN time: a 2-term
+    phrase query's dictionary filter reads 2 of 16 buckets
+    (SelectedBucketsCount in the scan node), and the phrase walk over
+    the catalog table returns the same rows as over the DataFrame."""
+    import re
+
+    from luc4ir_spark.operators import indexer as ix
+    from luc4ir_spark.operators import retrieval as rt
+
+    docs = spark.createDataFrame(
+        [(i, ["the", "zebra"] if i == 0 else ["the", "filler", f"w{i % 50}"])
+         for i in range(500)],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+    cp.save_positional_bucketed(pos, "pos_bucketed_test", n_buckets=16)
+    try:
+        tbl = spark.table("pos_bucketed_test")
+        flt = tbl.filter(F.col("term").isin(["the", "zebra"]))
+        plan = flt._jdf.queryExecution().executedPlan().toString()
+        hits = re.findall(r"SelectedBucketsCount: (\d+) out of 16", plan)
+        assert hits and int(hits[0]) <= 2, plan
+        got = sorted(
+            (r["doc_id"], r["phrase_freq"])
+            for r in rt.phrase_query(tbl, ["the", "zebra"]).collect()
+        )
+        assert got == [(0, 1)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pos_bucketed_test")
