@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from luc4ir_spark.functions.analysis import AnalyzerConfig, simple_tokens
 from luc4ir_spark.operators import annsearch as ann
 from luc4ir_spark.operators import bpetrain as bp
+from luc4ir_spark.operators import sptrain as sp
 from luc4ir_spark.operators import dedup as dd
 from luc4ir_spark.operators import evaluation as ev
 from luc4ir_spark.operators import feedback as fb
@@ -451,6 +452,30 @@ pairs AS (
   SELECT substr(word, length(word), 1), '</w>', cnt FROM w
 )
 SELECT a, b, sum(cnt)::BIGINT AS cnt FROM pairs GROUP BY 1, 2
+"""
+
+
+def _sp_candidates_sql(max_piece_len: int = 4, max_pieces: int = 300) -> str:
+    """Replays sptrain.sp_candidates: the substring grid as two
+    correlated lateral unnests over the word-count table, one groupBy,
+    and the deterministic (cnt DESC, piece ASC) rank cut."""
+    return f"""
+WITH {_TOKS},
+w AS (SELECT term AS word, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+grid AS (
+  SELECT substr(word, i, l) AS piece, cnt
+  FROM w,
+       unnest(range(1, length(word) + 1)) AS t(i),
+       unnest(range(1, least({max_piece_len}, length(word) - i + 1) + 1))
+         AS u(l)
+),
+p AS (SELECT piece, sum(cnt)::BIGINT AS cnt FROM grid GROUP BY 1),
+r AS (
+  SELECT piece, cnt,
+         row_number() OVER (ORDER BY cnt DESC, piece ASC)::BIGINT AS rank
+  FROM p
+)
+SELECT piece, cnt, rank FROM r WHERE rank <= {max_pieces}
 """
 
 
@@ -7441,6 +7466,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("contribution", 4).alias("contribution"),
         )
 
+    def sp_candidates(spark, sf):
+        # unigram-LM (SentencePiece-style) tokenizer trainer's
+        # candidate-inventory core: substring grid x word counts with
+        # the deterministic (cnt DESC, piece ASC) top-K cut; the EM
+        # trainer itself (sp_train) is pytest-proven vs a pure-Python
+        # replay, like bpe_train before its unroll
+        return sp.sp_candidates(
+            _docs(spark, sf), content_col="text",
+            max_piece_len=4, max_pieces=300,
+        )
+
     def bpe_pair_counts(spark, sf):
         # BPE trainer first-iteration statistics (the SQL-replayable
         # core; bpe_merges iterates it)
@@ -10740,6 +10776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_prefix": complete_prefix,
         "explain_score": explain_score,
         "bpe_pair_counts": bpe_pair_counts,
+        "sp_candidates": sp_candidates,
         "bpe_merges": bpe_merges,
         "index_upsert": index_upsert,
         "trec_pooling": trec_pooling,
@@ -11047,6 +11084,7 @@ def oracle_sql() -> dict[str, str]:
         "complete_prefix": _complete_prefix_sql(),
         "explain_score": _explain_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
+        "sp_candidates": _sp_candidates_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "index_upsert": _upsert_sql(),
         "trec_pooling": _pooling_sql(),

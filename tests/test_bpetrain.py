@@ -100,3 +100,101 @@ def test_encode_words_matches_greedy(spark, word_cnt):
     for r in got:
         assert r["bpe_tokens"] == bp.encode_word_py(r["word"], ranks)
         assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+
+
+# ---- unigram-LM (SentencePiece-style) trainer ----
+
+def test_sp_candidates_hand_computed(spark):
+    """Substring grid weighted by word counts, deterministic rank."""
+    from luc4ir_spark.operators import sptrain as sp
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab abc")], "doc_id long, content string"
+    )
+    out = {
+        r["piece"]: r["cnt"]
+        for r in sp.sp_candidates(docs, max_piece_len=2).collect()
+    }
+    # ab x2 + abc: a:3, b:3, ab:3, bc:1, c:1
+    assert out == {"a": 3, "b": 3, "ab": 3, "bc": 1, "c": 1}
+    ranked = sp.sp_candidates(docs, max_piece_len=2, max_pieces=3).collect()
+    got = sorted((r["rank"], r["piece"]) for r in ranked)
+    # ties at cnt=3 break piece ASC: a, ab, b
+    assert got == [(1, "a"), (2, "ab"), (3, "b")]
+
+
+def test_viterbi_segment_hand_computed():
+    """DP picks the max-logp decomposition; equal scores prefer the
+    longer final piece; unknown chars fall back penalized."""
+    import math as m
+
+    from luc4ir_spark.operators import sptrain as sp
+
+    logp = {p: m.log(v) for p, v in
+            {"a": 0.1, "b": 0.1, "ab": 0.3, "abc": 0.2, "c": 0.3}.items()}
+    assert sp.viterbi_segment("abc", logp, 3) == ["abc"]
+    # without 'abc': ab+c (0.09) beats a+b+c (0.003)
+    del logp["abc"]
+    assert sp.viterbi_segment("abc", logp, 3) == ["ab", "c"]
+    # unknown char: penalized single-char fallback still segments
+    assert sp.viterbi_segment("axb", logp, 3) == ["a", "x", "b"]
+
+
+def test_sp_train_matches_python_replay(spark):
+    """The distributed hard-EM trainer equals a pure-Python replay
+    bit-for-bit (sorted-key float folds on both sides), and encoding
+    round-trips: pieces concatenate back to each word."""
+    import math as m
+    from collections import Counter
+
+    from luc4ir_spark.operators import sptrain as sp
+    from luc4ir_spark.operators.bpetrain import word_counts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest newer newest"),
+            (1, "low low lowest wide wider widest"),
+            (2, "banana bandana and and and"),
+        ],
+        "doc_id long, content string",
+    )
+    wc_df = word_counts(docs, "content")
+    got = sp.sp_train(
+        wc_df, num_pieces=20, max_piece_len=4, em_iters=2, seed_size=60
+    )
+
+    wc = {r["word"]: r["cnt"] for r in wc_df.collect()}
+    chars = {ch for w in wc for ch in w}
+    cand = Counter()
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(4, len(w) - i) + 1):
+                cand[w[i:i + l]] += c
+    top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:60]
+    counts = {p: float(c) for p, c in top}
+    for ch in chars:
+        counts.setdefault(ch, 1.0)
+    for _ in range(2):
+        total = sum(c for _, c in sorted(counts.items()))
+        logp = {p: m.log(c / total) for p, c in counts.items()}
+        new: dict = {}
+        for w, c in wc.items():
+            for piece in sp.viterbi_segment(w, logp, 4):
+                new[piece] = new.get(piece, 0.0) + c
+        for ch in chars:
+            new.setdefault(ch, 1.0)
+        counts = new
+    total = sum(c for _, c in sorted(counts.items()))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    exp = []
+    for p, c in ranked:
+        if len(exp) >= 20 and p not in chars:
+            continue
+        exp.append((p, c / total))
+    exp.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert got == exp
+
+    enc = sp.sp_encode(wc_df, got, max_piece_len=4)
+    for r in enc.collect():
+        assert "".join(r["sp_tokens"]) == r["word"]
+        assert r["n_sp_tokens"] == len(r["sp_tokens"])
