@@ -98,6 +98,24 @@ _EXPLAIN_DOCS = (3, 7, 11)
 
 # BPE trainer gate: merges learned from the corpus word counts
 _BPE_MERGES = 8
+# sp_encode_viterbi gate: fixed dyadic-prob inventory (model-as-data,
+# like classifier_score's weights) — chars cost 2^-4, multi-char
+# pieces cheaper so segmentation is non-trivial on the sf vocab
+# (spark -> sp+ark, customer -> c+ust+om+er, ...). Dyadic probs +
+# the SAME python-repr'd log literals on both engines make every DP
+# score bit-identical; ties prefer the longer final piece on both
+# sides (struct max ties to the later member = larger l).
+_SP_MAXLEN = 3
+_SP_JMAX = 12
+_SP_INVENTORY = {
+    **{c: 2.0 ** -4 for c in "abcdefghijklmnopqrstuvwxyz0123456789"},
+    "the": 2.0 ** -6, "er": 2.0 ** -5, "ta": 2.0 ** -5,
+    "ust": 2.0 ** -6, "om": 2.0 ** -5, "lum": 2.0 ** -6,
+    "st": 2.0 ** -5, "ch": 2.0 ** -5, "ba": 2.0 ** -5,
+    "sp": 2.0 ** -5, "ark": 2.0 ** -6, "que": 2.0 ** -6,
+    "ry": 2.0 ** -5, "ow": 2.0 ** -5, "ind": 2.0 ** -6,
+}
+
 # cc_redaction gate: one card-shaped literal per doc_id % 6 — three
 # Luhn-valid forms (plain / spaced / dashed), a checksum-invalid run,
 # a 13-digit timestamp-shaped run (candidate but invalid), and none
@@ -477,6 +495,87 @@ r AS (
 )
 SELECT piece, cnt, rank FROM r WHERE rank <= {max_pieces}
 """
+
+
+def _sp_encode_sql() -> str:
+    """Replays sp_encode's Viterbi segmentation under the
+    _SP_INVENTORY model: the DP over word positions is CTE-unrolled
+    (one step per position j = 1.._SP_JMAX), state carried as DuckDB
+    lists (best DOUBLE[], back INTEGER[]); each step's (score, l)
+    candidates are a concatenated struct list whose max is the
+    lexicographic struct max — ties to the larger l, the kernel's
+    prefer-longer-final-piece rule. logp literals are the SAME
+    python-repr'd doubles the Spark kernel uses, so scores are
+    bit-identical by construction. Backtracking is a second unrolled
+    chain popping back[j] pieces."""
+    import math as m
+
+    cases = " ".join(
+        f"WHEN '{p}' THEN {m.log(v)!r}::DOUBLE"
+        for p, v in sorted(_SP_INVENTORY.items())
+    )
+
+    def lp(s: str) -> str:
+        return f"(CASE {s} {cases} ELSE NULL END)"
+
+    parts = [
+        _TOKS,
+        "w AS (SELECT DISTINCT term AS word FROM toks "
+        f"WHERE length(term) <= {_SP_JMAX})",
+        "s0 AS (SELECT word, [0.0]::DOUBLE[] AS best,"
+        " [0]::INTEGER[] AS back FROM w)",
+    ]
+    for j in range(1, _SP_JMAX + 1):
+        cand_terms = []
+        for l in range(1, min(_SP_MAXLEN, j) + 1):
+            piece = f"substring(word, {j - l + 1}, {l})"
+            base = f"best[{j - l + 1}]"
+            lpx = (
+                f"coalesce({lp(piece)}, -1e9)" if l == 1 else lp(piece)
+            )
+            cand_terms.append(
+                f"CASE WHEN {lpx} IS NOT NULL THEN "
+                f"[struct_pack(score := ({base} + {lpx})::DOUBLE,"
+                f" l := {l})] ELSE [] END"
+            )
+        cands = " || ".join(cand_terms)
+        parts.append(
+            f"""s{j} AS (
+  SELECT word,
+    CASE WHEN length(word) >= {j} THEN best ||
+      [(SELECT (max(struct_pack(score := c.score, l := c.l))).score
+        FROM unnest({cands}) AS t(c))]
+    ELSE best END AS best,
+    CASE WHEN length(word) >= {j} THEN back ||
+      [(SELECT (max(struct_pack(score := c.score, l := c.l))).l
+        FROM unnest({cands}) AS t(c))]
+    ELSE back END AS back
+  FROM s{j - 1})"""
+        )
+    parts.append(
+        f"fin AS (SELECT word, back, length(word) AS n FROM s{_SP_JMAX})"
+    )
+    parts.append(
+        "b0 AS (SELECT word, n, back, n AS j,"
+        " CAST([] AS VARCHAR[]) AS pieces FROM fin)"
+    )
+    for k in range(1, _SP_JMAX + 1):
+        parts.append(
+            f"""b{k} AS (
+  SELECT word, n, back,
+    CASE WHEN j > 0 THEN j - back[j + 1] ELSE j END AS j,
+    CASE WHEN j > 0 THEN
+      [substring(word, j - back[j + 1] + 1, back[j + 1])] || pieces
+    ELSE pieces END AS pieces
+  FROM b{k - 1})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT word, pieces AS sp_tokens, len(pieces)::BIGINT AS n_sp_tokens
+FROM b{_SP_JMAX}
+"""
+    )
 
 
 def _bpe_merges_sql(n_merges: int = None, min_count: int = 2) -> str:
@@ -7477,6 +7576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_piece_len=4, max_pieces=300,
         )
 
+    def sp_encode_viterbi(spark, sf):
+        # the unigram-LM ENCODER itself, oracled: Viterbi-segment every
+        # distinct corpus word under the fixed _SP_INVENTORY model; the
+        # oracle unrolls the DP position-by-position with list state
+        wc = bp.word_counts(_docs(spark, sf), content_col="text")
+        w = wc.filter(F.length("word") <= _SP_JMAX).select("word", "cnt")
+        out = sp.sp_encode(
+            w, list(_SP_INVENTORY.items()), max_piece_len=_SP_MAXLEN
+        )
+        return out.select("word", "sp_tokens", "n_sp_tokens")
+
     def bpe_pair_counts(spark, sf):
         # BPE trainer first-iteration statistics (the SQL-replayable
         # core; bpe_merges iterates it)
@@ -10777,6 +10887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": explain_score,
         "bpe_pair_counts": bpe_pair_counts,
         "sp_candidates": sp_candidates,
+        "sp_encode_viterbi": sp_encode_viterbi,
         "bpe_merges": bpe_merges,
         "index_upsert": index_upsert,
         "trec_pooling": trec_pooling,
@@ -11085,6 +11196,7 @@ def oracle_sql() -> dict[str, str]:
         "explain_score": _explain_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
         "sp_candidates": _sp_candidates_sql(),
+        "sp_encode_viterbi": _sp_encode_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "index_upsert": _upsert_sql(),
         "trec_pooling": _pooling_sql(),
