@@ -572,7 +572,8 @@ def _sp_encode_sql() -> str:
     return (
         "WITH " + ",\n".join(parts)
         + f"""
-SELECT word, pieces AS sp_tokens, len(pieces)::BIGINT AS n_sp_tokens
+SELECT word, array_to_string(pieces, '|') AS sp_tokens,
+       len(pieces)::BIGINT AS n_sp_tokens
 FROM b{_SP_JMAX}
 """
     )
@@ -7585,7 +7586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sp.sp_encode(
             w, list(_SP_INVENTORY.items()), max_piece_len=_SP_MAXLEN
         )
-        return out.select("word", "sp_tokens", "n_sp_tokens")
+        # pieces joined to ONE string: array-valued gate outputs are
+        # untested territory for the driver's value hash — keep the
+        # contract scalar-typed like every other gate
+        return out.select(
+            "word",
+            F.array_join("sp_tokens", "|").alias("sp_tokens"),
+            "n_sp_tokens",
+        )
 
     def bpe_pair_counts(spark, sf):
         # BPE trainer first-iteration statistics (the SQL-replayable

@@ -32,6 +32,15 @@ def normalize_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype.kind == "f":
             pdf[c] = pdf[c].round(4)
+        elif pdf[c].dtype.kind == "O":
+            # array-valued cells (numpy arrays / lists) are unhashable
+            # and unsortable — canonicalize to tuples like the driver
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple))
+                or type(v).__name__ == "ndarray"
+                else v
+            )
     return pdf.sort_values(list(pdf.columns), ignore_index=True)
 
 
