@@ -3061,6 +3061,106 @@ cov0 AS (SELECT qid, term, 1.0 AS c FROM qd),
 """
 
 
+_PM2_CANDS, _PM2_OUT, _PM2_LAM = 5, 3, 0.5
+
+
+def _pm2_sql() -> str:
+    """Replays feedback.pm2_rerank: candidate-normalized per-term BM25
+    contributions P(d|t) (xQuAD's pa), then the _PM2_OUT-step PM-2
+    greedy unroll — Sainte-Laguë quotient qt = w/(2·seat+1) with the
+    aspect argmax on the 4dp-rounded quotient (term ASC ties), doc
+    score λ·qt_b·pa_b + (1−λ)·Σ_{t≠b} qt·pa rounded to 4dp before the
+    doc argmax (doc ASC ties), seats bumped by the pick's normalized
+    aspect mass. State CTEs are AS MATERIALIZED — each is consumed by
+    2-4 downstream blocks and DuckDB would otherwise inline the chain
+    exponentially (the bpe_merges lesson)."""
+    one_m_lam = repr(1.0 - _PM2_LAM)
+    lam = repr(float(_PM2_LAM))
+    steps, picks_sel = [], []
+    for i in range(1, _PM2_OUT + 1):
+        prev = f"seat{i - 1}"
+        excl = " ".join(
+            f"AND NOT EXISTS (SELECT 1 FROM p{j} WHERE p{j}.qid = r.qid"
+            f" AND p{j}.doc_id = r.doc_id)"
+            for j in range(1, i)
+        )
+        steps.append(f"""
+qt{i} AS MATERIALIZED (
+  SELECT qid, term, w, seat, w / (2.0 * seat + 1.0) AS qt
+  FROM {prev}),
+b{i} AS MATERIALIZED (
+  SELECT qid, term AS bt FROM (
+    SELECT qid, term, row_number() OVER (PARTITION BY qid
+        ORDER BY round(qt, 4) DESC, term ASC) AS rn
+    FROM qt{i}) WHERE rn = 1),
+g{i} AS (
+  SELECT r.qid, r.doc_id,
+         round(coalesce(sum(CASE WHEN pa.term = b.bt
+               THEN {lam} * q.qt * pa.pa
+               ELSE {one_m_lam} * q.qt * pa.pa END), 0.0), 4) AS g
+  FROM (SELECT qid, doc_id FROM cand r WHERE 1 = 1 {excl}) r
+  LEFT JOIN pa ON pa.qid = r.qid AND pa.doc_id = r.doc_id
+  LEFT JOIN qt{i} q ON q.qid = pa.qid AND q.term = pa.term
+  LEFT JOIN b{i} b ON b.qid = r.qid
+  GROUP BY r.qid, r.doc_id),
+p{i} AS MATERIALIZED (
+  SELECT qid, doc_id, g FROM (
+    SELECT qid, doc_id, g,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY g DESC, doc_id ASC) AS rn
+    FROM g{i}) WHERE rn = 1),
+seat{i} AS MATERIALIZED (
+  SELECT s.qid, s.term, s.w,
+         s.seat + CASE WHEN z.zp > 0
+                  THEN coalesce(pp.pa, 0.0) / z.zp
+                  ELSE 0.0 END AS seat
+  FROM {prev} s
+  LEFT JOIN (SELECT pa.qid, pa.term, pa.pa FROM pa
+             JOIN p{i} ON p{i}.qid = pa.qid
+                      AND p{i}.doc_id = pa.doc_id) pp
+    ON pp.qid = s.qid AND pp.term = s.term
+  LEFT JOIN (SELECT pa.qid, sum(pa.pa) AS zp FROM pa
+             JOIN p{i} ON p{i}.qid = pa.qid
+                      AND p{i}.doc_id = pa.doc_id
+             GROUP BY 1) z
+    ON z.qid = s.qid)""")
+        picks_sel.append(
+            f"SELECT qid, doc_id, {i}::BIGINT AS rank, g AS pm2"
+            f" FROM p{i}"
+        )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+qd AS (SELECT DISTINCT qid, term FROM q),
+pdt0 AS (
+  SELECT qd.qid, qd.term, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) AS sc
+  FROM qd JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+cand AS MATERIALIZED (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, sum(sc) AS score,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY sum(sc) DESC, doc_id ASC)::BIGINT AS rank
+    FROM pdt0 GROUP BY qid, doc_id) WHERE rank <= {_PM2_CANDS}
+),
+pdt AS (SELECT p.* FROM pdt0 p
+        JOIN cand ON cand.qid = p.qid AND cand.doc_id = p.doc_id),
+zt AS (SELECT qid, term, sum(sc) AS z FROM pdt GROUP BY 1, 2),
+pa AS MATERIALIZED (
+  SELECT p.qid, p.term, p.doc_id, p.sc / z.z AS pa
+  FROM pdt p JOIN zt z ON z.qid = p.qid AND z.term = p.term
+  WHERE z.z > 0),
+ntq AS (SELECT qid, count(*)::DOUBLE AS nt FROM qd GROUP BY 1),
+seat0 AS MATERIALIZED (
+  SELECT qd.qid, qd.term, 1.0 / n.nt AS w, 0.0 AS seat
+  FROM qd JOIN ntq n USING (qid)),
+{','.join(steps)}
+{' UNION ALL '.join(picks_sel)}
+"""
+
+
 _HEAPS_K = 5
 
 
@@ -9862,6 +9962,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("qid", "doc_id", "rank", "xquad")
 
+    def pm2_rerank(spark, sf):
+        # PM-2 proportionality diversification: Sainte-Laguë seat
+        # quotients over uniform query-term aspects, 3 greedy picks
+        # from the BM25 top-5
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = fb.pm2_rerank(
+            idx, qt, k_cands=_PM2_CANDS, k_out=_PM2_OUT, lam=_PM2_LAM
+        )
+        return out.select("qid", "doc_id", "rank", "pm2")
+
     def heaps_law(spark, sf):
         # Heaps'-law vocabulary growth at 5 doc-id checkpoints
         out = ts.heaps_law(
@@ -10975,6 +11086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_llr": collocations_llr,
         "heaps_law": heaps_law,
         "xquad_rerank": xquad_rerank,
+        "pm2_rerank": pm2_rerank,
         "index_compact": index_compact,
         "pagerank_boost": pagerank_boost,
         "classifier_calibration": classifier_calibration,
@@ -11284,6 +11396,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_llr": _collocations_llr_sql(),
         "heaps_law": _heaps_sql(),
         "xquad_rerank": _xquad_sql(),
+        "pm2_rerank": _pm2_sql(),
         "index_compact": _index_compact_sql(),
         "pagerank_boost": _pagerank_boost_sql(),
         "classifier_calibration": _classifier_calibration_sql(),

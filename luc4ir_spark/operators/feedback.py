@@ -639,6 +639,181 @@ def xquad_rerank(
     return out
 
 
+def pm2_rerank(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k_cands: int = 5,
+    k_out: int = 3,
+    lam: float = 0.5,
+) -> DataFrame:
+    """PM-2 proportionality-based diversification (Dang & Croft
+    SIGIR'12, "Diversity by Proportionality") with uniform query-term
+    aspects (w_i = 1/|terms|, the same instantiation as
+    ``xquad_rerank``). Each greedy step runs the Sainte-Laguë seat
+    allocation:
+
+      quotient qt_i = w_i / (2·s_i + 1)           (seats s_i start 0)
+      i*  = argmax_i qt_i                         (4dp round, term ASC)
+      d*  = argmax_d λ·qt_{i*}·P(d|i*)
+                   + (1−λ)·Σ_{i≠i*} qt_i·P(d|i)   (4dp round, doc ASC)
+      s_i += P(d*|i) / Σ_j P(d*|j)                (for every aspect i)
+
+    P(d|i) is the candidate-normalized per-term BM25 contribution
+    (identical to xQuAD's P(d|t)). Quotients are rounded to 4dp before
+    the aspect argmax and doc scores to 4dp before the doc argmax —
+    the engine-stable greedy convention; seat state stays raw.
+    -> (qid, doc_id, rank, pm2) for the k_out picks, pm2 = the
+    4dp-rounded selection score.
+
+    Fully relational, same 100-TB shape as xQuAD: one postings scan,
+    then every step's relations are (queries × k_cands) or
+    (queries × terms)-sized with localCheckpointed tiny state — the
+    greedy depth k_out is a constant, never data-sized."""
+    from .retrieval import Similarity, idf_lucene
+
+    sim = Similarity()
+    qt = query_terms.select("qid", "term").distinct()
+    ts = index.term_stats.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    qte = qt.join(F.broadcast(ts), "term").withColumn(
+        "idf", idf_lucene(F.col("df"), index.stats.n_docs)
+    )
+    contrib = F.col("idf") * F.col("tf") / (
+        F.col("tf")
+        + F.lit(sim.k1)
+        * (
+            F.lit(1.0)
+            - F.lit(sim.b)
+            + F.lit(sim.b)
+            * F.col("doc_len")
+            / F.lit(float(index.stats.avgdl))
+        )
+    )
+    pdt_all = index.postings.join(F.broadcast(qte), "term").select(
+        "qid", "term", "doc_id", contrib.alias("s")
+    )
+    run = (
+        pdt_all.groupBy("qid", "doc_id")
+        .agg(F.sum("s").alias("score"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= int(k_cands))
+        .localCheckpoint(eager=False)
+    )
+    pdt = pdt_all.join(
+        run.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi"
+    )
+    zt = pdt.groupBy("qid", "term").agg(F.sum("s").alias("_z"))
+    pa = (
+        pdt.join(zt.filter(F.col("_z") > 0), ["qid", "term"])
+        .select(
+            "qid", "term", "doc_id", (F.col("s") / F.col("_z")).alias("pa")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nt = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("double").alias("_nt")
+    )
+    # seat state: (qid, term, w, seat); w = 1/nt uniform
+    seats = qt.join(F.broadcast(nt), "qid").select(
+        "qid", "term", (F.lit(1.0) / F.col("_nt")).alias("w"),
+        F.lit(0.0).alias("seat"),
+    )
+    remaining = run.select("qid", "doc_id")
+    picks = []
+    for step in range(1, int(k_out) + 1):
+        quot = seats.select(
+            "qid", "term", "w", "seat",
+            (F.col("w") / (F.lit(2.0) * F.col("seat") + F.lit(1.0))
+             ).alias("qt"),
+        ).localCheckpoint(eager=False)
+        wq = Window.partitionBy("qid").orderBy(
+            F.round(F.col("qt"), 4).desc(), F.col("term").asc()
+        )
+        best = (
+            quot.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") == 1)
+            .select("qid", F.col("term").alias("_bt"))
+        )
+        # per-(doc, aspect) weighted proportionality contributions
+        contrib_da = (
+            pa.join(remaining, ["qid", "doc_id"], "left_semi")
+            .join(quot.select("qid", "term", "qt"), ["qid", "term"])
+            .join(F.broadcast(best), "qid")
+        )
+        scored = (
+            contrib_da.groupBy("qid", "doc_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("term") == F.col("_bt"),
+                        F.lit(float(lam)) * F.col("qt") * F.col("pa"),
+                    ).otherwise(
+                        F.lit(1.0 - float(lam)) * F.col("qt") * F.col("pa")
+                    )
+                ).alias("_g")
+            )
+            .select("qid", "doc_id", F.round(F.col("_g"), 4).alias("g"))
+        )
+        # docs in `remaining` with no surviving aspect mass score 0
+        scored = (
+            remaining.join(scored, ["qid", "doc_id"], "left")
+            .select(
+                "qid", "doc_id",
+                F.coalesce(F.col("g"), F.lit(0.0)).alias("g"),
+            )
+        )
+        wd = Window.partitionBy("qid").orderBy(
+            F.col("g").desc(), F.col("doc_id").asc()
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "qid", "doc_id",
+                F.lit(step).cast("long").alias("rank"),
+                F.col("g").alias("pm2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        remaining = remaining.join(
+            pick.select("qid", "doc_id"), ["qid", "doc_id"], "left_anti"
+        ).localCheckpoint(eager=False)
+        # seat update: s_i += pa(d*, i) / sum_j pa(d*, j)
+        pa_pick = pa.join(
+            pick.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi"
+        ).select("qid", "term", F.col("pa").alias("_pp"))
+        zpick = pa_pick.groupBy("qid").agg(F.sum("_pp").alias("_zp"))
+        seats = (
+            seats.join(pa_pick, ["qid", "term"], "left")
+            .join(F.broadcast(zpick), "qid", "left")
+            .select(
+                "qid", "term", "w",
+                (
+                    F.col("seat")
+                    + F.when(
+                        F.col("_zp") > 0,
+                        F.coalesce(F.col("_pp"), F.lit(0.0))
+                        / F.col("_zp"),
+                    ).otherwise(F.lit(0.0))
+                ).alias("seat"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def retrieve_with_feedback(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -63,7 +63,7 @@ if [ ! -f BENCH/scaling_r4e_dedup_8v32.json ]; then
     && echo "$(date +%T) dedup scaling done" >> "$LOG"
 fi
 
-if [ ! -f BENCH/engine_cmp_r4.json ]; then
+if [ ! -f BENCH/engine_cmp_r4.json ] && [ ! -f BENCH/engine_cmp_r5.json ]; then
   wait_clean
   echo "$(date +%T) running engine_cmp" >> "$LOG"
   SPARK_DRIVER_MEM=48g python scripts/engine_cmp.py --reps 3 \

@@ -378,3 +378,29 @@ def test_xquad_rerank_properties(spark):
     for r in lam1:
         covered |= texts[r["doc_id"]]
     assert covered == {"aa", "bb"}
+
+
+def test_pm2_rerank_properties(spark):
+    """PM-2 proportionality: with two aspects and docs each covering
+    only one, the first two picks cover BOTH aspects (the Sainte-Laguë
+    quotient halves the served aspect's claim after every seat), and
+    the pick schedule returns exactly k_out ranked rows per query."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "aa aa"), (3, "bb")],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=SIMPLE))
+    qt = rt.queries_to_terms(spark, [("x1", "aa bb")], SIMPLE)
+    out = (
+        fb.pm2_rerank(idx, qt, k_cands=3, k_out=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    texts = {1: {"aa"}, 2: {"aa"}, 3: {"bb"}}
+    covered = set()
+    for r in out[:2]:
+        covered |= texts[r["doc_id"]]
+    assert covered == {"aa", "bb"}
+    # scores are the 4dp-rounded selection gains, strictly positive
+    assert all(r["pm2"] > 0 for r in out)
