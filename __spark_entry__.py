@@ -760,6 +760,88 @@ FROM perq
 """
 
 
+_ANDCG_K, _ANDCG_ALPHA = 5, 0.5
+
+
+def _alpha_ndcg_sql() -> str:
+    """Replays evaluation.alpha_ndcg over the BM25 top-TOPK run and
+    the arithmetic aspect qrels (_aspect_qrels): per-(qid, aspect)
+    prior-coverage window counts, gain Σ (1−α)^prior, ln/ln2 discount,
+    and the _ANDCG_K-step greedy ideal unroll (4dp-rounded marginal
+    gains — exact dyadic sums, so fold-order-safe — docid ASC ties,
+    rounded gain accumulated). α=0.5 keeps (1−α)^n exact on both
+    engines. State CTEs AS MATERIALIZED (multi-consumer)."""
+    oma = repr(1.0 - _ANDCG_ALPHA)
+    steps, ideal_sel = [], []
+    for i in range(1, _ANDCG_K + 1):
+        prev = f"cnt{i - 1}"
+        excl = " ".join(
+            f"AND NOT EXISTS (SELECT 1 FROM p{j} WHERE p{j}.qid = aq.qid"
+            f" AND p{j}.docid = aq.docid)"
+            for j in range(1, i)
+        )
+        steps.append(f"""
+m{i} AS (
+  SELECT aq.qid, aq.docid, round(sum(power({oma}, c.c)), 4) AS g
+  FROM aq JOIN {prev} c
+    ON c.qid = aq.qid AND c.aspect = aq.aspect
+  WHERE 1 = 1 {excl}
+  GROUP BY 1, 2),
+p{i} AS MATERIALIZED (
+  SELECT qid, docid, g FROM (
+    SELECT qid, docid, g,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY g DESC, docid ASC) AS rn
+    FROM m{i}) WHERE rn = 1),
+cnt{i} AS MATERIALIZED (
+  SELECT c.qid, c.aspect,
+         c.c + CASE WHEN EXISTS (
+             SELECT 1 FROM aq JOIN p{i}
+               ON p{i}.qid = aq.qid AND p{i}.docid = aq.docid
+             WHERE aq.qid = c.qid AND aq.aspect = c.aspect)
+           THEN 1 ELSE 0 END AS c
+  FROM {prev} c)""")
+        ideal_sel.append(
+            f"SELECT qid, g / (ln({float(i + 1)!r}) / ln(2.0)) AS ig"
+            f" FROM p{i}"
+        )
+    return f"""
+WITH {_BM25_RUN_CTES},
+run AS (SELECT qid, doc_id::VARCHAR AS docid, rank
+        FROM ranked WHERE rank <= {_ANDCG_K}),
+aq AS MATERIALIZED (
+  SELECT qn.qid, d.doc_id::VARCHAR AS docid, a.a AS aspect
+  FROM (SELECT DISTINCT qid, CAST(substr(qid, 2) AS BIGINT) AS qn
+        FROM q) qn
+  CROSS JOIN (SELECT doc_id FROM documents) d
+  CROSS JOIN (VALUES (0), (1), (2)) a(a)
+  WHERE (d.doc_id + qn.qn) % 3 = 0
+    AND ((a.a = 0 AND (d.doc_id + qn.qn) % 2 = 0)
+         OR a.a = 1
+         OR (a.a = 2 AND (d.doc_id + qn.qn) % 4 = 0))),
+sysj AS (
+  SELECT r.qid, r.rank, aq.aspect,
+         count(*) OVER (PARTITION BY r.qid, aq.aspect ORDER BY r.rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM run r JOIN aq ON aq.qid = r.qid AND aq.docid = r.docid),
+sysg AS (SELECT qid, rank, sum(power({oma}, prior)) AS g
+         FROM sysj GROUP BY 1, 2),
+dcg AS (SELECT qid, sum(g / (ln(rank + 1.0) / ln(2.0))) AS dcg
+        FROM sysg GROUP BY 1),
+cnt0 AS MATERIALIZED (
+  SELECT DISTINCT qid, aspect, 0 AS c FROM aq),
+{','.join(steps)},
+idcg AS (SELECT qid, sum(ig) AS idcg
+         FROM ({' UNION ALL '.join(ideal_sel)}) GROUP BY 1)
+SELECT i.qid,
+       round(coalesce(d.dcg, 0.0), 4) AS dcg,
+       round(i.idcg, 4) AS idcg,
+       round(coalesce(d.dcg, 0.0) / i.idcg, 4) AS alpha_ndcg
+FROM idcg i LEFT JOIN dcg d USING (qid)
+WHERE i.idcg > 0
+"""
+
+
 def _qpp_pre_sql() -> str:
     """Replays qpp.qpp_pre_retrieval: avg/max Lucene idf + SCQ over the
     query's in-vocabulary distinct terms."""
@@ -2118,6 +2200,43 @@ def _pseudo_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("doc_id") + F.col("qn")) % 6 == 0, F.lit(1.0))
             .otherwise(F.lit(0.0))
             .alias("rel"),
+        )
+    )
+
+
+def _aspect_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic ASPECT judgments for the diversity
+    metric: the judged pool is _pseudo_qrels' ((doc_id + qn) % 3 == 0);
+    a judged doc covers aspect 0 iff (doc_id+qn) % 2 == 0, aspect 1
+    always (the redundant "general" subtopic), aspect 2 iff
+    (doc_id+qn) % 4 == 0 — overlapping aspect sets so the (1−α)^c
+    decay and the greedy ideal are both genuinely exercised. Purely
+    arithmetic so the DuckDB oracle reproduces it exactly."""
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in QUERY_SET], "qid string"
+    ).withColumn("qn", F.substring("qid", 2, 10).cast("long"))
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(qids)
+        .filter((F.col("doc_id") + F.col("qn")) % 3 == 0)
+    )
+    aspects = spark.createDataFrame([(0,), (1,), (2,)], "aspect int")
+    return (
+        base.crossJoin(F.broadcast(aspects))
+        .filter(
+            (
+                (F.col("aspect") == 0)
+                & ((F.col("doc_id") + F.col("qn")) % 2 == 0)
+            )
+            | (F.col("aspect") == 1)
+            | (
+                (F.col("aspect") == 2)
+                & ((F.col("doc_id") + F.col("qn")) % 4 == 0)
+            )
+        )
+        .select(
+            "qid", F.col("doc_id").cast("string").alias("docid"), "aspect"
         )
     )
 
@@ -8163,6 +8282,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("judged_frac", 4).alias("judged_frac"),
         )
 
+    def alpha_ndcg(spark, sf):
+        # α-nDCG@5 (Clarke SIGIR'08) over the BM25 run and the
+        # arithmetic aspect qrels; greedy ideal unrolled 5 steps
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        out = ev.alpha_ndcg(
+            run, _aspect_qrels(spark, sf),
+            k=_ANDCG_K, alpha=_ANDCG_ALPHA,
+        )
+        return out.select(
+            "qid",
+            F.round("dcg", 4).alias("dcg"),
+            F.round("idcg", 4).alias("idcg"),
+            F.round("alpha_ndcg", 4).alias("alpha_ndcg"),
+        )
+
     def eval_qmeasure(spark, sf):
         # Sakai's Q-measure (beta=1) over the BM25 run + pseudo qrels
         idx = _index(spark, sf)
@@ -11020,6 +11158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": wildcard_query,
         "term_range_query": term_range_query,
         "extended_metrics": extended_metrics,
+        "alpha_ndcg": alpha_ndcg,
         "iprec_at_recall": iprec_at_recall,
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
@@ -11330,6 +11469,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_query": _wildcard_sql(),
         "term_range_query": _term_range_sql(),
         "extended_metrics": _ext_metrics_sql(),
+        "alpha_ndcg": _alpha_ndcg_sql(),
         "iprec_at_recall": _IPREC_SQL,
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,

@@ -347,6 +347,137 @@ def extended_metrics(
     )
 
 
+def alpha_ndcg(
+    run: DataFrame,
+    aspect_qrels: DataFrame,
+    k: int = 5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """α-nDCG@k (Clarke et al. SIGIR'08, "Novelty and diversity in
+    information retrieval evaluation") — the diversity-aware nDCG that
+    pairs with ``xquad_rerank`` / ``pm2_rerank``. Aspect judgments are
+    binary rows (qid, docid, aspect); the gain of the doc at rank r is
+
+      G(r) = Σ_a J(d_r, a) · (1−α)^{C_a(r−1)}
+
+    with C_a(r−1) = how many earlier-ranked docs already covered
+    aspect a, so redundant coverage decays geometrically. DCG@k uses
+    the standard log2(r+1) discount (spelled ln/ln2 — the cross-engine
+    float convention); the IDEAL gain is the usual greedy
+    approximation (computing the true ideal is NP-hard, Clarke §5):
+    k unrolled steps picking argmax marginal gain over the judged
+    docs, gains rounded to 4dp BEFORE each argmax (docid ASC ties) and
+    the ROUNDED gain accumulated — the engine-stable greedy
+    convention shared with xquad/pm2. α defaults to 0.5 so (1−α)^n is
+    an exact dyadic on both engines.
+
+    -> (qid, dcg, idcg, alpha_ndcg) for every qid with idcg > 0.
+
+    Scale shape: the system side is one broadcast qrels join + one
+    per-(qid, aspect) window over run×aspect rows (run-sized); the
+    ideal greedy loops k times over the judged-doc relation
+    (qrels-sized, never corpus-sized) with localCheckpointed state."""
+    ar = aspect_qrels.select("qid", "docid", "aspect").distinct()
+    ln2 = F.log(F.lit(2.0))
+    # ---- system DCG over the top-k run
+    j = (
+        run.filter(F.col("rank") <= int(k))
+        .select("qid", "docid", "rank")
+        .join(F.broadcast(ar), ["qid", "docid"])
+    )
+    w_prev = (
+        Window.partitionBy("qid", "aspect")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = j.withColumn(
+        "_prior", F.coalesce(F.count(F.lit(1)).over(w_prev), F.lit(0))
+    )
+    dcg = (
+        j.groupBy("qid", "rank")
+        .agg(
+            F.sum(
+                F.pow(F.lit(1.0 - float(alpha)), F.col("_prior"))
+            ).alias("_g")
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.col("_g")
+                / (F.log(F.col("rank").cast("double") + F.lit(1.0)) / ln2)
+            ).alias("dcg")
+        )
+    )
+    # ---- ideal DCG: k-step greedy unroll over the judged docs
+    remaining = ar.select("qid", "docid").distinct()
+    cnt = ar.select("qid", "aspect").distinct().withColumn(
+        "c", F.lit(0)
+    )
+    ideal_parts = []
+    for step in range(1, int(k) + 1):
+        marg = (
+            remaining.join(ar, ["qid", "docid"])
+            .join(cnt, ["qid", "aspect"])
+            .groupBy("qid", "docid")
+            .agg(
+                F.round(
+                    F.sum(F.pow(F.lit(1.0 - float(alpha)), F.col("c"))),
+                    4,
+                ).alias("g")
+            )
+        )
+        wd = Window.partitionBy("qid").orderBy(
+            F.col("g").desc(), F.col("docid").asc()
+        )
+        pick = (
+            marg.withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .select("qid", "docid", F.col("g").alias("g"))
+            .localCheckpoint(eager=False)
+        )
+        ideal_parts.append(
+            pick.select(
+                "qid",
+                (
+                    F.col("g")
+                    / (F.log(F.lit(float(step) + 1.0)) / ln2)
+                ).alias("_ig"),
+            )
+        )
+        remaining = remaining.join(
+            pick.select("qid", "docid"), ["qid", "docid"], "left_anti"
+        ).localCheckpoint(eager=False)
+        picked_aspects = ar.join(
+            pick.select("qid", "docid"), ["qid", "docid"], "left_semi"
+        ).select("qid", "aspect", F.lit(1).alias("_inc"))
+        cnt = (
+            cnt.join(picked_aspects, ["qid", "aspect"], "left")
+            .select(
+                "qid", "aspect",
+                (F.col("c") + F.coalesce(F.col("_inc"), F.lit(0))).alias(
+                    "c"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    ig = ideal_parts[0]
+    for p in ideal_parts[1:]:
+        ig = ig.unionByName(p)
+    idcg = ig.groupBy("qid").agg(F.sum("_ig").alias("idcg"))
+    return (
+        idcg.filter(F.col("idcg") > 0)
+        .join(dcg, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            "idcg",
+            (
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+            ).alias("alpha_ndcg"),
+        )
+    )
+
+
 def iprec_at_recall(
     run: DataFrame,
     qrels: DataFrame,

@@ -880,3 +880,24 @@ def test_ips_utility_hand_computed(spark):
     assert rr["q1"] == pytest.approx((1.0 / 2.0) / 0.25)
     with pytest.raises(ValueError):
         ev.ips_utility(run, clicks, gamma, weight="nope")
+
+
+def test_alpha_ndcg_hand_computed(spark):
+    """A=aspect{1}, B=aspect{1}, C=aspect{2}; run order A,B,C, α=0.5.
+    Gains 1, 0.5, 1; ideal greedy picks A (tie docid ASC), C, B —
+    IDCG = 1 + 1/log2(3) + 0.5/2."""
+    run = spark.createDataFrame(
+        [("q1", "A", 1), ("q1", "B", 2), ("q1", "C", 3)],
+        "qid string, docid string, rank long",
+    )
+    aq = spark.createDataFrame(
+        [("q1", "A", 1), ("q1", "B", 1), ("q1", "C", 2)],
+        "qid string, docid string, aspect int",
+    )
+    r = ev.alpha_ndcg(run, aq, k=3, alpha=0.5).collect()[0]
+    lg3 = math.log2(3.0)
+    dcg = 1.0 + 0.5 / lg3 + 1.0 / 2.0
+    idcg = 1.0 + 1.0 / lg3 + 0.5 / 2.0
+    assert r["dcg"] == pytest.approx(dcg, rel=1e-9)
+    assert r["idcg"] == pytest.approx(idcg, rel=1e-9)
+    assert r["alpha_ndcg"] == pytest.approx(dcg / idcg, rel=1e-9)
