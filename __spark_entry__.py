@@ -1100,6 +1100,36 @@ GROUP BY doc_id
 """
 
 
+_MPP_TERMS, _MPP_PREFIX, _MPP_MAXEXP = ["fast"], "s", 4
+
+
+def _mpp_sql() -> str:
+    """Replays match_phrase_prefix_query: the last phrase position
+    admits any of the first _MPP_MAXEXP dictionary terms (term ASC)
+    with the prefix; anchors on the literal leading term, one EXISTS
+    per later position against the expansion set."""
+    n = len(_MPP_TERMS)
+    exists = " AND ".join(
+        "EXISTS (SELECT 1 FROM pos x WHERE x.doc_id = p1.doc_id"
+        f" AND x.term = '{t}' AND x.p = p1.p + {i})"
+        for i, t in enumerate(_MPP_TERMS[1:], start=1)
+    )
+    if exists:
+        exists += " AND "
+    return f"""
+WITH {_POS_CTES},
+exp AS (SELECT term FROM (
+  SELECT DISTINCT term FROM pos WHERE term LIKE '{_MPP_PREFIX}%'
+  ORDER BY term LIMIT {_MPP_MAXEXP}))
+SELECT p1.doc_id, count(*)::BIGINT AS phrase_freq
+FROM pos p1
+WHERE p1.term = '{_MPP_TERMS[0]}' AND {exists}EXISTS (
+  SELECT 1 FROM pos x JOIN exp ON x.term = exp.term
+  WHERE x.doc_id = p1.doc_id AND x.p = p1.p + {n})
+GROUP BY 1
+"""
+
+
 def _multi_phrase_sql() -> str:
     """Replays multi_phrase_query: start anchors on step 0's
     alternatives, one EXISTS at p+i per later step."""
@@ -10591,6 +10621,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "phrase_freq"
         )
 
+    def match_phrase_prefix(spark, sf):
+        # MatchPhrasePrefixQuery: "fast s*" — last position expanded
+        # to the first 4 dictionary terms with the prefix (term ASC)
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.match_phrase_prefix_query(
+            pos, _MPP_TERMS, _MPP_PREFIX, max_expansions=_MPP_MAXEXP
+        ).select("doc_id", "phrase_freq")
+
     def char_entropy(spark, sf):
         # fixed-alphabet Shannon entropy quality signal
         out = ts.char_entropy(_docs(spark, sf), content_col="text")
@@ -11185,6 +11226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_compressed": phrase_compressed,
         "span_first": span_first,
         "multi_phrase": multi_phrase,
+        "match_phrase_prefix": match_phrase_prefix,
         "char_entropy": char_entropy,
         "comb_fuse": comb_fuse,
         "borda_fuse": borda_fuse,
@@ -11496,6 +11538,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_compressed": _phrase_query_sql(),
         "span_first": _span_first_sql(),
         "multi_phrase": _multi_phrase_sql(),
+        "match_phrase_prefix": _mpp_sql(),
         "char_entropy": _char_entropy_sql(),
         "comb_fuse": _comb_fuse_sql(),
         "zscore_fuse": _comb_fuse_sql(method="zsum"),

@@ -1165,6 +1165,52 @@ def multi_phrase_query(
     )
 
 
+def match_phrase_prefix_query(
+    positional: DataFrame,
+    terms: list[str],
+    prefix: str,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Lucene MatchPhrasePrefixQuery (ES ``match_phrase_prefix``): an
+    exact phrase whose LAST position matches any dictionary term with
+    the given prefix — "fast s" matches "fast scan", "fast sort", … .
+    Lucene expands the term dictionary in term order and keeps the
+    first ``max_expansions`` terms (the documented cap that makes the
+    query cheap on huge dictionaries); we do the same — the expansion
+    is a prefix-filtered dictionary scan, term-ASC capped, collected
+    as a ≤ max_expansions literal list (dictionary-capped scalar, the
+    same class as ``_phrase_term_dfs``'s df lookup; Lucene also
+    materializes the expanded term set). The query then delegates to
+    ``multi_phrase_query`` with the expansion as the final step's
+    alternatives, inheriting its rarest-step-first walk and
+    dictionary-pruned cells. -> (doc_id, phrase_freq).
+
+    At 100-TB scale the prefix filter is a predicate-pushdown scan of
+    the term dictionary (vocab-sized, never corpus-sized); note a
+    term-bucketed positional store bucket-prunes only on term
+    EQUALITY, so the expansion scan reads all buckets of the (tiny)
+    dictionary while the subsequent positional walk still prunes per
+    expanded term."""
+    if not terms or not prefix:
+        raise ValueError(
+            "match_phrase_prefix_query: need leading terms and a prefix"
+        )
+    exp_rows = (
+        positional.filter(F.col("term").startswith(prefix))
+        .select("term")
+        .distinct()
+        .orderBy("term")
+        .limit(int(max_expansions))
+        .collect()
+    )
+    if not exp_rows:
+        return _empty_positional_result(positional, "phrase_freq")
+    expansion = sorted(r["term"] for r in exp_rows)
+    return multi_phrase_query(
+        positional, [[t] for t in terms] + [expansion]
+    )
+
+
 def fuzzy_expand_terms(
     index: InvertedIndex,
     query_terms: DataFrame,

@@ -1234,6 +1234,40 @@ def test_span_first_and_multi_phrase(spark):
         rt.multi_phrase_query(pos, [["a"], []])
 
 
+def test_match_phrase_prefix(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, ["fast", "scan", "fast", "sort"]),
+            (1, ["fast", "merge"]),
+            (2, ["slow", "scan", "fast", "spark"]),
+            (3, ["fast", "stream"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+    # prefix s* expands (term ASC) to scan, sort, spark, stream
+    got = {
+        r["doc_id"]: r["phrase_freq"]
+        for r in rt.match_phrase_prefix_query(pos, ["fast"], "s").collect()
+    }
+    assert got == {0: 2, 2: 1, 3: 1}
+    # max_expansions caps the dictionary walk in term order:
+    # only {scan, slow} survive, so "fast s*" matches scan starts only
+    got2 = {
+        r["doc_id"]: r["phrase_freq"]
+        for r in rt.match_phrase_prefix_query(
+            pos, ["fast"], "s", max_expansions=2
+        ).collect()
+    }
+    assert got2 == {0: 1}
+    # unknown prefix -> empty result, no join chain
+    assert (
+        rt.match_phrase_prefix_query(pos, ["fast"], "zzz").count() == 0
+    )
+    with pytest.raises(ValueError):
+        rt.match_phrase_prefix_query(pos, [], "s")
+
+
 def test_char_entropy_hand_computed(spark):
     import math
     from collections import Counter
