@@ -497,6 +497,60 @@ SELECT piece, cnt, rank FROM r WHERE rank <= {max_pieces}
 """
 
 
+_WP_MAXL, _WP_MINC, _WP_MAXCHARS = 4, 5, 6
+
+
+def _wordpiece_sql() -> str:
+    """Replays sptrain.wordpiece_encode: the role-aware piece vocab
+    (substring grid summed by (piece, is_cont), min_count cut with
+    single-char closure), per-position longest-match jump table, and
+    the greedy walk — DuckDB follows the jump table with a recursive
+    CTE where Spark pointer-doubles; both materialize the identical
+    visited set because next() is a function. Over-length words
+    (> _WP_MAXCHARS chars) become the single [UNK]."""
+    return f"""
+WITH RECURSIVE {_TOKS},
+w AS (SELECT term AS word, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+grid AS (
+  SELECT word, cnt, i - 1 AS p, l,
+         substr(word, i, l) AS piece, (i > 1) AS is_cont
+  FROM w,
+       unnest(range(1, length(word) + 1)) AS t(i),
+       unnest(range(1, least({_WP_MAXL}, length(word) - i + 1) + 1))
+         AS u(l)
+),
+vocab AS (
+  SELECT piece, is_cont FROM (
+    SELECT piece, is_cont, sum(cnt) AS c FROM grid GROUP BY 1, 2)
+  WHERE c >= {_WP_MINC} OR length(piece) = 1
+),
+ok AS (SELECT word FROM w WHERE length(word) <= {_WP_MAXCHARS}),
+best AS MATERIALIZED (
+  SELECT g.word, g.p, max(g.l) AS bl
+  FROM grid g
+  JOIN vocab v ON v.piece = g.piece AND v.is_cont = g.is_cont
+  JOIN ok ON ok.word = g.word
+  GROUP BY 1, 2),
+walk AS (
+  SELECT word, 0 AS p FROM ok
+  UNION ALL
+  SELECT wk.word, wk.p + b.bl
+  FROM walk wk JOIN best b ON b.word = wk.word AND b.p = wk.p),
+pieces AS (
+  SELECT wk.word, wk.p,
+         CASE WHEN wk.p > 0
+              THEN '##' || substr(wk.word, wk.p + 1, b.bl)
+              ELSE substr(wk.word, wk.p + 1, b.bl) END AS piece_out
+  FROM walk wk JOIN best b ON b.word = wk.word AND b.p = wk.p)
+SELECT word, count(*)::BIGINT AS n_pieces,
+       string_agg(piece_out, ' ' ORDER BY p) AS encoded
+FROM pieces GROUP BY 1
+UNION ALL
+SELECT word, 1::BIGINT AS n_pieces, '[UNK]' AS encoded
+FROM w WHERE length(word) > {_WP_MAXCHARS}
+"""
+
+
 def _sp_encode_sql() -> str:
     """Replays sp_encode's Viterbi segmentation under the
     _SP_INVENTORY model: the DP over word positions is CTE-unrolled
@@ -7826,6 +7880,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_piece_len=4, max_pieces=300,
         )
 
+    def wordpiece_encode(spark, sf):
+        # WordPiece (BERT tokenizer) greedy longest-match encoding of
+        # every dictionary word under the role-aware derived vocab;
+        # max_word_chars=6 so the 8-char words exercise [UNK]; the
+        # walk runs by pointer doubling over the jump table
+        wc = bp.word_counts(_docs(spark, sf), content_col="text")
+        out = sp.wordpiece_encode(
+            wc, max_piece_len=_WP_MAXL, min_count=_WP_MINC,
+            max_word_chars=_WP_MAXCHARS,
+        )
+        return out.select("word", "n_pieces", "encoded")
+
     def sp_encode_viterbi(spark, sf):
         # the unigram-LM ENCODER itself, oracled: Viterbi-segment every
         # distinct corpus word under the fixed _SP_INVENTORY model; the
@@ -11185,6 +11251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": explain_score,
         "bpe_pair_counts": bpe_pair_counts,
         "sp_candidates": sp_candidates,
+        "wordpiece_encode": wordpiece_encode,
         "sp_encode_viterbi": sp_encode_viterbi,
         "bpe_merges": bpe_merges,
         "index_upsert": index_upsert,
@@ -11497,6 +11564,7 @@ def oracle_sql() -> dict[str, str]:
         "explain_score": _explain_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
         "sp_candidates": _sp_candidates_sql(),
+        "wordpiece_encode": _wordpiece_sql(),
         "sp_encode_viterbi": _sp_encode_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "index_upsert": _upsert_sql(),

@@ -237,3 +237,182 @@ def sp_encode(
     return out.withColumn(
         "n_sp_tokens", F.size("sp_tokens").cast("long")
     )
+
+
+def wordpiece_vocab(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 5,
+) -> DataFrame:
+    """WordPiece piece inventory by ROLE (Schuster & Nakajima
+    ICASSP'12; the BERT tokenizer's vocabulary shape): a piece either
+    starts a word (root) or continues one (rendered ``##piece``).
+    (word, cnt) -> (piece, is_cont) kept when the corpus occurrence
+    weight (word count summed over every in-word occurrence in that
+    role) reaches ``min_count``; ALL single-character pieces seen in
+    the data are force-kept in their observed roles so every word of
+    admissible length stays tokenizable — ``[UNK]`` is reserved for
+    over-length words, not coverage gaps (a documented divergence
+    from HuggingFace, which UNKs coverage gaps; our vocab is closed
+    by construction so the gap case cannot arise).
+
+    Plan: one substring-grid explode of two literal index sequences
+    over the vocab-sized word table (never a computed-array HOF
+    chain), one map-side-combined groupBy."""
+    i = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    grid = words.select("word", "cnt", i)
+    ln = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.least(
+                F.lit(int(max_piece_len)),
+                F.length("word") - F.col("i") + 1,
+            ),
+        )
+    ).alias("l")
+    return (
+        grid.select("word", "cnt", "i", ln)
+        .select(
+            F.substring(F.col("word"), F.col("i"), F.col("l")).alias(
+                "piece"
+            ),
+            (F.col("i") > 1).alias("is_cont"),
+            "cnt",
+        )
+        .groupBy("piece", "is_cont")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .filter(
+            (F.col("cnt") >= int(min_count)) | (F.length("piece") == 1)
+        )
+        .select("piece", "is_cont")
+    )
+
+
+def wordpiece_encode(
+    words: DataFrame,
+    vocab: DataFrame | None = None,
+    max_piece_len: int = 4,
+    min_count: int = 5,
+    max_word_chars: int = 64,
+) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding of every distinct
+    corpus word (the BERT tokenizer's algorithm): at each position
+    take the LONGEST vocabulary piece valid in that role, emit it,
+    advance. Words longer than ``max_word_chars`` become the single
+    ``[UNK]`` token (HuggingFace's max_input_chars_per_word).
+    -> (word, n_pieces, encoded) with continuations rendered
+    ``##piece`` and pieces space-joined in position order.
+
+    Greedy-as-relations: the per-(word, position) LONGEST match is a
+    grid⋈vocab groupBy-max — so the walk from position 0 follows a
+    precomputed jump table next(p) = p + bestlen(p), a functional
+    graph. The walk is materialized by POINTER DOUBLING: visited
+    V_{k+1} = V_k ∪ g_k(V_k), g_{k+1} = g_k ∘ g_k, which reaches every
+    position within 2^k − 1 steps after k rounds — so
+    ceil(log2(max_word_chars)) self-joins of the vocab-sized jump
+    table replace a length-bounded sequential loop. Single-char
+    closure (wordpiece_vocab) guarantees next() is total below the
+    length cap.
+
+    Scale shape: the only corpus-sized stage is the caller's
+    word_counts groupBy; everything here is vocab-sized × O(word_len)
+    with O(log max_word_chars) joins — no per-token Python, no
+    driver-side iteration over data."""
+    import math as _m
+
+    if vocab is None:
+        vocab = wordpiece_vocab(
+            words, max_piece_len=max_piece_len, min_count=min_count
+        )
+    w = words.select("word").distinct()
+    ok = w.filter(F.length("word") <= int(max_word_chars))
+    unk = w.filter(F.length("word") > int(max_word_chars)).select(
+        "word",
+        F.lit(1).cast("long").alias("n_pieces"),
+        F.lit("[UNK]").alias("encoded"),
+    )
+    i = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    grid = ok.select("word", i)
+    ln = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.least(
+                F.lit(int(max_piece_len)),
+                F.length("word") - F.col("i") + 1,
+            ),
+        )
+    ).alias("l")
+    cand = (
+        grid.select("word", "i", ln)
+        .select(
+            "word",
+            (F.col("i") - 1).alias("p"),
+            "l",
+            F.substring(F.col("word"), F.col("i"), F.col("l")).alias(
+                "piece"
+            ),
+            (F.col("i") > 1).alias("is_cont"),
+        )
+        .join(vocab, ["piece", "is_cont"], "left_semi")
+    )
+    best = (
+        cand.groupBy("word", "p")
+        .agg(F.max("l").alias("bl"))
+        .localCheckpoint(eager=False)
+    )
+    g = best.select("word", "p", (F.col("p") + F.col("bl")).alias("np"))
+    visited = ok.select("word", F.lit(0).alias("p"))
+    for _ in range(max(1, _m.ceil(_m.log2(max(2, int(max_word_chars)))))):
+        visited = (
+            visited.unionByName(
+                visited.join(g, ["word", "p"]).select(
+                    "word", F.col("np").alias("p")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        g = (
+            g.alias("a")
+            .join(
+                g.alias("b"),
+                (F.col("a.word") == F.col("b.word"))
+                & (F.col("a.np") == F.col("b.p")),
+            )
+            .select(
+                F.col("a.word").alias("word"),
+                F.col("a.p").alias("p"),
+                F.col("b.np").alias("np"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    pieces = visited.join(best, ["word", "p"]).select(
+        "word",
+        "p",
+        F.when(
+            F.col("p") > 0,
+            F.concat(
+                F.lit("##"),
+                F.substring(
+                    F.col("word"), F.col("p") + 1, F.col("bl")
+                ),
+            ),
+        )
+        .otherwise(
+            F.substring(F.col("word"), F.col("p") + 1, F.col("bl"))
+        )
+        .alias("piece_out"),
+    )
+    enc = pieces.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("p", "piece_out"))
+                ),
+                lambda x: x.getField("piece_out"),
+            ),
+            " ",
+        ).alias("encoded"),
+    )
+    return enc.unionByName(unk)

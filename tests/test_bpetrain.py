@@ -198,3 +198,45 @@ def test_sp_train_matches_python_replay(spark):
     for r in enc.collect():
         assert "".join(r["sp_tokens"]) == r["word"]
         assert r["n_sp_tokens"] == len(r["sp_tokens"])
+
+
+def test_wordpiece_encode_explicit_vocab(spark):
+    from luc4ir_spark.operators import sptrain as sp
+
+    words = spark.createDataFrame(
+        [("fast", 3), ("fas", 1), ("superduperword", 1)],
+        "word string, cnt long",
+    )
+    vocab = spark.createDataFrame(
+        [
+            ("fast", False), ("fa", False), ("f", False),
+            ("a", True), ("s", True), ("t", True), ("st", True),
+        ],
+        "piece string, is_cont boolean",
+    )
+    got = {
+        r["word"]: (r["n_pieces"], r["encoded"])
+        for r in sp.wordpiece_encode(
+            words, vocab=vocab, max_word_chars=6
+        ).collect()
+    }
+    # greedy longest-match: "fast" is a root piece; "fas" falls back
+    # to fa + ##s; the 14-char word trips the length cap
+    assert got["fast"] == (1, "fast")
+    assert got["fas"] == (2, "fa ##s")
+    assert got["superduperword"] == (1, "[UNK]")
+
+
+def test_wordpiece_derived_vocab_closure(spark):
+    from luc4ir_spark.operators import sptrain as sp
+
+    # min_count high enough that ONLY single chars survive the cut:
+    # every word still encodes (single-char closure), one char per piece
+    words = spark.createDataFrame(
+        [("ab", 1), ("ba", 1)], "word string, cnt long"
+    )
+    got = {
+        r["word"]: r["encoded"]
+        for r in sp.wordpiece_encode(words, min_count=99).collect()
+    }
+    assert got == {"ab": "a ##b", "ba": "b ##a"}
