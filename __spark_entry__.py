@@ -896,6 +896,46 @@ WHERE i.idcg > 0
 """
 
 
+def _err_ia_sql() -> str:
+    """Replays evaluation.intent_aware_metrics over the BM25 top-TOPK
+    run and the arithmetic aspect qrels: per-(qid, aspect) ERR cascade
+    with dyadic stop probability 0.5 (gmax=1), uniform average over
+    the query's judged aspects, plus subtopic recall@k."""
+    r = repr(0.5)
+    return f"""
+WITH {_BM25_RUN_CTES},
+run AS (SELECT qid, doc_id::VARCHAR AS docid, rank
+        FROM ranked WHERE rank <= {TOPK}),
+aq AS MATERIALIZED (
+  SELECT qn.qid, d.doc_id::VARCHAR AS docid, a.a AS aspect
+  FROM (SELECT DISTINCT qid, CAST(substr(qid, 2) AS BIGINT) AS qn
+        FROM q) qn
+  CROSS JOIN (SELECT doc_id FROM documents) d
+  CROSS JOIN (VALUES (0), (1), (2)) a(a)
+  WHERE (d.doc_id + qn.qn) % 3 = 0
+    AND ((a.a = 0 AND (d.doc_id + qn.qn) % 2 = 0)
+         OR a.a = 1
+         OR (a.a = 2 AND (d.doc_id + qn.qn) % 4 = 0))),
+na AS (SELECT qid, count(DISTINCT aspect)::BIGINT AS n_aspects
+       FROM aq GROUP BY 1),
+j AS (
+  SELECT r.qid, aq.aspect, r.rank,
+         count(*) OVER (PARTITION BY r.qid, aq.aspect ORDER BY r.rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM run r JOIN aq ON aq.qid = r.qid AND aq.docid = r.docid),
+pa AS (SELECT qid, aspect,
+              sum({r} * power({r}, prior) / rank) AS err_a
+       FROM j GROUP BY 1, 2),
+ag AS (SELECT qid, sum(err_a) AS err_sum,
+              count(DISTINCT aspect)::BIGINT AS covered
+       FROM pa GROUP BY 1)
+SELECT n.qid, n.n_aspects,
+       round(coalesce(a.err_sum, 0.0) / n.n_aspects, 4) AS err_ia,
+       round(coalesce(a.covered, 0)::DOUBLE / n.n_aspects, 4) AS s_recall
+FROM na n LEFT JOIN ag a USING (qid)
+"""
+
+
 def _qpp_pre_sql() -> str:
     """Replays qpp.qpp_pre_retrieval: avg/max Lucene idf + SCQ over the
     query's in-vocabulary distinct terms."""
@@ -8378,6 +8418,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("judged_frac", 4).alias("judged_frac"),
         )
 
+    def err_ia(spark, sf):
+        # ERR-IA + subtopic recall@10 over the BM25 run and the
+        # arithmetic aspect qrels (no ideal ranking needed)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        out = ev.intent_aware_metrics(
+            run, _aspect_qrels(spark, sf), k=TOPK, gmax=1.0
+        )
+        return out.select(
+            "qid",
+            "n_aspects",
+            F.round("err_ia", 4).alias("err_ia"),
+            F.round("s_recall", 4).alias("s_recall"),
+        )
+
     def alpha_ndcg(spark, sf):
         # α-nDCG@5 (Clarke SIGIR'08) over the BM25 run and the
         # arithmetic aspect qrels; greedy ideal unrolled 5 steps
@@ -11267,6 +11325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range_query": term_range_query,
         "extended_metrics": extended_metrics,
         "alpha_ndcg": alpha_ndcg,
+        "err_ia": err_ia,
         "iprec_at_recall": iprec_at_recall,
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
@@ -11580,6 +11639,7 @@ def oracle_sql() -> dict[str, str]:
         "term_range_query": _term_range_sql(),
         "extended_metrics": _ext_metrics_sql(),
         "alpha_ndcg": _alpha_ndcg_sql(),
+        "err_ia": _err_ia_sql(),
         "iprec_at_recall": _IPREC_SQL,
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,

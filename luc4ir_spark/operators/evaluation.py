@@ -478,6 +478,79 @@ def alpha_ndcg(
     )
 
 
+def intent_aware_metrics(
+    run: DataFrame,
+    aspect_qrels: DataFrame,
+    k: int = 10,
+    gmax: float = 1.0,
+) -> DataFrame:
+    """Intent-aware diversity metrics over binary per-aspect
+    judgments (qid, docid, aspect):
+
+    - ``err_ia`` (ERR-IA, Chapelle et al. CIKM'09 §7.2 / TREC Web
+      diversity track): the plain ERR cascade computed per aspect —
+      stop-probability R = (2^1 − 1)/2^gmax at every rank whose doc
+      covers the aspect — averaged UNIFORMLY over the query's judged
+      aspects (aspects the top-k never covers contribute 0, but stay
+      in the denominator).
+    - ``s_recall`` (subtopic recall@k, Zhai et al. SIGIR'03): the
+      fraction of the query's aspects covered at least once in the
+      top k.
+
+    -> (qid, n_aspects, err_ia, s_recall). With gmax=1 the per-rank
+    stop probability is the exact dyadic 0.5, so the cascade product
+    0.5^prior is fold-order-safe; only the final /rank divisions are
+    inexact (the shared 4dp convention absorbs them).
+
+    Scale shape: one broadcast qrels join + one per-(qid, aspect)
+    window over run×aspect rows — run-sized, no greedy loop (ERR-IA
+    needs no ideal ranking, unlike alpha_ndcg)."""
+    ar = aspect_qrels.select("qid", "docid", "aspect").distinct()
+    n_aspects = ar.groupBy("qid").agg(
+        F.countDistinct("aspect").cast("long").alias("n_aspects")
+    )
+    r_stop = (2.0**1.0 - 1.0) / (2.0 ** float(gmax))
+    j = (
+        run.filter(F.col("rank") <= int(k))
+        .select("qid", "docid", "rank")
+        .join(F.broadcast(ar), ["qid", "docid"])
+    )
+    w_prev = (
+        Window.partitionBy("qid", "aspect")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = j.withColumn(
+        "_prior", F.coalesce(F.count(F.lit(1)).over(w_prev), F.lit(0))
+    )
+    per_aspect = j.groupBy("qid", "aspect").agg(
+        F.sum(
+            F.lit(r_stop)
+            * F.pow(F.lit(1.0 - r_stop), F.col("_prior"))
+            / F.col("rank").cast("double")
+        ).alias("_err_a")
+    )
+    agg = per_aspect.groupBy("qid").agg(
+        F.sum("_err_a").alias("_err_sum"),
+        F.countDistinct("aspect").cast("long").alias("_covered"),
+    )
+    return (
+        n_aspects.join(agg, "qid", "left")
+        .select(
+            "qid",
+            "n_aspects",
+            (
+                F.coalesce(F.col("_err_sum"), F.lit(0.0))
+                / F.col("n_aspects").cast("double")
+            ).alias("err_ia"),
+            (
+                F.coalesce(F.col("_covered"), F.lit(0)).cast("double")
+                / F.col("n_aspects").cast("double")
+            ).alias("s_recall"),
+        )
+    )
+
+
 def iprec_at_recall(
     run: DataFrame,
     qrels: DataFrame,

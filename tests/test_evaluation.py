@@ -901,3 +901,33 @@ def test_alpha_ndcg_hand_computed(spark):
     assert r["dcg"] == pytest.approx(dcg, rel=1e-9)
     assert r["idcg"] == pytest.approx(idcg, rel=1e-9)
     assert r["alpha_ndcg"] == pytest.approx(dcg / idcg, rel=1e-9)
+
+
+def test_intent_aware_metrics_hand_computed(spark):
+    """Aspects: A covers 1, B covers 1, C covers 2 (same frame as the
+    alpha_ndcg test). ERR_1 = 0.5/1 + 0.25/2, ERR_2 = 0.5/3;
+    ERR-IA = (ERR_1 + ERR_2)/2, S-recall = 1.0. A second query with
+    aspects but no covered docs in the run scores 0 but keeps its
+    denominator."""
+    run = spark.createDataFrame(
+        [("q1", "A", 1), ("q1", "B", 2), ("q1", "C", 3),
+         ("q2", "X", 1)],
+        "qid string, docid string, rank long",
+    )
+    aq = spark.createDataFrame(
+        [("q1", "A", 1), ("q1", "B", 1), ("q1", "C", 2),
+         ("q2", "Y", 1), ("q2", "Z", 2)],
+        "qid string, docid string, aspect int",
+    )
+    got = {
+        r["qid"]: r
+        for r in ev.intent_aware_metrics(run, aq, k=10).collect()
+    }
+    err1 = 0.5 / 1 + 0.5 * 0.5 / 2
+    err2 = 0.5 / 3
+    assert got["q1"]["n_aspects"] == 2
+    assert got["q1"]["err_ia"] == pytest.approx((err1 + err2) / 2)
+    assert got["q1"]["s_recall"] == pytest.approx(1.0)
+    assert got["q2"]["n_aspects"] == 2
+    assert got["q2"]["err_ia"] == 0.0
+    assert got["q2"]["s_recall"] == 0.0
