@@ -258,6 +258,34 @@ FROM ranked WHERE rank > {lo} AND rank <= {lo + TOPK}
 """
 
 
+def _covering_sql() -> str:
+    """Replays score_queries(min_match_docs=doc_id%3+1): the
+    CoveringQuery per-doc threshold as a HAVING on the grouped
+    matched-term count."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q
+  JOIN dft USING (term)
+  JOIN tf  USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id, s.n_docs, s.avgdl
+  HAVING count(*) >= (tf.doc_id % 3) + 1
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _prefix_sql() -> str:
     """Replays prefix_expand_terms + BM25: expansion = dictionary LIKE
     'prefix%', uniform weight 1 per expanded term."""
@@ -7805,6 +7833,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rt.score_queries(idx, qt, k=TOPK, min_should_match=_MSM)
         )
 
+    def covering_query(spark, sf):
+        # Lucene CoveringQuery / ES terms_set: the msm threshold is a
+        # PER-DOC field — here the arithmetic doc_id % 3 + 1 — read
+        # next to the same single-scan matched-term counter
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        mm = _docs(spark, sf).select(
+            "doc_id",
+            ((F.col("doc_id") % 3) + 1).cast("long").alias("min_match"),
+        )
+        return _round_run(
+            rt.score_queries(idx, qt, k=TOPK, min_match_docs=mm)
+        )
+
     def prefix_query(spark, sf):
         # PrefixQuery parity: trailing-wildcard expansion over the term
         # dictionary, uniform weights, then one BM25 pass
@@ -11300,6 +11342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_msm": bm25_msm,
+        "covering_query": covering_query,
         "prefix_query": prefix_query,
         "search_after": search_after,
         "boolean_query_parse": boolean_query_parse,
@@ -11611,6 +11654,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_msm": _bm25_sql(conjunctive=False, msm=_MSM),
+        "covering_query": _covering_sql(),
         # keyset page 2 must equal the rank-offset page
         "search_after": _bm25_sql(conjunctive=False, page=2),
         "prefix_query": _prefix_sql(),

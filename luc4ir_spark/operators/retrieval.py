@@ -212,6 +212,7 @@ def score_queries(
     after: DataFrame | None = None,
     filter_docs: DataFrame | None = None,
     candidates: DataFrame | None = None,
+    min_match_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Score all queries in one pass -> (qid, doc_id, rank, score).
 
@@ -248,6 +249,14 @@ def score_queries(
     query-independent doc metadata, so at scale it is a pushed-down
     parquet predicate on the docs table feeding this semi-join — left
     unhinted so AQE broadcasts it only when it actually is small.
+    ``min_match_docs``: optional (doc_id, min_match) — Lucene
+    CoveringQuery / ES terms_set parity: the minimum number of matched
+    query terms is a PER-DOCUMENT field (the LongValuesSource /
+    minimum_should_match_field read), not a query constant. Docs
+    absent from the table never match (ES's missing-field semantics).
+    Rides the same single-scan ``n_matched`` counter as
+    ``min_should_match``; the join is doc-keyed metadata — sort-merge
+    on doc_id at scale, AQE-broadcast when the field table is small.
     ``candidates``: optional PER-QUERY (qid, doc_id) allowed set —
     the query-dependent analogue of ``filter_docs`` for composed
     operators (e.g. simple_query_string's item-satisfaction set):
@@ -303,6 +312,13 @@ def score_queries(
     if min_should_match > 1:
         matched = matched.filter(
             F.col("n_matched") >= F.lit(int(min_should_match))
+        )
+    if min_match_docs is not None:
+        mm = min_match_docs.select("doc_id", "min_match")
+        matched = (
+            matched.join(mm, "doc_id")
+            .filter(F.col("n_matched") >= F.col("min_match"))
+            .drop("min_match")
         )
     if must_terms is not None:
         n_must = (

@@ -611,6 +611,42 @@ def test_min_should_match(spark, index):
         assert r["score"] == pytest.approx(plain[(r["qid"], r["doc_id"])])
 
 
+def test_covering_query_per_doc_threshold(spark, index):
+    """min_match_docs makes the msm threshold a per-document field:
+    a doc requiring more matches than it has drops out; a doc absent
+    from the field table never matches (ES missing-field semantics);
+    surviving scores equal the plain run's."""
+    qt = rt.queries_to_terms(spark, QUERIES, EN)
+    plain = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    n_matched = {}
+    for (qid, d), _ in plain.items():
+        n_matched[(qid, d)] = n_matched.get((qid, d), 0)
+    # per-doc thresholds: doc 2 needs 2 matches, everyone else 1;
+    # doc 1 is MISSING from the field table entirely
+    doc_ids = sorted({d for _, d in plain})
+    mm = spark.createDataFrame(
+        [(d, 2 if d == 2 else 1) for d in doc_ids if d != 1],
+        "doc_id long, min_match long",
+    )
+    run = rt.score_queries(index, qt, k=10, min_match_docs=mm).collect()
+    assert all(r["doc_id"] != 1 for r in run)  # missing field -> no match
+    for r in run:
+        assert r["score"] == pytest.approx(plain[(r["qid"], r["doc_id"])])
+    # doc 2 must appear only for queries matching >= 2 of its terms:
+    # same survivors as min_should_match=2 restricted to doc 2
+    msm2 = {
+        (r["qid"], r["doc_id"])
+        for r in rt.score_queries(
+            index, qt, k=10, min_should_match=2
+        ).collect()
+    }
+    got2 = {(r["qid"], r["doc_id"]) for r in run if r["doc_id"] == 2}
+    assert got2 == {k for k in msm2 if k[1] == 2}
+
+
 def test_search_after_equals_rank_offset(spark, index):
     """Keyset pagination from page 1's last hit reproduces the
     rank-offset page of the full run; queries absent from the cursor
