@@ -5898,6 +5898,29 @@ _LLR_TOPN, _LLR_MIN_C = 20, 2
 _SW_SLOP = 3
 
 
+def _span_containing_sql() -> str:
+    """Replays retrieval.span_containing_query: distinct big-span
+    starts p1 with a valid end p2 and a little hit inside [p1, p2]."""
+    w = _SW_SLOP + 1
+    return rf"""
+WITH t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e)
+SELECT p1.doc_id, count(DISTINCT p1.p)::BIGINT AS n_containing
+FROM pos p1
+WHERE p1.term = '{_PHRASE[0]}'
+  AND EXISTS (
+    SELECT 1 FROM pos p2 JOIN pos p3 ON p3.doc_id = p2.doc_id
+    WHERE p2.doc_id = p1.doc_id
+      AND p2.term = '{_PHRASE[2]}' AND p3.term = '{_PHRASE[1]}'
+      AND p2.p > p1.p AND p2.p - p1.p <= {w}
+      AND p3.p >= p1.p AND p3.p <= p2.p)
+GROUP BY 1
+"""
+
+
 def _span_within_sql() -> str:
     """Replays retrieval.span_within_query(big=(slow,batch),
     little=hash, slop=_SW_SLOP): little positions contained in some
@@ -8970,6 +8993,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pos, (_PHRASE[0], _PHRASE[2]), _PHRASE[1], slop=_SW_SLOP
         ).select("doc_id", "n_within")
 
+    def span_containing(spark, sf):
+        # SpanContainingQuery: ordered (slow ... batch) spans (slop 3)
+        # that contain a 'hash' occurrence, counted by distinct start
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.span_containing_query(
+            pos, (_PHRASE[0], _PHRASE[2]), _PHRASE[1], slop=_SW_SLOP
+        ).select("doc_id", "n_containing")
+
     def block_join(spark, sf):
         # ToParentBlockJoinQuery (ScoreMode.Max): BM25 over chunk
         # children with packed ids, parents take their best child
@@ -11456,6 +11490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
+        "span_containing": span_containing,
         "block_join": block_join,
         "block_join_total": block_join_total,
         "block_join_children": block_join_children,
@@ -11771,6 +11806,7 @@ def oracle_sql() -> dict[str, str]:
         "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
+        "span_containing": _span_containing_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),
         "block_join_children": _block_join_children_sql(),

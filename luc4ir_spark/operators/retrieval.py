@@ -897,6 +897,61 @@ def span_within_query(
     )
 
 
+def span_containing_query(
+    positional: DataFrame,
+    big: tuple,
+    little: str,
+    slop: int = 0,
+) -> DataFrame:
+    """Lucene SpanContainingQuery — the dual of ``span_within_query``:
+    count the BIG spans (ordered (t1 … t2) pairs with at most ``slop``
+    tokens between) that contain at least one ``little`` occurrence.
+    Spans are counted by their DISTINCT start position p1 (∃ a valid
+    end p2 with a little hit inside [p1, p2]) — the deterministic,
+    enumeration-order-free convention. -> (doc_id, n_containing),
+    docs with none yield no row.
+
+    Same plan shape as span_within: three doc_id equi-joins of
+    term-filtered positional cells + one nested array quantifier over
+    the stored position arrays — per-row work bounded by
+    tf(t1)·tf(t2)·tf(little), no explode, no corpus-wide positional
+    shuffle."""
+    t1, t2 = big
+    positional = positional.filter(
+        F.col("term").isin(list(dict.fromkeys([t1, t2, little])))
+    ).localCheckpoint(eager=False)
+
+    def cell(t: str, name: str) -> DataFrame:
+        return positional.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(name)
+        )
+
+    j = (
+        cell(t1, "_p1")
+        .join(cell(t2, "_p2"), "doc_id")
+        .join(cell(little, "_p3"), "doc_id")
+    )
+    width = F.lit(int(slop) + 1)
+    starts = F.filter(
+        F.col("_p1"),
+        lambda p1: F.exists(
+            F.col("_p2"),
+            lambda p2: (p2 > p1)
+            & (p2 - p1 <= width)
+            & F.exists(
+                F.col("_p3"),
+                lambda p3: (p3 >= p1) & (p3 <= p2),
+            ),
+        ),
+    )
+    return (
+        j.select(
+            "doc_id", F.size(starts).cast("long").alias("n_containing")
+        )
+        .filter(F.col("n_containing") > 0)
+    )
+
+
 def span_not_query(
     positional: DataFrame,
     include: list[str],

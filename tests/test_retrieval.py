@@ -1602,6 +1602,30 @@ def test_span_within_query(spark):
     assert got2 == {0: 1}
 
 
+def test_span_containing_query(spark):
+    """The dual of span_within: spans counted by DISTINCT start, so
+    two little hits inside one span count once, while two spans each
+    containing a hit count twice."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "x", "b"]),                 # one span, one hit -> 1
+            (1, ["a", "b", "x"]),                 # hit outside -> 0 rows
+            (2, ["a", "x", "x", "b"]),            # two hits, ONE span -> 1
+            (3, ["a", "x", "b", "a", "x", "b"]),  # two spans w/ hits -> 2
+            (4, ["b", "x", "a"]),                 # unordered -> no span
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+    got = {
+        r["doc_id"]: r["n_containing"]
+        for r in rt.span_containing_query(
+            pos, ("a", "b"), "x", slop=2
+        ).collect()
+    }
+    assert got == {0: 1, 2: 1, 3: 2}
+
+
 def test_span_not_query(spark):
     """Hand-built positions: 'a b' spans at 0 and 5; exclusion 'x' at 7
     kills the second span when post >= 1 (span [5,6] widened to [5,7])
