@@ -3433,6 +3433,26 @@ seat0 AS MATERIALIZED (
 
 
 _HEAPS_K = 5
+_ZIPF_TOPN = 20
+
+
+def _zipf_sql() -> str:
+    """Replays textstats.zipf_law: cf ranks (cf DESC, term ASC) and
+    the lag-based local exponent ln(cf_k/cf_{k-1})/ln(k/(k-1))."""
+    return f"""
+WITH {_TOKS},
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+top AS (
+  SELECT term, cf,
+         row_number() OVER (ORDER BY cf DESC, term ASC)::BIGINT AS rank
+  FROM cf QUALIFY rank <= {_ZIPF_TOPN}
+)
+SELECT rank, term, cf,
+       round(ln(cf::DOUBLE / lag(cf) OVER (ORDER BY rank))
+             / ln(rank::DOUBLE / lag(rank) OVER (ORDER BY rank)),
+             4) AS slope
+FROM top
+"""
 
 
 def _heaps_sql() -> str:
@@ -10351,6 +10371,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("beta", 4).alias("beta"),
         )
 
+    def zipf_law(spark, sf):
+        # Zipf rank-frequency law: top-20 cf ranks with the lag-based
+        # local exponent (engine-exact — one log division per rank)
+        out = ts.zipf_law(
+            _docs(spark, sf), top_n=_ZIPF_TOPN, content_col="text"
+        )
+        return out.select(
+            "rank", "term", "cf", F.round("slope", 4).alias("slope")
+        )
+
     def collocations_llr(spark, sf):
         # Dunning LLR bigram collocations, top-20
         out = ts.collocations_llr(
@@ -11469,6 +11499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": centroid_classify,
         "collocations_llr": collocations_llr,
         "heaps_law": heaps_law,
+        "zipf_law": zipf_law,
         "xquad_rerank": xquad_rerank,
         "pm2_rerank": pm2_rerank,
         "index_compact": index_compact,
@@ -11785,6 +11816,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_classify": _centroid_classify_sql(),
         "collocations_llr": _collocations_llr_sql(),
         "heaps_law": _heaps_sql(),
+        "zipf_law": _zipf_sql(),
         "xquad_rerank": _xquad_sql(),
         "pm2_rerank": _pm2_sql(),
         "index_compact": _index_compact_sql(),

@@ -1815,6 +1815,48 @@ def heaps_law(
     )
 
 
+def zipf_law(
+    docs: DataFrame,
+    top_n: int = 20,
+    content_col: str = "content",
+) -> DataFrame:
+    """Zipf's-law rank-frequency report (cf ∝ rank^s, s ≈ −1 for
+    natural text; Zipf'49 / Manning-Raghavan-Schütze IIR §5.1.2) —
+    the frequency-side companion of ``heaps_law``: rank the top_n
+    terms by collection frequency (cf DESC, term ASC — the
+    deterministic cut) and report the LOCAL exponent between adjacent
+    ranks, s_k = ln(cf_k/cf_{k−1}) / ln(k/(k−1)). Like heaps_law's
+    lag-based beta, the local form needs no corpus-wide float sum —
+    each value is one division of two logs, so it is engine-exact —
+    where an OLS fit would hang a 4dp rounding on a fold-ordered
+    Σ ln·ln. A flat head (synthetic uniform vocab) reads s ≈ 0; token
+    noise reads s far below −1.
+    -> (rank, term, cf, slope) — slope NULL at rank 1.
+
+    Plan: one map-side-combined groupBy to cf (vocab-sized), one
+    TakeOrderedAndProject-sized top_n window, K-row lag arithmetic."""
+    toks = docs.select(simple_tokens(content_col).alias("_toks"))
+    cf = (
+        toks.select(F.explode("_toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    top = (
+        cf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(top_n))
+    )
+    wl = Window.orderBy("rank")
+    prev_cf = F.lag("cf").over(wl)
+    prev_rk = F.lag("rank").over(wl)
+    slope = F.when(
+        prev_cf.isNotNull(),
+        F.log(F.col("cf").cast("double") / prev_cf.cast("double"))
+        / F.log(F.col("rank").cast("double") / prev_rk.cast("double")),
+    )
+    return top.select("rank", "term", "cf", slope.alias("slope"))
+
+
 def collocations_llr(
     docs: DataFrame,
     topn: int = 20,

@@ -2502,3 +2502,27 @@ def test_redact_credit_cards_luhn(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_zipf_law_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a b b c"), (1, "a a b d")],
+        "doc_id long, content string",
+    )
+    got = {
+        r["rank"]: r
+        for r in textstats.zipf_law(docs, top_n=3).collect()
+    }
+    # cf: a=6, b=3, c=1, d=1 -> top3 ranks a, b, c (term ASC tie c<d)
+    assert (got[1]["term"], got[1]["cf"]) == ("a", 6)
+    assert (got[2]["term"], got[2]["cf"]) == ("b", 3)
+    assert (got[3]["term"], got[3]["cf"]) == ("c", 1)
+    assert got[1]["slope"] is None
+    assert got[2]["slope"] == pytest.approx(
+        math.log(3 / 6) / math.log(2 / 1)
+    )
+    assert got[3]["slope"] == pytest.approx(
+        math.log(1 / 3) / math.log(3 / 2)
+    )
