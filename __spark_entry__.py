@@ -2653,6 +2653,55 @@ CROSS JOIN stats s
 """
 
 
+_PPMI_TOPN = 3
+
+_PPMI_SQL = f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+band AS (SELECT term, df FROM dft
+         WHERE df >= {_PMI_MIN_DF} AND df <= {_PMI_MAX_DF}),
+p AS (SELECT tf.term, tf.doc_id FROM tf JOIN band USING (term)),
+pairs AS (
+  SELECT l.term AS term_l, r.term AS term_r, count(*)::BIGINT AS co_df
+  FROM p l JOIN p r ON l.doc_id = r.doc_id AND l.term < r.term
+  GROUP BY 1, 2
+),
+f AS (SELECT * FROM pairs WHERE co_df >= {_PMI_MIN_CO}),
+pm AS MATERIALIZED (
+  SELECT f.term_l, f.term_r,
+         ln(s.n_docs * f.co_df / CAST(bl.df * br.df AS DOUBLE)) AS pmi
+  FROM f
+  JOIN band bl ON f.term_l = bl.term
+  JOIN band br ON f.term_r = br.term
+  CROSS JOIN stats s
+  WHERE ln(s.n_docs * f.co_df / CAST(bl.df * br.df AS DOUBLE)) > 0
+),
+v AS MATERIALIZED (
+  SELECT term_l AS term, term_r AS ctx, pmi AS w FROM pm
+  UNION ALL
+  SELECT term_r AS term, term_l AS ctx, pmi AS w FROM pm
+),
+nrm AS MATERIALIZED (
+  SELECT term, sqrt(sum(w * w)) AS nr FROM v GROUP BY 1),
+qt AS (SELECT DISTINCT term AS qterm FROM q),
+qv AS (SELECT q.qterm, v.ctx, v.w FROM v JOIN qt q ON v.term = q.qterm),
+d AS (
+  SELECT qv.qterm, v.term AS neighbor, sum(qv.w * v.w) AS dot
+  FROM qv JOIN v ON v.ctx = qv.ctx
+  WHERE v.term <> qv.qterm
+  GROUP BY 1, 2),
+c AS (
+  SELECT d.qterm, d.neighbor, d.dot / (nq.nr * nn.nr) AS cos
+  FROM d
+  JOIN nrm nq ON nq.term = d.qterm
+  JOIN nrm nn ON nn.term = d.neighbor)
+SELECT qterm, rank, neighbor, round(cos, 4) AS cos FROM (
+  SELECT qterm, neighbor, cos,
+         row_number() OVER (PARTITION BY qterm
+             ORDER BY round(cos, 4) DESC, neighbor ASC)::BIGINT AS rank
+  FROM c) WHERE rank <= {_PPMI_TOPN}
+"""
+
+
 _ASOF_TOL_US = 86_400_000_000  # 24 h lookback tolerance
 
 _ASOF_SQL = f"""
@@ -8660,6 +8709,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pmi", 4).alias("pmi"),
         )
 
+    def ppmi_neighbors(spark, sf):
+        # distributional term similarity: cosine over document-level
+        # PPMI vectors (Turney & Pantel), top-3 neighbors per query
+        # term; inherits term_pmi's df band valves
+        idx = _index(spark, sf)
+        qterms = sorted(
+            {t for _, text in QUERY_SET for t in text.lower().split()}
+        )
+        out = ix.ppmi_neighbors(
+            idx, qterms, topn=_PPMI_TOPN,
+            min_df=_PMI_MIN_DF, max_df=_PMI_MAX_DF,
+            min_co_df=_PMI_MIN_CO,
+        )
+        return out.select(
+            "qterm", "rank", "neighbor", F.round("cos", 4).alias("cos")
+        )
+
     def asof_last_view(spark, sf):
         # point-in-time join: latest 'view' at-or-before each 'click'
         # per user, 24 h tolerance — oracled by DuckDB's native ASOF
@@ -11440,6 +11506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": link_hits,
         "link_ppr": link_ppr,
         "term_pmi": term_pmi,
+        "ppmi_neighbors": ppmi_neighbors,
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
         "hll_distinct": hll_distinct,
@@ -11757,6 +11824,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _HITS_SQL,
         "link_ppr": _PPR_SQL,
         "term_pmi": _PMI_SQL,
+        "ppmi_neighbors": _PPMI_SQL,
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
         "hll_distinct": _hll_distinct_sql(),

@@ -1131,3 +1131,93 @@ def term_cooccurrence_pmi(
             / (F.col("df_l") * F.col("df_r")).cast("double")
         ).alias("pmi"),
     )
+
+
+def ppmi_neighbors(
+    index: InvertedIndex,
+    terms: list[str],
+    topn: int = 3,
+    min_df: int = 1,
+    max_df: int | None = None,
+    min_co_df: int = 1,
+) -> DataFrame:
+    """Distributional term similarity over PPMI vectors (Church &
+    Hanks 1990 association + the positive-PMI vector space of Turney
+    & Pantel JAIR'10): each term's vector is its document-level PPMI
+    with every co-occurring context term (``term_cooccurrence_pmi``
+    clipped at 0), and the neighbors of a query term are the ``topn``
+    vocabulary terms by cosine — the classic pre-embedding synonym /
+    query-expansion candidate miner, computed straight from the
+    postings with no re-tokenization.
+
+    -> (qterm, rank, neighbor, cos) with rank by (4dp-rounded cosine
+    DESC, neighbor ASC) — the engine-stable cut; the query term
+    itself is excluded.
+
+    Scale shape: the pair generator inherits term_cooccurrence_pmi's
+    valves (``max_df`` kills stopword-grade df² fan-out, ``min_df``
+    hapax noise); the PPMI vector table is pair-count-sized and
+    localCheckpoint'ed once for its three consumers (query side,
+    neighbor side, norms) — the LSH-family fan-out rule; the cosine
+    join is restricted to the broadcast query terms, so it is
+    |terms| × shared-context-sized, never vocab × vocab."""
+    pmi = term_cooccurrence_pmi(
+        index, min_df=min_df, max_df=max_df, min_co_df=min_co_df
+    ).filter(F.col("pmi") > 0)
+    vec = (
+        pmi.select(
+            F.col("term_l").alias("term"),
+            F.col("term_r").alias("ctx"),
+            F.col("pmi").alias("w"),
+        )
+        .unionByName(
+            pmi.select(
+                F.col("term_r").alias("term"),
+                F.col("term_l").alias("ctx"),
+                F.col("pmi").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = vec.groupBy("term").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_n")
+    )
+    qv = vec.filter(F.col("term").isin(list(terms))).select(
+        F.col("term").alias("qterm"), "ctx", F.col("w").alias("_wq")
+    )
+    dots = (
+        qv.join(
+            vec.select(
+                F.col("term").alias("neighbor"),
+                "ctx",
+                F.col("w").alias("_wt"),
+            ),
+            "ctx",
+        )
+        .filter(F.col("neighbor") != F.col("qterm"))
+        .groupBy("qterm", "neighbor")
+        .agg(F.sum(F.col("_wq") * F.col("_wt")).alias("_dot"))
+    )
+    cos = (
+        dots.join(
+            F.broadcast(norms.withColumnRenamed("term", "qterm")), "qterm"
+        )
+        .withColumnRenamed("_n", "_nq")
+        .join(
+            F.broadcast(norms.withColumnRenamed("term", "neighbor")),
+            "neighbor",
+        )
+        .select(
+            "qterm",
+            "neighbor",
+            (F.col("_dot") / (F.col("_nq") * F.col("_n"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.round(F.col("cos"), 4).desc(), F.col("neighbor").asc()
+    )
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(topn))
+        .select("qterm", "rank", "neighbor", "cos")
+    )

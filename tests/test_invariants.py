@@ -332,6 +332,33 @@ def test_term_pmi_hand_computed(spark):
     ) == {("b", "c")}
 
 
+def test_ppmi_neighbors_hand_computed(spark):
+    """Same 4-doc corpus as the PMI test: PPMI clips (a,b)/(a,c) to 0
+    (ln(8/6) > 0 actually — recompute): vectors over positive PMI only;
+    check the cosine of the single-context query term."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a c"), (4, "d")],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(
+        docs, ix.IndexConfig(analyzer=AnalyzerConfig(mode="simple"))
+    )
+    out = {
+        (r["qterm"], r["neighbor"]): r
+        for r in ix.ppmi_neighbors(idx, ["b"], topn=3, min_df=2).collect()
+    }
+    # positive PMIs: (a,b)=ln(8/6), (a,c)=ln(8/6); (b,c)=ln(4/4)=0 clipped
+    # vectors: b={a: w}, c={a: w}, a={b: w, c: w} with w=ln(4/3)
+    w = math.log(4 / 3)
+    # cos(b, c): shared ctx a -> w*w / (w * w) = 1
+    assert out[("b", "c")]["cos"] == pytest.approx(1.0, abs=1e-12)
+    # cos(b, a): shared ctx? b's ctx={a}, a's ctx={b,c} -> no overlap
+    assert ("b", "a") not in out
+    assert out[("b", "c")]["rank"] == 1
+
+
 def test_kmv_sketch_deterministic_and_exact_path(spark):
     from luc4ir_spark.functions.hashing import MIX_P, mix_id_np
     from luc4ir_spark.operators import sketches as sk
