@@ -258,6 +258,46 @@ FROM ranked WHERE rank > {lo} AND rank <= {lo + TOPK}
 """
 
 
+_IMP_BITS, _IMP_RHO = 8, 500
+
+
+def _impact_sql() -> str:
+    """Replays wand.impact_quantized_topk: per-term 8-bit impact
+    quantization against the term max, the (impact DESC, term ASC,
+    doc_id ASC) rho cut, dequantized-midpoint scoring."""
+    levels = repr(float(2**_IMP_BITS - 1))
+    denom = repr(float(2**_IMP_BITS))
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+qd AS (SELECT DISTINCT qid, term FROM q),
+j AS (
+  SELECT qd.qid, qd.term, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) AS c
+  FROM qd JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+tm AS (SELECT term, max(c) AS m FROM j GROUP BY 1),
+qi AS (
+  SELECT j.qid, j.term, j.doc_id,
+         floor(j.c / t.m * {levels})::BIGINT AS imp, t.m
+  FROM j JOIN tm t USING (term)
+),
+cut AS (
+  SELECT qid, doc_id, (imp + 0.5) * m / {denom} AS dq FROM (
+    SELECT qi.*, row_number() OVER (PARTITION BY qid
+        ORDER BY imp DESC, term ASC, doc_id ASC)::BIGINT AS pr
+    FROM qi) WHERE pr <= {_IMP_RHO}
+),
+sc AS (SELECT qid, doc_id, sum(dq) AS score FROM cut GROUP BY 1, 2)
+SELECT qid, doc_id, rank, round(score, 4) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM sc) WHERE rank <= {TOPK}
+"""
+
+
 def _covering_sql() -> str:
     """Replays score_queries(min_match_docs=doc_id%3+1): the
     CoveringQuery per-doc threshold as a HAVING on the grouped
@@ -8894,6 +8934,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_shards=_PACK_SHARDS,
         )
 
+    def impact_topk(spark, sf):
+        # impact-ordered anytime ranking (Anh-Moffat quantized
+        # impacts / JASS SaaT): 8-bit per-term quantization, scoring
+        # cut after the rho=500 highest-impact postings per query
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        out = wd.impact_quantized_topk(
+            idx, qt, k=TOPK, bits=_IMP_BITS, rho=_IMP_RHO
+        )
+        return out.select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+
     def bm25_topk_wand(spark, sf):
         # block-max WAND over delta+varbyte compressed postings; must be
         # rank- and score-identical to the exhaustive bm25_topk, so it
@@ -11546,6 +11599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qpp_post": qpp_post,
         "pack_sequences": pack_sequences,
         "bm25_topk_wand": bm25_topk_wand,
+        "impact_topk": impact_topk,
         "eval_metrics": eval_metrics,
         "lmdir_topk": lmdir_topk,
         "lmjm_topk": lmjm_topk,
@@ -11864,6 +11918,7 @@ def oracle_sql() -> dict[str, str]:
         "qpp_post": _qpp_post_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "bm25_topk_wand": _bm25_sql(conjunctive=False),
+        "impact_topk": _impact_sql(),
         "eval_metrics": _EVAL_SQL,
         "lmdir_topk": _lm_sql("lmdir"),
         "lmjm_topk": _lm_sql("lmjm"),

@@ -299,3 +299,41 @@ def test_shard_skew_report_uniformity(spark):
         assert (r["n_postings"], r["total_bytes"]) == exact[s]
     counts = [r["n_postings"] for r in rep.values()]
     assert max(counts) <= 2 * min(counts)  # uniform hash, mild band
+
+
+def test_impact_quantized_topk(spark):
+    from luc4ir_spark.operators.wand import impact_quantized_topk
+
+    docs = synth_docs(120, 60, seed=21)
+    idx = _index_for(spark, docs)
+    # impact ranking deduplicates query terms (weights don't exist in
+    # an impact-ordered store), so compare against exact BM25 over the
+    # SAME deduplicated term set
+    qt = rt.queries_to_terms(spark, QUERIES, SIMPLE).select(
+        "qid", "term"
+    ).distinct()
+    # generous budget + 16-bit quantization: ranking matches exact
+    # BM25 (quantization error << score gaps on this corpus)
+    exact = {}
+    for r in rt.score_queries(idx, qt, k=10).collect():
+        exact.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    approx = {}
+    out = impact_quantized_topk(
+        idx, qt, k=10, bits=16, rho=10**9
+    ).collect()
+    for r in out:
+        approx.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    for qid in exact:
+        assert [d for _, d in sorted(exact[qid])] == [
+            d for _, d in sorted(approx[qid])
+        ], qid
+    # the rho budget actually bites: a tiny budget returns fewer /
+    # different docs but never more than k, and scores stay positive
+    small = impact_quantized_topk(idx, qt, k=10, bits=8, rho=5).collect()
+    per_q = {}
+    for r in small:
+        per_q.setdefault(r["qid"], []).append(r)
+        assert r["score"] > 0
+    assert all(len(v) <= 10 for v in per_q.values())
+    # rho=5 can score at most 5 postings -> at most 5 docs per query
+    assert all(len(v) <= 5 for v in per_q.values())
