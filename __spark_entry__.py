@@ -2742,6 +2742,42 @@ SELECT qterm, rank, neighbor, round(cos, 4) AS cos FROM (
 """
 
 
+_SNM_WIN, _SNM_KEYLEN, _SNM_BLOCKLEN, _SNM_THR = 4, 24, 4, 0.8
+
+_SNM_SQL = f"""
+WITH {_TOKS},
+d AS (SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                    1, {_SNM_KEYLEN}) AS key
+      FROM documents),
+b AS (SELECT doc_id, key, substr(key, 1, {_SNM_BLOCKLEN}) AS block FROM d),
+rk AS (SELECT doc_id, block,
+              row_number() OVER (PARTITION BY block
+                  ORDER BY key ASC, doc_id ASC) AS rn
+       FROM b),
+cands AS (
+  SELECT least(l.doc_id, r.doc_id) AS a,
+         greatest(l.doc_id, r.doc_id) AS b
+  FROM rk l JOIN rk r
+    ON l.block = r.block AND r.rn > l.rn
+   AND r.rn <= l.rn + {_SNM_WIN - 1}),
+tok AS (SELECT DISTINCT doc_id, term FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS common
+  FROM cands c
+  JOIN tok x ON x.doc_id = c.a
+  JOIN tok y ON y.doc_id = c.b AND y.term = x.term
+  GROUP BY 1, 2)
+SELECT i.a, i.b,
+       round(i.common / (sa.sz + sb.sz - i.common)::DOUBLE, 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.common / (sa.sz + sb.sz - i.common)::DOUBLE >= {_SNM_THR}
+"""
+
+
 _ASOF_TOL_US = 86_400_000_000  # 24 h lookback tolerance
 
 _ASOF_SQL = f"""
@@ -8749,6 +8785,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pmi", 4).alias("pmi"),
         )
 
+    def snm_pairs(spark, sf):
+        # sorted-neighborhood near-dup candidates (Hernández-Stolfo):
+        # block-partitioned key sort, window-4 band join, token-set
+        # Jaccard verify at 0.8
+        out = dd.sorted_neighborhood_pairs(
+            _docs(spark, sf), window=_SNM_WIN, key_len=_SNM_KEYLEN,
+            block_len=_SNM_BLOCKLEN, threshold=_SNM_THR,
+            content_col="text",
+        )
+        return out.select("a", "b", "jaccard")
+
     def ppmi_neighbors(spark, sf):
         # distributional term similarity: cosine over document-level
         # PPMI vectors (Turney & Pantel), top-3 neighbors per query
@@ -11560,6 +11607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_ppr": link_ppr,
         "term_pmi": term_pmi,
         "ppmi_neighbors": ppmi_neighbors,
+        "snm_pairs": snm_pairs,
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
         "hll_distinct": hll_distinct,
@@ -11879,6 +11927,7 @@ def oracle_sql() -> dict[str, str]:
         "link_ppr": _PPR_SQL,
         "term_pmi": _PMI_SQL,
         "ppmi_neighbors": _PPMI_SQL,
+        "snm_pairs": _SNM_SQL,
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
         "hll_distinct": _hll_distinct_sql(),

@@ -1642,3 +1642,118 @@ def lsh_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    key_len: int = 24,
+    block_len: int = 4,
+    threshold: float = 0.5,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood near-duplicate candidates (Hernández &
+    Stolfo SIGMOD'95, the merge/purge method) — the third blocking
+    family beside MinHash-LSH banding and SimHash pigeonholes: sort
+    records by a normalization key and compare each record only to
+    its ``window − 1`` successors in sort order, then verify with
+    exact token-set Jaccard. -> (a, b, jaccard), a < b, jaccard ≥
+    ``threshold``.
+
+    Key = first ``key_len`` chars of the alnum-squashed lowercase
+    text; BLOCK = its first ``block_len`` chars. The sort runs INSIDE
+    blocks (row_number partitioned by block) — never a global
+    single-partition window — so block cardinality is the parallelism
+    and the block boundary is the documented miss source (classic SNM
+    answers it with multi-pass over different keys, same as LSH's
+    multiple bands). The blocked relation is repartitioned by block
+    and localCheckpoint'ed once for the alias self-join (house rule
+    from the LSH pair operators); the window band join is
+    block-equality + a rank-difference predicate, so each block
+    produces ≤ |block|·(window−1) candidates — linear in corpus size
+    for fixed window, the whole point of SNM."""
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(content_col)), "[^a-z0-9]", ""),
+        1,
+        int(key_len),
+    )
+    keyed = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), key.alias("_key"),
+        )
+        .withColumn("_block", F.substring("_key", 1, int(block_len)))
+        .repartition("_block")
+    )
+    w = Window.partitionBy("_block").orderBy(
+        F.col("_key").asc(), F.col("doc_id").asc()
+    )
+    ranked = keyed.withColumn(
+        "_rn", F.row_number().over(w)
+    ).localCheckpoint(eager=False)
+    l = ranked.select(
+        F.col("_block").alias("_bl"),
+        F.col("doc_id").alias("_dl"),
+        F.col("_rn").alias("_rl"),
+    )
+    r = ranked.select(
+        F.col("_block").alias("_br"),
+        F.col("doc_id").alias("_dr"),
+        F.col("_rn").alias("_rr"),
+    )
+    cands = (
+        l.join(
+            r.hint("merge"),
+            (F.col("_bl") == F.col("_br"))
+            & (F.col("_rr") > F.col("_rl"))
+            & (F.col("_rr") <= F.col("_rl") + int(window) - 1),
+        )
+        .select(
+            F.least("_dl", "_dr").alias("a"),
+            F.greatest("_dl", "_dr").alias("b"),
+        )
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.array_remove(
+                    F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
+                    "",
+                )
+            )
+        ).alias("term"),
+    ).localCheckpoint(eager=False)
+    sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), "term")
+    tb = toks.select(
+        F.col("doc_id").alias("_b2"), F.col("term").alias("_tb")
+    )
+    inter = (
+        cands.join(ta, "a")
+        .join(
+            tb,
+            (F.col("b") == F.col("_b2"))
+            & (F.col("term") == F.col("_tb")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("a"), F.col("_sz").alias("_sa")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("b"), F.col("_sz").alias("_sb")
+    )
+    jac = (
+        F.col("_common")
+        / (F.col("_sa") + F.col("_sb") - F.col("_common")).cast("double")
+    )
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(jac >= float(threshold))
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    )

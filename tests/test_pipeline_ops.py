@@ -2526,3 +2526,36 @@ def test_zipf_law_hand_computed(spark):
     assert got[3]["slope"] == pytest.approx(
         math.log(1 / 3) / math.log(3 / 2)
     )
+
+
+def test_sorted_neighborhood_pairs(spark):
+    """Blocked SNM: docs sharing the key prefix land in one block and
+    get compared within the window; docs in other blocks never pair.
+    Jaccard verify prunes dissimilar neighbors."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),  # near-dup of 1
+            (3, "alpha beta zzz qqq xxx yyy www vvv"),  # same block, far
+            (4, "omega psi chi"),                   # different block
+        ],
+        "doc_id long, content string",
+    )
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.sorted_neighborhood_pairs(
+            docs, window=4, key_len=10, block_len=4, threshold=0.5
+        ).collect()
+    }
+    # docs 1/2: tokens {alpha..delta} vs +epsilon -> jaccard 4/5
+    assert out == {(1, 2): 0.8}
+    # threshold 0 exposes every in-window candidate; cross-block
+    # pairs (doc 4 is in block 'omeg') still never appear
+    allp = {
+        (r["a"], r["b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            docs, window=4, key_len=10, block_len=4, threshold=0.0
+        ).collect()
+    }
+    assert (1, 2) in allp
+    assert not any(4 in p for p in allp)
