@@ -2742,6 +2742,52 @@ SELECT qterm, rank, neighbor, round(cos, 4) AS cos FROM (
 """
 
 
+_QSEG_THR = 0.0
+
+
+def _qseg_sql() -> str:
+    """Replays qsel.query_segmentation: corpus-adjacency PMI glue,
+    boundary when the query bigram is unseen or glue < threshold,
+    running boundary sum as the segment id."""
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in QUERY_SET)
+    return f"""
+WITH qq(qid, text) AS (VALUES {vals}),
+t AS (SELECT list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), x -> x <> '') AS tk FROM documents),
+e AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM t
+      WHERE len(tk) >= 2),
+bg AS (SELECT tk[i::INT] AS w1, tk[(i+1)::INT] AS w2,
+              count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+l AS (SELECT w1, sum(c)::BIGINT AS c1 FROM bg GROUP BY 1),
+r AS (SELECT w2, sum(c)::BIGINT AS c2 FROM bg GROUP BY 1),
+tt AS (SELECT sum(c)::BIGINT AS n FROM bg),
+glue AS (SELECT bg.w1, bg.w2,
+                ln(tt.n * bg.c / (l.c1 * r.c2)::DOUBLE) AS g
+         FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt),
+qt AS MATERIALIZED (
+  SELECT qid, i - 1 AS pos, toks[i::INT] AS token
+  FROM (SELECT qid, list_filter(regexp_split_to_array(lower(text),
+          '[^a-z0-9]+'), x -> x <> '') AS toks FROM qq),
+       unnest(range(1, len(toks) + 1)) AS u(i)),
+qbg AS (SELECT a.qid, b.pos, a.token AS w1, b.token AS w2
+        FROM qt a JOIN qt b ON b.qid = a.qid AND b.pos = a.pos + 1),
+bounds AS (
+  SELECT qbg.qid, qbg.pos,
+         CASE WHEN g.g IS NULL OR g.g < {_QSEG_THR}
+              THEN 1 ELSE 0 END AS b
+  FROM qbg LEFT JOIN glue g ON g.w1 = qbg.w1 AND g.w2 = qbg.w2),
+seg AS (
+  SELECT qt.qid, qt.pos, qt.token,
+         sum(coalesce(b.b, 0)) OVER (PARTITION BY qt.qid ORDER BY qt.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS seg
+  FROM qt LEFT JOIN bounds b ON b.qid = qt.qid AND b.pos = qt.pos)
+SELECT qid, seg, string_agg(token, ' ' ORDER BY pos) AS phrase,
+       count(*)::BIGINT AS n_terms
+FROM seg GROUP BY 1, 2
+"""
+
+
 _SNM_WIN, _SNM_KEYLEN, _SNM_BLOCKLEN, _SNM_THR = 4, 24, 4, 0.8
 
 _SNM_SQL = f"""
@@ -9768,6 +9814,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("qid", "term")
 
+    def query_segmentation(spark, sf):
+        # PMI-glue query segmentation (Bergsma-Wang family): split at
+        # adjacent pairs with unseen or below-threshold corpus glue
+        from luc4ir_spark.operators import qsel
+
+        qq = spark.createDataFrame(QUERY_SET, "qid string, text string")
+        out = qsel.query_segmentation(
+            _docs(spark, sf), qq, threshold=_QSEG_THR, content_col="text"
+        )
+        return out.select("qid", "seg", "phrase", "n_terms")
+
     def rr_histogram(spark, sf):
         # reciprocal-rank bucket histogram (reference:
         # evaluator/AllRetrievedResults.java:70-88)
@@ -11724,6 +11781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_topk": classic_topk,
         "spell_suggest": spell_suggest,
         "verbose_qsel": verbose_qsel,
+        "query_segmentation": query_segmentation,
         "rr_histogram": rr_histogram,
         "rm_weights": rm_weights,
         "rm1_iid_weights": rm1_iid_weights,
@@ -12050,6 +12108,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_topk": _CLASSIC_SQL,
         "spell_suggest": _spell_suggest_sql(),
         "verbose_qsel": _QSEL_SQL,
+        "query_segmentation": _qseg_sql(),
         "rr_histogram": _RR_HIST_SQL,
         "rm_weights": _RM_SQL,
         "rm1_iid_weights": _RM_IID_SQL,

@@ -84,3 +84,30 @@ def test_hyperbolic_rerank(spark, index):
     scores = [r["score"] for r in rows]
     assert all(s >= 0 for s in scores)
     assert scores == sorted(scores)
+
+
+def test_query_segmentation_glue(spark):
+    """'new york' repeats adjacently (high glue) so it stays one
+    segment; 'york pizza' never co-occurs adjacently -> boundary;
+    unseen bigrams (OOV word) always split."""
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york new york city"),
+            (2, "pizza oven pizza slice"),
+            (3, "new york again and new york"),
+        ],
+        "doc_id long, content string",
+    )
+    qq = spark.createDataFrame(
+        [("q1", "new york pizza"), ("q2", "qqq new")],
+        "qid string, text string",
+    )
+    got = {
+        (r["qid"], r["seg"]): (r["phrase"], r["n_terms"])
+        for r in qsel.query_segmentation(docs, qq, threshold=0.0).collect()
+    }
+    assert got[("q1", 0)] == ("new york", 2)
+    assert got[("q1", 1)] == ("pizza", 1)
+    # OOV leading token: unseen bigram -> boundary after the first token
+    assert got[("q2", 0)] == ("qqq", 1)
+    assert got[("q2", 1)] == ("new", 1)
