@@ -11474,6 +11474,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(base, ignore_errors=True)
         return res
 
+    def event_distinct_streamed(spark, sf):
+        # STREAMING windowed distinct-user counts, same two-sentinel
+        # flush discipline as event_window_streamed; the distinct set
+        # is exact (collect_set size), so the batch oracle replays it
+        import shutil
+        import tempfile
+        from datetime import datetime
+
+        from luc4ir_spark.streaming.event_stream import (
+            start_windowed_distinct_users,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_du_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        sent = [
+            (10**9, datetime(2030, 1, 1), -1, "sentinel", 0.0, ""),
+            (10**9 + 1, datetime(2030, 2, 1), -1, "sentinel", 0.0, ""),
+        ]
+        waves = [
+            ev_df.unionByName(spark.createDataFrame(sent[:1], schema)),
+            spark.createDataFrame(sent[1:], schema),
+        ]
+        for wave in waves:
+            wave.write.mode("append").parquet(in_dir)
+            q = start_windowed_distinct_users(
+                spark, in_dir, out_dir, window="1 hour",
+                watermark="2 hours", schema=schema,
+            )
+            q.awaitTermination(300)
+        out = spark.read.parquet(os.path.join(out_dir, "windows"))
+        sel = out.select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+        rows = sel.collect()
+        res = spark.createDataFrame(rows, sel.schema)
+        shutil.rmtree(base, ignore_errors=True)
+        return res
+
     def frame_sample_plan(spark, sf):
         # multimodal row-expansion plumbing: synthesize a deterministic
         # video table from documents (media bytes = text, duration_ms =
@@ -11865,6 +11912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
         "event_window_streamed": event_window_streamed,
+        "event_distinct_streamed": event_distinct_streamed,
         "event_window_hopping": event_window_hopping,
         "event_funnel": event_funnel,
         "event_transitions": event_transitions,
@@ -12313,6 +12361,16 @@ UNION ALL SELECT 3::BIGINT, 'purchase',
             " SELECT date_trunc('hour', ts)::VARCHAR AS window_start,"
             " event_type, count(*)::BIGINT AS n_events,"
             " round(sum(value), 4) AS sum_value"
+            " FROM ev2 GROUP BY 1, 2"
+        ),
+        "event_distinct_streamed": (
+            "WITH ev2 AS ("
+            " SELECT ts, event_type, user_id FROM events"
+            " UNION ALL SELECT TIMESTAMP '2030-01-01 00:00:00',"
+            " 'sentinel', -1)"
+            " SELECT date_trunc('hour', ts)::VARCHAR AS window_start,"
+            " event_type, count(*)::BIGINT AS n_events,"
+            " count(DISTINCT user_id)::BIGINT AS n_users"
             " FROM ev2 GROUP BY 1, 2"
         ),
         "event_ewma": _event_ewma_sql(),

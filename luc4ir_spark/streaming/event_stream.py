@@ -212,3 +212,49 @@ def start_sessionize_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_windowed_distinct_users(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    schema: str = EVENT_SCHEMA,
+):
+    """Streaming per-(window, event_type) DISTINCT-user counts —
+    the audience-size twin of ``start_windowed_event_counts``: the
+    distinct set rides the watermarked window aggregate as a
+    ``collect_set(user_id)`` whose SIZE is emitted on window close
+    (exact, hence batch-replayable — unlike approx_count_distinct's
+    engine-internal HLL++ sketch, which has no cross-engine oracle).
+    State per open window is the distinct-user set itself: bounded by
+    the window's audience, dropped at watermark — the documented
+    trade against sketch-bounded memory; switch to HLL state when
+    per-window audiences outgrow executors (the batch `hll_distinct`
+    operator holds the register layout). Returns the StreamingQuery;
+    rows append under ``out_dir/windows``."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "windows"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -339,3 +339,38 @@ def test_attribution_stream_equals_batch(spark, tmp_path):
         for r in read_attribution_pairs(spark, out_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streamed_distinct_users_match_batch(spark, tmp_path):
+    from luc4ir_spark.streaming.event_stream import (
+        start_windowed_distinct_users,
+    )
+
+    in_dir = str(tmp_path / "incoming_du")
+    out_dir = str(tmp_path / "out_du")
+    os.makedirs(in_dir)
+    wave1 = [
+        (0, datetime(2024, 1, 1, 0, 10), 1, "click", 1.0),
+        (1, datetime(2024, 1, 1, 0, 40), 1, "click", 2.0),  # same user
+        (2, datetime(2024, 1, 1, 0, 50), 2, "click", 3.0),
+        (3, datetime(2024, 1, 1, 1, 15), 3, "view", 4.0),
+    ]
+    sentinel = [(99, datetime(2024, 1, 5, 0, 0), 9, "sentinel", 0.0)]
+    for wave in (wave1, sentinel):
+        _write(spark, wave, in_dir)
+        q = start_windowed_distinct_users(
+            spark, in_dir, out_dir, window="1 hour", watermark="2 hours"
+        )
+        q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_events"], r["n_users"]
+        )
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "windows")
+        ).collect()
+    }
+    # hour 0 'click': 3 events, 2 distinct users; hour 1 'view': 1/1
+    assert [v for k, v in got.items() if k[1] == "click"] == [(3, 2)]
+    assert [v for k, v in got.items() if k[1] == "view"] == [(1, 1)]
+    assert not any(k[1] == "sentinel" for k in got)
