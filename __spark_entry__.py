@@ -4364,6 +4364,20 @@ def _sim2_sql(kind: str) -> str:
             f" + 0.5 * ln({two_pi} * tfn) / ln(2.0))"
             " / (tfn + 1.0)"
         )
+    elif kind == "dph":
+        # DPH (parameter-free DFR hypergeometric, Terrier DPH):
+        # tfn here is the relative frequency f = tf/dl; single-term
+        # docs (tf == dl) contribute 0 exactly as in the engine.
+        # 2*pi emitted via repr so both engines get the same double.
+        two_pi = repr(2.0 * math.pi)
+        tfn = "tf.tf / dl.doc_len"
+        score = (
+            "CASE WHEN tf < dl_len THEN"
+            " (1.0 - tfn) * (1.0 - tfn) / (tf + 1.0)"
+            " * (tf * ln(tf * avgdl / dl_len * n_docs / cf) / ln(2.0)"
+            f"    + 0.5 * ln({two_pi} * tf * (1.0 - tfn)) / ln(2.0))"
+            " ELSE 0.0 END"
+        )
     elif kind == "dfi":
         # DFI standardized independence (Lucene DFISimilarity):
         # tfn here is the EXPECTED tf under independence,
@@ -4381,6 +4395,7 @@ WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 post AS (
   SELECT q.qid, tf.doc_id, dft.df * 1.0 AS df, s.n_docs * 1.0 AS n_docs,
          dft.cf * 1.0 / s.n_docs AS lam, tf.tf * 1.0 AS tf,
+         dft.cf * 1.0 AS cf, dl.doc_len * 1.0 AS dl_len, s.avgdl AS avgdl,
          {tfn} AS tfn
   FROM q JOIN dft USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
@@ -9159,6 +9174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IndependenceStandardized)
         return _lm_run(spark, sf, "dfi")
 
+    def dph_topk(spark, sf):
+        # DPH (parameter-free DFR hypergeometric, Terrier DPH)
+        return _lm_run(spark, sf, "dph")
+
     def boosting_topk(spark, sf):
         # BoostingQuery parity: docs containing the demote term stay in
         # the list but are pushed down by negative_boost before ranking
@@ -11757,6 +11776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_topk": lmjm_topk,
         "dfr_topk": dfr_topk,
         "pl2_topk": pl2_topk,
+        "dph_topk": dph_topk,
         "dfi_topk": dfi_topk,
         "sdm_topk": sdm_topk,
         "ib_topk": ib_topk,
@@ -12079,6 +12099,7 @@ def oracle_sql() -> dict[str, str]:
         "lmjm_topk": _lm_sql("lmjm"),
         "dfr_topk": _sim2_sql("dfr_inl2"),
         "pl2_topk": _sim2_sql("pl2"),
+        "dph_topk": _sim2_sql("dph"),
         "dfi_topk": _sim2_sql("dfi"),
         "sdm_topk": _sdm_sql(),
         "ib_topk": _sim2_sql("ib_ll"),

@@ -42,7 +42,7 @@ BM25_B_DEFAULT = 0.3
 @dataclass(frozen=True)
 class Similarity:
     kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
-    #                   # | dfr_inl2 | ib_ll | f2exp | pl2 | dfi
+    #                   # | dfr_inl2 | ib_ll | f2exp | pl2 | dfi | dph
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
@@ -186,6 +186,27 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             F.log((tf - expected) / F.sqrt(expected) + F.lit(1.0)) / ln2
         )
         return w * F.when(tf > expected, raw).otherwise(F.lit(0.0))
+    if sim.kind == "dph":
+        # DPH (Amati's parameter-free DFR hypergeometric model —
+        # Terrier DPH; no tunable constants at all):
+        # f = tf/dl, norm = (1-f)^2/(tf+1),
+        # score = norm * (tf*log2(tf*avgdl/dl * N/cf)
+        #                 + 0.5*log2(2*pi*tf*(1-f))).
+        # Degenerate single-term documents (tf == dl, f == 1) would
+        # take log2(0); they contribute 0 instead (documented
+        # divergence from Terrier, which never guards because such
+        # docs score -inf and drop out anyway). Arithmetic shape
+        # mirrors the oracle SQL term-for-term.
+        f_rel = tf / dl
+        norm = (F.lit(1.0) - f_rel) * (F.lit(1.0) - f_rel) / (tf + F.lit(1.0))
+        info = tf * F.log(
+            tf * F.lit(stats.avgdl) / dl
+            * F.lit(float(stats.n_docs)) / F.col("cf").cast("double")
+        ) / ln2
+        tail = F.lit(0.5) * F.log(
+            F.lit(2.0 * math.pi) * tf * (F.lit(1.0) - f_rel)
+        ) / ln2
+        return w * F.when(tf < dl, norm * (info + tail)).otherwise(F.lit(0.0))
     if sim.kind == "f2exp":
         # Axiomatic F2EXP (Fang & Zhai SIGIR'05; Lucene
         # AxiomaticF2EXP, s=0.5, k=0.35):

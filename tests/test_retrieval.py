@@ -1485,6 +1485,52 @@ def test_dfi_hand_computed(spark, index):
     assert saw_positive  # the closed form was actually exercised
 
 
+def test_dph_hand_computed(spark, index):
+    """Single-term query: per-doc DPH (parameter-free hypergeometric
+    DFR, Terrier DPH) scores vs the published closed form
+    (f = tf/dl, norm = (1-f)^2/(tf+1), score = norm*(tf*log2(
+    tf*avgdl/dl*N/cf) + 0.5*log2(2*pi*tf*(1-f)))) in pure Python;
+    a degenerate tf == dl doc contributes 0."""
+    toks, n, dls, avgdl, df = _tiny_stats()
+    cf = sum(ts.count("spark") for ts in toks.values())
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    log2 = math.log(2.0)
+    run = rt.score_queries(
+        index, qt, k=10, sim=rt.Similarity(kind="dph")
+    ).collect()
+    assert run
+    for r in run:
+        tf = toks[r["doc_id"]].count("spark")
+        dl = dls[r["doc_id"]]
+        if tf >= dl:
+            exp = 0.0
+        else:
+            f = tf / dl
+            norm = (1.0 - f) ** 2 / (tf + 1.0)
+            exp = norm * (
+                tf * math.log(tf * avgdl / dl * n / cf) / log2
+                + 0.5 * math.log(2.0 * math.pi * tf * (1.0 - f)) / log2
+            )
+        assert r["score"] == pytest.approx(exp, rel=1e-12), r["doc_id"]
+
+
+def test_dph_single_term_doc_scores_zero(spark):
+    """A document that is entirely one repeated term (tf == dl) takes
+    the guarded 0 branch instead of log2(0) = -inf."""
+    docs = spark.createDataFrame(
+        [(0, "zzz zzz zzz"), (1, "zzz appears here once more zzz")],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=EN))
+    qt = rt.queries_to_terms(spark, [("q", "zzz")], EN)
+    run = rt.score_queries(
+        idx, qt, k=10, sim=rt.Similarity(kind="dph")
+    ).collect()
+    by_doc = {r["doc_id"]: r["score"] for r in run}
+    assert by_doc[0] == 0.0
+    assert by_doc[1] != 0.0 and math.isfinite(by_doc[1])
+
+
 def test_boosting_query(spark, index):
     """Docs matching the demote term keep their slot but at score*0.25;
     undemoted docs are untouched; ordering reflects demotion."""
