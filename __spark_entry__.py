@@ -2096,6 +2096,46 @@ GROUP BY p.qid, n.n_common
 """
 
 
+def _tau_ap_sql() -> str:
+    """Replays evaluation.tau_ap (Yilmaz et al. SIGIR'08) over the
+    bm25 (reference) and lmdir (observed) runs: densified ranks within
+    the shared set, per-pair concordance scaled by L DIV (rb-1) so the
+    inner sum is an exact BIGINT (L = lcm(1..31), matching the
+    operator's max_k=32 default), then ONE double division."""
+    scale = math.lcm(*range(1, 32))
+    return f"""
+WITH {_two_run_ctes()},
+shared AS (
+  SELECT b.qid, b.doc_id, b.rank AS ra0, l.rank AS rb0
+  FROM (SELECT * FROM rb WHERE rank <= {TOPK}) b
+  JOIN (SELECT * FROM rl WHERE rank <= {TOPK}) l USING (qid, doc_id)
+),
+d AS MATERIALIZED (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY ra0) AS ra,
+         rb
+  FROM (
+    SELECT qid, doc_id, ra0,
+           row_number() OVER (PARTITION BY qid ORDER BY rb0) AS rb
+    FROM shared
+  ) WHERE rb <= 32
+),
+pairs AS (
+  SELECT r.qid,
+         (CASE WHEN l.ra < r.ra THEN 1 ELSE 0 END)
+         * ({scale} // (r.rb - 1)) AS s
+  FROM d l JOIN d r ON l.qid = r.qid AND l.rb < r.rb
+),
+n AS (SELECT qid, count(*)::BIGINT AS n_common FROM d GROUP BY 1)
+SELECT p.qid, n.n_common,
+       round(2.0 * sum(p.s) / ({float(scale)!r} * (n.n_common - 1))
+             - 1.0, 4) AS tau_ap
+FROM pairs p JOIN n USING (qid)
+WHERE n.n_common >= 2
+GROUP BY p.qid, n.n_common
+"""
+
+
 _TOKEN_STATS_SQL = r"""
 WITH t AS (
   SELECT lang,
@@ -8280,6 +8320,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r1, r2 = _two_runs(spark, sf)
         return ev.rank_correlation(r1, r2)
 
+    def tau_ap(spark, sf):
+        # top-weighted AP rank correlation (Yilmaz et al. SIGIR'08) of
+        # the lmdir run against the bm25 run as reference; exact
+        # scaled-BIGINT inner sum, one double division
+        r1, r2 = _two_runs(spark, sf)
+        return ev.tau_ap(r1, r2)
+
     def bigram_lm_xent(spark, sf):
         # interpolated bigram corpus-LM quality signal
         return ts.bigram_cross_entropy(
@@ -11711,6 +11758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_upsert": index_upsert,
         "trec_pooling": trec_pooling,
         "rank_correlation": rank_correlation,
+        "tau_ap": tau_ap,
         "bigram_lm_xent": bigram_lm_xent,
         "suggest_next": suggest_next,
         "normalize_text": normalize_text,
@@ -12034,6 +12082,7 @@ def oracle_sql() -> dict[str, str]:
         "index_upsert": _upsert_sql(),
         "trec_pooling": _pooling_sql(),
         "rank_correlation": _rank_corr_sql(),
+        "tau_ap": _tau_ap_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
         "suggest_next": _suggest_next_sql(),
         "normalize_text": _normalize_text_sql(),

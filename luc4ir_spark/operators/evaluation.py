@@ -1511,6 +1511,89 @@ def rank_correlation(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
     )
 
 
+def tau_ap(
+    run_ref: DataFrame, run_obs: DataFrame, max_k: int = 32
+) -> DataFrame:
+    """Per-query AP rank correlation tau_AP (Yilmaz, Aslam & Robertson,
+    SIGIR'08 "A new rank correlation coefficient for information
+    retrieval") — the TOP-WEIGHTED alternative to Kendall's tau
+    (``rank_correlation``): swaps near rank 1 cost more than swaps deep
+    in the list, mirroring how AP weights precision. Over the docs BOTH
+    runs retrieve (ranks densified to 1..n per run within the shared
+    set; the observed side truncated to its top ``max_k``), with rb the
+    observed and ra the reference rank,
+    C(i) = #{j : rb_j < rb_i and ra_j < ra_i} and
+    tau_AP = (2/(n-1)) * sum_{i: rb_i>=2} C(i)/(rb_i - 1) - 1.
+
+    Float discipline (the repo's scaled-BIGINT convention): the terms
+    C/(i-1) are non-dyadic, so a naive double sum is fold-order
+    sensitive. Every term is instead scaled by L = lcm(1..max_k-1):
+    S = sum C_i * (L DIV (rb_i - 1)) is an exact BIGINT (each rb_i - 1
+    divides L), and tau_AP = 2*S/(L*(n-1)) - 1 is ONE double division —
+    bit-identical on any engine. max_k <= 32 keeps S <= 31*lcm(1..31)
+    ~ 2.2e15 < 2^53, so even the final doubles are exact. Queries with
+    fewer than 2 shared docs are omitted.
+
+    Plan shape: one (qid, doc_id) equi-join of two run-sized relations,
+    two per-qid rank windows, a per-qid pair self-join bounded by k^2
+    per query (never corpus-sized), one map-side-combined groupBy."""
+    if not 2 <= int(max_k) <= 32:
+        raise ValueError("tau_ap: need 2 <= max_k <= 32 (int64 bound)")
+    scale = math.lcm(*range(1, int(max_k)))
+    a = run_ref.select("qid", "doc_id", F.col("rank").alias("_ra0"))
+    b = run_obs.select("qid", "doc_id", F.col("rank").alias("_rb0"))
+    shared = a.join(b, ["qid", "doc_id"])
+    wb = Window.partitionBy("qid").orderBy("_rb0")
+    kept = (
+        shared.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= int(max_k))
+    )
+    wa = Window.partitionBy("qid").orderBy("_ra0")
+    d = kept.select(
+        "qid",
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.col("rb"),
+    )
+    l, r = d.alias("l"), d.alias("r")
+    # pair rows: r is the item at observed rank rb_i >= 2, l any item
+    # ranked above it; every i has exactly rb_i - 1 pair rows, so the
+    # qid groupBy below sees the full inner sum without a per-i pass
+    pairs = l.join(
+        r,
+        (F.col("l.qid") == F.col("r.qid"))
+        & (F.col("l.rb") < F.col("r.rb")),
+    ).select(
+        F.col("l.qid").alias("qid"),
+        (
+            F.when(F.col("l.ra") < F.col("r.ra"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            * F.expr(f"{scale} DIV (r.rb - 1)")
+        ).alias("s"),
+    )
+    n_shared = d.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        pairs.groupBy("qid")
+        .agg(F.sum("s").cast("long").alias("ssum"))
+        .join(n_shared, "qid")
+        .filter(F.col("n_common") >= 2)
+        .select(
+            "qid",
+            "n_common",
+            F.round(
+                F.lit(2.0)
+                * F.col("ssum")
+                / (F.lit(float(scale)) * (F.col("n_common") - 1))
+                - F.lit(1.0),
+                4,
+            ).alias("tau_ap"),
+        )
+    )
+
+
 def risk_metric(
     per_query_a: DataFrame,
     per_query_b: DataFrame,

@@ -266,6 +266,64 @@ def test_rank_correlation_hand_computed(spark):
     assert got == {"q1": (3, 1.0), "q2": (3, -1.0)}
 
 
+def test_tau_ap_hand_computed(spark):
+    """tau_AP vs a pure-Python replay of the SIGIR'08 definition,
+    including the top-weighting that distinguishes it from Kendall:
+    q1 identical -> 1, q2 reversed -> -1, q3 a top swap and q4 a
+    bottom swap of the same 4 items give DIFFERENT tau_AP (the bottom
+    swap is cheaper), q5 single shared doc omitted."""
+    from luc4ir_spark.operators import evaluation as ev
+
+    ref_rows, obs_rows, expected = [], [], {}
+    cases = {
+        "q1": [1, 2, 3, 4],
+        "q2": [4, 3, 2, 1],
+        "q3": [2, 1, 3, 4],  # swap at the top
+        "q4": [1, 2, 4, 3],  # swap at the bottom
+    }
+    for qid, order in cases.items():
+        n = len(order)
+        for r, d in enumerate(order, 1):
+            obs_rows.append((qid, d, r))
+        for d in range(1, n + 1):
+            ref_rows.append((qid, d, d))
+        # pure-Python tau_AP: ref rank of doc d is d itself
+        s = 0.0
+        for i in range(2, n + 1):
+            di = order[i - 1]
+            c = sum(1 for j in range(1, i) if order[j - 1] < di)
+            s += c / (i - 1)
+        expected[qid] = (n, round(2.0 * s / (n - 1) - 1.0, 4))
+    ref_rows.append(("q5", 1, 1))
+    obs_rows.append(("q5", 1, 1))
+    ra = spark.createDataFrame(
+        ref_rows, "qid string, doc_id long, rank long"
+    )
+    rb = spark.createDataFrame(
+        obs_rows, "qid string, doc_id long, rank long"
+    )
+    got = {
+        r["qid"]: (r["n_common"], r["tau_ap"])
+        for r in ev.tau_ap(ra, rb).collect()
+    }
+    assert got == expected
+    assert got["q1"] == (4, 1.0) and got["q2"] == (4, -1.0)
+    # top-weighting: the top swap hurts more than the bottom swap
+    assert got["q3"][1] < got["q4"][1]
+
+
+def test_tau_ap_max_k_bounds(spark):
+    from luc4ir_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [("q", 1, 1)], "qid string, doc_id long, rank long"
+    )
+    with pytest.raises(ValueError):
+        ev.tau_ap(df, df, max_k=1)
+    with pytest.raises(ValueError):
+        ev.tau_ap(df, df, max_k=33)
+
+
 def test_extended_metrics_hand_computed(frames):
     run, qrels = frames
     got = {
