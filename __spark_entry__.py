@@ -144,6 +144,13 @@ _TOKEN_BUDGET = 800
 # DisjunctionMaxQuery gate: max + tie * (sum of the other clauses)
 _DISMAX_TIE = 0.3
 
+# spatial radius gate: integer tick grid side, cell/radius, y salt,
+# three query points (interior / mid / corner)
+_SPATIAL_GRID = 400
+_SPATIAL_RADIUS = 40
+_SPATIAL_SALT = 7919
+_SPATIAL_QUERIES = [("q1", 50, 50), ("q2", 200, 333), ("q3", 399, 0)]
+
 # WildcardQuery gate: * = any sequence, ? = one char
 _WILDCARD_SET: list[tuple[str, str]] = [
     ("w1", "s*"),
@@ -2093,6 +2100,45 @@ SELECT p.qid, n.n_common,
 FROM pairs p JOIN n USING (qid)
 WHERE n.n_common >= 2
 GROUP BY p.qid, n.n_common
+"""
+
+
+def _spatial_sql() -> str:
+    """Replays spatial.grid_radius_join NAIVELY (cross join + exact
+    integer dist2 filter — semantics identical to the grid prune, which
+    is only a candidate superset): mix-derived integer ticks, squared
+    euclidean, distance-sorted rank."""
+    from luc4ir_spark.functions import hashing as hx
+
+    def mx(key: str) -> str:
+        return (
+            f"(({hx.MIX_A} * (({key}) % {hx.MIX_P}) + {hx.MIX_B})"
+            f" % {hx.MIX_P})"
+        )
+
+    vals = ", ".join(
+        f"('{q}', {x}, {y})" for q, x, y in _SPATIAL_QUERIES
+    )
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         {mx('doc_id')} % {_SPATIAL_GRID} AS x,
+         {mx(f'doc_id + {_SPATIAL_SALT}')} % {_SPATIAL_GRID} AS y
+  FROM documents
+),
+q(qid, qx, qy) AS (VALUES {vals}),
+cand AS (
+  SELECT q.qid, p.doc_id,
+         ((p.x - q.qx) * (p.x - q.qx)
+          + (p.y - q.qy) * (p.y - q.qy))::BIGINT AS dist2
+  FROM pts p CROSS JOIN q
+  WHERE (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+        <= {_SPATIAL_RADIUS * _SPATIAL_RADIUS}
+)
+SELECT qid, doc_id, dist2,
+       (row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id)
+       )::BIGINT AS rank
+FROM cand
 """
 
 
@@ -9055,6 +9101,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pr", 4).alias("pr"),
         )
 
+    def spatial_radius(spark, sf):
+        # grid-partitioned radius search (LatLonPoint.newDistanceQuery
+        # + distance-sorted collector parity): integer tick coordinates
+        # derived from doc_id via the portable mix hash, cell side ==
+        # radius so the 3x3 broadcast neighbor join is a superset of
+        # every true hit, exact int64 squared-distance rank
+        from luc4ir_spark.functions import hashing as hx
+        from luc4ir_spark.operators import spatial as spat
+
+        pts = _docs(spark, sf).select(
+            "doc_id",
+            F.pmod(hx.mix_id_expr("doc_id"), F.lit(_SPATIAL_GRID))
+            .cast("long")
+            .alias("x"),
+            F.pmod(
+                hx.mix_id_expr(F.col("doc_id") + F.lit(_SPATIAL_SALT)),
+                F.lit(_SPATIAL_GRID),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        qs = spark.createDataFrame(
+            _SPATIAL_QUERIES, "qid string, qx long, qy long"
+        )
+        return spat.grid_radius_join(pts, qs, radius=_SPATIAL_RADIUS)
+
     def zorder_events(spark, sf):
         # Morton z-values for the (user bucket, hour bucket) layout —
         # the data-skipping clustering key; pure integer bit math on
@@ -11759,6 +11831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_pooling": trec_pooling,
         "rank_correlation": rank_correlation,
         "tau_ap": tau_ap,
+        "spatial_radius": spatial_radius,
         "bigram_lm_xent": bigram_lm_xent,
         "suggest_next": suggest_next,
         "normalize_text": normalize_text,
@@ -12083,6 +12156,7 @@ def oracle_sql() -> dict[str, str]:
         "trec_pooling": _pooling_sql(),
         "rank_correlation": _rank_corr_sql(),
         "tau_ap": _tau_ap_sql(),
+        "spatial_radius": _spatial_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
         "suggest_next": _suggest_next_sql(),
         "normalize_text": _normalize_text_sql(),
