@@ -5662,6 +5662,42 @@ WHERE d.doc_id NOT IN
   (SELECT doc_id FROM clusters WHERE cluster_id < doc_id)
 """
 
+_DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {_JACCARD_SQL}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS label FROM sym
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN sym e ON e.a = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+),
+memq AS MATERIALIZED (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM memq
+  ) WHERE rn = 1
+),
+dropn AS (
+  -- EXCEPT would read cleaner, but inside a WITH RECURSIVE block
+  -- DuckDB rejects any non-UNION setop CTE
+  SELECT doc_id FROM memq
+  WHERE doc_id NOT IN (SELECT doc_id FROM surv)
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropn)
+"""
+
 _MINHASH_SQL = f"""
 WITH {_TOKS}, {_SHINGLES}, {_SIDS}, {_minhash_params_values()}
 SELECT sh.doc_id, p.hash_id,
@@ -10100,6 +10136,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"),
         )
 
+    def dedup_survivors(spark, sf):
+        # survivorship dedup: keep the LONGEST member per near-dup
+        # component (n_chars quality, doc_id tie-break) — the
+        # CCNet/RefinedWeb keep-best policy vs dedup_corpus's min-id
+        pairs = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
+        kept = dd.dedup_corpus_survivor(
+            _docs(spark, sf), pairs, quality_col="n_chars"
+        )
+        return kept.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
     def decontaminate(spark, sf):
         # eval-set decontamination (GPT-3/PaLM-style trigram overlap):
         # eval corpus = every 19th doc; the train side is never shuffled
@@ -11983,6 +12033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         "dup_clusters": dup_clusters,
         "dedup_corpus": dedup_corpus,
+        "dedup_survivors": dedup_survivors,
         "kl_rerank": kl_rerank,
         "expand_query_terms": expand_query_terms,
         "feedback_rerank_run": feedback_rerank_run,
@@ -12314,6 +12365,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "dedup_corpus": _DEDUP_CORPUS_SQL,
+        "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "kl_rerank": _KL_SQL,
         "expand_query_terms": _EXPAND_SQL,
         "feedback_rerank_run": _FDBK_RERANK_SQL,

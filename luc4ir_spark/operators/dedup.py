@@ -1371,6 +1371,60 @@ def dedup_corpus(
     return docs.join(drop, id_col, "left_anti")
 
 
+def dedup_corpus_survivor(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    quality_col: str = "n_chars",
+    max_iter: int = 20,
+) -> DataFrame:
+    """``dedup_corpus`` with a SURVIVORSHIP policy: per near-dup
+    component keep the member with the HIGHEST ``quality_col`` (ties to
+    the smaller doc_id) instead of the minimum doc_id — what production
+    crawl pipelines actually do (CCNet keeps the best-perplexity copy,
+    RefinedWeb/C4-style passes keep the longest), so a truncated or
+    boilerplate-padded mirror never shadows the canonical page.
+
+    ``quality_col`` is read off ``docs`` and must be numeric (it is
+    negated for the struct-min argmax). Untouched singletons pass
+    through unchanged, and output rows are ``docs`` rows verbatim.
+
+    Scale shape: identical to ``dedup_corpus`` — every derived relation
+    is bounded by the docs that appear in ANY pair, never the corpus.
+    The quality lookup joins the cluster table (pair-graph-sized)
+    against a two-column docs projection; the argmax is one map-side-
+    combined struct-min groupBy; the corpus is scanned once for that
+    projection and once through the final ``left_anti`` (broadcast by
+    AQE while the drop list is small)."""
+    clusters = duplicate_clusters(
+        pairs, a_col=a_col, b_col=b_col, max_iter=max_iter
+    )
+    q = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")
+    )
+    m = clusters.join(q, "doc_id")
+    # min(struct(-q, doc_id)): max quality, ties to the LOWER doc_id —
+    # the same lexicographic struct-extreme both engines agree on
+    surv = (
+        m.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_q")).alias("nq"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.d").alias("doc_id"))
+    )
+    drop = m.select("doc_id").join(surv, "doc_id", "left_anti")
+    return docs.join(
+        drop.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 # chunk_idx packing for the span-keeper key: doc_id * 2^20 + chunk_idx.
 # chunk_idx < 2^20 holds for any document under ~52M whitespace tokens
 # (span_tokens >= 50 at crawl scale); doc_id must stay under 2^43 for

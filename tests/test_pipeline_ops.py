@@ -829,6 +829,38 @@ def test_dedup_corpus_keep_one_per_cluster(spark):
     assert kept == [1, 7, 9]
 
 
+def test_dedup_corpus_survivor_keeps_best_quality(spark):
+    # same graph as the min-id test, but with a quality column: the
+    # 1~2~3 component keeps 2 (highest q), 7~8 keeps 8 on the q tie to
+    # the smaller... no — ties go to the SMALLER doc_id, so (7,8) with
+    # equal q keeps 7; 9 (no pairs) passes through
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (8, 5), (9, 1)],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_corpus_survivor(
+            docs, pairs, quality_col="q"
+        ).collect()
+    )
+    assert kept == [2, 7, 9]
+
+
+def test_dedup_corpus_survivor_rows_verbatim(spark):
+    # output rows are docs rows untouched (schema + values)
+    docs = spark.createDataFrame(
+        [(1, 3, "a"), (2, 8, "b")], "doc_id long, q long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = dedup.dedup_corpus_survivor(docs, pairs, quality_col="q")
+    assert out.columns == docs.columns
+    assert [tuple(r) for r in out.collect()] == [(2, 8, "b")]
+
+
 def test_duplicate_clusters_transitive_via_lsh_pairs(spark, tokens_df):
     # composes with a real pair operator: every pair's endpoints land
     # in the same cluster, and cluster ids are cluster minima
