@@ -3252,6 +3252,34 @@ FROM combos
 """
 
 
+_LDIV_L = 3
+
+
+def _l_diversity_sql() -> str:
+    """Replays eventops.l_diversity_report: the k-anonymity profile
+    CTEs, then per-activity-bucket exact distinct of the dominant
+    type."""
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN n <= {1 << i} THEN {1 << i}" for i in range(20)
+        )
+        + f" ELSE {1 << 20} END"
+    )
+    return f"""
+WITH ut AS (SELECT user_id, event_type AS etype, count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2),
+prof AS (SELECT user_id, sum(c)::BIGINT AS n,
+                (max(struct_pack(c := c, t := etype))).t AS top_type
+         FROM ut GROUP BY 1)
+SELECT ({case})::BIGINT AS activity_bucket,
+       count(*)::BIGINT AS n_users,
+       count(DISTINCT top_type)::BIGINT AS n_sensitive,
+       count(DISTINCT top_type) < {_LDIV_L} AS at_risk
+FROM prof GROUP BY 1
+"""
+
+
 _ABANDON_SQL = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
            FROM events),
@@ -10622,6 +10650,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "activity_bucket", "top_type", "n_users", "at_risk"
         )
 
+    def l_diversity(spark, sf):
+        # distinct l-diversity audit: same QI classes as k_anonymity,
+        # sensitive attribute = dominant event type; classes with
+        # < l distinct sensitive values flagged
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.l_diversity_report(ev_df, l=_LDIV_L)
+        return out.select(
+            "activity_bucket", "n_users", "n_sensitive", "at_risk"
+        )
+
     def session_abandonment(spark, sf):
         # gaps-and-islands sessions with no click/purchase = abandoned
         from luc4ir_spark.operators import eventops as eo
@@ -11982,6 +12022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inf_ap": inf_ap,
         "session_abandonment": session_abandonment,
         "k_anonymity": k_anonymity,
+        "l_diversity": l_diversity,
         "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
@@ -12308,6 +12349,7 @@ def oracle_sql() -> dict[str, str]:
         "inf_ap": _inf_ap_sql(),
         "session_abandonment": _ABANDON_SQL,
         "k_anonymity": _k_anonymity_sql(),
+        "l_diversity": _l_diversity_sql(),
         "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),

@@ -531,28 +531,82 @@ def k_anonymity_report(
     Plan shape: two map-side-combined aggregates (user×type counts →
     user profiles) + one profile-cardinality-sized rollup. The raw log
     is scanned once."""
-    ut = events.groupBy(
-        F.col(user_col).alias("user_id"),
-        F.col(type_col).alias("etype"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    prof = ut.groupBy("user_id").agg(
-        F.sum("c").cast("long").alias("_n"),
-        F.max(
-            F.struct(F.col("c").alias("c"), F.col("etype").alias("t"))
-        ).alias("_m"),
-    )
-    n = F.col("_n")
-    bucket = F.lit(1 << 20)
-    for bd in [1 << i for i in range(20)][::-1]:
-        bucket = F.when(n <= F.lit(bd), F.lit(bd)).otherwise(bucket)
+    prof = _user_type_profiles(events, user_col, type_col)
     combos = prof.select(
-        bucket.cast("long").alias("activity_bucket"),
+        _activity_bucket(F.col("_n")).cast("long").alias(
+            "activity_bucket"
+        ),
         F.col("_m.t").alias("top_type"),
     ).groupBy("activity_bucket", "top_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
     return combos.withColumn(
         "at_risk", F.col("n_users") < F.lit(int(k))
+    )
+
+
+def _user_type_profiles(
+    events: DataFrame, user_col: str, type_col: str
+) -> DataFrame:
+    """(user_id, _n total events, _m = max(struct(count, type))) — the
+    shared profile derivation of the privacy audits; two map-side-
+    combined aggregates, the raw log scanned once."""
+    ut = events.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return ut.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("_n"),
+        F.max(
+            F.struct(F.col("c").alias("c"), F.col("etype").alias("t"))
+        ).alias("_m"),
+    )
+
+
+def _activity_bucket(n):
+    """Power-of-two activity bucket as an all-integer CASE chain
+    (never log2 floats cross-engine)."""
+    bucket = F.lit(1 << 20)
+    for bd in [1 << i for i in range(20)][::-1]:
+        bucket = F.when(n <= F.lit(bd), F.lit(bd)).otherwise(bucket)
+    return bucket
+
+
+def l_diversity_report(
+    events: DataFrame,
+    l: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. ICDE'06) —
+    the attribute-disclosure complement of ``k_anonymity_report``: a
+    class of users sharing a quasi-identifier can be k-anonymous yet
+    still leak if (nearly) all of them share the same SENSITIVE value.
+    Here the QI equivalence class is the power-of-two activity bucket
+    and the sensitive attribute is the user's dominant event type (the
+    same derivations as the k-audit, so the two reports describe the
+    same release); a class exhibiting fewer than ``l`` distinct
+    sensitive values is flagged. Distinct (not entropy) l-diversity
+    keeps every output column integer-exact.
+    -> (activity_bucket, n_users, n_sensitive, at_risk).
+
+    Plan shape: the shared two-aggregate profile derivation, then one
+    profile-sized exact distinct aggregate. The raw log is scanned
+    once."""
+    prof = _user_type_profiles(events, user_col, type_col)
+    classes = prof.select(
+        _activity_bucket(F.col("_n")).cast("long").alias(
+            "activity_bucket"
+        ),
+        F.col("_m.t").alias("_sens"),
+    ).groupBy("activity_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count_distinct(F.col("_sens")).cast("long").alias(
+            "n_sensitive"
+        ),
+    )
+    return classes.withColumn(
+        "at_risk", F.col("n_sensitive") < F.lit(int(l))
     )
 
 

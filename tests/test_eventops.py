@@ -368,6 +368,39 @@ def test_k_anonymity_report_hand_computed(spark):
     assert out[(4, "a")]["at_risk"] is True
 
 
+def test_l_diversity_report_hand_computed(spark):
+    """Bucket 2 holds u1 (top 'b') and u2 (top 'b') — one distinct
+    sensitive value, flagged at l=2 even though it IS 2-anonymous;
+    bucket 4 holds u3 (top 'a') and u4 (top 'c') — two distinct values,
+    diverse."""
+    rows = [
+        (0, datetime(2024, 1, 1, 1), 1, "a"),
+        (1, datetime(2024, 1, 1, 2), 1, "b"),
+        (2, datetime(2024, 1, 1, 1), 2, "a"),
+        (3, datetime(2024, 1, 1, 2), 2, "b"),
+        (4, datetime(2024, 1, 1, 1), 3, "a"),
+        (5, datetime(2024, 1, 1, 2), 3, "a"),
+        (6, datetime(2024, 1, 1, 3), 3, "b"),
+        (7, datetime(2024, 1, 1, 1), 4, "c"),
+        (8, datetime(2024, 1, 1, 2), 4, "c"),
+        (9, datetime(2024, 1, 1, 3), 4, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["activity_bucket"]: r
+        for r in eo.l_diversity_report(ev, l=2).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2]["n_users"] == 2
+    assert out[2]["n_sensitive"] == 1
+    assert out[2]["at_risk"] is True
+    assert out[4]["n_users"] == 2
+    assert out[4]["n_sensitive"] == 2
+    assert out[4]["at_risk"] is False
+
+
 def test_session_abandonment_hand_computed(spark):
     """u1: one session with a click (converted) + a second session
     (gap > 30 min) with views only (abandoned); u2: one purchase-only
