@@ -5690,6 +5690,74 @@ WHERE d.doc_id NOT IN
   (SELECT doc_id FROM clusters WHERE cluster_id < doc_id)
 """
 
+def _url_normalize_sql() -> str:
+    """Replays textstats.normalize_urls over the mix-derived
+    pseudo-URLs: same regexes, same tracking-prefix substr filter,
+    bytewise param sort (DuckDB list_sort == Spark array_sort on
+    ASCII); list_aggregate over an empty list is NULL -> coalesce."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mx = (f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B})"
+          f" % {hx.MIX_P})")
+    keep = (
+        "x <> '' AND substr(x, 1, 4) <> 'utm_'"
+        " AND substr(x, 1, 6) <> 'fbclid'"
+        " AND substr(x, 1, 5) <> 'gclid'"
+        " AND substr(x, 1, 7) <> 'msclkid'"
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || 'site' || ({mx} % 50)::VARCHAR || '.Example.COM'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+         || '/p/' || doc_id::VARCHAR
+         || '?b=2&utm_source=feed&a=' || (doc_id % 7)::VARCHAR
+         || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM u
+),
+p2 AS (
+  SELECT doc_id, nofrag,
+         lower(regexp_extract(nofrag,
+               '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(nofrag,
+               '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1)) AS hostport,
+         regexp_extract(nofrag,
+               '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(nofrag, '\?(.*)$', 1) AS rawq
+  FROM parts
+),
+p3 AS (
+  SELECT doc_id, nofrag, scheme, hostport,
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https'
+                THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END, '^www\.', '') AS host,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         coalesce(list_aggregate(list_sort(list_filter(
+           string_split(rawq, '&'), x -> {keep})),
+           'string_agg', '&'), '') AS q
+  FROM p2
+)
+SELECT doc_id,
+       CASE WHEN hostport = '' THEN lower(nofrag)
+            ELSE scheme || '://' || host || path
+                 || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+       END AS url_norm,
+       host
+FROM p3
+"""
+
+
 _DEDUP_SURVIVORS_SQL = f"""
 WITH RECURSIVE pairs AS (
   {_JACCARD_SQL}
@@ -10164,6 +10232,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"),
         )
 
+    def url_normalize(spark, sf):
+        # RFC 3986 URL canonicalization (the crawl-dedup key):
+        # pseudo-URLs derived from doc_id with every normalization
+        # hazard planted (case, www, default port, tracking params,
+        # unsorted query, fragment)
+        from luc4ir_spark.functions import hashing as hx
+        from luc4ir_spark.operators import textstats as ts2
+
+        d = _docs(spark, sf)
+        url = F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+                F.lit("http")
+            ),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("site"),
+            (F.pmod(hx.mix_id_expr("doc_id"), F.lit(50))).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&utm_source=feed&a="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(
+                F.lit("")
+            ),
+        )
+        out = ts2.normalize_urls(
+            d.select("doc_id", url.alias("url")), url_col="url"
+        )
+        return out.select("doc_id", "url_norm", "host")
+
     def dedup_survivors(spark, sf):
         # survivorship dedup: keep the LONGEST member per near-dup
         # component (n_chars quality, doc_id tie-break) — the
@@ -12074,6 +12178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         "dup_clusters": dup_clusters,
         "dedup_corpus": dedup_corpus,
+        "url_normalize": url_normalize,
         "dedup_survivors": dedup_survivors,
         "kl_rerank": kl_rerank,
         "expand_query_terms": expand_query_terms,
@@ -12407,6 +12512,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "dedup_corpus": _DEDUP_CORPUS_SQL,
+        "url_normalize": _url_normalize_sql(),
         "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "kl_rerank": _KL_SQL,
         "expand_query_terms": _EXPAND_SQL,

@@ -2000,6 +2000,101 @@ def suggest_next_words(
     )
 
 
+"""URL canonicalization — the crawl-dedup key every web pipeline
+computes before anything touches page bytes (CC dedup keys on
+normalized URL first; see also RFC 3986 §6 syntax-based
+normalization)."""
+
+# tracking params stripped by normalize_urls: the click-id / campaign
+# junk whose presence forks one page into dozens of "distinct" URLs
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
+
+
+def normalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RFC 3986 syntax-based URL normalization plus the standard crawl
+    conventions -> (id_col, url_col untouched, url_norm, host):
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1)
+    - fragment removed (never sent to the server)
+    - default port stripped (:80 for http, :443 for https)
+    - leading ``www.`` stripped from the host (the aggressive variant
+      crawl dedup uses — document mirrors collapse)
+    - query params: tracking params (``TRACKING_PARAM_PREFIXES``,
+      matched by literal prefix — substr, not LIKE, so the underscore
+      is not a wildcard) dropped, the rest SORTED bytewise and
+      rejoined, empty query dropped entirely
+    - empty path becomes ``/``
+
+    Everything is scan-local codegen string work (regexp_extract /
+    split / array_sort / HOF filter as a projection — no explode, no
+    shuffle, no UDF): at crawl scale this is a free pass over the
+    manifest. Malformed URLs (no ``scheme://host``) degrade
+    gracefully: url_norm = the fragment-stripped lowercased original,
+    host = ''."""
+    url = F.col(url_col)
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(
+            nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1
+        )
+    )
+    host = F.when(scheme == "http", F.regexp_replace(hostport, ":80$", "")).otherwise(
+        F.when(
+            scheme == "https", F.regexp_replace(hostport, ":443$", "")
+        ).otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(
+        nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    keep_pred = " AND ".join(
+        f"substr(x, 1, {len(p)}) <> '{p}'"
+        for p in TRACKING_PARAM_PREFIXES
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.expr(
+                f"filter(split({'_rawq'}, '&'), x -> x <> '' AND {keep_pred})"
+            )
+        ),
+        "&",
+    )
+    base = df.select(
+        F.col(id_col), url.alias(url_col), F.coalesce(rawq, F.lit("")).alias("_rawq")
+    )
+    out = base.withColumn("_q", q).select(
+        id_col,
+        url_col,
+        F.when(
+            hostport == "",
+            F.lower(nofrag),
+        )
+        .otherwise(
+            F.concat(
+                scheme,
+                F.lit("://"),
+                host,
+                path,
+                F.when(F.col("_q") == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), F.col("_q"))
+                ),
+            )
+        )
+        .alias("url_norm"),
+        host.alias("host"),
+    )
+    return out
+
+
 # accent-fold map for normalize_for_dedup: the latin-1/latin-ext
 # letters CCNet's unicode normalization folds to ascii; a literal
 # translate so any engine replays it byte-for-byte

@@ -2203,6 +2203,34 @@ def test_suggest_next_words_hand_computed(spark):
     assert got == [("go", 2, 1), ("stop", 1, 2)]
 
 
+def test_normalize_urls_hand_computed(spark):
+    cases = [
+        # (raw, expected_norm, expected_host)
+        ("HTTP://WWW.Example.COM:80/Path/X?b=2&utm_source=f&a=1#frag",
+         "http://example.com/Path/X?a=1&b=2", "example.com"),
+        ("https://Site.org:443/", "https://site.org/", "site.org"),
+        # :443 NOT stripped for http, :80 not stripped for https
+        ("http://h.com:443/p", "http://h.com:443/p", "h.com:443"),
+        # empty path -> /, empty query dropped, gclid dropped
+        ("https://www.a.io?gclid=z", "https://a.io/", "a.io"),
+        # params sorted bytewise; non-tracking utm-lookalike kept
+        ("http://x.co/p?z=1&utmost=2&y=3",
+         "http://x.co/p?utmost=2&y=3&z=1", "x.co"),
+        # malformed: lowercased, fragment stripped, host ''
+        ("not a url #frag", "not a url ", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: (r["url_norm"], r["host"])
+        for r in textstats.normalize_urls(df).collect()
+    }
+    for i, (_, norm, host) in enumerate(cases):
+        assert got[i] == (norm, host), (i, got[i])
+
+
 def test_normalize_for_dedup_hand_computed(spark):
     """Case, accents, digit classing, punctuation and whitespace all
     fold; two boilerplate variants land on the SAME digest."""
