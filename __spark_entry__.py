@@ -7861,6 +7861,28 @@ FROM r WHERE rank <= {_DSIR_TOPN}
 _PBM_Q, _PBM_D, _PBM_POS, _PBM_ITERS = 8, 25, 5, 2
 
 
+_CASCADE_SQL = f"""
+WITH imp AS (
+  SELECT event_id // 8 AS serp_id,
+         (event_id % 8) + 1 AS pos,
+         (event_id % {_PBM_D})::BIGINT AS doc_id,
+         event_type = 'click' AS clicked
+  FROM events
+),
+fc AS (SELECT serp_id, min(pos) AS fc FROM imp WHERE clicked GROUP BY 1),
+ex AS (
+  SELECT i.doc_id, i.pos, i.clicked, f.fc
+  FROM imp i LEFT JOIN fc f USING (serp_id)
+  WHERE f.fc IS NULL OR i.pos <= f.fc
+)
+SELECT doc_id, count(*)::BIGINT AS n_exam,
+       sum(CASE WHEN clicked AND pos = fc THEN 1 ELSE 0 END)::BIGINT
+         AS n_clicks,
+       round(sum(CASE WHEN clicked AND pos = fc THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS attractiveness
+FROM ex GROUP BY 1
+"""
+
 def _click_model_sql() -> str:
     """Replays evaluation.pbm_click_model over the deterministic
     impression log derived from events (qid = user_id%Q, doc =
@@ -11362,6 +11384,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("gamma", 4).alias("gamma"),
         )
 
+    def click_model_cascade(spark, sf):
+        # cascade click model (Craswell WSDM'08), closed-form MLE:
+        # SERPs of 8 contiguous events, examined = at-or-above the
+        # first click; attractiveness = clicks / examinations
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        imp = ev_df.select(
+            F.expr("event_id DIV 8").alias("serp_id"),
+            ((F.col("event_id") % 8) + 1).alias("pos"),
+            (F.col("event_id") % _PBM_D).cast("long").alias("doc_id"),
+            (F.col("event_type") == "click").alias("clicked"),
+        )
+        return ev.cascade_click_model(imp)
+
     def snippets(spark, sf):
         # simplified highlighter: window around the earliest query-term
         # occurrence in each BM25 hit
@@ -12102,6 +12137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_wilcoxon": run_wilcoxon,
         "run_friedman": run_friedman,
         "click_model_pbm": click_model_pbm,
+        "click_model_cascade": click_model_cascade,
         "dsir_select": dsir_select,
         "length_buckets": length_buckets,
         "centroid_classify": centroid_classify,
@@ -12430,6 +12466,7 @@ def oracle_sql() -> dict[str, str]:
         "run_wilcoxon": _run_wilcoxon_sql(),
         "run_friedman": _run_friedman_sql(),
         "click_model_pbm": _click_model_sql(),
+        "click_model_cascade": _CASCADE_SQL,
         "dsir_select": _dsir_select_sql(),
         "length_buckets": _length_buckets_sql(),
         "centroid_classify": _centroid_classify_sql(),

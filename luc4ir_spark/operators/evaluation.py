@@ -1135,6 +1135,69 @@ def pbm_click_model(
     return gamma_df, rel_df
 
 
+def cascade_click_model(
+    impressions: DataFrame,
+    serp_col: str = "serp_id",
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    click_col: str = "clicked",
+) -> DataFrame:
+    """Cascade click model (Craswell et al. WSDM'08 §2.4) — the
+    closed-form counterpart of ``pbm_click_model``: the user scans a
+    SERP top-down, clicks the first attractive result and stops, so a
+    result is EXAMINED iff no higher-ranked result in the same SERP was
+    clicked. The MLE needs no EM: attractiveness(d) = clicks(d) /
+    examinations(d) over the per-SERP first-click geometry.
+
+    Conventions (PyClick's CM training): only the FIRST click of a SERP
+    is the cascade click (later clicks violate the model and are
+    ignored); a clickless SERP examined every shown position.
+    -> (doc_id, n_exam, n_clicks, attractiveness), integers + ONE
+    division (engine-portable like the PBM gate's statistics).
+
+    Plan shape: one per-SERP min-click-pos aggregate (map-side
+    combined), joined back LEFT so clickless SERPs keep all rows, then
+    one per-doc aggregate. The log is scanned once; shuffle keys are
+    serp_id then doc_id — both natural partitions, no skew beyond the
+    data's own hot docs."""
+    c = impressions.select(
+        F.col(serp_col).alias("serp_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(click_col).cast("boolean").alias("clicked"),
+    )
+    first_click = (
+        c.filter(F.col("clicked"))
+        .groupBy("serp_id")
+        .agg(F.min("pos").alias("_fc"))
+    )
+    examined = c.join(first_click, "serp_id", "left").filter(
+        F.col("_fc").isNull() | (F.col("pos") <= F.col("_fc"))
+    )
+    return (
+        examined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exam"),
+            F.sum(
+                F.when(
+                    F.col("clicked") & (F.col("pos") == F.col("_fc")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_clicks"),
+        )
+        .select(
+            "doc_id",
+            "n_exam",
+            "n_clicks",
+            F.round(F.col("n_clicks") / F.col("n_exam"), 4).alias(
+                "attractiveness"
+            ),
+        )
+    )
+
+
 def rbo_weights(k: int, p: float) -> list[float]:
     """Per-first-shared-depth RBO weights: a doc whose LATER rank
     across the two lists is m contributes Σ_{d=m..k} (1-p)·p^(d-1)/d

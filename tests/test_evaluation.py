@@ -312,6 +312,32 @@ def test_tau_ap_hand_computed(spark):
     assert got["q3"][1] < got["q4"][1]
 
 
+def test_cascade_click_model_hand_computed(spark):
+    """SERP 1: docs a,b,c at pos 1,2,3, click at 2 -> a,b examined,
+    b clicked, c NOT examined. SERP 2: a,c shown, no click -> both
+    examined. SERP 3: clicks at 2 AND 3 -> only the FIRST click (doc c
+    at pos 2) counts; pos-3 doc ignored entirely."""
+    from luc4ir_spark.operators import evaluation as ev
+
+    rows = [
+        (1, "a", 1, False), (1, "b", 2, True), (1, "c", 3, False),
+        (2, "a", 1, False), (2, "c", 2, False),
+        (3, "b", 1, False), (3, "c", 2, True), (3, "a", 3, True),
+    ]
+    imp = spark.createDataFrame(
+        rows, "serp_id long, doc_id string, pos long, clicked boolean"
+    )
+    got = {
+        r["doc_id"]: (r["n_exam"], r["n_clicks"], r["attractiveness"])
+        for r in ev.cascade_click_model(imp).collect()
+    }
+    assert got == {
+        "a": (2, 0, 0.0),   # serp1 pos1 + serp2 pos1; serp3 pos3 cut
+        "b": (2, 1, 0.5),   # serp1 click, serp3 pos1 examined
+        "c": (2, 1, 0.5),   # serp2 examined, serp3 first click
+    }
+
+
 def test_tau_ap_max_k_bounds(spark):
     from luc4ir_spark.operators import evaluation as ev
 
