@@ -5690,11 +5690,13 @@ WHERE d.doc_id NOT IN
   (SELECT doc_id FROM clusters WHERE cluster_id < doc_id)
 """
 
-def _url_normalize_sql() -> str:
-    """Replays textstats.normalize_urls over the mix-derived
-    pseudo-URLs: same regexes, same tracking-prefix substr filter,
-    bytewise param sort (DuckDB list_sort == Spark array_sort on
-    ASCII); list_aggregate over an empty list is NULL -> coalesce."""
+def _url_norm_ctes() -> str:
+    """Shared CTE block replaying textstats.normalize_urls over the
+    mix-derived pseudo-URLs (same regexes, same tracking-prefix substr
+    filter, bytewise param sort — DuckDB list_sort == Spark array_sort
+    on ASCII; list_aggregate over an empty list is NULL -> coalesce).
+    Consumers read from ``p3`` (doc_id, nofrag, scheme, hostport,
+    host, path, q)."""
     from luc4ir_spark.functions import hashing as hx
 
     mx = (f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B})"
@@ -5705,8 +5707,7 @@ def _url_normalize_sql() -> str:
         " AND substr(x, 1, 5) <> 'gclid'"
         " AND substr(x, 1, 7) <> 'msclkid'"
     )
-    return f"""
-WITH u AS (
+    return f"""u AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
          || '://'
@@ -5747,7 +5748,13 @@ p3 AS (
            string_split(rawq, '&'), x -> {keep})),
            'string_agg', '&'), '') AS q
   FROM p2
-)
+)"""
+
+
+def _url_normalize_sql() -> str:
+    """Full normalize_urls replay: final recompose over ``p3``."""
+    return f"""
+WITH {_url_norm_ctes()}
 SELECT doc_id,
        CASE WHEN hostport = '' THEN lower(nofrag)
             ELSE scheme || '://' || host || path
@@ -5755,6 +5762,32 @@ SELECT doc_id,
        END AS url_norm,
        host
 FROM p3
+"""
+
+
+_HOST_CAP = 12
+
+
+def _host_stats_sql() -> str:
+    """Replays textstats.host_stats over the normalized hosts joined
+    back to the documents' n_chars quality."""
+    return f"""
+WITH {_url_norm_ctes()},
+j AS (
+  SELECT p3.host, d.n_chars
+  FROM p3 JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT host, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM j GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS t FROM j)
+SELECT per.host, per.n_docs, per.total_chars,
+       round(per.total_chars * 1.0 / per.n_docs, 4) AS avg_chars,
+       round(per.n_docs * 1.0 / tot.t, 4) AS doc_share,
+       per.n_docs > {_HOST_CAP} AS over_cap
+FROM per CROSS JOIN tot
 """
 
 
@@ -10254,16 +10287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"),
         )
 
-    def url_normalize(spark, sf):
-        # RFC 3986 URL canonicalization (the crawl-dedup key):
-        # pseudo-URLs derived from doc_id with every normalization
-        # hazard planted (case, www, default port, tracking params,
-        # unsorted query, fragment)
+    def _pseudo_url_expr():
+        # deterministic pseudo-URL with every normalization hazard
+        # planted (case, www, default port, tracking params, unsorted
+        # query, fragment); twin of _url_norm_ctes()'s `u` CTE
         from luc4ir_spark.functions import hashing as hx
-        from luc4ir_spark.operators import textstats as ts2
 
-        d = _docs(spark, sf)
-        url = F.concat(
+        return F.concat(
             F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
                 F.lit("http")
             ),
@@ -10285,10 +10315,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("")
             ),
         )
+
+    def url_normalize(spark, sf):
+        # RFC 3986 URL canonicalization (the crawl-dedup key)
+        from luc4ir_spark.operators import textstats as ts2
+
+        d = _docs(spark, sf)
         out = ts2.normalize_urls(
-            d.select("doc_id", url.alias("url")), url_col="url"
+            d.select("doc_id", _pseudo_url_expr().alias("url")),
+            url_col="url",
         )
         return out.select("doc_id", "url_norm", "host")
+
+    def host_stats(spark, sf):
+        # host-level curation report over the normalized hosts joined
+        # back to n_chars quality; over-cap flag at _HOST_CAP docs
+        from luc4ir_spark.operators import textstats as ts2
+
+        d = _docs(spark, sf)
+        hosts = ts2.normalize_urls(
+            d.select("doc_id", _pseudo_url_expr().alias("url")),
+            url_col="url",
+        ).select("doc_id", "host")
+        j = hosts.join(d.select("doc_id", "n_chars"), "doc_id")
+        return ts2.host_stats(j, max_docs_per_host=_HOST_CAP)
 
     def dedup_survivors(spark, sf):
         # survivorship dedup: keep the LONGEST member per near-dup
@@ -12215,6 +12265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": dup_clusters,
         "dedup_corpus": dedup_corpus,
         "url_normalize": url_normalize,
+        "host_stats": host_stats,
         "dedup_survivors": dedup_survivors,
         "kl_rerank": kl_rerank,
         "expand_query_terms": expand_query_terms,
@@ -12550,6 +12601,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "dedup_corpus": _DEDUP_CORPUS_SQL,
         "url_normalize": _url_normalize_sql(),
+        "host_stats": _host_stats_sql(),
         "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "kl_rerank": _KL_SQL,
         "expand_query_terms": _EXPAND_SQL,

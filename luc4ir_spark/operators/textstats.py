@@ -2095,6 +2095,41 @@ def normalize_urls(
     return out
 
 
+def host_stats(
+    docs: DataFrame,
+    host_col: str = "host",
+    quality_col: str = "n_chars",
+    max_docs_per_host: int = 1000,
+) -> DataFrame:
+    """Host-level corpus report — the aggregation behind HOST-level
+    curation (RefinedWeb curates URL/host before ever reading page
+    bytes; over-represented hosts are crawl traps, SEO farms and
+    mirror fields): per normalized host (see ``normalize_urls``),
+    document count, total/average ``quality_col``, corpus share, and
+    the over-cap flag feeding a blocklist review.
+    -> (host, n_docs, total_chars, avg_chars, doc_share, over_cap);
+    counts/totals integer-exact, the two ratios ONE division each.
+
+    Plan shape: one map-side-combined host groupBy + a broadcast
+    1-row total crossJoin. Host counts are heavy-tailed by nature —
+    that skew lands in a COUNT (combiner-friendly), never a join."""
+    per = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(quality_col).cast("long").alias("total_chars"),
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("n_docs"), 4).alias(
+            "avg_chars"
+        ),
+        F.round(F.col("n_docs") / F.col("_tot"), 4).alias("doc_share"),
+        (F.col("n_docs") > int(max_docs_per_host)).alias("over_cap"),
+    )
+
+
 # accent-fold map for normalize_for_dedup: the latin-1/latin-ext
 # letters CCNet's unicode normalization folds to ascii; a literal
 # translate so any engine replays it byte-for-byte

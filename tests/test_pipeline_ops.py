@@ -2231,6 +2231,23 @@ def test_normalize_urls_hand_computed(spark):
         assert got[i] == (norm, host), (i, got[i])
 
 
+def test_host_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a.com", 10), (2, "a.com", 30), (3, "b.org", 5),
+         (4, "a.com", 20)],
+        "doc_id long, host string, n_chars long",
+    )
+    got = {
+        r["host"]: r
+        for r in textstats.host_stats(df, max_docs_per_host=2).collect()
+    }
+    a = got["a.com"]
+    assert (a["n_docs"], a["total_chars"], a["avg_chars"]) == (3, 60, 20.0)
+    assert a["doc_share"] == 0.75 and a["over_cap"] is True
+    b = got["b.org"]
+    assert (b["n_docs"], b["doc_share"], b["over_cap"]) == (1, 0.25, False)
+
+
 def test_normalize_for_dedup_hand_computed(spark):
     """Case, accents, digit classing, punctuation and whitespace all
     fold; two boilerplate variants land on the SAME digest."""
