@@ -2682,6 +2682,42 @@ FROM a3 CROSS JOIN nn
 """
 
 
+_ANCHOR_FIELD_SQL_T = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+an AS (
+  SELECT src, dst,
+         'Visit page-' || dst::VARCHAR || ' now tag' ||
+         ((({0} * ((src * 1048576 + dst) % {2}) + {1}) % {2})
+          % 5)::VARCHAR AS anchor
+  FROM edges
+),
+flat AS (
+  SELECT dst AS doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(anchor),
+                '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM an
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM flat GROUP BY 1, 2),
+inl AS (SELECT dst AS doc_id, count(*)::BIGINT AS n_inlinks
+        FROM edges GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, inl.n_inlinks
+FROM tf JOIN inl USING (doc_id)
+"""
+
+from luc4ir_spark.functions import hashing as _hx_anchor
+_ANCHOR_FIELD_SQL = _ANCHOR_FIELD_SQL_T.format(
+    _hx_anchor.MIX_A, _hx_anchor.MIX_B, _hx_anchor.MIX_P
+)
+
+
 def _pagerank_boost_sql() -> str:
     """Replays function_score over the BM25 run with the synthetic-
     graph PageRank prior as boost = 1 + ln(1 + pr) — the classic
@@ -9076,6 +9112,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pr", 4).alias("pr"),
         )
 
+    def anchor_field(spark, sf):
+        # Nutch-style anchor-text pseudo-field: per-target postings of
+        # inlink anchor tokens over the synthetic link graph
+        from luc4ir_spark.functions import hashing as hx
+
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        anchor = F.concat(
+            F.lit("Visit page-"),
+            F.col("dst").cast("string"),
+            F.lit(" now tag"),
+            F.pmod(
+                hx.mix_id_expr(
+                    F.col("src") * F.lit(1048576) + F.col("dst")
+                ),
+                F.lit(5),
+            ).cast("string"),
+        )
+        return gr.anchor_text_field(
+            edges.select("src", "dst", anchor.alias("anchor"))
+        )
+
     def pagerank_boost(spark, sf):
         # link-prior × relevance: function_score with boost =
         # 1 + ln(1 + PageRank) over the synthetic graph
@@ -12125,6 +12184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iprec_at_recall": iprec_at_recall,
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
+        "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
         "link_ppr": link_ppr,
@@ -12455,6 +12515,7 @@ def oracle_sql() -> dict[str, str]:
         "iprec_at_recall": _IPREC_SQL,
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,
+        "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,
         "link_ppr": _PPR_SQL,

@@ -263,6 +263,43 @@ def pagerank_regular_exact(
     )
 
 
+def anchor_text_field(
+    edges: DataFrame,
+    anchor_col: str = "anchor",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Anchor-text pseudo-field aggregation — the web-IR move Nutch
+    feeds Lucene (index each page under the text of its INLINK anchors;
+    Craswell, Hawking & Robertson SIGIR'01 showed anchor text beats
+    page content for site finding): one row per link with its anchor
+    string in, the TARGET page's anchor-field postings out ->
+    (doc_id, term, tf, n_inlinks). The result plugs straight into a
+    per-field scorer (the ``bm25f_topk`` shape) as an extra field whose
+    df/length stats come from this relation.
+
+    Tokenization is the engine's ``simple`` rule (lowercase, split on
+    non-alphanumerics). Plan shape: anchors explode per-link (bounded
+    by |edges| x anchor length — anchors are a few words by nature,
+    never documents), one map-side-combined (dst, term) groupBy, one
+    dst-sized inlink count joined dst-keyed. Hot targets (the skew of
+    the web) land in COUNTs, combiner-friendly."""
+    toks = F.array_remove(
+        F.split(F.lower(F.col(anchor_col)), "[^a-z0-9]+"), ""
+    )
+    flat = edges.select(
+        F.col(dst_col).cast("long").alias("doc_id"),
+        F.explode(toks).alias("term"),
+    )
+    tf = flat.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    inl = edges.groupBy(
+        F.col(dst_col).cast("long").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_inlinks"))
+    return tf.join(inl, "doc_id")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Distributed triangle counting — the ordered-edge (a < b < c)
     join, i.e. the classic MapReduce/Spark triangle algorithm (Suri &

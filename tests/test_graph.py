@@ -169,3 +169,25 @@ def test_triangle_count_hand_computed(spark):
     )
     r2 = gr.triangle_count(square).collect()[0]
     assert r2["n_triangles"] == 0 and r2["n_edges"] == 4
+
+
+def test_anchor_text_field_hand_computed(spark):
+    """Two inlinks to doc 5 with overlapping anchor vocab, one to
+    doc 6; tf sums across inlinks, n_inlinks counts edges (anchor
+    tokens lowercased, split on non-alphanumerics)."""
+    edges = spark.createDataFrame(
+        [(1, 5, "Click HERE now"), (2, 5, "here: the best page"),
+         (3, 6, "best page-Ever")],
+        "src long, dst long, anchor string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["n_inlinks"])
+        for r in gr.anchor_text_field(edges).collect()
+    }
+    assert got[(5, "here")] == (2, 2)
+    assert got[(5, "click")] == (1, 2)
+    assert got[(5, "best")] == (1, 2)
+    assert got[(6, "best")] == (1, 1)
+    assert got[(6, "page")] == (1, 1)
+    assert got[(6, "ever")] == (1, 1)
+    assert all(d != 1 and d != 2 and d != 3 for d, _ in got)
