@@ -3288,6 +3288,20 @@ FROM combos
 """
 
 
+_SAT_CLICKS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+)
+SELECT user_id, event_id,
+       (CASE WHEN nxt IS NULL THEN -1 ELSE nxt - t END)::BIGINT AS dwell_us,
+       (nxt IS NULL OR nxt - t >= 30000000) AS satisfied
+FROM e WHERE event_type = 'click'
+"""
+
+
 _LDIV_L = 3
 
 
@@ -10885,6 +10899,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "activity_bucket", "top_type", "n_users", "at_risk"
         )
 
+    def sat_clicks(spark, sf):
+        # dwell-time SAT-click classification (Fox TOIS'05 30-second
+        # convention): dwell = gap to the user's next event of any
+        # type; terminal clicks satisfied, dwell_us = -1
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.sat_clicks(ev_df)
+
     def l_diversity(spark, sf):
         # distinct l-diversity audit: same QI classes as k_anonymity,
         # sensitive attribute = dominant event type; classes with
@@ -12272,6 +12295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inf_ap": inf_ap,
         "session_abandonment": session_abandonment,
         "k_anonymity": k_anonymity,
+        "sat_clicks": sat_clicks,
         "l_diversity": l_diversity,
         "condensed_ap": condensed_ap,
         "span_not": span_not,
@@ -12603,6 +12627,7 @@ def oracle_sql() -> dict[str, str]:
         "inf_ap": _inf_ap_sql(),
         "session_abandonment": _ABANDON_SQL,
         "k_anonymity": _k_anonymity_sql(),
+        "sat_clicks": _SAT_CLICKS_SQL,
         "l_diversity": _l_diversity_sql(),
         "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),

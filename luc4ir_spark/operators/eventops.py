@@ -610,6 +610,54 @@ def l_diversity_report(
     )
 
 
+def sat_clicks(
+    events: DataFrame,
+    threshold_us: int = 30_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    click_type: str = "click",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """SAT-click classification (Fox et al. TOIS'05 established dwell
+    time as THE implicit satisfaction signal; the industry convention
+    is dwell >= 30 s or last-action-of-session => satisfied): for every
+    click, dwell = time to the user's NEXT event of ANY type (the
+    proxy for how long they stayed on the clicked result); a click
+    with no successor is terminal and counts satisfied.
+    -> (user_id, event_id, dwell_us, satisfied); dwell_us = -1 for
+    terminal clicks (kept integer instead of NULL so downstream
+    aggregates never trip on three-valued logic).
+
+    Plan shape: ONE user-partitioned window (ordered by event time,
+    event_id tie-break) computes the successor timestamp over the full
+    log, then the click filter cuts the relation down — lead() must see
+    non-click successors, so the filter cannot be pushed below the
+    window. Shuffle key = user_id, the log's natural partition."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_t").asc(), F.col(id_col).asc()
+    )
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("_ty"),
+        epoch_us(ts_col).alias("_t"),
+    ).withColumn("_nxt", F.lead("_t").over(w))
+    clicks = base.filter(F.col("_ty") == click_type)
+    dwell = F.when(F.col("_nxt").isNull(), F.lit(-1).cast("long")).otherwise(
+        (F.col("_nxt") - F.col("_t")).cast("long")
+    )
+    return clicks.select(
+        "user_id",
+        "event_id",
+        dwell.alias("dwell_us"),
+        (
+            F.col("_nxt").isNull()
+            | ((F.col("_nxt") - F.col("_t")) >= F.lit(int(threshold_us)))
+        ).alias("satisfied"),
+    )
+
+
 def session_abandonment(
     events: DataFrame,
     convert_types: tuple = ("click", "purchase"),

@@ -368,6 +368,33 @@ def test_k_anonymity_report_hand_computed(spark):
     assert out[(4, "a")]["at_risk"] is True
 
 
+def test_sat_clicks_hand_computed(spark):
+    """u1: click at :00 followed at :10 (10 s dwell -> unsatisfied),
+    click at :10 followed 40 s later by a non-click (satisfied — the
+    successor may be ANY event type), terminal click (satisfied,
+    dwell -1). u2: single terminal click."""
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0, 0), 1, "click"),
+        (1, datetime(2024, 1, 1, 0, 0, 10), 1, "click"),
+        (2, datetime(2024, 1, 1, 0, 0, 50), 1, "view"),
+        (3, datetime(2024, 1, 1, 0, 1, 0), 1, "click"),
+        (4, datetime(2024, 1, 1, 9, 0, 0), 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["event_id"]: (r["dwell_us"], r["satisfied"])
+        for r in eo.sat_clicks(ev).collect()
+    }
+    assert got == {
+        0: (10_000_000, False),
+        1: (40_000_000, True),
+        3: (-1, True),
+        4: (-1, True),
+    }
+
+
 def test_l_diversity_report_hand_computed(spark):
     """Bucket 2 holds u1 (top 'b') and u2 (top 'b') — one distinct
     sensitive value, flagged at l=2 even though it IS 2-anonymous;
