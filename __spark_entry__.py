@@ -2682,6 +2682,29 @@ FROM a3 CROSS JOIN nn
 """
 
 
+_COCITATION_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+cc AS (SELECT l.dst AS a, r.dst AS b, count(*)::BIGINT AS n
+       FROM de l JOIN de r ON l.src = r.src AND l.dst < r.dst
+       GROUP BY 1, 2),
+bc AS (SELECT l.src AS a, r.src AS b, count(*)::BIGINT AS n
+       FROM de l JOIN de r ON l.dst = r.dst AND l.src < r.src
+       GROUP BY 1, 2)
+SELECT 'cocite' AS measure, a, b, n FROM cc WHERE n >= 2
+UNION ALL
+SELECT 'couple' AS measure, a, b, n FROM bc WHERE n >= 2
+"""
+
+
 _ANCHOR_FIELD_SQL_T = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -9126,6 +9149,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("pr", 4).alias("pr"),
         )
 
+    def link_cocitation(spark, sf):
+        # co-citation (Small'73) + bibliographic coupling (Kessler'63)
+        # over the synthetic graph, both at min_count=2, tagged rows
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        cc = gr.cocitation_pairs(edges, min_count=2).select(
+            F.lit("cocite").alias("measure"), "a", "b", "n"
+        )
+        bc = gr.coupling_pairs(edges, min_count=2).select(
+            F.lit("couple").alias("measure"), "a", "b", "n"
+        )
+        return cc.unionByName(bc)
+
     def anchor_field(spark, sf):
         # Nutch-style anchor-text pseudo-field: per-target postings of
         # inlink anchor tokens over the synthetic link graph
@@ -12207,6 +12244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iprec_at_recall": iprec_at_recall,
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
+        "link_cocitation": link_cocitation,
         "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
@@ -12539,6 +12577,7 @@ def oracle_sql() -> dict[str, str]:
         "iprec_at_recall": _IPREC_SQL,
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,
+        "link_cocitation": _COCITATION_SQL,
         "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,

@@ -300,6 +300,86 @@ def anchor_text_field(
     return tf.join(inl, "doc_id")
 
 
+def _shared_neighbor_pairs(
+    edges: DataFrame,
+    key_col: str,
+    val_col: str,
+    min_count: int,
+    max_degree: int | None,
+    log=None,
+) -> DataFrame:
+    """(a, b, n) with a < b and n = #shared ``key_col`` neighbors —
+    the engine of co-citation / bibliographic coupling. Parallel edges
+    collapse first (a doc citing twice is one citation). The pair
+    fan-out is quadratic in per-key degree, so ``max_degree`` is the
+    skew valve: keys above it (hub pages, boilerplate link farms) are
+    DROPPED from pairing — the standard max_df move — and the drop is
+    surfaced through ``log`` so truncation is never silent."""
+    e = edges.select(
+        F.col(key_col).alias("k"), F.col(val_col).alias("v")
+    ).distinct()
+    if max_degree is not None:
+        deg = e.groupBy("k").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") <= int(max_degree)).select("k")
+        if log is not None:
+            n_drop = deg.filter(F.col("_d") > int(max_degree)).count()
+            log(
+                f"shared_neighbor_pairs: dropped {n_drop} hub keys "
+                f"over degree {max_degree}"
+            )
+        e = e.join(keep, "k")
+    l, r = e.alias("l"), e.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.k") == F.col("r.k")) & (F.col("l.v") < F.col("r.v")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("l.v").alias("a"), F.col("r.v").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_count: int = 2,
+    max_indegree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    log=None,
+) -> DataFrame:
+    """Co-citation strength (Small, JASIS 1973): n(a, b) = #documents
+    citing BOTH a and b — the classic relatedness signal between CITED
+    pages. Pairing key = the citing doc (out-degree-bounded, so a
+    crawl's bounded outlink count bounds the fan-out); ``max_indegree``
+    is unused here and accepted only for symmetry — the valve that
+    matters is on ``coupling_pairs``."""
+    return _shared_neighbor_pairs(
+        edges, src_col, dst_col, min_count, None, log
+    )
+
+
+def coupling_pairs(
+    edges: DataFrame,
+    min_count: int = 2,
+    max_indegree: int | None = 100_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    log=None,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler, American Documentation 1963):
+    n(a, b) = #targets cited by BOTH a and b — relatedness between
+    CITING pages. Pairing key = the cited target, whose in-degree is
+    the web's heavy tail — ``max_indegree`` drops hub targets from
+    pairing (a page everyone links to carries no coupling signal
+    anyway, exactly the stopword/max_df argument)."""
+    return _shared_neighbor_pairs(
+        edges, dst_col, src_col, min_count, max_indegree, log
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Distributed triangle counting — the ordered-edge (a < b < c)
     join, i.e. the classic MapReduce/Spark triangle algorithm (Suri &

@@ -191,3 +191,37 @@ def test_anchor_text_field_hand_computed(spark):
     assert got[(6, "page")] == (1, 1)
     assert got[(6, "ever")] == (1, 1)
     assert all(d != 1 and d != 2 and d != 3 for d, _ in got)
+
+
+def test_cocitation_and_coupling_hand_computed(spark):
+    """Graph: 1->{a,b}, 2->{a,b}, 3->{a,c} (letters as ids 10,11,12).
+    Co-citation: (10,11) cited together by 1 and 2 -> n=2; (10,12) by
+    3 only -> n=1 cut at min_count=2. Coupling: (1,2) share {a,b} ->
+    n=2; (1,3),(2,3) share {a} -> cut. Parallel edges collapse."""
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12),
+         (1, 10)],  # parallel edge must not double-count
+        "src long, dst long",
+    )
+    cc = {(r["a"], r["b"]): r["n"]
+          for r in gr.cocitation_pairs(edges, min_count=2).collect()}
+    assert cc == {(10, 11): 2}
+    bc = {(r["a"], r["b"]): r["n"]
+          for r in gr.coupling_pairs(edges, min_count=2).collect()}
+    assert bc == {(1, 2): 2}
+
+
+def test_coupling_hub_cap_drops_and_logs(spark):
+    """A hub target everyone cites is excluded from pairing when its
+    in-degree exceeds max_indegree; the drop is logged."""
+    edges = spark.createDataFrame(
+        [(u, 99) for u in range(5)] + [(1, 7), (2, 7)],
+        "src long, dst long",
+    )
+    msgs = []
+    got = {(r["a"], r["b"]): r["n"]
+           for r in gr.coupling_pairs(
+               edges, min_count=1, max_indegree=3, log=msgs.append
+           ).collect()}
+    assert got == {(1, 2): 1}   # only the non-hub target pairs
+    assert msgs and "dropped 1 hub keys" in msgs[0]
