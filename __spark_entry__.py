@@ -7925,6 +7925,49 @@ FROM g
 """
 
 
+_LBATCH_SIZE, _LBATCH_SHARDS = 4, 4
+
+
+def _length_batches_sql() -> str:
+    """Replays textstats.length_batches: the _LB_MAX bucket CASE, the
+    mix shard, per-(bucket, shard) row_number ordered (n DESC, doc_id),
+    integer batch_idx, per-batch pad-to-max stats."""
+    from luc4ir_spark.functions import hashing as hx
+
+    bounds, b = [], 1
+    while b < _LB_MAX:
+        bounds.append(b)
+        b *= 2
+    case = (
+        "CASE "
+        + " ".join(f"WHEN doc_len <= {bd} THEN {bd}" for bd in bounds)
+        + f" ELSE {b} END"
+    )
+    shard = (
+        f"((({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B})"
+        f" % {hx.MIX_P}) % {_LBATCH_SHARDS})"
+    )
+    return f"""
+WITH {_TOKS}, {_DL},
+pd AS (SELECT doc_id, least(doc_len, {b})::BIGINT AS n,
+              ({case})::BIGINT AS bucket_len,
+              {shard}::BIGINT AS shard
+       FROM dl WHERE doc_len > 0),
+rn AS (SELECT *, row_number() OVER (PARTITION BY bucket_len, shard
+                                    ORDER BY n DESC, doc_id) AS r
+       FROM pd),
+g AS (SELECT bucket_len, shard, ((r - 1) // {_LBATCH_SIZE})::BIGINT
+             AS batch_idx,
+             count(*)::BIGINT AS n_seqs, max(n)::BIGINT AS max_tokens,
+             sum(n)::BIGINT AS sum_tokens
+      FROM rn GROUP BY 1, 2, 3)
+SELECT bucket_len, shard, batch_idx, n_seqs, max_tokens, sum_tokens,
+       round((n_seqs * max_tokens - sum_tokens) * 1.0
+             / (n_seqs * max_tokens), 4) AS pad_frac
+FROM g
+"""
+
+
 _DSIR_B, _DSIR_ALPHA, _DSIR_TOPN = 16, 0.5, 20
 _DSIR_TARGET = "src1"  # the in-domain subset the DSIR gate targets
 
@@ -11152,6 +11195,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("efficiency", 4).alias("efficiency"),
         )
 
+    def length_batches(spark, sf):
+        # dynamic batch formation: mix-sharded per-(bucket, shard)
+        # windows (no global sort), pad-to-batch-max accounting
+        out = ts.length_batches(
+            _docs(spark, sf),
+            batch_size=_LBATCH_SIZE,
+            n_shards=_LBATCH_SHARDS,
+            max_len=_LB_MAX,
+            content_col="text",
+        )
+        return out
+
     def dsir_select(spark, sf):
         # DSIR importance-resampling selection: hashed-unigram
         # target/raw LMs, per-doc log-ratio weight, top-n keep set
@@ -12311,6 +12366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_model_cascade": click_model_cascade,
         "dsir_select": dsir_select,
         "length_buckets": length_buckets,
+        "length_batches": length_batches,
         "centroid_classify": centroid_classify,
         "collocations_llr": collocations_llr,
         "heaps_law": heaps_law,
@@ -12644,6 +12700,7 @@ def oracle_sql() -> dict[str, str]:
         "click_model_cascade": _CASCADE_SQL,
         "dsir_select": _dsir_select_sql(),
         "length_buckets": _length_buckets_sql(),
+        "length_batches": _length_batches_sql(),
         "centroid_classify": _centroid_classify_sql(),
         "collocations_llr": _collocations_llr_sql(),
         "heaps_law": _heaps_sql(),

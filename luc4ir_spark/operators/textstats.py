@@ -1019,6 +1019,92 @@ def length_buckets(
     )
 
 
+def length_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    n_shards: int = 4,
+    max_len: int = 65536,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Dynamic BATCH FORMATION over the length buckets — where
+    ``length_buckets`` reports the hypothetical pad-to-bucket cost,
+    this operator actually lays out the batches the way fairseq/HF
+    dynamic batching does: sequences grouped into fixed-count batches
+    of similar length and padded only to the BATCH max, the layout a
+    finetuning pipeline materializes.
+
+    Determinism + scale use the pack_sequences trick: shard =
+    pmod(mix(doc_id + seed), n_shards) — the portable mix hash IS the
+    shuffle — and the only window is per (bucket, shard), ordered by
+    (token count DESC, doc_id), so there is NO global sort; pick
+    n_shards ~ cluster parallelism. batch_idx = (rank-1) DIV
+    batch_size; the final ragged batch of a cell is kept.
+    -> (bucket_len, shard, batch_idx, n_seqs, max_tokens, sum_tokens,
+    pad_frac) — all integers except pad_frac =
+    (n·max − sum)/(n·max), ONE division."""
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError("batch_size and n_shards must be positive")
+    from pyspark.sql import Window
+
+    from luc4ir_spark.functions.hashing import mix_id_expr
+
+    n = F.size(simple_tokens(content_col)).cast("long")
+    bounds = []
+    b = 1
+    while b < int(max_len):
+        bounds.append(b)
+        b *= 2
+    bounds.append(b)
+    nn = F.col("_n")
+    bucket = F.lit(int(bounds[-1]))
+    for bd in reversed(bounds[:-1]):
+        bucket = F.when(nn <= F.lit(bd), F.lit(bd)).otherwise(bucket)
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            F.least(F.col("_n"), F.lit(int(bounds[-1])))
+            .cast("long")
+            .alias("_n"),
+            bucket.cast("long").alias("bucket_len"),
+            F.pmod(
+                mix_id_expr(F.col("doc_id") + F.lit(int(seed))),
+                F.lit(int(n_shards)),
+            )
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+    w = Window.partitionBy("bucket_len", "shard").orderBy(
+        F.col("_n").desc(), F.col("doc_id").asc()
+    )
+    batched = per_doc.withColumn(
+        "batch_idx",
+        ((F.row_number().over(w) - 1) / F.lit(int(batch_size)))
+        .cast("long"),
+    )
+    per_batch = batched.groupBy("bucket_len", "shard", "batch_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.max("_n").cast("long").alias("max_tokens"),
+        F.sum("_n").cast("long").alias("sum_tokens"),
+    )
+    denom = F.col("n_seqs") * F.col("max_tokens")
+    return per_batch.select(
+        "bucket_len",
+        "shard",
+        "batch_idx",
+        "n_seqs",
+        "max_tokens",
+        "sum_tokens",
+        F.round((denom - F.col("sum_tokens")) / denom, 4).alias(
+            "pad_frac"
+        ),
+    )
+
+
 def train_quality_classifier(
     docs: DataFrame,
     label_col: str = "label",

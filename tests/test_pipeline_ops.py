@@ -1521,6 +1521,43 @@ def test_centroid_classify_confusion(spark):
     assert out == {("x", "x"): 2, ("x", "y"): 1, ("y", "y"): 2}
 
 
+def test_length_batches_hand_computed(spark):
+    """One shard (n_shards=1): the two 3-token docs fill bucket 4's
+    batch 0 (pad_frac 0), the 2-token doc sits in bucket 2, the
+    5-token doc in bucket 8; empty doc drops."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h"), (4, "i j k l m"),
+         (5, "")],
+        "doc_id long, content string",
+    )
+    out = {
+        (r["bucket_len"], r["batch_idx"]): r
+        for r in textstats.length_batches(
+            docs, batch_size=2, n_shards=1, max_len=16
+        ).collect()
+    }
+    assert set(out) == {(4, 0), (2, 0), (8, 0)}
+    b0 = out[(4, 0)]
+    assert (b0["n_seqs"], b0["max_tokens"], b0["sum_tokens"],
+            b0["pad_frac"]) == (2, 3, 6, 0.0)
+    b1 = out[(2, 0)]
+    assert (b1["n_seqs"], b1["max_tokens"], b1["pad_frac"]) == (1, 2, 0.0)
+    assert out[(8, 0)]["n_seqs"] == 1
+
+
+def test_length_batches_pad_frac(spark):
+    """Mixed-length batch: 4 and 3 tokens together -> pad_frac =
+    (2*4-7)/(2*4) = 0.125."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g")], "doc_id long, content string"
+    )
+    rows = textstats.length_batches(
+        docs, batch_size=2, n_shards=1, max_len=16
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["pad_frac"] == 0.125
+
+
 def test_length_buckets_hand_computed(spark):
     """Power-of-two buckets: 3 tokens -> 4, 4 -> 4, 5 -> 8, 1 -> 1;
     docs above max_len clamp to the top bucket and truncate to it;
