@@ -265,6 +265,44 @@ FROM ranked WHERE rank > {lo} AND rank <= {lo + TOPK}
 """
 
 
+_PRUNE_M = 25
+
+
+def _pruned_topk_sql() -> str:
+    """Replays prune_index_static + BM25: the tf CTE cut to the top
+    _PRUNE_M rows per term by (tf DESC, doc_id), then the standard
+    scoring over FULL df/dl/stats."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+ptf AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS r
+    FROM tf
+  ) WHERE r <= {_PRUNE_M}
+),
+scored AS (
+  SELECT q.qid, ptf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * ptf.tf / (ptf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q
+  JOIN dft USING (term)
+  JOIN ptf USING (term)
+  JOIN dl  ON ptf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, ptf.doc_id, s.n_docs, s.avgdl
+)
+SELECT qid, doc_id, rank, score FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank,
+         round(s_raw, 4) AS score
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 _IMP_BITS, _IMP_RHO = 8, 500
 
 
@@ -8431,6 +8469,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_topk(spark, sf):
         return _bm25_run(spark, sf, conjunctive=False)
 
+    def pruned_topk(spark, sf):
+        # static index pruning (Carmel SIGIR'01 / champion lists):
+        # top-_PRUNE_M postings per term by (tf DESC, doc_id), global
+        # stats untouched so survivors score exactly as unpruned
+        pruned = ix.prune_index_static(
+            _index(spark, sf), max_per_term=_PRUNE_M
+        )
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(pruned, qt, k=TOPK)
+        return run.select(
+            "qid",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+
     def bm25_conjunctive(spark, sf):
         return _bm25_run(spark, sf, conjunctive=True)
 
@@ -12265,6 +12319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xent_buckets": xent_buckets,
         "lm_quality_filter": lm_quality_filter,
         "bm25_topk": bm25_topk,
+        "pruned_topk": pruned_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_msm": bm25_msm,
         "covering_query": covering_query,
@@ -12596,6 +12651,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM x JOIN documents d ON d.doc_id = x.doc_id"
         ),
         "bm25_topk": _bm25_sql(conjunctive=False),
+        "pruned_topk": _pruned_topk_sql(),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_msm": _bm25_sql(conjunctive=False, msm=_MSM),
         "covering_query": _covering_sql(),

@@ -521,6 +521,50 @@ def merge_indexes(
     return idx
 
 
+def prune_index_static(
+    index: InvertedIndex, max_per_term: int = 128
+) -> InvertedIndex:
+    """Static index pruning — Carmel et al. SIGIR'01 ("Static index
+    pruning for information retrieval systems") / the "champion lists"
+    of Manning, Raghavan & Schütze IIR §7.1.3: keep only the top
+    ``max_per_term`` postings of every term by (tf DESC, doc_id ASC) —
+    the entries able to produce the largest per-term contributions —
+    while every GLOBAL statistic (df, cf, doc lengths, avgdl, N) stays
+    the FULL index's, so a posting that survives scores bit-identically
+    to the unpruned index and pruning only loses tail candidates.
+
+    This is the static counterpart of the dynamic early-termination
+    family (block-max WAND `wand.py`, impact-ordered anytime top-k):
+    the pruned tier is the small hot serving index (fits memory /
+    faster scan), the full index stays as the fallback tier for
+    recall-critical or conjunctive queries.
+
+    Plan shape: ONE per-term window top-k over the flat postings —
+    Spark plans it as WindowGroupLimit with a Partial stage, so each
+    map task pre-cuts to M before the term shuffle; every other table
+    passes through by reference (zero extra work, zero copies). Skew:
+    the window key is the term — the same key the postings shuffle
+    already uses — and the partial limit bounds any stopword cell at
+    M rows post-shuffle."""
+    if int(max_per_term) <= 0:
+        raise ValueError("prune_index_static: max_per_term must be > 0")
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    pruned = (
+        index.postings.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(max_per_term))
+        .drop("_r")
+    )
+    return InvertedIndex(
+        doc_stats=index.doc_stats,
+        postings=pruned,
+        term_stats=index.term_stats,
+        stats=index.stats,
+        config=index.config,
+    )
+
+
 def delete_docs(index: InvertedIndex, doc_ids: DataFrame) -> InvertedIndex:
     """Logical document deletion — Lucene's
     ``IndexWriter.deleteDocuments`` / live-docs bitset at the relational

@@ -1485,6 +1485,51 @@ def test_dfi_hand_computed(spark, index):
     assert saw_positive  # the closed form was actually exercised
 
 
+def test_prune_index_static(spark, index):
+    """Per-term cut to the top-M postings by (tf DESC, doc_id ASC);
+    global stats untouched, so every surviving (qid, doc) pair scores
+    BIT-identically to the full index."""
+    from collections import Counter
+
+    pruned = ix.prune_index_static(index, max_per_term=2)
+    rows = pruned.postings.collect()
+    per = Counter(r["term"] for r in rows)
+    assert max(per.values()) <= 2
+    # kept set per term == python top-2 by (-tf, doc_id)
+    full = index.postings.collect()
+    by_term = {}
+    for r in full:
+        by_term.setdefault(r["term"], []).append((-r["tf"], r["doc_id"]))
+    for t, lst in by_term.items():
+        want = {d for _, d in sorted(lst)[:2]}
+        got = {r["doc_id"] for r in rows if r["term"] == t}
+        assert got == want, t
+    # stats untouched + survivors score identically
+    assert pruned.stats == index.stats
+    qt = rt.queries_to_terms(spark, [("q", "spark index")], EN)
+    full_run = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(index, qt, k=10).collect()
+    }
+    pruned_run = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in rt.score_queries(pruned, qt, k=10).collect()
+    }
+    assert pruned_run  # something survived
+    for key, sc in pruned_run.items():
+        # a pruned doc may lose a term's contribution; docs whose
+        # postings ALL survived must match bitwise
+        assert sc <= full_run[key] + 1e-12
+    with pytest.raises(ValueError):
+        ix.prune_index_static(index, max_per_term=0)
+
+
+def test_prune_index_plan_uses_window_group_limit(spark, index):
+    pruned = ix.prune_index_static(index, max_per_term=2)
+    plan = pruned.postings._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_dph_hand_computed(spark, index):
     """Single-term query: per-doc DPH (parameter-free hypergeometric
     DFR, Terrier DPH) scores vs the published closed form
