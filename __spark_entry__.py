@@ -6809,6 +6809,29 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+_MUTUAL_NN_SQL = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS qid, b.vec_id AS tid,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+nn AS MATERIALIZED (
+  SELECT qid, tid, cos_raw FROM (
+    SELECT qid, tid, cos_raw,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_raw DESC, tid ASC) AS r
+    FROM s
+  ) WHERE r = 1
+)
+SELECT l.qid AS a, l.tid AS b, round(l.cos_raw, 4) AS cosine
+FROM nn l JOIN nn r
+  ON l.tid = r.qid AND r.tid = l.qid AND l.qid < l.tid
+"""
+
+
 _MARKERS_SQL = {
     lang: ", ".join(f"'{w}'" for w in ts.LANG_MARKERS[lang])
     for lang in sorted(ts.LANG_MARKERS)
@@ -10766,6 +10789,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def mutual_nn(spark, sf):
+        # reciprocal exact-NN pairs (the bitext-mining mutual filter);
+        # cosine reported from the a->b direction, round 4dp
+        emb = _emb(spark, sf)
+        out = ann.mutual_nn_pairs(emb)
+        return out.select(
+            "a", "b", F.round("cosine", 4).alias("cosine")
+        )
+
     def ann_recall(spark, sf):
         # recall@5 of the multi-probe LSH run vs the exact top-5
         emb = _emb(spark, sf)
@@ -12526,6 +12558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "hybrid_rrf": hybrid_rrf,
         "ann_cosine_topk": ann_cosine_topk,
+        "mutual_nn": mutual_nn,
         "ann_quantized_topk": ann_quantized_topk,
         "ann_truncated_topk": ann_truncated_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -12886,6 +12919,7 @@ FROM c
         "simhash_fingerprints": _SIMHASH_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "mutual_nn": _MUTUAL_NN_SQL,
         "ann_quantized_topk": _ann_quantized_sql(),
         "ann_truncated_topk": _ANN_TRUNCATED_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),

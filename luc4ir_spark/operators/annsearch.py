@@ -140,6 +140,71 @@ def cosine_topk(
     )
 
 
+def mutual_nn_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs: (a, b, cosine) with a < b where
+    each vector is the other's EXACT cosine top-1 (self excluded, ties
+    to the smaller id). Mutual NN is the reciprocal-rank filter bitext
+    mining is built on (Artetxe & Schwenk TACL'19 margin-score mutual
+    candidates) and the high-precision end of embedding dedup — a
+    one-directional NN pair is often asymmetric hubness noise; a
+    mutual one rarely is.
+
+    Both directions of a pair compute the SAME double (zip_with
+    multiplies elementwise before the ordered fold, so dot(a,b) ==
+    dot(b,a) bitwise) — the reported cosine is the a->b row's.
+
+    Scale shape: this is the brute-force verification path (broadcast
+    one side, like ``cosine_topk``); at corpus scale feed the NN step
+    from LSH/IVF candidates instead and keep only the mutual filter.
+    The NN relation is localCheckpoint'ed (GC-scoped) before the
+    mutual self-join — the HOF lambdas in the dot product defeat plan
+    dedup canonicalization otherwise and the whole scoring subtree
+    runs once per join side (the CLAUDE.md exprId pathology)."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+        vec_col,
+    ).select(
+        "vec_id", F.col("_vd").alias("v"), F.col("norm").alias("n")
+    )
+    q = c.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    nn = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("qid", F.col("vec_id").alias("tid"), "cosine")
+        .localCheckpoint(eager=False)
+    )
+    l, r = nn.alias("l"), nn.alias("r")
+    return l.join(
+        r,
+        (F.col("l.tid") == F.col("r.qid"))
+        & (F.col("r.tid") == F.col("l.qid"))
+        & (F.col("l.qid") < F.col("l.tid")),
+    ).select(
+        F.col("l.qid").alias("a"),
+        F.col("l.tid").alias("b"),
+        F.col("l.cosine").alias("cosine"),
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

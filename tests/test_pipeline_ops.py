@@ -343,6 +343,54 @@ def embeddings(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
 
+def test_mutual_nn_pairs_hand_computed(spark):
+    """NN(1)=2 / NN(2)=1 and NN(3)=4 / NN(4)=3 are mutual; no other
+    pair is. Cosines: (1,2) = 2/sqrt(5), (3,4) = 4/sqrt(17)."""
+    import math as m
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 1.0]), (3, [0.0, 1.0]),
+         (4, [-1.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in annsearch.mutual_nn_pairs(emb).collect()
+    }
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)] == pytest.approx(2 / m.sqrt(5), abs=1e-12)
+    assert got[(3, 4)] == pytest.approx(4 / m.sqrt(17), abs=1e-12)
+
+
+def test_mutual_nn_matches_numpy(spark, embeddings):
+    """Mutual filter vs a numpy argmax replay on the shared fixture."""
+    import numpy as np
+
+    df = embeddings
+    collected = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in df.collect())
+    )
+    ids = [i for i, _ in collected]
+    mat = np.array([v for _, v in collected], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+    nn = {}
+    for i, vid in enumerate(ids):
+        j = int(np.argmax(cos[i]))  # ids ascending breaks ties
+        nn[vid] = ids[j]
+    want = {
+        (a, b) for a, b in ((min(x, y), max(x, y))
+                            for x, y in nn.items() if nn[y] == x)
+        if a < b
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in annsearch.mutual_nn_pairs(df).collect()
+    }
+    assert got == want
+
+
 def test_cosine_topk_matches_numpy(spark, embeddings):
     pdf = embeddings.orderBy("vec_id").toPandas()
     mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
