@@ -9968,6 +9968,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "qid", "n_matched")
 
+    def percolate_indexed(spark, sf):
+        # ES-style indexed percolation: registry keyed by each query's
+        # rarest corpus term (OOV df=0), candidates via a term-keyed
+        # join (no registry broadcast), exact all-MUST verification —
+        # result set identical to percolate, so the same oracle gates it
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        idx = _index(spark, sf)
+        out = rt.percolate_indexed(
+            _docs(spark, sf), qt, idx.term_stats, content_col="text"
+        )
+        return out.select("doc_id", "qid", "n_matched")
+
     def percolate_streamed(spark, sf):
         # the STREAMING percolator end-to-end: wave 1 = the corpus,
         # wave 2 re-delivers docs 0/1 under shifted ids; percolation
@@ -12492,6 +12504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": importance_sample,
         "significant_terms": significant_terms,
         "percolate": percolate,
+        "percolate_indexed": percolate_indexed,
         "percolate_streamed": percolate_streamed,
         "join_query": join_query,
         "stats_agg": stats_agg,
@@ -12828,6 +12841,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_sample": _importance_sample_sql(),
         "significant_terms": _significant_terms_sql(),
         "percolate": _percolate_sql(),
+        "percolate_indexed": _percolate_sql(),
         "percolate_streamed": _percolate_streamed_sql(),
         "join_query": _join_query_sql(),
         "stats_agg": _stats_agg_sql(),

@@ -2553,6 +2553,74 @@ def percolate(
     return matched.select("doc_id", "qid", "n_matched")
 
 
+def percolate_indexed(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    term_stats: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INDEXED percolation — the Elasticsearch percolator's scale move
+    (its QueryAnalyzer extracts each registered query's BEST term and
+    indexes queries by it; candidate queries for a doc come from that
+    one-term index, then full verification runs only on candidates):
+    ``percolate`` broadcasts the whole registry, which dies at millions
+    of registered queries; here each query is keyed by its RAREST term
+    (min corpus df from ``term_stats``, OOV terms df=0 — rarest of all,
+    and correctly so: an impossible term can only kill an all-MUST
+    query, and no doc will ever seed it as a candidate). all-MUST
+    semantics only: any full match must contain its rarest term, so the
+    seed candidates are a superset of the hits and verification is
+    exact. Result set == percolate(mode='all') row for row.
+
+    Plan shape: registry-sized relations only ever shuffle on TERM —
+    no broadcast of the registry; candidates per doc are bounded by
+    the queries whose rarest term the doc contains (rare by
+    construction), and the verify join fans each candidate out to its
+    query's terms before one (doc, qid) count. Reference: ES
+    percolator docs / Lucene monitor's TermFilteredPresearcher."""
+    from .indexer import tokenize
+
+    cfg = cfg or AnalyzerConfig(mode="simple")
+    qt = query_terms.select("qid", "term").distinct()
+    n_q = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    seed = (
+        qt.join(term_stats.select("term", "df"), "term", "left")
+        .select(
+            "qid",
+            "term",
+            F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("_df"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_df").alias("df"), F.col("term").alias("t")
+                )
+            ).alias("_s")
+        )
+        .select("qid", F.col("_s.t").alias("term"))
+    )
+    doc_terms = (
+        tokenize(docs, cfg, id_col=id_col, content_col=content_col)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .distinct()
+    )
+    cand = doc_terms.join(seed, "term").select("doc_id", "qid")
+    verified = (
+        cand.join(qt, "qid")
+        .join(doc_terms, ["doc_id", "term"], "left_semi")
+        .groupBy("doc_id", "qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .join(n_q, "qid")
+        .filter(F.col("n_matched") == F.col("n_terms"))
+    )
+    return verified.select("doc_id", "qid", "n_matched")
+
+
 def join_query(
     index: InvertedIndex,
     query_terms: DataFrame,

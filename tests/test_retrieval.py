@@ -1890,6 +1890,38 @@ def test_percolate_modes(spark):
     assert anym == {(0, "a"), (1, "a"), (2, "b"), (0, "c"), (1, "c")}
 
 
+def test_percolate_indexed_equals_broadcast_all_must(spark):
+    """Indexed (rarest-term presearcher) percolation returns exactly
+    percolate(mode='all'): the impossible-term query seeds on its OOV
+    term (df 0) and never fires; a query whose rarest REAL term misses
+    a doc is correctly never even a candidate."""
+    docs = spark.createDataFrame(
+        [(0, "spark join window"), (1, "spark only here"), (2, "pasta")],
+        "doc_id long, content string",
+    )
+    qt = spark.createDataFrame(
+        [("a", "spark"), ("a", "join"), ("b", "pasta"), ("c", "spark"),
+         ("c", "zzzmissing")],
+        "qid string, term string",
+    )
+    # corpus df: spark 2, join 1, pasta 1 (window/only/here unused)
+    stats = spark.createDataFrame(
+        [("spark", 2, 2), ("join", 1, 1), ("pasta", 1, 1),
+         ("window", 1, 1), ("only", 1, 1), ("here", 1, 1)],
+        "term string, df long, cf long",
+    )
+    cfg = AnalyzerConfig(mode="simple")
+    want = {
+        (r["doc_id"], r["qid"]): r["n_matched"]
+        for r in rt.percolate(docs, qt, mode="all", cfg=cfg).collect()
+    }
+    got = {
+        (r["doc_id"], r["qid"]): r["n_matched"]
+        for r in rt.percolate_indexed(docs, qt, stats, cfg=cfg).collect()
+    }
+    assert got == want == {(0, "a"): 2, (2, "b"): 1}
+
+
 def test_join_query(spark, index):
     docs = spark.createDataFrame(
         [(d, ["s1", "s1", "s2", "s2", "s3", "s3"][d]) for d, _ in DOCS],
