@@ -7957,6 +7957,39 @@ FROM e JOIN x USING (g)
 _LB_MAX = 1024
 
 
+_DOCVALUES_SQL = """
+WITH cols AS (
+  SELECT 'lang' AS col_name, a.n_docs, a.n_distinct, a.raw_bytes, d.db
+  FROM (SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT lang)::BIGINT AS n_distinct,
+               coalesce(sum(strlen(lang)), 0)::BIGINT AS raw_bytes
+        FROM documents) a
+  CROSS JOIN (SELECT coalesce(sum(strlen(v)), 0)::BIGINT AS db
+              FROM (SELECT DISTINCT lang AS v FROM documents
+                    WHERE lang IS NOT NULL)) d
+  UNION ALL
+  SELECT 'source' AS col_name, a.n_docs, a.n_distinct, a.raw_bytes, d.db
+  FROM (SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS n_distinct,
+               coalesce(sum(strlen(source)), 0)::BIGINT AS raw_bytes
+        FROM documents) a
+  CROSS JOIN (SELECT coalesce(sum(strlen(v)), 0)::BIGINT AS db
+              FROM (SELECT DISTINCT source AS v FROM documents
+                    WHERE source IS NOT NULL)) d
+),
+b AS (
+  SELECT col_name, n_docs, n_distinct,
+         (CASE WHEN n_distinct <= 1 THEN 0 WHEN n_distinct <= 2 THEN 1 WHEN n_distinct <= 4 THEN 2 WHEN n_distinct <= 8 THEN 3 WHEN n_distinct <= 16 THEN 4 WHEN n_distinct <= 32 THEN 5 WHEN n_distinct <= 64 THEN 6 WHEN n_distinct <= 128 THEN 7 WHEN n_distinct <= 256 THEN 8 WHEN n_distinct <= 512 THEN 9 WHEN n_distinct <= 1024 THEN 10 WHEN n_distinct <= 2048 THEN 11 WHEN n_distinct <= 4096 THEN 12 WHEN n_distinct <= 8192 THEN 13 WHEN n_distinct <= 16384 THEN 14 WHEN n_distinct <= 32768 THEN 15 WHEN n_distinct <= 65536 THEN 16 WHEN n_distinct <= 131072 THEN 17 WHEN n_distinct <= 262144 THEN 18 WHEN n_distinct <= 524288 THEN 19 ELSE 20 END)::BIGINT AS bits_per_value, raw_bytes, db
+  FROM cols
+)
+SELECT col_name, n_docs, n_distinct, bits_per_value, raw_bytes,
+       (db + (n_docs * bits_per_value + 7) // 8)::BIGINT AS dict_bytes,
+       CASE WHEN db + (n_docs * bits_per_value + 7) // 8 < raw_bytes
+            THEN 'dict' ELSE 'raw' END AS encoding
+FROM b
+"""
+
+
 def _length_buckets_sql() -> str:
     """Replays textstats.length_buckets: the same literal power-of-two
     CASE chain (generated from _LB_MAX on both engines), integer
@@ -9543,6 +9576,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SPATIAL_QUERIES, "qid string, qx long, qy long"
         )
         return spat.grid_radius_join(pts, qs, radius=_SPATIAL_RADIUS)
+
+    def docvalues_report(spark, sf):
+        # columnar encoding selection (Lucene DocValues / Parquet
+        # dictionary-page heuristic) over the two metadata columns
+        from luc4ir_spark.plans import layout as ly
+
+        return ly.docvalues_report(
+            _docs(spark, sf), columns=["lang", "source"]
+        )
 
     def zorder_events(spark, sf):
         # Morton z-values for the (user bucket, hour bucket) layout —
@@ -12414,6 +12456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_sketch": countmin_sketch,
         "bloom_membership": bloom_membership,
         "event_rollup": event_rollup,
+        "docvalues_report": docvalues_report,
         "zorder_events": zorder_events,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
@@ -12751,6 +12794,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_sketch": _countmin_sql(),
         "bloom_membership": _bloom_sql(),
         "event_rollup": _ROLLUP_SQL,
+        "docvalues_report": _DOCVALUES_SQL,
         "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),

@@ -73,3 +73,76 @@ def zorder_layout(
     else:
         out = out.repartitionByRange(z_col)
     return out.sortWithinPartitions(z_col)
+
+
+def docvalues_report(
+    docs: DataFrame, columns: list[str], max_bits: int = 20
+) -> DataFrame:
+    """Columnar (DocValues) encoding selection — the sizing pass
+    behind Lucene's SortedDocValues-vs-BinaryDocValues choice and
+    every columnar format's dictionary-encoding heuristic (Parquet
+    dictionary pages, Lucene90DocValuesFormat's TABLE_COMPRESSED
+    threshold): per string column, compare storing raw bytes per doc
+    against a dictionary (distinct values' bytes) plus bit-packed
+    per-doc ordinals.
+
+      bits_per_value = smallest b with 2^b >= n_distinct (0 for a
+                       constant column) — an all-integer CASE chain,
+                       never log2 floats cross-engine
+      raw_bytes      = sum(octet_length(col))
+      dict_bytes     = sum(octet_length(distinct values))
+                       + ceil(n_docs * bits / 8)
+      encoding       = 'dict' when dict_bytes < raw_bytes else 'raw'
+
+    -> one row per column: (col_name, n_docs, n_distinct,
+    bits_per_value, raw_bytes, dict_bytes, encoding). All integers.
+
+    Plan shape: per column, one scan-level aggregate (count + exact
+    distinct + byte sum) and one distinct-values byte sum — both
+    map-side combinable; rows united. NULLs count 0 bytes and do not
+    join the dictionary (the usual missing-ordinal slot)."""
+    parts = []
+    for c in columns:
+        base = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+            F.coalesce(F.sum(F.octet_length(F.col(c))), F.lit(0))
+            .cast("long")
+            .alias("raw_bytes"),
+        )
+        dict_b = (
+            docs.select(F.col(c).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+            .agg(
+                F.coalesce(F.sum(F.octet_length(F.col("_v"))), F.lit(0))
+                .cast("long")
+                .alias("_db")
+            )
+        )
+        nd = F.col("n_distinct")
+        bits = F.lit(int(max_bits))
+        for b in range(int(max_bits) - 1, -1, -1):
+            bits = F.when(nd <= F.lit(1 << b), F.lit(b)).otherwise(bits)
+        row = base.crossJoin(F.broadcast(dict_b)).select(
+            F.lit(c).alias("col_name"),
+            "n_docs",
+            "n_distinct",
+            bits.cast("long").alias("bits_per_value"),
+            "raw_bytes",
+            (
+                F.col("_db")
+                + F.floor(
+                    (F.col("n_docs") * bits + F.lit(7)) / F.lit(8)
+                ).cast("long")
+            ).alias("dict_bytes"),
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "encoding",
+        F.when(F.col("dict_bytes") < F.col("raw_bytes"), F.lit("dict"))
+        .otherwise(F.lit("raw")),
+    )

@@ -359,3 +359,35 @@ def test_positional_bucketed_scan_pruning(spark, tmp_path):
         assert got == [(0, 1)]
     finally:
         spark.sql("DROP TABLE IF EXISTS pos_bucketed_test")
+
+
+def test_docvalues_report_hand_computed(spark):
+    """lang: 4 docs, 2 distinct 2-byte values -> bits 1, raw 8,
+    dict 4 + ceil(4*1/8)=1 -> 5 < 8 -> dict. note: 4 distinct long
+    values -> raw wins (dictionary stores every value once AND the
+    ordinals). constant col -> 0 bits."""
+    from luc4ir_spark.plans import layout as ly
+
+    df = spark.createDataFrame(
+        [("en", "aaaaaaaaaa", "k"), ("en", "bbbbbbbbbb", "k"),
+         ("de", "cccccccccc", "k"), ("de", "dddddddddd", "k")],
+        "lang string, note string, const string",
+    )
+    got = {
+        r["col_name"]: r
+        for r in ly.docvalues_report(
+            df, ["lang", "note", "const"]
+        ).collect()
+    }
+    lang = got["lang"]
+    assert (lang["n_distinct"], lang["bits_per_value"],
+            lang["raw_bytes"], lang["dict_bytes"],
+            lang["encoding"]) == (2, 1, 8, 5, "dict")
+    note = got["note"]
+    # all-distinct 10-byte values: dict = 40 + ceil(4*2/8) = 41 > 40
+    assert (note["n_distinct"], note["bits_per_value"],
+            note["raw_bytes"], note["dict_bytes"],
+            note["encoding"]) == (4, 2, 40, 41, "raw")
+    const = got["const"]
+    assert (const["n_distinct"], const["bits_per_value"],
+            const["dict_bytes"], const["encoding"]) == (1, 0, 1, "dict")
