@@ -4589,6 +4589,14 @@ def _sim2_sql(kind: str) -> str:
             f" + 0.5 * ln({two_pi} * tfn) / ln(2.0))"
             " / (tfn + 1.0)"
         )
+    elif kind == "pivoted":
+        # pivoted length normalization (Singhal SIGIR'96): slope 0.2;
+        # 1-slope emitted as the computed double (0.8, exact)
+        score = (
+            "(1.0 + ln(1.0 + ln(tf)))"
+            f" / ({repr(1.0 - 0.2)} + {repr(0.2)} * dl_len / avgdl)"
+            " * ln((n_docs + 1.0) / df)"
+        )
     elif kind == "dph":
         # DPH (parameter-free DFR hypergeometric, Terrier DPH):
         # tfn here is the relative frequency f = tf/dl; single-term
@@ -9756,6 +9764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DPH (parameter-free DFR hypergeometric, Terrier DPH)
         return _lm_run(spark, sf, "dph")
 
+    def pivoted_topk(spark, sf):
+        # pivoted length-normalization VSM (Singhal SIGIR'96)
+        return _lm_run(spark, sf, "pivoted")
+
     def boosting_topk(spark, sf):
         # BoostingQuery parity: docs containing the demote term stay in
         # the list but are pushed down by negative_boost before ranking
@@ -12495,6 +12507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_topk": dfr_topk,
         "pl2_topk": pl2_topk,
         "dph_topk": dph_topk,
+        "pivoted_topk": pivoted_topk,
         "dfi_topk": dfi_topk,
         "sdm_topk": sdm_topk,
         "ib_topk": ib_topk,
@@ -12833,6 +12846,7 @@ def oracle_sql() -> dict[str, str]:
         "dfr_topk": _sim2_sql("dfr_inl2"),
         "pl2_topk": _sim2_sql("pl2"),
         "dph_topk": _sim2_sql("dph"),
+        "pivoted_topk": _sim2_sql("pivoted"),
         "dfi_topk": _sim2_sql("dfi"),
         "sdm_topk": _sdm_sql(),
         "ib_topk": _sim2_sql("ib_ll"),

@@ -43,6 +43,7 @@ BM25_B_DEFAULT = 0.3
 class Similarity:
     kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
     #                   # | dfr_inl2 | ib_ll | f2exp | pl2 | dfi | dph
+    #                   # | pivoted
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
@@ -51,6 +52,7 @@ class Similarity:
     c: float = 1.0       # DFR/IB H2 length-normalization c
     s: float = 0.5       # Axiomatic F2EXP length-normalization s
     k_ax: float = 0.35   # Axiomatic F2EXP idf exponent k
+    slope: float = 0.2   # pivoted length-normalization slope (Singhal'96)
 
 
 def queries_to_terms(
@@ -186,6 +188,21 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             F.log((tf - expected) / F.sqrt(expected) + F.lit(1.0)) / ln2
         )
         return w * F.when(tf > expected, raw).otherwise(F.lit(0.0))
+    if sim.kind == "pivoted":
+        # Pivoted length normalization VSM (Singhal, Buckley & Mitra
+        # SIGIR'96; Lucene once shipped it in the classic sandbox):
+        # score = (1 + ln(1 + ln(tf))) / ((1-slope) + slope*dl/avgdl)
+        #         * ln((N+1)/df)   [qtf = 1 in this engine's queries].
+        # The double-log tf damping is the paper's 'L' component, the
+        # pivot is avgdl. Arithmetic shape mirrors the oracle SQL.
+        damp = F.lit(1.0) + F.log(F.lit(1.0) + F.log(tf))
+        norm = F.lit(1.0 - sim.slope) + F.lit(sim.slope) * dl / F.lit(
+            stats.avgdl
+        )
+        gain = F.log(
+            F.lit(float(stats.n_docs) + 1.0) / F.col("df").cast("double")
+        )
+        return w * damp / norm * gain
     if sim.kind == "dph":
         # DPH (Amati's parameter-free DFR hypergeometric model —
         # Terrier DPH; no tunable constants at all):

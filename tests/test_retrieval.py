@@ -1576,6 +1576,26 @@ def test_dph_single_term_doc_scores_zero(spark):
     assert by_doc[1] != 0.0 and math.isfinite(by_doc[1])
 
 
+def test_pivoted_hand_computed(spark, index):
+    """Single-term query: per-doc pivoted-normalization VSM scores
+    (Singhal'96: (1+ln(1+ln(tf)))/((1-s)+s*dl/avgdl) * ln((N+1)/df),
+    s=0.2) vs pure Python."""
+    toks, n, dls, avgdl, df = _tiny_stats()
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    run = rt.score_queries(
+        index, qt, k=10, sim=rt.Similarity(kind="pivoted")
+    ).collect()
+    assert run
+    for r in run:
+        tf = toks[r["doc_id"]].count("spark")
+        exp = (
+            (1.0 + math.log(1.0 + math.log(tf)))
+            / (0.8 + 0.2 * dls[r["doc_id"]] / avgdl)
+            * math.log((n + 1.0) / df["spark"])
+        )
+        assert r["score"] == pytest.approx(exp, rel=1e-12), r["doc_id"]
+
+
 def test_boosting_query(spark, index):
     """Docs matching the demote term keep their slot but at score*0.25;
     undemoted docs are untouched; ordering reflects demotion."""
