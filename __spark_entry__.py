@@ -3174,6 +3174,41 @@ def _ch_points(n: int) -> list[tuple[str, int]]:
     ]
 
 
+_HRW_NODES = [("n0", 11), ("n1", 22), ("n2", 33), ("n3", 44),
+              ("n4", 55)]
+
+
+def _rendezvous_sql() -> str:
+    """Replays rendezvous_assign at N=4 and N=5: per-(doc, node) mix
+    weight, lexicographic struct max (ties to the later node), joined
+    transition counts."""
+    from luc4ir_spark.functions import hashing as hx
+
+    def vals(k):
+        return ", ".join(f"('{n}', {s})" for n, s in _HRW_NODES[:k])
+
+    w = (f"(({hx.MIX_A} * ((d.doc_id * 1048576 + n.salt) % {hx.MIX_P})"
+         f" + {hx.MIX_B}) % {hx.MIX_P})")
+    return f"""
+WITH n4(node_id, salt) AS (VALUES {vals(4)}),
+n5(node_id, salt) AS (VALUES {vals(5)}),
+a AS (
+  SELECT doc_id, (max(struct_pack(w := w, n := node_id))).n AS node4
+  FROM (SELECT d.doc_id, n.node_id, {w} AS w
+        FROM documents d CROSS JOIN n4 n)
+  GROUP BY 1
+),
+b AS (
+  SELECT doc_id, (max(struct_pack(w := w, n := node_id))).n AS node5
+  FROM (SELECT d.doc_id, n.node_id, {w} AS w
+        FROM documents d CROSS JOIN n5 n)
+  GROUP BY 1
+)
+SELECT a.node4, b.node5, count(*)::BIGINT AS n_docs
+FROM a JOIN b USING (doc_id) GROUP BY 1, 2
+"""
+
+
 def _consistent_hashing_sql() -> str:
     """Replays two consistent_hash_assign runs (N=4 and N=5 nodes,
     same literal ring points) and their transition matrix — the
@@ -11065,6 +11100,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return ts.language_id(_docs(spark, sf), content_col="text")
 
+    def rendezvous_hashing(spark, sf):
+        # HRW routing at N=4 vs N=5: the transition matrix shows only
+        # the new node steals docs (minimal disruption without a ring)
+        docs = _docs(spark, sf).select("doc_id")
+        a = ut.rendezvous_assign(docs, _HRW_NODES[:4]).withColumnRenamed(
+            "node_id", "node4"
+        )
+        b = ut.rendezvous_assign(docs, _HRW_NODES).withColumnRenamed(
+            "node_id", "node5"
+        )
+        return (
+            a.join(b, "doc_id")
+            .groupBy("node4", "node5")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
     def consistent_hashing(spark, sf):
         # ring routing at N=4 vs N=5 nodes: the transition matrix
         # shows only the new node steals docs
@@ -12535,6 +12586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": term_burstiness,
         "doc_keywords": doc_keywords,
         "funnel_latency": funnel_latency,
+        "rendezvous_hashing": rendezvous_hashing,
         "consistent_hashing": consistent_hashing,
         "ring_balance": ring_balance,
         "event_lift": event_lift,
@@ -12874,6 +12926,7 @@ def oracle_sql() -> dict[str, str]:
         "term_burstiness": _term_burstiness_sql(),
         "doc_keywords": _doc_keywords_sql(),
         "funnel_latency": _funnel_latency_sql(),
+        "rendezvous_hashing": _rendezvous_sql(),
         "consistent_hashing": _consistent_hashing_sql(),
         "ring_balance": _ring_balance_sql(),
         "event_lift": _EVENT_LIFT_SQL,

@@ -110,6 +110,59 @@ def consistent_hash_assign(
     )
 
 
+def rendezvous_assign(
+    docs: DataFrame,
+    nodes: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight hashing (Thaler &
+    Ravishankar, IEEE ToN'98) — the OTHER minimal-disruption placement
+    scheme next to the consistent-hashing ring: every (key, node) pair
+    gets a deterministic pseudo-random weight and the key goes to the
+    argmax node. Removing a node remaps exactly the keys it owned and
+    nothing else, with NO ring geometry and no vnode balancing pass —
+    per-node load is binomial-even by construction (what the ring
+    needs ``vnode_ring_balance`` to approximate).
+
+    ``nodes`` = [(node_id, salt)] literal pairs computed driver-side;
+    weight = mix(doc_id * 2^20 + salt) — the portable mix hash, so any
+    engine replays the placement bit-for-bit (doc_id < 2^43, salt <
+    2^20). Ties (astronomically rare, possible since mix has 2^31
+    values) go to the LARGER node_id via the lexicographic struct max.
+    -> (doc_id, node_id).
+
+    Plan shape: one BROADCAST cross join docs × N nodes + a map-side
+    max(struct) argmax grouped by doc id — same silhouette as
+    ``consistent_hash_assign``, minus the wrap arithmetic."""
+    from ..functions.hashing import mix_id_expr
+
+    spark = docs.sparkSession
+    ndf = spark.createDataFrame(
+        [(str(n), int(s)) for n, s in nodes],
+        "node_id string, salt long",
+    )
+    cand = docs.select(F.col(id_col).alias("doc_id")).crossJoin(
+        F.broadcast(ndf)
+    ).select(
+        "doc_id",
+        "node_id",
+        mix_id_expr(
+            F.col("doc_id") * F.lit(1 << 20) + F.col("salt")
+        ).alias("_w"),
+    )
+    return (
+        cand.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_w").alias("w"), F.col("node_id").alias("n")
+                )
+            ).alias("_m")
+        )
+        .select("doc_id", F.col("_m.n").alias("node_id"))
+    )
+
+
 def sample_uniform(
     df: DataFrame, n: int, seed: int = 42, key_cols: list[str] | None = None
 ) -> DataFrame:

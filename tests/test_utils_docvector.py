@@ -296,3 +296,37 @@ def test_corpus_composition(spark):
         for r in ts_mod.quality_score(docs).collect()
     }
     assert out["a"]["mean_quality"] == round((q[1] + q[2]) / 2, 4)
+
+
+def test_rendezvous_assign_invariants(spark):
+    """The HRW guarantee: adding a node moves docs ONLY onto the new
+    node; assignments replay exactly in pure Python via the mix hash."""
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+    from luc4ir_spark.operators import utilsops as ut
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    nodes4 = [("n0", 11), ("n1", 22), ("n2", 33), ("n3", 44)]
+    nodes5 = nodes4 + [("n4", 55)]
+
+    def py_assign(doc_id, nodes):
+        best = max(
+            ((MIX_A * ((doc_id * (1 << 20) + s) % MIX_P) + MIX_B)
+             % MIX_P, n)
+            for n, s in nodes
+        )
+        return best[1]
+
+    a4 = {r["doc_id"]: r["node_id"]
+          for r in ut.rendezvous_assign(docs, nodes4).collect()}
+    a5 = {r["doc_id"]: r["node_id"]
+          for r in ut.rendezvous_assign(docs, nodes5).collect()}
+    for d in range(200):
+        assert a4[d] == py_assign(d, nodes4)
+        assert a5[d] == py_assign(d, nodes5)
+        if a5[d] != a4[d]:
+            assert a5[d] == "n4"  # only the new node steals
+    assert any(a5[d] == "n4" for d in range(200))
+    # every node owns something (binomial-even load, n=200, k=4)
+    assert {a4[d] for d in range(200)} == {"n0", "n1", "n2", "n3"}
