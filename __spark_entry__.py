@@ -6852,6 +6852,45 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+_JL_OUT = 8
+
+
+def _jl_sql() -> str:
+    """Replays annsearch.jl_project 64->8: the SAME python-computed
+    mix-parity sign literals, explicit left-assoc +/- chains over
+    list_extract, one 1/sqrt(8) multiply emitted via repr."""
+    import math as _m
+
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    inv = repr(1.0 / _m.sqrt(float(_JL_OUT)))
+    outs = []
+    for j in range(_JL_OUT):
+        parts = []
+        for i in range(64):
+            sign = (
+                1
+                if (MIX_A * ((i * _JL_OUT + j) % MIX_P) + MIX_B)
+                % MIX_P % 2 == 1
+                else -1
+            )
+            t = f"list_extract(v, {i + 1})"
+            if not parts:
+                parts.append(t if sign > 0 else f"-{t}")
+            else:
+                parts.append((" + " if sign > 0 else " - ") + t)
+        outs.append(
+            f"round(({''.join(parts)}) * {inv}, 4) AS y{j}"
+        )
+    sel = ",\n       ".join(outs)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       {sel}
+FROM e
+"""
+
+
 _MUTUAL_NN_SQL = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (
@@ -10890,6 +10929,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def jl_projection(spark, sf):
+        # deterministic Rademacher JL sketch 64->8 (mix-parity signs;
+        # explicit left-assoc sums — fold order pinned cross-engine)
+        emb = _emb(spark, sf)
+        out = ann.jl_project(emb, dim_in=64, dim_out=_JL_OUT)
+        return out.select(
+            "vec_id",
+            *[
+                F.round(f"y{j}", 4).alias(f"y{j}")
+                for j in range(_JL_OUT)
+            ],
+        )
+
     def mutual_nn(spark, sf):
         # reciprocal exact-NN pairs (the bitext-mining mutual filter);
         # cosine reported from the a->b direction, round 4dp
@@ -12679,6 +12731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "hybrid_rrf": hybrid_rrf,
         "ann_cosine_topk": ann_cosine_topk,
+        "jl_projection": jl_projection,
         "mutual_nn": mutual_nn,
         "ann_quantized_topk": ann_quantized_topk,
         "ann_truncated_topk": ann_truncated_topk,
@@ -13044,6 +13097,7 @@ FROM c
         "simhash_fingerprints": _SIMHASH_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "jl_projection": _jl_sql(),
         "mutual_nn": _MUTUAL_NN_SQL,
         "ann_quantized_topk": _ann_quantized_sql(),
         "ann_truncated_topk": _ANN_TRUNCATED_SQL,

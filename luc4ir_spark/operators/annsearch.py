@@ -140,6 +140,58 @@ def cosine_topk(
     )
 
 
+def jl_project(
+    corpus: DataFrame,
+    dim_in: int,
+    dim_out: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    Rademacher (±1) matrix (Achlioptas JCSS'03 showed ±1 entries give
+    the JL guarantee; the sketch every embedding pipeline runs before
+    LSH/clustering when 64-1536 dims are 8x more than the distance
+    structure needs): y_j = (1/sqrt(dim_out)) * Σ_i x_i · s_ij with
+    s_ij = +1 iff mix(i·dim_out + j + seed) is odd — the portable mix
+    hash IS the random matrix, so any engine reproduces the projection
+    bit-for-bit and nothing is stored.
+
+    Float discipline: each output is an EXPLICIT left-associated
+    element_at sum (generated, never a HOF fold — zip_with/aggregate
+    are CodegenFallback AND their NamedLambdaVariable ids defeat plan
+    reuse), so the fold order is pinned and identical in the SQL
+    replay. -> (vec_id, y0..y{dim_out-1}).
+
+    Scale shape: pure scan-local projection — zero shuffle, zero UDF;
+    the generated expression is dim_in·dim_out terms (512 at 64->8),
+    well inside codegen limits; for 1536->64 switch to the Arrow
+    kernel path (a pandas_udf matmul) — same semantics, documented
+    here so the choice is explicit."""
+    from ..functions.hashing import MIX_A, MIX_B, MIX_P
+
+    if dim_out <= 0 or dim_in <= 0:
+        raise ValueError("jl_project: dims must be positive")
+    inv = 1.0 / math.sqrt(float(dim_out))
+    cols = [F.col(id_col).alias("vec_id")]
+    for j in range(int(dim_out)):
+        total = None
+        for i in range(int(dim_in)):
+            sign = (
+                1
+                if (MIX_A * ((i * dim_out + j + seed) % MIX_P) + MIX_B)
+                % MIX_P
+                % 2
+                == 1
+                else -1
+            )
+            term = F.element_at(F.col(vec_col), i + 1).cast("double")
+            term = term if sign > 0 else -term
+            total = term if total is None else total + term
+        cols.append((total * F.lit(inv)).alias(f"y{j}"))
+    return corpus.select(*cols)
+
+
 def mutual_nn_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

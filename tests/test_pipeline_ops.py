@@ -343,6 +343,50 @@ def embeddings(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
 
+def test_jl_project_matches_numpy_and_preserves_distance(spark, embeddings):
+    """Projection vs a numpy replay with the same mix-parity signs;
+    JL sanity: mean squared pairwise-distance ratio near 1 on a
+    sample (the Achlioptas guarantee, loose at dim_out=8)."""
+    import numpy as np
+    from luc4ir_spark.functions.hashing import MIX_A, MIX_B, MIX_P
+
+    df = embeddings
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in df.limit(2000).collect()
+    )
+    d_in, d_out = 64, 8
+    signs = np.empty((d_in, d_out))
+    for i in range(d_in):
+        for j in range(d_out):
+            signs[i, j] = (
+                1.0
+                if (MIX_A * ((i * d_out + j) % MIX_P) + MIX_B) % MIX_P % 2
+                else -1.0
+            )
+    got = {
+        r["vec_id"]: np.array([r[f"y{j}"] for j in range(d_out)])
+        for r in annsearch.jl_project(df, dim_in=64, dim_out=8).collect()
+    }
+    proj = {}
+    for vid, x in rows:
+        want = (x @ signs) / np.sqrt(d_out)
+        assert np.allclose(got[vid], want, atol=1e-9), vid
+        proj[vid] = want
+    # distance preservation in expectation (coarse: ratio in [0.4, 2.5])
+    ids = [vid for vid, _ in rows[:30]]
+    orig = {vid: x for vid, x in rows}
+    ratios = []
+    for a in range(0, 29, 2):
+        x, y = ids[a], ids[a + 1]
+        d0 = np.sum((orig[x] - orig[y]) ** 2)
+        d1 = np.sum((proj[x] - proj[y]) ** 2)
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    m = float(np.mean(ratios))
+    assert 0.4 < m < 2.5, m
+
+
 def test_mutual_nn_pairs_hand_computed(spark):
     """NN(1)=2 / NN(2)=1 and NN(3)=4 / NN(4)=3 are mutual; no other
     pair is. Cosines: (1,2) = 2/sqrt(5), (3,4) = 4/sqrt(17)."""
