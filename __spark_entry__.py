@@ -5121,6 +5121,41 @@ WITH documents AS (
 {_TOKS}, {_values_queries()},{_PERC_BODY}"""
 
 
+def _cori_sql() -> str:
+    """Replays federation.cori_collection_scores over the source
+    shards: per-(term, shard) df, shard token sizes, CORI T*I with the
+    standard (0.4, 50, 150) constants, b-floor completion via the
+    (qid x shard) frame."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_values_queries()},
+sh AS (SELECT doc_id, source AS shard FROM documents),
+tsh AS MATERIALIZED (
+  SELECT t.term, s.shard, count(*)::BIGINT AS df_s
+  FROM tf t JOIN sh s USING (doc_id) GROUP BY 1, 2),
+cw AS MATERIALIZED (
+  SELECT s.shard, sum(d.doc_len)::BIGINT AS cw_s
+  FROM dl d JOIN sh s USING (doc_id) GROUP BY 1),
+nc AS (SELECT count(*)::BIGINT AS n_c, avg(cw_s) AS avg_cw FROM cw),
+cf AS (SELECT term, count(*)::BIGINT AS cf_t FROM tsh GROUP BY 1),
+nq AS (SELECT qid, count(*)::BIGINT AS nq FROM q GROUP BY 1),
+pres AS (
+  SELECT q.qid, t.shard,
+         sum(0.6 * (t.df_s / (t.df_s + 50.0 + 150.0 * c.cw_s / n.avg_cw))
+             * (ln((n.n_c + 0.5) / f.cf_t) / ln(n.n_c + 1.0))) AS s
+  FROM q JOIN tsh t USING (term) JOIN cf f USING (term)
+  JOIN cw c ON c.shard = t.shard CROSS JOIN nc n
+  GROUP BY 1, 2
+),
+frame AS (SELECT nq.qid, cw.shard, nq.nq FROM nq CROSS JOIN cw)
+SELECT fr.qid, fr.shard,
+       round(fr.nq * 0.4 + coalesce(p.s, 0.0), 4) AS belief,
+       (row_number() OVER (PARTITION BY fr.qid
+          ORDER BY fr.nq * 0.4 + coalesce(p.s, 0.0) DESC, fr.shard ASC)
+       )::BIGINT AS rank
+FROM frame fr LEFT JOIN pres p USING (qid, shard)
+"""
+
+
 def _join_query_sql() -> str:
     """Replays retrieval.join_query over source: from-matches = docs
     with >= 1 query term, to-docs = every doc sharing a matched
@@ -10470,6 +10505,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "n_hits", "keep")
 
+    def cori_selection(spark, sf):
+        # CORI resource selection (Callan SIGIR'95): rank the source
+        # "shards" per query from index-level stats only
+        from luc4ir_spark.operators import federation as fed
+
+        idx = _index(spark, sf)
+        shard_map = _docs(spark, sf).select(
+            "doc_id", F.col("source").alias("shard")
+        )
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return fed.cori_collection_scores(idx.postings, shard_map, qt)
+
     def join_query(spark, sf):
         # Lucene JoinUtil query-time join over source (ScoreMode.None)
         idx = _index(spark, sf)
@@ -12666,6 +12713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": percolate,
         "percolate_indexed": percolate_indexed,
         "percolate_streamed": percolate_streamed,
+        "cori_selection": cori_selection,
         "join_query": join_query,
         "stats_agg": stats_agg,
         "index_check": index_check,
@@ -13007,6 +13055,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate": _percolate_sql(),
         "percolate_indexed": _percolate_sql(),
         "percolate_streamed": _percolate_streamed_sql(),
+        "cori_selection": _cori_sql(),
         "join_query": _join_query_sql(),
         "stats_agg": _stats_agg_sql(),
         "index_check": _index_check_sql(),

@@ -1,0 +1,135 @@
+"""Federated search: resource (collection/shard) selection.
+
+At 100 TB the index is many shards/collections, and a broker that
+scores EVERY shard for every query wastes the fleet — resource
+selection ranks shards by how likely they are to hold relevant
+documents and the broker fans out only to the top few. CORI (Callan,
+Lu & Croft, SIGIR'95 "Searching distributed collections with inference
+networks") is the canonical algorithm: a shard is scored like a
+"document" whose tf is the shard's document frequency of the term.
+
+Everything here derives from index-level statistics (per-shard df,
+shard sizes) — the corpus is touched once to map docs to shards; no
+document content moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cori_collection_scores"]
+
+
+def cori_collection_scores(
+    postings: DataFrame,
+    doc_shards: DataFrame,
+    query_terms: DataFrame,
+    b: float = 0.4,
+    k_cori: float = 50.0,
+    k_cw: float = 150.0,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """CORI resource ranking -> (qid, shard, belief, rank).
+
+    For query term t and shard s (Callan'95, the standard constants
+    b=0.4, 50, 150):
+
+        T = df_s / (df_s + 50 + 150 * cw_s / avg_cw)
+        I = ln((|C| + 0.5) / cf_t) / ln(|C| + 1)
+        belief(q, s) = sum over q's terms of  b + (1 - b) * T * I
+
+    where df_s = shard document frequency, cw_s = shard token count,
+    avg_cw = mean shard token count, cf_t = number of shards containing
+    t, |C| = number of shards. Terms absent from a shard contribute the
+    b floor (belief is a sum over ALL query terms, so shards are
+    comparable across different term subsets); terms absent from EVERY
+    shard contribute the constant b to each and never reorder.
+
+    Plan shape: postings join the (doc_id, shard) map on doc_id (both
+    doc-keyed — co-partitioned when the map is bucketed like the
+    index), collapse immediately to (term, shard, df_s) — shard-count
+    × vocab sized — and everything after is statistics-sized: the
+    query side and the per-shard/per-term tables broadcast. Ranks tie
+    (belief DESC, shard ASC), 4dp-rounded belief."""
+    shards = doc_shards.select(
+        F.col(id_col).alias("doc_id"), F.col(shard_col).alias("shard")
+    )
+    # per-(term, shard) document frequency: postings are distinct per
+    # (term, doc) already, so a count is df
+    tsh = (
+        postings.select("term", "doc_id", "doc_len")
+        .join(shards, "doc_id")
+        .groupBy("term", "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_s"))
+    )
+    # shard sizes from the SAME postings scan shape: sum of doc_len
+    # over distinct docs per shard
+    doc_lens = postings.select("doc_id", "doc_len").distinct()
+    cw = (
+        doc_lens.join(shards, "doc_id")
+        .groupBy("shard")
+        .agg(F.sum("doc_len").cast("long").alias("cw_s"))
+    )
+    n_shards = cw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.avg("cw_s").alias("avg_cw"),
+    )
+    cf = tsh.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf_t")
+    )
+    qt = query_terms.select("qid", "term").distinct()
+    # per (qid, term, shard) T*I for PRESENT terms
+    present = (
+        qt.join(tsh, "term")
+        .join(F.broadcast(cf), "term")
+        .join(F.broadcast(cw), "shard")
+        .crossJoin(F.broadcast(n_shards))
+    )
+    t_part = F.col("df_s") / (
+        F.col("df_s")
+        + F.lit(float(k_cori))
+        + F.lit(float(k_cw)) * F.col("cw_s") / F.col("avg_cw")
+    )
+    i_part = F.log(
+        (F.col("n_c") + F.lit(0.5)) / F.col("cf_t")
+    ) / F.log(F.col("n_c") + F.lit(1.0))
+    contrib = present.select(
+        "qid",
+        "shard",
+        (F.lit(1.0 - float(b)) * t_part * i_part).alias("_c"),
+    )
+    # belief = n_query_terms * b + sum of present contributions —
+    # absent terms contribute the b floor without being materialized
+    n_q = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("_nq")
+    )
+    per = (
+        contrib.groupBy("qid", "shard")
+        .agg(F.sum("_c").alias("_sum"))
+        .join(F.broadcast(n_q), "qid")
+    )
+    # shards with NO present term still score nq*b: outer-complete via
+    # the (qid × shard) frame
+    frame = n_q.crossJoin(cw.select("shard"))
+    belief = (
+        frame.join(per.select("qid", "shard", "_sum"), ["qid", "shard"], "left")
+        .select(
+            "qid",
+            "shard",
+            (
+                F.col("_nq") * F.lit(float(b))
+                + F.coalesce(F.col("_sum"), F.lit(0.0))
+            ).alias("_belief"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_belief").desc(), F.col("shard").asc()
+    )
+    return belief.select(
+        "qid",
+        "shard",
+        F.round("_belief", 4).alias("belief"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -1910,6 +1910,70 @@ def test_percolate_modes(spark):
     assert anym == {(0, "a"), (1, "a"), (2, "b"), (0, "c"), (1, "c")}
 
 
+def test_cori_collection_scores_hand_computed(spark, index):
+    """CORI beliefs vs pure Python over the tiny corpus split into
+    two shards; absent terms contribute the 0.4 floor; ranks tie-break
+    by shard name."""
+    from collections import defaultdict
+
+    from luc4ir_spark.operators import federation as fed
+
+    toks, n, dls, avgdl, df = _tiny_stats()
+    shard_of = {d: ("s0" if d < 3 else "s1") for d, _ in DOCS}
+    shards = spark.createDataFrame(
+        list(shard_of.items()), "doc_id long, shard string"
+    )
+    qt = rt.queries_to_terms(
+        spark, [("q1", "spark index"), ("q2", "pasta")], EN
+    )
+    got = {
+        (r["qid"], r["shard"]): (r["belief"], r["rank"])
+        for r in fed.cori_collection_scores(
+            index.postings, shards, qt
+        ).collect()
+    }
+    # pure python replay
+    from luc4ir_spark.functions.analysis import analyze_text
+
+    q_terms = {"q1": analyze_text("spark index", EN),
+               "q2": analyze_text("pasta", EN)}
+    df_s = defaultdict(int)
+    for d, ts in toks.items():
+        for t in set(ts):
+            df_s[(t, shard_of[d])] += 1
+    cw = defaultdict(int)
+    for d, l in dls.items():
+        cw[shard_of[d]] += l
+    ncoll = len(cw)
+    avg_cw = sum(cw.values()) / ncoll
+    cf = defaultdict(set)
+    for (t, s), _ in df_s.items():
+        cf[t].add(s)
+    import math as m
+
+    for qid, terms in q_terms.items():
+        beliefs = {}
+        for s in cw:
+            total = 0.0
+            for t in set(terms):
+                if (t, s) in df_s and cf[t]:
+                    tt = df_s[(t, s)] / (
+                        df_s[(t, s)] + 50.0 + 150.0 * cw[s] / avg_cw
+                    )
+                    ii = m.log((ncoll + 0.5) / len(cf[t])) / m.log(
+                        ncoll + 1.0
+                    )
+                    total += 0.4 + 0.6 * tt * ii
+                else:
+                    total += 0.4
+            beliefs[s] = total
+        order = sorted(beliefs, key=lambda s: (-beliefs[s], s))
+        for rk, s in enumerate(order, 1):
+            b_got, r_got = got[(qid, s)]
+            assert b_got == pytest.approx(beliefs[s], abs=5e-5), (qid, s)
+            assert r_got == rk, (qid, s)
+
+
 def test_percolate_indexed_equals_broadcast_all_must(spark):
     """Indexed (rarest-term presearcher) percolation returns exactly
     percolate(mode='all'): the impossible-term query seeds on its OOV
