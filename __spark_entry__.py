@@ -5156,6 +5156,92 @@ FROM frame fr LEFT JOIN pres p USING (qid, shard)
 """
 
 
+def _cori_merge_sql() -> str:
+    """Replays cori_merge: parity shards scored with SHARD-LOCAL BM25
+    stats (top-TOPK per shard per query), beliefs = the cori SQL at
+    parity shards ROUNDED 4dp (matching the Spark operator's output),
+    min-max normalized, (D + 0.4*D*C'')/1.4, merged top-TOPK."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_values_queries()},
+sh AS (SELECT doc_id, 's' || (doc_id % 2)::VARCHAR AS shard
+       FROM documents),
+tfs AS MATERIALIZED (
+  SELECT t.term, t.doc_id, t.tf, s.shard
+  FROM tf t JOIN sh s USING (doc_id)),
+dls AS MATERIALIZED (
+  SELECT d.doc_id, d.doc_len, s.shard
+  FROM dl d JOIN sh s USING (doc_id)),
+dfts AS MATERIALIZED (
+  SELECT shard, term, count(*)::BIGINT AS df FROM tfs GROUP BY 1, 2),
+stats_s AS MATERIALIZED (
+  SELECT shard, count(*)::BIGINT AS n_docs, avg(doc_len) AS avgdl
+  FROM dls GROUP BY 1),
+scored AS (
+  SELECT t.shard, q.qid, t.doc_id,
+         sum( ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * l.doc_len / st.avgdl)) ) AS s_raw
+  FROM q
+  JOIN tfs t USING (term)
+  JOIN dfts d ON d.term = t.term AND d.shard = t.shard
+  JOIN dls l ON l.doc_id = t.doc_id
+  JOIN stats_s st ON st.shard = t.shard
+  GROUP BY t.shard, q.qid, t.doc_id
+),
+shard_runs AS MATERIALIZED (
+  SELECT shard, qid, doc_id, s_raw AS score FROM (
+    SELECT shard, qid, doc_id, s_raw,
+           row_number() OVER (PARTITION BY shard, qid
+                              ORDER BY s_raw DESC, doc_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {TOPK}
+),
+tsh2 AS MATERIALIZED (
+  SELECT term, shard, count(*)::BIGINT AS df_s
+  FROM tfs GROUP BY 1, 2),
+cw2 AS MATERIALIZED (
+  SELECT shard, sum(doc_len)::BIGINT AS cw_s FROM dls GROUP BY 1),
+nc2 AS (SELECT count(*)::BIGINT AS n_c, avg(cw_s) AS avg_cw FROM cw2),
+cf2 AS (SELECT term, count(*)::BIGINT AS cf_t FROM tsh2 GROUP BY 1),
+nq2 AS (SELECT qid, count(*)::BIGINT AS nq FROM q GROUP BY 1),
+pres2 AS (
+  SELECT q.qid, t.shard,
+         sum(0.6 * (t.df_s / (t.df_s + 50.0 + 150.0 * c.cw_s / n.avg_cw))
+             * (ln((n.n_c + 0.5) / f.cf_t) / ln(n.n_c + 1.0))) AS s
+  FROM q JOIN tsh2 t USING (term) JOIN cf2 f USING (term)
+  JOIN cw2 c ON c.shard = t.shard CROSS JOIN nc2 n
+  GROUP BY 1, 2
+),
+bel AS MATERIALIZED (
+  SELECT fr.qid, fr.shard,
+         round(fr.nq * 0.4 + coalesce(p.s, 0.0), 4) AS belief
+  FROM (SELECT nq2.qid, cw2.shard, nq2.nq FROM nq2 CROSS JOIN cw2) fr
+  LEFT JOIN pres2 p USING (qid, shard)
+),
+nb AS (
+  SELECT qid, shard,
+         CASE WHEN max(belief) OVER (PARTITION BY qid)
+                   > min(belief) OVER (PARTITION BY qid)
+              THEN (belief - min(belief) OVER (PARTITION BY qid))
+                   / (max(belief) OVER (PARTITION BY qid)
+                      - min(belief) OVER (PARTITION BY qid))
+              ELSE 0.0 END AS bn
+  FROM bel
+),
+m AS (
+  SELECT r.qid, r.doc_id, r.shard,
+         (r.score + 0.4 * r.score * nb.bn) / 1.4 AS m_raw
+  FROM shard_runs r JOIN nb USING (qid, shard)
+)
+SELECT qid, doc_id, shard, merged, rank FROM (
+  SELECT qid, doc_id, shard, round(m_raw, 4) AS merged,
+         (row_number() OVER (PARTITION BY qid
+                             ORDER BY m_raw DESC, doc_id ASC)
+         )::BIGINT AS rank
+  FROM m
+) WHERE rank <= {TOPK}
+"""
+
+
 def _join_query_sql() -> str:
     """Replays retrieval.join_query over source: from-matches = docs
     with >= 1 query term, to-docs = every doc sharing a matched
@@ -10517,6 +10603,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
         return fed.cori_collection_scores(idx.postings, shard_map, qt)
 
+    def cori_merge(spark, sf):
+        # CORI result merging: two parity shards scored with
+        # SHARD-LOCAL stats, beliefs from the full postings, min-max
+        # normalized rescale (D + 0.4·D·C'')/1.4, merged top-k
+        from luc4ir_spark.operators import federation as fed
+
+        docs = _docs(spark, sf)
+        cfg = ix.IndexConfig(analyzer=SIMPLE)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        runs = []
+        for p in (0, 1):
+            half = ix.build_index(
+                docs.filter(F.col("doc_id") % 2 == p), cfg,
+                id_col="doc_id", content_col="text", cache=False,
+            )
+            r = rt.score_queries(half, qt, k=TOPK)
+            runs.append(
+                r.select(
+                    F.lit(f"s{p}").alias("shard"), "qid", "doc_id",
+                    "score",
+                )
+            )
+        shard_runs = runs[0].unionByName(runs[1])
+        shard_map = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("s"), (F.col("doc_id") % 2).cast("string")
+            ).alias("shard"),
+        )
+        idx = _index(spark, sf)
+        beliefs = fed.cori_collection_scores(
+            idx.postings, shard_map, qt
+        ).select("qid", "shard", "belief")
+        return fed.cori_merge_runs(shard_runs, beliefs, k=TOPK)
+
     def join_query(spark, sf):
         # Lucene JoinUtil query-time join over source (ScoreMode.None)
         idx = _index(spark, sf)
@@ -12714,6 +12835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_indexed": percolate_indexed,
         "percolate_streamed": percolate_streamed,
         "cori_selection": cori_selection,
+        "cori_merge": cori_merge,
         "join_query": join_query,
         "stats_agg": stats_agg,
         "index_check": index_check,
@@ -13056,6 +13178,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_indexed": _percolate_sql(),
         "percolate_streamed": _percolate_streamed_sql(),
         "cori_selection": _cori_sql(),
+        "cori_merge": _cori_merge_sql(),
         "join_query": _join_query_sql(),
         "stats_agg": _stats_agg_sql(),
         "index_check": _index_check_sql(),

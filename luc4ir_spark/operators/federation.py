@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cori_collection_scores"]
+__all__ = ["cori_collection_scores", "cori_merge_runs"]
 
 
 def cori_collection_scores(
@@ -132,4 +132,70 @@ def cori_collection_scores(
         "shard",
         F.round("_belief", 4).alias("belief"),
         F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def cori_merge_runs(
+    shard_runs: DataFrame,
+    beliefs: DataFrame,
+    b: float = 0.4,
+    k: int = 10,
+) -> DataFrame:
+    """CORI result MERGING (Callan'95; the weighted-scores merge every
+    federated-search textbook pairs with CORI selection): per-shard
+    scores are incomparable — each shard computed idf/avgdl from its
+    OWN documents — so the broker rescales every shard-local score by
+    the shard's query belief before interleaving:
+
+        C'' = (C - C_min) / (C_max - C_min)   per query (min-max)
+        D'  = (D + b * D * C'') / (1 + b)
+
+    A query whose beliefs are uniform (or a single shard) gets C'' = 0
+    everywhere — pure interleave by raw score, no spurious reorder.
+
+    Inputs: ``shard_runs`` (shard, qid, doc_id, score — shard-local),
+    ``beliefs`` (qid, shard, belief) from ``cori_collection_scores``.
+    -> (qid, doc_id, shard, merged, rank), top ``k`` per query, ties
+    (merged DESC, doc_id ASC).
+
+    Plan shape: run-sized only — one per-qid min/max window over the
+    shard-count-sized belief table (broadcast), one equi-join on
+    (qid, shard), one per-qid WindowGroupLimit top-k."""
+    wq = Window.partitionBy("qid")
+    nb = beliefs.select(
+        "qid",
+        "shard",
+        "belief",
+        F.min("belief").over(wq).alias("_lo"),
+        F.max("belief").over(wq).alias("_hi"),
+    ).select(
+        "qid",
+        "shard",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            (F.col("belief") - F.col("_lo"))
+            / (F.col("_hi") - F.col("_lo")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_bn"),
+    )
+    j = shard_runs.join(F.broadcast(nb), ["qid", "shard"])
+    merged = (
+        F.col("score")
+        + F.lit(float(b)) * F.col("score") * F.col("_bn")
+    ) / F.lit(1.0 + float(b))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_m").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.select("qid", "doc_id", "shard", merged.alias("_m"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid",
+            "doc_id",
+            "shard",
+            F.round("_m", 4).alias("merged"),
+            "rank",
+        )
     )

@@ -1974,6 +1974,41 @@ def test_cori_collection_scores_hand_computed(spark, index):
             assert r_got == rk, (qid, s)
 
 
+def test_cori_merge_runs_hand_computed(spark):
+    """Min-max belief normalization + (D + 0.4·D·C'')/1.4 rescale:
+    the top-belief shard keeps scores intact (C''=1 -> D), the bottom
+    one shrinks to D/1.4; uniform beliefs leave the order raw."""
+    from luc4ir_spark.operators import federation as fed
+
+    runs = spark.createDataFrame(
+        [("s0", "q", 1, 1.0), ("s0", "q", 2, 0.9),
+         ("s1", "q", 3, 0.95)],
+        "shard string, qid string, doc_id long, score double",
+    )
+    beliefs = spark.createDataFrame(
+        [("q", "s0", 0.9), ("q", "s1", 0.5)],
+        "qid string, shard string, belief double",
+    )
+    got = {
+        r["doc_id"]: (r["merged"], r["rank"])
+        for r in fed.cori_merge_runs(runs, beliefs, k=10).collect()
+    }
+    # s0: C''=1 -> merged == score; s1: C''=0 -> score/1.4
+    assert got[1] == (1.0, 1)
+    assert got[2] == (0.9, 2)
+    assert got[3] == (round(0.95 / 1.4, 4), 3)
+    # uniform beliefs: C''=0 everywhere -> all scores /1.4, raw order
+    uni = spark.createDataFrame(
+        [("q", "s0", 0.7), ("q", "s1", 0.7)],
+        "qid string, shard string, belief double",
+    )
+    got_u = {
+        r["doc_id"]: r["rank"]
+        for r in fed.cori_merge_runs(runs, uni, k=10).collect()
+    }
+    assert got_u == {1: 1, 3: 2, 2: 3}
+
+
 def test_percolate_indexed_equals_broadcast_all_must(spark):
     """Indexed (rarest-term presearcher) percolation returns exactly
     percolate(mode='all'): the impossible-term query seeds on its OOV
