@@ -5156,6 +5156,76 @@ FROM frame fr LEFT JOIN pres p USING (qid, shard)
 """
 
 
+_REDDE_TOP, _REDDE_MOD = 20, 4
+
+
+def _redde_sql() -> str:
+    """Replays redde_selection: mix-hash 1/_REDDE_MOD sample, BM25 with
+    SAMPLE-local stats, per-shard top-n hit counts scaled by N_s/n_s
+    (one integer product, ONE division)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mx = (f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B})"
+          f" % {hx.MIX_P})")
+    return f"""
+WITH {_TOKS}, {_values_queries()},
+samp AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE {mx} % {_REDDE_MOD} = 0),
+tok2 AS (SELECT t.doc_id, t.term FROM toks t JOIN samp USING (doc_id)),
+tf2 AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM tok2 GROUP BY 1, 2),
+dl2 AS (SELECT doc_id, count(*)::BIGINT AS doc_len
+        FROM tok2 GROUP BY 1),
+dft2 AS (SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY 1),
+st2 AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len) AS avgdl
+        FROM dl2),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * l.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft2 d USING (term) JOIN tf2 t USING (term)
+  JOIN dl2 l ON l.doc_id = t.doc_id CROSS JOIN st2 s
+  GROUP BY q.qid, t.doc_id
+),
+run AS MATERIALIZED (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY s_raw DESC, doc_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {_REDDE_TOP}
+),
+sh AS (SELECT doc_id, source AS shard FROM documents),
+n_full AS (SELECT shard, count(*)::BIGINT AS n_s_full
+           FROM sh GROUP BY 1),
+n_samp AS (SELECT sh.shard, count(*)::BIGINT AS n_s_samp
+           FROM sh JOIN samp USING (doc_id) GROUP BY 1),
+hits AS (SELECT r.qid, sh.shard, count(*)::BIGINT AS n_top_hits
+         FROM run r JOIN sh USING (doc_id) GROUP BY 1, 2),
+frame AS (
+  SELECT q2.qid, f.shard, f.n_s_full, ns.n_s_samp
+  FROM (SELECT DISTINCT qid FROM run) q2
+  CROSS JOIN n_full f
+  LEFT JOIN n_samp ns ON ns.shard = f.shard
+)
+SELECT qid, shard, n_top_hits, est_rel, rank FROM (
+  SELECT fr.qid, fr.shard,
+         coalesce(h.n_top_hits, 0)::BIGINT AS n_top_hits,
+         round(CASE WHEN fr.n_s_samp IS NULL OR fr.n_s_samp = 0
+                    THEN 0.0
+                    ELSE (coalesce(h.n_top_hits, 0) * fr.n_s_full)
+                         / fr.n_s_samp END, 4) AS est_rel,
+         (row_number() OVER (PARTITION BY fr.qid
+            ORDER BY CASE WHEN fr.n_s_samp IS NULL OR fr.n_s_samp = 0
+                          THEN 0.0
+                          ELSE (coalesce(h.n_top_hits, 0) * fr.n_s_full)
+                               / fr.n_s_samp END DESC, fr.shard ASC)
+         )::BIGINT AS rank
+  FROM frame fr LEFT JOIN hits h ON h.qid = fr.qid AND h.shard = fr.shard
+)
+"""
+
+
 def _cori_merge_sql() -> str:
     """Replays cori_merge: parity shards scored with SHARD-LOCAL BM25
     stats (top-TOPK per shard per query), beliefs = the cori SQL at
@@ -10603,6 +10673,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
         return fed.cori_collection_scores(idx.postings, shard_map, qt)
 
+    def redde_selection(spark, sf):
+        # ReDDE sample-based shard ranking: 25% mix-hash central
+        # sample, BM25 on the sample index, per-shard top-n hit counts
+        # scaled back by N_s/n_s
+        from luc4ir_spark.functions import hashing as hx
+        from luc4ir_spark.operators import federation as fed
+
+        docs = _docs(spark, sf)
+        samp_pred = (
+            F.pmod(hx.mix_id_expr("doc_id"), F.lit(_REDDE_MOD)) == 0
+        )
+        sample = docs.filter(samp_pred)
+        cfg = ix.IndexConfig(analyzer=SIMPLE)
+        sidx = ix.build_index(
+            sample, cfg, id_col="doc_id", content_col="text",
+            cache=False,
+        )
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(sidx, qt, k=_REDDE_TOP)
+        shard_map = docs.select(
+            "doc_id", F.col("source").alias("shard")
+        )
+        return fed.redde_collection_scores(
+            run.select("qid", "doc_id", "rank"),
+            shard_map,
+            sample.select("doc_id"),
+            n_top=_REDDE_TOP,
+        )
+
     def cori_merge(spark, sf):
         # CORI result merging: two parity shards scored with
         # SHARD-LOCAL stats, beliefs from the full postings, min-max
@@ -12836,6 +12935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_streamed": percolate_streamed,
         "cori_selection": cori_selection,
         "cori_merge": cori_merge,
+        "redde_selection": redde_selection,
         "join_query": join_query,
         "stats_agg": stats_agg,
         "index_check": index_check,
@@ -13179,6 +13279,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_streamed": _percolate_streamed_sql(),
         "cori_selection": _cori_sql(),
         "cori_merge": _cori_merge_sql(),
+        "redde_selection": _redde_sql(),
         "join_query": _join_query_sql(),
         "stats_agg": _stats_agg_sql(),
         "index_check": _index_check_sql(),

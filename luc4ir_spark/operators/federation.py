@@ -199,3 +199,87 @@ def cori_merge_runs(
             "rank",
         )
     )
+
+
+def redde_collection_scores(
+    sample_run: DataFrame,
+    doc_shards: DataFrame,
+    sample_ids: DataFrame,
+    n_top: int = 20,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """ReDDE resource ranking (Si & Callan SIGIR'03 "Relevant document
+    distribution estimation method for resource selection") — the
+    SAMPLE-based alternative to CORI's statistics model: retrieve on a
+    small CENTRALIZED sample of all shards, and estimate each shard's
+    relevant-document count by scaling its hits in the sample top-n_top
+    back up by its sampling rate:
+
+        est_rel(s) = |top-n_top hits from s| * N_s / n_s
+
+    (N_s = shard size, n_s = sampled docs from s). Works when shard
+    contents defy summary statistics — the reason TREC federated tracks
+    baseline on it. -> (qid, shard, n_top_hits, est_rel, rank); the
+    estimate is one integer product and ONE division, engine-exact.
+
+    Inputs: ``sample_run`` (qid, doc_id, rank) from the sample index,
+    ``doc_shards`` (doc_id, shard) for the FULL corpus, ``sample_ids``
+    (doc_id) — the sampled subset. Shards whose sample caught no top
+    docs score 0 and still appear (the broker must see them ranked).
+
+    Plan shape: N_s / n_s are two shard-count-sized aggregates off the
+    doc->shard map; the run is query-sized; every join after the map
+    aggregation broadcasts."""
+    shards = doc_shards.select(
+        F.col(id_col).alias("doc_id"), F.col(shard_col).alias("shard")
+    )
+    n_full = shards.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s_full")
+    )
+    n_samp = (
+        shards.join(
+            sample_ids.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s_samp"))
+    )
+    hits = (
+        sample_run.filter(F.col("rank") <= int(n_top))
+        .join(shards, "doc_id")
+        .groupBy("qid", "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_top_hits"))
+    )
+    qids = sample_run.select("qid").distinct()
+    frame = qids.crossJoin(
+        F.broadcast(n_full.join(n_samp, "shard", "left"))
+    )
+    est = frame.join(hits, ["qid", "shard"], "left").select(
+        "qid",
+        "shard",
+        F.coalesce(F.col("n_top_hits"), F.lit(0))
+        .cast("long")
+        .alias("n_top_hits"),
+        F.when(
+            F.col("n_s_samp").isNull() | (F.col("n_s_samp") == 0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            (
+                F.coalesce(F.col("n_top_hits"), F.lit(0))
+                * F.col("n_s_full")
+            )
+            / F.col("n_s_samp")
+        )
+        .alias("_est"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_est").desc(), F.col("shard").asc()
+    )
+    return est.select(
+        "qid",
+        "shard",
+        "n_top_hits",
+        F.round("_est", 4).alias("est_rel"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -1974,6 +1974,39 @@ def test_cori_collection_scores_hand_computed(spark, index):
             assert r_got == rk, (qid, s)
 
 
+def test_redde_scores_hand_computed(spark):
+    """Scale-back arithmetic: shard A (8 docs, 2 sampled) with 2 top
+    hits -> est 2*8/2 = 8; shard B (4 docs, 1 sampled) with 1 hit ->
+    4; shard C sampled but never hit -> 0, still ranked."""
+    from luc4ir_spark.operators import federation as fed
+
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3), ("q", 99, 30)],
+        "qid string, doc_id long, rank long",
+    )
+    shard_map = spark.createDataFrame(
+        [(d, "A") for d in range(1, 9)]
+        + [(d, "B") for d in range(11, 15)]
+        + [(d, "C") for d in range(21, 23)]
+        + [(99, "B")],
+        "doc_id long, shard string",
+    )
+    sample = spark.createDataFrame(
+        [(1,), (2,), (3,), (21,), (99,)], "doc_id long"
+    )
+    got = {
+        r["shard"]: (r["n_top_hits"], r["est_rel"], r["rank"])
+        for r in fed.redde_collection_scores(
+            run, shard_map, sample, n_top=10
+        ).collect()
+    }
+    # doc 99 at rank 30 is outside n_top; docs 1,2 in A (2 sampled
+    # in A... doc 3 is also A) -> A has 3 sampled? samples in A: 1,2,3
+    assert got["A"] == (3, round(3 * 8 / 3, 4), 1)   # 8.0
+    assert got["B"] == (0, 0.0, 2)
+    assert got["C"] == (0, 0.0, 3)
+
+
 def test_cori_merge_runs_hand_computed(spark):
     """Min-max belief normalization + (D + 0.4·D·C'')/1.4 rescale:
     the top-belief shard keeps scores intact (C''=1 -> D), the bottom
