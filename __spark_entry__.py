@@ -2372,6 +2372,52 @@ GROUP BY tt.doc_id
 """
 
 
+_SB_ALPHA = 0.4
+
+
+def _stupid_backoff_sql() -> str:
+    """Replays stupid_backoff_xent against the src1 in-domain LM:
+    alpha and alpha^2 emitted via repr (the python product, e.g.
+    0.16000000000000003, NOT a rounded literal)."""
+    a, a2 = repr(float(_SB_ALPHA)), repr(float(_SB_ALPHA) ** 2)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+lm AS (SELECT * FROM t WHERE source = '{_DSIR_TARGET}'),
+u AS (SELECT unnest(tk) AS w FROM lm),
+c1 AS (SELECT w, count(*)::DOUBLE AS c FROM u GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n FROM u),
+lbg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM lm, unnest(range(1, len(tk))) AS r(i)
+),
+c2 AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM lbg GROUP BY 1, 2),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, unnest(range(1, len(tk))) AS r(i)
+),
+bt AS (SELECT doc_id, w1, w2, count(*)::DOUBLE AS tf
+       FROM bg GROUP BY 1, 2, 3),
+j AS (
+  SELECT bt.doc_id, bt.tf,
+         CASE WHEN c2.c2 IS NOT NULL THEN c2.c2 / a1.c
+              WHEN b1.c IS NOT NULL THEN {a} * b1.c / tot.n
+              ELSE {a2} / tot.n END AS s
+  FROM bt
+  LEFT JOIN c2 ON bt.w1 = c2.w1 AND bt.w2 = c2.w2
+  LEFT JOIN c1 a1 ON bt.w1 = a1.w
+  LEFT JOIN c1 b1 ON bt.w2 = b1.w
+  CROSS JOIN tot
+)
+SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       round(-sum(tf * ln(s)) / sum(tf), 4) AS xent_sb
+FROM j GROUP BY 1
+"""
+
+
 def _bigram_xent_sql() -> str:
     """Replays bigram_cross_entropy; the interpolation weights are
     emitted via repr() so (1 - lam) is the SAME double on both engines."""
@@ -9059,6 +9105,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r1, r2 = _two_runs(spark, sf)
         return ev.tau_ap(r1, r2)
 
+    def stupid_backoff(spark, sf):
+        # Stupid Backoff bigram xent vs the src1 in-domain LM (the
+        # cross-domain setup where the backoff branches actually fire)
+        d = _docs(spark, sf)
+        return ts.stupid_backoff_xent(
+            d, d.filter(F.col("source") == _DSIR_TARGET),
+            alpha=_SB_ALPHA, content_col="text",
+        )
+
     def bigram_lm_xent(spark, sf):
         # interpolated bigram corpus-LM quality signal
         return ts.bigram_cross_entropy(
@@ -12809,6 +12864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tau_ap": tau_ap,
         "spatial_radius": spatial_radius,
         "bigram_lm_xent": bigram_lm_xent,
+        "stupid_backoff": stupid_backoff,
         "suggest_next": suggest_next,
         "normalize_text": normalize_text,
         "corpus_token_stats": corpus_token_stats,
@@ -13153,6 +13209,7 @@ def oracle_sql() -> dict[str, str]:
         "tau_ap": _tau_ap_sql(),
         "spatial_radius": _spatial_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
+        "stupid_backoff": _stupid_backoff_sql(),
         "suggest_next": _suggest_next_sql(),
         "normalize_text": _normalize_text_sql(),
         "corpus_token_stats": _TOKEN_STATS_SQL,

@@ -465,6 +465,92 @@ def bigram_cross_entropy(
     )
 
 
+def stupid_backoff_xent(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    alpha: float = 0.4,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc cross-entropy under a Stupid Backoff bigram LM (Brants
+    et al. EMNLP'07 "Large language models in machine translation" —
+    the deliberately unnormalized score Google used at web scale
+    because it needs NO discounting statistics, only raw counts):
+
+        S(w2|w1) = c(w1,w2)/c(w1)      if the bigram was seen
+                 = alpha * c(w2)/T     else if w2 was seen
+                 = alpha^2 / T         else (OOV floor)
+
+    The LM is counted on ``lm_docs`` (an IN-DOMAIN reference subset —
+    the cross-domain scoring setup where backoff actually fires, unlike
+    the self-scored interpolated ``bigram_cross_entropy``); every doc
+    in ``docs`` is scored against it: xent = -Σ tf·ln S / Σ tf over
+    the doc's bigrams. Docs with < 2 tokens are omitted.
+    -> (doc_id, n_bigrams, xent_sb).
+
+    Plan shape: same as bigram_cross_entropy — LITERAL index-sequence
+    bigram explode, vocab/vocab²-bounded count tables left-joined
+    (AQE broadcasts while small), one scalar action for T."""
+    alpha = float(alpha)
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+
+    def bigrams(df):
+        t = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+        i = F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i")
+        return (
+            t.filter(F.size("tk") >= 2)
+            .select("doc_id", "tk", i)
+            .select(
+                "doc_id",
+                F.element_at("tk", F.col("i")).alias("w1"),
+                F.element_at("tk", F.col("i") + 1).alias("w2"),
+            )
+        )
+
+    lm_uni = lm_docs.select(F.explode(toks).alias("w"))
+    c1 = lm_uni.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = float(lm_uni.count())
+    c2 = (
+        bigrams(lm_docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    )
+    bt = bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    joined = (
+        bt.join(c2, ["w1", "w2"], "left")
+        .join(
+            c1.select(F.col("w").alias("w1"), F.col("c").alias("c_w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c").alias("c_w2")),
+            "w2",
+            "left",
+        )
+    )
+    s = (
+        F.when(F.col("c2").isNotNull(), F.col("c2") / F.col("c_w1"))
+        .when(
+            F.col("c_w2").isNotNull(),
+            F.lit(alpha) * F.col("c_w2") / F.lit(total),
+        )
+        .otherwise(F.lit(alpha * alpha) / F.lit(total))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("tf") * F.log(s)) / F.sum("tf"), 4
+        ).alias("xent_sb"),
+    )
+
+
 def trigram_cross_entropy(
     docs: DataFrame,
     content_col: str = "content",

@@ -1942,6 +1942,31 @@ def test_pack_sequences_no_global_sort(spark, docs_df):
     assert "SinglePartition" not in plan
 
 
+def test_stupid_backoff_xent_hand_computed(spark):
+    """All three branches: LM = 'a b a b' (bigrams ab×2? no — a b,
+    b a, a b). Scored doc 'a b c a z': seen bigram (a,b), unseen
+    bigram with seen unigrams (b,c -> backoff? c unseen -> floor),
+    (c,a) w2 seen -> alpha backoff, (a,z) z unseen -> floor."""
+    import math as m
+
+    lm = spark.createDataFrame(
+        [(100, "a b a b")], "doc_id long, content string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c a z")], "doc_id long, content string"
+    )
+    out = textstats.stupid_backoff_xent(docs, lm, alpha=0.4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # LM counts: unigrams a:2 b:2, T=4; bigrams (a,b):2 (b,a):1
+    # doc bigrams: (a,b) seen -> 2/2=1; (b,c): c unseen -> 0.16/4;
+    # (c,a): a seen -> 0.4*2/4; (a,z): z unseen -> 0.16/4
+    ss = [1.0, 0.4 * 0.4 / 4, 0.4 * 2 / 4, 0.4 * 0.4 / 4]
+    want = -sum(m.log(x) for x in ss) / 4
+    assert r["n_bigrams"] == 4
+    assert r["xent_sb"] == pytest.approx(want, abs=5e-5)
+
+
 def test_trigram_cross_entropy_hand_computed(spark):
     """Corpus 'a b a b a' + 'b a b' + 'x y': c(aba)=2, c(bab)=2,
     c(ab)=c(ba)=3, c(a)=c(b)=4, T=10 (x,y count toward T) -> every
