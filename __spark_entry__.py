@@ -2375,6 +2375,45 @@ GROUP BY tt.doc_id
 _SB_ALPHA = 0.4
 
 
+_KN_D = 0.75
+
+
+def _kneser_ney_sql() -> str:
+    """Replays kneser_ney_xent: the shared bigram-type table feeds
+    c2, c(w1), N1+(w1,*), N1+(*,w2) and the type total; discount
+    emitted via repr; probability shape mirrored term-for-term."""
+    d = repr(float(_KN_D))
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, unnest(range(1, len(tk))) AS r(i)
+),
+bt AS (SELECT doc_id, w1, w2, count(*)::DOUBLE AS tf
+       FROM bg GROUP BY 1, 2, 3),
+c2 AS MATERIALIZED (SELECT w1, w2, sum(tf) AS c2 FROM bt GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c_w1, count(*)::DOUBLE AS n1p_w1
+       FROM c2 GROUP BY 1),
+cont AS (SELECT w2, count(*)::DOUBLE AS n1p_w2 FROM c2 GROUP BY 1),
+nt AS (SELECT count(*)::DOUBLE AS n_types FROM c2)
+SELECT bt.doc_id, sum(bt.tf)::BIGINT AS n_bigrams,
+       round(-sum(bt.tf * ln(
+           (c2.c2 - {d}) / c1.c_w1
+           + ({d} * c1.n1p_w1 / c1.c_w1) * (cont.n1p_w2 / nt.n_types)
+       )) / sum(bt.tf), 4) AS xent_kn
+FROM bt
+JOIN c2 USING (w1, w2)
+JOIN c1 USING (w1)
+JOIN cont USING (w2)
+CROSS JOIN nt
+GROUP BY bt.doc_id
+"""
+
+
 def _stupid_backoff_sql() -> str:
     """Replays stupid_backoff_xent against the src1 in-domain LM:
     alpha and alpha^2 emitted via repr (the python product, e.g.
@@ -9105,6 +9144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r1, r2 = _two_runs(spark, sf)
         return ev.tau_ap(r1, r2)
 
+    def kneser_ney_xent(spark, sf):
+        # interpolated Kneser-Ney bigram xent (continuation counts)
+        return ts.kneser_ney_xent(
+            _docs(spark, sf), discount=_KN_D, content_col="text"
+        )
+
     def stupid_backoff(spark, sf):
         # Stupid Backoff bigram xent vs the src1 in-domain LM (the
         # cross-domain setup where the backoff branches actually fire)
@@ -12865,6 +12910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_radius": spatial_radius,
         "bigram_lm_xent": bigram_lm_xent,
         "stupid_backoff": stupid_backoff,
+        "kneser_ney_xent": kneser_ney_xent,
         "suggest_next": suggest_next,
         "normalize_text": normalize_text,
         "corpus_token_stats": corpus_token_stats,
@@ -13210,6 +13256,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_radius": _spatial_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
+        "kneser_ney_xent": _kneser_ney_sql(),
         "suggest_next": _suggest_next_sql(),
         "normalize_text": _normalize_text_sql(),
         "corpus_token_stats": _TOKEN_STATS_SQL,

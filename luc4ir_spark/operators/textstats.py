@@ -465,6 +465,77 @@ def bigram_cross_entropy(
     )
 
 
+def kneser_ney_xent(
+    docs: DataFrame,
+    discount: float = 0.75,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated Kneser-Ney BIGRAM
+    LM (Kneser & Ney ICASSP'95; Chen & Goodman'98 showed it the best
+    n-gram smoother — the one KenLM implements):
+
+        p(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                   + (D * N1+(w1,*)/c(w1)) * p_cont(w2)
+        p_cont(w2) = N1+(*,w2) / |distinct bigram types|
+
+    The continuation distribution is KN's insight: "Francisco" is
+    frequent but follows only "San", so its continuation probability —
+    how many CONTEXTS it completes — is tiny. Self-scored on the
+    counting corpus (every doc bigram has c >= 1 > D, so p > 0 without
+    an OOV branch), like the CCNet-style signals this extends.
+    xent = -Σ tf·ln p / Σ tf over a doc's bigrams; < 2-token docs are
+    omitted. -> (doc_id, n_bigrams, xent_kn).
+
+    Plan shape: the bigram type table is counted ONCE and reused for
+    c(w1,w2), N1+(w1,*), N1+(*,w2) and the type total — all
+    vocab²-bounded aggregates off one explode; per-doc scoring joins
+    them unhinted (AQE broadcasts while small)."""
+    d_disc = float(discount)
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    i = F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i")
+    bt = (
+        t.filter(F.size("tk") >= 2)
+        .select("doc_id", "tk", i)
+        .select(
+            "doc_id",
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    c2 = bt.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c_w1"),
+        F.count(F.lit(1)).cast("double").alias("n1p_w1"),
+    )
+    cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_w2")
+    )
+    n_types = float(c2.count())
+    p = (
+        (F.col("c2") - F.lit(d_disc)) / F.col("c_w1")
+        + (F.lit(d_disc) * F.col("n1p_w1") / F.col("c_w1"))
+        * (F.col("n1p_w2") / F.lit(n_types))
+    )
+    return (
+        bt.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4
+            ).alias("xent_kn"),
+        )
+    )
+
+
 def stupid_backoff_xent(
     docs: DataFrame,
     lm_docs: DataFrame,

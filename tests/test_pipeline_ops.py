@@ -1942,6 +1942,46 @@ def test_pack_sequences_no_global_sort(spark, docs_df):
     assert "SinglePartition" not in plan
 
 
+def test_kneser_ney_xent_hand_computed(spark):
+    """Two docs sharing bigrams; KN probabilities replayed in pure
+    Python from the corpus counts (continuation counts included)."""
+    import math as m
+    from collections import Counter, defaultdict
+
+    rows = [(1, "a b a c"), (2, "b a c c")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    # corpus bigram counts
+    c2 = Counter()
+    per_doc = {}
+    for d, txt in rows:
+        tk = txt.split()
+        bgs = list(zip(tk, tk[1:]))
+        per_doc[d] = Counter(bgs)
+        c2.update(bgs)
+    c1, n1p_w1, n1p_w2 = defaultdict(float), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1p_w1[w1] += 1
+        n1p_w2[w2] += 1
+    n_types = len(c2)
+    D = 0.75
+
+    def p(w1, w2):
+        return (c2[(w1, w2)] - D) / c1[w1] + (
+            D * n1p_w1[w1] / c1[w1]
+        ) * (n1p_w2[w2] / n_types)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_kn"])
+        for r in textstats.kneser_ney_xent(docs).collect()
+    }
+    for d, bgs in per_doc.items():
+        n = sum(bgs.values())
+        want = -sum(c * m.log(p(*bg)) for bg, c in bgs.items()) / n
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(want, abs=5e-5), d
+
+
 def test_stupid_backoff_xent_hand_computed(spark):
     """All three branches: LM = 'a b a b' (bigrams ab×2? no — a b,
     b a, a b). Scored doc 'a b c a z': seen bigram (a,b), unseen
