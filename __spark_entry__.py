@@ -2375,6 +2375,26 @@ GROUP BY tt.doc_id
 _SB_ALPHA = 0.4
 
 
+_GOOD_TURING_SQL = """
+WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents
+),
+tc AS (SELECT w, count(*)::BIGINT AS r FROM t GROUP BY 1),
+nr AS (SELECT r, count(*)::BIGINT AS n_r FROM tc GROUP BY 1),
+tot AS (SELECT sum(r)::BIGINT AS t,
+               coalesce(sum(CASE WHEN r = 1 THEN 1 END), 0)::BIGINT AS n1
+        FROM tc),
+nxt AS (SELECT r - 1 AS r, n_r AS n_next FROM nr)
+SELECT nr.r, nr.n_r,
+       round(coalesce((nr.r + 1) * nxt.n_next / nr.n_r, 0.0), 4)
+         AS r_star,
+       round(tot.n1 * 1.0 / tot.t, 4) AS p0
+FROM nr LEFT JOIN nxt USING (r) CROSS JOIN tot
+"""
+
+
 _KN_D = 0.75
 
 
@@ -9144,6 +9164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r1, r2 = _two_runs(spark, sf)
         return ev.tau_ap(r1, r2)
 
+    def good_turing(spark, sf):
+        # Good-Turing count-of-counts + adjusted counts + unseen mass
+        return ts.good_turing_counts(_docs(spark, sf), content_col="text")
+
     def kneser_ney_xent(spark, sf):
         # interpolated Kneser-Ney bigram xent (continuation counts)
         return ts.kneser_ney_xent(
@@ -12911,6 +12935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_xent": bigram_lm_xent,
         "stupid_backoff": stupid_backoff,
         "kneser_ney_xent": kneser_ney_xent,
+        "good_turing": good_turing,
         "suggest_next": suggest_next,
         "normalize_text": normalize_text,
         "corpus_token_stats": corpus_token_stats,
@@ -13257,6 +13282,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_xent": _bigram_xent_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
         "kneser_ney_xent": _kneser_ney_sql(),
+        "good_turing": _GOOD_TURING_SQL,
         "suggest_next": _suggest_next_sql(),
         "normalize_text": _normalize_text_sql(),
         "corpus_token_stats": _TOKEN_STATS_SQL,

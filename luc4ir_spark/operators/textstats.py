@@ -465,6 +465,62 @@ def bigram_cross_entropy(
     )
 
 
+def good_turing_counts(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Good-Turing count-of-counts over the corpus UNIGRAMS (Good'53;
+    Gale & Sampson'95's simple GT) — the frequency-of-frequencies
+    table every classical smoother starts from:
+
+        N_r    = #types occurring exactly r times
+        r*     = (r + 1) * N_{r+1} / N_r   (the GT adjusted count;
+                 0 when N_{r+1} is empty — the unsmoothed-tail gap
+                 Gale-Sampson fix by regression, out of scope here)
+        p_unseen mass = N_1 / T  (the leave-one-out estimate)
+
+    -> (r, n_r, r_star, p0) with p0 (the unseen mass) repeated on
+    every row for convenience — all integers plus two divisions.
+
+    Plan shape: two map-side-combined aggregates (term counts ->
+    count-of-counts); output is O(distinct frequencies) rows."""
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    uni = docs.select(F.explode(toks).alias("w"))
+    tc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    nr = tc.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    # one-row aggregates (an agg, not a filter — a corpus with no
+    # hapax terms must still yield N_1 = 0, not an empty cross join)
+    tot = tc.agg(
+        F.sum("r").cast("long").alias("_t"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.lit(1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("_n1"),
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    )
+    base = nr.join(nxt, "r", "left").crossJoin(F.broadcast(tot))
+    return base.select(
+        "r",
+        "n_r",
+        F.round(
+            F.coalesce(
+                (F.col("r") + 1) * F.col("_n_next") / F.col("n_r"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("r_star"),
+        F.round(F.col("_n1") / F.col("_t"), 4).alias("p0"),
+    )
+
+
 def kneser_ney_xent(
     docs: DataFrame,
     discount: float = 0.75,

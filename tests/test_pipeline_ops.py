@@ -1942,6 +1942,36 @@ def test_pack_sequences_no_global_sort(spark, docs_df):
     assert "SinglePartition" not in plan
 
 
+def test_good_turing_counts_hand_computed(spark):
+    """corpus 'a a a b b c': counts a:3 b:2 c:1 -> N_1=1 N_2=1 N_3=1;
+    r*=2·N_2/N_1=2 at r=1, 3·N_3/N_2=3 at r=2, 0 at r=3 (no N_4);
+    p0 = N_1/T = 1/6."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, content string"
+    )
+    got = {
+        r["r"]: (r["n_r"], r["r_star"], r["p0"])
+        for r in textstats.good_turing_counts(docs).collect()
+    }
+    assert got == {
+        1: (1, 2.0, round(1 / 6, 4)),
+        2: (1, 3.0, round(1 / 6, 4)),
+        3: (1, 0.0, round(1 / 6, 4)),
+    }
+
+
+def test_good_turing_no_hapax(spark):
+    """No hapax terms: N_1 = 0 -> p0 = 0 (not an empty result)."""
+    docs = spark.createDataFrame(
+        [(1, "x x y y")], "doc_id long, content string"
+    )
+    got = {
+        r["r"]: r["p0"]
+        for r in textstats.good_turing_counts(docs).collect()
+    }
+    assert got == {2: 0.0}
+
+
 def test_kneser_ney_xent_hand_computed(spark):
     """Two docs sharing bigrams; KN probabilities replayed in pure
     Python from the corpus counts (continuation counts included)."""
