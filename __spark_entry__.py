@@ -5417,6 +5417,40 @@ SELECT qid, doc_id, shard, merged, rank FROM (
 """
 
 
+_SPELL_NGRAM_QUERIES = [("sp1", "spork"), ("sp2", "stram"),
+                        ("sp3", "tabel"), ("sp4", "join")]
+
+
+def _spell_ngram_sql() -> str:
+    """Replays spell_candidates_ngram: boundary-marked char bigrams on
+    both sides, distinct-shared-gram counts, levenshtein verify."""
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in _SPELL_NGRAM_QUERIES)
+    return f"""
+WITH {_TOKS}, {_TF},
+vocab AS (SELECT DISTINCT term FROM tf),
+vg AS (
+  SELECT DISTINCT term, substr(m, i, 2) AS gram
+  FROM (SELECT term, '^' || term || '$' AS m FROM vocab),
+       unnest(range(1, len(m))) AS r(i)
+),
+qv(qid, qterm) AS (VALUES {vals}),
+qg AS (
+  SELECT DISTINCT qid, qterm, substr(m, i, 2) AS gram
+  FROM (SELECT qid, qterm, '^' || qterm || '$' AS m FROM qv),
+       unnest(range(1, len(m))) AS r(i)
+),
+cand AS (
+  SELECT q.qid, q.qterm, v.term, count(*)::BIGINT AS n_shared
+  FROM vg v JOIN qg q USING (gram)
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+)
+SELECT qid, qterm, term, n_shared,
+       levenshtein(qterm, term)::BIGINT AS distance
+FROM cand WHERE levenshtein(qterm, term) <= 2
+"""
+
+
 def _join_query_sql() -> str:
     """Replays retrieval.join_query over source: from-matches = docs
     with >= 1 query term, to-docs = every doc sharing a matched
@@ -12053,6 +12087,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pos, _PHRASE, window=_PROX_WINDOW
         ).select("doc_id", "uw_freq")
 
+    def spell_ngram(spark, sf):
+        # char-bigram spell candidate generation + exact levenshtein
+        # verify (Lucene SpellChecker's indexed-candidates half)
+        idx = _index(spark, sf)
+        qt = spark.createDataFrame(
+            _SPELL_NGRAM_QUERIES, "qid string, term string"
+        )
+        return rt.spell_candidates_ngram(
+            idx, qt, min_shared=2, max_edits=2
+        )
+
     def fuzzy_query(spark, sf):
         # FuzzyQuery parity: misspelled queries reach the postings via
         # Levenshtein expansion over the vocabulary, 1/(1+d) weights
@@ -13150,6 +13195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": snippets,
         "hygiene_streamed": hygiene_streamed,
         "fuzzy_query": fuzzy_query,
+        "spell_ngram": spell_ngram,
         "grouped_results": grouped_results,
         "proximity_query": proximity_query,
         "semantic_dedup": semantic_dedup,
@@ -13576,6 +13622,7 @@ FROM h
         "snippets": _snippets_sql(),
         "hygiene_streamed": _hygiene_streamed_sql(),
         "fuzzy_query": _fuzzy_query_sql(),
+        "spell_ngram": _spell_ngram_sql(),
         "proximity_query": _proximity_sql(),
         "grouped_results": _GROUPED_SQL.format(
             bm25=_bm25_sql(conjunctive=False)

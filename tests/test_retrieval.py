@@ -1910,6 +1910,61 @@ def test_percolate_modes(spark):
     assert anym == {(0, "a"), (1, "a"), (2, "b"), (0, "c"), (1, "c")}
 
 
+def test_spell_candidates_ngram(spark, index):
+    """Candidate generation: 'spork' reaches 'spark' via shared
+    boundary bigrams (^s, sp, rk, k$) then verifies at distance 1;
+    a term with NO 2-bigram overlap never reaches the levenshtein
+    stage; exact terms come back at distance 0."""
+    qt = spark.createDataFrame(
+        [("s1", "spork"), ("s2", "pasta")], "qid string, term string"
+    )
+    got = {
+        (r["qid"], r["term"]): (r["n_shared"], r["distance"])
+        for r in rt.spell_candidates_ngram(
+            index, qt, min_shared=2, max_edits=2
+        ).collect()
+    }
+    assert ("s1", "spark") in got
+    n_shared, dist = got[("s1", "spark")]
+    assert dist == 1 and n_shared >= 2
+    assert got[("s2", "pasta")] == (6, 0)  # exact: all 6 bigrams
+
+
+def test_spell_candidates_ngram_brute(spark, index):
+    """Pure-Python brute replay of generation + verify."""
+    qt = spark.createDataFrame(
+        [("s1", "spork"), ("s2", "stram")], "qid string, term string"
+    )
+    got = {
+        (r["qid"], r["term"])
+        for r in rt.spell_candidates_ngram(
+            index, qt, min_shared=2, max_edits=2
+        ).collect()
+    }
+
+    def bigrams(w):
+        m = f"^{w}$"
+        return {m[i:i + 2] for i in range(len(m) - 1)}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    vocab = [r["term"] for r in index.term_stats.select("term").collect()]
+    want = set()
+    for qid, qterm in [("s1", "spork"), ("s2", "stram")]:
+        for t in vocab:
+            if len(bigrams(qterm) & bigrams(t)) >= 2 and lev(qterm, t) <= 2:
+                want.add((qid, t))
+    assert got == want
+
+
 def test_cori_collection_scores_hand_computed(spark, index):
     """CORI beliefs vs pure Python over the tiny corpus split into
     two shards; absent terms contribute the 0.4 floor; ranks tie-break
