@@ -3503,6 +3503,36 @@ FROM e WHERE event_type = 'click'
 """
 
 
+def _query_volume_sql() -> str:
+    """Replays query_volume_curve over the derived Zipf-ish query log
+    (qn = isqrt(mix(event_id) % 10000) — floor(sqrt(bigint)) is exact
+    on both engines because IEEE sqrt is correctly rounded)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mx = (f"(({hx.MIX_A} * (event_id % {hx.MIX_P}) + {hx.MIX_B})"
+          f" % {hx.MIX_P})")
+    return f"""
+WITH lg AS (
+  SELECT 'q' || floor(sqrt(({mx} % 10000)))::BIGINT::VARCHAR AS query
+  FROM events WHERE event_type = 'view'
+),
+c AS (SELECT query, count(*)::BIGINT AS n FROM lg GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS t FROM c),
+r AS (
+  SELECT query, n,
+         (row_number() OVER (ORDER BY n DESC, query ASC))::BIGINT
+           AS rank,
+         (sum(n) OVER (ORDER BY n DESC, query ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS cum_n
+  FROM c
+)
+SELECT r.rank, r.query, r.n, r.cum_n,
+       round(r.cum_n * 1.0 / tot.t, 4) AS cum_share
+FROM r CROSS JOIN tot
+"""
+
+
 _LDIV_L = 3
 
 
@@ -11659,6 +11689,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "activity_bucket", "top_type", "n_users", "at_risk"
         )
 
+    def query_volume(spark, sf):
+        # head/tail query-volume coverage curve over the Zipf-ish
+        # derived query log (isqrt density ramp)
+        from luc4ir_spark.functions import hashing as hx
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        lg = ev_df.filter(F.col("event_type") == "view").select(
+            F.concat(
+                F.lit("q"),
+                F.floor(
+                    F.sqrt(
+                        F.pmod(hx.mix_id_expr("event_id"), F.lit(10000))
+                    )
+                )
+                .cast("long")
+                .cast("string"),
+            ).alias("query")
+        )
+        return eo.query_volume_curve(lg)
+
     def sat_clicks(spark, sf):
         # dwell-time SAT-click classification (Fox TOIS'05 30-second
         # convention): dwell = gap to the user's next event of any
@@ -13087,6 +13138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inf_ap": inf_ap,
         "session_abandonment": session_abandonment,
         "k_anonymity": k_anonymity,
+        "query_volume": query_volume,
         "sat_clicks": sat_clicks,
         "l_diversity": l_diversity,
         "condensed_ap": condensed_ap,
@@ -13435,6 +13487,7 @@ def oracle_sql() -> dict[str, str]:
         "inf_ap": _inf_ap_sql(),
         "session_abandonment": _ABANDON_SQL,
         "k_anonymity": _k_anonymity_sql(),
+        "query_volume": _query_volume_sql(),
         "sat_clicks": _SAT_CLICKS_SQL,
         "l_diversity": _l_diversity_sql(),
         "condensed_ap": _condensed_ap_sql(),

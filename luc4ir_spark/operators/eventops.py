@@ -610,6 +610,46 @@ def l_diversity_report(
     )
 
 
+def query_volume_curve(
+    log_df: DataFrame, query_col: str = "query"
+) -> DataFrame:
+    """Head/torso/tail query-volume curve — the first chart of every
+    search-analytics stack (cache sizing, head-query optimization,
+    tail-spell-correction budgets all read off it): distinct queries
+    ranked by volume with the CUMULATIVE share of total volume at each
+    rank. -> (rank, query, n, cum_n, cum_share); counts and cumsums are
+    exact integers, the share is ONE division per row.
+
+    Plan shape: one map-side-combined query groupBy, then a GLOBAL
+    ordered window over the DISTINCT-QUERY-sized relation (the
+    vocab-sized-global-window convention — the raw log never enters a
+    window) + a broadcast 1-row total."""
+    counts = log_df.groupBy(
+        F.col(query_col).alias("query")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("_t"))
+    w = Window.orderBy(F.col("n").desc(), F.col("query").asc())
+    cum = (
+        counts.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .withColumn(
+            "cum_n",
+            F.sum("n")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return cum.select(
+        "rank",
+        "query",
+        "n",
+        "cum_n",
+        F.round(F.col("cum_n") / F.col("_t"), 4).alias("cum_share"),
+    )
+
+
 def sat_clicks(
     events: DataFrame,
     threshold_us: int = 30_000_000,

@@ -368,6 +368,24 @@ def test_k_anonymity_report_hand_computed(spark):
     assert out[(4, "a")]["at_risk"] is True
 
 
+def test_query_volume_curve_hand_computed(spark):
+    """a×3, b×2, c×1 -> ranks 1..3, cum shares 0.5, 5/6, 1.0; tie
+    ordering by query name."""
+    lg = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)],
+        "query string",
+    )
+    got = {
+        r["rank"]: (r["query"], r["n"], r["cum_n"], r["cum_share"])
+        for r in eo.query_volume_curve(lg).collect()
+    }
+    assert got == {
+        1: ("a", 3, 3, 0.5),
+        2: ("b", 2, 5, round(5 / 6, 4)),
+        3: ("c", 1, 6, 1.0),
+    }
+
+
 def test_sat_clicks_hand_computed(spark):
     """u1: click at :00 followed at :10 (10 s dwell -> unsatisfied),
     click at :10 followed 40 s later by a non-click (satisfied — the
