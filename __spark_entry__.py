@@ -5999,6 +5999,33 @@ FROM old o FULL OUTER JOIN new_docs n ON o.doc_id = n.doc_id
 """
 
 
+def _revisit_policy_sql() -> str:
+    """Replays revisit_policy over the snapshot-diff gate's derivation:
+    host = 'h' || mix(doc_id) % 10 (covers the shifted added ids too),
+    integer cross-multiplied tier thresholds."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mx = (f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B})"
+          f" % {hx.MIX_P})")
+    return f"""
+WITH diff AS ({_SNAP_DIFF_SQL.strip()}),
+hm AS (SELECT doc_id, 'h' || ({mx} % 10)::VARCHAR AS host FROM diff),
+j AS (SELECT h.host, d.status FROM diff d JOIN hm h USING (doc_id)),
+per AS (
+  SELECT host, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+           AS n_changed
+  FROM j GROUP BY 1)
+SELECT host, n_docs, n_changed,
+       round(n_changed * 1.0 / n_docs, 4) AS change_rate,
+       (CASE WHEN 2 * n_changed >= n_docs THEN 1
+             WHEN 8 * n_changed >= n_docs THEN 4
+             WHEN 32 * n_changed >= n_docs THEN 16
+             ELSE 64 END)::BIGINT AS revisit_days
+FROM per
+"""
+
+
 # -------------------------- index-check / blocklist oracle SQL
 
 _BLOCKLIST = ["slow hash", "spark", "zzz banned"]
@@ -11179,6 +11206,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"),
         )
 
+    def revisit_policy(spark, sf):
+        # crawl revisit tiers from the snapshot-diff churn, per host;
+        # host derived from doc_id so the shifted added ids map too
+        from luc4ir_spark.functions import hashing as hx
+
+        diff = snapshot_diff(spark, sf)
+        hosts = diff.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"),
+                F.pmod(hx.mix_id_expr("doc_id"), F.lit(10)).cast(
+                    "string"
+                ),
+            ).alias("host"),
+        )
+        return dd.revisit_policy(diff, hosts)
+
     def decontaminate(spark, sf):
         # eval-set decontamination (GPT-3/PaLM-style trigram overlap):
         # eval corpus = every 19th doc; the train side is never shuffled
@@ -13170,6 +13214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_fragments": best_fragments,
         "proximity_rerank": proximity_rerank,
         "snapshot_diff": snapshot_diff,
+        "revisit_policy": revisit_policy,
         "bootstrap_map_ci": bootstrap_map_ci,
         "bootstrap_paired": bootstrap_paired,
         "run_permutation": run_permutation,
@@ -13525,6 +13570,7 @@ def oracle_sql() -> dict[str, str]:
         "best_fragments": _best_fragments_sql(),
         "proximity_rerank": _proximity_rerank_sql(),
         "snapshot_diff": _SNAP_DIFF_SQL,
+        "revisit_policy": _revisit_policy_sql(),
         "bootstrap_map_ci": _bootstrap_ci_sql(),
         "bootstrap_paired": _bootstrap_paired_sql(),
         "run_permutation": _run_permutation_sql(),

@@ -1579,6 +1579,67 @@ def snapshot_diff(
     )
 
 
+def revisit_policy(
+    diff: DataFrame,
+    doc_hosts: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """Crawl revisit scheduling from a snapshot diff (the freshness
+    economics of Cho & Garcia-Molina, VLDB'00 "Synchronizing a
+    database to improve freshness": revisit frequency should track
+    observed change rate): per host, how much churned between the two
+    snapshots — added/removed/changed all count; unchanged does not —
+    and the resulting revisit interval tier.
+
+    The tier is picked by EXACT integer cross-multiplication, never a
+    float-rate threshold (a rate c/n that lands bit-near a boundary
+    would flip tiers across engines):
+
+        revisit_days = 1   if 2c  >= n   (rate >= 1/2)
+                       4   if 8c  >= n   (rate >= 1/8)
+                       16  if 32c >= n   (rate >= 1/32)
+                       64  otherwise
+
+    -> (host, n_docs, n_changed, change_rate, revisit_days);
+    change_rate is display-only (one 4dp division).
+
+    Plan shape: diff joins the host map on doc id (co-located when
+    both ride the crawl's id bucketing), one map-side-combined host
+    groupBy; docs only present in one snapshot must still appear in
+    ``doc_hosts`` (derive the map from the union of snapshots)."""
+    j = diff.join(
+        doc_hosts.select(
+            F.col(id_col).alias("doc_id"), F.col(host_col).alias("host")
+        ),
+        "doc_id",
+    )
+    per = j.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("status") != "unchanged", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_changed"),
+    )
+    c, n = F.col("n_changed"), F.col("n_docs")
+    tier = (
+        F.when(2 * c >= n, F.lit(1))
+        .when(8 * c >= n, F.lit(4))
+        .when(32 * c >= n, F.lit(16))
+        .otherwise(F.lit(64))
+    )
+    return per.select(
+        "host",
+        "n_docs",
+        "n_changed",
+        F.round(c / n, 4).alias("change_rate"),
+        tier.cast("long").alias("revisit_days"),
+    )
+
+
 def dedup_lines(
     docs: DataFrame,
     content_col: str = "content",

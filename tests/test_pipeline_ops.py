@@ -921,6 +921,34 @@ def test_dedup_corpus_keep_one_per_cluster(spark):
     assert kept == [1, 7, 9]
 
 
+def test_revisit_policy_tiers(spark):
+    """Integer cross-multiplied tiers: 2/4 changed -> 1 day;
+    1/8 -> 4 days; 1/32 -> 16; 0/4 -> 64."""
+    rows = []
+    hosts = []
+    did = 0
+
+    def host_docs(host, n, changed):
+        nonlocal did
+        for i in range(n):
+            rows.append((did, "changed" if i < changed else "unchanged"))
+            hosts.append((did, host))
+            did += 1
+
+    host_docs("hot", 4, 2)
+    host_docs("warm", 8, 1)
+    host_docs("cool", 32, 1)
+    host_docs("cold", 4, 0)
+    diff = spark.createDataFrame(rows, "doc_id long, status string")
+    hm = spark.createDataFrame(hosts, "doc_id long, host string")
+    got = {
+        r["host"]: (r["n_changed"], r["revisit_days"])
+        for r in dedup.revisit_policy(diff, hm).collect()
+    }
+    assert got == {"hot": (2, 1), "warm": (1, 4), "cool": (1, 16),
+                   "cold": (0, 64)}
+
+
 def test_dedup_corpus_survivor_keeps_best_quality(spark):
     # same graph as the min-id test, but with a quality column: the
     # 1~2~3 component keeps 2 (highest q), 7~8 keeps 8 on the q tie to
