@@ -2180,6 +2180,28 @@ FROM cand
 """
 
 
+def _spatial_bbox_sql() -> str:
+    """Replays bbox_filter over the same mix-derived ticks: inclusive
+    integer box, pure filter."""
+    from luc4ir_spark.functions import hashing as hx
+
+    def mx(key):
+        return (f"(({hx.MIX_A} * (({key}) % {hx.MIX_P}) + {hx.MIX_B})"
+                f" % {hx.MIX_P})")
+
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         {mx('doc_id')} % {_SPATIAL_GRID} AS x,
+         {mx(f'doc_id + {_SPATIAL_SALT}')} % {_SPATIAL_GRID} AS y
+  FROM documents
+)
+SELECT doc_id, x::BIGINT AS x, y::BIGINT AS y
+FROM pts
+WHERE x BETWEEN 100 AND 220 AND y BETWEEN 40 AND 160
+"""
+
+
 def _tau_ap_sql() -> str:
     """Replays evaluation.tau_ap (Yilmaz et al. SIGIR'08) over the
     bm25 (reference) and lmdir (observed) runs: densified ranks within
@@ -10074,6 +10096,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), columns=["lang", "source"]
         )
 
+    def spatial_bbox(spark, sf):
+        # LatLonPoint.newBoxQuery parity: inclusive integer box — a
+        # pure scan-local predicate (parquet-pushdown-able on a
+        # materialized point table)
+        from luc4ir_spark.functions import hashing as hx
+        from luc4ir_spark.operators import spatial as spat
+
+        pts = _docs(spark, sf).select(
+            "doc_id",
+            F.pmod(hx.mix_id_expr("doc_id"), F.lit(_SPATIAL_GRID))
+            .cast("long")
+            .alias("x"),
+            F.pmod(
+                hx.mix_id_expr(F.col("doc_id") + F.lit(_SPATIAL_SALT)),
+                F.lit(_SPATIAL_GRID),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        return spat.bbox_filter(pts, 100, 220, 40, 160)
+
     def zorder_events(spark, sf):
         # Morton z-values for the (user bucket, hour bucket) layout —
         # the data-skipping clustering key; pure integer bit math on
@@ -13072,6 +13115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_correlation": rank_correlation,
         "tau_ap": tau_ap,
         "spatial_radius": spatial_radius,
+        "spatial_bbox": spatial_bbox,
         "bigram_lm_xent": bigram_lm_xent,
         "stupid_backoff": stupid_backoff,
         "kneser_ney_xent": kneser_ney_xent,
@@ -13422,6 +13466,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_correlation": _rank_corr_sql(),
         "tau_ap": _tau_ap_sql(),
         "spatial_radius": _spatial_sql(),
+        "spatial_bbox": _spatial_bbox_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
         "kneser_ney_xent": _kneser_ney_sql(),
