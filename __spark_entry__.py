@@ -3525,6 +3525,23 @@ FROM e WHERE event_type = 'click'
 """
 
 
+_BURST_T = 3
+
+
+_BURST_SQL = f"""
+WITH cells AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS m, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, sum(c)::BIGINT AS n_events,
+       max(c)::BIGINT AS peak_minute_events,
+       sum(CASE WHEN c > {_BURST_T} THEN 1 ELSE 0 END)::BIGINT
+         AS n_bursty_minutes,
+       sum(CASE WHEN c > {_BURST_T} THEN 1 ELSE 0 END) > 0 AS flagged
+FROM cells GROUP BY 1
+"""
+
+
 def _query_volume_sql() -> str:
     """Replays query_volume_curve over the derived Zipf-ish query log
     (qn = isqrt(mix(event_id) % 10000) — floor(sqrt(bigint)) is exact
@@ -11776,6 +11793,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "activity_bucket", "top_type", "n_users", "at_risk"
         )
 
+    def burst_report(spark, sf):
+        # per-user per-minute burst audit (rate-limit review list)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.burst_report(ev_df, threshold=_BURST_T)
+
     def query_volume(spark, sf):
         # head/tail query-volume coverage curve over the Zipf-ish
         # derived query log (isqrt density ramp)
@@ -13226,6 +13250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inf_ap": inf_ap,
         "session_abandonment": session_abandonment,
         "k_anonymity": k_anonymity,
+        "burst_report": burst_report,
         "query_volume": query_volume,
         "sat_clicks": sat_clicks,
         "l_diversity": l_diversity,
@@ -13577,6 +13602,7 @@ def oracle_sql() -> dict[str, str]:
         "inf_ap": _inf_ap_sql(),
         "session_abandonment": _ABANDON_SQL,
         "k_anonymity": _k_anonymity_sql(),
+        "burst_report": _BURST_SQL,
         "query_volume": _query_volume_sql(),
         "sat_clicks": _SAT_CLICKS_SQL,
         "l_diversity": _l_diversity_sql(),

@@ -610,6 +610,50 @@ def l_diversity_report(
     )
 
 
+def burst_report(
+    events: DataFrame,
+    threshold: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user burst/abuse report — the rate-limit audit every
+    public-facing log pipeline runs (scraper and credential-stuffing
+    traffic shows up as per-minute bursts long before volume totals
+    move): bucket events into (user, minute) cells, then per user
+    report the peak minute, how many minutes exceeded ``threshold``
+    events, and the flag. -> (user_id, n_events, peak_minute_events,
+    n_bursty_minutes, flagged) — all integers.
+
+    Plan shape: one map-side-combined (user, minute) groupBy over the
+    raw log, one user-sized rollup. The minute key is integer epoch
+    division — no timestamp formatting, no timezone."""
+    # integer DIV, not float division + floor — a float quotient can
+    # round up across an exact minute boundary
+    cells = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            epoch_us(ts_col).alias("_t"),
+        )
+        .select("user_id", F.expr("_t DIV 60000000").alias("_m"))
+        .groupBy("user_id", "_m")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = cells.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.max("c").cast("long").alias("peak_minute_events"),
+        F.sum(
+            F.when(F.col("c") > int(threshold), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_bursty_minutes"),
+    )
+    return per.withColumn(
+        "flagged", F.col("n_bursty_minutes") > 0
+    )
+
+
 def query_volume_curve(
     log_df: DataFrame, query_col: str = "query"
 ) -> DataFrame:

@@ -368,6 +368,29 @@ def test_k_anonymity_report_hand_computed(spark):
     assert out[(4, "a")]["at_risk"] is True
 
 
+def test_burst_report_hand_computed(spark):
+    """u1: 3 events in one minute (> threshold 2) + 1 elsewhere ->
+    flagged, peak 3, one bursty minute; u2: spread out -> clean.
+    A minute boundary (59.9s vs 60s) splits cells correctly."""
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0, 1), 1, "view"),
+        (1, datetime(2024, 1, 1, 0, 0, 30), 1, "view"),
+        (2, datetime(2024, 1, 1, 0, 0, 59), 1, "view"),
+        (3, datetime(2024, 1, 1, 0, 1, 0), 1, "view"),   # next minute
+        (4, datetime(2024, 1, 1, 1, 0, 0), 2, "view"),
+        (5, datetime(2024, 1, 1, 2, 0, 0), 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["peak_minute_events"],
+                       r["n_bursty_minutes"], r["flagged"])
+        for r in eo.burst_report(ev, threshold=2).collect()
+    }
+    assert got == {1: (4, 3, 1, True), 2: (2, 1, 0, False)}
+
+
 def test_query_volume_curve_hand_computed(spark):
     """a×3, b×2, c×1 -> ranks 1..3, cum shares 0.5, 5/6, 1.0; tie
     ordering by query name."""
