@@ -573,6 +573,8 @@ def kneser_ney_xent(
         F.count(F.lit(1)).cast("double").alias("n1p_w2")
     )
     n_types = float(c2.count())
+    if n_types == 0:
+        raise ValueError("kneser_ney_xent: the corpus has no bigrams")
     p = (
         (F.col("c2") - F.lit(d_disc)) / F.col("c_w1")
         + (F.lit(d_disc) * F.col("n1p_w1") / F.col("c_w1"))
@@ -641,6 +643,10 @@ def stupid_backoff_xent(
         F.count(F.lit(1)).cast("double").alias("c")
     )
     total = float(lm_uni.count())
+    if total == 0:
+        raise ValueError(
+            "stupid_backoff_xent: the LM corpus has no tokens"
+        )
     c2 = (
         bigrams(lm_docs)
         .groupBy("w1", "w2")
