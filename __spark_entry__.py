@@ -7278,6 +7278,46 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+_KMEANS_STEP_SQL = """
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> round(x /
+           (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0
+                 THEN 1.0
+                 ELSE list_max(list_transform(v, y -> abs(y))) END
+            / 127.0))::BIGINT) AS q
+  FROM c0
+),
+seeds AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid,
+         list_transform(q, x -> x::DOUBLE) AS s
+  FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 4)
+),
+qd AS (SELECT vec_id, q,
+              list_transform(q, x -> x::DOUBLE) AS qdl FROM qz),
+dist AS (
+  SELECT qd.vec_id, s.cid,
+         (list_dot_product(qd.qdl, qd.qdl)
+          - 2 * list_dot_product(qd.qdl, s.s)
+          + list_dot_product(s.s, s.s)) AS d2
+  FROM qd CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, (min(struct_pack(d := d2, c := cid))).c AS cid
+  FROM dist GROUP BY 1
+),
+flat AS (
+  SELECT a.cid, i AS dim, q.q[i]::BIGINT AS code
+  FROM assign a JOIN qz q USING (vec_id),
+       unnest(generate_series(1, 64)) AS g(i)
+)
+SELECT cid, dim::BIGINT AS dim, count(*)::BIGINT AS n_assigned,
+       round(sum(code) * 1.0 / count(*), 4) AS mean_code
+FROM flat GROUP BY 1, 2
+"""
+
+
 _JL_OUT = 8
 
 
@@ -11488,6 +11528,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
         )
 
+    def kmeans_step(spark, sf):
+        # one exact Lloyd step over int8 codes (the oracle-able IVF
+        # training iteration): lowest-4-id seeds, strict-less argmin
+        emb = _emb(spark, sf)
+        qz = ann.quantize_embeddings(emb)
+        return ann.kmeans_step_quantized(
+            qz, n_centroids=4, dim=64
+        )
+
     def jl_projection(spark, sf):
         # deterministic Rademacher JL sketch 64->8 (mix-parity signs;
         # explicit left-assoc sums — fold order pinned cross-engine)
@@ -13339,6 +13388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "hybrid_rrf": hybrid_rrf,
         "ann_cosine_topk": ann_cosine_topk,
+        "kmeans_step": kmeans_step,
         "jl_projection": jl_projection,
         "mutual_nn": mutual_nn,
         "ann_quantized_topk": ann_quantized_topk,
@@ -13716,6 +13766,7 @@ FROM c
         "simhash_fingerprints": _SIMHASH_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "kmeans_step": _KMEANS_STEP_SQL,
         "jl_projection": _jl_sql(),
         "mutual_nn": _MUTUAL_NN_SQL,
         "ann_quantized_topk": _ann_quantized_sql(),

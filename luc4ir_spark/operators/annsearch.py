@@ -103,6 +103,78 @@ def quantize_embeddings(
     )
 
 
+def kmeans_step_quantized(
+    qcorpus: DataFrame,
+    n_centroids: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    q_col: str = "qvec",
+) -> DataFrame:
+    """One EXACT Lloyd/k-means iteration over int8-quantized codes —
+    the oracle-able counterpart of ``train_ivf_centroids`` (whose
+    float Lloyd loop is explicitly NOT SQL-replayable): on integer
+    codes the distances, argmin assignments and centroid sums are all
+    int64 arithmetic — bit-reproducible on any engine and immune to
+    fold order — and the per-dim mean is the single division. This is
+    the IVF training step a quantized pipeline can run with a full
+    audit trail. Seeds = the codes of the ``n_centroids`` LOWEST ids
+    (collected driver-side: K×dim literals, the same budget as the
+    IVF searcher's literal centroids). Ties go to the lower centroid
+    id (strict-less argmin).
+    -> (cid, dim, n_assigned, mean_code) — K×dim rows.
+
+    Plan shape: one corpus scan with a generated K×dim-term integer
+    expression (codegen — no HOFs, no UDF), a LITERAL dim-sequence
+    explode over the materialized code column, one map-side-combined
+    (cid, dim) groupBy."""
+    if n_centroids <= 0 or dim <= 0:
+        raise ValueError("kmeans_step_quantized: bad n_centroids/dim")
+    seed_rows = (
+        qcorpus.select(F.col(id_col).alias("_id"), F.col(q_col))
+        .orderBy("_id")
+        .limit(int(n_centroids))
+        .collect()
+    )
+    if len(seed_rows) < n_centroids:
+        raise ValueError("kmeans_step_quantized: fewer vectors than K")
+    seeds = [list(r[q_col]) for r in seed_rows]
+
+    def d2(seed):
+        total = None
+        for i, s in enumerate(seed[: int(dim)]):
+            diff = F.element_at(F.col(q_col), i + 1) - F.lit(int(s))
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    best_d = d2(seeds[0])
+    best_c = F.lit(0)
+    for k in range(1, int(n_centroids)):
+        dk = d2(seeds[k])
+        best_c = F.when(dk < best_d, F.lit(k)).otherwise(best_c)
+        best_d = F.when(dk < best_d, dk).otherwise(best_d)
+    assigned = qcorpus.select(
+        F.col(q_col).alias("_q"), best_c.cast("long").alias("cid")
+    )
+    i = F.explode(
+        F.sequence(F.lit(1), F.lit(int(dim)))
+    ).alias("dim")
+    flat = assigned.select("cid", "_q", i).select(
+        "cid",
+        "dim",
+        F.element_at("_q", F.col("dim")).cast("long").alias("_code"),
+    )
+    return (
+        flat.groupBy("cid", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.round(F.sum("_code") / F.count(F.lit(1)), 4).alias(
+                "mean_code"
+            ),
+        )
+    )
+
+
 def dequantize_col(qvec, scale):
     """qvec·scale -> array<double> (the approximate vector)."""
     return F.transform(qvec, lambda x: x * scale)

@@ -343,6 +343,37 @@ def embeddings(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
 
+def test_kmeans_step_quantized_hand_computed(spark):
+    """Two obvious 2-D clusters, K=2, seeds = lowest two ids (one per
+    cluster): assignments split exactly, means are the integer-exact
+    cluster averages; a tie distance goes to the lower cid."""
+    q = spark.createDataFrame(
+        [(1, [0, 0]), (2, [10, 10]), (3, [1, 0]), (4, [9, 10]),
+         (5, [5, 5])],  # equidistant: d2=50 to both seeds -> cid 0
+        "vec_id long, qvec array<long>",
+    )
+    got = {
+        (r["cid"], r["dim"]): (r["n_assigned"], r["mean_code"])
+        for r in annsearch.kmeans_step_quantized(
+            q, n_centroids=2, dim=2
+        ).collect()
+    }
+    # cluster 0: vecs 1,3,5 -> dim1 mean (0+1+5)/3, dim2 (0+0+5)/3
+    assert got[(0, 1)] == (3, round(6 / 3, 4))
+    assert got[(0, 2)] == (3, round(5 / 3, 4))
+    # cluster 1: vecs 2,4
+    assert got[(1, 1)] == (2, 9.5)
+    assert got[(1, 2)] == (2, 10.0)
+
+
+def test_kmeans_step_quantized_validation(spark):
+    q = spark.createDataFrame(
+        [(1, [0, 0])], "vec_id long, qvec array<long>"
+    )
+    with pytest.raises(ValueError):
+        annsearch.kmeans_step_quantized(q, n_centroids=2, dim=2)
+
+
 def test_jl_project_matches_numpy_and_preserves_distance(spark, embeddings):
     """Projection vs a numpy replay with the same mix-parity signs;
     JL sanity: mean squared pairwise-distance ratio near 1 on a
