@@ -6307,12 +6307,12 @@ parts AS (
 p2 AS (
   SELECT doc_id, nofrag,
          lower(regexp_extract(nofrag,
-               '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) AS scheme,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
          lower(regexp_extract(nofrag,
-               '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1)) AS hostport,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
          regexp_extract(nofrag,
-               '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)', 1) AS path0,
-         regexp_extract(nofrag, '\?(.*)$', 1) AS rawq
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(nofrag, '\\?(.*)$', 1) AS rawq
   FROM parts
 ),
 p3 AS (
@@ -6322,7 +6322,7 @@ p3 AS (
                 THEN regexp_replace(hostport, ':80$', '')
                 WHEN scheme = 'https'
                 THEN regexp_replace(hostport, ':443$', '')
-                ELSE hostport END, '^www\.', '') AS host,
+                ELSE hostport END, '^www\\.', '') AS host,
          CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
          coalesce(list_aggregate(list_sort(list_filter(
            string_split(rawq, '&'), x -> {keep})),
