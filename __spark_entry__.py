@@ -7278,6 +7278,49 @@ r AS (
 SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 5
 """
 
+_CLUSTER_QUALITY_SQL = """
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> round(x /
+           (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0
+                 THEN 1.0
+                 ELSE list_max(list_transform(v, y -> abs(y))) END
+            / 127.0))::BIGINT) AS q
+  FROM c0
+),
+seeds AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid,
+         list_transform(q, x -> x::DOUBLE) AS s
+  FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 4)
+),
+qd AS (SELECT vec_id, list_transform(q, x -> x::DOUBLE) AS qdl FROM qz),
+dist AS (
+  SELECT qd.vec_id, s.cid,
+         (list_dot_product(qd.qdl, qd.qdl)
+          - 2 * list_dot_product(qd.qdl, s.s)
+          + list_dot_product(s.s, s.s)) AS d2
+  FROM qd CROSS JOIN seeds s
+),
+r AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rk
+  FROM dist
+),
+per AS (
+  SELECT a.vec_id, a.cid, a.d2::BIGINT AS a2, b.d2::BIGINT AS b2
+  FROM (SELECT * FROM r WHERE rk = 1) a
+  JOIN (SELECT * FROM r WHERE rk = 2) b USING (vec_id)
+)
+SELECT cid, count(*)::BIGINT AS n,
+       round(sum(a2) * 1.0 / count(*), 4) AS avg_own_d2,
+       round(sum(b2) * 1.0 / count(*), 4) AS avg_other_d2,
+       sum(CASE WHEN b2 > a2 THEN 1 ELSE 0 END)::BIGINT AS n_separated
+FROM per GROUP BY 1
+"""
+
+
 _KMEANS_STEP_SQL = """
 WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 qz AS (
@@ -11537,6 +11580,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qz, n_centroids=4, dim=64
         )
 
+    def cluster_quality(spark, sf):
+        # integer-exact silhouette-lite over the quantized Lloyd
+        # assignment (own vs best-other centroid d2, per cluster)
+        emb = _emb(spark, sf)
+        qz = ann.quantize_embeddings(emb)
+        return ann.cluster_quality_quantized(
+            qz, n_centroids=4, dim=64
+        )
+
     def jl_projection(spark, sf):
         # deterministic Rademacher JL sketch 64->8 (mix-parity signs;
         # explicit left-assoc sums — fold order pinned cross-engine)
@@ -13389,6 +13441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": hybrid_rrf,
         "ann_cosine_topk": ann_cosine_topk,
         "kmeans_step": kmeans_step,
+        "cluster_quality": cluster_quality,
         "jl_projection": jl_projection,
         "mutual_nn": mutual_nn,
         "ann_quantized_topk": ann_quantized_topk,
@@ -13767,6 +13820,7 @@ FROM c
         "hybrid_rrf": _hybrid_rrf_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "kmeans_step": _KMEANS_STEP_SQL,
+        "cluster_quality": _CLUSTER_QUALITY_SQL,
         "jl_projection": _jl_sql(),
         "mutual_nn": _MUTUAL_NN_SQL,
         "ann_quantized_topk": _ann_quantized_sql(),

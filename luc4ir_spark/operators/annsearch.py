@@ -175,6 +175,88 @@ def kmeans_step_quantized(
     )
 
 
+def cluster_quality_quantized(
+    qcorpus: DataFrame,
+    n_centroids: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    q_col: str = "qvec",
+) -> DataFrame:
+    """Integer-exact cluster-quality diagnostics for the quantized
+    Lloyd assignment (``kmeans_step_quantized``'s audit companion —
+    a silhouette-LITE over centroid distances, Kaufman & Rousseeuw's
+    a/b intuition without the all-pairs cost): per vector, a = d² to
+    the OWN (argmin) centroid and b = d² to the best OTHER centroid;
+    per cluster report exact-integer averages of both and how many
+    members are strictly separated (b > a).
+    -> (cid, n, avg_own_d2, avg_other_d2, n_separated) — integer sums,
+    one division each; no float folds anywhere.
+
+    Same seed rule as the Lloyd step (lowest-id codes as literals),
+    same single-scan codegen plan, one map-side-combined groupBy."""
+    if n_centroids < 2 or dim <= 0:
+        raise ValueError(
+            "cluster_quality_quantized: need n_centroids >= 2"
+        )
+    seed_rows = (
+        qcorpus.select(F.col(id_col).alias("_id"), F.col(q_col))
+        .orderBy("_id")
+        .limit(int(n_centroids))
+        .collect()
+    )
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            "cluster_quality_quantized: fewer vectors than K"
+        )
+    seeds = [list(r[q_col]) for r in seed_rows]
+
+    def d2(seed):
+        total = None
+        for i, s in enumerate(seed[: int(dim)]):
+            diff = F.element_at(F.col(q_col), i + 1) - F.lit(int(s))
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    # track best and second-best with strict-less (ties keep the
+    # LOWER cid as the owner, matching kmeans_step_quantized);
+    # initialize from the first two seeds
+    better01 = d2(seeds[1]) < d2(seeds[0])
+    best_d0, second_d0 = d2(seeds[0]), d2(seeds[1])
+    best_d = F.when(better01, second_d0).otherwise(best_d0)
+    best_c = F.when(better01, F.lit(1)).otherwise(F.lit(0))
+    second_d = F.when(better01, best_d0).otherwise(second_d0)
+    for k in range(2, int(n_centroids)):
+        dk = d2(seeds[k])
+        new_second = (
+            F.when(dk < best_d, best_d)
+            .when(dk < second_d, dk)
+            .otherwise(second_d)
+        )
+        new_best_c = F.when(dk < best_d, F.lit(k)).otherwise(best_c)
+        new_best_d = F.when(dk < best_d, dk).otherwise(best_d)
+        best_d, best_c, second_d = new_best_d, new_best_c, new_second
+    per = qcorpus.select(
+        best_c.cast("long").alias("cid"),
+        best_d.cast("long").alias("_a"),
+        second_d.cast("long").alias("_b"),
+    )
+    return per.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("_a") / F.count(F.lit(1)), 4).alias("avg_own_d2"),
+        F.round(F.sum("_b") / F.count(F.lit(1)), 4).alias(
+            "avg_other_d2"
+        ),
+        F.sum(
+            F.when(F.col("_b") > F.col("_a"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_separated"),
+    )
+
+
 def dequantize_col(qvec, scale):
     """qvec·scale -> array<double> (the approximate vector)."""
     return F.transform(qvec, lambda x: x * scale)

@@ -366,6 +366,26 @@ def test_kmeans_step_quantized_hand_computed(spark):
     assert got[(1, 2)] == (2, 10.0)
 
 
+def test_cluster_quality_quantized_hand_computed(spark):
+    """Own/other d2 averages over two clean clusters; every member
+    strictly separated; exact integer averages."""
+    q = spark.createDataFrame(
+        [(1, [0, 0]), (2, [10, 10]), (3, [1, 0]), (4, [9, 10])],
+        "vec_id long, qvec array<long>",
+    )
+    got = {
+        r["cid"]: (r["n"], r["avg_own_d2"], r["avg_other_d2"],
+                   r["n_separated"])
+        for r in annsearch.cluster_quality_quantized(
+            q, n_centroids=2, dim=2
+        ).collect()
+    }
+    # cluster 0 (seed [0,0]): vecs 1 (a=0, b=200) and 3 (a=1, b=181)
+    assert got[0] == (2, 0.5, 190.5, 2)
+    # cluster 1 (seed [10,10]): vecs 2 (a=0, b=200) and 4 (a=1, b=181)
+    assert got[1] == (2, 0.5, 190.5, 2)
+
+
 def test_kmeans_step_quantized_validation(spark):
     q = spark.createDataFrame(
         [(1, [0, 0])], "vec_id long, qvec array<long>"
