@@ -93,6 +93,16 @@ _COMPLETE_PREFIXES: list[tuple[str, str]] = [
 ]
 _COMPLETE_K = 5
 
+# infix-suggest gate (AnalyzingInfixSuggester): match anywhere in the
+# term; "a" hits many, "ar" mid-word (sp_ar_k/p_ar_t), "zq" none
+_INFIX_NEEDLES: list[tuple[str, str]] = [
+    ("i1", "a"),
+    ("i2", "ar"),
+    ("i3", "ow"),
+    ("i4", "zq"),
+]
+_INFIX_K = 5
+
 # explain gate: per-term score breakdown for these docs
 _EXPLAIN_DOCS = (3, 7, 11)
 
@@ -546,6 +556,30 @@ ranked AS (
 )
 SELECT qid, term AS suggestion, df, rank
 FROM ranked WHERE rank <= {_COMPLETE_K}
+"""
+
+
+def _infix_suggest_sql() -> str:
+    """Replays infix_suggest: contains-anywhere vocab matches ranked
+    by popularity (df desc, cf desc, term asc — all-integer, exact);
+    strpos == Spark instr (verified parity, see `snippets`)."""
+    vals = ", ".join(f"('{q}', '{n}')" for q, n in _INFIX_NEEDLES)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+p(qid, needle) AS (VALUES {vals}),
+cand AS (
+  SELECT p.qid, dft.term, dft.df, dft.cf,
+         strpos(dft.term, p.needle)::BIGINT AS "offset"
+  FROM p JOIN dft ON strpos(dft.term, p.needle) > 0
+),
+ranked AS (
+  SELECT qid, term, df, "offset",
+         row_number() OVER (PARTITION BY qid
+           ORDER BY df DESC, cf DESC, term ASC)::BIGINT AS rank
+  FROM cand
+)
+SELECT qid, term AS suggestion, df, "offset", rank
+FROM ranked WHERE rank <= {_INFIX_K}
 """
 
 
@@ -2138,6 +2172,31 @@ SELECT p.qid, n.n_common,
 FROM pairs p JOIN n USING (qid)
 WHERE n.n_common >= 2
 GROUP BY p.qid, n.n_common
+"""
+
+
+def _spearman_sql() -> str:
+    """Replays spearman_rho: per-qid Spearman over the shared TOPK
+    docs, ranks densified 1..n per run (distinct originals — no ties),
+    Σd² and n(n²-1) exact BIGINTs, ONE division + one subtraction."""
+    return f"""
+WITH {_two_run_ctes()},
+shared AS (
+  SELECT rb.qid, rb.doc_id, rb.rank AS ra0, rl.rank AS rb0
+  FROM (SELECT * FROM rb WHERE rank <= {TOPK}) rb
+  JOIN (SELECT * FROM rl WHERE rank <= {TOPK}) rl USING (qid, doc_id)
+),
+dens AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY ra0)::BIGINT AS ra,
+         row_number() OVER (PARTITION BY qid ORDER BY rb0)::BIGINT AS rk
+  FROM shared
+)
+SELECT qid, count(*)::BIGINT AS n_common,
+       round(1.0 - (6.0 * sum((ra - rk) * (ra - rk)))
+             / (count(*) * (count(*) * count(*) - 1))::DOUBLE,
+             4) AS rho
+FROM dens GROUP BY qid HAVING count(*) >= 2
 """
 
 
@@ -9253,6 +9312,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rt.complete_prefix(idx, p, k=_COMPLETE_K)
 
+    def infix_suggest(spark, sf):
+        # AnalyzingInfixSuggester parity: contains-anywhere vocab
+        # completions, popularity-ranked, match offset for highlight
+        idx = _index(spark, sf)
+        p = spark.createDataFrame(
+            _INFIX_NEEDLES, "qid string, needle string"
+        )
+        return rt.infix_suggest(idx, p, k=_INFIX_K)
+
     def explain_score(spark, sf):
         # IndexSearcher.explain() parity: per-term breakdown whose sum
         # is the run score
@@ -9376,6 +9444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scaled-BIGINT inner sum, one double division
         r1, r2 = _two_runs(spark, sf)
         return ev.tau_ap(r1, r2)
+
+    def rank_spearman(spark, sf):
+        # per-query Spearman rho between the bm25 and lmdir runs —
+        # exact-BIGINT Σd², one division (no ties by construction)
+        r1, r2 = _two_runs(spark, sf)
+        return ev.spearman_rho(r1, r2)
 
     def good_turing(spark, sf):
         # Good-Turing count-of-counts + adjusted counts + unseen mass
@@ -13229,6 +13303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_query": filtered_query,
         "bm25f_topk": bm25f_topk,
         "complete_prefix": complete_prefix,
+        "infix_suggest": infix_suggest,
         "explain_score": explain_score,
         "bpe_pair_counts": bpe_pair_counts,
         "sp_candidates": sp_candidates,
@@ -13239,6 +13314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_pooling": trec_pooling,
         "rank_correlation": rank_correlation,
         "tau_ap": tau_ap,
+        "rank_spearman": rank_spearman,
         "spatial_radius": spatial_radius,
         "spatial_bbox": spatial_bbox,
         "bigram_lm_xent": bigram_lm_xent,
@@ -13583,6 +13659,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25f_topk": _bm25f_sql(),
         "complete_prefix": _complete_prefix_sql(),
+        "infix_suggest": _infix_suggest_sql(),
         "explain_score": _explain_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
         "sp_candidates": _sp_candidates_sql(),
@@ -13593,6 +13670,7 @@ def oracle_sql() -> dict[str, str]:
         "trec_pooling": _pooling_sql(),
         "rank_correlation": _rank_corr_sql(),
         "tau_ap": _tau_ap_sql(),
+        "rank_spearman": _spearman_sql(),
         "spatial_radius": _spatial_sql(),
         "spatial_bbox": _spatial_bbox_sql(),
         "bigram_lm_xent": _bigram_xent_sql(),

@@ -1574,6 +1574,59 @@ def rank_correlation(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
     )
 
 
+def spearman_rho(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
+    """Per-query Spearman rank correlation between two runs over their
+    SHARED retrieved documents — the footrule-family companion to
+    ``rank_correlation``'s Kendall tau (both are standard when
+    comparing system variants; Spearman weights displacement
+    quadratically where tau counts inversions): within each qid the
+    shared docs are re-ranked 1..n per run by their original ranks
+    (row_number — original ranks are distinct, so there are no ties
+    and no tie-correction term), d_i = ra_i - rb_i, and
+    rho = 1 - 6·Σd² / (n(n²-1)).
+
+    Float discipline: Σd² and n(n²-1) are exact BIGINTs, so rho is
+    ONE double division and one subtraction — bit-identical on any
+    engine. Queries with fewer than 2 shared docs are omitted.
+
+    Plan shape: one (qid, doc_id) equi-join of two run-sized
+    relations, two per-qid rank windows (run-sized), one map-side-
+    combined groupBy. No pair self-join — Spearman is O(n log n)
+    where Kendall's pair count is O(n²)."""
+    a = run_a.select("qid", "doc_id", F.col("rank").alias("_ra0"))
+    b = run_b.select("qid", "doc_id", F.col("rank").alias("_rb0"))
+    shared = a.join(b, ["qid", "doc_id"])
+    wa = Window.partitionBy("qid").orderBy("_ra0")
+    wb = Window.partitionBy("qid").orderBy("_rb0")
+    dens = shared.select(
+        "qid",
+        F.row_number().over(wa).cast("long").alias("_ra"),
+        F.row_number().over(wb).cast("long").alias("_rb"),
+    )
+    d = (F.col("_ra") - F.col("_rb"))
+    return (
+        dens.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(d * d).cast("long").alias("_sd2"),
+        )
+        .filter(F.col("n_common") >= 2)
+        .select(
+            "qid",
+            "n_common",
+            F.round(
+                F.lit(1.0)
+                - (F.lit(6.0) * F.col("_sd2"))
+                / (
+                    F.col("n_common")
+                    * (F.col("n_common") * F.col("n_common") - 1)
+                ).cast("double"),
+                4,
+            ).alias("rho"),
+        )
+    )
+
+
 def tau_ap(
     run_ref: DataFrame, run_obs: DataFrame, max_k: int = 32
 ) -> DataFrame:

@@ -1620,6 +1620,50 @@ def complete_prefix(
     )
 
 
+def infix_suggest(
+    index: InvertedIndex,
+    query_infixes: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Infix autocomplete — Lucene's AnalyzingInfixSuggester at the
+    logical level (lucene/suggest AnalyzingInfixSuggester: unlike the
+    FST prefix suggesters, the typed text may match ANYWHERE inside
+    the suggestion — "ethe" completes to "prometheus" — ranked by
+    suggestion weight): for each (qid, needle), the top-k vocabulary
+    terms CONTAINING the needle, popularity-ranked with the same
+    all-integer ordering as ``complete_prefix`` (df desc, cf desc,
+    term asc — exact on any engine), plus the 1-based match offset
+    (the relational stand-in for the suggester's highlighted
+    fragment; offset 1 == the match is also a prefix).
+    -> (qid, suggestion, df, offset, rank).
+
+    Plan shape: one broadcast needle × term-DICTIONARY contains scan
+    (vocab-sized — Lucene backs this with a dedicated suggest index
+    over the same dictionary; the work unit is identical) + a bounded
+    per-qid top-k window (WindowGroupLimit). Never touches postings
+    or documents, so corpus scale only enters through |vocab|."""
+    q = query_infixes.select("qid", "needle").distinct()
+    cand = index.term_stats.join(
+        F.broadcast(q), F.instr(F.col("term"), F.col("needle")) > 0
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("df").desc(), F.col("cf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+            F.instr(F.col("term"), F.col("needle"))
+            .cast("long")
+            .alias("offset"),
+            "rank",
+        )
+    )
+
+
 def prefix_expand_terms(
     index: InvertedIndex,
     query_prefixes: DataFrame,

@@ -266,6 +266,43 @@ def test_rank_correlation_hand_computed(spark):
     assert got == {"q1": (3, 1.0), "q2": (3, -1.0)}
 
 
+def test_spearman_rho_hand_computed(spark):
+    from luc4ir_spark.operators import evaluation as ev
+
+    # q1 identical -> 1; q2 reversed -> -1; q3 one swap of 3:
+    # d = (0,1,1) after densify? ranks a=(1,2,3) b=(1,3,2):
+    # d2 sum = 0+1+1 = 2 -> rho = 1 - 12/(3*8) = 0.5;
+    # q4 single shared doc omitted; densification: q5 shares docs at
+    # sparse original ranks (2,9) vs (4,1) -> densified (1,2)/(2,1),
+    # rho = -1 exactly
+    ra = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 1, 1), ("q2", 2, 2), ("q2", 3, 3),
+         ("q3", 1, 1), ("q3", 2, 2), ("q3", 3, 3),
+         ("q4", 1, 1),
+         ("q5", 7, 2), ("q5", 8, 9)],
+        "qid string, doc_id long, rank long",
+    )
+    rb = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 1, 3), ("q2", 2, 2), ("q2", 3, 1),
+         ("q3", 1, 1), ("q3", 2, 3), ("q3", 3, 2),
+         ("q4", 1, 1),
+         ("q5", 7, 4), ("q5", 8, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    got = {
+        r["qid"]: (r["n_common"], r["rho"])
+        for r in ev.spearman_rho(ra, rb).collect()
+    }
+    assert got == {
+        "q1": (3, 1.0),
+        "q2": (3, -1.0),
+        "q3": (3, 0.5),
+        "q5": (2, -1.0),
+    }
+
+
 def test_tau_ap_hand_computed(spark):
     """tau_AP vs a pure-Python replay of the SIGIR'08 definition,
     including the top-weighting that distinguishes it from Kendall:

@@ -827,6 +827,31 @@ def test_complete_prefix_ordering(spark, index):
     assert got == want
 
 
+def test_infix_suggest_contains_and_offsets(spark, index):
+    """Infix matches anywhere (AnalyzingInfixSuggester semantics):
+    ranked df desc, cf desc, term asc vs a literal replay; offsets are
+    the 1-based match positions; no-match needle yields no rows."""
+    stats = {
+        r["term"]: (r["df"], r["cf"])
+        for r in index.term_stats.collect()
+    }
+    p = spark.createDataFrame(
+        [("i", "u"), ("z", "zzq")], "qid string, needle string"
+    )
+    rows = sorted(
+        rt.infix_suggest(index, p, k=4).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert all(r["qid"] == "i" for r in rows)
+    got = [(r["suggestion"], r["offset"]) for r in rows]
+    want = sorted(
+        [t for t in stats if "u" in t],
+        key=lambda t: (-stats[t][0], -stats[t][1], t),
+    )[:4]
+    assert got == [(t, t.index("u") + 1) for t in want]
+    assert any(o > 1 for _, o in got)  # a genuinely-infix hit exists
+
+
 def test_explain_scores_sum_to_run(spark, index):
     """explain() parity: per-term contributions sum to the run score."""
     qt = rt.queries_to_terms(spark, QUERIES, EN)
