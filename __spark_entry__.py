@@ -7120,6 +7120,49 @@ GROUP BY 1, 2
 """
 
 
+def _naive_bayes_sql() -> str:
+    """Replays textstats.naive_bayes_classify: add-one multinomial NB
+    with the background decomposition (ln P(c) − len·ln(T_c+V) +
+    Σ tf·ln(cf_tc+1) over OBSERVED (term,class) pairs only), 4dp
+    rounding before the argmax, label-ASC ties, confusion counts."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+lb AS (SELECT doc_id, source AS lbl FROM documents),
+fl AS (SELECT tf.doc_id, lb.lbl, tf.term, tf.tf
+       FROM tf JOIN lb USING (doc_id)),
+ctc AS (SELECT lbl AS cand, term, sum(tf)::BIGINT AS cf_tc
+        FROM fl GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT term)::BIGINT AS v FROM fl),
+nd AS (SELECT count(*)::BIGINT AS n FROM dl),
+pr AS (SELECT lb.lbl AS cand, count(*)::BIGINT AS nc
+       FROM dl JOIN lb USING (doc_id) GROUP BY 1),
+cst AS (SELECT p.cand,
+               ln(p.nc::DOUBLE / nd.n) AS lnp,
+               ln((t.tc + vocab.v)::DOUBLE) AS lnz
+        FROM pr p
+        JOIN (SELECT cand, sum(cf_tc)::BIGINT AS tc
+              FROM ctc GROUP BY 1) t USING (cand)
+        CROSS JOIN nd CROSS JOIN vocab),
+ov AS (SELECT fl.doc_id, c.cand,
+              sum(fl.tf * ln((c.cf_tc + 1)::DOUBLE)) AS ov
+       FROM fl JOIN ctc c USING (term) GROUP BY 1, 2),
+sc AS (SELECT dl.doc_id, cst.cand,
+              round(cst.lnp - dl.doc_len * cst.lnz
+                    + coalesce(ov.ov, 0.0), 4) AS ll
+       FROM dl CROSS JOIN cst
+       LEFT JOIN ov ON ov.doc_id = dl.doc_id AND ov.cand = cst.cand),
+pred AS (SELECT doc_id, cand AS pred_label FROM (
+           SELECT doc_id, cand,
+                  row_number() OVER (PARTITION BY doc_id
+                      ORDER BY ll DESC, cand ASC) AS rn
+           FROM sc) WHERE rn = 1)
+SELECT lb.lbl AS true_label, p.pred_label,
+       count(*)::BIGINT AS n_docs
+FROM lb JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 # SimpleQueryParser gate: AND of [term, "phrase", prefix*]; an OR
 # group with a negation; a no-expansion prefix (matches nothing)
 _SQS_QUERIES: list[tuple[str, str]] = [
@@ -12202,6 +12245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("true_label", "pred_label", "n_docs")
 
+    def naive_bayes(spark, sf):
+        # Lucene SimpleNaiveBayesClassifier parity: add-one
+        # multinomial NB, background-decomposed overlap join
+        out = ts.naive_bayes_classify(
+            _docs(spark, sf), label_col="source", content_col="text"
+        )
+        return out.select("true_label", "pred_label", "n_docs")
+
     def length_buckets(spark, sf):
         # power-of-two padding buckets + per-bucket padding efficiency
         out = ts.length_buckets(
@@ -13405,6 +13456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": length_buckets,
         "length_batches": length_batches,
         "centroid_classify": centroid_classify,
+        "naive_bayes": naive_bayes,
         "collocations_llr": collocations_llr,
         "heaps_law": heaps_law,
         "zipf_law": zipf_law,
@@ -13761,6 +13813,7 @@ def oracle_sql() -> dict[str, str]:
         "length_buckets": _length_buckets_sql(),
         "length_batches": _length_batches_sql(),
         "centroid_classify": _centroid_classify_sql(),
+        "naive_bayes": _naive_bayes_sql(),
         "collocations_llr": _collocations_llr_sql(),
         "heaps_law": _heaps_sql(),
         "zipf_law": _zipf_sql(),

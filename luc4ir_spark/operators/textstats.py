@@ -1569,6 +1569,116 @@ def centroid_classify(
     )
 
 
+def naive_bayes_classify(
+    docs: DataFrame,
+    label_col: str = "source",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Multinomial naive Bayes text classification with add-one
+    (Laplace) smoothing — Lucene's classification module at the
+    logical level (classification/SimpleNaiveBayesClassifier.java:
+    class-conditional token likelihoods with +1 smoothing over the
+    vocabulary, argmax of the summed log-likelihoods; Manning,
+    Raghavan & Schütze IIR §13.2): per document d and class c,
+
+        score(d,c) = ln P(c) + Σ_t tf_dt · ln((cf_tc + 1)/(T_c + V))
+
+    where cf_tc is the class-conditional term count, T_c the class
+    token total, V the vocabulary size, and P(c) the class's document
+    prior. Output is the label confusion matrix (true_label,
+    pred_label, n_docs), the same layout as ``centroid_classify``.
+    Log-likelihoods are rounded to ``round_dp`` BEFORE the argmax
+    (ties break label ASC) so the assignment is engine-stable.
+
+    Plan shape — the SDM-style background decomposition keeps the
+    doc×class join postings-sized: terms with cf_tc = 0 contribute
+    tf·ln(1) = 0 to the numerator sum, so
+
+        score(d,c) = ln P(c) − len_d·ln(T_c + V)
+                     + Σ_{t: cf_tc>0} tf_dt·ln(cf_tc + 1)
+
+    splits into a per-class constant (classes × 1, crossJoin-able), a
+    doc-length term, and an overlap sum that is ONE postings-shaped
+    join against the broadcast (vocab × labels) class-count table +
+    a (doc, class) aggregate. Nothing corpus² anywhere; two scalar
+    actions (N, V)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("_lbl"),
+        simple_tokens(content_col).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    flat = (
+        toks.select("doc_id", "_lbl", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "_lbl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # ^ consumed four times (class counts, vocab, doc lens, overlap)
+    ctc = flat.groupBy(F.col("_lbl").alias("_cand"), "term").agg(
+        F.sum("tf").cast("long").alias("cf_tc")
+    )
+    vocab_n = flat.select("term").distinct().count()
+    n_docs = toks.count()
+    consts = (
+        toks.groupBy(F.col("_lbl").alias("_cand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_nc"))
+        .join(
+            ctc.groupBy("_cand").agg(
+                F.sum("cf_tc").cast("long").alias("_tc")
+            ),
+            "_cand",
+        )
+        .select(
+            "_cand",
+            F.log(F.col("_nc") / F.lit(float(n_docs))).alias("_lnp"),
+            F.log(F.col("_tc") + F.lit(float(vocab_n))).alias("_lnz"),
+        )
+    )
+    dstat = flat.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("_len")
+    )
+    overlap = (
+        flat.select("doc_id", "term", "tf")
+        .join(F.broadcast(ctc), "term")
+        .groupBy("doc_id", "_cand")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.col("cf_tc") + F.lit(1.0))
+            ).alias("_ov")
+        )
+    )
+    scored = (
+        dstat.crossJoin(F.broadcast(consts))
+        .join(overlap, ["doc_id", "_cand"], "left")
+        .select(
+            "doc_id",
+            "_cand",
+            F.round(
+                F.col("_lnp")
+                - F.col("_len") * F.col("_lnz")
+                + F.coalesce(F.col("_ov"), F.lit(0.0)),
+                round_dp,
+            ).alias("ll"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("ll").desc(), F.col("_cand").asc()
+    )
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("_cand").alias("pred_label"))
+    )
+    truth = toks.select("doc_id", F.col("_lbl").alias("true_label"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def readability(
     docs: DataFrame,
     content_col: str = "content",

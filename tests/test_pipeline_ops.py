@@ -1692,6 +1692,59 @@ def test_centroid_classify_confusion(spark):
     assert out == {("x", "x"): 2, ("x", "y"): 1, ("y", "y"): 2}
 
 
+def test_naive_bayes_classify_matches_python_replay(spark):
+    """Confusion matrix equals a pure-Python multinomial NB with
+    add-one smoothing over the same corpus (including the mislabeled
+    doc 5, which the car-class likelihood should claim)."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "apple apple banana", "x"),
+        (2, "apple banana banana", "x"),
+        (3, "car truck truck", "y"),
+        (4, "car car truck", "y"),
+        (5, "car truck", "x"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, source string"
+    )
+    # pure-Python replay
+    cf = {}
+    prior = Counter()
+    vocab = set()
+    for _, text, lbl in rows:
+        toks = text.split()
+        prior[lbl] += 1
+        vocab.update(toks)
+        c = cf.setdefault(lbl, Counter())
+        for t in toks:
+            c[t] += 1
+    n = sum(prior.values())
+    v = len(vocab)
+    want = Counter()
+    for _, text, lbl in rows:
+        toks = text.split()
+        best = None
+        for cand in sorted(cf):
+            tc = sum(cf[cand].values())
+            ll = math.log(prior[cand] / n) - len(toks) * math.log(
+                tc + v
+            )
+            for t in toks:
+                ll += math.log(cf[cand][t] + 1)
+            ll = round(ll, 4)
+            if best is None or ll > best[0]:
+                best = (ll, cand)
+        want[(lbl, best[1])] += 1
+    out = {
+        (r["true_label"], r["pred_label"]): r["n_docs"]
+        for r in textstats.naive_bayes_classify(docs).collect()
+    }
+    assert out == dict(want)
+    assert out[("x", "y")] == 1  # the mislabeled doc crosses over
+
+
 def test_length_batches_hand_computed(spark):
     """One shard (n_shards=1): the two 3-token docs fill bucket 4's
     batch 0 (pad_frac 0), the 2-token doc sits in bucket 2, the
