@@ -106,6 +106,12 @@ _INFIX_K = 5
 # explain gate: per-term score breakdown for these docs
 _EXPLAIN_DOCS = (3, 7, 11)
 
+# kNN-classifier gate (Lucene KNearestNeighborClassifier): every
+# 17th doc is a test query; 5 MLT terms, 5 voting neighbors
+_KNN_EVERY = 17
+_KNN_TERMS = 5
+_KNN_K = 5
+
 # BPE trainer gate: merges learned from the corpus word counts
 _BPE_MERGES = 8
 # sp_encode_viterbi gate: fixed dyadic-prob inventory (model-as-data,
@@ -7120,6 +7126,64 @@ GROUP BY 1, 2
 """
 
 
+def _knn_classify_sql() -> str:
+    """Replays retrieval.knn_classify: per-test-doc MLT term selection
+    (tf DESC, df ASC, term ASC — integer-keyed), BM25 top-(k+1), self
+    excluded, top-k label vote (count DESC, label ASC), confusion."""
+    contrib = (
+        "ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+        f" * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl))"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS},
+lb AS (SELECT doc_id, source AS lbl FROM documents),
+tq AS (SELECT doc_id FROM documents WHERE doc_id % {_KNN_EVERY} = 0),
+qterm AS (
+  SELECT qdoc, term FROM (
+    SELECT tf.doc_id AS qdoc, tf.term,
+           row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rn
+    FROM tf JOIN dft USING (term)
+    JOIN tq ON tf.doc_id = tq.doc_id
+  ) WHERE rn <= {_KNN_TERMS}
+),
+sb AS (
+  SELECT q.qdoc, tf.doc_id, sum({contrib}) AS s_raw
+  FROM qterm q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qdoc, tf.doc_id
+),
+rb AS (
+  SELECT qdoc, doc_id,
+         row_number() OVER (PARTITION BY qdoc
+           ORDER BY s_raw DESC, doc_id ASC)::BIGINT AS rank
+  FROM sb
+),
+kn AS (
+  SELECT qdoc, doc_id FROM (
+    SELECT qdoc, doc_id,
+           row_number() OVER (PARTITION BY qdoc ORDER BY rank) AS rn
+    FROM rb WHERE rank <= {_KNN_K + 1} AND doc_id <> qdoc
+  ) WHERE rn <= {_KNN_K}
+),
+votes AS (
+  SELECT kn.qdoc, lb.lbl, count(*)::BIGINT AS c
+  FROM kn JOIN lb USING (doc_id) GROUP BY 1, 2
+),
+pred AS (
+  SELECT qdoc, lbl AS pred_label FROM (
+    SELECT qdoc, lbl,
+           row_number() OVER (PARTITION BY qdoc
+             ORDER BY c DESC, lbl ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT t.lbl AS true_label, p.pred_label, count(*)::BIGINT AS n_docs
+FROM pred p JOIN lb t ON t.doc_id = p.qdoc
+GROUP BY 1, 2
+"""
+
+
 def _naive_bayes_sql() -> str:
     """Replays textstats.naive_bayes_classify: add-one multinomial NB
     with the background decomposition (ln P(c) − len·ln(T_c+V) +
@@ -12253,6 +12317,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("true_label", "pred_label", "n_docs")
 
+    def knn_classify(spark, sf):
+        # Lucene KNearestNeighborClassifier parity: MLT query per
+        # test doc, top-k neighbor vote, all-integer tie-breaks
+        idx = _index(spark, sf)
+        d = _docs(spark, sf)
+        labels = d.select("doc_id", F.col("source").alias("label"))
+        test = d.filter(F.col("doc_id") % _KNN_EVERY == 0).select(
+            "doc_id"
+        )
+        return rt.knn_classify(
+            idx, labels, test, n_terms=_KNN_TERMS, k=_KNN_K
+        )
+
     def length_buckets(spark, sf):
         # power-of-two padding buckets + per-bucket padding efficiency
         out = ts.length_buckets(
@@ -13457,6 +13534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": length_batches,
         "centroid_classify": centroid_classify,
         "naive_bayes": naive_bayes,
+        "knn_classify": knn_classify,
         "collocations_llr": collocations_llr,
         "heaps_law": heaps_law,
         "zipf_law": zipf_law,
@@ -13814,6 +13892,7 @@ def oracle_sql() -> dict[str, str]:
         "length_batches": _length_batches_sql(),
         "centroid_classify": _centroid_classify_sql(),
         "naive_bayes": _naive_bayes_sql(),
+        "knn_classify": _knn_classify_sql(),
         "collocations_llr": _collocations_llr_sql(),
         "heaps_law": _heaps_sql(),
         "zipf_law": _zipf_sql(),

@@ -648,6 +648,84 @@ def more_like_this(
     return score_queries(index, doc_terms, k=k, sim=sim)
 
 
+def knn_classify(
+    index: InvertedIndex,
+    labels: DataFrame,
+    test_ids: DataFrame,
+    n_terms: int = 5,
+    k: int = 5,
+    sim: Similarity | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor text classification over the index — the
+    logical form of Lucene's classification module second classifier
+    (classification/KNearestNeighborClassifier.java: a MoreLikeThis
+    query per input document, the class held by the most of its top-k
+    neighbors wins): each test doc becomes a ``more_like_this``-style
+    query (its ``n_terms`` most characteristic terms, INTEGER-keyed
+    selection — tf DESC, df ASC, term ASC), is scored through the
+    standard retrieval stack, its top-``k`` neighbors EXCLUDING itself
+    vote by label (count DESC, label ASC ties — all-integer, exact),
+    and the output is the confusion matrix (true_label, pred_label,
+    n_docs). Test docs whose text yields no index terms are omitted.
+
+    ``labels`` is (doc_id, label); ``test_ids`` is (doc_id) and must
+    stay query-sized — the classifier is a per-batch serving operator
+    (Lucene's classifies one document per call), NOT a corpus-wide
+    map: the query side of the scoring join is broadcast, so a
+    corpus-sized test set would broadcast a corpus-sized relation.
+    Classify the corpus in bounded batches instead.
+
+    Plan shape: term selection is one test-postings semi-join + a
+    per-doc top-n window (WindowGroupLimit); scoring is the standard
+    single postings scan with the query side broadcast; the vote is a
+    neighbors×labels equi-join + two bounded windows."""
+    tid = test_ids.select("doc_id").distinct()
+    wsel = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    qt = (
+        index.postings.join(F.broadcast(tid), "doc_id", "left_semi")
+        .join(F.broadcast(index.term_stats.select("term", "df")), "term")
+        .withColumn("_rn", F.row_number().over(wsel))
+        .filter(F.col("_rn") <= n_terms)
+        .select(
+            F.col("doc_id").cast("string").alias("qid"),
+            "term",
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    run = score_queries(index, qt, k=k + 1, sim=sim)
+    wq = Window.partitionBy("qid").orderBy("rank")
+    nb = (
+        run.filter(F.col("doc_id") != F.col("qid").cast("long"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= k)
+    )
+    lab = labels.select("doc_id", F.col("label").alias("_lbl"))
+    votes = (
+        nb.join(lab, "doc_id")
+        .groupBy("qid", "_lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("_c").desc(), F.col("_lbl").asc()
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("qid").cast("long").alias("doc_id"),
+            F.col("_lbl").alias("pred_label"),
+        )
+    )
+    truth = lab.select("doc_id", F.col("_lbl").alias("true_label"))
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def proximity_query(
     positional: DataFrame,
     terms: list[str],

@@ -852,6 +852,36 @@ def test_infix_suggest_contains_and_offsets(spark, index):
     assert any(o > 1 for _, o in got)  # a genuinely-infix hit exists
 
 
+def test_knn_classify_separable_topics(spark):
+    """Two separable topics: each test doc's neighbors all share its
+    topic, so the confusion matrix is diagonal; the self doc is
+    excluded from the vote."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple fruit"),
+            (2, "banana fruit apple"),
+            (3, "apple banana banana"),
+            (4, "car truck engine"),
+            (5, "truck engine car car"),
+            (6, "engine car truck truck"),
+        ],
+        "doc_id long, content string",
+    )
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=EN))
+    labels = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "y")],
+        "doc_id long, label string",
+    )
+    test = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    out = {
+        (r["true_label"], r["pred_label"]): r["n_docs"]
+        for r in rt.knn_classify(
+            idx, labels, test, n_terms=3, k=2
+        ).collect()
+    }
+    assert out == {("x", "x"): 1, ("y", "y"): 1}
+
+
 def test_explain_scores_sum_to_run(spark, index):
     """explain() parity: per-term contributions sum to the run score."""
     qt = rt.queries_to_terms(spark, QUERIES, EN)
