@@ -6413,6 +6413,51 @@ FROM p3
 _HOST_CAP = 12
 
 
+def _robots_rules() -> list[tuple[str, str, str]]:
+    """Deterministic per-host robots.txt rule table over the 50
+    pseudo-URL hosts, planting every RFC 9309 resolution case:
+    a shallow disallow (/p/1*), a deeper allow override (/p/12*), a
+    deeper-still disallow (/p/123*), and an equal-length allow/
+    disallow tie (/p/2) that must resolve to allow."""
+    rules = []
+    for h in range(50):
+        host = f"site{h}.example.com"
+        rules.append((host, "disallow", "/p/1"))
+        if h % 2 == 0:
+            rules.append((host, "allow", "/p/12"))
+        if h % 3 == 0:
+            rules.append((host, "disallow", "/p/123"))
+        if h % 5 == 0:
+            rules.append((host, "allow", "/p/2"))
+            rules.append((host, "disallow", "/p/2"))
+    return rules
+
+
+def _robots_sql() -> str:
+    """Replays textstats.robots_filter over the normalized pseudo-URL
+    hosts/paths: longest-prefix match, allow on equal-length ties,
+    allowed-by-default when no rule matches."""
+    vals = ", ".join(
+        f"('{h}', '{d}', '{p}')" for h, d, p in _robots_rules()
+    )
+    return f"""
+WITH {_url_norm_ctes()},
+rules(host, directive, path_prefix) AS (VALUES {vals}),
+m AS (
+  SELECT p3.doc_id, r.directive, r.path_prefix,
+         row_number() OVER (PARTITION BY p3.doc_id
+           ORDER BY length(r.path_prefix) DESC, r.directive ASC) AS rn
+  FROM p3 JOIN rules r ON p3.host = r.host
+       AND starts_with(p3.path, r.path_prefix)
+),
+best AS (SELECT doc_id, directive, path_prefix FROM m WHERE rn = 1)
+SELECT p3.doc_id, p3.host, p3.path,
+       coalesce(b.directive = 'allow', TRUE) AS allowed,
+       b.path_prefix AS matched_prefix, b.directive
+FROM p3 LEFT JOIN best b USING (doc_id)
+"""
+
+
 def _host_stats_sql() -> str:
     """Replays textstats.host_stats over the normalized hosts joined
     back to the documents' n_chars quality."""
@@ -11503,6 +11548,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "url_norm", "host")
 
+    def robots_filter(spark, sf):
+        # RFC 9309 robots screening: longest-prefix rule match,
+        # allow on equal-length ties, allow when no rule matches
+        from luc4ir_spark.operators import textstats as ts2
+
+        d = _docs(spark, sf)
+        norm = ts2.normalize_urls(
+            d.select("doc_id", _pseudo_url_expr().alias("url")),
+            url_col="url",
+        )
+        urls = norm.select(
+            "doc_id",
+            "host",
+            F.regexp_extract(
+                F.col("url_norm"),
+                r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)",
+                1,
+            ).alias("path"),
+        )
+        rules = spark.createDataFrame(
+            _robots_rules(),
+            "host string, directive string, path_prefix string",
+        )
+        return ts2.robots_filter(urls, rules)
+
     def host_stats(spark, sf):
         # host-level curation report over the normalized hosts joined
         # back to n_chars quality; over-cap flag at _HOST_CAP docs
@@ -13619,6 +13689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": dedup_corpus,
         "url_normalize": url_normalize,
         "host_stats": host_stats,
+        "robots_filter": robots_filter,
         "dedup_survivors": dedup_survivors,
         "kl_rerank": kl_rerank,
         "expand_query_terms": expand_query_terms,
@@ -13983,6 +14054,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": _DEDUP_CORPUS_SQL,
         "url_normalize": _url_normalize_sql(),
         "host_stats": _host_stats_sql(),
+        "robots_filter": _robots_sql(),
         "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "kl_rerank": _KL_SQL,
         "expand_query_terms": _EXPAND_SQL,

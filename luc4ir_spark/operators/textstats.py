@@ -2545,6 +2545,65 @@ def host_stats(
     )
 
 
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Robots-exclusion screening of a crawl frontier — RFC 9309 (the
+    Robots Exclusion Protocol, Google's published REP semantics) at
+    the single-user-agent level: each URL is checked against the
+    ``rules`` table (host, directive ∈ {'allow','disallow'},
+    path_prefix — one row per Allow/Disallow line of the host's
+    robots.txt group for our agent), the matching rule with the
+    LONGEST path prefix wins (RFC 9309 §2.2.2 "most specific match"),
+    an allow/disallow tie at equal length resolves to ALLOW (§2.2.2:
+    the least restrictive rule), and a URL with no matching rule is
+    allowed. -> (doc_id, host, path, allowed, matched_prefix,
+    directive) with NULL rule columns on the no-match default.
+
+    Plan shape: rules tables are robots.txt-sized (bounded per host),
+    so the rule side broadcasts; the match is one host equi-join with
+    the startswith residual, then a per-URL bounded window (rules per
+    URL ≤ rules per host) picks the winner. Equal-length distinct
+    prefixes cannot both match one path, so the (length DESC,
+    directive ASC) order is total on matches — deterministic on any
+    engine. The frontier side is never shuffled."""
+    u = urls.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+    )
+    r = rules.select(
+        F.col("host").alias("_rh"), "directive", "path_prefix"
+    )
+    m = u.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("_rh"))
+        & F.col("path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("path_prefix").desc(), F.col("directive").asc()
+    )
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.when(F.col("directive").isNull(), F.lit(True))
+            .otherwise(F.col("directive") == "allow")
+            .alias("allowed"),
+            F.col("path_prefix").alias("matched_prefix"),
+            "directive",
+        )
+    )
+
+
 # accent-fold map for normalize_for_dedup: the latin-1/latin-ext
 # letters CCNet's unicode normalization folds to ascii; a literal
 # translate so any engine replays it byte-for-byte

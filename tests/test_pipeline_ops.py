@@ -1692,6 +1692,48 @@ def test_centroid_classify_confusion(spark):
     assert out == {("x", "x"): 2, ("x", "y"): 1, ("y", "y"): 2}
 
 
+def test_robots_filter_rfc9309_resolution(spark):
+    """Longest-prefix wins; allow beats disallow on equal-length
+    ties; no matching rule (or unknown host) defaults to allowed."""
+    urls = spark.createDataFrame(
+        [
+            (1, "h", "/p/1"),
+            (2, "h", "/p/15"),
+            (3, "h", "/p/12"),
+            (4, "h", "/p/129"),
+            (5, "h", "/p/123"),
+            (6, "h", "/p/2"),
+            (7, "h", "/p/9"),
+            (8, "other", "/p/1"),
+        ],
+        "doc_id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h", "disallow", "/p/1"),
+            ("h", "allow", "/p/12"),
+            ("h", "disallow", "/p/123"),
+            ("h", "allow", "/p/2"),
+            ("h", "disallow", "/p/2"),
+        ],
+        "host string, directive string, path_prefix string",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in textstats.robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        1: (False, "/p/1"),
+        2: (False, "/p/1"),
+        3: (True, "/p/12"),
+        4: (True, "/p/12"),
+        5: (False, "/p/123"),
+        6: (True, "/p/2"),
+        7: (True, None),
+        8: (True, None),
+    }
+
+
 def test_naive_bayes_classify_matches_python_replay(spark):
     """Confusion matrix equals a pure-Python multinomial NB with
     add-one smoothing over the same corpus (including the mislabeled
