@@ -2934,6 +2934,37 @@ UNION ALL
 SELECT 'couple' AS measure, a, b, n FROM bc WHERE n >= 2
 """
 
+_LINK_PREDICTION_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE least(src, dst) < greatest(src, dst)),
+nbr AS MATERIALIZED (
+  SELECT a AS z, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS MATERIALIZED (
+  SELECT z, count(*)::BIGINT AS d FROM nbr GROUP BY 1),
+nz AS MATERIALIZED (
+  SELECT n.z, n.v, (1000000 // d.d)::BIGINT AS w
+  FROM nbr n JOIN deg d USING (z)),
+p AS (
+  SELECT l.v AS a, r.v AS b, count(*)::BIGINT AS common,
+         sum(l.w)::BIGINT AS ra_q
+  FROM nz l JOIN nz r ON l.z = r.z AND l.v < r.v
+  GROUP BY 1, 2)
+SELECT p.a, p.b, p.common,
+       round(p.common * 1.0 / (da.d + db.d - p.common), 4) AS jaccard,
+       round(p.ra_q / 1000000.0, 4) AS ra
+FROM p JOIN deg da ON da.z = p.a JOIN deg db ON db.z = p.b
+WHERE p.common >= 2
+"""
+
 
 _ANCHOR_FIELD_SQL_T = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
@@ -10152,6 +10183,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cc.unionByName(bc)
 
+    def link_prediction(spark, sf):
+        # neighborhood link-prediction scores (Liben-Nowell &
+        # Kleinberg'03): common neighbors + Jaccard + fixed-point
+        # resource allocation (integer floor(1e6/deg) weights — exact
+        # sums, one division, no cross-engine ln hazard)
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        return gr.link_prediction_pairs(
+            edges, min_common=2, max_degree=None
+        )
+
     def anchor_field(spark, sf):
         # Nutch-style anchor-text pseudo-field: per-target postings of
         # inlink anchor tokens over the synthetic link graph
@@ -13533,6 +13576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_precision": r_precision,
         "link_pagerank": link_pagerank,
         "link_cocitation": link_cocitation,
+        "link_prediction": link_prediction,
         "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
@@ -13892,6 +13936,7 @@ def oracle_sql() -> dict[str, str]:
         "r_precision": _RPREC_SQL,
         "link_pagerank": _PAGERANK_SQL,
         "link_cocitation": _COCITATION_SQL,
+        "link_prediction": _LINK_PREDICTION_SQL,
         "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,

@@ -44,6 +44,7 @@ __all__ = [
     "pagerank",
     "pagerank_regular_exact",
     "hits_unnormalized",
+    "link_prediction_pairs",
 ]
 
 # (multiplier, offset) per out-link: dst_j = (id * p_j + q_j) % n.
@@ -423,4 +424,101 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return nodes.crossJoin(ne).crossJoin(tri).select(
         "n_nodes", "n_edges", "n_triangles"
+    )
+
+
+def link_prediction_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int | None = 100_000,
+    scale: int = 1_000_000,
+    log=None,
+) -> DataFrame:
+    """Neighborhood link-prediction scores (Liben-Nowell & Kleinberg
+    CIKM'03) over the undirected simple graph: for every node pair
+    (a < b) sharing >= ``min_common`` neighbors,
+
+      common  = |Γ(a) ∩ Γ(b)|                 (common neighbors)
+      jaccard = common / |Γ(a) ∪ Γ(b)|
+      ra      = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z)    (resource allocation,
+                                               Zhou/Lü/Zhang EPJ B'09)
+
+    RA is the degree-weighted cousin of Adamic-Adar (1/deg instead of
+    1/ln deg) — chosen here because it admits EXACT fixed-point
+    arithmetic: each 1/deg(z) is quantized to the integer
+    floor(scale/deg(z)) (integer division on both engines — no
+    cross-engine ln()/fold-order hazard), summed exactly as BIGINTs,
+    with ONE final division by ``scale``. Jaccard is likewise one
+    division of exact integers (|∪| = deg(a)+deg(b)−common on a simple
+    graph). -> (a, b, common, jaccard, ra), 4dp, engine-stable.
+
+    Scale shape: the directed multigraph simplifies once
+    (least/greatest + distinct, self-loops dropped); pairing fans out
+    quadratically in shared-neighbor degree, so ``max_degree`` is the
+    standard hub valve (the coupling_pairs/max_df move) — nodes above
+    it are dropped FROM PAIRING ONLY and the drop is surfaced through
+    ``log``, never silent. One shuffle keys the self-join on the
+    shared neighbor; degree joins are degree-table-sized (node count,
+    not edge count) and AQE-broadcastable."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    nbr = und.select(
+        F.col("a").alias("z"), F.col("b").alias("v")
+    ).unionAll(und.select(F.col("b").alias("z"), F.col("a").alias("v")))
+    deg = nbr.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    pair_deg = deg
+    if max_degree is not None:
+        if log is not None:
+            n_drop = deg.filter(F.col("d") > int(max_degree)).count()
+            log(
+                f"link_prediction_pairs: dropped {n_drop} hub nodes "
+                f"over degree {max_degree} from pairing"
+            )
+        pair_deg = deg.filter(F.col("d") <= int(max_degree))
+    nz = nbr.join(pair_deg, "z").select(
+        "z", "v", F.expr(f"div({int(scale)}, d)").alias("w")
+    )
+    nz = nz.repartition("z").localCheckpoint(eager=False)
+    # ^ consumed by both sides of the self-join; localCheckpoint keeps
+    # the shared scan from recomputing per side (the repo's HOF-free
+    # variant of the LSH fan-out fix — cheap insurance here)
+    pairs = (
+        nz.alias("l")
+        .join(
+            nz.alias("r"),
+            (F.col("l.z") == F.col("r.z"))
+            & (F.col("l.v") < F.col("r.v")),
+        )
+        .groupBy(F.col("l.v").alias("a"), F.col("r.v").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("l.w").cast("long").alias("_ra_q"),
+        )
+        .filter(F.col("common") >= int(min_common))
+    )
+    da = deg.select(F.col("z").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("z").alias("b"), F.col("d").alias("_db"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                * 1.0
+                / (F.col("_da") + F.col("_db") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+            F.round(F.col("_ra_q") / float(scale), 4).alias("ra"),
+        )
     )

@@ -225,3 +225,61 @@ def test_coupling_hub_cap_drops_and_logs(spark):
            ).collect()}
     assert got == {(1, 2): 1}   # only the non-hub target pairs
     assert msgs and "dropped 1 hub keys" in msgs[0]
+
+
+def test_link_prediction_hand_computed(spark):
+    """Path graph 0-1-2-3 plus edge 0-2: Γ(0)={1,2}, Γ(1)={0,2},
+    Γ(2)={0,1,3}, Γ(3)={2}. Pair (0,1): common={2} -> 1; jaccard =
+    1/(2+2-1) = 0.3333; ra = 1/deg(2) = 1/3 -> floor(1e6/3)/1e6 =
+    0.3333. Pair (0,2): common={1} -> 1, jaccard = 1/(2+3-1) = 0.25,
+    ra = 1/deg(1) = 0.5. Pair (1,2): common={0}, jaccard 0.25,
+    ra 0.5. Pair (1,3): common={2}, jaccard = 1/(2+1-1) = 0.5,
+    ra = 1/3. Pair (0,3): common={2}, jaccard 0.5, ra 1/3.
+    Pair (2,3) shares nothing. min_common=2 drops everything."""
+    from luc4ir_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], "src long, dst long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"], r["ra"])
+        for r in gr.link_prediction_pairs(
+            edges, min_common=1, max_degree=None
+        ).collect()
+    }
+    assert got == {
+        (0, 1): (1, 0.3333, 0.3333),
+        (0, 2): (1, 0.25, 0.5),
+        (1, 2): (1, 0.25, 0.5),
+        (1, 3): (1, 0.5, 0.3333),
+        (0, 3): (1, 0.5, 0.3333),
+    }
+    assert (
+        gr.link_prediction_pairs(edges, min_common=2).count() == 0
+    )
+
+
+def test_link_prediction_hub_valve_drops_and_logs(spark):
+    """A hub neighbor over max_degree is excluded from pairing (its
+    co-membership pairs vanish) but still counts toward the jaccard
+    denominators via the UNCAPPED degree table; the drop is logged."""
+    from luc4ir_spark.operators import graph as gr
+
+    # star: hub 99 adjacent to 0..4; plus a 2-path 0-7-1
+    edges = spark.createDataFrame(
+        [(u, 99) for u in range(5)] + [(0, 7), (7, 1)],
+        "src long, dst long",
+    )
+    msgs = []
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in gr.link_prediction_pairs(
+            edges, min_common=1, max_degree=3, log=msgs.append
+        ).collect()
+    }
+    # the hub is dropped as a SHARED NEIGHBOR (no pair is formed
+    # through 99) but still appears as a pair MEMBER: (7, 99) share
+    # {0, 1} (both low-degree), jaccard = 2/(2+5-2) with 99's full
+    # uncapped degree in the denominator; (0,1) pair through 7 only
+    assert got == {(0, 1): (1, 0.3333), (7, 99): (2, 0.4)}
+    assert msgs and "dropped 1 hub nodes" in msgs[0]
