@@ -3696,6 +3696,55 @@ FROM prof GROUP BY 1
 """
 
 
+_TCLOSE_T = (2, 25)  # t = 0.08: splits the sf0.01 classes (tvds
+# 0.0737 / 0.0964) so both flag branches are exercised; the compare
+# is integer cross-multiplied, so closeness to t is not a hazard
+
+
+def _t_closeness_sql() -> str:
+    """Replays eventops.t_closeness_report: the shared profile CTEs,
+    class×global-domain grid with BIGINT |n_cv·N − N_v·g| numerators,
+    tvd = one division by 2·g·N, flag by integer cross-multiplication
+    at t = {num}/{den}."""
+    tn, td = _TCLOSE_T
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN n <= {1 << i} THEN {1 << i}" for i in range(20)
+        )
+        + f" ELSE {1 << 20} END"
+    )
+    return f"""
+WITH ut AS (SELECT user_id, event_type AS etype, count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2),
+prof AS (SELECT user_id, sum(c)::BIGINT AS n,
+                (max(struct_pack(c := c, t := etype))).t AS sens
+         FROM ut GROUP BY 1),
+cls AS MATERIALIZED (
+  SELECT ({case})::BIGINT AS activity_bucket, sens FROM prof),
+g AS (SELECT activity_bucket, count(*)::BIGINT AS n_users
+      FROM cls GROUP BY 1),
+qv AS (SELECT sens, count(*)::BIGINT AS nv FROM cls GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS nn FROM cls),
+ncv AS (SELECT activity_bucket, sens, count(*)::BIGINT AS c
+        FROM cls GROUP BY 1, 2),
+grid AS (
+  SELECT g.activity_bucket, g.n_users, tot.nn,
+         abs(coalesce(ncv.c, 0) * tot.nn - qv.nv * g.n_users)
+           ::BIGINT AS num
+  FROM g CROSS JOIN qv CROSS JOIN tot
+  LEFT JOIN ncv ON ncv.activity_bucket = g.activity_bucket
+              AND ncv.sens = qv.sens),
+per AS (
+  SELECT activity_bucket, n_users, nn, sum(num)::BIGINT AS s
+  FROM grid GROUP BY 1, 2, 3)
+SELECT activity_bucket, n_users,
+       round(s / (2.0 * n_users * nn), 4) AS tvd,
+       s * {td} > 2 * {tn} * n_users * nn AS at_risk
+FROM per
+"""
+
+
 _ABANDON_SQL = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
            FROM events),
@@ -12237,6 +12286,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "activity_bucket", "n_users", "n_sensitive", "at_risk"
         )
 
+    def t_closeness(spark, sf):
+        # t-closeness audit: same QI classes + sensitive attribute as
+        # the k/l audits; per-class total-variation distance to the
+        # global sensitive distribution, integer-exact numerators,
+        # flag by integer cross-multiplication at t = 2/25
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = eo.t_closeness_report(ev_df, t=_TCLOSE_T)
+        return out.select(
+            "activity_bucket", "n_users", "tvd", "at_risk"
+        )
+
     def session_abandonment(spark, sf):
         # gaps-and-islands sessions with no click/purchase = abandoned
         from luc4ir_spark.operators import eventops as eo
@@ -13675,6 +13737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_volume": query_volume,
         "sat_clicks": sat_clicks,
         "l_diversity": l_diversity,
+        "t_closeness": t_closeness,
         "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
@@ -14035,6 +14098,7 @@ def oracle_sql() -> dict[str, str]:
         "query_volume": _query_volume_sql(),
         "sat_clicks": _SAT_CLICKS_SQL,
         "l_diversity": _l_diversity_sql(),
+        "t_closeness": _t_closeness_sql(),
         "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),

@@ -610,6 +610,85 @@ def l_diversity_report(
     )
 
 
+def t_closeness_report(
+    events: DataFrame,
+    t: tuple = (3, 10),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) — the
+    distribution-disclosure complement of ``l_diversity_report``: a
+    class can hold l distinct sensitive values yet still leak if its
+    sensitive-value DISTRIBUTION deviates from the global one (the
+    classic "99% cancer in this class" failure l-diversity misses).
+    Same QI classes (power-of-two activity bucket) and sensitive
+    attribute (dominant event type) as the k/l audits, so the three
+    reports describe one release. For a categorical attribute the
+    distance is total variation: tvd = ½ Σ_v |p_v − q_v| over the
+    GLOBAL domain (class-absent values contribute their global mass).
+
+    Exactness: with class size g, global size N, class counts n_cv and
+    global counts N_v, each term is |n_cv·N − N_v·g| / (g·N) — the
+    numerators are BIGINTs, summed exactly; tvd is ONE division by
+    2·g·N, and the flag compares S·t_den > 2·g·N·t_num by integer
+    cross-multiplication (``t`` is the rational (num, den)) so no
+    float boundary can flip it cross-engine.
+    -> (activity_bucket, n_users, tvd, at_risk).
+
+    Plan shape: the shared two-aggregate profile derivation, then
+    class×domain grid joins over bucket-count × type-count sized
+    relations (both tiny; AQE broadcasts) and one grid-sized
+    aggregate. The raw log is scanned once."""
+    tn, td = int(t[0]), int(t[1])
+    prof = _user_type_profiles(events, user_col, type_col)
+    cls = prof.select(
+        _activity_bucket(F.col("_n")).cast("long").alias(
+            "activity_bucket"
+        ),
+        F.col("_m.t").alias("_sens"),
+    )
+    cls = cls.localCheckpoint(eager=False)
+    # ^ feeds three aggregates below; one profile-sized materialization
+    ncv = cls.groupBy("activity_bucket", "_sens").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    g = cls.groupBy("activity_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    qv = cls.groupBy("_sens").agg(
+        F.count(F.lit(1)).cast("long").alias("_nv")
+    )
+    tot = cls.agg(F.count(F.lit(1)).cast("long").alias("_nn"))
+    grid = (
+        g.crossJoin(F.broadcast(qv))
+        .join(ncv, ["activity_bucket", "_sens"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "activity_bucket",
+            "n_users",
+            "_nn",
+            F.abs(
+                F.coalesce(F.col("_c"), F.lit(0)) * F.col("_nn")
+                - F.col("_nv") * F.col("n_users")
+            ).alias("_num"),
+        )
+    )
+    per = grid.groupBy("activity_bucket", "n_users", "_nn").agg(
+        F.sum("_num").cast("long").alias("_s")
+    )
+    return per.select(
+        "activity_bucket",
+        "n_users",
+        F.round(
+            F.col("_s") / (2.0 * F.col("n_users") * F.col("_nn")), 4
+        ).alias("tvd"),
+        (
+            F.col("_s") * F.lit(td)
+            > F.lit(2 * tn) * F.col("n_users") * F.col("_nn")
+        ).alias("at_risk"),
+    )
+
+
 def burst_report(
     events: DataFrame,
     threshold: int = 10,

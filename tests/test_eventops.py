@@ -614,3 +614,43 @@ def test_event_ewma_hand_computed(spark):
     assert got[("b", d0 + us)] == (1, pytest.approx(4 / 6, rel=1e-12))
     assert got[("b", d0 + 2 * us)] == (0, pytest.approx(2 / 7, rel=1e-12))
     assert len(got) == 8
+
+
+def test_t_closeness_report_hand_computed(spark):
+    """Same release as the l-diversity test: bucket 2 = {u1:'b',
+    u2:'b'}, bucket 4 = {u3:'a', u4:'c'}; global sens counts b=2,
+    a=1, c=1 over N=4. Bucket 2 (g=2): terms |2*4-2*2|/(2*4)=4,
+    |0-1*2|=2, |0-1*2|=2 -> S=8, tvd=8/(2*2*4)=0.5. Bucket 4: b term
+    |0-2*2|=4, a |1*4-1*2|=2, c |1*4-1*2|=2 -> S=8, tvd=0.5. At
+    t=(2,5)=0.4 both flag; at t=(1,2)=0.5 neither (strict >)."""
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 1), 1, "a"),
+        (1, datetime(2024, 1, 1, 2), 1, "b"),
+        (2, datetime(2024, 1, 1, 1), 2, "a"),
+        (3, datetime(2024, 1, 1, 2), 2, "b"),
+        (4, datetime(2024, 1, 1, 1), 3, "a"),
+        (5, datetime(2024, 1, 1, 2), 3, "a"),
+        (6, datetime(2024, 1, 1, 3), 3, "b"),
+        (7, datetime(2024, 1, 1, 1), 4, "c"),
+        (8, datetime(2024, 1, 1, 2), 4, "c"),
+        (9, datetime(2024, 1, 1, 3), 4, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["activity_bucket"]: r
+        for r in eo.t_closeness_report(ev, t=(2, 5)).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2]["n_users"] == 2 and out[2]["tvd"] == 0.5
+    assert out[4]["n_users"] == 2 and out[4]["tvd"] == 0.5
+    assert out[2]["at_risk"] is True and out[4]["at_risk"] is True
+    # strict inequality: tvd == t does not flag
+    out2 = {
+        r["activity_bucket"]: r["at_risk"]
+        for r in eo.t_closeness_report(ev, t=(1, 2)).collect()
+    }
+    assert out2 == {2: False, 4: False}
