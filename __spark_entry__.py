@@ -9264,6 +9264,59 @@ FROM m
 """
 
 
+def _mcnemar_sql() -> str:
+    """Replays evaluation.mcnemar_test over the two md5-weight linear
+    classifiers: per-doc logit signs vs the mix-parity label, integer
+    2x2 cells, continuity-corrected chi2 (integer-squared numerator,
+    ONE division), and the sign_test doubled-tail exact binomial over
+    the discordant count (identical product/fold expression shape as
+    _interleave_sign_sql, so the doubles agree)."""
+    from luc4ir_spark.functions import hashing as hx
+
+    y = f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B}) % {hx.MIX_P}) % 2"
+    wb = (
+        "((('0x' || substr(md5(term), 1, 15))::BIGINT % 1003) - 501)"
+        "::DOUBLE"
+    )
+    comb = (
+        "CASE WHEN jx = 0 THEN 1.0 ELSE "
+        "list_product(list_transform(range(1, jx + 1),"
+        " i -> 1.0 * (na + nb - jx + i))) / "
+        "list_product(list_transform(range(1, jx + 1), i -> 1.0 * i)) END"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL},
+w AS (SELECT DISTINCT term, {_CLS_WEIGHT_SQL} AS wa, {wb} AS wb
+      FROM toks),
+s AS (SELECT tf.doc_id,
+             sum(tf.tf * w.wa) / dl.doc_len AS la,
+             sum(tf.tf * w.wb) / dl.doc_len AS lb
+      FROM tf JOIN w USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id, dl.doc_len),
+jj AS (SELECT (CASE WHEN la >= 0.0 THEN 1 ELSE 0 END) = ({y}) AS ca,
+              (CASE WHEN lb >= 0.0 THEN 1 ELSE 0 END) = ({y}) AS cb
+       FROM s),
+tal AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)::BIGINT
+           AS n_neither,
+         sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN cb AND NOT ca THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM jj)
+SELECT n, n_both, n_neither, na AS n_a_only, nb AS n_b_only,
+       CASE WHEN na + nb = 0 THEN 0.0
+            ELSE round(greatest(abs(na - nb) - 1, 0)
+                       * greatest(abs(na - nb) - 1, 0)
+                       / (na + nb), 4) END AS chi2_cc,
+       CASE WHEN na + nb > 100 THEN NULL ELSE
+       round(CASE WHEN na + nb = 0 THEN 1.0 ELSE least(1.0,
+         2.0 * list_sum(list_transform(range(0, least(na, nb) + 1),
+           jx -> ({comb}) / pow(2.0, na + nb)))) END, 4) END AS p_value
+FROM tal
+"""
+
+
 def _duplicate_spans_sql() -> str:
     """Replays dedup.duplicate_spans: non-overlapping full 4-token
     windows, 60-bit md5 span ids, keeper = min(doc_id * 2^20 +
@@ -13129,6 +13182,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auc", 4).alias("auc"),
         )
 
+    def mcnemar(spark, sf):
+        # McNemar's paired test between TWO md5-weight linear
+        # classifiers (weight grids 2001 and 1003) on the mix-parity
+        # labels: integer 2x2 cells, continuity-corrected chi2 (one
+        # division), exact doubled-tail binomial p over discordants
+        from luc4ir_spark.functions import hashing as hx
+
+        idx = _index(spark, sf)
+        sid = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast(
+            "long"
+        )
+        wa = idx.term_stats.select(
+            "term",
+            (F.pmod(sid, F.lit(2001)) - 1000).cast("double").alias(
+                "weight"
+            ),
+        )
+        wb = idx.term_stats.select(
+            "term",
+            (F.pmod(sid, F.lit(1003)) - 501).cast("double").alias(
+                "weight"
+            ),
+        )
+        d = _docs(spark, sf)
+        pa = ts.classifier_score(
+            d, wa, bias=0.0, threshold=0.5, content_col="text"
+        ).select("doc_id", F.col("keep").alias("_ka"))
+        pb = ts.classifier_score(
+            d, wb, bias=0.0, threshold=0.5, content_col="text"
+        ).select("doc_id", F.col("keep").alias("_kb"))
+        labels = d.select(
+            "doc_id",
+            (F.pmod(hx.mix_id_expr("doc_id"), F.lit(2)) == 1).alias(
+                "_y"
+            ),
+        )
+        pairs = (
+            pa.join(pb, "doc_id")
+            .join(labels, "doc_id")
+            .select(
+                (F.col("_ka") == F.col("_y")).alias("correct_a"),
+                (F.col("_kb") == F.col("_y")).alias("correct_b"),
+            )
+        )
+        out = ev.mcnemar_test(pairs)
+        return out.select(
+            "n", "n_both", "n_neither", "n_a_only", "n_b_only",
+            "chi2_cc",
+            F.round("p_value", 4).alias("p_value"),
+        )
+
     def classifier_calibration(spark, sf):
         # reliability-diagram bins over the md5-weight classifier's
         # sigmoid scores vs the mix-parity labels
@@ -13839,6 +13943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": duplicate_spans,
         "classifier_score": classifier_score,
         "classifier_eval": classifier_eval,
+        "mcnemar": mcnemar,
         "similar_docs": similar_docs,
         "phrase_query": phrase_query,
         "bm25_must_not": bm25_must_not,
@@ -14275,6 +14380,7 @@ FROM h
         "duplicate_spans": _duplicate_spans_sql(),
         "classifier_score": _classifier_score_sql(),
         "classifier_eval": _classifier_eval_sql(),
+        "mcnemar": _mcnemar_sql(),
         "similar_docs": _similar_docs_sql(),
         "phrase_query": _phrase_query_sql(),
         "bm25_must_not": _bm25_must_not_sql(),

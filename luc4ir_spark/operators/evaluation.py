@@ -1442,6 +1442,76 @@ def sign_test(
     )
 
 
+def mcnemar_test(
+    pairs: DataFrame,
+    correct_a_col: str = "correct_a",
+    correct_b_col: str = "correct_b",
+) -> DataFrame:
+    """McNemar's paired test over per-item correctness of two
+    classifiers (McNemar, Psychometrika 1947; THE recommended test for
+    comparing two classifiers on one test set — Dietterich, Neural
+    Computation 1998): only the DISCORDANT items carry signal — b =
+    #(A right, B wrong), c = #(A wrong, B right) — and under H0 each
+    discordant item is a fair coin. -> ONE row (n, n_both, n_neither,
+    n_a_only, n_b_only, chi2_cc, p_value):
+
+      chi2_cc = max(|b−c|−1, 0)² / (b+c)   (continuity-corrected;
+                0 when b+c = 0 or |b−c| <= 1)
+      p_value = exact binomial doubled tail, delegated to the
+                `sign_test` machinery (McNemar's exact test IS the
+                sign test over discordant pairs) — dyadic-exact for
+                b+c <= 17, document rounding beyond (sign_test
+                docstring). NULL when b+c > 100: past that the
+                factorial products overflow double range (inf/inf →
+                NaN silently clamped by least()) and the exact tail
+                is the wrong tool anyway — read chi2_cc against
+                χ²(1), the standard large-sample route.
+
+    Exactness: the 2×2 cells are integer aggregates; chi2's numerator
+    is an integer square and the statistic is ONE division, so both
+    engines agree bit-for-bit. One global agg over an eval-set-sized
+    relation; nothing touches corpus-scale data."""
+    ca = F.col(correct_a_col)
+    cb = F.col(correct_b_col)
+    winners = pairs.select(
+        F.when(ca & ~cb, F.lit("a"))
+        .when(~ca & cb, F.lit("b"))
+        .otherwise(F.lit("tie"))
+        .alias("winner")
+    )
+    s = sign_test(winners).select(
+        F.col("n_queries").alias("n"),
+        F.col("n_a").alias("n_a_only"),
+        F.col("n_b").alias("n_b_only"),
+        "p_value",
+    )
+    cells = pairs.agg(
+        F.sum(F.when(ca & cb, 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(~ca & ~cb, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    bc = F.col("n_a_only") + F.col("n_b_only")
+    num = F.greatest(
+        F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1, F.lit(0)
+    )
+    return s.crossJoin(cells).select(
+        "n",
+        "n_both",
+        "n_neither",
+        "n_a_only",
+        "n_b_only",
+        F.when(bc == 0, F.lit(0.0))
+        .otherwise(F.round((num * num) / bc, 4))
+        .alias("chi2_cc"),
+        F.when(bc > 100, F.lit(None).cast("double"))
+        .otherwise(F.col("p_value"))
+        .alias("p_value"),
+    )
+
+
 def ips_utility(
     run: DataFrame,
     clicks: DataFrame,

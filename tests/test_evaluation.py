@@ -1052,3 +1052,46 @@ def test_intent_aware_metrics_hand_computed(spark):
     assert got["q2"]["n_aspects"] == 2
     assert got["q2"]["err_ia"] == 0.0
     assert got["q2"]["s_recall"] == 0.0
+
+
+def test_mcnemar_hand_computed(spark):
+    """10 items: 4 both-right, 2 both-wrong, 3 A-only, 1 B-only.
+    b=3, c=1: chi2_cc = (|3-1|-1)^2/4 = 0.25; exact p = 2 * P(X <= 1),
+    X ~ Bin(4, 1/2) = 2 * (1 + 4)/16 = 0.625."""
+    rows = (
+        [(True, True)] * 4
+        + [(False, False)] * 2
+        + [(True, False)] * 3
+        + [(False, True)]
+    )
+    df = spark.createDataFrame(rows, "correct_a boolean, correct_b boolean")
+    r = ev.mcnemar_test(df).collect()[0]
+    assert (r["n"], r["n_both"], r["n_neither"]) == (10, 4, 2)
+    assert (r["n_a_only"], r["n_b_only"]) == (3, 1)
+    assert r["chi2_cc"] == 0.25
+    assert abs(r["p_value"] - 0.625) < 1e-12
+
+
+def test_mcnemar_degenerate_and_cap(spark):
+    """No discordant pairs -> chi2 0, p 1; |b-c| <= 1 -> chi2 0 via
+    the continuity floor; b+c > 100 -> p is NULL (overflow guard)."""
+    concordant = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)],
+        "correct_a boolean, correct_b boolean",
+    )
+    r = ev.mcnemar_test(concordant).collect()[0]
+    assert r["chi2_cc"] == 0.0 and r["p_value"] == 1.0
+    near = spark.createDataFrame(
+        [(True, False)] * 2 + [(False, True)],
+        "correct_a boolean, correct_b boolean",
+    )
+    r2 = ev.mcnemar_test(near).collect()[0]
+    assert r2["chi2_cc"] == 0.0  # (|2-1|-1)^2 = 0
+    big = spark.createDataFrame(
+        [(True, False)] * 80 + [(False, True)] * 40,
+        "correct_a boolean, correct_b boolean",
+    )
+    r3 = ev.mcnemar_test(big).collect()[0]
+    assert r3["p_value"] is None
+    # chi2 = (|80-40|-1)^2 / 120
+    assert r3["chi2_cc"] == round(39 * 39 / 120, 4)
