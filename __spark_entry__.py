@@ -2521,6 +2521,39 @@ GROUP BY bt.doc_id
 """
 
 
+_WITTEN_BELL_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+u AS (SELECT unnest(tk) AS w2 FROM t),
+cu AS (SELECT w2, count(*)::DOUBLE AS c_u FROM u GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n FROM u),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, unnest(range(1, len(tk))) AS r(i)
+),
+bt AS (SELECT doc_id, w1, w2, count(*)::DOUBLE AS tf
+       FROM bg GROUP BY 1, 2, 3),
+c2 AS MATERIALIZED (SELECT w1, w2, sum(tf) AS c2 FROM bt GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c_w1, count(*)::DOUBLE AS n1p_w1
+       FROM c2 GROUP BY 1)
+SELECT bt.doc_id, sum(bt.tf)::BIGINT AS n_bigrams,
+       round(-sum(bt.tf * ln(
+           (c1.c_w1 / (c1.c_w1 + c1.n1p_w1)) * (c2.c2 / c1.c_w1)
+           + (1.0 - c1.c_w1 / (c1.c_w1 + c1.n1p_w1))
+             * (cu.c_u / tot.n)
+       )) / sum(bt.tf), 4) AS xent_wb
+FROM bt
+JOIN c2 USING (w1, w2)
+JOIN c1 USING (w1)
+JOIN cu USING (w2)
+CROSS JOIN tot
+GROUP BY bt.doc_id
+"""
+
+
 def _stupid_backoff_sql() -> str:
     """Replays stupid_backoff_xent against the src1 in-domain LM:
     alpha and alpha^2 emitted via repr (the python product, e.g.
@@ -9746,6 +9779,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), discount=_KN_D, content_col="text"
         )
 
+    def witten_bell(spark, sf):
+        # Witten-Bell interpolated bigram xent (novel-continuation
+        # escape mass; SRILM -wbdiscount parity)
+        return ts.witten_bell_xent(_docs(spark, sf), content_col="text")
+
     def stupid_backoff(spark, sf):
         # Stupid Backoff bigram xent vs the src1 in-domain LM (the
         # cross-domain setup where the backoff branches actually fire)
@@ -13727,6 +13765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_xent": bigram_lm_xent,
         "stupid_backoff": stupid_backoff,
         "kneser_ney_xent": kneser_ney_xent,
+        "witten_bell": witten_bell,
         "good_turing": good_turing,
         "suggest_next": suggest_next,
         "normalize_text": normalize_text,
@@ -14089,6 +14128,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_xent": _bigram_xent_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
         "kneser_ney_xent": _kneser_ney_sql(),
+        "witten_bell": _WITTEN_BELL_SQL,
         "good_turing": _GOOD_TURING_SQL,
         "suggest_next": _suggest_next_sql(),
         "normalize_text": _normalize_text_sql(),

@@ -594,6 +594,78 @@ def kneser_ney_xent(
     )
 
 
+def witten_bell_xent(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc cross-entropy under a Witten-Bell interpolated BIGRAM
+    LM (Witten & Bell, IEEE Trans. IT 1991, "method C"; the smoothing
+    SRILM ships as `-wbdiscount`) — completing the smoothing family
+    next to Kneser-Ney, Stupid Backoff and Good-Turing:
+
+        p(w2|w1) = λ(w1)·c(w1w2)/c(w1) + (1−λ(w1))·c(w2)/T
+        λ(w1)    = c(w1)/(c(w1) + N1+(w1·))
+
+    The novel-continuation count N1+(w1·) IS the escape mass: a
+    context that has produced many distinct successors is likely to
+    produce another new one, so it keeps more smoothing weight. Self-
+    scored on the counting corpus (every doc bigram has c >= 1, so
+    p > 0 without an OOV branch), like the sibling signals.
+    xent = −Σ tf·ln p / Σ tf over a doc's bigrams; < 2-token docs are
+    omitted. -> (doc_id, n_bigrams, xent_wb).
+
+    Plan shape: identical to `kneser_ney_xent` — ONE literal-index
+    explode builds the doc-bigram table; c(w1,w2), the context table
+    (c(w1), N1+(w1·)) and the unigram table are vocab²-/vocab-bounded
+    aggregates off it, joined back unhinted (AQE broadcasts while
+    small); one scalar action for T."""
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    uni = t.select(F.explode("tk").alias("w2"))
+    cu = uni.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c_u")
+    )
+    total = float(uni.count())
+    if total == 0:
+        raise ValueError("witten_bell_xent: the corpus has no tokens")
+    i = F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i")
+    bt = (
+        t.filter(F.size("tk") >= 2)
+        .select("doc_id", "tk", i)
+        .select(
+            "doc_id",
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    c2 = bt.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c_w1"),
+        F.count(F.lit(1)).cast("double").alias("n1p_w1"),
+    )
+    lam = F.col("c_w1") / (F.col("c_w1") + F.col("n1p_w1"))
+    p = lam * (F.col("c2") / F.col("c_w1")) + (
+        F.lit(1.0) - lam
+    ) * (F.col("c_u") / F.lit(total))
+    return (
+        bt.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cu, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4
+            ).alias("xent_wb"),
+        )
+    )
+
+
 def stupid_backoff_xent(
     docs: DataFrame,
     lm_docs: DataFrame,

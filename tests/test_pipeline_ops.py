@@ -3034,3 +3034,45 @@ def test_sorted_neighborhood_pairs(spark):
     }
     assert (1, 2) in allp
     assert not any(4 in p for p in allp)
+
+
+def test_witten_bell_xent_hand_computed(spark):
+    """WB probabilities replayed in pure Python from the corpus
+    counts: lambda(w1) = c(w1)/(c(w1) + N1+(w1.)), unigram floor
+    c(w2)/T over ALL corpus tokens."""
+    import math as m
+    from collections import Counter, defaultdict
+
+    rows = [(1, "a b a c"), (2, "b a c c")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    c2 = Counter()
+    per_doc = {}
+    uni = Counter()
+    for d, txt in rows:
+        tk = txt.split()
+        uni.update(tk)
+        bgs = list(zip(tk, tk[1:]))
+        per_doc[d] = Counter(bgs)
+        c2.update(bgs)
+    c1, n1p = defaultdict(float), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1p[w1] += 1
+    T = sum(uni.values())
+
+    def p(w1, w2):
+        lam = c1[w1] / (c1[w1] + n1p[w1])
+        return lam * c2[(w1, w2)] / c1[w1] + (1 - lam) * uni[w2] / T
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_wb"])
+        for r in textstats.witten_bell_xent(docs).collect()
+    }
+    for d, bgs in per_doc.items():
+        n = sum(bgs.values())
+        want = -sum(c * m.log(p(*bg)) for bg, c in bgs.items()) / n
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(want, abs=5e-5), d
+    # a context with many novel continuations keeps more escape mass:
+    # lambda is strictly below 1 everywhere here
+    assert all(c1[w] / (c1[w] + n1p[w]) < 1.0 for w in c1)
