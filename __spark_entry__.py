@@ -4959,6 +4959,17 @@ def _sim2_sql(kind: str) -> str:
         )
     elif kind == "ib_ll":
         score = "ln(1.0 + tfn / ((df + 1.0) / (n_docs + 1.0)))"
+    elif kind == "spl":
+        # IB SPL: lambda = (df+1)/(N+1) with Lucene's ==1 -> 0.99
+        # guard on the COMPUTED double (matches the Spark branch)
+        lam_spl = (
+            "(CASE WHEN (df + 1.0) / (n_docs + 1.0) = 1.0 THEN 0.99"
+            " ELSE (df + 1.0) / (n_docs + 1.0) END)"
+        )
+        score = (
+            f"-ln((pow({lam_spl}, tfn / (tfn + 1.0)) - {lam_spl})"
+            f" / (1.0 - {lam_spl}))"
+        )
     elif kind == "f2exp":
         tfn = (
             "tf.tf / (tf.tf + 0.5 + 0.5 * dl.doc_len / s.avgdl)"
@@ -10787,6 +10798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DFR PL2 (Terrier default; Poisson + Laplace + H2, c=1)
         return _lm_run(spark, sf, "pl2")
 
+    def spl_topk(spark, sf):
+        # IB smoothed power law (Lucene IBSimilarity DistributionSPL)
+        return _lm_run(spark, sf, "spl")
+
     def dfi_topk(spark, sf):
         # Divergence From Independence (Lucene DFISimilarity,
         # IndependenceStandardized)
@@ -13840,6 +13855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfi_topk": dfi_topk,
         "sdm_topk": sdm_topk,
         "ib_topk": ib_topk,
+        "spl_topk": spl_topk,
         "f2exp_topk": f2exp_topk,
         "boosting_topk": boosting_topk,
         "rescore_topk": rescore_run,
@@ -14203,6 +14219,7 @@ def oracle_sql() -> dict[str, str]:
         "dfi_topk": _sim2_sql("dfi"),
         "sdm_topk": _sdm_sql(),
         "ib_topk": _sim2_sql("ib_ll"),
+        "spl_topk": _sim2_sql("spl"),
         "f2exp_topk": _sim2_sql("f2exp"),
         "boosting_topk": _boosting_sql(),
         "rescore_topk": _rescore_sql(),

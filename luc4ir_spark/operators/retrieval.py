@@ -42,8 +42,8 @@ BM25_B_DEFAULT = 0.3
 @dataclass(frozen=True)
 class Similarity:
     kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
-    #                   # | dfr_inl2 | ib_ll | f2exp | pl2 | dfi | dph
-    #                   # | pivoted
+    #                   # | dfr_inl2 | ib_ll | spl | f2exp | pl2 | dfi
+    #                   # | dph | pivoted
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
@@ -148,6 +148,29 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             float(stats.n_docs) + 1.0
         )
         return w * F.log(F.lit(1.0) + tfn / lam_df)
+    if sim.kind == "spl":
+        # Information-Based smoothed power law (Clinchant & Gaussier
+        # SIGIR'10; Lucene IBSimilarity(DistributionSPL, LambdaDF,
+        # NormalizationH2) — the second public IB distribution next to
+        # ib_ll): tfn as above, lambda = (df+1)/(N+1) with Lucene's
+        # lambda==1 -> 0.99 guard (a term in EVERY doc), and
+        # score = -log((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda)).
+        # The ==1.0 guard compares the COMPUTED double on both engines
+        # (not df==N), so an (N)/(N+1) that rounds to 1.0 at extreme N
+        # branches identically. Arithmetic shape mirrors the oracle.
+        tfn = tf * F.log(
+            F.lit(1.0) + F.lit(sim.c) * F.lit(stats.avgdl) / dl
+        ) / ln2
+        lam_raw = (F.col("df").cast("double") + F.lit(1.0)) / F.lit(
+            float(stats.n_docs) + 1.0
+        )
+        lam_spl = F.when(lam_raw == F.lit(1.0), F.lit(0.99)).otherwise(
+            lam_raw
+        )
+        return w * -F.log(
+            (F.pow(lam_spl, tfn / (tfn + F.lit(1.0))) - lam_spl)
+            / (F.lit(1.0) - lam_spl)
+        )
     if sim.kind == "pl2":
         # DFR PL2 (Amati & van Rijsbergen TOIS'02: Poisson basic model,
         # Laplace after-effect, H2 normalization — Terrier's default;

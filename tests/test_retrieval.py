@@ -2971,3 +2971,45 @@ def test_phrase_df_lookup_memoized(skew_pos):
     )
     assert got == [(3, 1)]  # ordering changed, results identical
     del skew_pos._luc4ir_df_cache
+
+
+def test_spl_hand_computed(spark, index):
+    """Single-term query: per-doc IB-SPL scores vs the published
+    closed form (Clinchant & Gaussier SIGIR'10 / Lucene
+    DistributionSPL: -log((lam^(tfn/(tfn+1)) - lam)/(1 - lam)),
+    lam = (df+1)/(N+1)) computed in pure Python."""
+    toks, n, dls, avgdl, df = _tiny_stats()
+    qt = rt.queries_to_terms(spark, [("q", "spark")], EN)
+    log2 = math.log(2.0)
+    run = rt.score_queries(
+        index, qt, k=10, sim=rt.Similarity(kind="spl")
+    ).collect()
+    assert run
+    for r in run:
+        tf = toks[r["doc_id"]].count("spark")
+        dl = dls[r["doc_id"]]
+        tfn = tf * math.log(1.0 + avgdl / dl) / log2
+        lam = (df["spark"] + 1.0) / (n + 1.0)
+        exp = -math.log(
+            (lam ** (tfn / (tfn + 1.0)) - lam) / (1.0 - lam)
+        )
+        assert r["score"] == pytest.approx(exp, rel=1e-12), r["doc_id"]
+        assert r["score"] > 0.0
+
+
+def test_spl_every_doc_term_guard(spark):
+    """A term present in EVERY doc has lambda = 1: the 0.99 guard
+    keeps the score finite (Lucene DistributionSPL behavior)."""
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta")],
+        "doc_id long, content string",
+    )
+    cfg = AnalyzerConfig(mode="simple")
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
+    qt = rt.queries_to_terms(spark, [("q", "common")], cfg)
+    run = rt.score_queries(
+        idx, qt, k=10, sim=rt.Similarity(kind="spl")
+    ).collect()
+    assert len(run) == 2
+    for r in run:
+        assert math.isfinite(r["score"])
