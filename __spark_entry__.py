@@ -5796,6 +5796,57 @@ FROM v GROUP BY 1, 2
 """
 
 
+def _postings_encoding_sql() -> str:
+    """Replays plans/layout.postings_encoding_report: per-term gap
+    stream (first absolute), varbyte lengths and floor-log2 as literal
+    integer CASE chains, Elias-Fano bits n·l + n + (U >> l), ceil-by-
+    integer-floor-div bytes, argmin with varbyte < ef < bitmap ties."""
+    vb = (
+        "CASE "
+        + " ".join(
+            f"WHEN d < {1 << (7 * k)} THEN {k}" for k in range(1, 9)
+        )
+        + " ELSE 9 END"
+    )
+    lg = (
+        "CASE "
+        + " ".join(
+            f"WHEN universe // df < {1 << i} THEN {i - 1}"
+            for i in range(1, 63)
+        )
+        + " ELSE 62 END"
+    )
+    return f"""
+WITH {_TOKS}, {_TF},
+o AS (SELECT term, doc_id,
+             lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+      FROM tf),
+v AS (SELECT term,
+             CASE WHEN prev IS NULL THEN doc_id
+                  ELSE doc_id - prev END AS d,
+             doc_id
+      FROM o),
+per AS (SELECT term, count(*)::BIGINT AS df,
+               (max(doc_id) + 1)::BIGINT AS universe,
+               sum({vb})::BIGINT AS varbyte_bytes
+        FROM v GROUP BY 1),
+sz AS (SELECT term, df, universe, varbyte_bytes,
+              ({lg})::BIGINT AS l
+       FROM per),
+b AS (SELECT term, df, universe, varbyte_bytes,
+             ((df * l + df + (universe >> l) + 7) // 8)::BIGINT
+               AS ef_bytes,
+             ((universe + 7) // 8)::BIGINT AS bitmap_bytes
+      FROM sz)
+SELECT term, df, universe, varbyte_bytes, ef_bytes, bitmap_bytes,
+       CASE WHEN varbyte_bytes <= ef_bytes
+                 AND varbyte_bytes <= bitmap_bytes THEN 'varbyte'
+            WHEN ef_bytes <= bitmap_bytes THEN 'elias_fano'
+            ELSE 'bitmap' END AS best
+FROM b
+"""
+
+
 # ----------------------------- best-fragments oracle SQL
 
 _FRAG_WIDTH, _FRAG_N = 8, 2
@@ -10616,6 +10667,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), columns=["lang", "source"]
         )
 
+    def postings_encoding(spark, sf):
+        # per-term posting-list encoding selection: varbyte vs
+        # Elias-Fano vs bitmap, all-integer CASE-chain sizing
+        from luc4ir_spark.plans import layout as ly
+
+        idx = _index(spark, sf)
+        return ly.postings_encoding_report(
+            idx.postings.select("term", "doc_id")
+        )
+
     def spatial_bbox(spark, sf):
         # LatLonPoint.newBoxQuery parity: inclusive integer box — a
         # pure scan-local predicate (parquet-pushdown-able on a
@@ -13813,6 +13874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": bloom_membership,
         "event_rollup": event_rollup,
         "docvalues_report": docvalues_report,
+        "postings_encoding": postings_encoding,
         "zorder_events": zorder_events,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
@@ -14177,6 +14239,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_sql(),
         "event_rollup": _ROLLUP_SQL,
         "docvalues_report": _DOCVALUES_SQL,
+        "postings_encoding": _postings_encoding_sql(),
         "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),

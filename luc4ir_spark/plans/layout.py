@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_layout"]
+__all__ = [
+    "zorder_value",
+    "zorder_layout",
+    "docvalues_report",
+    "postings_encoding_report",
+]
 
 
 def zorder_value(cols: list[Column | str], bits: int = 8) -> Column:
@@ -145,4 +150,97 @@ def docvalues_report(
         "encoding",
         F.when(F.col("dict_bytes") < F.col("raw_bytes"), F.lit("dict"))
         .otherwise(F.lit("raw")),
+    )
+
+
+def postings_encoding_report(
+    postings: DataFrame,
+    term_col: str = "term",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term postings encoding selection — the sizing pass behind a
+    posting-list format choice (Lucene's FOR/varbyte .doc blocks,
+    Elias-Fano in its newer `IndexedDISI`-era formats, and Roaring's
+    array-vs-bitmap container pick): for each term's sorted doc-id
+    list, compare three layouts byte for byte and pick the smallest.
+
+      varbyte_bytes = Σ vb(gap) — first id ABSOLUTE, then deltas (the
+                      engine codec's convention, operators/codec.py);
+                      vb(v) = #7-bit groups, an all-integer CASE chain
+      ef_bytes      = ceil((n·l + n + (U >> l)) / 8) — classic
+                      Elias-Fano (Vigna WSDM'13 quasi-succinct
+                      indices): l = max(0, floor(log2(U div n))) low
+                      bits per doc plus the unary upper-bit stream
+      bitmap_bytes  = ceil(U / 8) — the dense bitset
+      best          = argmin with ties varbyte < elias_fano < bitmap
+
+    with U = max doc_id + 1 the term's local universe. Every quantity
+    is integer arithmetic (both log-like values are literal CASE
+    chains — never float log2 cross-engine), so the report is exactly
+    engine-portable. -> (term, df, universe, varbyte_bytes, ef_bytes,
+    bitmap_bytes, best).
+
+    Scale shape: one per-term window (lag) over the postings for the
+    gaps — partition-parallel by term, the same silhouette as the
+    codec writer itself — then one map-side-combined groupBy(term).
+    The skew caveat is the codec's (a stopword's window is its df);
+    at 100 TB the salted-shard layout (wand.py) bounds it, and this
+    report runs per (term, salt) there unchanged."""
+    from pyspark.sql import Window
+
+    p = postings.select(
+        F.col(term_col).alias("term"),
+        F.col(id_col).cast("long").alias("_id"),
+    )
+    w = Window.partitionBy("term").orderBy("_id")
+    delta = F.when(
+        F.lag("_id").over(w).isNull(), F.col("_id")
+    ).otherwise(F.col("_id") - F.lag("_id").over(w))
+    # varbyte length: v < 2^7 -> 1, v < 2^14 -> 2, ...; the ELSE 9
+    # covers [2^56, 2^63) — a 2^63 literal would overflow long —
+    # and v = 0 takes the first branch
+    vb = F.lit(9)
+    for k in range(8, 0, -1):
+        vb = F.when(F.col("_d") < F.lit(1 << (7 * k)), F.lit(k)).otherwise(vb)
+    per = (
+        p.select("term", "_id", delta.alias("_d"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            (F.max("_id") + 1).cast("long").alias("universe"),
+            F.sum(vb).cast("long").alias("varbyte_bytes"),
+        )
+    )
+    q = F.expr("universe DIV df")
+    lg = F.lit(62)
+    for i in range(62, 0, -1):
+        lg = F.when(q < F.lit(1 << i), F.lit(i - 1)).otherwise(lg)
+    sized = per.select(
+        "term",
+        "df",
+        "universe",
+        "varbyte_bytes",
+        lg.cast("long").alias("_l"),
+    ).select(
+        "term",
+        "df",
+        "universe",
+        "varbyte_bytes",
+        F.expr(
+            "(df * _l + df + shiftright(universe, cast(_l as int)) + 7)"
+            " DIV 8"
+        )
+        .cast("long")
+        .alias("ef_bytes"),
+        F.expr("(universe + 7) DIV 8").cast("long").alias("bitmap_bytes"),
+    )
+    return sized.withColumn(
+        "best",
+        F.when(
+            (F.col("varbyte_bytes") <= F.col("ef_bytes"))
+            & (F.col("varbyte_bytes") <= F.col("bitmap_bytes")),
+            F.lit("varbyte"),
+        )
+        .when(F.col("ef_bytes") <= F.col("bitmap_bytes"), F.lit("elias_fano"))
+        .otherwise(F.lit("bitmap")),
     )

@@ -391,3 +391,54 @@ def test_docvalues_report_hand_computed(spark):
     const = got["const"]
     assert (const["n_distinct"], const["bits_per_value"],
             const["dict_bytes"], const["encoding"]) == (1, 0, 1, "dict")
+
+
+def test_postings_encoding_report_hand_computed(spark):
+    """Three engineered lists: a dense term over a small universe
+    (bitmap wins), a sparse clustered term over a huge universe
+    (varbyte wins: tiny gaps), and a sparse uniform term over a huge
+    universe (Elias-Fano wins: big gaps cost varbyte ~4 bytes each,
+    EF ~l bits each). Sizes checked against pure-Python replay."""
+    from luc4ir_spark.plans import layout as ly
+
+    dense = [("dense", i) for i in range(0, 64, 2)]          # U=63, df=32
+    clust = [("clust", 1_000_000 + i) for i in range(20)]    # tiny gaps
+    sparse = [("sparse", i * 50_000_000) for i in range(1, 21)]
+    p = spark.createDataFrame(
+        dense + clust + sparse, "term string, doc_id long"
+    )
+    got = {
+        r["term"]: r
+        for r in ly.postings_encoding_report(p).collect()
+    }
+
+    def vb(v):
+        b = 1
+        while v >= (1 << (7 * b)):
+            b += 1
+        return b
+
+    def replay(ids):
+        ids = sorted(ids)
+        gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+        n, u = len(ids), ids[-1] + 1
+        l = max(0, (u // n).bit_length() - 1)
+        return (
+            sum(vb(g) for g in gaps),
+            (n * l + n + (u >> l) + 7) // 8,
+            (u + 7) // 8,
+        )
+
+    for term, ids in (
+        ("dense", [i for _, i in dense]),
+        ("clust", [i for _, i in clust]),
+        ("sparse", [i for _, i in sparse]),
+    ):
+        v, e, b = replay(ids)
+        r = got[term]
+        assert (r["varbyte_bytes"], r["ef_bytes"], r["bitmap_bytes"]) == (
+            v, e, b,
+        ), term
+    assert got["dense"]["best"] == "bitmap"
+    assert got["clust"]["best"] == "varbyte"
+    assert got["sparse"]["best"] == "elias_fano"
