@@ -8106,6 +8106,53 @@ FROM flagged GROUP BY doc_id
 """
 
 
+_BP_STOPS = ("the", "a")   # function words present in the synth vocab
+_BP_FRAC = (1, 20)         # keep lines with >= 5% stopword density
+
+
+def _boilerplate_sql() -> str:
+    """Replays textstats.boilerplate_strip over the same derived
+    multi-line corpus as dedup_lines: per trimmed line, token count
+    and duplicate-inclusive stopword count, keep by min_tokens AND the
+    integer cross-multiplied density test, doc rebuilt from kept lines
+    in order (string_agg skips the CASE NULLs)."""
+    stops = ", ".join(f"'{s}'" for s in _BP_STOPS)
+    num, den = _BP_FRAC
+    tk = (
+        "list_filter(regexp_split_to_array(lower(line), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, replace(text, 'value', chr(10)) AS text FROM documents
+),
+l AS (
+  SELECT doc_id, ls, unnest(range(len(ls))) AS i
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base)
+),
+lines AS (
+  SELECT doc_id, i::BIGINT AS idx, trim(ls[(i + 1)::INT]) AS line
+  FROM l
+),
+s AS (
+  SELECT doc_id, idx, line,
+         len({tk}) AS nt,
+         len(list_filter({tk}, t -> list_contains([{stops}], t))) AS ns
+  FROM lines
+),
+k AS (
+  SELECT doc_id, idx, line,
+         (nt >= 3 AND ns * {den} >= {num} * nt) AS keep
+  FROM s
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY idx), '') AS text_clean
+FROM k GROUP BY doc_id
+"""
+
+
 # gate config for the hash-stratified sampler: downsample per language
 _SAMPLE_RATES = {"en": 0.5, "es": 0.2}
 _SAMPLE_SEED = 7
@@ -12823,6 +12870,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dd.dedup_lines(d, content_col="text", min_docs=2)
 
+    def boilerplate_strip(spark, sf):
+        # jusText-lite line classification over the derived multi-line
+        # corpus: min tokens + stopword density by integer
+        # cross-multiplication, doc rebuilt from kept lines
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.replace(
+                F.col("text"), F.lit("value"), F.lit("\n")
+            ).alias("text"),
+        )
+        return ts.boilerplate_strip(
+            d,
+            stop_terms=_BP_STOPS,
+            min_tokens=3,
+            min_stop_frac=_BP_FRAC,
+            content_col="text",
+        )
+
     def embedding_near_dups(spark, sf):
         # embedding-cosine near-dup pairs, brute-force verification path
         # (training-pipeline dedup modality over the embeddings table)
@@ -14091,6 +14156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_composition": corpus_composition,
         "chunk_documents": chunk_documents,
         "dedup_lines": dedup_lines,
+        "boilerplate_strip": boilerplate_strip,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -14481,6 +14547,7 @@ FROM h
         "corpus_composition": _corpus_composition_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "dedup_lines": _dedup_lines_sql(),
+        "boilerplate_strip": _boilerplate_sql(),
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -10,6 +10,7 @@ statistics a training-data pipeline filters on.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -591,6 +592,82 @@ def kneser_ney_xent(
                 -F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4
             ).alias("xent_kn"),
         )
+    )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    stop_terms: tuple,
+    min_tokens: int = 3,
+    min_stop_frac: tuple = (1, 10),
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Heuristic line-level boilerplate stripping — the jusText
+    (Pomikálek 2011) / trafilatura line-classification pass of web
+    corpus pipelines, the DENSITY complement of `dedup_lines`'
+    cross-doc frequency pass: navigation, menus and link lists read as
+    short lines with almost no function words, while genuine prose
+    carries a steady stopword density. A (trimmed) line is KEPT iff
+
+      n_tokens >= min_tokens  AND
+      stop_cnt · den >= num · n_tokens     (min_stop_frac = (num, den))
+
+    — the stopword-density test by integer cross-multiplication, so no
+    float boundary exists cross-engine. Duplicated stop tokens count
+    (density, not coverage). -> (doc_id, n_lines, n_kept, text_clean)
+    with text_clean the kept lines re-joined by ``delim`` in original
+    order ('' when every line drops).
+
+    ``stop_terms`` is a function-word list (typically tens to a few
+    hundred entries) embedded as a literal array — the apply_vocab
+    small-vocabulary rule; a tokenizer-sized vocab does NOT belong
+    here.
+
+    Plan shape: lines posexplode from a codegen split (no HOF in the
+    generator chain); per-line signals are scan-local projections; the
+    ONLY shuffle is the groupBy(doc_id) rebuild with an in-agg array
+    sort — the dedup_lines silhouette minus its digest join."""
+    num, den = int(min_stop_frac[0]), int(min_stop_frac[1])
+    stop_arr = F.array(*[F.lit(s) for s in stop_terms])
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(content_col), re.escape(delim), -1)
+        ).alias("idx", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    toks = F.array_remove(
+        F.split(F.lower(F.col("line")), "[^a-z0-9]+"), ""
+    )
+    sig = lines.select(
+        "doc_id",
+        "idx",
+        "line",
+        F.size(toks).alias("_nt"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).alias("_ns"),
+    ).select(
+        "doc_id",
+        "idx",
+        "line",
+        (
+            (F.col("_nt") >= F.lit(min_tokens))
+            & (F.col("_ns") * F.lit(den) >= F.lit(num) * F.col("_nt"))
+        ).alias("_keep"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_keep"), F.struct("idx", "line"))
+        )
+    )
+    return sig.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["line"]), delim
+        ).alias("text_clean"),
     )
 
 

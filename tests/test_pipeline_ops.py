@@ -3076,3 +3076,43 @@ def test_witten_bell_xent_hand_computed(spark):
     # a context with many novel continuations keeps more escape mass:
     # lambda is strictly below 1 everywhere here
     assert all(c1[w] / (c1[w] + n1p[w]) < 1.0 for w in c1)
+
+
+def test_boilerplate_strip_hand_computed(spark):
+    """Line rules: 'MENU | HOME | ABOUT' (3 tokens, 0 stopwords) ->
+    drop; 'the cat sat on the mat' (6 tokens, 2 'the') -> keep;
+    'ok' (< 3 tokens) -> drop; rebuild preserves order and the
+    all-boilerplate doc yields ''."""
+    docs = spark.createDataFrame(
+        [
+            (1, "MENU | HOME | ABOUT\nthe cat sat on the mat\nok\n"
+                "a dog barked at the mailman"),
+            (2, "NAV LINKS FOOTER\nCOPYRIGHT NOTICE TEXT"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textstats.boilerplate_strip(
+            docs, stop_terms=("the", "a"), min_tokens=3,
+            min_stop_frac=(1, 10),
+        ).collect()
+    }
+    assert got[1]["n_lines"] == 4 and got[1]["n_kept"] == 2
+    assert got[1]["text_clean"] == (
+        "the cat sat on the mat\na dog barked at the mailman"
+    )
+    assert got[2]["n_kept"] == 0 and got[2]["text_clean"] == ""
+    # density boundary is exact: 1 stopword in 10 tokens passes at
+    # (1, 10) (>=), fails at (1, 5)
+    ten = spark.createDataFrame(
+        [(3, "the w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+        "doc_id long, content string",
+    )
+    keep_10 = textstats.boilerplate_strip(
+        ten, stop_terms=("the",), min_stop_frac=(1, 10)
+    ).collect()[0]
+    keep_5 = textstats.boilerplate_strip(
+        ten, stop_terms=("the",), min_stop_frac=(1, 5)
+    ).collect()[0]
+    assert keep_10["n_kept"] == 1 and keep_5["n_kept"] == 0
