@@ -5422,6 +5422,35 @@ WHERE {bucket} < floor(p * {_IMP_RES}.0)::BIGINT
 """
 
 
+_BO1_M = 5  # bo1 gate: expansion terms kept per query
+
+
+def _bo1_sql() -> str:
+    """Replays feedback.bo1_expand over the BM25 top-FDBK_DOCS pool:
+    lambda = cf/N, w = tf_x*log2((1+lam)/lam) + log2(1+lam) with log2
+    spelled ln/ln(2); truncation by (round(w,4) DESC, term)."""
+    return f"""
+WITH {_BM25_RUN_CTES},
+fbt AS (SELECT t.qid, tf.term, sum(tf.tf)::BIGINT AS tf_x
+        FROM topm t JOIN tf ON tf.doc_id = t.doc_id GROUP BY 1, 2),
+sg AS (
+  SELECT fbt.qid, fbt.term, fbt.tf_x,
+         fbt.tf_x * ln((1.0 + dft.cf / s.n_docs)
+                       / (dft.cf / s.n_docs)) / ln(2.0)
+         + ln(1.0 + dft.cf / s.n_docs) / ln(2.0) AS w
+  FROM fbt JOIN dft USING (term) CROSS JOIN stats s
+),
+r AS (
+  SELECT qid, term, tf_x, w,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(w, 4) DESC, term ASC) AS rn
+  FROM sg
+)
+SELECT qid, term, tf_x, round(w, 4) AS weight
+FROM r WHERE rn <= {_BO1_M}
+"""
+
+
 def _significant_terms_sql() -> str:
     """Replays feedback.significant_terms over the BM25 run's
     top-FDBK_DOCS feedback sets (the _BM25_RUN_CTES topm table):
@@ -11155,6 +11184,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("doc_id", F.round("p", 4).alias("p"))
 
+    def bo1_expansion(spark, sf):
+        # Terrier Bo1 (Bose-Einstein) DFR expansion weights over the
+        # BM25 top-FDBK_DOCS pool, rounded-weight truncation window
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        out = fb.bo1_expand(
+            idx, run, num_top_docs=FDBK_DOCS, top_m=_BO1_M
+        )
+        return out.select(
+            "qid", "term", "tf_x", F.round("weight", 4).alias("weight")
+        )
+
     def significant_terms(spark, sf):
         # ES significant-text: terms over-represented in each query's
         # feedback set vs the corpus LM
@@ -14037,6 +14079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "risk_eval": risk_eval,
         "importance_sample": importance_sample,
         "significant_terms": significant_terms,
+        "bo1_expansion": bo1_expansion,
         "percolate": percolate,
         "percolate_indexed": percolate_indexed,
         "percolate_streamed": percolate_streamed,
@@ -14403,6 +14446,7 @@ def oracle_sql() -> dict[str, str]:
         "risk_eval": _risk_eval_sql(),
         "importance_sample": _importance_sample_sql(),
         "significant_terms": _significant_terms_sql(),
+        "bo1_expansion": _bo1_sql(),
         "percolate": _percolate_sql(),
         "percolate_indexed": _percolate_sql(),
         "percolate_streamed": _percolate_streamed_sql(),

@@ -29,6 +29,8 @@ Both are normalized to sum to 1 per query.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -307,6 +309,63 @@ def rocchio_expand(
             F.lit(float(alpha)) * F.coalesce("qw", F.lit(0.0))
             + F.lit(float(beta)) * F.coalesce("cent", F.lit(0.0))
         ).alias("weight"),
+    )
+
+
+def bo1_expand(
+    index,
+    run: DataFrame,
+    num_top_docs: int = 3,
+    top_m: int = 10,
+) -> DataFrame:
+    """Bo1 (Bose-Einstein 1) DFR term weighting for pseudo-relevance
+    query expansion — Terrier's DEFAULT expansion model (Amati's
+    thesis / Amati & van Rijsbergen TOIS'02 §6; Macdonald & Ounis use
+    it throughout the Terrier literature), completing the expansion
+    family next to RM3, Rocchio and significant_terms:
+
+        w(t) = tf_x(t) · log2((1 + λ_t)/λ_t) + log2(1 + λ_t)
+        λ_t  = cf(t) / N
+
+    with tf_x the term's total frequency in the top-``num_top_docs``
+    pool. The informativeness is the Bose-Einstein geometric
+    approximation: a term whose pool frequency exceeds its collection
+    rate by the widest (length-free) margin ranks first. log2 spelled
+    ln/ln2 (engine parity). -> (qid, term, tf_x, weight), the top_m
+    heaviest per query; the truncation window orders by (weight
+    ROUNDED to 4dp DESC, term ASC) — the engine-stable keep-set rule
+    of `rocchio_expand`/`rm3_interpolate`.
+
+    Plan shape: ONE postings join against the pool (pool-sized
+    output), the (term, cf) dictionary broadcast, a per-qid window
+    over pool-vocabulary-sized relations. Corpus scanned once."""
+    ln2 = math.log(2.0)
+    top = run.filter(F.col("rank") <= int(num_top_docs)).select(
+        "qid", "doc_id"
+    )
+    pool = (
+        index.postings.join(top, "doc_id")
+        .groupBy("qid", "term")
+        .agg(F.sum("tf").cast("long").alias("tf_x"))
+    )
+    n = float(index.stats.n_docs)
+    lam = F.col("cf").cast("double") / F.lit(n)
+    w_t = (
+        F.col("tf_x").cast("double")
+        * F.log((F.lit(1.0) + lam) / lam)
+        / F.lit(ln2)
+        + F.log(F.lit(1.0) + lam) / F.lit(ln2)
+    )
+    scored = pool.join(
+        F.broadcast(index.term_stats.select("term", "cf")), "term"
+    ).select("qid", "term", "tf_x", w_t.alias("weight"))
+    w = Window.partitionBy("qid").orderBy(
+        F.round("weight", 4).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(top_m))
+        .select("qid", "term", "tf_x", "weight")
     )
 
 

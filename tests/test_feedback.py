@@ -430,3 +430,50 @@ def test_pm2_rerank_properties(spark):
     assert covered == {"aa", "bb"}
     # scores are the 4dp-rounded selection gains, strictly positive
     assert all(r["pm2"] > 0 for r in out)
+
+
+def test_bo1_expand_hand_computed(spark):
+    """Bo1 weights replayed in pure Python: lambda = cf/N,
+    w = tf_x*log2((1+lam)/lam) + log2(1+lam) over the top-2 pool;
+    terms outside the pool are absent; top_m truncates."""
+    import math
+
+    import pytest as pt
+
+    from luc4ir_spark.functions.analysis import AnalyzerConfig
+    from luc4ir_spark.operators import feedback as fb
+    from luc4ir_spark.operators import indexer as ixm
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d d d")],
+        "doc_id long, content string",
+    )
+    idx = ixm.build_index(
+        docs, ixm.IndexConfig(analyzer=AnalyzerConfig(mode="simple")),
+        cache=False,
+    )
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "qid string, doc_id long, rank long",
+    )
+    out = {
+        r["term"]: (r["tf_x"], r["weight"])
+        for r in fb.bo1_expand(idx, run, num_top_docs=2, top_m=10).collect()
+    }
+    n = 3.0
+    cf = {"a": 3, "b": 1, "c": 1}
+    tfx = {"a": 3, "b": 1, "c": 1}
+    log2 = math.log(2.0)
+    for t in ("a", "b", "c"):
+        lam = cf[t] / n
+        want = (
+            tfx[t] * math.log((1 + lam) / lam) / log2
+            + math.log(1 + lam) / log2
+        )
+        assert out[t][0] == tfx[t]
+        assert out[t][1] == pt.approx(want, rel=1e-12), t
+    assert "d" not in out
+    # rarer term with equal pool tf outranks the common one: b/c
+    # (cf=1) weigh more per occurrence than a (cf=3) would at tf_x=1
+    top1 = fb.bo1_expand(idx, run, num_top_docs=2, top_m=1).collect()
+    assert top1[0]["term"] == "a"  # tf_x=3 dominates here
