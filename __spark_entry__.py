@@ -1305,6 +1305,50 @@ SELECT qid, doc_id, rank, score FROM (
 """
 
 
+def _mlm_mask_sql() -> str:
+    """Replays textstats.mlm_mask_plan: position table via the
+    range-unnest, vocabulary ids by row_number over the distinct
+    terms, all three draws as the literal mix formula."""
+    from luc4ir_spark.functions import hashing as hx
+
+    A, B, P = hx.MIX_A, hx.MIX_B, hx.MIX_P
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i::BIGINT - 1 AS pos, tk[i::INT] AS label
+  FROM t, unnest(range(1, len(tk) + 1)) AS r(i)
+),
+vocab AS (
+  SELECT row_number() OVER (ORDER BY term) - 1 AS vid, term
+  FROM (SELECT DISTINCT unnest(tk) AS term FROM t)
+),
+vv AS (SELECT count(*)::BIGINT AS v FROM vocab),
+h AS (
+  SELECT doc_id, pos, label,
+         (doc_id % {P}) * 1009 + pos AS e1
+  FROM pos
+),
+d AS (
+  SELECT doc_id, pos, label,
+         (({A} * (e1 % {P}) + {B}) % {P}) % 10000 AS s,
+         (({A} * ((e1 * 31 + 17) % {P}) + {B}) % {P}) % 10 AS b,
+         (({A} * ((e1 * 101 + 29) % {P}) + {B}) % {P}) % vv.v AS vid
+  FROM h CROSS JOIN vv
+)
+SELECT d.doc_id, d.pos, d.label,
+       CASE WHEN d.b < 8 THEN 'mask'
+            WHEN d.b = 8 THEN 'random' ELSE 'keep' END AS action,
+       CASE WHEN d.b < 8 THEN '[MASK]'
+            WHEN d.b = 8 THEN vo.term ELSE d.label END AS input_token
+FROM d LEFT JOIN vocab vo ON vo.vid = d.vid
+WHERE d.s < 1500
+"""
+
+
 def _mask_spans_sql() -> str:
     """Replays textstats.mask_spans: integer candidate grid + the
     portable mix-hash selection, all literal arithmetic."""
@@ -10080,6 +10124,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mask_denom=_MASK_DENOM,
         )
 
+    def mlm_mask(spark, sf):
+        # BERT MLM 80/10/10 corruption layout: mix-hash position
+        # selection + branch draw + random-vocab replacement
+        idx = _index(spark, sf)
+        return ts.mlm_mask_plan(
+            _docs(spark, sf),
+            idx.term_stats.select("term"),
+            mask_per_10000=1500,
+            content_col="text",
+        )
+
     def comb_fuse(spark, sf):
         # CombMNZ fusion of the bm25 + lmdir runs (min-max per run/qid)
         r1, r2 = _two_runs(spark, sf)
@@ -13990,6 +14045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": sort_by_field,
         "function_score": function_score,
         "mask_spans": mask_spans,
+        "mlm_mask": mlm_mask,
         "phrase_compressed": phrase_compressed,
         "span_first": span_first,
         "multi_phrase": multi_phrase,
@@ -14357,6 +14413,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": _sort_by_field_sql(),
         "function_score": _function_score_sql(),
         "mask_spans": _mask_spans_sql(),
+        "mlm_mask": _mlm_mask_sql(),
         "phrase_compressed": _phrase_query_sql(),
         "span_first": _span_first_sql(),
         "multi_phrase": _multi_phrase_sql(),

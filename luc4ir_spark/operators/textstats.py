@@ -671,6 +671,86 @@ def boilerplate_strip(
     )
 
 
+def mlm_mask_plan(
+    docs: DataFrame,
+    vocab: DataFrame,
+    mask_per_10000: int = 1500,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT masked-LM corruption layout (Devlin et al. NAACL'19) — the
+    80/10/10 companion to `mask_spans`' T5 span corruption: ~15% of
+    token positions are selected as prediction targets; of those, 80%
+    become ``mask_token``, 10% a RANDOM vocabulary token, 10% stay
+    verbatim (so the model cannot assume an unmasked token is
+    correct). Every draw is the portable mix hash of the (doc,
+    position) key — deterministic, seedless, identical on re-runs and
+    across engines:
+
+        e1     = pmod(doc_id, P)·1009 + pos
+        select = pmod(mix(e1), 10000) < mask_per_10000
+        branch = pmod(mix(e1·31 + 17), 10)   (<8 mask, =8 random, =9 keep)
+        vid    = pmod(mix(e1·101 + 29), |V|) (the random replacement)
+
+    -> one row per SELECTED position: (doc_id, pos, label, action,
+    input_token); ``label`` is the training target.
+
+    Plan shape: positions posexplode from a codegen split (no HOF in
+    the generator chain); every decision is a scan-local integer
+    projection; the ONLY join is the |V|-row (vid, term) table —
+    broadcast — for the 10% random branch. ``vocab`` gets its vid from
+    a global row_number over the vocabulary-sized relation (the
+    documented small-relation global-window exception)."""
+    from ..functions import hashing as hx
+
+    vocab_ids = vocab.select(
+        (
+            F.row_number().over(Window.orderBy(F.col("term").asc())) - 1
+        ).alias("_vid"),
+        F.col("term").alias("_vterm"),
+    )
+    n_vocab = vocab.count()
+    if n_vocab == 0:
+        raise ValueError("mlm_mask_plan: empty vocabulary")
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"), ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "label")
+    )
+    e1 = F.pmod(F.col("doc_id"), F.lit(hx.MIX_P)) * F.lit(1009) + F.col(
+        "pos"
+    )
+    sel = base.select(
+        "doc_id",
+        "pos",
+        "label",
+        F.pmod(hx.mix_id_expr(e1), F.lit(10000)).alias("_s"),
+        F.pmod(
+            hx.mix_id_expr(e1 * F.lit(31) + F.lit(17)), F.lit(10)
+        ).alias("_b"),
+        F.pmod(
+            hx.mix_id_expr(e1 * F.lit(101) + F.lit(29)),
+            F.lit(int(n_vocab)),
+        ).alias("_vid"),
+    ).filter(F.col("_s") < F.lit(int(mask_per_10000)))
+    out = sel.join(F.broadcast(vocab_ids), "_vid", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "label",
+        F.when(F.col("_b") < 8, F.lit("mask"))
+        .when(F.col("_b") == 8, F.lit("random"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(F.col("_b") < 8, F.lit(mask_token))
+        .when(F.col("_b") == 8, F.col("_vterm"))
+        .otherwise(F.col("label"))
+        .alias("input_token"),
+    )
+    return out
+
+
 def witten_bell_xent(
     docs: DataFrame,
     content_col: str = "content",

@@ -3116,3 +3116,38 @@ def test_boilerplate_strip_hand_computed(spark):
         ten, stop_terms=("the",), min_stop_frac=(1, 5)
     ).collect()[0]
     assert keep_10["n_kept"] == 1 and keep_5["n_kept"] == 0
+
+
+def test_mlm_mask_plan_properties(spark):
+    """Selection rate tracks mask_per_10000; branch shares follow the
+    80/10/10 split; random replacements come from the vocabulary;
+    keep rows echo the label; deterministic across runs."""
+    rows = [(i, " ".join(f"w{j % 17}" for j in range(40)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    vocab = spark.createDataFrame(
+        [(f"w{j}",) for j in range(17)], "term string"
+    )
+    out = textstats.mlm_mask_plan(
+        docs, vocab, mask_per_10000=1500
+    ).collect()
+    n_pos = 50 * 40
+    frac = len(out) / n_pos
+    assert 0.10 < frac < 0.20   # ~15% selected
+    acts = {}
+    for r in out:
+        acts[r["action"]] = acts.get(r["action"], 0) + 1
+        if r["action"] == "mask":
+            assert r["input_token"] == "[MASK]"
+        elif r["action"] == "keep":
+            assert r["input_token"] == r["label"]
+        else:
+            assert r["input_token"].startswith("w")
+    assert acts["mask"] > 5 * max(acts.get("random", 1),
+                                  acts.get("keep", 1))
+    # pure function of (doc_id, pos): a second run is identical
+    again = textstats.mlm_mask_plan(
+        docs, vocab, mask_per_10000=1500
+    ).collect()
+    key = lambda r: (r["doc_id"], r["pos"], r["action"], r["input_token"])
+    assert sorted(map(key, out)) == sorted(map(key, again))
