@@ -9313,6 +9313,35 @@ ap_{p} AS (
 )"""
 
 
+def _swap_propensity_sql() -> str:
+    """Replays evaluation.randomization_propensity over the PBM
+    gate's mix-hash position-random impression log: per-position CTR
+    and integer-cross-product gamma ratios anchored at position 1."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mix = (
+        f"(({hx.MIX_A} * (event_id % {hx.MIX_P}) + {hx.MIX_B})"
+        f" % {hx.MIX_P})"
+    )
+    return f"""
+WITH imp AS (
+  SELECT ({mix} % {_PBM_POS}) + 1 AS pos,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+  FROM events
+),
+per AS (SELECT pos::BIGINT AS pos, count(*)::BIGINT AS n_impressions,
+               sum(c)::BIGINT AS n_clicks
+        FROM imp GROUP BY 1),
+a AS (SELECT n_impressions AS i1, n_clicks AS c1 FROM per WHERE pos = 1)
+SELECT per.pos, per.n_impressions, per.n_clicks,
+       round(per.n_clicks / per.n_impressions, 4) AS ctr,
+       CASE WHEN a.c1 > 0 THEN
+         round((per.n_clicks * a.i1) / (per.n_impressions * a.c1), 4)
+       END AS gamma_ratio
+FROM per CROSS JOIN a
+"""
+
+
 def _run_friedman_sql() -> str:
     """Replays evaluation.friedman_test over per-query AP of THREE
     systems (bm25 / classic / lmdir, the exact scoring expressions of
@@ -13268,6 +13297,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("gamma", 4).alias("gamma"),
         )
 
+    def swap_propensity(spark, sf):
+        # result-randomization propensity ratios over the SAME
+        # position-random impression log as the PBM gate — the
+        # assumption-free calibration of the EM estimate
+        from luc4ir_spark.functions.hashing import mix_id_expr
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        imp = ev_df.select(
+            (
+                F.pmod(mix_id_expr(F.col("event_id")), F.lit(_PBM_POS))
+                + 1
+            ).alias("pos"),
+            (F.col("event_type") == "click").alias("clicked"),
+        )
+        return ev.randomization_propensity(imp)
+
     def click_model_cascade(spark, sf):
         # cascade click model (Craswell WSDM'08), closed-form MLE:
         # SERPs of 8 contiguous events, examined = at-or-above the
@@ -14088,6 +14133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_wilcoxon": run_wilcoxon,
         "run_friedman": run_friedman,
         "click_model_pbm": click_model_pbm,
+        "swap_propensity": swap_propensity,
         "click_model_cascade": click_model_cascade,
         "dsir_select": dsir_select,
         "length_buckets": length_buckets,
@@ -14456,6 +14502,7 @@ def oracle_sql() -> dict[str, str]:
         "run_wilcoxon": _run_wilcoxon_sql(),
         "run_friedman": _run_friedman_sql(),
         "click_model_pbm": _click_model_sql(),
+        "swap_propensity": _swap_propensity_sql(),
         "click_model_cascade": _CASCADE_SQL,
         "dsir_select": _dsir_select_sql(),
         "length_buckets": _length_buckets_sql(),

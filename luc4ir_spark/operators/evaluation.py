@@ -1033,6 +1033,62 @@ def calibration_bins(
     )
 
 
+def randomization_propensity(
+    impressions: DataFrame,
+    pos_col: str = "pos",
+    click_col: str = "clicked",
+) -> DataFrame:
+    """Position-bias (examination-propensity) estimation from a
+    RANDOMIZED impression log — the result-randomization /
+    RandTopN estimator of unbiased LTR (Joachims, Swaminathan &
+    Schnabel WSDM'17 §5; Wang et al. WSDM'18 compare it against the
+    EM route `pbm_click_model` implements): when documents are
+    assigned to positions independently of relevance (an intervention
+    — or this repo's mix-hash assignment, which IS position-random by
+    construction), average CTR at position p factorizes as
+    γ_p · E[rel], so the propensity RATIO needs no model at all:
+
+        γ_p / γ_1 = CTR_p / CTR_1
+                  = (clicks_p · imps_1) / (imps_p · clicks_1)
+
+    — exact integer cross products with ONE division (engine-stable;
+    NULL when position 1 recorded no clicks). -> one row per position:
+    (pos, n_impressions, n_clicks, ctr, gamma_ratio), position-1 ratio
+    exactly 1.0.
+
+    Plan shape: one map-side-combined groupBy(pos) over the raw log +
+    a broadcast one-row join for the anchor position. Complements the
+    EM model as its assumption-free calibration check."""
+    per = impressions.groupBy(
+        F.col(pos_col).cast("long").alias("pos")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_impressions"),
+        F.sum(F.col(click_col).cast("long")).cast("long").alias(
+            "n_clicks"
+        ),
+    )
+    anchor = per.filter(F.col("pos") == 1).select(
+        F.col("n_impressions").alias("_i1"),
+        F.col("n_clicks").alias("_c1"),
+    )
+    return per.crossJoin(F.broadcast(anchor)).select(
+        "pos",
+        "n_impressions",
+        "n_clicks",
+        F.round(F.col("n_clicks") / F.col("n_impressions"), 4).alias(
+            "ctr"
+        ),
+        F.when(
+            F.col("_c1") > 0,
+            F.round(
+                (F.col("n_clicks") * F.col("_i1"))
+                / (F.col("n_impressions") * F.col("_c1")),
+                4,
+            ),
+        ).alias("gamma_ratio"),
+    )
+
+
 def pbm_click_model(
     impressions: DataFrame,
     n_iter: int = 2,

@@ -1095,3 +1095,29 @@ def test_mcnemar_degenerate_and_cap(spark):
     assert r3["p_value"] is None
     # chi2 = (|80-40|-1)^2 / 120
     assert r3["chi2_cc"] == round(39 * 39 / 120, 4)
+
+
+def test_randomization_propensity_hand_computed(spark):
+    """pos 1: 10 imps 4 clicks; pos 2: 10 imps 2 clicks; pos 3: 5
+    imps 0 clicks -> ratios 1.0, 0.5, 0.0; ctrs 0.4, 0.2, 0.0."""
+    rows = (
+        [(1, True)] * 4 + [(1, False)] * 6
+        + [(2, True)] * 2 + [(2, False)] * 8
+        + [(3, False)] * 5
+    )
+    imp = spark.createDataFrame(rows, "pos long, clicked boolean")
+    got = {
+        r["pos"]: (r["n_impressions"], r["n_clicks"], r["ctr"],
+                   r["gamma_ratio"])
+        for r in ev.randomization_propensity(imp).collect()
+    }
+    assert got[1] == (10, 4, 0.4, 1.0)
+    assert got[2] == (10, 2, 0.2, 0.5)
+    assert got[3] == (5, 0, 0.0, 0.0)
+    # clickless anchor -> NULL ratios
+    dead = spark.createDataFrame(
+        [(1, False), (2, True)], "pos long, clicked boolean"
+    )
+    out = {r["pos"]: r["gamma_ratio"]
+           for r in ev.randomization_propensity(dead).collect()}
+    assert out[1] is None and out[2] is None
