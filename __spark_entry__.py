@@ -6729,6 +6729,31 @@ FROM per CROSS JOIN tot
 """
 
 
+def _crawl_schedule_sql() -> str:
+    """Replays textstats.crawl_schedule over the normalized hosts with
+    n_chars priority: per-host row_number, delay = 1 + sid60(host) mod
+    5, fetch_time = (seq-1)*delay — all integers."""
+    return f"""
+WITH {_url_norm_ctes()},
+frontier AS (
+  SELECT p3.doc_id, p3.host, d.n_chars AS priority
+  FROM p3 JOIN documents d USING (doc_id)
+),
+sched AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, doc_id ASC)::BIGINT
+           AS host_seq,
+         ((('0x' || substr(md5(host), 1, 15))::BIGINT % 5) + 1)::BIGINT
+           AS delay
+  FROM frontier
+)
+SELECT doc_id, host, host_seq, delay,
+       ((host_seq - 1) * delay)::BIGINT AS fetch_time
+FROM sched
+"""
+
+
 _DEDUP_SURVIVORS_SQL = f"""
 WITH RECURSIVE pairs AS (
   {_JACCARD_SQL}
@@ -12018,6 +12043,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j = hosts.join(d.select("doc_id", "n_chars"), "doc_id")
         return ts2.host_stats(j, max_docs_per_host=_HOST_CAP)
 
+    def crawl_schedule(spark, sf):
+        # politeness-constrained frontier schedule over the normalized
+        # hosts: per-host windows, md5-derived crawl delay, quality
+        # (n_chars) priority — all-integer fetch times
+        from luc4ir_spark.operators import textstats as ts2
+
+        d = _docs(spark, sf)
+        hosts = ts2.normalize_urls(
+            d.select("doc_id", _pseudo_url_expr().alias("url")),
+            url_col="url",
+        ).select("doc_id", "host")
+        urls = hosts.join(
+            d.select("doc_id", F.col("n_chars").alias("priority")),
+            "doc_id",
+        )
+        return ts2.crawl_schedule(urls, max_delay=5)
+
     def dedup_survivors(spark, sf):
         # survivorship dedup: keep the LONGEST member per near-dup
         # component (n_chars quality, doc_id tie-break) — the
@@ -14227,6 +14269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": dedup_corpus,
         "url_normalize": url_normalize,
         "host_stats": host_stats,
+        "crawl_schedule": crawl_schedule,
         "robots_filter": robots_filter,
         "dedup_survivors": dedup_survivors,
         "kl_rerank": kl_rerank,
@@ -14602,6 +14645,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": _DEDUP_CORPUS_SQL,
         "url_normalize": _url_normalize_sql(),
         "host_stats": _host_stats_sql(),
+        "crawl_schedule": _crawl_schedule_sql(),
         "robots_filter": _robots_sql(),
         "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "kl_rerank": _KL_SQL,

@@ -2833,6 +2833,59 @@ def robots_filter(
     )
 
 
+def crawl_schedule(
+    urls: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+    max_delay: int = 5,
+) -> DataFrame:
+    """Politeness-constrained crawl-frontier scheduling — the per-host
+    queue discipline of production crawlers (Heritrix's one
+    outstanding request per queue, Nutch's fetch-list generation; Cho
+    & Garcia-Molina's politeness constraint): at most ONE in-flight
+    fetch per host, consecutive fetches to a host separated by its
+    crawl delay, higher-priority URLs first within each host.
+
+        host_seq   = rank within host by (priority DESC, id ASC)
+        delay      = 1 + sid60(host) mod max_delay   (the portable
+                     60-bit md5 standing in for robots Crawl-delay)
+        fetch_time = (host_seq − 1) · delay
+
+    -> (doc_id, host, host_seq, delay, fetch_time) — all integers,
+    engine-exact. The frontier makespan is max(fetch_time) and a
+    host's queue length bounds its finish time — the skew report a
+    crawl planner reads off this table (aggregate downstream).
+
+    Plan shape: ONE per-host window (partition-parallel — the natural
+    frontier key) plus scan-local integer projections; nothing global.
+    A pathological single-host frontier makes one partition hot, which
+    is the TRUE structure of the problem (that host IS the
+    bottleneck), not a plan artifact."""
+    sid = F.conv(
+        F.substring(F.md5(F.col(host_col)), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    )
+    return urls.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.row_number().over(w).cast("long").alias("host_seq"),
+        (F.pmod(sid, F.lit(int(max_delay))) + 1).cast("long").alias(
+            "delay"
+        ),
+    ).select(
+        "doc_id",
+        "host",
+        "host_seq",
+        "delay",
+        ((F.col("host_seq") - 1) * F.col("delay")).cast("long").alias(
+            "fetch_time"
+        ),
+    )
+
+
 # accent-fold map for normalize_for_dedup: the latin-1/latin-ext
 # letters CCNet's unicode normalization folds to ascii; a literal
 # translate so any engine replays it byte-for-byte

@@ -3151,3 +3151,27 @@ def test_mlm_mask_plan_properties(spark):
     ).collect()
     key = lambda r: (r["doc_id"], r["pos"], r["action"], r["input_token"])
     assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_crawl_schedule_hand_computed(spark):
+    """Two hosts: h1 gets 3 URLs prioritized by quality (10 > 5 > 5,
+    doc_id tie ASC), h2 gets 1. Per-host sequences restart at 1;
+    fetch_time = (seq-1)*delay with the md5-derived per-host delay;
+    determinism across runs."""
+    from luc4ir_spark.operators import textstats as ts
+
+    urls = spark.createDataFrame(
+        [(1, "h1", 5), (2, "h1", 10), (3, "h1", 5), (4, "h2", 1)],
+        "doc_id long, host string, priority long",
+    )
+    got = {
+        r["doc_id"]: r for r in ts.crawl_schedule(urls).collect()
+    }
+    assert [got[d]["host_seq"] for d in (2, 1, 3)] == [1, 2, 3]
+    assert got[4]["host_seq"] == 1
+    for d in (1, 2, 3, 4):
+        r = got[d]
+        assert 1 <= r["delay"] <= 5
+        assert r["fetch_time"] == (r["host_seq"] - 1) * r["delay"]
+    # same-host rows share one delay
+    assert len({got[d]["delay"] for d in (1, 2, 3)}) == 1
