@@ -5920,6 +5920,29 @@ FROM b
 """
 
 
+def _term_frontcoding_sql() -> str:
+    """Replays plans/layout.term_dict_frontcoding_report over the
+    vocabulary: lag(term) in sorted order, prefix length as the same
+    unrolled substr-equality chain, encoded = 1 + len - plen."""
+    plen = " + ".join(
+        f"CASE WHEN substr(term, 1, {i}) = substr(prev, 1, {i})"
+        f" THEN 1 ELSE 0 END"
+        for i in range(1, 17)
+    )
+    return f"""
+WITH {_TOKS},
+v AS (SELECT DISTINCT term FROM toks),
+o AS (SELECT term, lag(term) OVER (ORDER BY term ASC) AS prev FROM v),
+p AS (SELECT term, strlen(term)::BIGINT AS term_bytes,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE ({plen}) END::BIGINT AS prefix_len
+      FROM o)
+SELECT term, term_bytes, prefix_len,
+       (1 + term_bytes - prefix_len)::BIGINT AS encoded_bytes
+FROM p
+"""
+
+
 # ----------------------------- best-fragments oracle SQL
 
 _FRAG_WIDTH, _FRAG_N = 8, 2
@@ -10862,6 +10885,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx.postings.select("term", "doc_id")
         )
 
+    def term_frontcoding(spark, sf):
+        # BlockTree-style term-dictionary front-coding sizes: unrolled
+        # common-prefix chain over the sorted vocab, all-integer
+        from luc4ir_spark.plans import layout as ly
+
+        idx = _index(spark, sf)
+        return ly.term_dict_frontcoding_report(idx.term_stats)
+
     def spatial_bbox(spark, sf):
         # LatLonPoint.newBoxQuery parity: inclusive integer box — a
         # pure scan-local predicate (parquet-pushdown-able on a
@@ -14124,6 +14155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": event_rollup,
         "docvalues_report": docvalues_report,
         "postings_encoding": postings_encoding,
+        "term_frontcoding": term_frontcoding,
         "zorder_events": zorder_events,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
@@ -14494,6 +14526,7 @@ def oracle_sql() -> dict[str, str]:
         "event_rollup": _ROLLUP_SQL,
         "docvalues_report": _DOCVALUES_SQL,
         "postings_encoding": _postings_encoding_sql(),
+        "term_frontcoding": _term_frontcoding_sql(),
         "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),

@@ -244,3 +244,63 @@ def postings_encoding_report(
         .when(F.col("ef_bytes") <= F.col("bitmap_bytes"), F.lit("elias_fano"))
         .otherwise(F.lit("bitmap")),
     )
+
+
+def term_dict_frontcoding_report(
+    term_stats: DataFrame,
+    term_col: str = "term",
+    max_prefix: int = 16,
+) -> DataFrame:
+    """Term-dictionary front-coding sizing — the prefix compression
+    behind Lucene's BlockTree terms dictionary (shared-prefix blocks)
+    and every sorted-string-table format (RocksDB/LevelDB key prefix
+    compression): in sorted order each term stores one prefix-length
+    byte plus only the suffix after its common prefix with the
+    PREVIOUS term.
+
+      prefix_len    = |common prefix with prev|, capped at
+                      ``max_prefix`` (a 1-byte length field's world;
+                      the cap only makes the estimate conservative)
+      encoded_bytes = 1 + (term_bytes − prefix_len)
+
+    The common-prefix length is Σ_{i=1..max_prefix}
+    [substr(term,1,i) = substr(prev,1,i)] — a literal unrolled chain,
+    exact because prefix equality is monotone in i; identical
+    expression on both engines, no UDF. -> (term, term_bytes,
+    prefix_len, encoded_bytes); the dictionary totals and savings
+    fraction are one aggregate downstream.
+
+    Plan shape: ONE global window ordered by term — the vocabulary is
+    dictionary-sized, the repo's documented small-relation
+    global-window exception (the same exception the real BlockTree
+    writer enjoys: the term dict is written single-threaded per
+    segment); everything else is scan-local."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("term").asc())
+    t = term_stats.select(F.col(term_col).alias("term"))
+    prev = F.lag("term").over(w)
+    plen = F.lit(0)
+    for i in range(1, int(max_prefix) + 1):
+        plen = plen + (
+            F.substring(F.col("term"), 1, i) == F.substring(prev, 1, i)
+        ).cast("int")
+    return (
+        t.withColumn("_prev", prev)
+        .select(
+            "term",
+            F.octet_length("term").cast("long").alias("term_bytes"),
+            F.when(F.col("_prev").isNull(), F.lit(0))
+            .otherwise(plen)
+            .cast("long")
+            .alias("prefix_len"),
+        )
+        .select(
+            "term",
+            "term_bytes",
+            "prefix_len",
+            (F.lit(1) + F.col("term_bytes") - F.col("prefix_len"))
+            .cast("long")
+            .alias("encoded_bytes"),
+        )
+    )

@@ -442,3 +442,32 @@ def test_postings_encoding_report_hand_computed(spark):
     assert got["dense"]["best"] == "bitmap"
     assert got["clust"]["best"] == "varbyte"
     assert got["sparse"]["best"] == "elias_fano"
+
+
+def test_term_frontcoding_hand_computed(spark):
+    """Sorted vocab app, apple, apply, banana: prefixes 0, 3, 4, 0;
+    encoded = 1 + len - plen; cap at max_prefix."""
+    from luc4ir_spark.plans import layout as ly
+
+    v = spark.createDataFrame(
+        [("apple",), ("banana",), ("app",), ("apply",)], "term string"
+    )
+    got = {
+        r["term"]: (r["term_bytes"], r["prefix_len"], r["encoded_bytes"])
+        for r in ly.term_dict_frontcoding_report(v).collect()
+    }
+    assert got["app"] == (3, 0, 4)       # first in sort order
+    assert got["apple"] == (5, 3, 3)     # shares 'app'
+    assert got["apply"] == (5, 4, 2)     # shares 'appl' with apple
+    assert got["banana"] == (6, 0, 7)
+    # cap: two long terms sharing 20 chars cap at max_prefix=4
+    long = spark.createDataFrame(
+        [("x" * 20 + "a",), ("x" * 20 + "b",)], "term string"
+    )
+    capped = {
+        r["term"]: r["prefix_len"]
+        for r in ly.term_dict_frontcoding_report(
+            long, max_prefix=4
+        ).collect()
+    }
+    assert sorted(capped.values()) == [0, 4]
