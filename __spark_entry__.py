@@ -6752,6 +6752,55 @@ FROM per CROSS JOIN tot
 """
 
 
+def _unimax_sql() -> str:
+    """Replays utilsops.unimax_alloc at budget = 95% of corpus tokens,
+    max_epochs = 1: ascending-cap waterfilling with integer
+    cross-multiplied ok flags, cumulative-min capping, one division
+    for the equal share."""
+    return """
+WITH t AS (
+  SELECT source, len(list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '')) AS n
+  FROM documents
+),
+per AS (SELECT source, sum(n)::BIGINT AS n_tokens FROM t GROUP BY 1),
+bb AS (SELECT ((sum(n_tokens) * 95) // 100)::BIGINT AS b FROM per),
+r AS (
+  SELECT source, n_tokens, n_tokens::BIGINT AS cap,
+         row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS k,
+         sum(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER () AS n
+  FROM per
+),
+o AS (
+  SELECT r.*, bb.b,
+         CASE WHEN cap * (n - k + 1) <= bb.b - (cum - cap)
+              THEN 1 ELSE 0 END AS ok
+  FROM r CROSS JOIN bb
+),
+f AS (
+  SELECT *, min(ok) OVER (ORDER BY cap ASC, source ASC
+                          ROWS UNBOUNDED PRECEDING) = 1 AS is_capped
+  FROM o
+),
+tot AS (
+  SELECT sum(CASE WHEN is_capped THEN cap ELSE 0 END)::BIGINT AS cs,
+         sum(CASE WHEN is_capped THEN 1 ELSE 0 END)::BIGINT AS nc,
+         count(*)::BIGINT AS nn
+  FROM f
+)
+SELECT f.source, f.n_tokens, f.cap, f.is_capped,
+       round(CASE WHEN f.is_capped THEN f.cap::DOUBLE
+                  ELSE (f.b - tot.cs) / (tot.nn - tot.nc) END, 4)
+         AS alloc_tokens,
+       round(CASE WHEN f.is_capped THEN f.cap::DOUBLE
+                  ELSE (f.b - tot.cs) / (tot.nn - tot.nc) END
+             / f.n_tokens, 4) AS epochs
+FROM f CROSS JOIN tot
+"""
+
+
 def _crawl_schedule_sql() -> str:
     """Replays textstats.crawl_schedule over the normalized hosts with
     n_chars priority: per-host row_number, delay = 1 + sid60(host) mod
@@ -12074,6 +12123,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j = hosts.join(d.select("doc_id", "n_chars"), "doc_id")
         return ts2.host_stats(j, max_docs_per_host=_HOST_CAP)
 
+    def unimax(spark, sf):
+        # UniMax epoch-capped waterfilling over per-source token
+        # counts: budget = 95% of corpus tokens, max_epochs=1 — small
+        # sources cap, the rest split the leftover (both branches hit)
+        from luc4ir_spark.operators import utilsops as ut
+
+        d = _docs(spark, sf)
+        toks = F.array_remove(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+        )
+        per = (
+            d.select("source", F.size(toks).alias("_n"))
+            .groupBy("source")
+            .agg(F.sum("_n").cast("long").alias("n_tokens"))
+        )
+        total = per.agg(F.sum("n_tokens")).collect()[0][0]
+        return ut.unimax_alloc(
+            per, budget_tokens=(int(total) * 95) // 100, max_epochs=1
+        )
+
     def crawl_schedule(spark, sf):
         # politeness-constrained frontier schedule over the normalized
         # hosts: per-host windows, md5-derived crawl delay, quality
@@ -14302,6 +14371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": url_normalize,
         "host_stats": host_stats,
         "crawl_schedule": crawl_schedule,
+        "unimax": unimax,
         "robots_filter": robots_filter,
         "dedup_survivors": dedup_survivors,
         "kl_rerank": kl_rerank,
@@ -14679,6 +14749,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _url_normalize_sql(),
         "host_stats": _host_stats_sql(),
         "crawl_schedule": _crawl_schedule_sql(),
+        "unimax": _unimax_sql(),
         "robots_filter": _robots_sql(),
         "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "kl_rerank": _KL_SQL,

@@ -513,3 +513,87 @@ def sample_weighted(
     return top.withColumn(
         "rank", F.row_number().over(rw).cast("long")
     ).select("doc_id", "weight", F.round("key", 4).alias("key"), "rank")
+
+
+def unimax_alloc(
+    sources: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 2,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax corpus-mixing allocation (Chung, Garcia, Tay et al.,
+    "UniMax: Fairer and More Effective Language Sampling", ICLR 2023)
+    — the epoch-capped waterfilling that replaced temperature sampling
+    for multilingual pretraining mixes, completing the mixing family
+    next to `sample_temperature_mix`/`sample_token_budget`: distribute
+    ``budget_tokens`` across sources so that no source is repeated
+    more than ``max_epochs`` times; the budget freed by small (capped)
+    sources is split EQUALLY among the rest.
+
+    Waterfilling in ascending capacity order (cap_i = n_tokens_i ·
+    max_epochs) makes the capped set a PREFIX of that order, so the
+    whole allocation is relational — no driver loop:
+
+      ok_k      = cap_k · (n − k + 1) <= B − Σ_{j<k} cap_j   (integer
+                  cross-multiplication — exact)
+      is_capped = cumulative AND of ok  (min over the running window)
+      alloc     = cap (capped)  |  (B − Σ capped caps)/(n − #capped)
+
+    -> (source, n_tokens, cap, is_capped, alloc_tokens, epochs), the
+    two floats 4dp-rounded after ONE division each.
+
+    Plan shape: windows and aggregates over the SOURCES-sized relation
+    (tens to a few thousand rows — languages, domains, crawls); the
+    corpus-scale token counting happens upstream. The documented
+    small-relation global-window exception applies."""
+    b = int(budget_tokens)
+    e = int(max_epochs)
+    base = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn("cap", (F.col("n_tokens") * F.lit(e)).cast("long"))
+    w = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_tot = F.count(F.lit(1)).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = base.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w).alias("_k"),
+        F.sum("cap").over(wcum).alias("_cum"),
+        n_tot.alias("_n"),
+    ).withColumn(
+        "_ok",
+        (
+            F.col("cap") * (F.col("_n") - F.col("_k") + 1)
+            <= F.lit(b) - (F.col("_cum") - F.col("cap"))
+        ).cast("int"),
+    )
+    flagged = ranked.withColumn(
+        "is_capped", F.min("_ok").over(wcum) == 1
+    )
+    tot = flagged.agg(
+        F.sum(F.when(F.col("is_capped"), F.col("cap")).otherwise(0))
+        .cast("long")
+        .alias("_cs"),
+        F.sum(F.col("is_capped").cast("long")).cast("long").alias("_nc"),
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+    )
+    j = flagged.crossJoin(F.broadcast(tot))
+    share = (F.lit(b) - F.col("_cs")) / (F.col("_nn") - F.col("_nc"))
+    alloc = F.when(
+        F.col("is_capped"), F.col("cap").cast("double")
+    ).otherwise(share)
+    return j.select(
+        "source",
+        "n_tokens",
+        "cap",
+        "is_capped",
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
+    )

@@ -3175,3 +3175,37 @@ def test_crawl_schedule_hand_computed(spark):
         assert r["fetch_time"] == (r["host_seq"] - 1) * r["delay"]
     # same-host rows share one delay
     assert len({got[d]["delay"] for d in (1, 2, 3)}) == 1
+
+
+def test_unimax_alloc_hand_computed(spark):
+    """Sources 10/20/100 tokens, max_epochs=2, budget 100: ascending
+    caps 20/40/200. s1: 20*3=60 <= 100 -> capped (alloc 20). s2:
+    40*2=80 > 100-20=80? <= holds (80 <= 80) -> capped (alloc 40).
+    s3: 200*1 > 40 -> shares leftover 40 alone: alloc 40, epochs
+    0.4. Budget is exactly conserved."""
+    from luc4ir_spark.operators import utilsops as ut
+
+    src = spark.createDataFrame(
+        [("s1", 10), ("s2", 20), ("s3", 100)],
+        "source string, n_tokens long",
+    )
+    got = {
+        r["source"]: r
+        for r in ut.unimax_alloc(src, budget_tokens=100,
+                                 max_epochs=2).collect()
+    }
+    assert got["s1"]["is_capped"] and got["s1"]["alloc_tokens"] == 20.0
+    assert got["s1"]["epochs"] == 2.0
+    assert got["s2"]["is_capped"] and got["s2"]["alloc_tokens"] == 40.0
+    assert not got["s3"]["is_capped"]
+    assert got["s3"]["alloc_tokens"] == 40.0
+    assert got["s3"]["epochs"] == 0.4
+    assert sum(r["alloc_tokens"] for r in got.values()) == 100.0
+    # oversized budget: everyone capped, leftover unused
+    rich = {
+        r["source"]: r
+        for r in ut.unimax_alloc(src, budget_tokens=10_000,
+                                 max_epochs=2).collect()
+    }
+    assert all(r["is_capped"] for r in rich.values())
+    assert all(r["epochs"] == 2.0 for r in rich.values())
