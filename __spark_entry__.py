@@ -93,6 +93,16 @@ _COMPLETE_PREFIXES: list[tuple[str, str]] = [
 ]
 _COMPLETE_K = 5
 
+# fuzzy-complete gate (FuzzySuggester): typed text with typos; exact
+# hit, one substitution ("scen"->scan), and a longer-typed typo
+_FUZZY_TYPED: list[tuple[str, str]] = [
+    ("f1", "spark"),
+    ("f2", "scen"),
+    ("f3", "whndow"),
+    ("f4", "sor"),   # fans out: sort@0 plus slow/scan/spark/... @1 -> k cut
+]
+_FUZZY_EDITS, _FUZZY_K = 1, 5
+
 # infix-suggest gate (AnalyzingInfixSuggester): match anywhere in the
 # term; "a" hits many, "ar" mid-word (sp_ar_k/p_ar_t), "zq" none
 _INFIX_NEEDLES: list[tuple[str, str]] = [
@@ -562,6 +572,35 @@ ranked AS (
 )
 SELECT qid, term AS suggestion, df, rank
 FROM ranked WHERE rank <= {_COMPLETE_K}
+"""
+
+
+def _fuzzy_complete_sql() -> str:
+    """Replays fuzzy_complete: levenshtein between the typed text and
+    the term's typed-length prefix, distance-then-popularity ordering
+    (all comparisons integer; DuckDB levenshtein == Spark, verified by
+    the fuzzy_query/spell gates)."""
+    vals = ", ".join(f"('{q}', '{p}')" for q, p in _FUZZY_TYPED)
+    return f"""
+WITH {_TOKS}, {_TF}, {_DFT},
+p(qid, prefix) AS (VALUES {vals}),
+cand AS (
+  SELECT p.qid, dft.term, dft.df, dft.cf,
+         levenshtein(substr(dft.term, 1, length(p.prefix)),
+                     p.prefix)::BIGINT AS distance
+  FROM p JOIN dft
+    ON levenshtein(substr(dft.term, 1, length(p.prefix)), p.prefix)
+       <= {_FUZZY_EDITS}
+),
+ranked AS (
+  SELECT qid, term, df, distance,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY distance ASC, df DESC, cf DESC, term ASC)::BIGINT
+           AS rank
+  FROM cand
+)
+SELECT qid, term AS suggestion, df, distance, rank
+FROM ranked WHERE rank <= {_FUZZY_K}
 """
 
 
@@ -9938,6 +9977,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rt.complete_prefix(idx, p, k=_COMPLETE_K)
 
+    def fuzzy_complete(spark, sf):
+        # FuzzySuggester parity: typo-tolerant completions, distance
+        # then popularity, all-integer ordering
+        idx = _index(spark, sf)
+        p = spark.createDataFrame(
+            _FUZZY_TYPED, "qid string, prefix string"
+        )
+        return rt.fuzzy_complete(
+            idx, p, max_edits=_FUZZY_EDITS, k=_FUZZY_K
+        )
+
     def infix_suggest(spark, sf):
         # AnalyzingInfixSuggester parity: contains-anywhere vocab
         # completions, popularity-ranked, match offset for highlight
@@ -14174,6 +14224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": bm25f_topk,
         "complete_prefix": complete_prefix,
         "infix_suggest": infix_suggest,
+        "fuzzy_complete": fuzzy_complete,
         "explain_score": explain_score,
         "bpe_pair_counts": bpe_pair_counts,
         "sp_candidates": sp_candidates,
@@ -14546,6 +14597,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(),
         "complete_prefix": _complete_prefix_sql(),
         "infix_suggest": _infix_suggest_sql(),
+        "fuzzy_complete": _fuzzy_complete_sql(),
         "explain_score": _explain_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
         "sp_candidates": _sp_candidates_sql(),

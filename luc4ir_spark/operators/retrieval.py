@@ -1765,6 +1765,62 @@ def infix_suggest(
     )
 
 
+def fuzzy_complete(
+    index: InvertedIndex,
+    query_prefixes: DataFrame,
+    max_edits: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Fuzzy autocomplete — Lucene's FuzzySuggester at the logical
+    level (lucene/suggest FuzzySuggester: the TYPED text may contain
+    typos, so completions whose prefix is within ``max_edits`` of it
+    still surface — "spakr" completes to "spark…"): a vocabulary term
+    is a candidate when levenshtein(term[:|typed|], typed) <=
+    max_edits — the suggester's edits-within-the-prefix semantics
+    simplified to the typed-length prefix (a length-changing edit at
+    the prefix boundary can cost one extra edit vs the automaton;
+    documented divergence, conservative). Ranked by (distance ASC,
+    df DESC, cf DESC, term ASC) — distance ties fall back to the
+    `complete_prefix` popularity order, all-integer and engine-exact.
+    -> (qid, suggestion, df, distance, rank).
+
+    Plan shape: one broadcast typed-set × term-DICTIONARY theta scan
+    (vocab-sized — exactly `infix_suggest`'s work unit; Lucene walks a
+    Levenshtein automaton over its FST instead, same dictionary-bound
+    cost) + a bounded per-qid top-k window. Postings never touched."""
+    q = query_prefixes.select("qid", "prefix").distinct()
+    dist = F.levenshtein(
+        F.col("term").substr(F.lit(1), F.length("prefix")),
+        F.col("prefix"),
+    )
+    cand = index.term_stats.join(
+        F.broadcast(q), dist <= F.lit(int(max_edits))
+    ).withColumn(
+        "distance",
+        F.levenshtein(
+            F.col("term").substr(F.lit(1), F.length("prefix")),
+            F.col("prefix"),
+        ).cast("long"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(),
+        F.col("df").desc(),
+        F.col("cf").desc(),
+        F.col("term").asc(),
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+            "distance",
+            "rank",
+        )
+    )
+
+
 def prefix_expand_terms(
     index: InvertedIndex,
     query_prefixes: DataFrame,

@@ -3013,3 +3013,43 @@ def test_spl_every_doc_term_guard(spark):
     assert len(run) == 2
     for r in run:
         assert math.isfinite(r["score"])
+
+
+def test_fuzzy_complete_hand_computed(spark):
+    """Typos within the typed prefix: 'spakr' does NOT match spark at
+    1 edit under length-preserving prefix compare ('spak'->2)? No:
+    prefix is term[:len(typed)] = 'spark'[:5], levenshtein('spark',
+    'spakr') = 2 -> excluded at max_edits=1; 'sperk' (one
+    substitution) matches. Distance 0 outranks distance 1; popularity
+    breaks distance ties."""
+    docs = spark.createDataFrame(
+        [(1, "spark spark spoon"), (2, "spark sport"), (3, "spoon")],
+        "doc_id long, content string",
+    )
+    cfg = AnalyzerConfig(mode="simple")
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
+    typed = spark.createDataFrame(
+        [("q1", "sperk"), ("q2", "spo"), ("q3", "spakr")],
+        "qid string, prefix string",
+    )
+    rows = rt.fuzzy_complete(idx, typed, max_edits=1, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["suggestion"], r["distance"])
+        )
+    # q1: 'sperk' -> spark (sub e->a, d=1); sport[:5]='sport' d=2 out
+    assert sorted(by_q["q1"]) == [(1, "spark", 1)]
+    # q2: 'spo' -> spoon@0, spark/sport[:3] = 'spa'/'spo' -> sport@0!
+    # spoon and sport both d=0; spark 'spa' d=1. popularity: spark
+    # df=2 beats spoon df=2? df ties -> cf then term ASC
+    got2 = [s for _, s, _ in sorted(by_q["q2"])]
+    assert got2[0:2] == ["spoon", "sport"] or got2[0:2] == [
+        "sport", "spoon",
+    ]
+    assert "spark" in got2  # distance 1, after the d=0 block
+    assert [d for _, _, d in sorted(by_q["q2"])] == sorted(
+        d for _, _, d in by_q["q2"]
+    )
+    # q3: levenshtein('spark', 'spakr') = 2 -> no suggestions
+    assert "q3" not in by_q
