@@ -5959,6 +5959,49 @@ FROM b
 """
 
 
+_PRUNE_RANGE = (200, 299)  # n_chars predicate: exactly one clustered
+# file (r2) can match, so the range layout prunes the rest while the
+# hash layout prunes nothing
+
+
+def _scan_pruning_sql() -> str:
+    """Replays plans/layout.scan_pruning_report for the two layouts:
+    per-file min/max + integer range-prune decision + the n_matching
+    invariant."""
+    from luc4ir_spark.functions import hashing as hx
+
+    lo, hi = _PRUNE_RANGE
+    mix = (
+        f"(({hx.MIX_A} * (doc_id % {hx.MIX_P}) + {hx.MIX_B})"
+        f" % {hx.MIX_P})"
+    )
+    body = """
+  SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+         min(n_chars)::BIGINT AS vmin, max(n_chars)::BIGINT AS vmax,
+         sum(CASE WHEN n_chars BETWEEN {lo} AND {hi}
+                  THEN 1 ELSE 0 END)::BIGINT AS n_matching
+  FROM {src} GROUP BY 1, 2
+"""
+    return f"""
+WITH rfiles AS (
+  SELECT 'range' AS layout, 'r' || (n_chars // 100) AS file_id, n_chars
+  FROM documents
+),
+hfiles AS (
+  SELECT 'hash' AS layout, 'h' || ({mix} % 8) AS file_id, n_chars
+  FROM documents
+),
+per AS (
+  {body.format(lo=lo, hi=hi, src="rfiles")}
+  UNION ALL
+  {body.format(lo=lo, hi=hi, src="hfiles")}
+)
+SELECT file_id, n_rows, vmin, vmax, n_matching,
+       (vmax < {lo} OR vmin > {hi}) AS pruned, layout
+FROM per
+"""
+
+
 def _term_frontcoding_sql() -> str:
     """Replays plans/layout.term_dict_frontcoding_report over the
     vocabulary: lag(term) in sorted order, prefix length as the same
@@ -10984,6 +11027,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx.postings.select("term", "doc_id")
         )
 
+    def scan_pruning(spark, sf):
+        # zone-map pruning simulation over TWO layouts of the same
+        # rows: n_chars-range-clustered files prune, mix-hash files
+        # don't — the measurable clustering argument; pruned files
+        # carry the n_matching == 0 invariant the oracle checks
+        from luc4ir_spark.functions import hashing as hx
+        from luc4ir_spark.plans import layout as ly
+
+        d = _docs(spark, sf).select("doc_id", "n_chars")
+        clustered = d.withColumn(
+            "file_id",
+            F.concat(
+                F.lit("r"),
+                F.expr("n_chars DIV 100").cast("string"),
+            ),
+        )
+        hashed = d.withColumn(
+            "file_id",
+            F.concat(
+                F.lit("h"),
+                F.pmod(hx.mix_id_expr("doc_id"), F.lit(8)).cast(
+                    "string"
+                ),
+            ),
+        )
+        lo, hi = _PRUNE_RANGE
+        rc = ly.scan_pruning_report(
+            clustered, "n_chars", "file_id", lo, hi
+        ).withColumn("layout", F.lit("range"))
+        rh = ly.scan_pruning_report(
+            hashed, "n_chars", "file_id", lo, hi
+        ).withColumn("layout", F.lit("hash"))
+        return rc.unionByName(rh)
+
     def term_frontcoding(spark, sf):
         # BlockTree-style term-dictionary front-coding sizes: unrolled
         # common-prefix chain over the sorted vocab, all-integer
@@ -14276,6 +14353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docvalues_report": docvalues_report,
         "postings_encoding": postings_encoding,
         "term_frontcoding": term_frontcoding,
+        "scan_pruning": scan_pruning,
         "zorder_events": zorder_events,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
@@ -14649,6 +14727,7 @@ def oracle_sql() -> dict[str, str]:
         "docvalues_report": _DOCVALUES_SQL,
         "postings_encoding": _postings_encoding_sql(),
         "term_frontcoding": _term_frontcoding_sql(),
+        "scan_pruning": _scan_pruning_sql(),
         "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),

@@ -304,3 +304,46 @@ def term_dict_frontcoding_report(
             .alias("encoded_bytes"),
         )
     )
+
+
+def scan_pruning_report(
+    df: DataFrame,
+    value_col: str,
+    file_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Zone-map (min/max) data-skipping simulation — the pruning math
+    of Parquet row-group statistics, Iceberg manifest file ranges and
+    Delta data skipping, made checkable: given a file assignment
+    (``file_col``) and a range predicate ``lo <= value <= hi``, a file
+    is PRUNED exactly when ``vmax < lo OR vmin > hi``. The report
+    carries the correctness invariant alongside the decision —
+    ``n_matching`` (rows actually in range) MUST be 0 in every pruned
+    file — so the oracle checks the skipping logic, not just the
+    stats. -> (file_id, n_rows, vmin, vmax, n_matching, pruned).
+
+    The interesting quantity downstream is the pruned fraction under
+    different LAYOUTS: a range/z-order-clustered assignment
+    (`zorder_layout`) prunes most files; a hash layout prunes none —
+    the measurable argument for clustering before the write at 100 TB,
+    where every non-pruned file is a scan task.
+
+    Plan shape: ONE map-side-combined groupBy(file) over the scan;
+    all decisions are integer comparisons."""
+    v = F.col(value_col).cast("long")
+    per = df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(
+            ((v >= F.lit(int(lo))) & (v <= F.lit(int(hi)))).cast("long")
+        )
+        .cast("long")
+        .alias("n_matching"),
+    )
+    return per.withColumn(
+        "pruned",
+        (F.col("vmax") < F.lit(int(lo)))
+        | (F.col("vmin") > F.lit(int(hi))),
+    )

@@ -471,3 +471,32 @@ def test_term_frontcoding_hand_computed(spark):
         ).collect()
     }
     assert sorted(capped.values()) == [0, 4]
+
+
+def test_scan_pruning_report_hand_computed(spark):
+    """Range-clustered files prune outside [20, 29]; the kept file
+    holds every matching row (the zone-map invariant); a hash layout
+    of the same rows prunes nothing."""
+    from luc4ir_spark.plans import layout as ly
+
+    rows = [(i, i) for i in range(50)]  # value == id, 0..49
+    d = spark.createDataFrame(rows, "doc_id long, v long")
+    clustered = d.selectExpr("doc_id", "v", "v DIV 10 AS file_id")
+    rep = {
+        r["file_id"]: r
+        for r in ly.scan_pruning_report(
+            clustered, "v", "file_id", 20, 29
+        ).collect()
+    }
+    assert [rep[f]["pruned"] for f in (0, 1, 2, 3, 4)] == [
+        True, True, False, True, True,
+    ]
+    assert rep[2]["n_matching"] == 10
+    for f in (0, 1, 3, 4):
+        assert rep[f]["n_matching"] == 0   # zone-map invariant
+    hashed = d.selectExpr("doc_id", "v", "doc_id % 5 AS file_id")
+    hrep = ly.scan_pruning_report(
+        hashed, "v", "file_id", 20, 29
+    ).collect()
+    assert all(not r["pruned"] for r in hrep)
+    assert sum(r["n_matching"] for r in hrep) == 10
