@@ -3395,6 +3395,54 @@ FROM t JOIN x USING (event_type)
 """
 
 
+_KMV_SETOPS_SQL = f"""
+WITH ha AS (SELECT DISTINCT (2654435761 * (user_id % 2147483647)
+             + 2246822519) % 2147483647 AS h
+            FROM events WHERE event_type = 'click'),
+heavy AS (SELECT user_id FROM events GROUP BY 1
+          HAVING count(*) >= 70),
+hb AS (SELECT DISTINCT (2654435761 * (user_id % 2147483647)
+             + 2246822519) % 2147483647 AS h
+            FROM heavy),
+sa AS (SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h)
+             AS rn FROM ha) WHERE rn <= {_KMV_K}),
+sb AS (SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h)
+             AS rn FROM hb) WHERE rn <= {_KMV_K}),
+ta AS (SELECT count(*)::BIGINT AS m_a,
+              coalesce(max(CASE WHEN rn = {_KMV_K} THEN h END),
+                       2147483647)::BIGINT AS tha
+       FROM sa),
+tb AS (SELECT count(*)::BIGINT AS m_b,
+              coalesce(max(CASE WHEN rn = {_KMV_K} THEN h END),
+                       2147483647)::BIGINT AS thb
+       FROM sb),
+th AS (SELECT m_a, m_b, least(tha, thb)::BIGINT AS theta_hash
+       FROM ta CROSS JOIN tb),
+ra AS (SELECT sa.h FROM sa CROSS JOIN th WHERE sa.h < th.theta_hash),
+rb AS (SELECT sb.h FROM sb CROSS JOIN th WHERE sb.h < th.theta_hash),
+com AS (SELECT count(*)::BIGINT AS n_common
+        FROM ra JOIN rb USING (h)),
+uni AS (SELECT count(*)::BIGINT AS n_union FROM
+        (SELECT DISTINCT h FROM (SELECT h FROM ra
+                                 UNION ALL SELECT h FROM rb))),
+exi AS (SELECT count(*)::BIGINT AS exact_intersection
+        FROM ha JOIN hb USING (h)),
+exu AS (SELECT count(*)::BIGINT AS exact_union FROM
+        (SELECT DISTINCT h FROM (SELECT h FROM ha
+                                 UNION ALL SELECT h FROM hb)))
+SELECT th.m_a, th.m_b, th.theta_hash, com.n_common, uni.n_union,
+       round(com.n_common * 2147483647.0 / th.theta_hash, 4)
+         AS est_intersection,
+       round(uni.n_union * 2147483647.0 / th.theta_hash, 4)
+         AS est_union,
+       CASE WHEN uni.n_union > 0
+            THEN round(com.n_common / uni.n_union, 4)
+            ELSE 0.0 END AS est_jaccard,
+       exi.exact_intersection, exu.exact_union
+FROM th CROSS JOIN com CROSS JOIN uni CROSS JOIN exi CROSS JOIN exu
+"""
+
+
 _ROLLUP_SQL = """
 WITH base AS (
   SELECT event_type,
@@ -10936,6 +10984,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_exact",
         )
 
+    def kmv_set_ops(spark, sf):
+        # theta-sketch set operations: click-users x view-users
+        # intersection/union/jaccard estimates from two k=64 KMV
+        # sketches, exact cardinalities alongside
+        from luc4ir_spark.operators import sketches as sk
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        a = ev_df.filter(F.col("event_type") == "click").select(
+            "user_id"
+        )
+        # B = heavy users (>= 70 events): 54 < k at sf0.01, so the
+        # m < k exact-sketch branch and a partial overlap are both hit
+        b = (
+            ev_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 70)
+            .select("user_id")
+        )
+        return sk.kmv_set_ops(a, b, "user_id", k=_KMV_K)
+
     def distinct_sketch(spark, sf):
         # per-event-type approximate distinct users via the KMV sketch
         # over the portable mix hash — deterministic, so the oracle
@@ -14344,6 +14412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": snm_pairs,
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
+        "kmv_set_ops": kmv_set_ops,
         "hll_distinct": hll_distinct,
         "ann_pq_topk": ann_pq_topk,
         "simple_query_string": simple_query_string,
@@ -14718,6 +14787,7 @@ def oracle_sql() -> dict[str, str]:
         "snm_pairs": _SNM_SQL,
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
+        "kmv_set_ops": _KMV_SETOPS_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "simple_query_string": _sqs_sql(),

@@ -36,6 +36,7 @@ from ..functions.hashing import MIX_P, mix_id_expr
 
 __all__ = [
     "distinct_kmv_sketch",
+    "kmv_set_ops",
     "countmin_sketch",
     "countmin_estimate",
     "bloom_filter_bits",
@@ -372,3 +373,105 @@ def bloom_might_contain(
         )
     )
     return hit
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation cardinality estimation from two KMV sketches —
+    the theta-sketch framework (Dasgupta, Lang, Rhodes & Thaler; the
+    algorithm behind Apache DataSketches' union/intersection
+    estimates), over the portable mix hash so the whole computation is
+    engine-exact:
+
+        θ        = min(θ_A, θ_B)  — each θ is the set's k-th smallest
+                   distinct hash (P when the set holds < k distincts:
+                   the sketch IS the set)
+        retained = each sketch's hashes < θ  — an exact θ/P-rate
+                   sample of the set
+        est_∩    = |retained_A ∩ retained_B| · P / θ
+        est_∪    = |retained_A ∪ retained_B| · P / θ
+        jaccard  = |∩ retained| / |∪ retained|
+
+    Every count is an integer; each estimate is ONE division — both
+    engines agree bit-for-bit. Exact cardinalities ride along (cheap
+    here; at scale drop them — the sketches are the point) so
+    approximation error is visible, not hidden.
+    -> ONE row: (m_a, m_b, theta_hash, n_common, n_union,
+    est_intersection, est_union, est_jaccard, exact_intersection,
+    exact_union).
+
+    Scale shape: per set, one distinct + WindowGroupLimit bottom-k (at
+    most k rows leave the mappers); the set algebra then runs on
+    <= 2k rows. Sketch merging is the same min-k union this performs
+    — shard sketches combine associatively."""
+    def sketch(df):
+        h = df.select(mix_id_expr(value_col).alias("_h")).distinct()
+        w = Window.orderBy("_h")
+        return h.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
+    sa = sketch(a).localCheckpoint(eager=False)
+    sb = sketch(b).localCheckpoint(eager=False)
+    ta = sa.agg(
+        F.count(F.lit(1)).cast("long").alias("m_a"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("_h"))), F.lit(MIX_P)
+        ).cast("long").alias("_tha"),
+    )
+    tb = sb.agg(
+        F.count(F.lit(1)).cast("long").alias("m_b"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("_h"))), F.lit(MIX_P)
+        ).cast("long").alias("_thb"),
+    )
+    th = ta.crossJoin(tb).withColumn(
+        "theta_hash", F.least("_tha", "_thb")
+    )
+    ra = sa.select("_h").crossJoin(F.broadcast(th.select("theta_hash")))
+    ra = ra.filter(F.col("_h") < F.col("theta_hash")).select("_h")
+    rb = sb.select("_h").crossJoin(F.broadcast(th.select("theta_hash")))
+    rb = rb.filter(F.col("_h") < F.col("theta_hash")).select("_h")
+    common = ra.join(rb, "_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    uni = ra.unionAll(rb).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_union")
+    )
+    ha = a.select(mix_id_expr(value_col).alias("_h")).distinct()
+    hb = b.select(mix_id_expr(value_col).alias("_h")).distinct()
+    ex_i = ha.join(hb, "_h").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    ex_u = ha.unionAll(hb).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union")
+    )
+    out = (
+        th.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(uni))
+        .crossJoin(F.broadcast(ex_i))
+        .crossJoin(F.broadcast(ex_u))
+    )
+    p = float(MIX_P)
+    return out.select(
+        "m_a",
+        "m_b",
+        "theta_hash",
+        "n_common",
+        "n_union",
+        F.round(
+            F.col("n_common") * F.lit(p) / F.col("theta_hash"), 4
+        ).alias("est_intersection"),
+        F.round(
+            F.col("n_union") * F.lit(p) / F.col("theta_hash"), 4
+        ).alias("est_union"),
+        F.when(F.col("n_union") > 0,
+               F.round(F.col("n_common") / F.col("n_union"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("est_jaccard"),
+        "exact_intersection",
+        "exact_union",
+    )

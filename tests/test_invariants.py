@@ -542,3 +542,38 @@ def test_phrase_family_plan_guards(spark):
     assert sorted(
         (r["doc_id"], r["phrase_freq"]) for r in q.collect()
     ) == [(0, 1)]
+
+
+def test_kmv_set_ops_small_sets_exact(spark):
+    """When both sets hold < k distincts, theta = P and the sketches
+    ARE the sets: every estimate equals the exact value."""
+    from luc4ir_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(5, 20)], "v long")
+    r = sk.kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert (r["m_a"], r["m_b"]) == (10, 15)
+    assert r["exact_intersection"] == 5 and r["exact_union"] == 20
+    assert r["est_intersection"] == 5.0 and r["est_union"] == 20.0
+    assert r["est_jaccard"] == 0.25
+    # disjoint sets: zero common, jaccard 0
+    c = spark.createDataFrame([(i,) for i in range(100, 110)], "v long")
+    r2 = sk.kmv_set_ops(a, c, "v", k=64).collect()[0]
+    assert r2["n_common"] == 0 and r2["est_intersection"] == 0.0
+
+
+def test_kmv_set_ops_sketched_estimates_track_exact(spark):
+    """500 vs 400 values with 200 shared, k=64: estimates land within
+    ~3 standard errors (1/sqrt(k-2) ~ 12.7%) of the exact values, and
+    the retained-sample counts stay <= k."""
+    from luc4ir_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    b = spark.createDataFrame(
+        [(i,) for i in range(300, 700)], "v long"
+    )
+    r = sk.kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert r["exact_intersection"] == 200 and r["exact_union"] == 700
+    assert r["n_common"] <= 64 and r["n_union"] <= 128
+    assert abs(r["est_union"] - 700) / 700 < 0.4
+    assert abs(r["est_intersection"] - 200) / 200 < 0.6
