@@ -6882,6 +6882,37 @@ FROM per CROSS JOIN tot
 """
 
 
+def _inbatch_negatives_sql() -> str:
+    """Replays utilsops.inbatch_negatives: mix-hash batch ids, the
+    anchor-dependent draw, per-anchor rank cut at 2."""
+    from luc4ir_spark.functions import hashing as hx
+
+    A, B, P = hx.MIX_A, hx.MIX_B, hx.MIX_P
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         (({A} * (doc_id % {P}) + {B}) % {P}) % 16 AS batch_id
+  FROM documents
+),
+p AS (
+  SELECT l.id AS anchor_id, r.id AS neg_id, l.batch_id,
+         ({A} * (((l.id % {P}) * 31 + r.id) % {P}) + {B}) % {P}
+           AS draw
+  FROM d l JOIN d r
+    ON l.batch_id = r.batch_id AND l.id <> r.id
+),
+rk AS (
+  SELECT anchor_id, neg_id, batch_id,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY draw ASC, neg_id ASC)::BIGINT
+           AS neg_rank
+  FROM p
+)
+SELECT anchor_id, neg_id, batch_id, neg_rank
+FROM rk WHERE neg_rank <= 2
+"""
+
+
 def _unimax_sql() -> str:
     """Replays utilsops.unimax_alloc at budget = 95% of corpus tokens,
     max_epochs = 1: ascending-cap waterfilling with integer
@@ -12318,6 +12349,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j = hosts.join(d.select("doc_id", "n_chars"), "doc_id")
         return ts2.host_stats(j, max_docs_per_host=_HOST_CAP)
 
+    def inbatch_negatives(spark, sf):
+        # DPR-style in-batch negative pairs: mix-hash batches,
+        # anchor-dependent draw ordering, n_neg cut
+        from luc4ir_spark.operators import utilsops as ut
+
+        return ut.inbatch_negatives(
+            _docs(spark, sf), n_neg=2, n_batches=16
+        )
+
     def unimax(spark, sf):
         # UniMax epoch-capped waterfilling over per-source token
         # counts: budget = 95% of corpus tokens, max_epochs=1 — small
@@ -14570,6 +14610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": host_stats,
         "crawl_schedule": crawl_schedule,
         "unimax": unimax,
+        "inbatch_negatives": inbatch_negatives,
         "robots_filter": robots_filter,
         "dedup_survivors": dedup_survivors,
         "kl_rerank": kl_rerank,
@@ -14951,6 +14992,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _host_stats_sql(),
         "crawl_schedule": _crawl_schedule_sql(),
         "unimax": _unimax_sql(),
+        "inbatch_negatives": _inbatch_negatives_sql(),
         "robots_filter": _robots_sql(),
         "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "kl_rerank": _KL_SQL,

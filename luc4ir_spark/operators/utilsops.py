@@ -597,3 +597,55 @@ def unimax_alloc(
         F.round(alloc, 4).alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
     )
+
+
+def inbatch_negatives(
+    docs: DataFrame,
+    n_neg: int = 2,
+    n_batches: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """In-batch negative pairing for contrastive training — the
+    batch-as-negative-pool trick of DPR (Karpukhin et al. EMNLP'20,
+    "in-batch negatives") and every dual-encoder recipe since (CLIP,
+    GTR): documents sharing a batch serve as each other's negatives,
+    so no extra mining pass is needed. Batches are the portable
+    mix-hash shard (deterministic, reproducible — the same property
+    `pack_sequences` relies on); each anchor takes its ``n_neg``
+    batch-mates ranked by the anchor-DEPENDENT draw
+    mix(pmod(a, P)·31 + b), so two anchors in one batch see different
+    negative orderings (the decorrelation the training loop wants).
+    -> (anchor_id, neg_id, batch_id, neg_rank).
+
+    Plan shape: ONE shuffle on batch_id, a within-batch self-join
+    bounded by batch size (corpus/n_batches — the caller sizes
+    n_batches to the cluster the way a data loader sizes its batch),
+    and a per-anchor WindowGroupLimit cut to n_neg."""
+    from ..functions import hashing as hx
+
+    d = docs.select(F.col(id_col).cast("long").alias("_id")).withColumn(
+        "batch_id", F.pmod(hx.mix_id_expr("_id"), F.lit(int(n_batches)))
+    )
+    d = d.repartition("batch_id").localCheckpoint(eager=False)
+    l, r = d.alias("l"), d.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.batch_id") == F.col("r.batch_id"))
+        & (F.col("l._id") != F.col("r._id")),
+    ).select(
+        F.col("l._id").alias("anchor_id"),
+        F.col("r._id").alias("neg_id"),
+        F.col("l.batch_id").alias("batch_id"),
+        hx.mix_id_expr(
+            F.pmod(F.col("l._id"), F.lit(hx.MIX_P)) * F.lit(31)
+            + F.col("r._id")
+        ).alias("_draw"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_draw").asc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= int(n_neg))
+        .select("anchor_id", "neg_id", "batch_id", "neg_rank")
+    )

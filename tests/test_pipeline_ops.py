@@ -3209,3 +3209,36 @@ def test_unimax_alloc_hand_computed(spark):
     }
     assert all(r["is_capped"] for r in rich.values())
     assert all(r["epochs"] == 2.0 for r in rich.values())
+
+
+def test_inbatch_negatives_properties(spark):
+    """Every anchor pairs only with same-batch mates, gets exactly
+    n_neg negatives when the batch is big enough, never itself; two
+    anchors in one batch see different negative orderings."""
+    from luc4ir_spark.functions import hashing as hx
+    from luc4ir_spark.operators import utilsops as ut
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    rows = ut.inbatch_negatives(docs, n_neg=2, n_batches=4).collect()
+    import collections
+
+    batch_of = {
+        i: (hx.MIX_A * (i % hx.MIX_P) + hx.MIX_B) % hx.MIX_P % 4
+        for i in range(60)
+    }
+    per_anchor = collections.defaultdict(list)
+    for r in rows:
+        assert r["anchor_id"] != r["neg_id"]
+        assert batch_of[r["anchor_id"]] == r["batch_id"]
+        assert batch_of[r["neg_id"]] == r["batch_id"]
+        per_anchor[r["anchor_id"]].append((r["neg_rank"], r["neg_id"]))
+    assert all(len(v) == 2 for v in per_anchor.values())
+    assert len(per_anchor) == 60
+    # anchor-dependent draws: not every anchor in a batch shares the
+    # same top negative
+    tops = collections.defaultdict(set)
+    for a, v in per_anchor.items():
+        tops[batch_of[a]].add(min(v)[1])
+    assert any(len(s) > 1 for s in tops.values())
