@@ -8437,6 +8437,27 @@ FROM flagged GROUP BY doc_id
 """
 
 
+_GAZ_ENTITIES = ("spark", "customer value", "fast merge", "zz-absent")
+
+
+def _gazetteer_sql() -> str:
+    """Replays textstats.gazetteer_extract: length-replace mention
+    counts + strpos first offsets over the literal entity rows."""
+    vals = ", ".join(f"('{e}')" for e in _GAZ_ENTITIES)
+    return f"""
+WITH ent(entity) AS (VALUES {vals}),
+h AS (
+  SELECT d.doc_id, ent.entity,
+         ((length(d.text) - length(replace(d.text, ent.entity, '')))
+          / length(ent.entity))::BIGINT AS n_mentions,
+         strpos(d.text, ent.entity)::BIGINT AS first_offset
+  FROM documents d CROSS JOIN ent
+)
+SELECT doc_id, entity, n_mentions, first_offset
+FROM h WHERE n_mentions > 0
+"""
+
+
 _BP_STOPS = ("the", "a")   # function words present in the synth vocab
 _BP_FRAC = (1, 20)         # keep lines with >= 5% stopword density
 
@@ -13373,6 +13394,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dd.dedup_lines(d, content_col="text", min_docs=2)
 
+    def gazetteer(spark, sf):
+        # broadcast-lexicon entity annotation: substring mention
+        # counts via the length-replace trick + first offsets
+        return ts.gazetteer_extract(
+            _docs(spark, sf), entities=_GAZ_ENTITIES,
+            content_col="text",
+        )
+
     def boilerplate_strip(spark, sf):
         # jusText-lite line classification over the derived multi-line
         # corpus: min tokens + stopword density by integer
@@ -14686,6 +14715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents,
         "dedup_lines": dedup_lines,
         "boilerplate_strip": boilerplate_strip,
+        "gazetteer": gazetteer,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -15087,6 +15117,7 @@ FROM h
         "chunk_documents": _chunk_documents_sql(),
         "dedup_lines": _dedup_lines_sql(),
         "boilerplate_strip": _boilerplate_sql(),
+        "gazetteer": _gazetteer_sql(),
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -2833,6 +2833,58 @@ def robots_filter(
     )
 
 
+def gazetteer_extract(
+    docs: DataFrame,
+    entities: tuple,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary (gazetteer) entity annotation — the broadcast-lexicon
+    tagging pass of corpus enrichment pipelines (Lucene's Monitor /
+    GATE-style gazetteer lookup; the EXTRACTION complement to
+    `blocklist_filter`'s boolean screen): for every (doc, entity) hit,
+    the mention count and first character offset. Entities may be
+    multi-token phrases — this is substring matching on the raw text,
+    not token matching.
+
+      n_mentions   = (len(text) − len(replace(text, e, ''))) / len(e)
+                     — the repo's length-replace counting trick
+                     (`char_entropy`), integer-exact, no regex engine
+      first_offset = instr(text, e)   (1-based; == DuckDB strpos,
+                     parity verified by the `snippets` gate)
+
+    NOTE: counts are raw substring occurrences (overlapping matches of
+    self-overlapping entities are not double-counted by replace —
+    'aa' in 'aaa' counts once; the standard gazetteer convention).
+    -> (doc_id, entity, n_mentions, first_offset), hit rows only.
+
+    Plan shape: docs × BROADCAST literal entity rows (a gazetteer is
+    lexicon-sized), every measure a scan-local codegen projection, no
+    shuffle at all past the scan. A 100k-entry gazetteer swaps the
+    literal VALUES for a broadcast table — same plan."""
+    ent = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(e,) for e in entities], "entity string"
+        )
+    )
+    t = F.col(content_col)
+    e = F.col("entity")
+    hits = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("_t")
+    ).crossJoin(ent)
+    return hits.select(
+        "doc_id",
+        "entity",
+        (
+            (F.length("_t") - F.length(F.replace(F.col("_t"), e)))
+            / F.length(e)
+        )
+        .cast("long")
+        .alias("n_mentions"),
+        F.instr(F.col("_t"), e).cast("long").alias("first_offset"),
+    ).filter(F.col("n_mentions") > 0)
+
+
 def crawl_schedule(
     urls: DataFrame,
     host_col: str = "host",

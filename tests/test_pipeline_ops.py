@@ -3242,3 +3242,28 @@ def test_inbatch_negatives_properties(spark):
     for a, v in per_anchor.items():
         tops[batch_of[a]].add(min(v)[1])
     assert any(len(s) > 1 for s in tops.values())
+
+
+def test_gazetteer_extract_hand_computed(spark):
+    """Mention counts and first offsets for token and phrase
+    entities; absent entities produce no rows; self-overlap counts
+    once per replace convention."""
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is in new york state"),
+            (2, "aaa"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {
+        (r["doc_id"], r["entity"]): (r["n_mentions"], r["first_offset"])
+        for r in textstats.gazetteer_extract(
+            docs, entities=("new york", "state", "aa", "zzz")
+        ).collect()
+    }
+    assert got[(1, "new york")] == (2, 1)
+    assert got[(1, "state")] == (1, 25)
+    assert got[(2, "aa")] == (1, 1)     # 'aa' in 'aaa': replace once
+    assert (3, "zzz") not in got
+    assert all(k[1] != "zzz" for k in got)
