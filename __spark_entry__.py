@@ -3050,6 +3050,32 @@ UNION ALL
 SELECT 'couple' AS measure, a, b, n FROM bc WHERE n >= 2
 """
 
+_LINK_BFS_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+d0 AS (SELECT id, 0 AS depth FROM nodes WHERE id % 97 = 0),
+f1 AS (SELECT DISTINCT e.dst AS id, 1 AS depth
+       FROM d0 JOIN edges e ON e.src = d0.id),
+b1 AS (SELECT id, min(depth) AS depth FROM
+       (SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY 1),
+f2 AS (SELECT DISTINCT e.dst AS id, 2 AS depth
+       FROM b1 JOIN edges e ON e.src = b1.id AND b1.depth = 1),
+b2 AS (SELECT id, min(depth) AS depth FROM
+       (SELECT * FROM b1 UNION ALL SELECT * FROM f2) GROUP BY 1),
+f3 AS (SELECT DISTINCT e.dst AS id, 3 AS depth
+       FROM b2 JOIN edges e ON e.src = b2.id AND b2.depth = 2),
+b3 AS (SELECT id, min(depth) AS depth FROM
+       (SELECT * FROM b2 UNION ALL SELECT * FROM f3) GROUP BY 1)
+SELECT id, depth::BIGINT AS depth FROM b3
+"""
+
 _LINK_PREDICTION_SQL = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -10847,6 +10873,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges, min_common=2, max_degree=None
         )
 
+    def link_bfs(spark, sf):
+        # bounded-depth BFS seed distance (crawl depth / TrustRank
+        # proximity): seeds = doc_id % 97 == 0, 3 unrolled hops
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        seeds = docs.filter(F.col("doc_id") % 97 == 0)
+        return gr.bfs_depth(
+            docs, edges, seeds, max_depth=3, id_col="doc_id"
+        )
+
     def anchor_field(spark, sf):
         # Nutch-style anchor-text pseudo-field: per-target postings of
         # inlink anchor tokens over the synthetic link graph
@@ -14472,6 +14509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": link_pagerank,
         "link_cocitation": link_cocitation,
         "link_prediction": link_prediction,
+        "link_bfs": link_bfs,
         "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
@@ -14849,6 +14887,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _PAGERANK_SQL,
         "link_cocitation": _COCITATION_SQL,
         "link_prediction": _LINK_PREDICTION_SQL,
+        "link_bfs": _LINK_BFS_SQL,
         "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,

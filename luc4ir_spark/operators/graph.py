@@ -45,6 +45,7 @@ __all__ = [
     "pagerank_regular_exact",
     "hits_unnormalized",
     "link_prediction_pairs",
+    "bfs_depth",
 ]
 
 # (multiplier, offset) per out-link: dst_j = (id * p_j + q_j) % n.
@@ -522,3 +523,48 @@ def link_prediction_pairs(
             F.round(F.col("_ra_q") / float(scale), 4).alias("ra"),
         )
     )
+
+
+def bfs_depth(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded-depth BFS from a seed set — the crawl-depth / seed-
+    distance assignment of frontier management (a page's link distance
+    from the seed list is the classic crawl-priority and spam-distance
+    signal, e.g. TrustRank's seed proximity): min link distance from
+    ANY seed, up to ``max_depth`` hops; unreached nodes are omitted.
+    -> (id, depth), depth in [0, max_depth].
+
+    Plan shape: ``max_depth`` rounds of (frontier ⋈ edges on src) —
+    the standard relational BFS; each round's frontier is min-depth
+    deduped BEFORE the next join so a node never re-expands (the
+    frontier can only shrink relative to reachable set). Depth counts
+    are bounded by the unroll constant, so the lazy plan stays linear;
+    for deep BFS at 100 TB switch to the pagerank-style
+    localCheckpoint-per-iteration loop — same join shape."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    cur = seeds.select(
+        F.col(id_col).cast("long").alias("id")
+    ).distinct().withColumn("depth", F.lit(0).cast("long"))
+    best = cur
+    for d in range(1, int(max_depth) + 1):
+        nxt = (
+            cur.join(e, cur["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .withColumn("depth", F.lit(d).cast("long"))
+        )
+        best = (
+            best.unionByName(nxt)
+            .groupBy("id")
+            .agg(F.min("depth").cast("long").alias("depth"))
+        )
+        cur = best.filter(F.col("depth") == d)
+    return best

@@ -283,3 +283,29 @@ def test_link_prediction_hub_valve_drops_and_logs(spark):
     # uncapped degree in the denominator; (0,1) pair through 7 only
     assert got == {(0, 1): (1, 0.3333), (7, 99): (2, 0.4)}
     assert msgs and "dropped 1 hub nodes" in msgs[0]
+
+
+def test_bfs_depth_hand_computed(spark):
+    """Chain 0->1->2->3->4 with a shortcut 0->3: depths 0,1,2,1,2 at
+    max_depth=3; node 9 (disconnected) is omitted; min over paths
+    wins; depth caps at max_depth."""
+    from luc4ir_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 4, 9)], "id long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["depth"]
+        for r in gr.bfs_depth(nodes, edges, seeds, max_depth=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    shallow = {
+        r["id"]: r["depth"]
+        for r in gr.bfs_depth(nodes, edges, seeds, max_depth=1).collect()
+    }
+    assert shallow == {0: 0, 1: 1, 3: 1}
