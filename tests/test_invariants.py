@@ -577,3 +577,44 @@ def test_kmv_set_ops_sketched_estimates_track_exact(spark):
     assert r["n_common"] <= 64 and r["n_union"] <= 128
     assert abs(r["est_union"] - 700) / 700 < 0.4
     assert abs(r["est_intersection"] - 200) / 200 < 0.6
+
+
+def test_new_operator_plan_guards(spark):
+    """Plan-shape guards for the session's operators: mlm_mask's only
+    join is a broadcast (no SortMergeJoin); link_prediction's
+    self-join runs over the checkpointed relation (no
+    CartesianProduct); gazetteer's entity join is a broadcast nested
+    loop over the literal lexicon, not a shuffle."""
+    from luc4ir_spark.operators import graph as gr
+    from luc4ir_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(i, "w%d alpha beta" % (i % 7)) for i in range(40)],
+        "doc_id long, content string",
+    )
+    vocab = spark.createDataFrame(
+        [("w%d" % j,) for j in range(7)], "term string"
+    )
+    mplan = (
+        ts.mlm_mask_plan(docs, vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in mplan, mplan
+    assert "SortMergeJoin" not in mplan, mplan
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40)],
+        "src long, dst long",
+    )
+    lplan = (
+        gr.link_prediction_pairs(edges, min_common=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in lplan, lplan
+
+    gplan = (
+        ts.gazetteer_extract(docs, entities=("alpha", "beta"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in gplan, gplan
+    assert "Exchange hashpartitioning" not in gplan, gplan
