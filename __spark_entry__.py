@@ -2872,6 +2872,46 @@ _QRELS_SQL = (
     " CROSS JOIN documents d WHERE (d.doc_id + qn.qn) % 3 = 0)"
 )
 
+def _assessor_kappa_sql() -> str:
+    """Replays evaluation.assessor_agreement over the pseudo-qrels
+    pool and its 20%-flipped twin: integer marginals, po/pe/kappa as
+    single divisions."""
+    from luc4ir_spark.functions import hashing as hx
+
+    A, B, P = hx.MIX_A, hx.MIX_B, hx.MIX_P
+    return f"""
+WITH {_values_queries()},
+pool AS (
+  SELECT qn.qid, qn.qn, d.doc_id AS docid,
+         CASE WHEN (d.doc_id + qn.qn) % 6 = 0 THEN 1 ELSE 0 END AS ra
+  FROM (SELECT DISTINCT qid, CAST(substr(qid, 2) AS BIGINT) AS qn
+        FROM q) qn
+  CROSS JOIN documents d WHERE (d.doc_id + qn.qn) % 3 = 0
+),
+p2 AS (
+  SELECT qid, docid, ra,
+         CASE WHEN (({A} * ((docid * 8 + qn) % {P}) + {B}) % {P}) % 5
+                   = 0
+              THEN 1 - ra ELSE ra END AS rb
+  FROM pool
+),
+t AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+         sum(ra)::BIGINT AS a1, sum(rb)::BIGINT AS b1
+  FROM p2
+)
+SELECT n, n_agree,
+       round(n_agree / n, 4) AS po,
+       round((a1 * b1 + (n - a1) * (n - b1)) / (n * n), 4) AS pe,
+       CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) > 0 THEN
+         round((n_agree * n - a1 * b1 - (n - a1) * (n - b1))
+               / (n * n - a1 * b1 - (n - a1) * (n - b1)), 4)
+       END AS kappa
+FROM t
+"""
+
+
 _EVAL_SQL = f"""
 WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
 scored AS (
@@ -13624,6 +13664,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(base, ignore_errors=True)
         return res
 
+    def assessor_kappa(spark, sf):
+        # Cohen's kappa between the pseudo assessor and a second
+        # assessor with deterministic 20% mix-parity flips —
+        # integer-exact marginals, one division per output
+        from luc4ir_spark.functions import hashing as hx
+
+        q1 = _pseudo_qrels(spark, sf)
+        q2 = (
+            q1.withColumn(
+                "_qn", F.substring("qid", 2, 10).cast("long")
+            )
+            .withColumn(
+                "_flip",
+                F.pmod(
+                    hx.mix_id_expr(
+                        F.col("docid").cast("long") * F.lit(8)
+                        + F.col("_qn")
+                    ),
+                    F.lit(5),
+                )
+                == 0,
+            )
+            .select(
+                "qid",
+                "docid",
+                F.when(F.col("_flip"), F.lit(1.0) - F.col("rel"))
+                .otherwise(F.col("rel"))
+                .alias("rel"),
+            )
+        )
+        return ev.assessor_agreement(q1, q2)
+
     def run_ttest(spark, sf):
         # paired-t significance between the plain BM25 run and the
         # MUST_NOT run on per-query AP (trec_eval-style comparison)
@@ -14728,6 +14800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": facet_counts,
         "drill_sideways": drill_sideways,
         "run_ttest": run_ttest,
+        "assessor_kappa": assessor_kappa,
         "snippets": snippets,
         "hygiene_streamed": hygiene_streamed,
         "fuzzy_query": fuzzy_query,
@@ -15187,6 +15260,7 @@ FROM h
             bm25=_bm25_sql(conjunctive=False)
         ),
         "run_ttest": _run_ttest_sql(),
+        "assessor_kappa": _assessor_kappa_sql(),
         "snippets": _snippets_sql(),
         "hygiene_streamed": _hygiene_streamed_sql(),
         "fuzzy_query": _fuzzy_query_sql(),

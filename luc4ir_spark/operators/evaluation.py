@@ -1033,6 +1033,67 @@ def calibration_bins(
     )
 
 
+def assessor_agreement(
+    j1: DataFrame,
+    j2: DataFrame,
+    qid_col: str = "qid",
+    docid_col: str = "docid",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Cohen's kappa between two assessors' binary judgments over the
+    same pool (Cohen, Educ. Psychol. Meas. 1960) — the agreement
+    number behind TREC's assessor-consistency studies (Voorhees, IPM
+    2000, showed system RANKINGS survive assessor disagreement; this
+    is the statistic those studies report):
+
+        po    = n_agree / n
+        pe    = (a1·b1 + a0·b0) / n²      (chance agreement from the
+                                           marginals)
+        kappa = (n_agree·n − a1·b1 − a0·b0) / (n² − a1·b1 − a0·b0)
+
+    Judgments binarize at rel >= 1 (the graded-to-binary convention of
+    `per_query_metrics`). Every quantity is an integer aggregate and
+    each output is ONE division of exact integers — engine-identical.
+    kappa is NULL when pe = 1 (both assessors constant — undefined).
+    -> ONE row (n, n_agree, po, pe, kappa).
+
+    Plan shape: one (qid, docid) equi-join of two pool-sized
+    relations + one global aggregate. Docs only enter through the
+    judgment pool — corpus scale is irrelevant here."""
+    a = j1.select(
+        F.col(qid_col).alias("qid"),
+        F.col(docid_col).alias("docid"),
+        (F.col(rel_col) >= 1.0).cast("long").alias("_ra"),
+    )
+    b = j2.select(
+        F.col(qid_col).alias("qid"),
+        F.col(docid_col).alias("docid"),
+        (F.col(rel_col) >= 1.0).cast("long").alias("_rb"),
+    )
+    t = a.join(b, ["qid", "docid"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("_ra") == F.col("_rb")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+        F.sum("_ra").cast("long").alias("_a1"),
+        F.sum("_rb").cast("long").alias("_b1"),
+    )
+    chance = F.col("_a1") * F.col("_b1") + (
+        F.col("n") - F.col("_a1")
+    ) * (F.col("n") - F.col("_b1"))
+    denom = F.col("n") * F.col("n") - chance
+    return t.select(
+        "n",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("n"), 4).alias("po"),
+        F.round(chance / (F.col("n") * F.col("n")), 4).alias("pe"),
+        F.when(
+            denom > 0,
+            F.round((F.col("n_agree") * F.col("n") - chance) / denom, 4),
+        ).alias("kappa"),
+    )
+
+
 def randomization_propensity(
     impressions: DataFrame,
     pos_col: str = "pos",

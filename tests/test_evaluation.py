@@ -1121,3 +1121,30 @@ def test_randomization_propensity_hand_computed(spark):
     out = {r["pos"]: r["gamma_ratio"]
            for r in ev.randomization_propensity(dead).collect()}
     assert out[1] is None and out[2] is None
+
+
+def test_assessor_agreement_hand_computed(spark):
+    """10 shared judgments: 8 agree, A marks 4 relevant, B marks 5.
+    po = 0.8; pe = (4*5 + 6*5)/100 = 0.5; kappa = (8*10-50)/(100-50)
+    = 0.6. Constant assessors (pe = 1) -> NULL kappa."""
+    rows_a = [("q1", str(i), 1.0 if i < 4 else 0.0) for i in range(10)]
+    # B agrees except on docs 3 (A rel, B not) and 4 (A not, B rel),
+    # plus doc 5 flips to rel: A = {0,1,2,3}, B = {0,1,2,4,5}
+    rows_b = [
+        ("q1", str(i), 1.0 if i in (0, 1, 2, 4, 5) else 0.0)
+        for i in range(10)
+    ]
+    a = spark.createDataFrame(rows_a, "qid string, docid string, rel double")
+    b = spark.createDataFrame(rows_b, "qid string, docid string, rel double")
+    r = ev.assessor_agreement(a, b).collect()[0]
+    # agreement: docs 0,1,2 (both rel), 6,7,8,9 (both non) = 7
+    assert (r["n"], r["n_agree"]) == (10, 7)
+    assert r["po"] == 0.7
+    # pe = (4*5 + 6*5)/100 = 0.5; kappa = (70-50)/(100-50) = 0.4
+    assert r["pe"] == 0.5 and r["kappa"] == 0.4
+    allpos = spark.createDataFrame(
+        [("q1", str(i), 1.0) for i in range(4)],
+        "qid string, docid string, rel double",
+    )
+    r2 = ev.assessor_agreement(allpos, allpos).collect()[0]
+    assert r2["po"] == 1.0 and r2["kappa"] is None
