@@ -6078,6 +6078,28 @@ _PRUNE_RANGE = (200, 299)  # n_chars predicate: exactly one clustered
 # hash layout prunes nothing
 
 
+_COMPACTION_SQL = """
+WITH files AS (
+  SELECT source AS partition, (doc_id // 25)::BIGINT AS file_id,
+         sum(n_chars)::BIGINT AS size_bytes
+  FROM documents GROUP BY 1, 2
+),
+o AS (
+  SELECT partition, file_id, size_bytes,
+         coalesce(sum(size_bytes) OVER (PARTITION BY partition
+           ORDER BY size_bytes DESC, file_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumb,
+         row_number() OVER (PARTITION BY partition
+           ORDER BY size_bytes DESC, file_id ASC)::BIGINT AS group_seq
+  FROM files
+)
+SELECT partition, file_id, size_bytes,
+       floor(cumb / 3000)::BIGINT AS group_id, group_seq
+FROM o
+"""
+
+
 def _scan_pruning_sql() -> str:
     """Replays plans/layout.scan_pruning_report for the two layouts:
     per-file min/max + integer range-prune decision + the n_matching
@@ -11224,6 +11246,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx.postings.select("term", "doc_id")
         )
 
+    def compaction_plan(spark, sf):
+        # OPTIMIZE-style bin-fill merge grouping over synthesized
+        # per-source files (doc_id DIV 25 shards, n_chars byte sums)
+        from luc4ir_spark.plans import layout as ly
+
+        files = (
+            _docs(spark, sf)
+            .groupBy(
+                F.col("source").alias("partition"),
+                F.expr("doc_id DIV 25").cast("long").alias("file_id"),
+            )
+            .agg(F.sum("n_chars").cast("long").alias("size_bytes"))
+        )
+        return ly.compaction_plan(files, target_bytes=3000)
+
     def scan_pruning(spark, sf):
         # zone-map pruning simulation over TWO layouts of the same
         # rows: n_chars-range-clustered files prune, mix-hash files
@@ -14602,6 +14639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_encoding": postings_encoding,
         "term_frontcoding": term_frontcoding,
         "scan_pruning": scan_pruning,
+        "compaction_plan": compaction_plan,
         "zorder_events": zorder_events,
         "synonym_query": synonym_query,
         "collapse_results": collapse_results,
@@ -14981,6 +15019,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_encoding": _postings_encoding_sql(),
         "term_frontcoding": _term_frontcoding_sql(),
         "scan_pruning": _scan_pruning_sql(),
+        "compaction_plan": _COMPACTION_SQL,
         "zorder_events": _ZORDER_SQL,
         "synonym_query": _synonym_sql(),
         "collapse_results": _collapse_sql(),

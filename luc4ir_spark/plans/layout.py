@@ -347,3 +347,50 @@ def scan_pruning_report(
         (F.col("vmax") < F.lit(int(lo)))
         | (F.col("vmin") > F.lit(int(hi))),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planning — the grouping pass of Iceberg's
+    rewrite_data_files / Delta OPTIMIZE (and Lucene's size-tiered
+    merge selection at the spirit level): within each partition,
+    assign files to merge groups of ~``target_bytes`` by deterministic
+    bin-fill — files in (size DESC, file_id ASC) order, a file joins
+    group floor(running_bytes_before / target). Already-target-sized
+    files land first and occupy whole groups by themselves; the small-
+    file tail packs together — the behavior a rewrite job wants.
+
+    -> (partition, file_id, size_bytes, group_id, group_seq) — all
+    integers, engine-exact (the bin-fill is a prefix-sum rule, not a
+    solver; optimal packing is a bin-packing problem and compaction
+    only needs 'roughly target-sized groups').
+
+    Plan shape: ONE per-partition window (prefix sum + row_number) —
+    the partition is the natural parallelism unit exactly as in the
+    real table-maintenance job; group totals are one aggregate
+    downstream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(size_col).desc(), F.col(file_col).asc()
+    )
+    cum_before = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return files.select(
+        F.col(partition_col).alias("partition"),
+        F.col(file_col).alias("file_id"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+        F.floor(cum_before / F.lit(int(target_bytes)))
+        .cast("long")
+        .alias("group_id"),
+        F.row_number().over(w).cast("long").alias("group_seq"),
+    )

@@ -500,3 +500,26 @@ def test_scan_pruning_report_hand_computed(spark):
     ).collect()
     assert all(not r["pruned"] for r in hrep)
     assert sum(r["n_matching"] for r in hrep) == 10
+
+
+def test_compaction_plan_hand_computed(spark):
+    """Bin-fill at target 100: sizes 90, 60, 50, 30, 20 (one
+    partition) in size-DESC order -> cum-before 0, 90, 150, 200, 230
+    -> groups 0, 0, 1, 2, 2; a second partition restarts at group 0."""
+    from luc4ir_spark.plans import layout as ly
+
+    rows = [
+        ("p1", 1, 90), ("p1", 2, 60), ("p1", 3, 50), ("p1", 4, 30),
+        ("p1", 5, 20), ("p2", 6, 10),
+    ]
+    f = spark.createDataFrame(
+        rows, "partition string, file_id long, size_bytes long"
+    )
+    got = {
+        r["file_id"]: (r["group_id"], r["group_seq"])
+        for r in ly.compaction_plan(f, target_bytes=100).collect()
+    }
+    assert got == {
+        1: (0, 1), 2: (0, 2), 3: (1, 3), 4: (2, 4), 5: (2, 5),
+        6: (0, 1),
+    }
