@@ -8525,6 +8525,40 @@ FROM flagged GROUP BY doc_id
 """
 
 
+_SITEMAP_SQL = r"""
+WITH piece AS (
+  SELECT source, doc_id,
+         '<url><loc>https://h' || (doc_id % 10) || '.example.com/p/'
+         || doc_id || '</loc>' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN '<lastmod>2026-01-'
+                   || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                   || '</lastmod>'
+              ELSE '' END || '</url>' AS p
+  FROM documents
+),
+sm AS (
+  SELECT source AS sitemap_id,
+         '<urlset>' || string_agg(p, '' ORDER BY doc_id)
+         || '</urlset>' AS xml
+  FROM piece GROUP BY 1
+),
+b AS (
+  SELECT sitemap_id,
+         regexp_extract_all(xml, '<url>(.*?)</url>', 1) AS blocks
+  FROM sm
+),
+e AS (
+  SELECT sitemap_id, i::BIGINT AS seq, blocks[i::INT] AS blk
+  FROM b, unnest(range(1, len(blocks) + 1)) AS r(i)
+)
+SELECT sitemap_id, seq,
+       regexp_extract(blk, '<loc>([^<]+)</loc>', 1) AS url,
+       regexp_extract(blk, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
+FROM e WHERE regexp_extract(blk, '<loc>([^<]+)</loc>', 1) <> ''
+"""
+
+
 _GAZ_ENTITIES = ("spark", "customer value", "fast merge", "zz-absent")
 
 
@@ -13508,6 +13542,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dd.dedup_lines(d, content_col="text", min_docs=2)
 
+    def sitemap(spark, sf):
+        # sitemaps.org <loc>/<lastmod> extraction over per-source
+        # synthesized sitemap XML (deterministic doc_id-ordered concat
+        # on both engines); regex projection, no XML parser
+        d = _docs(spark, sf)
+        url = F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        lastmod = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        piece = F.concat(
+            F.lit("<url><loc>"), url, F.lit("</loc>"), lastmod,
+            F.lit("</url>"),
+        )
+        sm = d.groupBy(F.col("source").alias("sitemap_id")).agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id"), piece.alias("p")
+                                )
+                            )
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        return ts.sitemap_extract(sm)
+
     def gazetteer(spark, sf):
         # broadcast-lexicon entity annotation: substring mention
         # counts via the length-replace trick + first offsets
@@ -14865,6 +14943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "boilerplate_strip": boilerplate_strip,
         "gazetteer": gazetteer,
+        "sitemap": sitemap,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -15269,6 +15348,7 @@ FROM h
         "dedup_lines": _dedup_lines_sql(),
         "boilerplate_strip": _boilerplate_sql(),
         "gazetteer": _gazetteer_sql(),
+        "sitemap": _SITEMAP_SQL,
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -2833,6 +2833,46 @@ def robots_filter(
     )
 
 
+def sitemap_extract(
+    sitemaps: DataFrame,
+    content_col: str = "xml",
+    id_col: str = "sitemap_id",
+) -> DataFrame:
+    """Sitemap URL-set extraction (sitemaps.org XML protocol — the
+    crawl-seed feed every production crawler ingests next to
+    robots.txt): pull every ``<loc>`` entry and its optional sibling
+    ``<lastmod>`` from sitemap XML blobs. The extraction is a pure
+    regex projection (`regexp_extract_all` — identical call in Spark
+    and DuckDB), NOT a full XML parse: sitemap files are
+    machine-generated flat lists, the narrow-regex idiom the
+    reference's TREC SGML parser already established for this shape
+    (sources/docparsers.py). lastmod is paired positionally from the
+    per-<url> block regex, NULL ('' empty) when absent.
+    -> (sitemap_id, seq, url, lastmod) with seq the 1-based position
+    in the file (crawl-order preserving).
+
+    Plan shape: one regexp_extract_all + a LITERAL-free posexplode of
+    the per-row match array — scan-local; no shuffle at all."""
+    blocks = F.expr(
+        f"regexp_extract_all({content_col}, "
+        "'<url>(.*?)</url>', 1)"
+    )
+    base = sitemaps.select(
+        F.col(id_col).alias("sitemap_id"),
+        F.posexplode(blocks).alias("_i", "_b"),
+    )
+    return base.select(
+        "sitemap_id",
+        (F.col("_i") + 1).cast("long").alias("seq"),
+        F.regexp_extract(F.col("_b"), "<loc>([^<]+)</loc>", 1).alias(
+            "url"
+        ),
+        F.regexp_extract(
+            F.col("_b"), "<lastmod>([^<]+)</lastmod>", 1
+        ).alias("lastmod"),
+    ).filter(F.col("url") != "")
+
+
 def gazetteer_extract(
     docs: DataFrame,
     entities: tuple,

@@ -3267,3 +3267,27 @@ def test_gazetteer_extract_hand_computed(spark):
     assert got[(2, "aa")] == (1, 1)     # 'aa' in 'aaa': replace once
     assert (3, "zzz") not in got
     assert all(k[1] != "zzz" for k in got)
+
+
+def test_sitemap_extract_hand_computed(spark):
+    """<loc> and optional <lastmod> pulled per <url> block in file
+    order; blocks without a loc are dropped; lastmod '' when absent."""
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a/1</loc>"
+        "<lastmod>2026-01-05</lastmod></url>"
+        "<url><loc>https://a/2</loc></url>"
+        "<url><priority>0.5</priority></url>"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame(
+        [(1, xml), (2, "<urlset></urlset>")],
+        "sitemap_id long, xml string",
+    )
+    rows = textstats.sitemap_extract(sm).collect()
+    got = {(r["sitemap_id"], r["seq"]): (r["url"], r["lastmod"])
+           for r in rows}
+    assert got == {
+        (1, 1): ("https://a/1", "2026-01-05"),
+        (1, 2): ("https://a/2", ""),
+    }
