@@ -2872,6 +2872,41 @@ _QRELS_SQL = (
     " CROSS JOIN documents d WHERE (d.doc_id + qn.qn) % 3 = 0)"
 )
 
+def _score_cutoff_sql() -> str:
+    """Replays retrieval.score_gap_cutoff over the BM25 run: lead()
+    gaps on 4dp-rounded scores, argmax with earliest-rank ties."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, round(s_raw, 4) AS s,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s_raw DESC, doc_id ASC)::BIGINT
+           AS rank
+  FROM scored
+),
+g AS (
+  SELECT qid, rank, s,
+         lead(s) OVER (PARTITION BY qid ORDER BY rank) AS nxt
+  FROM ranked WHERE rank <= {TOPK}
+),
+gg AS (
+  SELECT qid, rank, round(s - nxt, 4) AS gap,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(s - nxt, 4) DESC, rank ASC) AS rn
+  FROM g WHERE nxt IS NOT NULL
+)
+SELECT qid, rank AS cut_rank, gap FROM gg WHERE rn = 1
+"""
+
+
 def _assessor_kappa_sql() -> str:
     """Replays evaluation.assessor_agreement over the pseudo-qrels
     pool and its 20%-flipped twin: integer marginals, po/pe/kappa as
@@ -13779,6 +13814,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(base, ignore_errors=True)
         return res
 
+    def score_cutoff(spark, sf):
+        # dynamic truncation at the largest 4dp-score gap inside the
+        # BM25 top-10 (max-gap rule; earliest-rank ties)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK)
+        return rt.score_gap_cutoff(run, max_k=TOPK)
+
     def assessor_kappa(spark, sf):
         # Cohen's kappa between the pseudo assessor and a second
         # assessor with deterministic 20% mix-parity flips —
@@ -14917,6 +14960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_sideways": drill_sideways,
         "run_ttest": run_ttest,
         "assessor_kappa": assessor_kappa,
+        "score_cutoff": score_cutoff,
         "snippets": snippets,
         "hygiene_streamed": hygiene_streamed,
         "fuzzy_query": fuzzy_query,
@@ -15380,6 +15424,7 @@ FROM h
         ),
         "run_ttest": _run_ttest_sql(),
         "assessor_kappa": _assessor_kappa_sql(),
+        "score_cutoff": _score_cutoff_sql(),
         "snippets": _snippets_sql(),
         "hygiene_streamed": _hygiene_streamed_sql(),
         "fuzzy_query": _fuzzy_query_sql(),

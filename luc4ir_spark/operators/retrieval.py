@@ -1765,6 +1765,55 @@ def infix_suggest(
     )
 
 
+def score_gap_cutoff(
+    run: DataFrame,
+    max_k: int = 10,
+    min_rank: int = 1,
+    score_col: str = "score",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Dynamic result-list truncation at the largest score gap — the
+    practical member of the where-to-stop-reading family (Arampatzis,
+    Kamps & Robertson SIGIR'09 model score distributions; the max-gap
+    rule is the deterministic cousin engines actually ship, e.g.
+    Vespa/ES-style rank cutoff heuristics): within the top ``max_k``,
+    cut after the rank whose score drop to the next result is
+    LARGEST; the relevant head usually separates from the tail by a
+    visible cliff. Gaps are computed on scores ROUNDED to
+    ``round_dp`` so the argmax is engine-stable (raw scores can
+    differ in the last ulp across engines); ties break to the
+    EARLIEST rank (shorter lists on ambiguity). Queries with fewer
+    than 2 results in the window emit no row.
+    -> (qid, cut_rank, gap): keep ranks <= cut_rank downstream.
+
+    Plan shape: per-qid lead() + a bounded top-1 window over run-sized
+    relations — nothing touches the corpus."""
+    w = Window.partitionBy("qid").orderBy("rank")
+    g = (
+        run.filter(F.col("rank") <= int(max_k))
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col(score_col), int(round_dp)).alias("_s"),
+        )
+        .withColumn("_next", F.lead("_s").over(w))
+        .filter(
+            (F.col("rank") >= int(min_rank)) & F.col("_next").isNotNull()
+        )
+        .withColumn(
+            "gap", F.round(F.col("_s") - F.col("_next"), int(round_dp))
+        )
+    )
+    pick = Window.partitionBy("qid").orderBy(
+        F.col("gap").desc(), F.col("rank").asc()
+    )
+    return (
+        g.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select("qid", F.col("rank").alias("cut_rank"), "gap")
+    )
+
+
 def fuzzy_complete(
     index: InvertedIndex,
     query_prefixes: DataFrame,

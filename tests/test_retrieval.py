@@ -3053,3 +3053,23 @@ def test_fuzzy_complete_hand_computed(spark):
     )
     # q3: levenshtein('spark', 'spakr') = 2 -> no suggestions
     assert "q3" not in by_q
+
+
+def test_score_gap_cutoff_hand_computed(spark):
+    """Scores 10, 9.5, 6, 5.9, 5.8: biggest gap 3.5 after rank 2 ->
+    cut_rank 2; equal gaps tie to the earliest rank; a single-result
+    query emits no row."""
+    run = spark.createDataFrame(
+        [("q1", 1, 1, 10.0), ("q1", 2, 2, 9.5), ("q1", 3, 3, 6.0),
+         ("q1", 4, 4, 5.9), ("q1", 5, 5, 5.8),
+         ("q2", 1, 1, 4.0), ("q2", 2, 2, 3.0), ("q2", 3, 3, 2.0),
+         ("q3", 9, 1, 1.0)],
+        "qid string, doc_id long, rank long, score double",
+    )
+    got = {
+        r["qid"]: (r["cut_rank"], r["gap"])
+        for r in rt.score_gap_cutoff(run, max_k=10).collect()
+    }
+    assert got["q1"] == (2, 3.5)
+    assert got["q2"] == (1, 1.0)   # 1.0 gaps everywhere -> earliest
+    assert "q3" not in got
