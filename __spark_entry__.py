@@ -8560,6 +8560,24 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def _host_gini_sql() -> str:
+    """Replays textstats.group_gini over the normalized hosts: exact
+    discrete Gini with integer numerator, one division."""
+    return f"""
+WITH {_url_norm_ctes()},
+sizes AS (SELECT host AS g, count(*)::BIGINT AS x
+          FROM p3 GROUP BY 1),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x ASC, g ASC) AS i
+           FROM sizes),
+agg AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS total,
+               sum(i * x)::BIGINT AS ix
+        FROM ranked)
+SELECT n AS n_groups, total,
+       round((2 * ix - (n + 1) * total) / (n * total), 4) AS gini
+FROM agg
+"""
+
+
 _SITEMAP_SQL = r"""
 WITH piece AS (
   SELECT source, doc_id,
@@ -13577,6 +13595,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dd.dedup_lines(d, content_col="text", min_docs=2)
 
+    def host_gini(spark, sf):
+        # crawl-concentration Gini over the normalized hosts, doc
+        # counts weighted by nothing (pure counts) — integer-exact
+        from luc4ir_spark.operators import textstats as ts2
+
+        d = _docs(spark, sf)
+        hosts = ts2.normalize_urls(
+            d.select("doc_id", _pseudo_url_expr().alias("url")),
+            url_col="url",
+        ).select("host")
+        return ts2.group_gini(hosts, "host")
+
     def sitemap(spark, sf):
         # sitemaps.org <loc>/<lastmod> extraction over per-source
         # synthesized sitemap XML (deterministic doc_id-ordered concat
@@ -14988,6 +15018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": boilerplate_strip,
         "gazetteer": gazetteer,
         "sitemap": sitemap,
+        "host_gini": host_gini,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -15393,6 +15424,7 @@ FROM h
         "boilerplate_strip": _boilerplate_sql(),
         "gazetteer": _gazetteer_sql(),
         "sitemap": _SITEMAP_SQL,
+        "host_gini": _host_gini_sql(),
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -2833,6 +2833,62 @@ def robots_filter(
     )
 
 
+def group_gini(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient over group sizes — the
+    crawl-balance / source-diversity number corpus reports quote (a
+    crawl where one host owns half the documents has a very different
+    risk profile from a uniform one; same statistic the economics
+    literature uses for income):
+
+        G = (2·Σ_{i=1..n} i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    over the ASCENDING-sorted group sizes x_(i) — the exact discrete
+    formula, all-INTEGER numerator and denominator with ONE division,
+    engine-identical (ties in x are rank-order independent: equal
+    sizes contribute the same regardless of their i permutation...
+    Σ i·x over a tie block is invariant since x is constant there).
+    G = 0 uniform, → 1 concentrated. -> ONE row
+    (n_groups, total, gini).
+
+    Plan shape: one map-side-combined groupBy(group) + one window
+    over the GROUP-CARDINALITY-sized relation (hosts/sources — the
+    documented small-relation global-window exception) + one
+    aggregate."""
+    w = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(weight_col).cast("long")
+    )
+    sizes = df.groupBy(F.col(group_col).alias("_g")).agg(w.alias("_x"))
+    ranked = sizes.select(
+        "_x",
+        F.row_number()
+        .over(Window.orderBy(F.col("_x").asc(), F.col("_g").asc()))
+        .alias("_i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_x").cast("long").alias("total"),
+        F.sum(F.col("_i") * F.col("_x")).cast("long").alias("_ix"),
+    )
+    return agg.select(
+        "n_groups",
+        "total",
+        F.round(
+            (
+                F.lit(2) * F.col("_ix")
+                - (F.col("n_groups") + 1) * F.col("total")
+            )
+            / (F.col("n_groups") * F.col("total")),
+            4,
+        ).alias("gini"),
+    )
+
+
 def sitemap_extract(
     sitemaps: DataFrame,
     content_col: str = "xml",

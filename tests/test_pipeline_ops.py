@@ -3291,3 +3291,26 @@ def test_sitemap_extract_hand_computed(spark):
         (1, 1): ("https://a/1", "2026-01-05"),
         (1, 2): ("https://a/2", ""),
     }
+
+
+def test_group_gini_hand_computed(spark):
+    """Uniform 4x25 -> gini 0; one group owning everything among 4
+    groups -> (n-1)/n = 0.75; hand case [1,2,3,4]: sorted Σi·x = 1+4+
+    9+16 = 30, G = (60 - 5*10)/(4*10) = 0.25."""
+    from luc4ir_spark.operators import textstats as ts
+
+    uniform = spark.createDataFrame(
+        [(f"g{i % 4}",) for i in range(100)], "host string"
+    )
+    assert ts.group_gini(uniform, "host").collect()[0]["gini"] == 0.0
+    skew = spark.createDataFrame(
+        [("a",)] * 97 + [("b",), ("c",), ("d",)], "host string"
+    )
+    g = ts.group_gini(skew, "host").collect()[0]
+    assert 0.7 < g["gini"] < 0.75
+    steps = spark.createDataFrame(
+        [("a",)] + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 4,
+        "host string",
+    )
+    r = ts.group_gini(steps, "host").collect()[0]
+    assert (r["n_groups"], r["total"], r["gini"]) == (4, 10, 0.25)
