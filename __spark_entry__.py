@@ -2226,6 +2226,37 @@ rl AS (
 )"""
 
 
+def _run_diff_sql() -> str:
+    """Replays evaluation.run_diff over the bm25 vs lmdir runs at
+    TOPK: full-outer (qid, doc) join, integer set counts, one-division
+    mean |rank shift|."""
+    return f"""
+WITH {_two_run_ctes()},
+a AS (SELECT qid, doc_id, rank AS ra FROM rb WHERE rank <= {TOPK}),
+b AS (SELECT qid, doc_id, rank AS rbk FROM rl WHERE rank <= {TOPK}),
+j AS (
+  SELECT qid, a.ra, b.rbk
+  FROM a FULL OUTER JOIN b USING (qid, doc_id)
+),
+per AS (
+  SELECT qid,
+         sum(CASE WHEN ra IS NOT NULL AND rbk IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_common,
+         sum(CASE WHEN rbk IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_only_a,
+         sum(CASE WHEN ra IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_only_b,
+         sum(CASE WHEN ra IS NOT NULL AND rbk IS NOT NULL
+                  THEN abs(ra - rbk) ELSE 0 END)::BIGINT AS shift
+  FROM j GROUP BY 1
+)
+SELECT qid, n_common, n_only_a, n_only_b,
+       CASE WHEN n_common > 0
+            THEN round(shift / n_common, 4) END AS avg_rank_shift
+FROM per
+"""
+
+
 def _pooling_sql() -> str:
     """Replays pool_runs over the bm25 + lmdir runs at _POOL_DEPTH."""
     return f"""
@@ -10417,6 +10448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return r1, r2
 
+    def run_diff(spark, sf):
+        # engine-regression diff between the bm25 and lmdir top-10s:
+        # common/only counts + mean |rank shift|, one division
+        r1, r2 = _two_runs(spark, sf)
+        return ev.run_diff(r1, r2, k=TOPK)
+
     def trec_pooling(spark, sf):
         # TREC judging-pool construction over two systems at _POOL_DEPTH
         r1, r2 = _two_runs(spark, sf)
@@ -14744,6 +14781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": bpe_merges,
         "index_upsert": index_upsert,
         "trec_pooling": trec_pooling,
+        "run_diff": run_diff,
         "rank_correlation": rank_correlation,
         "tau_ap": tau_ap,
         "rank_spearman": rank_spearman,
@@ -15127,6 +15165,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "index_upsert": _upsert_sql(),
         "trec_pooling": _pooling_sql(),
+        "run_diff": _run_diff_sql(),
         "rank_correlation": _rank_corr_sql(),
         "tau_ap": _tau_ap_sql(),
         "rank_spearman": _spearman_sql(),

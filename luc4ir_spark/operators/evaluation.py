@@ -1033,6 +1033,68 @@ def calibration_bins(
     )
 
 
+def run_diff(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query diff between two runs' top-k — the regression report
+    an engine change ships with (the operational complement of the
+    rank-correlation family: tau tells you HOW MUCH moved, this tells
+    you WHAT): common docs, docs only one side retrieves, and the
+    mean |rank shift| over the common set.
+
+        n_common / n_only_a / n_only_b : integer set counts
+        avg_rank_shift = Σ|rank_a − rank_b| / n_common  (ONE division;
+                         NULL when nothing is common)
+
+    -> one row per qid present in EITHER run: (qid, n_common,
+    n_only_a, n_only_b, avg_rank_shift).
+
+    Plan shape: one (qid, doc_id) full-outer join of two run-sized
+    relations + one groupBy(qid). Corpus never touched."""
+    a = run_a.filter(F.col("rank") <= int(k)).select(
+        "qid", "doc_id", F.col("rank").alias("_ra")
+    )
+    b = run_b.filter(F.col("rank") <= int(k)).select(
+        "qid", "doc_id", F.col("rank").alias("_rb")
+    )
+    j = a.join(b, ["qid", "doc_id"], "full_outer")
+    per = j.groupBy("qid").agg(
+        F.sum(
+            (F.col("_ra").isNotNull() & F.col("_rb").isNotNull()).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_common"),
+        F.sum(F.col("_rb").isNull().cast("long"))
+        .cast("long")
+        .alias("n_only_a"),
+        F.sum(F.col("_ra").isNull().cast("long"))
+        .cast("long")
+        .alias("n_only_b"),
+        F.sum(
+            F.when(
+                F.col("_ra").isNotNull() & F.col("_rb").isNotNull(),
+                F.abs(F.col("_ra") - F.col("_rb")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_shift"),
+    )
+    return per.select(
+        "qid",
+        "n_common",
+        "n_only_a",
+        "n_only_b",
+        F.when(
+            F.col("n_common") > 0,
+            F.round(F.col("_shift") / F.col("n_common"), 4),
+        ).alias("avg_rank_shift"),
+    )
+
+
 def assessor_agreement(
     j1: DataFrame,
     j2: DataFrame,

@@ -1148,3 +1148,24 @@ def test_assessor_agreement_hand_computed(spark):
     )
     r2 = ev.assessor_agreement(allpos, allpos).collect()[0]
     assert r2["po"] == 1.0 and r2["kappa"] is None
+
+
+def test_run_diff_hand_computed(spark):
+    """q1: A top-3 {1,2,3}@1..3, B {2,1,9}: common {1,2} with shifts
+    |1-2|+|2-1| = 2 -> avg 1.0; only_a {3}, only_b {9}. q2 exists in
+    A only -> 0 common, NULL shift."""
+    a = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q2", 7, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [("q1", 2, 1), ("q1", 1, 2), ("q1", 9, 3)],
+        "qid string, doc_id long, rank long",
+    )
+    got = {
+        r["qid"]: (r["n_common"], r["n_only_a"], r["n_only_b"],
+                   r["avg_rank_shift"])
+        for r in ev.run_diff(a, b, k=10).collect()
+    }
+    assert got["q1"] == (2, 1, 1, 1.0)
+    assert got["q2"] == (0, 1, 0, None)
