@@ -3156,6 +3156,53 @@ UNION ALL
 SELECT 'couple' AS measure, a, b, n FROM bc WHERE n >= 2
 """
 
+_KCORE_SQL = """
+WITH nodes0 AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes0),
+edges AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst
+  FROM nodes0 CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes0 CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes0 CROSS JOIN nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE least(src, dst) < greatest(src, dst)),
+n0 AS (SELECT DISTINCT a AS id FROM und
+       UNION SELECT b FROM und),
+d1 AS (SELECT id, count(*)::BIGINT AS d FROM
+       (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+       GROUP BY 1),
+s1 AS MATERIALIZED (SELECT n0.id FROM n0 JOIN d1 USING (id)
+      WHERE d1.d >= 4),
+e2 AS MATERIALIZED (
+  SELECT u.a, u.b FROM und u
+  WHERE u.a IN (SELECT id FROM s1) AND u.b IN (SELECT id FROM s1)),
+d2 AS (SELECT id, count(*)::BIGINT AS d FROM
+       (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+       GROUP BY 1),
+s2 AS MATERIALIZED (SELECT s1.id FROM s1 JOIN d2 USING (id)
+      WHERE d2.d >= 4),
+e3 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e2 e
+  WHERE e.a IN (SELECT id FROM s2) AND e.b IN (SELECT id FROM s2)),
+d3 AS (SELECT id, count(*)::BIGINT AS d FROM
+       (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+       GROUP BY 1),
+s3 AS MATERIALIZED (SELECT s2.id FROM s2 JOIN d3 USING (id)
+      WHERE d3.d >= 4)
+SELECT id, 1::BIGINT AS peel_round FROM n0
+WHERE id NOT IN (SELECT id FROM s1)
+UNION ALL
+SELECT id, 2 FROM s1 WHERE id NOT IN (SELECT id FROM s2)
+UNION ALL
+SELECT id, 3 FROM s2 WHERE id NOT IN (SELECT id FROM s3)
+UNION ALL
+SELECT id, 0 FROM s3
+"""
+
 _LINK_BFS_SQL = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -11059,6 +11106,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges, min_common=2, max_degree=None
         )
 
+    def kcore_peel(spark, sf):
+        # 3-round k-core peeling at k=4 over the synthetic graph:
+        # peel_round per node, 0 = survives all rounds
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        return gr.kcore_peel(edges, k=4, rounds=3)
+
     def link_bfs(spark, sf):
         # bounded-depth BFS seed distance (crawl depth / TrustRank
         # proximity): seeds = doc_id % 97 == 0, 3 unrolled hops
@@ -14808,6 +14863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_cocitation": link_cocitation,
         "link_prediction": link_prediction,
         "link_bfs": link_bfs,
+        "kcore_peel": kcore_peel,
         "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
@@ -15192,6 +15248,7 @@ def oracle_sql() -> dict[str, str]:
         "link_cocitation": _COCITATION_SQL,
         "link_prediction": _LINK_PREDICTION_SQL,
         "link_bfs": _LINK_BFS_SQL,
+        "kcore_peel": _KCORE_SQL,
         "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,

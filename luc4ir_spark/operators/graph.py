@@ -568,3 +568,69 @@ def bfs_depth(
         )
         cur = best.filter(F.col("depth") == d)
     return best
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman, Social Networks 1983; the
+    degeneracy decomposition behind spam-farm and community-core
+    detection — link spam clusters survive high-k cores, organic
+    pages don't): repeatedly delete nodes of degree < k from the
+    undirected simple graph, ``rounds`` times. The true k-core is the
+    fixpoint; a bounded unroll reports which round each node fell
+    (early rounds = peripheral, survivors = core-like) — and in
+    practice most mass settles in the first few peels.
+    -> (id, peel_round): 1-based round the node was removed, 0 for
+    nodes still standing after ``rounds``.
+
+    Plan shape: per round one degree aggregate + two semi-joins to
+    restrict the edge set — the standard relational peel; the unroll
+    constant bounds plan depth (the docstring rule of `bfs_depth`:
+    deep fixpoints switch to a localCheckpoint loop, same shape)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cur_edges = und
+    alive = nodes
+    out = None
+    for r in range(1, int(rounds) + 1):
+        deg = (
+            cur_edges.select(F.col("a").alias("id"))
+            .unionAll(cur_edges.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        )
+        survivors = (
+            alive.join(deg, "id", "left")
+            .filter(F.coalesce(F.col("_d"), F.lit(0)) >= int(k))
+            .select("id")
+            .localCheckpoint(eager=False)
+        )
+        removed = alive.join(survivors, "id", "left_anti").select(
+            "id", F.lit(r).cast("long").alias("peel_round")
+        )
+        out = removed if out is None else out.unionByName(removed)
+        alive = survivors
+        cur_edges = (
+            cur_edges.join(
+                survivors.withColumnRenamed("id", "a"), "a", "left_semi"
+            ).join(
+                survivors.withColumnRenamed("id", "b"), "b", "left_semi"
+            )
+        )
+    core = alive.select("id", F.lit(0).cast("long").alias("peel_round"))
+    return out.unionByName(core)

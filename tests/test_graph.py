@@ -309,3 +309,23 @@ def test_bfs_depth_hand_computed(spark):
         for r in gr.bfs_depth(nodes, edges, seeds, max_depth=1).collect()
     }
     assert shallow == {0: 0, 1: 1, 3: 1}
+
+
+def test_kcore_peel_hand_computed(spark):
+    """K4 plus a pendant chain at k=2: pendant leaf (deg 1) peels in
+    round 1; its neighbor (deg 2 -> 1 after) peels in round 2; the K4
+    survives (2-core). Direction/duplicates simplify away."""
+    from luc4ir_spark.operators import graph as gr
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11)]  # 3-10-11 pendant path
+    e = spark.createDataFrame(
+        k4 + chain + [(0, 1)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["peel_round"]
+        for r in gr.kcore_peel(e, k=2, rounds=3).collect()
+    }
+    assert got[11] == 1
+    assert got[10] == 2
+    assert all(got[v] == 0 for v in range(4))
