@@ -8638,6 +8638,42 @@ FROM flagged GROUP BY doc_id
 """
 
 
+_WARC_SQL = r"""
+WITH rec AS (
+  SELECT source, doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: response' || chr(13) || chr(10)
+         || 'WARC-Target-URI: https://h' || (doc_id % 10)
+         || '.example.com/p/' || doc_id || chr(13) || chr(10)
+         || 'Content-Length: ' || n_chars || chr(13) || chr(10)
+         || chr(13) || chr(10) || substr(text, 1, 20) AS p
+  FROM documents
+),
+blob AS (
+  SELECT source AS file_id, string_agg(p, '' ORDER BY doc_id) AS warc
+  FROM rec GROUP BY 1
+),
+sp AS (
+  SELECT file_id,
+         regexp_split_to_array(warc, 'WARC/1\.0\r\n') AS parts
+  FROM blob
+),
+e AS (
+  SELECT file_id, (i - 1)::BIGINT AS seq, parts[i::INT] AS r
+  FROM sp, unnest(range(1, len(parts) + 1)) AS rr(i)
+  WHERE parts[i::INT] <> ''
+)
+SELECT file_id, seq,
+       regexp_extract(r, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+       regexp_extract(r, 'WARC-Target-URI: ([^\r\n]+)', 1)
+         AS target_uri,
+       nullif(regexp_extract(r, 'Content-Length: ([0-9]+)', 1), '')
+         ::BIGINT AS content_length,
+       regexp_extract(r, '(?s)\r\n\r\n(.*)$', 1) AS body
+FROM e WHERE regexp_extract(r, 'WARC-Type: ([^\r\n]+)', 1) <> ''
+"""
+
+
 def _host_gini_sql() -> str:
     """Replays textstats.group_gini over the normalized hosts: exact
     discrete Gini with integer numerator, one division."""
@@ -13687,6 +13723,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dd.dedup_lines(d, content_col="text", min_docs=2)
 
+    def warc(spark, sf):
+        # ISO 28500 WARC record extraction over per-source synthesized
+        # CRLF blobs (Common Crawl's container format): version-line
+        # split + header regexes + payload capture
+        d = _docs(spark, sf)
+        crlf = "\r\n"
+        rec = F.concat(
+            F.lit(
+                "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+                + "WARC-Target-URI: https://h"
+            ),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(crlf + "Content-Length: "),
+            F.col("n_chars").cast("string"),
+            F.lit(crlf + crlf),
+            F.substring(F.col("text"), 1, 20),
+        )
+        blobs = d.groupBy(F.col("source").alias("file_id")).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id"), rec.alias("p"))
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                "",
+            ).alias("warc")
+        )
+        return ts.warc_extract(blobs, content_col="warc")
+
     def host_gini(spark, sf):
         # crawl-concentration Gini over the normalized hosts, doc
         # counts weighted by nothing (pure counts) — integer-exact
@@ -15113,6 +15183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer": gazetteer,
         "sitemap": sitemap,
         "host_gini": host_gini,
+        "warc": warc,
         "doc_fingerprint": doc_fingerprint,
         "embedding_norms": embedding_norms,
         "event_window_stats": event_window_stats,
@@ -15521,6 +15592,7 @@ FROM h
         "gazetteer": _gazetteer_sql(),
         "sitemap": _SITEMAP_SQL,
         "host_gini": _host_gini_sql(),
+        "warc": _WARC_SQL,
         "doc_fingerprint": (
             "WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -2833,6 +2833,52 @@ def robots_filter(
     )
 
 
+def warc_extract(
+    warcs: DataFrame,
+    content_col: str = "warc",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """WARC record header extraction (ISO 28500 — the Common Crawl
+    container format, THE input shape of a 100 TB web-corpus
+    pipeline): split a WARC blob into records on the ``WARC/1.0``
+    version line and pull the header fields a corpus loader routes on
+    (WARC-Type, WARC-Target-URI, Content-Length) plus the payload
+    after the blank line. Like `sitemap_extract`, this is the
+    narrow-regex idiom over a machine-generated format, not a general
+    parser: header keys are case-normalized by matching both spellings
+    upstream of this layer; bodies are returned verbatim.
+    -> (file_id, seq, warc_type, target_uri, content_length, body);
+    records without a WARC-Type are dropped (spec-invalid).
+
+    Plan shape: one regexp split + posexplode + scan-local regex
+    projections; no shuffle. At scale the outer splitter is the
+    WARC-aware file reader (binaryFile + gzip member split,
+    sources/docparsers.py); this operator is the per-record header
+    stage of that pipeline."""
+    recs = F.split(F.col(content_col), "WARC/1\\.0\r\n")
+    base = warcs.select(
+        F.col(id_col).alias("file_id"),
+        F.posexplode(recs).alias("_i", "_r"),
+    ).filter(F.col("_r") != "")
+    hdr = F.regexp_extract
+    return base.select(
+        "file_id",
+        F.col("_i").cast("long").alias("seq"),
+        hdr(F.col("_r"), "WARC-Type: ([^\r\n]+)", 1).alias("warc_type"),
+        hdr(F.col("_r"), "WARC-Target-URI: ([^\r\n]+)", 1).alias(
+            "target_uri"
+        ),
+        F.nullif(
+            hdr(F.col("_r"), "Content-Length: ([0-9]+)", 1), F.lit("")
+        )
+        .cast("long")
+        .alias("content_length"),
+        # ^ nullif before the cast: ANSI mode errors on ''::long when
+        # the header is absent
+        hdr(F.col("_r"), "(?s)\r\n\r\n(.*)$", 1).alias("body"),
+    ).filter(F.col("warc_type") != "")
+
+
 def group_gini(
     df: DataFrame,
     group_col: str,

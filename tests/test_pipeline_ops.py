@@ -3314,3 +3314,34 @@ def test_group_gini_hand_computed(spark):
     )
     r = ts.group_gini(steps, "host").collect()[0]
     assert (r["n_groups"], r["total"], r["gini"]) == (4, 10, 0.25)
+
+
+def test_warc_extract_hand_computed(spark):
+    """Two records in one blob: headers parsed, body captured after
+    the blank line (including embedded newlines); a record without
+    WARC-Type is dropped; missing Content-Length -> NULL."""
+    crlf = "\r\n"
+    blob = (
+        "WARC/1.0" + crlf
+        + "WARC-Type: response" + crlf
+        + "WARC-Target-URI: https://x/1" + crlf
+        + "Content-Length: 11" + crlf + crlf
+        + "hello world"
+        + "WARC/1.0" + crlf
+        + "WARC-Type: request" + crlf
+        + "WARC-Target-URI: https://x/2" + crlf + crlf
+        + "line1\nline2"
+        + "WARC/1.0" + crlf
+        + "X-Not-A-Warc: nope" + crlf + crlf + "junk"
+    )
+    w = spark.createDataFrame([(1, blob)], "file_id long, warc string")
+    rows = textstats.warc_extract(w).collect()
+    got = {r["seq"]: r for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1]["warc_type"] == "response"
+    assert got[1]["target_uri"] == "https://x/1"
+    assert got[1]["content_length"] == 11
+    assert got[1]["body"] == "hello world"
+    assert got[2]["warc_type"] == "request"
+    assert got[2]["content_length"] is None
+    assert got[2]["body"] == "line1\nline2"
