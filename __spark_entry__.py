@@ -2257,6 +2257,41 @@ FROM per
 """
 
 
+def _join_scores_sql() -> str:
+    """Replays retrieval.join_query_scores (ScoreMode.Max) over the
+    source field: per-(qid, source) max of the raw BM25 scores,
+    broadcast expansion to every doc of the source, top-10."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+meta AS (SELECT doc_id, source FROM documents),
+keys AS (
+  SELECT sc.qid, m.source, max(sc.s_raw) AS sv
+  FROM scored sc JOIN meta m USING (doc_id) GROUP BY 1, 2
+),
+expd AS (
+  SELECT k.qid, m.doc_id, k.sv
+  FROM meta m JOIN keys k ON m.source = k.source
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sv DESC, doc_id ASC)::BIGINT
+           AS rank,
+         round(sv, 4) AS score
+  FROM expd
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _pooling_sql() -> str:
     """Replays pool_runs over the bm25 + lmdir runs at _POOL_DEPTH."""
     return f"""
@@ -12441,6 +12476,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rt.join_query(idx, qt, _docs(spark, sf), field="source")
         return out.select("qid", "doc_id")
 
+    def join_scores(spark, sf):
+        # JoinUtil ScoreMode.Max: docs ranked by the BEST from-match
+        # score of their source (to-side expansion broadcast)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return rt.join_query_scores(
+            idx, qt, _docs(spark, sf), field="source",
+            score_mode="max", k=TOPK,
+        )
+
     def stats_agg(spark, sf):
         # ES stats aggregation over the BM25 top-k hits (n_chars)
         idx = _index(spark, sf)
@@ -15062,6 +15107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cori_merge": cori_merge,
         "redde_selection": redde_selection,
         "join_query": join_query,
+        "join_scores": join_scores,
         "stats_agg": stats_agg,
         "index_check": index_check,
         "index_disk_usage": index_disk_usage,
@@ -15448,6 +15494,7 @@ def oracle_sql() -> dict[str, str]:
         "cori_merge": _cori_merge_sql(),
         "redde_selection": _redde_sql(),
         "join_query": _join_query_sql(),
+        "join_scores": _join_scores_sql(),
         "stats_agg": _stats_agg_sql(),
         "index_check": _index_check_sql(),
         "index_disk_usage": _index_disk_usage_sql(),

@@ -3016,6 +3016,70 @@ def join_query(
     )
 
 
+def join_query_scores(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    docs: DataFrame,
+    field: str,
+    score_mode: str = "max",
+    k: int = 10,
+    id_col: str = "doc_id",
+    sim: "Similarity | None" = None,
+) -> DataFrame:
+    """Scored query-time join — Lucene JoinUtil.createJoinQuery with
+    ScoreMode.{Max, Total, Avg} (the modes `join_query`'s
+    ScoreMode.None omits): from-side documents are SCORED (BM25 by
+    default), their scores aggregate per join-key value, and every
+    to-side document carries its key's aggregate, ranked per query.
+    The canonical shape: "rank products by the best/total relevance
+    of their matching reviews".
+
+      max   : strongest from-match wins          (Lucene Max)
+      total : relevance mass accumulates         (Lucene Total)
+      avg   : normalized by from-match count     (Lucene Avg — ONE
+              division of a float sum by an integer count)
+
+    -> (qid, doc_id, rank, score), rank <= k, 4dp-rounded score with
+    doc_id-ASC ties like every scorer here. NOTE on parity: `total`
+    and `avg` SUM per-doc floats across a key's from-matches — the
+    oracle replays the identical join tree so group memberships match
+    and the sums agree to 4dp (same convention as every scoring gate).
+
+    Plan shape: one standard scoring pass (`score_queries` — postings
+    scanned once), one (qid, field) map-side-combined aggregate over
+    the hit set, one broadcast of the per-query-tiny key table onto
+    the doc metadata, one WindowGroupLimit top-k."""
+    if score_mode not in ("max", "total", "avg"):
+        raise ValueError(
+            "join_query_scores: score_mode must be max|total|avg"
+        )
+    run = score_queries(index, query_terms, k=10**6, sim=sim)
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).alias("_f")
+    )
+    agg = {
+        "max": F.max("score"),
+        "total": F.sum("score"),
+        "avg": F.sum("score") / F.count(F.lit(1)),
+    }[score_mode]
+    keys = (
+        run.join(meta, "doc_id")
+        .groupBy("qid", "_f")
+        .agg(agg.alias("_s"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        meta.join(F.broadcast(keys), "_f")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid", "doc_id", "rank", F.round("_s", 4).alias("score")
+        )
+    )
+
+
 def result_field_stats(
     run: DataFrame,
     docs: DataFrame,

@@ -3073,3 +3073,41 @@ def test_score_gap_cutoff_hand_computed(spark):
     assert got["q1"] == (2, 3.5)
     assert got["q2"] == (1, 1.0)   # 1.0 gaps everywhere -> earliest
     assert "q3" not in got
+
+
+def test_join_query_scores_modes(spark):
+    """Two sources: s1 holds the two best 'spark' docs, s2 one weak
+    one. Max mode ranks every s1 doc by s1's best score; total sums;
+    avg = total / n_matches — verified against score_queries."""
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark", "s1"), (2, "spark other", "s1"),
+         (3, "spark", "s2"), (4, "nothing", "s2"), (5, "plain", "s1")],
+        "doc_id long, content string, source string",
+    )
+    cfg = AnalyzerConfig(mode="simple")
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
+    qt = rt.queries_to_terms(spark, [("q", "spark")], cfg)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in rt.score_queries(idx, qt, k=10).collect()
+    }
+    s1_scores = [base[1], base[2]]
+    for mode, want in (
+        ("max", max(s1_scores)),
+        ("total", sum(s1_scores)),
+        ("avg", sum(s1_scores) / 2),
+    ):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in rt.join_query_scores(
+                idx, qt, docs, field="source", score_mode=mode, k=10
+            ).collect()
+        }
+        # every s1 doc (1, 2, 5) carries the aggregate, including the
+        # non-matching doc 5 — the to-side expansion semantics
+        import pytest as pt
+
+        for d in (1, 2, 5):
+            assert got[d] == pt.approx(round(want, 4), abs=1e-4), mode
+        for d in (3, 4):
+            assert got[d] == pt.approx(round(base[3], 4), abs=1e-4)
