@@ -4074,6 +4074,44 @@ FROM prof GROUP BY 1
 """
 
 
+def _ab_ztest_sql() -> str:
+    """Replays eventops.conversion_ztest over the mix-parity arms:
+    identical float expression shape (single integer-ratio divisions,
+    IEEE sqrt) so the z statistic matches bit-for-bit."""
+    from luc4ir_spark.functions import hashing as hx
+
+    mix = (
+        f"(({hx.MIX_A} * (user_id % {hx.MIX_P}) + {hx.MIX_B})"
+        f" % {hx.MIX_P})"
+    )
+    return f"""
+WITH per AS (
+  SELECT user_id,
+         CASE WHEN {mix} % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT sum(CASE WHEN v = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN v = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN v = 'a' THEN c ELSE 0 END)::BIGINT AS conv_a,
+         sum(CASE WHEN v = 'b' THEN c ELSE 0 END)::BIGINT AS conv_b
+  FROM per
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a / n_a, 4) AS p_a,
+       round(conv_b / n_b, 4) AS p_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+         round((conv_a / n_a - conv_b / n_b)
+               / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                      * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 4)
+       END AS z
+FROM t
+"""
+
+
 _TCLOSE_T = (2, 25)  # t = 0.08: splits the sf0.01 classes (tvds
 # 0.0737 / 0.0964) so both flag branches are exercised; the compare
 # is integer cross-multiplied, so closeness to t is not a hazard
@@ -13398,6 +13436,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "activity_bucket", "n_users", "n_sensitive", "at_risk"
         )
 
+    def ab_ztest(spark, sf):
+        # two-proportion z between mix-parity A/B arms; conversion =
+        # the user has a purchase event
+        from luc4ir_spark.functions.hashing import mix_id_expr
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        tagged = ev_df.select(
+            "user_id",
+            F.when(
+                F.pmod(mix_id_expr("user_id"), F.lit(2)) == 0,
+                F.lit("a"),
+            ).otherwise(F.lit("b")).alias("variant"),
+            (F.col("event_type") == "purchase").alias("converted"),
+        )
+        return eo.conversion_ztest(tagged)
+
     def t_closeness(spark, sf):
         # t-closeness audit: same QI classes + sensitive attribute as
         # the k/l audits; per-class total-variation distance to the
@@ -15086,6 +15141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sat_clicks": sat_clicks,
         "l_diversity": l_diversity,
         "t_closeness": t_closeness,
+        "ab_ztest": ab_ztest,
         "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
@@ -15473,6 +15529,7 @@ def oracle_sql() -> dict[str, str]:
         "sat_clicks": _SAT_CLICKS_SQL,
         "l_diversity": _l_diversity_sql(),
         "t_closeness": _t_closeness_sql(),
+        "ab_ztest": _ab_ztest_sql(),
         "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),

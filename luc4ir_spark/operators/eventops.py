@@ -689,6 +689,81 @@ def t_closeness_report(
     )
 
 
+def conversion_ztest(
+    events: DataFrame,
+    variant_col: str = "variant",
+    user_col: str = "user_id",
+    convert_col: str = "converted",
+) -> DataFrame:
+    """Two-proportion pooled z-test between two experiment arms — the
+    A/B readout every product analytics pipeline ships (the classic
+    normal-approximation test; for the per-query IR analogue see
+    `sign_test`/`permutation_test`): per-user conversion flags are
+    aggregated per variant and
+
+        z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),
+        p̂ = (c_a + c_b)/(n_a + n_b)
+
+    Arithmetic parity: every input to the float expression is an
+    exact integer ratio (single divisions), IEEE sqrt is correctly
+    rounded, and the expression SHAPE is mirrored in the oracle — so
+    both engines produce the identical double. NULL z when either arm
+    is empty or p̂ ∈ {0, 1} (zero variance). -> ONE row
+    (n_a, n_b, conv_a, conv_b, p_a, p_b, z).
+
+    Plan shape: one (user, variant) pre-aggregate over the raw log +
+    one two-row reduction. ``events`` must carry per-user variant and
+    conversion columns (derive upstream; assignment hygiene — one
+    variant per user — is the caller's contract)."""
+    per = events.groupBy(
+        F.col(user_col).alias("_u"), F.col(variant_col).alias("_v")
+    ).agg(
+        F.max(F.col(convert_col).cast("long")).alias("_c")
+    )
+    t = per.agg(
+        F.sum((F.col("_v") == "a").cast("long")).cast("long").alias(
+            "n_a"
+        ),
+        F.sum((F.col("_v") == "b").cast("long")).cast("long").alias(
+            "n_b"
+        ),
+        F.sum(F.when(F.col("_v") == "a", F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("_v") == "b", F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    denom = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (
+            F.col("conv_a") + F.col("conv_b")
+            < F.col("n_a") + F.col("n_b")
+        )
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 4).alias("p_a"),
+        F.round(pb, 4).alias("p_b"),
+        F.when(ok, F.round((pa - pb) / denom, 4)).alias("z"),
+    )
+
+
 def burst_report(
     events: DataFrame,
     threshold: int = 10,

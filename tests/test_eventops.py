@@ -654,3 +654,32 @@ def test_t_closeness_report_hand_computed(spark):
         for r in eo.t_closeness_report(ev, t=(1, 2)).collect()
     }
     assert out2 == {2: False, 4: False}
+
+
+def test_conversion_ztest_hand_computed(spark):
+    """Arms: a = 4 users 3 converted, b = 4 users 1 converted.
+    p_a=0.75, p_b=0.25, pooled 0.5 -> z = 0.5/sqrt(0.25*0.5) ~
+    1.4142. Multi-event users collapse to one flag; zero-variance
+    and empty-arm corners go NULL."""
+    import math
+
+    import pytest as pt
+
+    rows = []
+    for u in range(4):
+        rows += [(u, "a", u < 3), (u, "a", False)]  # dup events
+    for u in range(10, 14):
+        rows.append((u, "b", u == 10))
+    ev = spark.createDataFrame(
+        rows, "user_id long, variant string, converted boolean"
+    )
+    r = eo.conversion_ztest(ev).collect()[0]
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (4, 4, 3, 1)
+    assert r["p_a"] == 0.75 and r["p_b"] == 0.25
+    want = 0.5 / math.sqrt(0.5 * 0.5 * (0.25 + 0.25))
+    assert r["z"] == pt.approx(round(want, 4), abs=1e-4)
+    allconv = spark.createDataFrame(
+        [(1, "a", True), (2, "b", True)],
+        "user_id long, variant string, converted boolean",
+    )
+    assert eo.conversion_ztest(allconv).collect()[0]["z"] is None
