@@ -13939,6 +13939,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             content_col="text",
         )
 
+    def maxsim(spark, sf):
+        # ColBERT late-interaction MaxSim: embeddings grouped 8 token
+        # vectors per pseudo-doc; queries = tokens 0-1 of every 25th
+        # group; exact all-pairs path, broadcast query side
+        emb = _emb(spark, sf)
+        dt = emb.select(
+            F.expr("vec_id DIV 8").cast("long").alias("group_id"),
+            F.col("embedding").alias("vec"),
+        )
+        qt = emb.filter(
+            (F.expr("vec_id DIV 8") % 25 == 0)
+            & (F.col("vec_id") % 8 <= 1)
+        ).select(
+            F.concat(
+                F.lit("m"), F.expr("vec_id DIV 8").cast("string")
+            ).alias("qid"),
+            (F.col("vec_id") % 8).cast("long").alias("tok_id"),
+            F.col("embedding").alias("vec"),
+        )
+        return ann.maxsim_topk(qt, dt, k=5)
+
     def embedding_near_dups(spark, sf):
         # embedding-cosine near-dup pairs, brute-force verification path
         # (training-pipeline dedup modality over the embeddings table)
@@ -15244,6 +15265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": ann_recall,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dups": embedding_near_dups,
+        "maxsim": maxsim,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "duplicate_spans": duplicate_spans,
         "classifier_score": classifier_score,
@@ -15712,6 +15734,28 @@ FROM h
             " round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cosine"
             " FROM c a JOIN c b ON a.vec_id < b.vec_id"
             " WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.4"
+        ),
+        "maxsim": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+            " FROM embeddings),"
+            " dt AS (SELECT (vec_id // 8)::BIGINT AS group_id, v,"
+            " sqrt(list_dot_product(v, v)) AS dn FROM e),"
+            " qt AS (SELECT 'm' || (vec_id // 8) AS qid,"
+            " (vec_id % 8)::BIGINT AS tok, v AS qv,"
+            " sqrt(list_dot_product(v, v)) AS qn"
+            " FROM e WHERE (vec_id // 8) % 25 = 0 AND vec_id % 8 <= 1),"
+            " p AS (SELECT qt.qid, qt.tok, dt.group_id,"
+            " list_dot_product(qt.qv, dt.v) / (qt.qn * dt.dn) AS c"
+            " FROM dt CROSS JOIN qt),"
+            " b AS (SELECT qid, tok, group_id, max(c) AS m"
+            " FROM p GROUP BY 1, 2, 3),"
+            " s AS (SELECT qid, group_id, sum(m) AS sv"
+            " FROM b GROUP BY 1, 2),"
+            " r AS (SELECT qid, group_id,"
+            " row_number() OVER (PARTITION BY qid"
+            " ORDER BY sv DESC, group_id ASC)::BIGINT AS rank,"
+            " round(sv, 4) AS score FROM s)"
+            " SELECT qid, group_id, rank, score FROM r WHERE rank <= 5"
         ),
         "duplicate_spans": _duplicate_spans_sql(),
         "classifier_score": _classifier_score_sql(),

@@ -1303,3 +1303,76 @@ def ann_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def maxsim_topk(
+    query_tokens: DataFrame,
+    doc_tokens: DataFrame,
+    k: int = 5,
+    qid_col: str = "qid",
+    group_col: str = "group_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """ColBERT-style late-interaction scoring (Khattab & Zaharia,
+    SIGIR'20): queries and documents are BAGS of token vectors and
+
+        score(q, d) = Σ_{i ∈ q} max_{j ∈ d} cos(q_i, d_j)
+
+    — each query token votes for its best-matching document token
+    (MaxSim), votes sum. The multi-vector retrieval family's
+    representative next to the single-vector ANN suite.
+
+    Float parity: cosine = zip_with/aggregate dot over double arrays
+    divided by the two norms — DuckDB's list_dot_product matches that
+    fold bit-for-bit (verified repo-wide, see CLAUDE.md); max over
+    identical doubles is exact, and the outer sum runs over the
+    query's FEW tokens (the per-(qid, tok) maxima are aggregated in a
+    deterministic small set — at the gate's 2 tokens the sum is
+    order-exact).
+
+    Scale shape: this is the EXACT all-pairs verification path — the
+    query side broadcasts (queries × their tokens are request-sized)
+    and the corpus token table is scanned once; at 10⁹ token vectors
+    feed per-query-token ANN candidates (`lsh_bucket_topk` /
+    `ivf_cosine_topk`) into the same MaxSim aggregate instead of the
+    full scan — identical aggregation, pruned pairs (the ColBERT
+    PLAID recipe). -> (qid, group_id, rank, score), 4dp, group ties
+    ASC."""
+    qt = query_tokens.select(
+        F.col(qid_col).alias("qid"),
+        F.col("tok_id").alias("_qt"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "_qv"
+        ),
+    ).withColumn("_qn", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
+    dt = doc_tokens.select(
+        F.col(group_col).alias("group_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "_dv"
+        ),
+    ).withColumn("_dn", F.sqrt(_dot(F.col("_dv"), F.col("_dv"))))
+    pairs = dt.crossJoin(F.broadcast(qt)).select(
+        "qid",
+        "_qt",
+        "group_id",
+        (
+            _dot(F.col("_qv"), F.col("_dv"))
+            / (F.col("_qn") * F.col("_dn"))
+        ).alias("_cos"),
+    )
+    best = pairs.groupBy("qid", "_qt", "group_id").agg(
+        F.max("_cos").alias("_m")
+    )
+    scored = best.groupBy("qid", "group_id").agg(
+        F.sum("_m").alias("_s")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_s").desc(), F.col("group_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid", "group_id", "rank", F.round("_s", 4).alias("score")
+        )
+    )

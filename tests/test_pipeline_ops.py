@@ -3345,3 +3345,40 @@ def test_warc_extract_hand_computed(spark):
     assert got[2]["warc_type"] == "request"
     assert got[2]["content_length"] is None
     assert got[2]["body"] == "line1\nline2"
+
+
+def test_maxsim_topk_hand_computed(spark):
+    """Two docs of 2 token-vectors each; query of 2 tokens. MaxSim
+    replayed in numpy: each query token picks its best doc token,
+    votes sum; doc g0 aligned with the query wins."""
+    import numpy as np
+    import pytest as pt
+
+    from luc4ir_spark.operators import annsearch as ann
+
+    d = {
+        0: [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        1: [[0.0, 0.0, 1.0], [0.5, 0.5, 0.0]],
+    }
+    q = [[1.0, 0.0, 0.0], [0.0, 0.9, 0.1]]
+    dt = spark.createDataFrame(
+        [(g, v) for g, vs in d.items() for v in vs],
+        "group_id long, vec array<double>",
+    )
+    qt = spark.createDataFrame(
+        [("q", i, v) for i, v in enumerate(q)],
+        "qid string, tok_id long, vec array<double>",
+    )
+    got = {
+        r["group_id"]: (r["rank"], r["score"])
+        for r in ann.maxsim_topk(qt, dt, k=5).collect()
+    }
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for g, vs in d.items():
+        want = sum(max(cos(qv, dv) for dv in vs) for qv in q)
+        assert got[g][1] == pt.approx(round(want, 4), abs=1e-4), g
+    assert got[0][0] == 1 and got[1][0] == 2
