@@ -5342,6 +5342,9 @@ def _sim2_sql(kind: str) -> str:
         )
     elif kind == "ib_ll":
         score = "ln(1.0 + tfn / ((df + 1.0) / (n_docs + 1.0)))"
+    elif kind == "boolean":
+        # BooleanSimilarity: 1.0 per matched (weight-1) query term
+        score = "1.0"
     elif kind == "spl":
         # IB SPL: lambda = (df+1)/(N+1) with Lucene's ==1 -> 0.99
         # guard on the COMPUTED double (matches the Spark branch)
@@ -11777,6 +11780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IB smoothed power law (Lucene IBSimilarity DistributionSPL)
         return _lm_run(spark, sf, "spl")
 
+    def boolean_topk(spark, sf):
+        # Lucene BooleanSimilarity: score = matched query weight sum
+        # (here: distinct matched-term count), doc_id ties ASC
+        return _lm_run(spark, sf, "boolean")
+
     def dfi_topk(spark, sf):
         # Divergence From Independence (Lucene DFISimilarity,
         # IndependenceStandardized)
@@ -15120,6 +15128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_topk": sdm_topk,
         "ib_topk": ib_topk,
         "spl_topk": spl_topk,
+        "boolean_topk": boolean_topk,
         "f2exp_topk": f2exp_topk,
         "boosting_topk": boosting_topk,
         "rescore_topk": rescore_run,
@@ -15509,6 +15518,7 @@ def oracle_sql() -> dict[str, str]:
         "sdm_topk": _sdm_sql(),
         "ib_topk": _sim2_sql("ib_ll"),
         "spl_topk": _sim2_sql("spl"),
+        "boolean_topk": _sim2_sql("boolean"),
         "f2exp_topk": _sim2_sql("f2exp"),
         "boosting_topk": _boosting_sql(),
         "rescore_topk": _rescore_sql(),

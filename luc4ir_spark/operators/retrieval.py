@@ -43,7 +43,7 @@ BM25_B_DEFAULT = 0.3
 class Similarity:
     kind: str = "bm25"  # bm25 | bm25plus | lmdir | lmjm | classic
     #                   # | dfr_inl2 | ib_ll | spl | f2exp | pl2 | dfi
-    #                   # | dph | pivoted
+    #                   # | dph | pivoted | boolean
     k1: float = BM25_K1_DEFAULT
     b: float = BM25_B_DEFAULT
     mu: float = 2000.0   # LM-Dirichlet (reference default LMDirichletSimilarity())
@@ -148,6 +148,13 @@ def _per_posting_score(sim: Similarity, stats, qt_cols):
             float(stats.n_docs) + 1.0
         )
         return w * F.log(F.lit(1.0) + tfn / lam_df)
+    if sim.kind == "boolean":
+        # Lucene BooleanSimilarity: score = query boost per matched
+        # term, no tf/idf/length at all — the similarity behind
+        # filter-like scoring and constant-score rewrites when a
+        # numeric match count is still wanted. With the engine's
+        # weighted queries the contribution is just w.
+        return w * F.lit(1.0)
     if sim.kind == "spl":
         # Information-Based smoothed power law (Clinchant & Gaussier
         # SIGIR'10; Lucene IBSimilarity(DistributionSPL, LambdaDF,

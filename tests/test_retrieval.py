@@ -3111,3 +3111,17 @@ def test_join_query_scores_modes(spark):
             assert got[d] == pt.approx(round(want, 4), abs=1e-4), mode
         for d in (3, 4):
             assert got[d] == pt.approx(round(base[3], 4), abs=1e-4)
+
+
+def test_boolean_similarity_counts_matches(spark, index):
+    """BooleanSimilarity: score == number of distinct matched query
+    terms (weight 1 each), independent of tf, df and length."""
+    qt = rt.queries_to_terms(spark, [("q", "spark search")], EN)
+    run = rt.score_queries(
+        index, qt, k=10, sim=rt.Similarity(kind="boolean")
+    ).collect()
+    toks = {d: analyze_text(t, EN) for d, t in DOCS}
+    qterms = set(analyze_text("spark search", EN))
+    for r in run:
+        want = float(len(qterms & set(toks[r["doc_id"]])))
+        assert r["score"] == want, r["doc_id"]
