@@ -9612,6 +9612,28 @@ totals AS (SELECT qid, count(*)::BIGINT AS num_rel FROM qrels
 {_ap_block('b', excl)}"""
 
 
+def _query_difficulty_sql() -> str:
+    """Replays the difficulty report: the shared ap_a chain + the
+    qpp_pre features, ntile(3) over (round(ap,4), qid)."""
+    return f"""
+WITH {_ap_pair_prefix()},
+feat AS (
+  SELECT q2.qid, count(*)::BIGINT AS n_terms,
+         avg(ln(1.0 + (s.n_docs - q2.df + 0.5) / (q2.df + 0.5)))
+           AS avg_idf
+  FROM (SELECT DISTINCT q.qid, q.term, dft.df
+        FROM q JOIN dft USING (term)) q2
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT a.qid, f.n_terms, round(f.avg_idf, 4) AS avg_idf,
+       round(a.ap, 4) AS ap,
+       ntile(3) OVER (ORDER BY round(a.ap, 4) ASC, a.qid ASC)::BIGINT
+         AS difficulty_bucket
+FROM ap_a a JOIN feat f USING (qid)
+"""
+
+
 def _run_ttest_sql() -> str:
     """Replays evaluation.paired_ttest over the per-query AP of the
     plain BM25 run vs the MUST_NOT run: both run bodies + the qrels
@@ -14175,6 +14197,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ev.assessor_agreement(q1, q2)
 
+    def query_difficulty(spark, sf):
+        # failure-analysis report (RIA-style): per-query AP joined to
+        # pre-retrieval predictors, difficulty tertile by ntile over
+        # the ROUNDED ap (hard = bucket 1)
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        qrels = _pseudo_qrels(spark, sf)
+        perq = ev.per_query_metrics(
+            run, qrels, p_at=5, ndcg_at=10
+        ).select("qid", "ap")
+        pre = qp.qpp_pre_retrieval(idx, qt).select(
+            "qid", "n_terms", "avg_idf"
+        )
+        from pyspark.sql import Window
+
+        j = perq.join(pre, "qid")
+        w = Window.orderBy(
+            F.round("ap", 4).asc(), F.col("qid").asc()
+        )
+        return j.select(
+            "qid",
+            "n_terms",
+            F.round("avg_idf", 4).alias("avg_idf"),
+            F.round("ap", 4).alias("ap"),
+            F.ntile(3).over(w).cast("long").alias("difficulty_bucket"),
+        )
+
     def run_ttest(spark, sf):
         # paired-t significance between the plain BM25 run and the
         # MUST_NOT run on per-query AP (trec_eval-style comparison)
@@ -15288,6 +15340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_ttest": run_ttest,
         "assessor_kappa": assessor_kappa,
         "score_cutoff": score_cutoff,
+        "query_difficulty": query_difficulty,
         "snippets": snippets,
         "hygiene_streamed": hygiene_streamed,
         "fuzzy_query": fuzzy_query,
@@ -15783,6 +15836,7 @@ FROM h
         "run_ttest": _run_ttest_sql(),
         "assessor_kappa": _assessor_kappa_sql(),
         "score_cutoff": _score_cutoff_sql(),
+        "query_difficulty": _query_difficulty_sql(),
         "snippets": _snippets_sql(),
         "hygiene_streamed": _hygiene_streamed_sql(),
         "fuzzy_query": _fuzzy_query_sql(),
