@@ -6327,6 +6327,23 @@ FROM per
 """
 
 
+_STOPWORD_INDUCTION_SQL = """
+WITH toks AS (SELECT doc_id, unnest(list_filter(
+       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       x -> x <> '')) AS term FROM documents),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+               count(*)::BIGINT AS cf
+        FROM toks GROUP BY 1),
+s AS (SELECT count(*)::BIGINT AS n FROM documents),
+t AS (SELECT count(*)::BIGINT AS total FROM toks)
+SELECT dft.term, dft.df,
+       round(dft.df / s.n, 4) AS df_frac,
+       round(dft.cf / t.total, 4) AS cf_share,
+       dft.df * 4 > 3 * s.n AS is_stop
+FROM dft CROSS JOIN s CROSS JOIN t
+"""
+
+
 def _term_frontcoding_sql() -> str:
     """Replays plans/layout.term_dict_frontcoding_report over the
     vocabulary: lag(term) in sorted order, prefix length as the same
@@ -11608,6 +11625,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("layout", F.lit("hash"))
         return rc.unionByName(rh)
 
+    def stopword_induction(spark, sf):
+        # corpus-driven stop-list induction (the collection-statistics
+        # route to the reference's shipped stop.txt): flag terms with
+        # df/N > 3/4 by integer cross-multiplication; cf share 4dp
+        idx = _index(spark, sf)
+        n = idx.stats.n_docs
+        total = float(idx.stats.total_tokens)
+        return idx.term_stats.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("df") / F.lit(float(n)), 4).alias("df_frac"),
+            F.round(F.col("cf") / F.lit(total), 4).alias("cf_share"),
+            (F.col("df") * 4 > F.lit(3 * n)).alias("is_stop"),
+        )
+
     def term_frontcoding(spark, sf):
         # BlockTree-style term-dictionary front-coding sizes: unrolled
         # common-prefix chain over the sorted vocab, all-integer
@@ -15134,6 +15166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docvalues_report": docvalues_report,
         "postings_encoding": postings_encoding,
         "term_frontcoding": term_frontcoding,
+        "stopword_induction": stopword_induction,
         "scan_pruning": scan_pruning,
         "compaction_plan": compaction_plan,
         "zorder_events": zorder_events,
@@ -15525,6 +15558,7 @@ def oracle_sql() -> dict[str, str]:
         "docvalues_report": _DOCVALUES_SQL,
         "postings_encoding": _postings_encoding_sql(),
         "term_frontcoding": _term_frontcoding_sql(),
+        "stopword_induction": _STOPWORD_INDUCTION_SQL,
         "scan_pruning": _scan_pruning_sql(),
         "compaction_plan": _COMPACTION_SQL,
         "zorder_events": _ZORDER_SQL,
