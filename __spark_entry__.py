@@ -6327,6 +6327,28 @@ FROM per
 """
 
 
+_SOURCE_VOCAB_OVERLAP_SQL = """
+WITH sv AS (
+  SELECT DISTINCT source, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '')) AS term
+  FROM documents
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM sv GROUP BY 1),
+inter AS (
+  SELECT l.source AS s1, r.source AS s2, count(*)::BIGINT AS n_common
+  FROM sv l JOIN sv r
+    ON l.term = r.term AND l.source < r.source
+  GROUP BY 1, 2
+)
+SELECT i.s1, i.s2, i.n_common,
+       round(i.n_common / (a.n + b.n - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes a ON a.source = i.s1
+JOIN sizes b ON b.source = i.s2
+"""
+
+
 _STOPWORD_INDUCTION_SQL = """
 WITH toks AS (SELECT doc_id, unnest(list_filter(
        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -11625,6 +11647,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("layout", F.lit("hash"))
         return rc.unionByName(rh)
 
+    def source_vocab_overlap(spark, sf):
+        # pairwise vocabulary Jaccard between sources (the lexical
+        # drift companion to corpus_divergence's KL): integer set
+        # sizes, |union| = |V1|+|V2|-|∩|, ONE division
+        d = _docs(spark, sf)
+        toks = F.array_remove(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+        )
+        sv = (
+            d.select("source", F.explode(toks).alias("term"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sizes = sv.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        inter = (
+            sv.alias("l")
+            .join(
+                sv.alias("r"),
+                (F.col("l.term") == F.col("r.term"))
+                & (F.col("l.source") < F.col("r.source")),
+            )
+            .groupBy(
+                F.col("l.source").alias("s1"),
+                F.col("r.source").alias("s2"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        return (
+            inter.join(
+                sizes.select(
+                    F.col("source").alias("s1"), F.col("_n").alias("_n1")
+                ),
+                "s1",
+            )
+            .join(
+                sizes.select(
+                    F.col("source").alias("s2"), F.col("_n").alias("_n2")
+                ),
+                "s2",
+            )
+            .select(
+                "s1",
+                "s2",
+                "n_common",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("_n1") + F.col("_n2") - F.col("n_common")),
+                    4,
+                ).alias("jaccard"),
+            )
+        )
+
     def stopword_induction(spark, sf):
         # corpus-driven stop-list induction (the collection-statistics
         # route to the reference's shipped stop.txt): flag terms with
@@ -15167,6 +15243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_encoding": postings_encoding,
         "term_frontcoding": term_frontcoding,
         "stopword_induction": stopword_induction,
+        "source_vocab_overlap": source_vocab_overlap,
         "scan_pruning": scan_pruning,
         "compaction_plan": compaction_plan,
         "zorder_events": zorder_events,
@@ -15559,6 +15636,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_encoding": _postings_encoding_sql(),
         "term_frontcoding": _term_frontcoding_sql(),
         "stopword_induction": _STOPWORD_INDUCTION_SQL,
+        "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "scan_pruning": _scan_pruning_sql(),
         "compaction_plan": _COMPACTION_SQL,
         "zorder_events": _ZORDER_SQL,
