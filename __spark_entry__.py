@@ -3191,6 +3191,34 @@ UNION ALL
 SELECT 'couple' AS measure, a, b, n FROM bc WHERE n >= 2
 """
 
+_LINK_DEGREE_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges0 AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges0),
+nd AS (SELECT count(*)::BIGINT AS n_nodes FROM
+       (SELECT DISTINCT x FROM (SELECT src AS x FROM e
+                                UNION ALL SELECT dst FROM e))),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+od AS (SELECT max(c)::BIGINT AS max_out_degree FROM
+       (SELECT src, count(*) AS c FROM e GROUP BY 1)),
+idg AS (SELECT max(c)::BIGINT AS max_in_degree FROM
+        (SELECT dst, count(*) AS c FROM e GROUP BY 1)),
+rc AS (SELECT count(*)::BIGINT AS n_reciprocal_edges
+       FROM e WHERE EXISTS (SELECT 1 FROM e r
+                            WHERE r.src = e.dst AND r.dst = e.src))
+SELECT nd.n_nodes, ne.n_edges, od.max_out_degree, idg.max_in_degree,
+       rc.n_reciprocal_edges,
+       round(rc.n_reciprocal_edges / ne.n_edges, 4) AS reciprocity
+FROM nd CROSS JOIN ne CROSS JOIN od CROSS JOIN idg CROSS JOIN rc
+"""
+
 _KCORE_SQL = """
 WITH nodes0 AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes0),
@@ -11279,6 +11307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges, min_common=2, max_degree=None
         )
 
+    def link_degree_stats(spark, sf):
+        # one-row graph health summary: degrees, hub maxima,
+        # reciprocity (distinct directed edges; one division)
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        return gr.degree_stats(edges)
+
     def kcore_peel(spark, sf):
         # 3-round k-core peeling at k=4 over the synthetic graph:
         # peel_round per node, 0 = survives all rounds
@@ -15223,6 +15259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": link_prediction,
         "link_bfs": link_bfs,
         "kcore_peel": kcore_peel,
+        "link_degree_stats": link_degree_stats,
         "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
@@ -15616,6 +15653,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": _LINK_PREDICTION_SQL,
         "link_bfs": _LINK_BFS_SQL,
         "kcore_peel": _KCORE_SQL,
+        "link_degree_stats": _LINK_DEGREE_SQL,
         "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,

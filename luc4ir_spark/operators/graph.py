@@ -46,6 +46,7 @@ __all__ = [
     "hits_unnormalized",
     "link_prediction_pairs",
     "bfs_depth",
+    "degree_stats",
 ]
 
 # (multiplier, offset) per out-link: dst_j = (id * p_j + q_j) % n.
@@ -634,3 +635,69 @@ def kcore_peel(
         )
     core = alive.select("id", F.lit(0).cast("long").alias("peel_round"))
     return out.unionByName(core)
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """One-row link-graph health summary — the numbers a crawl/graph
+    pipeline dashboards before anything heavier runs: node/edge
+    counts, max in/out degree (the hub alarm that decides the
+    `max_degree`/`max_indegree` valves everywhere else), and
+    RECIPROCITY — the fraction of directed edges whose reverse also
+    exists (Newman et al., PRE 2002) — high on social graphs, low on
+    the web; a sudden shift flags crawl scope drift.
+    -> (n_nodes, n_edges, max_out_degree, max_in_degree,
+    n_reciprocal_edges, reciprocity) — integers + ONE division.
+
+    Plan shape: distinct edge set once (localCheckpoint'ed — feeds
+    three aggregates and a self-join), two degree aggregates, and the
+    reciprocity self-join on the reversed key. Self-loops count as
+    reciprocal by convention (their reverse is themselves)."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("x"))
+        .unionAll(e.select(F.col("dst").alias("x")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    deg = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+    outd = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.max("_d").cast("long").alias("max_out_degree"))
+    )
+    ind = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.max("_d").cast("long").alias("max_in_degree"))
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocal_edges")
+    )
+    return (
+        nodes.crossJoin(deg)
+        .crossJoin(outd)
+        .crossJoin(ind)
+        .crossJoin(recip)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_out_degree",
+            "max_in_degree",
+            "n_reciprocal_edges",
+            F.round(
+                F.col("n_reciprocal_edges") / F.col("n_edges"), 4
+            ).alias("reciprocity"),
+        )
+    )

@@ -329,3 +329,20 @@ def test_kcore_peel_hand_computed(spark):
     assert got[11] == 1
     assert got[10] == 2
     assert all(got[v] == 0 for v in range(4))
+
+
+def test_degree_stats_hand_computed(spark):
+    """0->1, 1->0 (mutual), 0->2, 2->2 self-loop (reciprocal by
+    convention), duplicate 0->1 collapses: 3 nodes, 4 distinct
+    edges, 3 reciprocal (0->1, 1->0, 2->2), reciprocity 0.75."""
+    from luc4ir_spark.operators import graph as gr
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (2, 2), (0, 1)],
+        "src long, dst long",
+    )
+    r = gr.degree_stats(e).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (3, 4)
+    assert r["max_out_degree"] == 2 and r["max_in_degree"] == 2
+    assert r["n_reciprocal_edges"] == 3
+    assert r["reciprocity"] == 0.75
