@@ -3191,6 +3191,25 @@ UNION ALL
 SELECT 'couple' AS measure, a, b, n FROM bc WHERE n >= 2
 """
 
+_VIT_PATCH_SQL = """
+WITH imgs AS (
+  SELECT doc_id AS image_id,
+         (200 + (doc_id * 37) % 1000)::BIGINT AS width,
+         (150 + (n_chars * 13) % 800)::BIGINT AS height
+  FROM documents
+)
+SELECT image_id, width, height,
+       ((width + 15) // 16)::BIGINT AS patches_x,
+       ((height + 15) // 16)::BIGINT AS patches_y,
+       (((width + 15) // 16) * ((height + 15) // 16))::BIGINT
+         AS n_patches,
+       (((width + 15) // 16) * 16 - width)::BIGINT AS pad_x,
+       (((height + 15) // 16) * 16 - height)::BIGINT AS pad_y,
+       ((width + 15) // 16) * ((height + 15) // 16) > 2500
+         AS over_budget
+FROM imgs
+"""
+
 _LINK_DEGREE_SQL = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -15058,6 +15077,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(base, ignore_errors=True)
         return res
 
+    def vit_patches(spark, sf):
+        # ViT patch-grid layout over synthesized image metadata
+        # (width/height derived from doc_id/n_chars — no pixel decode,
+        # the multimodal metadata/plumbing split): all-integer grid
+        from luc4ir_spark.operators import multimodal as mm
+
+        imgs = _docs(spark, sf).select(
+            F.col("doc_id").alias("image_id"),
+            (F.lit(200) + (F.col("doc_id") * 37) % 1000).alias("width"),
+            (F.lit(150) + (F.col("n_chars") * 13) % 800).alias(
+                "height"
+            ),
+        )
+        return mm.vit_patch_plan(imgs, patch=16, max_patches=2500)
+
     def frame_sample_plan(spark, sf):
         # multimodal row-expansion plumbing: synthesize a deterministic
         # video table from documents (media bytes = text, duration_ms =
@@ -15533,6 +15567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": event_sessionize,
         "event_sessionize_streamed": event_sessionize_streamed,
         "frame_sample_plan": frame_sample_plan,
+        "vit_patches": vit_patches,
     }
 
 
@@ -16129,6 +16164,7 @@ SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM sess GROUP BY 1, 2
 """,
+        "vit_patches": _VIT_PATCH_SQL,
         "frame_sample_plan": (
             "SELECT doc_id,"
             " unnest(range(0, greatest(n_chars - 1, 0) + 1, 100))::BIGINT"

@@ -293,3 +293,44 @@ def extract_audio_features(
         "doc_id long, n_bytes long, sample_rate long, duration_ms long,"
         " feature array<double>",
     )
+
+
+def vit_patch_plan(
+    images: DataFrame,
+    patch: int = 16,
+    max_patches: int = 4096,
+    id_col: str = "image_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """ViT patch-grid layout planning (Dosovitskiy et al. ICLR'21 —
+    "an image is worth 16x16 words"; the NaViT/pix2struct variable-
+    resolution packing era makes this a DATA-PIPELINE computation, not
+    a model one): per image, the patch grid its encoder will see, the
+    right/bottom padding the resize stage must add, and a budget flag
+    for images whose sequence length exceeds ``max_patches`` (those go
+    to the downscale path). Pure integer arithmetic — ceil by
+    floor-div — over METADATA columns; the pixel decode stays behind
+    the codec-probed Arrow kernels (`decode_image`), exactly the
+    image/plumbing split the multimodal module documents.
+    -> (image_id, width, height, patches_x, patches_y, n_patches,
+    pad_x, pad_y, over_budget) — all integers, scan-local, zero
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    p = int(patch)
+    w = F.col(width_col).cast("long")
+    h = F.col(height_col).cast("long")
+    px = F.floor((w + p - 1) / p).cast("long")
+    py = F.floor((h + p - 1) / p).cast("long")
+    return images.select(
+        F.col(id_col).alias("image_id"),
+        w.alias("width"),
+        h.alias("height"),
+        px.alias("patches_x"),
+        py.alias("patches_y"),
+        (px * py).cast("long").alias("n_patches"),
+        (px * p - w).cast("long").alias("pad_x"),
+        (py * p - h).cast("long").alias("pad_y"),
+        (px * py > int(max_patches)).alias("over_budget"),
+    )

@@ -3382,3 +3382,27 @@ def test_maxsim_topk_hand_computed(spark):
         want = sum(max(cos(qv, dv) for dv in vs) for qv in q)
         assert got[g][1] == pt.approx(round(want, 4), abs=1e-4), g
     assert got[0][0] == 1 and got[1][0] == 2
+
+
+def test_vit_patch_plan_hand_computed(spark):
+    """224x224 at patch 16 -> 14x14=196, no pad; 225x100 -> 15x7 with
+    pad_x 15, pad_y 12; budget flag at max_patches."""
+    from luc4ir_spark.operators import multimodal as mm
+
+    imgs = spark.createDataFrame(
+        [(1, 224, 224), (2, 225, 100), (3, 1024, 1024)],
+        "image_id long, width long, height long",
+    )
+    got = {
+        r["image_id"]: r
+        for r in mm.vit_patch_plan(
+            imgs, patch=16, max_patches=2500
+        ).collect()
+    }
+    assert (got[1]["patches_x"], got[1]["patches_y"]) == (14, 14)
+    assert got[1]["n_patches"] == 196
+    assert (got[1]["pad_x"], got[1]["pad_y"]) == (0, 0)
+    assert (got[2]["patches_x"], got[2]["patches_y"]) == (15, 7)
+    assert (got[2]["pad_x"], got[2]["pad_y"]) == (15, 12)
+    assert not got[2]["over_budget"]
+    assert got[3]["n_patches"] == 64 * 64 and got[3]["over_budget"]
