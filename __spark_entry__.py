@@ -4121,6 +4121,30 @@ FROM prof GROUP BY 1
 """
 
 
+_SEASONALITY_SQL = """
+WITH wd AS (
+  SELECT ((floor(epoch_us(ts) / 86400000000) + 3) % 7 + 1)::BIGINT
+           AS weekday
+  FROM events
+),
+per AS (SELECT weekday, count(*)::BIGINT AS n_events
+        FROM wd GROUP BY 1),
+spine(weekday) AS (VALUES (1),(2),(3),(4),(5),(6),(7)),
+f AS (SELECT s.weekday::BIGINT AS weekday,
+             coalesce(p.n_events, 0)::BIGINT AS n_events
+      FROM spine s LEFT JOIN per p ON p.weekday = s.weekday),
+tot AS (SELECT sum(n_events)::BIGINT AS n FROM f),
+chi AS (SELECT sum((7 * f.n_events - tot.n)
+                 * (7 * f.n_events - tot.n))::BIGINT AS chin,
+               max(tot.n)::BIGINT AS n
+        FROM f CROSS JOIN tot)
+SELECT f.weekday, f.n_events,
+       round(f.n_events / tot.n, 4) AS share,
+       round(chi.chin / (7 * chi.n), 4) AS chi2
+FROM f CROSS JOIN tot CROSS JOIN chi
+"""
+
+
 def _ab_ztest_sql() -> str:
     """Replays eventops.conversion_ztest over the mix-parity arms:
     identical float expression shape (single integer-ratio divisions,
@@ -13629,6 +13653,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "activity_bucket", "n_users", "n_sensitive", "at_risk"
         )
 
+    def event_seasonality(spark, sf):
+        # day-of-week profile + EXACT chi2 uniformity (integer
+        # numerator, one division); weekday from the epoch-day mod,
+        # no timezone/locale formatting
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.weekday_seasonality(ev_df)
+
     def ab_ztest(spark, sf):
         # two-proportion z between mix-parity A/B arms; conversion =
         # the user has a purchase event
@@ -15405,6 +15438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": l_diversity,
         "t_closeness": t_closeness,
         "ab_ztest": ab_ztest,
+        "event_seasonality": event_seasonality,
         "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
@@ -15800,6 +15834,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": _l_diversity_sql(),
         "t_closeness": _t_closeness_sql(),
         "ab_ztest": _ab_ztest_sql(),
+        "event_seasonality": _SEASONALITY_SQL,
         "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),

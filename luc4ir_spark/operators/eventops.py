@@ -689,6 +689,70 @@ def t_closeness_report(
     )
 
 
+def weekday_seasonality(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week seasonality profile + exact chi² uniformity test —
+    the first diagnostic every event pipeline runs on a new log (is
+    traffic actually weekly-periodic, or is the collector dropping
+    weekends?). Counts per ISO weekday plus Pearson's chi² against
+    the uniform 7-day null, computed EXACTLY:
+
+        chi² = Σ_d (o_d − n/7)² / (n/7)  =  Σ_d (7·o_d − n)² / (7·n)
+
+    — the numerator is a sum of integer squares, the statistic ONE
+    division (engine-identical; compare against χ²(6) downstream).
+    Missing weekdays count o_d = 0 (the 7-row spine is literal).
+    -> 7 rows (weekday 1-7 Mon-Sun, n_events, share, chi2 — the
+    statistic repeated per row, the repo's one-statistic convention).
+
+    Plan shape: one map-side-combined groupBy over the raw log + a
+    broadcast 7-row spine join; weekday from the epoch-day integer
+    ((day + 3) mod 7 + 1 — 1970-01-01 was a Thursday), no timezone,
+    no locale-dependent date formatting."""
+    # integer epoch-day; Thursday anchor makes Monday = 1
+    day = F.floor(epoch_us(ts_col) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    wd = (F.pmod(day + 3, F.lit(7)) + 1).cast("long")
+    per = events.select(wd.alias("weekday")).groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    spine = events.sparkSession.createDataFrame(
+        [(d,) for d in range(1, 8)], "weekday long"
+    )
+    full = spine.join(per, "weekday", "left").select(
+        "weekday",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    tot = full.agg(F.sum("n_events").cast("long").alias("_n"))
+    num = full.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n_events",
+        "_n",
+        (
+            (F.lit(7) * F.col("n_events") - F.col("_n"))
+            * (F.lit(7) * F.col("n_events") - F.col("_n"))
+        ).alias("_sq"),
+    )
+    chi = num.agg(
+        F.sum("_sq").cast("long").alias("_chin"),
+        F.max("_n").alias("_n2"),
+    )
+    return (
+        num.crossJoin(F.broadcast(chi))
+        .select(
+            "weekday",
+            "n_events",
+            F.round(F.col("n_events") / F.col("_n"), 4).alias("share"),
+            F.round(F.col("_chin") / (F.lit(7) * F.col("_n2")), 4).alias(
+                "chi2"
+            ),
+        )
+    )
+
+
 def conversion_ztest(
     events: DataFrame,
     variant_col: str = "variant",

@@ -683,3 +683,30 @@ def test_conversion_ztest_hand_computed(spark):
         "user_id long, variant string, converted boolean",
     )
     assert eo.conversion_ztest(allconv).collect()[0]["z"] is None
+
+
+def test_weekday_seasonality_hand_computed(spark):
+    """14 events on a Monday, 7 on the following Tuesday: weekday
+    counts (14, 7, 0 x 5), n=21, chi2 = sum((7*o - 21)^2)/(7*21) =
+    (77^2 + 28^2 + 5*21^2)/147 = (5929 + 784 + 2205)/147 ~ 60.667.
+    2024-01-01 was a Monday."""
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1, i % 24)) for i in range(14)]
+    rows += [(100 + i, datetime(2024, 1, 2, i)) for i in range(7)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["weekday"]: r for r in eo.weekday_seasonality(ev).collect()
+    }
+    assert len(got) == 7
+    assert got[1]["n_events"] == 14 and got[2]["n_events"] == 7
+    assert all(got[d]["n_events"] == 0 for d in range(3, 8))
+    assert got[1]["share"] == round(14 / 21, 4)
+    want = (77**2 + 28**2 + 5 * 21**2) / (7 * 21)
+    assert got[1]["chi2"] == round(want, 4)
+    # uniform log -> chi2 == 0
+    uni = spark.createDataFrame(
+        [(d, datetime(2024, 1, 1 + d)) for d in range(7)],
+        "event_id long, ts timestamp",
+    )
+    assert eo.weekday_seasonality(uni).collect()[0]["chi2"] == 0.0
