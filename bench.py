@@ -312,6 +312,25 @@ def main() -> None:
 
     timed("clean_pipeline", clean_pipeline)
 
+    def link_graph():
+        # round-5 graph surface in one pass: integer-exact PageRank
+        # (3 iters), neighborhood link prediction (common/Jaccard/RA)
+        # and the ordered-edge triangle count over the deterministic
+        # 3-out-regular synthetic graph on this SF's doc ids
+        from luc4ir_spark.operators import graph as gr
+
+        ids = docs.select("doc_id")
+        n = ids.count()
+        edges = gr.synthetic_link_graph(ids, n)
+        a = gr.pagerank_regular_exact(
+            ids, edges, n, n_iter=3, id_col="doc_id"
+        ).count()
+        b = gr.link_prediction_pairs(edges, min_common=2).count()
+        c = gr.triangle_count(edges).count()
+        return a + b + c
+
+    timed("link_graph", link_graph)
+
     extra["calib_m_iters_post"] = calibrate()
     extra["calib_alloc_mb_s_post"] = calibrate_alloc()
     extra["queries_all_reps"] = rep_times
