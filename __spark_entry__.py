@@ -15063,6 +15063,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(base, ignore_errors=True)
         return res
 
+    def enrich_streamed(spark, sf):
+        # the stream-STATIC join class end-to-end: events enriched
+        # against a broadcast user→cohort dimension (cohort = mix
+        # parity; the sentinel user is dim-absent → '(unknown)'),
+        # then watermarked tumbling counts; same two-sentinel flush
+        # discipline, so the batch replay over events + sentinel 1
+        # oracles the stream
+        import shutil
+        import tempfile
+        from datetime import datetime
+
+        from luc4ir_spark.functions.hashing import mix_id_expr
+        from luc4ir_spark.streaming.event_stream import (
+            start_enriched_window_counts,
+        )
+
+        base = tempfile.mkdtemp(prefix="luc4ir_enrich_stream_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        dim = (
+            ev_df.select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.concat(
+                    F.lit("c"),
+                    F.pmod(mix_id_expr("user_id"), F.lit(3)).cast(
+                        "string"
+                    ),
+                ).alias("cohort"),
+            )
+        )
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        sent = [
+            (10**9, datetime(2030, 1, 1), -1, "sentinel", 0.0, ""),
+            (10**9 + 1, datetime(2030, 2, 1), -1, "sentinel", 0.0, ""),
+        ]
+        waves = [
+            ev_df.unionByName(spark.createDataFrame(sent[:1], schema)),
+            spark.createDataFrame(sent[1:], schema),
+        ]
+        for wave in waves:
+            wave.write.mode("append").parquet(in_dir)
+            q = start_enriched_window_counts(
+                spark, in_dir, out_dir, dim, window="1 hour",
+                watermark="2 hours", schema=schema,
+            )
+            q.awaitTermination(300)
+        out = spark.read.parquet(os.path.join(out_dir, "windows"))
+        sel = out.select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "cohort",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        rows = sel.collect()
+        res = spark.createDataFrame(rows, sel.schema)
+        shutil.rmtree(base, ignore_errors=True)
+        return res
+
     def event_distinct_streamed(spark, sf):
         # STREAMING windowed distinct-user counts, same two-sentinel
         # flush discipline as event_window_streamed; the distinct set
@@ -15439,6 +15503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": t_closeness,
         "ab_ztest": ab_ztest,
         "event_seasonality": event_seasonality,
+        "enrich_streamed": enrich_streamed,
         "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
@@ -16132,6 +16197,20 @@ UNION ALL SELECT 3::BIGINT, 'purchase',
             " 'sentinel', 0.0)"
             " SELECT date_trunc('hour', ts)::VARCHAR AS window_start,"
             " event_type, count(*)::BIGINT AS n_events,"
+            " round(sum(value), 4) AS sum_value"
+            " FROM ev2 GROUP BY 1, 2"
+        ),
+        "enrich_streamed": (
+            "WITH ev2 AS ("
+            " SELECT ts, user_id, value FROM events"
+            " UNION ALL SELECT TIMESTAMP '2030-01-01 00:00:00',"
+            " -1, 0.0)"
+            " SELECT date_trunc('hour', ts)::VARCHAR AS window_start,"
+            " CASE WHEN user_id >= 0 THEN 'c' ||"
+            " ((2654435761 * (user_id % 2147483647) + 2246822519)"
+            " % 2147483647) % 3"
+            " ELSE '(unknown)' END AS cohort,"
+            " count(*)::BIGINT AS n_events,"
             " round(sum(value), 4) AS sum_value"
             " FROM ev2 GROUP BY 1, 2"
         ),

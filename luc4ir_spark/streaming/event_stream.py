@@ -258,3 +258,60 @@ def start_windowed_distinct_users(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_enriched_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    dim: "pyspark.sql.DataFrame",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    schema: str = EVENT_SCHEMA,
+    dim_key: str = "user_id",
+    dim_col: str = "cohort",
+):
+    """Stream-STATIC join enrichment + windowed aggregation — the one
+    Structured Streaming join class the other streams here don't
+    exercise (attribution_stream covers stream-stream; this is the
+    slowly-changing-dimension lookup every event pipeline runs): each
+    micro-batch of events joins the static ``dim`` table (planner
+    broadcasts it — the join is STATELESS, re-planned per batch, so a
+    dim refresh between restarts is picked up), then the stateful
+    watermarked tumbling-window aggregate counts per (window, dim
+    value). APPEND mode: a window row is emitted exactly once, when
+    the watermark closes it. Events missing from the dim keep NULL →
+    '(unknown)' — the standard late-dimension convention, made
+    explicit so the batch oracle can replay it.
+    -> finalized rows under ``out_dir/windows``; returns the query."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    enriched = stream.join(
+        F.broadcast(dim.select(dim_key, dim_col)), dim_key, "left"
+    ).withColumn(
+        dim_col, F.coalesce(F.col(dim_col), F.lit("(unknown)"))
+    )
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), dim_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            dim_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "windows"))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -374,3 +374,45 @@ def test_streamed_distinct_users_match_batch(spark, tmp_path):
     assert [v for k, v in got.items() if k[1] == "click"] == [(3, 2)]
     assert [v for k, v in got.items() if k[1] == "view"] == [(1, 1)]
     assert not any(k[1] == "sentinel" for k in got)
+
+
+def test_streamed_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: a user->cohort dim broadcast into the
+    stream; dim-absent users land in '(unknown)'; finalized windows
+    equal the batch join+aggregate over the same events."""
+    from luc4ir_spark.streaming.event_stream import (
+        start_enriched_window_counts,
+    )
+
+    in_dir = str(tmp_path / "inc")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, cohort string"
+    )
+    wave1 = [
+        (0, datetime(2024, 1, 1, 0, 10), 1, "click", 1.0),
+        (1, datetime(2024, 1, 1, 0, 40), 2, "view", 2.0),
+        (2, datetime(2024, 1, 1, 0, 50), 9, "view", 4.0),  # no dim row
+        (3, datetime(2024, 1, 1, 1, 20), 1, "click", 8.0),
+        (9, datetime(2030, 1, 1), -1, "sentinel", 0.0),
+    ]
+    _write(spark, wave1, in_dir)
+    q = start_enriched_window_counts(
+        spark, in_dir, out_dir, dim, window="1 hour",
+        watermark="2 hours",
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"].isoformat(), r["cohort"]):
+            (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "windows")
+        ).collect()
+    }
+    assert got[("2024-01-01T00:00:00", "gold")] == (1, 1.0)
+    assert got[("2024-01-01T00:00:00", "silver")] == (1, 2.0)
+    assert got[("2024-01-01T00:00:00", "(unknown)")] == (1, 4.0)
+    assert got[("2024-01-01T01:00:00", "gold")] == (1, 8.0)
+    # the sentinel's own window is still open -> withheld
+    assert all(not k[0].startswith("2030") for k in got)
