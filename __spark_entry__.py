@@ -7938,6 +7938,32 @@ _LLR_TOPN, _LLR_MIN_C = 20, 2
 _SW_SLOP = 3
 
 
+def _span_or_sql() -> str:
+    """Replays retrieval.span_or_query over the two ordered clauses:
+    distinct start positions where EITHER clause has a valid end."""
+    w = _SW_SLOP + 1
+    return rf"""
+WITH t AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+pos AS (SELECT doc_id, i AS p, toks[(i+1)::INT] AS term FROM e),
+sa AS (SELECT p1.doc_id, p1.p FROM pos p1
+       WHERE p1.term = 'slow' AND EXISTS (
+         SELECT 1 FROM pos p2 WHERE p2.doc_id = p1.doc_id
+           AND p2.term = 'hash' AND p2.p > p1.p
+           AND p2.p - p1.p <= {w})),
+sb AS (SELECT p1.doc_id, p1.p FROM pos p1
+       WHERE p1.term = 'fast' AND EXISTS (
+         SELECT 1 FROM pos p2 WHERE p2.doc_id = p1.doc_id
+           AND p2.term = 'merge' AND p2.p > p1.p
+           AND p2.p - p1.p <= {w})),
+u AS (SELECT doc_id, p FROM sa UNION SELECT doc_id, p FROM sb)
+SELECT doc_id, count(*)::BIGINT AS n_spans
+FROM u GROUP BY 1
+"""
+
+
 def _span_containing_sql() -> str:
     """Replays retrieval.span_containing_query: distinct big-span
     starts p1 with a valid end p2 and a little hit inside [p1, p2]."""
@@ -12062,6 +12088,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pre=_SPANNOT_PRE, post=_SPANNOT_POST,
         ).select("doc_id", "spannot_freq")
 
+    def span_or(spark, sf):
+        # SpanOrQuery: (slow...hash) OR (fast...merge) ordered spans
+        # at slop 3, counted by distinct start across clauses
+        toks = ix.tokenize(
+            _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
+        )
+        pos = ix.build_positional_postings(toks)
+        return rt.span_or_query(
+            pos, [("slow", "hash"), ("fast", "merge")], slop=_SW_SLOP
+        )
+
     def span_within(spark, sf):
         # SpanWithinQuery: 'hash' occurrences inside an ordered
         # (slow ... batch) span with slop 3
@@ -15507,6 +15544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensed_ap": condensed_ap,
         "span_not": span_not,
         "span_within": span_within,
+        "span_or": span_or,
         "span_containing": span_containing,
         "block_join": block_join,
         "block_join_total": block_join_total,
@@ -15903,6 +15941,7 @@ def oracle_sql() -> dict[str, str]:
         "condensed_ap": _condensed_ap_sql(),
         "span_not": _span_not_sql(),
         "span_within": _span_within_sql(),
+        "span_or": _span_or_sql(),
         "span_containing": _span_containing_sql(),
         "block_join": _block_join_sql(),
         "block_join_total": _block_join_sql(combiner="sum"),

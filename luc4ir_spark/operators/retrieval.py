@@ -1098,6 +1098,77 @@ def span_containing_query(
     )
 
 
+def span_or_query(
+    positional: DataFrame,
+    clauses: list,
+    slop: int = 0,
+) -> DataFrame:
+    """Lucene SpanOrQuery over SpanNear clauses — the span-family
+    union completing first/not/within/containing: a position matches
+    when ANY clause's ordered (t1 … t2, ≤ slop between) span starts
+    there. Spans are counted by DISTINCT start position across ALL
+    clauses (two clauses starting at one position count once) — the
+    same enumeration-order-free convention as `span_containing_query`,
+    documented divergence from Lucene's per-clause span enumeration.
+    -> (doc_id, n_spans), docs with none yield no row.
+
+    Plan: per clause, two term-filtered positional cells equi-joined
+    on doc_id + one array quantifier for the start set; clause start
+    arrays merge by a full-outer doc_id join + array_union (distinct
+    by construction). Everything is bounded by the clauses' dfs/tfs —
+    no explode, no corpus-wide positional shuffle."""
+    if not clauses:
+        raise ValueError("span_or_query: need at least one clause")
+    width = F.lit(int(slop) + 1)
+    terms = list(
+        dict.fromkeys([t for pair in clauses for t in pair])
+    )
+    pruned = positional.filter(
+        F.col("term").isin(terms)
+    ).localCheckpoint(eager=False)
+
+    def clause_starts(t1: str, t2: str, tag: str) -> DataFrame:
+        a = pruned.filter(F.col("term") == t1).select(
+            "doc_id", F.col("positions").alias("_p1")
+        )
+        b = pruned.filter(F.col("term") == t2).select(
+            "doc_id", F.col("positions").alias("_p2")
+        )
+        starts = F.filter(
+            F.col("_p1"),
+            lambda p1: F.exists(
+                F.col("_p2"),
+                lambda p2: (p2 > p1) & (p2 - p1 <= width),
+            ),
+        )
+        return a.join(b, "doc_id").select(
+            "doc_id", starts.alias(tag)
+        )
+    merged = None
+    for i, (t1, t2) in enumerate(clauses):
+        c = clause_starts(t1, t2, f"_s{i}")
+        merged = (
+            c
+            if merged is None
+            else merged.join(c, "doc_id", "full_outer")
+        )
+    union = F.col("_s0")
+    for i in range(1, len(clauses)):
+        union = F.array_union(
+            F.coalesce(union, F.array().cast("array<int>")),
+            F.coalesce(F.col(f"_s{i}"), F.array().cast("array<int>")),
+        )
+    return (
+        merged.select(
+            "doc_id",
+            F.size(F.array_distinct(union)).cast("long").alias(
+                "n_spans"
+            ),
+        )
+        .filter(F.col("n_spans") > 0)
+    )
+
+
 def span_not_query(
     positional: DataFrame,
     include: list[str],

@@ -3125,3 +3125,38 @@ def test_boolean_similarity_counts_matches(spark, index):
     for r in run:
         want = float(len(qterms & set(toks[r["doc_id"]])))
         assert r["score"] == want, r["doc_id"]
+
+
+def test_span_or_query_hand_computed(spark):
+    """Either clause matches; shared start positions dedupe; a doc
+    matching neither emits no row; slop bounds each clause."""
+    docs = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c", "d"]),   # (a,b)@0 only -> 1
+            (1, ["c", "x", "d"]),        # (c,d)@0 only -> 1
+            (2, ["a", "b", "c", "x", "d"]),  # (a,b)@0 + (c,d)@2 -> 2
+            (3, ["a", "c", "b", "d"]),   # (a,b)@0 and (c,d)@1 -> 2
+            (4, ["a", "x", "x", "x", "b"]),  # slop 2: b-a=4 > 3 -> none
+            (5, ["z", "z"]),             # neither -> no row
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pos = ix.build_positional_postings(docs)
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in rt.span_or_query(
+            pos, [("a", "b"), ("c", "d")], slop=2
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2}
+    # distinct-start convention: both clauses starting at the SAME
+    # position count once
+    pos2 = ix.build_positional_postings(
+        spark.createDataFrame(
+            [(0, ["a", "b"])], "doc_id long, tokens array<string>"
+        )
+    )
+    same = rt.span_or_query(
+        pos2, [("a", "b"), ("a", "b")], slop=2
+    ).collect()
+    assert same[0]["n_spans"] == 1
