@@ -3132,7 +3132,7 @@ def test_span_or_query_hand_computed(spark):
     matching neither emits no row; slop bounds each clause."""
     docs = spark.createDataFrame(
         [
-            (0, ["a", "b", "c", "d"]),   # (a,b)@0 only -> 1
+            (0, ["a", "b", "c", "d"]),   # (a,b)@0 AND (c,d)@2 -> 2
             (1, ["c", "x", "d"]),        # (c,d)@0 only -> 1
             (2, ["a", "b", "c", "x", "d"]),  # (a,b)@0 + (c,d)@2 -> 2
             (3, ["a", "c", "b", "d"]),   # (a,b)@0 and (c,d)@1 -> 2
@@ -3148,7 +3148,7 @@ def test_span_or_query_hand_computed(spark):
             pos, [("a", "b"), ("c", "d")], slop=2
         ).collect()
     }
-    assert got == {0: 1, 1: 1, 2: 2, 3: 2}
+    assert got == {0: 2, 1: 1, 2: 2, 3: 2}
     # distinct-start convention: both clauses starting at the SAME
     # position count once
     pos2 = ix.build_positional_postings(
