@@ -12468,6 +12468,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev_df, steps=["view", "click", "purchase"]
         ).select("step", "event_type", "n_users")
 
+    def event_paths(spark, sf):
+        # top-20 length-3 behavioral paths (stacked leads over one
+        # user window; all-integer/string ordering)
+        from luc4ir_spark.operators import eventops as eo
+
+        ev_df = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return eo.event_paths(ev_df, length=3, top_n=20)
+
     def event_transitions(spark, sf):
         # first-order Markov transition counts per user path
         from luc4ir_spark.operators import eventops as eo
@@ -15696,6 +15704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_hopping": event_window_hopping,
         "event_funnel": event_funnel,
         "event_transitions": event_transitions,
+        "event_paths": event_paths,
         "event_ewma": event_ewma,
         "event_anomaly": event_anomaly,
         "shard_idf_drift": shard_idf_drift,
@@ -16193,6 +16202,28 @@ WITH e AS (
 )
 SELECT src, dst, count(*)::BIGINT AS n_transitions
 FROM e WHERE dst IS NOT NULL GROUP BY 1, 2
+""",
+        "event_paths": """
+WITH e AS (
+  SELECT event_type AS t0,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS t1,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS t2
+  FROM events
+),
+c AS (
+  SELECT t0 || '>' || t1 || '>' || t2 AS path,
+         count(*)::BIGINT AS n_paths
+  FROM e WHERE t2 IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT path, n_paths,
+         row_number() OVER (ORDER BY n_paths DESC, path ASC)::BIGINT
+           AS rank
+  FROM c
+)
+SELECT path, n_paths, rank FROM r WHERE rank <= 20
 """,
         # ordered funnel: chained greedy-earliest minima per user
         "event_funnel": """

@@ -445,6 +445,49 @@ def event_transitions(
     )
 
 
+def event_paths(
+    events: DataFrame,
+    length: int = 3,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-N behavioral paths of ``length`` consecutive events — the
+    higher-order extension of `event_transitions`' first-order pairs
+    (path/flow analysis: which 3-step journeys dominate; the flow
+    diagrams product analytics draws): each user's time-ordered
+    stream slides a length-k window via k−1 stacked lead()s over ONE
+    user-partitioned window spec (one shuffle, the sessionize key),
+    paths join with '>' into a key, counts rank by (n DESC, path ASC
+    — all-integer-and-string, engine-stable). -> (path, n_paths,
+    rank), rank <= top_n.
+
+    Output is |type|^length-bounded BEFORE the top-n cut — at high
+    type cardinality cap the alphabet upstream (the n-gram vocab
+    argument); the final ordering runs over that bounded relation."""
+    w = Window.partitionBy(user_col).orderBy(
+        epoch_us(ts_col).asc(), F.col(id_col).asc()
+    )
+    cols = [F.col(type_col)]
+    for i in range(1, int(length)):
+        cols.append(F.lead(type_col, i).over(w))
+    path = F.concat_ws(">", *cols)
+    steps = events.select(
+        path.alias("path"), cols[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    counts = steps.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    rw = Window.orderBy(F.col("n_paths").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= int(top_n))
+        .select("path", "n_paths", "rank")
+    )
+
+
 def event_lift(
     events: DataFrame,
     user_col: str = "user_id",

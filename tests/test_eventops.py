@@ -710,3 +710,30 @@ def test_weekday_seasonality_hand_computed(spark):
         "event_id long, ts timestamp",
     )
     assert eo.weekday_seasonality(uni).collect()[0]["chi2"] == 0.0
+
+
+def test_event_paths_hand_computed(spark):
+    """u1: a,b,c,b -> paths a>b>c, b>c>b; u2: a,b,c -> a>b>c. Counts
+    {a>b>c: 2, b>c>b: 1}; paths never cross users; rank by count then
+    path; top_n cuts."""
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "a"),
+        (1, datetime(2024, 1, 1, 1), 1, "b"),
+        (2, datetime(2024, 1, 1, 2), 1, "c"),
+        (3, datetime(2024, 1, 1, 3), 1, "b"),
+        (4, datetime(2024, 1, 1, 0), 2, "a"),
+        (5, datetime(2024, 1, 1, 1), 2, "b"),
+        (6, datetime(2024, 1, 1, 2), 2, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["path"]: (r["n_paths"], r["rank"])
+        for r in eo.event_paths(ev, length=3, top_n=20).collect()
+    }
+    assert got == {"a>b>c": (2, 1), "b>c>b": (1, 2)}
+    top1 = eo.event_paths(ev, length=3, top_n=1).collect()
+    assert len(top1) == 1 and top1[0]["path"] == "a>b>c"
