@@ -2226,6 +2226,33 @@ rl AS (
 )"""
 
 
+def _pool_depth_sql() -> str:
+    """Replays evaluation.pool_depth_curve over the bm25+lmdir union
+    pool (min rank across runs) and the pseudo qrels."""
+    return f"""
+WITH {_two_run_ctes()},
+{_QRELS_SQL},
+u AS (
+  SELECT qid, doc_id, rank FROM rb WHERE rank <= {TOPK}
+  UNION ALL
+  SELECT qid, doc_id, rank FROM rl WHERE rank <= {TOPK}
+),
+pooled AS (SELECT qid, doc_id, min(rank) AS r FROM u GROUP BY 1, 2),
+fl AS (
+  SELECT p.qid, p.r,
+         CASE WHEN qr.docid IS NOT NULL THEN 1 ELSE 0 END AS j
+  FROM pooled p LEFT JOIN (SELECT DISTINCT qid, docid FROM qrels) qr
+    ON qr.qid = p.qid AND qr.docid = p.doc_id
+),
+depths AS (SELECT unnest(range(1, {TOPK} + 1))::BIGINT AS depth)
+SELECT fl.qid, d.depth, count(*)::BIGINT AS n_pool,
+       sum(fl.j)::BIGINT AS n_judged,
+       round(sum(fl.j) / count(*), 4) AS judged_frac
+FROM fl JOIN depths d ON fl.r <= d.depth
+GROUP BY 1, 2
+"""
+
+
 def _run_diff_sql() -> str:
     """Replays evaluation.run_diff over the bm25 vs lmdir runs at
     TOPK: full-outer (qid, doc) join, integer set counts, one-division
@@ -10771,6 +10798,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r1, r2 = _two_runs(spark, sf)
         return ev.run_diff(r1, r2, k=TOPK)
 
+    def pool_depth_curve(spark, sf):
+        # judged coverage vs pool depth over the bm25+lmdir union
+        # pool and the pseudo qrels (Zobel-style adequacy curve)
+        r1, r2 = _two_runs(spark, sf)
+        qrels = _pseudo_qrels(spark, sf)
+        runs = [
+            r.withColumn("docid", F.col("doc_id").cast("string"))
+            for r in (r1, r2)
+        ]
+        return ev.pool_depth_curve(runs, qrels, max_depth=TOPK)
+
     def trec_pooling(spark, sf):
         # TREC judging-pool construction over two systems at _POOL_DEPTH
         r1, r2 = _two_runs(spark, sf)
@@ -15408,6 +15446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_upsert": index_upsert,
         "trec_pooling": trec_pooling,
         "run_diff": run_diff,
+        "pool_depth_curve": pool_depth_curve,
         "rank_correlation": rank_correlation,
         "tau_ap": tau_ap,
         "rank_spearman": rank_spearman,
@@ -15807,6 +15846,7 @@ def oracle_sql() -> dict[str, str]:
         "index_upsert": _upsert_sql(),
         "trec_pooling": _pooling_sql(),
         "run_diff": _run_diff_sql(),
+        "pool_depth_curve": _pool_depth_sql(),
         "rank_correlation": _rank_corr_sql(),
         "tau_ap": _tau_ap_sql(),
         "rank_spearman": _spearman_sql(),

@@ -1033,6 +1033,65 @@ def calibration_bins(
     )
 
 
+def pool_depth_curve(
+    runs: list,
+    qrels: DataFrame,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Judged coverage vs pooling depth — the assessment-budget curve
+    behind TREC pool-depth decisions (Zobel SIGIR'98's pooling
+    adequacy analysis): for each depth k, the union pool of the runs'
+    top-k (docs by their MIN rank across runs) and what fraction of
+    it the qrels actually judged. A flattening curve says deeper
+    pooling buys no new judged mass; a falling one quantifies the
+    unjudged-docs hazard for every metric downstream.
+    -> (qid, depth, n_pool, n_judged, judged_frac), depth 1..max_depth,
+    frac = ONE division.
+
+    Plan shape: run union + min-rank collapse (run-sized), a
+    broadcast literal depth table theta-joined on rank <= depth
+    (fan-out <= max_depth per pooled doc), judged flag from one
+    (qid, docid) qrels join. Corpus never touched."""
+    u = None
+    for r in runs:
+        s = r.select(
+            "qid", F.col("docid"), F.col("rank").cast("long").alias("rank")
+        )
+        u = s if u is None else u.unionByName(s)
+    pooled = u.groupBy("qid", "docid").agg(
+        F.min("rank").alias("_r")
+    )
+    judged = qrels.select("qid", "docid").distinct().withColumn(
+        "_j", F.lit(1)
+    )
+    flagged = pooled.join(judged, ["qid", "docid"], "left").select(
+        "qid", "_r", F.coalesce("_j", F.lit(0)).alias("_j")
+    )
+    spark = qrels.sparkSession
+    depths = spark.createDataFrame(
+        [(d,) for d in range(1, int(max_depth) + 1)], "depth long"
+    )
+    j = flagged.join(
+        F.broadcast(depths), F.col("_r") <= F.col("depth")
+    )
+    return (
+        j.groupBy("qid", "depth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pool"),
+            F.sum("_j").cast("long").alias("n_judged"),
+        )
+        .select(
+            "qid",
+            "depth",
+            "n_pool",
+            "n_judged",
+            F.round(F.col("n_judged") / F.col("n_pool"), 4).alias(
+                "judged_frac"
+            ),
+        )
+    )
+
+
 def run_diff(
     run_a: DataFrame,
     run_b: DataFrame,

@@ -1169,3 +1169,29 @@ def test_run_diff_hand_computed(spark):
     }
     assert got["q1"] == (2, 1, 1, 1.0)
     assert got["q2"] == (0, 1, 0, None)
+
+
+def test_pool_depth_curve_hand_computed(spark):
+    """Two runs over one query: pool at depth 1 = {A (min rank 1)},
+    depth 2 adds B and C (rank 2 in either run). Judged = {A, C}:
+    fracs 1.0, 2/3."""
+    r1 = spark.createDataFrame(
+        [("q", "A", 1), ("q", "B", 2)],
+        "qid string, docid string, rank long",
+    )
+    r2 = spark.createDataFrame(
+        [("q", "A", 1), ("q", "C", 2)],
+        "qid string, docid string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "A", 1.0), ("q", "C", 0.0)],
+        "qid string, docid string, rel double",
+    )
+    got = {
+        r["depth"]: (r["n_pool"], r["n_judged"], r["judged_frac"])
+        for r in ev.pool_depth_curve([r1, r2], qrels, max_depth=3
+                                     ).collect()
+    }
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (3, 2, round(2 / 3, 4))
+    assert got[3] == (3, 2, round(2 / 3, 4))
