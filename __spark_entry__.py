@@ -3237,6 +3237,39 @@ SELECT image_id, width, height,
 FROM imgs
 """
 
+_LINK_ASSORT_SQL = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges0 AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges0 WHERE least(src, dst) < greatest(src, dst)),
+deg AS MATERIALIZED (
+  SELECT id, count(*)::BIGINT AS d FROM
+  (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+e AS (SELECT da.d AS x, db.d AS y
+      FROM und JOIN deg da ON da.id = und.a
+      JOIN deg db ON db.id = und.b),
+pairs2 AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+agg AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+               sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        FROM pairs2),
+nd AS (SELECT count(*)::BIGINT AS n_nodes FROM deg),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+SELECT nd.n_nodes, ne.n_edges,
+       CASE WHEN agg.m * agg.sxx - agg.sx * agg.sx <> 0 THEN
+         round((agg.m * agg.sxy - agg.sx * agg.sx)
+               / (agg.m * agg.sxx - agg.sx * agg.sx), 4)
+       END AS r_assortativity
+FROM nd CROSS JOIN ne CROSS JOIN agg
+"""
+
 _LINK_DEGREE_SQL = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -11414,6 +11447,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges, min_common=2, max_degree=None
         )
 
+    def link_assortativity(spark, sf):
+        # Newman degree assortativity over the undirected simplified
+        # graph — integer sums, ONE division (symmetric convention)
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        edges = gr.synthetic_link_graph(docs, n)
+        return gr.assortativity(edges)
+
     def link_degree_stats(spark, sf):
         # one-row graph health summary: degrees, hub maxima,
         # reciprocity (distinct directed edges; one division)
@@ -15475,6 +15516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_bfs": link_bfs,
         "kcore_peel": kcore_peel,
         "link_degree_stats": link_degree_stats,
+        "link_assortativity": link_assortativity,
         "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
@@ -15875,6 +15917,7 @@ def oracle_sql() -> dict[str, str]:
         "link_bfs": _LINK_BFS_SQL,
         "kcore_peel": _KCORE_SQL,
         "link_degree_stats": _LINK_DEGREE_SQL,
+        "link_assortativity": _LINK_ASSORT_SQL,
         "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,

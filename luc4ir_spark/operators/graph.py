@@ -47,6 +47,7 @@ __all__ = [
     "link_prediction_pairs",
     "bfs_depth",
     "degree_stats",
+    "assortativity",
 ]
 
 # (multiplier, offset) per out-link: dst_j = (id * p_j + q_j) % n.
@@ -699,5 +700,70 @@ def degree_stats(edges: DataFrame) -> DataFrame:
             F.round(
                 F.col("n_reciprocal_edges") / F.col("n_edges"), 4
             ).alias("reciprocity"),
+        )
+    )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002) — do
+    high-degree nodes link to other high-degree nodes (social-network
+    positive) or to leaves (web/internet negative)? The Pearson
+    correlation of degrees at the two ends of every undirected edge,
+    with each edge contributing BOTH orientations (the symmetric
+    convention, making Σx = Σy):
+
+        r = (mΣxy − ΣxΣy) / (mΣx² − (Σx)²)
+
+    over the m = 2·|edges| orientation pairs — for symmetric input
+    the two normalizing factors coincide, so the whole statistic is
+    INTEGER sums with ONE division (no sqrt at all), engine-exact.
+    NULL when the graph is degree-regular (zero variance).
+    -> ONE row (n_nodes, n_edges, r_assortativity).
+
+    Plan shape: undirected simplify once, one degree aggregate joined
+    to both edge endpoints (degree table is node-sized, AQE
+    broadcasts), one global aggregate of integer products."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("_db"))
+    e = und.join(da, "a").join(db, "b")
+    both = e.select(
+        F.col("_da").alias("x"), F.col("_db").alias("y")
+    ).unionAll(
+        e.select(F.col("_db").alias("x"), F.col("_da").alias("y"))
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    num = F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return (
+        nodes.crossJoin(ne)
+        .crossJoin(agg)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(den != 0, F.round(num / den, 4)).alias(
+                "r_assortativity"
+            ),
         )
     )

@@ -346,3 +346,30 @@ def test_degree_stats_hand_computed(spark):
     assert r["max_out_degree"] == 2 and r["max_in_degree"] == 2
     assert r["n_reciprocal_edges"] == 3
     assert r["reciprocity"] == 0.75
+
+
+def test_assortativity_hand_computed(spark):
+    """Star K1,3: every edge joins the hub (deg 3) to a leaf (deg 1)
+    — maximally disassortative. Symmetric pairs: m=6, Σx=12, Σxy=18,
+    Σx²=30 -> r = (6·18−144)/(6·30−144) = −36/36 = −1. A path of two
+    edges: r = −0.5 (numpy-replayable). Regular graphs -> NULL."""
+    from luc4ir_spark.operators import graph as gr
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = gr.assortativity(star).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (4, 3)
+    assert r["r_assortativity"] == -1.0
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    r2 = gr.assortativity(tri).collect()[0]
+    assert r2["r_assortativity"] is None  # 2-regular: zero variance
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    )
+    r3 = gr.assortativity(path).collect()[0]
+    # pairs: (1,2),(2,1),(2,1),(1,2): m=4, Σx=6, Σxy=8, Σx²=10
+    # r = (32-36)/(40-36) = -1.0
+    assert r3["r_assortativity"] == -1.0
