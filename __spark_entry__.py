@@ -2226,6 +2226,37 @@ rl AS (
 )"""
 
 
+def _percolate_scored_sql() -> str:
+    """Replays retrieval.percolate_scored: all-MUST over the RAW
+    registered term set + per-doc BM25 query ranking, top-2."""
+    return f"""
+WITH {_TOKS}, {_TF}, {_DL}, {_DFT}, {_STATS}, {_values_queries()},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) ) AS s_raw
+  FROM q JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+nq AS (SELECT qid, count(DISTINCT term)::BIGINT AS nt FROM q GROUP BY 1),
+m AS (SELECT tf.doc_id, q.qid, count(DISTINCT q.term)::BIGINT AS nm
+      FROM q JOIN tf USING (term) GROUP BY 1, 2),
+ok AS (SELECT m.doc_id, m.qid
+       FROM m JOIN nq USING (qid) WHERE m.nm = nq.nt),
+r AS (
+  SELECT ok.doc_id, ok.qid, s.s_raw,
+         row_number() OVER (PARTITION BY ok.doc_id
+                            ORDER BY s.s_raw DESC, ok.qid ASC)::BIGINT
+           AS rank
+  FROM ok JOIN scored s
+    ON s.qid = ok.qid AND s.doc_id = ok.doc_id
+)
+SELECT doc_id, qid, rank, round(s_raw, 4) AS score
+FROM r WHERE rank <= 2
+"""
+
+
 def _pool_depth_sql() -> str:
     """Replays evaluation.pool_depth_curve over the bm25+lmdir union
     pool (min rank across runs) and the pseudo qrels."""
@@ -12390,6 +12421,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "qid", "n_matched")
 
+    def percolate_scored(spark, sf):
+        # scoring percolation: per doc, the fully-matched registered
+        # queries ranked by their BM25 score against that doc
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        return rt.percolate_scored(idx, qt, k=2)
+
     def percolate_indexed(spark, sf):
         # ES-style indexed percolation: registry keyed by each query's
         # rarest corpus term (OOV df=0), candidates via a term-keyed
@@ -15647,6 +15685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bo1_expansion": bo1_expansion,
         "percolate": percolate,
         "percolate_indexed": percolate_indexed,
+        "percolate_scored": percolate_scored,
         "percolate_streamed": percolate_streamed,
         "cori_selection": cori_selection,
         "cori_merge": cori_merge,
@@ -16047,6 +16086,7 @@ def oracle_sql() -> dict[str, str]:
         "bo1_expansion": _bo1_sql(),
         "percolate": _percolate_sql(),
         "percolate_indexed": _percolate_sql(),
+        "percolate_scored": _percolate_scored_sql(),
         "percolate_streamed": _percolate_streamed_sql(),
         "cori_selection": _cori_sql(),
         "cori_merge": _cori_merge_sql(),

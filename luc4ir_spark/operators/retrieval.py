@@ -2936,6 +2936,52 @@ def drill_sideways(
     return out
 
 
+def percolate_scored(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    k: int = 3,
+    sim: "Similarity | None" = None,
+) -> DataFrame:
+    """SCORING percolation — Elasticsearch's percolate query used as a
+    scoring clause (the alert-RANKING mode: a doc that fires fifty
+    registered alerts routes to the strongest few): per document, the
+    registered queries whose every term it contains (the `percolate`
+    all-MUST contract), RANKED by the query's BM25 score against that
+    document — i.e. `score_queries`' matrix transposed to a per-DOC
+    window. -> (doc_id, qid, rank, score), rank <= k.
+
+    Plan shape: ONE standard scoring pass over the postings (the
+    score_queries plan — query side broadcast), an all-MUST filter via
+    the matched-DISTINCT-term counter riding the same scan, and a
+    per-doc WindowGroupLimit. Registry scale rides the same rarest-
+    term presearcher as `percolate_indexed` when needed — the scoring
+    window is unchanged."""
+    qt = query_terms.select("qid", "term").distinct()
+    n_q = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("_nt")
+    )
+    run = score_queries(index, query_terms, k=10**6, sim=sim)
+    matched = (
+        index.postings.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "qid")
+        .agg(F.count_distinct("term").cast("long").alias("_nm"))
+        .join(F.broadcast(n_q), "qid")
+        .filter(F.col("_nm") == F.col("_nt"))
+        .select("doc_id", "qid")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("qid").asc()
+    )
+    return (
+        run.join(matched, ["qid", "doc_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "doc_id", "qid", "rank", F.round("score", 4).alias("score")
+        )
+    )
+
+
 def percolate(
     docs: DataFrame,
     query_terms: DataFrame,

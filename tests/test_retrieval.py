@@ -3160,3 +3160,32 @@ def test_span_or_query_hand_computed(spark):
         pos2, [("a", "b"), ("a", "b")], slop=2
     ).collect()
     assert same[0]["n_spans"] == 1
+
+
+def test_percolate_scored_matches_and_ranks(spark):
+    """Only fully-matched registered queries fire; per doc the firing
+    queries rank by their BM25 score against it; an impossible-term
+    query never fires (raw-term counting)."""
+    docs = spark.createDataFrame(
+        [(1, "spark fast"), (2, "spark slow fast"), (3, "other")],
+        "doc_id long, content string",
+    )
+    cfg = AnalyzerConfig(mode="simple")
+    idx = ix.build_index(docs, ix.IndexConfig(analyzer=cfg))
+    qt = rt.queries_to_terms(
+        spark,
+        [("qa", "spark"), ("qb", "spark fast"),
+         ("qc", "spark zzz-impossible")],
+        cfg,
+    )
+    rows = rt.percolate_scored(idx, qt, k=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["qid"]))
+    # doc 3 matches nothing; qc never fires anywhere
+    assert 3 not in by_doc
+    assert all(q != "qc" for v in by_doc.values() for _, q in v)
+    # docs 1 and 2 fire qa and qb; qb (two matched terms) outscores qa
+    for d in (1, 2):
+        ranked = [q for _, q in sorted(by_doc[d])]
+        assert ranked == ["qb", "qa"], d
