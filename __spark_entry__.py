@@ -3268,6 +3268,46 @@ SELECT image_id, width, height,
 FROM imgs
 """
 
+_LINK_MODULARITY_SQL = """
+WITH nodes AS (SELECT doc_id AS id, source FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges0 AS (
+  SELECT id AS src, (id * 7 + 11) % nn.n AS dst FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 13 + 5) % nn.n FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT id, (id * 3 + 1) % nn.n FROM nodes CROSS JOIN nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges0 WHERE least(src, dst) < greatest(src, dst)),
+mt AS (SELECT count(*)::BIGINT AS m FROM und),
+e AS MATERIALIZED (
+  SELECT u.a, u.b, na.source AS ca, nb.source AS cb
+  FROM und u JOIN nodes na ON na.id = u.a
+  JOIN nodes nb ON nb.id = u.b),
+intra AS (SELECT ca AS community, count(*)::BIGINT AS e_intra
+          FROM e WHERE ca = cb GROUP BY 1),
+deg AS (
+  SELECT community, count(*)::BIGINT AS d_total,
+         count(DISTINCT id)::BIGINT AS n_nodes
+  FROM (SELECT a AS id, ca AS community FROM e
+        UNION ALL SELECT b, cb FROM e)
+  GROUP BY 1),
+per AS (
+  SELECT d.community, d.n_nodes,
+         coalesce(i.e_intra, 0)::BIGINT AS e_intra, d.d_total
+  FROM deg d LEFT JOIN intra i USING (community)),
+tot AS (
+  SELECT sum(4 * mt.m * per.e_intra)::BIGINT AS num_e,
+         sum(per.d_total * per.d_total)::BIGINT AS num_d,
+         max(mt.m)::BIGINT AS m2
+  FROM per CROSS JOIN mt)
+SELECT per.community, per.n_nodes, per.e_intra, per.d_total,
+       round((tot.num_e - tot.num_d) / (4 * tot.m2 * tot.m2), 4) AS q
+FROM per CROSS JOIN tot
+"""
+
 _LINK_ASSORT_SQL = """
 WITH nodes AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -11478,6 +11518,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges, min_common=2, max_degree=None
         )
 
+    def link_modularity(spark, sf):
+        # modularity Q of the SOURCE partition on the link graph —
+        # integer numerator, one division; per-community rows
+        d = _docs(spark, sf)
+        n = d.count()
+        edges = gr.synthetic_link_graph(d.select("doc_id"), n)
+        mem = d.select(
+            F.col("doc_id").alias("id"),
+            F.col("source").alias("community"),
+        )
+        return gr.partition_modularity(edges, mem)
+
     def link_assortativity(spark, sf):
         # Newman degree assortativity over the undirected simplified
         # graph — integer sums, ONE division (symmetric convention)
@@ -15555,6 +15607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": kcore_peel,
         "link_degree_stats": link_degree_stats,
         "link_assortativity": link_assortativity,
+        "link_modularity": link_modularity,
         "anchor_field": anchor_field,
         "link_triangles": link_triangles,
         "link_hits": link_hits,
@@ -15957,6 +16010,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_peel": _KCORE_SQL,
         "link_degree_stats": _LINK_DEGREE_SQL,
         "link_assortativity": _LINK_ASSORT_SQL,
+        "link_modularity": _LINK_MODULARITY_SQL,
         "anchor_field": _ANCHOR_FIELD_SQL,
         "link_triangles": _TRIANGLES_SQL,
         "link_hits": _HITS_SQL,

@@ -48,6 +48,7 @@ __all__ = [
     "bfs_depth",
     "degree_stats",
     "assortativity",
+    "partition_modularity",
 ]
 
 # (multiplier, offset) per out-link: dst_j = (id * p_j + q_j) % n.
@@ -766,4 +767,92 @@ def assortativity(edges: DataFrame) -> DataFrame:
                 "r_assortativity"
             ),
         )
+    )
+
+
+def partition_modularity(
+    edges: DataFrame,
+    membership: DataFrame,
+    id_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """Modularity Q of a GIVEN partition (Newman & Girvan, PRE 2004)
+    — the quality score of any community assignment (connected
+    components, source/host grouping, an external clustering):
+
+        Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+          = (Σ_c 4·m·e_c − Σ_c d_c²) / (4m²)
+
+    with m undirected edges, e_c intra-community edges and d_c the
+    community's degree sum — the second form is an INTEGER numerator
+    with ONE division, engine-exact. Q ≈ 0: no more intra-community
+    structure than chance; Q > 0.3: classic community signal.
+    -> one row per community (community, n_nodes, e_intra, d_total,
+    q) with the global q repeated (the repo's one-statistic
+    convention); unassigned nodes raise — membership must cover the
+    graph (coalesce upstream).
+
+    Plan shape: undirected simplify once; TWO membership joins onto
+    the edge endpoints (node-sized dim, AQE broadcasts); community-
+    cardinality-sized aggregates after."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mem = membership.select(
+        F.col(id_col).alias("_id"), F.col(community_col).alias("_c")
+    )
+    e = (
+        und.join(mem.withColumnRenamed("_id", "a"), "a")
+        .withColumnRenamed("_c", "_ca")
+        .join(mem.withColumnRenamed("_id", "b"), "b")
+        .withColumnRenamed("_c", "_cb")
+    )
+    m_tot = und.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    intra = (
+        e.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_intra"))
+    )
+    deg = (
+        e.select(F.col("a").alias("_id"), F.col("_ca").alias("community"))
+        .unionAll(
+            e.select(F.col("b").alias("_id"), F.col("_cb").alias("community"))
+        )
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d_total"),
+            F.count_distinct("_id").cast("long").alias("n_nodes"),
+        )
+    )
+    per = deg.join(intra, "community", "left").select(
+        "community",
+        "n_nodes",
+        F.coalesce("e_intra", F.lit(0)).cast("long").alias("e_intra"),
+        "d_total",
+    )
+    tot = per.crossJoin(F.broadcast(m_tot)).agg(
+        F.sum(F.lit(4) * F.col("_m") * F.col("e_intra"))
+        .cast("long")
+        .alias("_num_e"),
+        F.sum(F.col("d_total") * F.col("d_total")).cast("long").alias(
+            "_num_d"
+        ),
+        F.max("_m").alias("_m2"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "community",
+        "n_nodes",
+        "e_intra",
+        "d_total",
+        F.round(
+            (F.col("_num_e") - F.col("_num_d"))
+            / (F.lit(4) * F.col("_m2") * F.col("_m2")),
+            4,
+        ).alias("q"),
     )

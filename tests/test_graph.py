@@ -373,3 +373,32 @@ def test_assortativity_hand_computed(spark):
     # pairs: (1,2),(2,1),(2,1),(1,2): m=4, Σx=6, Σxy=8, Σx²=10
     # r = (32-36)/(40-36) = -1.0
     assert r3["r_assortativity"] == -1.0
+
+
+def test_partition_modularity_hand_computed(spark):
+    """Two triangles joined by one bridge edge, communities = the
+    triangles: m=7, e_c=3 each, d_c = 7 per community (3+2+2... the
+    bridge endpoints have deg 3). Q = (sum 4*m*e - sum d^2)/(4m^2) =
+    (4*7*6 - 2*49)/196 = (168-98)/196 = 70/196 ~ 0.3571. A random
+    single community gives Q = 0 exactly."""
+    from luc4ir_spark.operators import graph as gr
+
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(3, 4), (4, 5), (5, 3)]
+    e = spark.createDataFrame(
+        tri1 + tri2 + [(2, 3)], "src long, dst long"
+    )
+    mem = spark.createDataFrame(
+        [(i, "c1" if i < 3 else "c2") for i in range(6)],
+        "id long, community string",
+    )
+    got = {r["community"]: r
+           for r in gr.partition_modularity(e, mem).collect()}
+    assert got["c1"]["e_intra"] == 3 and got["c2"]["e_intra"] == 3
+    assert got["c1"]["d_total"] == 7 and got["c2"]["d_total"] == 7
+    assert got["c1"]["q"] == round(70 / 196, 4)
+    one = spark.createDataFrame(
+        [(i, "all") for i in range(6)], "id long, community string"
+    )
+    g1 = gr.partition_modularity(e, one).collect()[0]
+    assert g1["q"] == 0.0   # (4m*m - (2m)^2)/(4m^2) = 0
