@@ -6568,6 +6568,46 @@ FROM dft CROSS JOIN s CROSS JOIN t
 """
 
 
+def _cache_plan_sql() -> str:
+    """Replays plans/layout.cache_plan over the analytic varbyte
+    sizes + query-term frequencies: integer density key, cumulative
+    prefix cut at 3000 bytes."""
+    vb = (
+        "CASE "
+        + " ".join(
+            f"WHEN d < {1 << (7 * k)} THEN {k}" for k in range(1, 9)
+        )
+        + " ELSE 9 END"
+    )
+    return f"""
+WITH {_TOKS}, {_TF}, {_values_queries()},
+o AS (SELECT term, doc_id,
+             lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+      FROM tf),
+v AS (SELECT term,
+             CASE WHEN prev IS NULL THEN doc_id
+                  ELSE doc_id - prev END AS d
+      FROM o),
+per AS (SELECT term, sum({vb})::BIGINT AS bytes FROM v GROUP BY 1),
+qf AS (SELECT term, count(*)::BIGINT AS qfreq FROM q GROUP BY 1),
+c AS (
+  SELECT per.term, per.bytes,
+         coalesce(qf.qfreq, 0)::BIGINT AS qfreq,
+         ((coalesce(qf.qfreq, 0) * 1000000) // per.bytes)::BIGINT
+           AS density_key
+  FROM per LEFT JOIN qf USING (term)
+),
+w AS (
+  SELECT *, sum(bytes) OVER (ORDER BY density_key DESC, term ASC
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_bytes
+  FROM c
+)
+SELECT term, bytes, qfreq, density_key, cum_bytes,
+       cum_bytes <= 3000 AS cached
+FROM w
+"""
+
+
 def _term_frontcoding_sql() -> str:
     """Replays plans/layout.term_dict_frontcoding_report over the
     vocabulary: lag(term) in sorted order, prefix length as the same
@@ -11983,6 +12023,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("df") * 4 > F.lit(3 * n)).alias("is_stop"),
         )
 
+    def cache_plan(spark, sf):
+        # hot-term cache budget fill: fixed-point density ordering
+        # over (query freq / varbyte bytes), prefix-cut at 3000 bytes
+        from luc4ir_spark.plans import layout as ly
+
+        idx = _index(spark, sf)
+        enc = ly.postings_encoding_report(
+            idx.postings.select("term", "doc_id")
+        ).select("term", F.col("varbyte_bytes").alias("bytes"))
+        qf = (
+            rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("qfreq"))
+        )
+        costs = enc.join(qf, "term", "left").select(
+            "term",
+            "bytes",
+            F.coalesce("qfreq", F.lit(0)).cast("long").alias("qfreq"),
+        )
+        return ly.cache_plan(costs, budget_bytes=3000)
+
     def term_frontcoding(spark, sf):
         # BlockTree-style term-dictionary front-coding sizes: unrolled
         # common-prefix chain over the sorted vocab, all-integer
@@ -15627,6 +15688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docvalues_report": docvalues_report,
         "postings_encoding": postings_encoding,
         "term_frontcoding": term_frontcoding,
+        "cache_plan": cache_plan,
         "stopword_induction": stopword_induction,
         "source_vocab_overlap": source_vocab_overlap,
         "scan_pruning": scan_pruning,
@@ -16030,6 +16092,7 @@ def oracle_sql() -> dict[str, str]:
         "docvalues_report": _DOCVALUES_SQL,
         "postings_encoding": _postings_encoding_sql(),
         "term_frontcoding": _term_frontcoding_sql(),
+        "cache_plan": _cache_plan_sql(),
         "stopword_induction": _STOPWORD_INDUCTION_SQL,
         "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "scan_pruning": _scan_pruning_sql(),

@@ -394,3 +394,44 @@ def compaction_plan(
         .alias("group_id"),
         F.row_number().over(w).cast("long").alias("group_seq"),
     )
+
+
+def cache_plan(
+    term_costs: DataFrame,
+    budget_bytes: int,
+    term_col: str = "term",
+    bytes_col: str = "bytes",
+    freq_col: str = "qfreq",
+) -> DataFrame:
+    """Hot posting-list cache planning — the value-density greedy
+    behind every term-cache / tiered-storage budget decision (keep the
+    posting lists the query log hits most, per byte): terms sort by an
+    all-INTEGER density key floor(qfreq·10⁶ / bytes) (the fixed-point
+    ratio — never a float ratio in an ORDER BY) and fill the byte
+    budget by prefix: a term is cached when the cumulative bytes
+    THROUGH it stay within budget (first-fit by density; a huge
+    low-density list simply doesn't fit — later smaller terms may
+    still enter, which plain prefix-cut forgoes: documented greedy
+    simplification, the knapsack is not relational).
+    -> (term, bytes, qfreq, density_key, cum_bytes, cached).
+
+    Plan shape: one global window over the VOCAB-sized relation (the
+    documented exception); everything else scan-local integers."""
+    from pyspark.sql import Window
+
+    t = term_costs.select(
+        F.col(term_col).alias("term"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        F.col(freq_col).cast("long").alias("qfreq"),
+    ).withColumn(
+        "density_key",
+        F.expr("div(qfreq * 1000000, bytes)").cast("long"),
+    )
+    w = Window.orderBy(
+        F.col("density_key").desc(), F.col("term").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.withColumn(
+        "cum_bytes", F.sum("bytes").over(w).cast("long")
+    ).withColumn(
+        "cached", F.col("cum_bytes") <= F.lit(int(budget_bytes))
+    )

@@ -523,3 +523,23 @@ def test_compaction_plan_hand_computed(spark):
         1: (0, 1), 2: (0, 2), 3: (1, 3), 4: (2, 4), 5: (2, 5),
         6: (0, 1),
     }
+
+
+def test_cache_plan_hand_computed(spark):
+    """Density ordering: t1 (freq 4 / 100 B, key 40000) first, then
+    t2 (2/100, 20000), then t3 (1/200, 5000), t4 unqueried (0).
+    Budget 220: t1+t2 fit (200), t3 pushes cum to 400 -> out."""
+    from luc4ir_spark.plans import layout as ly
+
+    costs = spark.createDataFrame(
+        [("t1", 100, 4), ("t2", 100, 2), ("t3", 200, 1), ("t4", 50, 0)],
+        "term string, bytes long, qfreq long",
+    )
+    got = {
+        r["term"]: (r["density_key"], r["cum_bytes"], r["cached"])
+        for r in ly.cache_plan(costs, budget_bytes=220).collect()
+    }
+    assert got["t1"] == (40000, 100, True)
+    assert got["t2"] == (20000, 200, True)
+    assert got["t3"] == (5000, 400, False)
+    assert got["t4"] == (0, 450, False)
