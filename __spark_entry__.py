@@ -3835,6 +3835,55 @@ FROM th CROSS JOIN com CROSS JOIN uni CROSS JOIN exi CROSS JOIN exu
 """
 
 
+_SELECTIVITY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(
+       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       x -> x <> '')) AS term FROM documents),
+ha AS (SELECT DISTINCT (2654435761 * (doc_id % 2147483647)
+             + 2246822519) % 2147483647 AS h
+       FROM toks WHERE term = 'table'),
+hb AS (SELECT DISTINCT (2654435761 * (doc_id % 2147483647)
+             + 2246822519) % 2147483647 AS h
+       FROM toks WHERE term = 'window'),
+sa AS (SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h)
+             AS rn FROM ha) WHERE rn <= {_KMV_K}),
+sb AS (SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h)
+             AS rn FROM hb) WHERE rn <= {_KMV_K}),
+ta AS (SELECT count(*)::BIGINT AS m_a,
+              coalesce(max(CASE WHEN rn = {_KMV_K} THEN h END),
+                       2147483647)::BIGINT AS tha
+       FROM sa),
+tb AS (SELECT count(*)::BIGINT AS m_b,
+              coalesce(max(CASE WHEN rn = {_KMV_K} THEN h END),
+                       2147483647)::BIGINT AS thb
+       FROM sb),
+th AS (SELECT m_a, m_b, least(tha, thb)::BIGINT AS theta_hash
+       FROM ta CROSS JOIN tb),
+ra AS (SELECT sa.h FROM sa CROSS JOIN th WHERE sa.h < th.theta_hash),
+rb2 AS (SELECT sb.h FROM sb CROSS JOIN th WHERE sb.h < th.theta_hash),
+com AS (SELECT count(*)::BIGINT AS n_common
+        FROM ra JOIN rb2 USING (h)),
+uni AS (SELECT count(*)::BIGINT AS n_union FROM
+        (SELECT DISTINCT h FROM (SELECT h FROM ra
+                                 UNION ALL SELECT h FROM rb2))),
+exi AS (SELECT count(*)::BIGINT AS exact_intersection
+        FROM ha JOIN hb USING (h)),
+exu AS (SELECT count(*)::BIGINT AS exact_union FROM
+        (SELECT DISTINCT h FROM (SELECT h FROM ha
+                                 UNION ALL SELECT h FROM hb)))
+SELECT th.m_a, th.m_b, th.theta_hash, com.n_common, uni.n_union,
+       round(com.n_common * 2147483647.0 / th.theta_hash, 4)
+         AS est_intersection,
+       round(uni.n_union * 2147483647.0 / th.theta_hash, 4)
+         AS est_union,
+       CASE WHEN uni.n_union > 0
+            THEN round(com.n_common / uni.n_union, 4)
+            ELSE 0.0 END AS est_jaccard,
+       exi.exact_intersection, exu.exact_union
+FROM th CROSS JOIN com CROSS JOIN uni CROSS JOIN exi CROSS JOIN exu
+"""
+
+
 _ROLLUP_SQL = """
 WITH base AS (
   SELECT event_type,
@@ -11794,6 +11843,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_exact",
         )
 
+    def selectivity_est(spark, sf):
+        # query-planner conjunctive cardinality estimation:
+        # |docs('table') AND docs('window')| from two k=64 KMV
+        # sketches of the posting lists, exact counts alongside —
+        # the sketch route a planner takes when posting lists are
+        # remote/sharded and an exact intersection is the query itself
+        from luc4ir_spark.operators import sketches as sk
+
+        idx = _index(spark, sf)
+        a = idx.postings.filter(F.col("term") == "table").select(
+            F.col("doc_id").alias("v")
+        )
+        b = idx.postings.filter(F.col("term") == "window").select(
+            F.col("doc_id").alias("v")
+        )
+        return sk.kmv_set_ops(a, b, "v", k=_KMV_K)
+
     def kmv_set_ops(spark, sf):
         # theta-sketch set operations: click-users x view-users
         # intersection/union/jaccard estimates from two k=64 KMV
@@ -15679,6 +15745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": asof_last_view,
         "distinct_sketch": distinct_sketch,
         "kmv_set_ops": kmv_set_ops,
+        "selectivity_est": selectivity_est,
         "hll_distinct": hll_distinct,
         "ann_pq_topk": ann_pq_topk,
         "simple_query_string": simple_query_string,
@@ -16083,6 +16150,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_view": _ASOF_SQL,
         "distinct_sketch": _KMV_SQL,
         "kmv_set_ops": _KMV_SETOPS_SQL,
+        "selectivity_est": _SELECTIVITY_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "simple_query_string": _sqs_sql(),
