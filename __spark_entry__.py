@@ -2257,6 +2257,39 @@ FROM r WHERE rank <= 2
 """
 
 
+def _search_length_sql() -> str:
+    """Replays evaluation.expected_search_length over the BM25 run +
+    pseudo qrels: cumulative relevant counter, min rank per (qid, j),
+    literal j spine, esl = rank − j."""
+    return f"""
+WITH {_ap_pair_prefix()},
+rr AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN coalesce(qr.rel, 0.0) >= 1.0
+              THEN 1 ELSE 0 END AS isrel
+  FROM run_a r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = qr.docid
+),
+cum AS (
+  SELECT qid, rank, isrel,
+         sum(isrel) OVER (PARTITION BY qid ORDER BY rank
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM rr
+),
+firsts AS (
+  SELECT qid, c AS j, min(rank)::BIGINT AS rank_of_jth
+  FROM cum WHERE isrel = 1 AND c <= 2 GROUP BY 1, 2
+),
+spine AS (
+  SELECT DISTINCT q.qid, t.j::BIGINT AS j
+  FROM q CROSS JOIN (VALUES (1), (2)) t(j)
+)
+SELECT s.qid, s.j, f.rank_of_jth,
+       (f.rank_of_jth - s.j)::BIGINT AS esl
+FROM spine s LEFT JOIN firsts f USING (qid, j)
+"""
+
+
 def _pool_depth_sql() -> str:
     """Replays evaluation.pool_depth_curve over the bm25+lmdir union
     pool (min rank across runs) and the pseudo qrels."""
@@ -10991,6 +11024,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r1, r2 = _two_runs(spark, sf)
         return ev.run_diff(r1, r2, k=TOPK)
 
+    def search_length(spark, sf):
+        # Cooper's ESL over the BM25 run: non-relevant docs seen
+        # before the 1st and 2nd relevant — all-integer
+        idx = _index(spark, sf)
+        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+            "docid", F.col("doc_id").cast("string")
+        )
+        return ev.expected_search_length(
+            run, _pseudo_qrels(spark, sf), n_rel_target=2
+        )
+
     def pool_depth_curve(spark, sf):
         # judged coverage vs pool depth over the bm25+lmdir union
         # pool and the pseudo qrels (Zobel-style adequacy curve)
@@ -15705,6 +15750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_pooling": trec_pooling,
         "run_diff": run_diff,
         "pool_depth_curve": pool_depth_curve,
+        "search_length": search_length,
         "rank_correlation": rank_correlation,
         "tau_ap": tau_ap,
         "rank_spearman": rank_spearman,
@@ -16110,6 +16156,7 @@ def oracle_sql() -> dict[str, str]:
         "trec_pooling": _pooling_sql(),
         "run_diff": _run_diff_sql(),
         "pool_depth_curve": _pool_depth_sql(),
+        "search_length": _search_length_sql(),
         "rank_correlation": _rank_corr_sql(),
         "tau_ap": _tau_ap_sql(),
         "rank_spearman": _spearman_sql(),

@@ -1033,6 +1033,65 @@ def calibration_bins(
     )
 
 
+def expected_search_length(
+    run: DataFrame,
+    qrels: DataFrame,
+    n_rel_target: int = 2,
+) -> DataFrame:
+    """Expected search length (Cooper, JASIS 1968 — the oldest
+    user-effort metric: how many NON-relevant documents does a user
+    wade through before collecting j relevant ones): for each query
+    and each target j <= ``n_rel_target``,
+
+        esl@j = rank of the j-th relevant document − j
+
+    (NULL when the run never surfaces j relevant docs — the honest
+    infinite-effort case). All-INTEGER: ranks and relevance flags
+    only, no floats anywhere. -> (qid, j, rank_of_jth, esl).
+
+    Plan shape: one (qid, docid) qrels join + a per-qid cumulative
+    relevant counter window over run-sized relations; the j table is
+    a literal broadcast."""
+    j = run.select(
+        "qid", "docid", F.col("rank").cast("long").alias("rank")
+    ).join(
+        qrels.select(
+            "qid", "docid", (F.col("rel") >= 1.0).alias("_r")
+        ),
+        ["qid", "docid"],
+        "left",
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    cum = j.withColumn(
+        "_cum",
+        F.sum(F.coalesce(F.col("_r"), F.lit(False)).cast("long")).over(
+            w
+        ),
+    )
+    firsts = (
+        cum.filter(
+            F.coalesce(F.col("_r"), F.lit(False))
+            & (F.col("_cum") <= int(n_rel_target))
+        )
+        .select("qid", F.col("_cum").alias("j"), "rank")
+        .groupBy("qid", "j")
+        .agg(F.min("rank").alias("rank_of_jth"))
+    )
+    spark = run.sparkSession
+    targets = spark.createDataFrame(
+        [(t,) for t in range(1, int(n_rel_target) + 1)], "j long"
+    )
+    spine = (
+        run.select("qid").distinct().crossJoin(F.broadcast(targets))
+    )
+    return spine.join(firsts, ["qid", "j"], "left").select(
+        "qid",
+        "j",
+        "rank_of_jth",
+        (F.col("rank_of_jth") - F.col("j")).cast("long").alias("esl"),
+    )
+
+
 def pool_depth_curve(
     runs: list,
     qrels: DataFrame,
