@@ -147,14 +147,32 @@ def kmeans_step_quantized(
             total = term if total is None else total + term
         return total
 
-    best_d = d2(seeds[0])
-    best_c = F.lit(0)
-    for k in range(1, int(n_centroids)):
-        dk = d2(seeds[k])
-        best_c = F.when(dk < best_d, F.lit(k)).otherwise(best_c)
-        best_d = F.when(dk < best_d, dk).otherwise(best_d)
-    assigned = qcorpus.select(
-        F.col(q_col).alias("_q"), best_c.cast("long").alias("cid")
+    # Materialize the K distances as named columns in a FIRST projection,
+    # then argmin over attribute references in a SECOND select. The naive
+    # nested F.when chain embeds the full prior best_d tree (itself
+    # containing every earlier dim-term d2 sum) twice per iteration, so
+    # the expression tree grows ~2^K·dim — janino rejects the generated
+    # method and Spark silently falls back to INTERPRETED evaluation.
+    # Two projections keep every d2 computed exactly once and the argmin
+    # linear in K; CollapseProject leaves them separate because each _dk
+    # is a non-cheap expression referenced more than once above.
+    dists = qcorpus.select(
+        F.col(q_col).alias("_q"),
+        *[d2(seeds[k]).alias(f"_d{k}") for k in range(int(n_centroids))],
+    )
+    dcols = [F.col(f"_d{k}") for k in range(int(n_centroids))]
+    best_d = F.least(*dcols) if len(dcols) > 1 else dcols[0]
+    # first (lowest) cid attaining the minimum == strict-less argmin
+    expr = None
+    for k in range(int(n_centroids)):
+        cond = dcols[k] == best_d
+        expr = (
+            F.when(cond, F.lit(k))
+            if expr is None
+            else expr.when(cond, F.lit(k))
+        )
+    assigned = dists.select(
+        F.col("_q"), expr.cast("long").alias("cid")
     )
     i = F.explode(
         F.sequence(F.lit(1), F.lit(int(dim)))
@@ -218,25 +236,37 @@ def cluster_quality_quantized(
             total = term if total is None else total + term
         return total
 
-    # track best and second-best with strict-less (ties keep the
-    # LOWER cid as the owner, matching kmeans_step_quantized);
-    # initialize from the first two seeds
-    better01 = d2(seeds[1]) < d2(seeds[0])
-    best_d0, second_d0 = d2(seeds[0]), d2(seeds[1])
-    best_d = F.when(better01, second_d0).otherwise(best_d0)
-    best_c = F.when(better01, F.lit(1)).otherwise(F.lit(0))
-    second_d = F.when(better01, best_d0).otherwise(second_d0)
-    for k in range(2, int(n_centroids)):
-        dk = d2(seeds[k])
-        new_second = (
-            F.when(dk < best_d, best_d)
-            .when(dk < second_d, dk)
-            .otherwise(second_d)
+    # Materialize the K distances once in a FIRST projection, then do
+    # the best / second-best tracking over attribute references in a
+    # SECOND select (same codegen-blowup fix as kmeans_step_quantized:
+    # the naive rolling-when form duplicates the full prior best_d tree
+    # per iteration, ~2^K·dim terms, janino fails and Spark falls back
+    # to interpreted evaluation). Semantics are unchanged: best = the
+    # LOWEST cid attaining the minimum d2 (strict-less argmin), second
+    # = the minimum d2 over every OTHER centroid (ties at the minimum
+    # make second == best_d, exactly as the rolling form did).
+    dists = qcorpus.select(
+        *[d2(seeds[k]).alias(f"_d{k}") for k in range(int(n_centroids))]
+    )
+    dcols = [F.col(f"_d{k}") for k in range(int(n_centroids))]
+    best_d = F.least(*dcols)
+    best_c = None
+    for k in range(int(n_centroids)):
+        cond = dcols[k] == best_d
+        best_c = (
+            F.when(cond, F.lit(k))
+            if best_c is None
+            else best_c.when(cond, F.lit(k))
         )
-        new_best_c = F.when(dk < best_d, F.lit(k)).otherwise(best_c)
-        new_best_d = F.when(dk < best_d, dk).otherwise(best_d)
-        best_d, best_c, second_d = new_best_d, new_best_c, new_second
-    per = qcorpus.select(
+    # least() skips NULLs, so NULL-ing out the owner column yields the
+    # minimum over the remaining K-1 centroids
+    second_d = F.least(
+        *[
+            F.when(best_c == F.lit(k), F.lit(None)).otherwise(dcols[k])
+            for k in range(int(n_centroids))
+        ]
+    )
+    per = dists.select(
         best_c.cast("long").alias("cid"),
         best_d.cast("long").alias("_a"),
         second_d.cast("long").alias("_b"),

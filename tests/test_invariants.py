@@ -618,3 +618,33 @@ def test_new_operator_plan_guards(spark):
     )
     assert "BroadcastNestedLoopJoin" in gplan, gplan
     assert "Exchange hashpartitioning" not in gplan, gplan
+
+
+def test_quantized_kmeans_codegen_bounded(spark):
+    """VERDICT r5 item 1: the quantized k-means operators must keep
+    their expression trees linear in K·dim — the rolling F.when argmin
+    embedded the full prior best_d tree twice per centroid (~2^K·dim
+    terms), janino refused to compile the generated method and Spark
+    silently fell back to interpreted evaluation. Guard: the formatted
+    physical plan of both operators stays bounded (the broken shape was
+    ~10-60x larger) and the distances appear as a separate projection
+    (each d2 computed once, argmin over attribute references)."""
+    from luc4ir_spark.operators import annsearch as ann
+
+    rows = [(i, [float((i * 7 + j) % 11 - 5) for j in range(16)])
+            for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    qz = ann.quantize_embeddings(emb)
+    for fn in (ann.kmeans_step_quantized, ann.cluster_quality_quantized):
+        df = fn(qz, n_centroids=4, dim=16)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # linear-size bound: 4 centroids x 16 dims ~ a few thousand
+        # chars of distance terms; the exponential shape exceeded this
+        # by >10x at dim=16 (and ~50x at the gate's dim=64)
+        assert len(plan) < 60_000, (
+            f"{fn.__name__}: plan blew up to {len(plan)} chars"
+        )
+        assert "_d0" in plan and "_d3" in plan, plan[:2000]
+        df.collect()  # executes: would log codegen errors if broken
