@@ -110,18 +110,35 @@ def relevance_model(
     variant: str = "rlm_cond",
 ) -> DataFrame:
     """-> (qid, term, wt) with sum(wt)=1 per qid. variant: rlm_cond
-    (reference default, retrieve_trecd45.sh rlm.type) or rlm_iid."""
-    dt = topdocs_term_stats(index, run, num_top_docs)
+    (reference default, retrieve_trecd45.sh rlm.type) or rlm_iid.
+
+    Sharing: ``run`` usually carries the FULL first-pass scoring plan,
+    and this function consumes it from four places (the feedback-set
+    postings join feeding per_q / df_top / the mix, plus the sum_sim
+    aggregate) — without materialization every consumer re-executes the
+    whole retrieval (measured: qq_jsdiv's four-way rlm fan-out re-ran
+    the scoring subtree ~16x, 26 s at sf0.01/local[8]). The top-docs
+    slice (queries×m rows) and the feedback-set postings join
+    (queries×m×terms rows) are each GC-scoped localCheckpoint-ed so
+    the first pass runs ONCE and every aggregate reads the tiny
+    materialized relations; both are feedback-sized, never
+    corpus-sized."""
+    top = (
+        run.filter(F.col("rank") <= num_top_docs)
+        .select("qid", "doc_id", F.col("score").alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    dt = (
+        index.postings.join(top, "doc_id")
+        .select("qid", "term", "doc_id", "tf", "doc_len", "sim")
+        .localCheckpoint(eager=False)
+    )
 
     per_q = dt.groupBy("qid").agg(
         F.sum(F.col("tf")).alias("sum_tf_pool"),
         F.count(F.lit(1)).cast("double").alias("sum_df"),  # Σ_w df_top(w)
     )
-    sims = (
-        run.filter(F.col("rank") <= num_top_docs)
-        .groupBy("qid")
-        .agg(F.sum("score").alias("sum_sim"))
-    )
+    sims = top.groupBy("qid").agg(F.sum("sim").alias("sum_sim"))
     df_top = dt.groupBy("qid", "term").agg(
         F.countDistinct("doc_id").cast("double").alias("df_top"),
         F.sum("tf").cast("double").alias("tf_pool"),
@@ -154,6 +171,9 @@ def relevance_model(
     else:
         raise ValueError(f"unknown relevance model variant: {variant}")
 
+    # wt feeds both the normalizer and the final join — materialize the
+    # (queries × vocab)-sized relation once instead of re-aggregating
+    wt = wt.localCheckpoint(eager=False)
     norms = wt.groupBy("qid").agg(F.sum("wt_raw").alias("z"))
     return wt.join(F.broadcast(norms), "qid").select(
         "qid", "term", (F.col("wt_raw") / F.col("z")).alias("wt")
@@ -445,7 +465,19 @@ def query_query_similarity(
 ) -> DataFrame:
     """F7: Jensen-Shannon divergence between two queries' relevance
     models (reference: retriever/TrecDocRetriever.java:109-175 — mean of
-    KL(p||avg), KL(q||avg) over the merged vocabularies)."""
+    KL(p||avg), KL(q||avg) over the merged vocabularies).
+
+    Each side's relevance-model plan is consumed twice below (the
+    qid-universe distinct and the full-outer merge), and an RLM plan
+    contains the entire first-pass retrieval — materialize each input
+    once (GC-scoped; RLMs are queries×vocab-sized). The common
+    rlm_a-is-rlm_b self-similarity call shares ONE checkpoint across
+    all four consumers."""
+    if rlm_a is rlm_b:
+        rlm_a = rlm_b = rlm_a.localCheckpoint(eager=False)
+    else:
+        rlm_a = rlm_a.localCheckpoint(eager=False)
+        rlm_b = rlm_b.localCheckpoint(eager=False)
     a = rlm_a.select("qid", "term", F.col("wt").alias("pa"))
     b = rlm_b.select(F.col("qid").alias("qid_b"), "term", F.col("wt").alias("pb"))
     # all (qid, qid_b) pairs, merged vocab per pair, missing side -> 0
@@ -897,20 +929,20 @@ def retrieve_with_feedback(
     ahead of the remaining first-pass results (reference keeps the tail
     ranks unchanged below the reranked head).
 
-    The first-pass run is deliberately NOT persisted: the returned
-    DataFrame is lazy, so a function-scoped cache either leaks (no
-    unpersist point exists before the caller's action) or is gone
-    before it helps. The splice's three references to the first pass
-    share identical exchange subtrees, which Spark's ReuseExchange
-    dedups at execution (verified: 17 ReusedExchange nodes, identical
-    rows, zero persistent RDDs left behind) — the shuffle files on the
-    executors ARE the cache, with no session-lifetime leak. Callers
-    looping many feedback batches can persist/unpersist the run they
-    pass around themselves (the checkpoints.py builder shows the
-    materialize-then-unpersist pattern)."""
+    The first-pass run is materialized ONCE via a GC-scoped lazy
+    localCheckpoint (queries×k rows — run-sized, never corpus-sized):
+    the relevance model, the KL-rerank head and the spliced tail all
+    consume it, and since relevance_model itself checkpoints its
+    feedback-set slices (round-6 sharing fix), relying on ReuseExchange
+    alone would leave the checkpointed RM branch re-running the scoring
+    subtree while head/tail shared exchanges among themselves. The
+    checkpoint is dropped with the result DataFrame (GC-scoped — no
+    session-lifetime leak, unlike persist with no unpersist point)."""
     from .retrieval import score_queries
 
-    first = score_queries(index, query_terms, k=k, sim=sim)
+    first = score_queries(index, query_terms, k=k, sim=sim).localCheckpoint(
+        eager=False
+    )
     rlm = relevance_model(
         index, first, num_top_docs=num_top_docs, lam=lam, variant=variant
     )
