@@ -569,35 +569,24 @@ def lsh_near_dup_pairs(
     # side fresh exprIds and the hyperplane-projection HOF lambdas then
     # defeat ReuseExchange/AQE stage-reuse canonicalization, so both
     # sides would re-run the full bucket projection (measured: two full
-    # map stages). The checkpoint materializes the keyed relation once;
-    # LogicalRDD preserves the (tbl, bucket) partitioning so the merge
-    # join adds only per-side sorts. The cap filter below it is a cheap
-    # scan over the materialized RDD, safe to evaluate per join side.
-    if max_bucket_size is not None:
-        # bucket size via a window over the already-partitioned relation
-        # (a groupBy+join subtree gets pruned below its own exchange and
-        # defeats exchange sharing — the whole bucket projection then
-        # recomputes per consumer)
-        wb = Window.partitionBy("tbl", "bucket")
-        keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        keyed = keyed.localCheckpoint(eager=False)
-        if log is not None:
-            n_dropped = (
-                keyed.filter(F.col("_bn") > max_bucket_size)
-                .select("tbl", "bucket")
-                .distinct()
-                .count()
-            )
-            log(
-                f"lsh_near_dup_pairs: max_bucket_size={max_bucket_size} "
-                f"dropped {n_dropped} buckets across {n_tables} tables"
-            )
-        keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
-    else:
-        keyed = keyed.localCheckpoint(eager=False)
+    # map stages). _windowed_bucket_chunks checkpoints internally and
+    # computes the cap count plus the balanced chunk index in ONE
+    # (tbl, bucket) window pass; the chunk-pair join spreads a flooded
+    # bucket's quadratic verify work over its chunk pairs instead of
+    # the bucket's single owning task (dedup.PAIR_CHUNK_ROWS note).
+    from .dedup import _balanced_pair_sides, _windowed_bucket_chunks
+
+    keyed = _windowed_bucket_chunks(
+        keyed, ["tbl", "bucket"], "vid", max_bucket_size, log,
+        "lsh_near_dup_pairs",
+        drop_msg=(
+            f"lsh_near_dup_pairs: max_bucket_size={max_bucket_size} "
+            f"dropped {{n_dropped}} buckets across {n_tables} tables"
+        ),
+    )
     # "merge" hint keeps AQE from building one side as a
     # BroadcastExchange (which can never reuse the shuffle exchange)
-    L, R = keyed.alias("l"), keyed.alias("r")
+    L, R, on = _balanced_pair_sides(keyed, ["tbl", "bucket"])
     # first-collision dedup: emit each pair only from the lowest table
     # index where the two vectors share a bucket — replaces the
     # n_tables-way union + DISTINCT shuffle; a pair whose first
@@ -613,13 +602,7 @@ def lsh_near_dup_pairs(
         )
     cand = (
         L.hint("merge")
-        .join(
-            R.hint("merge"),
-            on=[
-                F.col("l.tbl") == F.col("r.tbl"),
-                F.col("l.bucket") == F.col("r.bucket"),
-            ],
-        )
+        .join(R.hint("merge"), on=on)
         .filter(F.col("l.vid") < F.col("r.vid"))
         .filter(first_hit)
     )
@@ -768,17 +751,39 @@ def semantic_dedup(
         if max_cluster_size is not None
         else keyed
     )
-    L, R = small.alias("l"), small.alias("r")
+    # balanced chunk-pair enumeration (dedup.PAIR_CHUNK_ROWS note): a
+    # whole cluster's quadratic pair scan otherwise runs in the one
+    # task owning its partition (the 4096-vector target is ~8M cosine
+    # evaluations serial); the row_number window rides the existing
+    # cluster_id partitioning of the checkpointed relation, so this
+    # adds a per-partition sort, no exchange
+    from .dedup import PAIR_CHUNK_ROWS, PAIR_MAX_CHUNKS, _balanced_pair_sides
+
+    wr = Window.partitionBy("cluster_id").orderBy("vid")
+    chunked = (
+        small.withColumn("_rn", F.row_number().over(wr))
+        .withColumn(
+            "_c",
+            F.greatest(
+                F.lit(int(PAIR_CHUNK_ROWS)),
+                F.expr(
+                    f"(_cn + {int(PAIR_MAX_CHUNKS) - 1}) div "
+                    f"{int(PAIR_MAX_CHUNKS)}"
+                ),
+            ),
+        )
+        .withColumn("_ci", F.expr("(_rn - 1) div _c"))
+        .withColumn("_k", F.expr("(_cn + _c - 1) div _c"))
+        .drop("_cn", "_rn", "_c")
+    )
+    L, R, on = _balanced_pair_sides(chunked, ["cluster_id"])
     dot = None
     for i in range(1, dim + 1):
         term = F.element_at(F.col("l.v"), i) * F.element_at(F.col("r.v"), i)
         dot = term if dot is None else dot + term
     dropped = (
         L.hint("merge")
-        .join(
-            R.hint("merge"),
-            on=[F.col("l.cluster_id") == F.col("r.cluster_id")],
-        )
+        .join(R.hint("merge"), on=on)
         .filter(F.col("l.vid") < F.col("r.vid"))
         .withColumn("cosine", dot / (F.col("l.n") * F.col("r.n")))
         .filter(F.col("cosine") >= threshold)

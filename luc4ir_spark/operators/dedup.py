@@ -554,6 +554,108 @@ def _band_keyed(
     return keyed, n_bands
 
 
+# Balanced intra-bucket pair enumeration. A bucket equi-self-join puts a
+# bucket's ENTIRE n^2 candidate work in the one task that owns the
+# bucket's partition: at the bench a single 1,560-doc band bucket
+# produced ~1.2M of 2.3M candidates in one task (measured straggler),
+# and at the 100k cap a degenerate bucket means 5x10^9 verifications in
+# ONE task — the guide §2.5 hot-key pathology. The fix is the classic
+# chunked self-join: order each bucket's members by id, cut them into
+# chunks of ~PAIR_CHUNK_ROWS (growing so no bucket exceeds
+# PAIR_MAX_CHUNKS chunks), and enumerate pairs per chunk-PAIR (i <= j):
+# the left side replicates each row to its (i, j>=i) targets, the right
+# side to its (i<=j, j) targets, and the join key gains (_ci, _cj), so
+# a bucket's quadratic work spreads over k(k+1)/2 independent keys.
+# Because chunks are id-ordered, i < j implies id_l < id_r, so the
+# a < b dedup filter keeps exactly the same pair set as the flat join
+# (equal chunks contribute both orderings, a < b keeps one).
+PAIR_CHUNK_ROWS = 256
+PAIR_MAX_CHUNKS = 64
+
+
+def _windowed_bucket_chunks(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+    log,
+    label: str,
+    drop_msg: str | None = None,
+    chunk_rows: int = PAIR_CHUNK_ROWS,
+    max_chunks: int = PAIR_MAX_CHUNKS,
+) -> DataFrame:
+    """ONE window pass over the already-repartitioned keyed relation:
+    bucket size (_bn, for the cap) and id-ordered row number (_rn, for
+    the balanced chunk index) share the same partitioning, then the
+    relation is lazily localCheckpoint-ed BEFORE the optional
+    diagnostic count and the self-join fan-out (same sharing rationale
+    as ``_windowed_bucket_cap``). Returns rows with (_ci, _k) chunk
+    columns; ``drop_msg`` overrides the default drop-log line."""
+    wb = Window.partitionBy(*bucket_cols)
+    wr = wb.orderBy(id_col)
+    out = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb)).withColumn(
+        "_rn", F.row_number().over(wr)
+    )
+    out = out.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        if log is not None:
+            n_dropped = (
+                out.filter(F.col("_bn") > max_bucket_size)
+                .select(*bucket_cols)
+                .distinct()
+                .count()
+            )
+            log(
+                drop_msg.format(n_dropped=n_dropped)
+                if drop_msg is not None
+                else f"{label}: max_bucket_size={max_bucket_size} "
+                f"dropped {n_dropped} band buckets from candidate "
+                f"generation"
+            )
+        out = out.filter(F.col("_bn") <= max_bucket_size)
+    c = F.greatest(
+        F.lit(int(chunk_rows)),
+        F.expr(f"(_bn + {int(max_chunks) - 1}) div {int(max_chunks)}"),
+    )
+    return (
+        out.withColumn("_c", c)
+        .withColumn("_ci", F.expr("(_rn - 1) div _c"))
+        .withColumn("_k", F.expr("(_bn + _c - 1) div _c"))
+        .drop("_bn", "_rn", "_c")
+    )
+
+
+def _balanced_pair_sides(
+    chunked: DataFrame, bucket_cols: list[str]
+) -> tuple[DataFrame, DataFrame, list]:
+    """The two exploded sides of the balanced intra-bucket pair join:
+    -> (L aliased 'l', R aliased 'r', join conditions). Both sides are
+    cheap scans of the checkpointed chunked relation (the explode input
+    is a tiny arithmetic sequence over materialized attributes, never a
+    HOF chain), explicitly repartitioned on the widened
+    (bucket..., _ci, _cj) key so every chunk PAIR is its own join key —
+    the merge join then only sorts, and an oversized bucket's work
+    spreads over its k(k+1)/2 chunk pairs instead of one task. A
+    singleton-chunk bucket (k=1, the common case) emits exactly one
+    copy per side, so the balanced join degenerates to the flat one."""
+    base_cols = [c for c in chunked.columns if c not in ("_ci", "_k")]
+    lhs = chunked.select(
+        *base_cols,
+        "_ci",
+        F.explode(F.sequence(F.col("_ci"), F.col("_k") - 1)).alias("_cj"),
+    )
+    rhs = chunked.select(
+        *base_cols,
+        F.col("_ci").alias("_cj"),
+        F.explode(F.sequence(F.lit(0), F.col("_ci"))).alias("_ci"),
+    )
+    keys = list(bucket_cols) + ["_ci", "_cj"]
+    L = lhs.repartition(*keys).alias("l")
+    R = rhs.repartition(*keys).alias("r")
+    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    return L, R, on
+
+
 def _windowed_bucket_cap(
     keyed: DataFrame, max_bucket_size: int, log, label: str
 ) -> DataFrame:
@@ -653,18 +755,19 @@ def minhash_lsh_pairs(
     # then defeat ReuseExchange/AQE stage-reuse canonicalization, so
     # BOTH sides re-run the full tokenize+md5+minima projection
     # (measured: two full map stages at 60k docs). The checkpoint
-    # (GC-scoped, lineage-flat) materializes it once; LogicalRDD
-    # preserves the (band, bucket) hash partitioning, so the merge
-    # join below adds only per-side sorts, no exchange and no
-    # recompute. "merge" hint: AQE would otherwise build one side as a
-    # BroadcastExchange, which can never reuse the shuffle.
-    if max_bucket_size is not None:
-        keyed = _windowed_bucket_cap(  # checkpoints internally
-            keyed, max_bucket_size, log, "minhash_lsh_pairs"
-        )
-    else:
-        keyed = keyed.localCheckpoint(eager=False)
-    L, R = keyed.alias("l"), keyed.alias("r")
+    # (GC-scoped, lineage-flat) happens inside _windowed_bucket_chunks,
+    # which also computes the cap count and the balanced chunk index in
+    # the ONE (band, bucket) window pass; the pair join runs per chunk
+    # PAIR so an oversized bucket's quadratic verify work spreads over
+    # tasks instead of landing on the bucket's single owner (see the
+    # PAIR_CHUNK_ROWS note). "merge" hint: AQE would otherwise build
+    # one side as a BroadcastExchange, which can never reuse the
+    # shuffle.
+    keyed = _windowed_bucket_chunks(
+        keyed, ["band", "bucket"], "doc_id", max_bucket_size, log,
+        "minhash_lsh_pairs",
+    )
+    L, R, on = _balanced_pair_sides(keyed, ["band", "bucket"])
     # first-collision dedup: emit the pair only from the lowest band
     # index where the two docs' buckets agree (exact — every colliding
     # pair has a unique minimal colliding band). Spelled as a literal
@@ -682,13 +785,7 @@ def minhash_lsh_pairs(
     sa, sb = F.size(F.col("l._sids")), F.size(F.col("r._sids"))
     verified = (
         L.hint("merge")
-        .join(
-            R.hint("merge"),
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-            ],
-        )
+        .join(R.hint("merge"), on=on)
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .filter(first_hit)
         # size-ratio prune: jaccard >= t requires t*max <= min — skips
@@ -981,32 +1078,22 @@ def simhash_pairs(
         )
         .repartition("chunk", "chunk_val")
     )
-    if max_bucket_size is not None:
-        wb = Window.partitionBy("chunk", "chunk_val")
-        keyed = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        # lazy checkpoint before the diagnostic count and the self-join
-        # fan-out — see minhash_lsh_pairs: plan dedup + HOF lambda
-        # exprIds defeat exchange reuse, so the upstream simhash
-        # projection would otherwise re-run per consumer
-        keyed = keyed.localCheckpoint(eager=False)
-        if log is not None:
-            n_dropped = (
-                keyed.filter(F.col("_bn") > max_bucket_size)
-                .select("chunk", "chunk_val")
-                .distinct()
-                .count()
-            )
-            log(
-                f"simhash_pairs: max_bucket_size={max_bucket_size} dropped "
-                f"{n_dropped} pigeonhole buckets from candidate generation"
-            )
-        keyed = keyed.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
-    else:
-        # the uncapped path still needs the lazy checkpoint before the
-        # fan-out — the alias self-join re-runs the upstream simhash
-        # HOF projection per side otherwise (see minhash_lsh_pairs)
-        keyed = keyed.localCheckpoint(eager=False)
-    L, R = keyed.alias("l"), keyed.alias("r")
+    # ONE window pass computes the cap count and the balanced chunk
+    # index, with the lazy checkpoint before the diagnostic count and
+    # the self-join fan-out — see minhash_lsh_pairs: plan dedup + HOF
+    # lambda exprIds defeat exchange reuse, so the upstream simhash
+    # projection would otherwise re-run per consumer; the chunk-pair
+    # join keeps a flooded pigeonhole bucket from serializing its n^2
+    # verifications in one task
+    keyed = _windowed_bucket_chunks(
+        keyed, ["chunk", "chunk_val"], "doc_id", max_bucket_size, log,
+        "simhash_pairs",
+        drop_msg=(
+            f"simhash_pairs: max_bucket_size={max_bucket_size} dropped "
+            "{n_dropped} pigeonhole buckets from candidate generation"
+        ),
+    )
+    L, R, on = _balanced_pair_sides(keyed, ["chunk", "chunk_val"])
     # first-collision dedup: emit the pair only from the lowest chunk
     # index where the two fingerprints agree — the earlier chunk values
     # are re-extracted inline from the carried fingerprints, so no
@@ -1022,13 +1109,7 @@ def simhash_pairs(
         )
     return (
         L.hint("merge")
-        .join(
-            R.hint("merge"),
-            on=[
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.chunk_val") == F.col("r.chunk_val"),
-            ],
-        )
+        .join(R.hint("merge"), on=on)
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .filter(first_hit)
         .withColumn(
