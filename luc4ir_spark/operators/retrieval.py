@@ -940,22 +940,44 @@ def phrase_query_compressed(
 
     uniq = list(dict.fromkeys(terms))
     dfs = _phrase_term_dfs(compressed_positional, uniq)
-    cells = compressed_positional.filter(
-        F.col("term").isin(uniq)
-    ).localCheckpoint(eager=False)
     if any(t not in dfs for t in uniq):
         return _empty_positional_result(
-            cells, "phrase_freq" if window is None else "prox_freq"
+            compressed_positional.select("term", "doc_id"),
+            "phrase_freq" if window is None else "prox_freq",
         )
-    docs_all = None
-    for t in sorted(uniq, key=lambda t: (dfs[t], t)):
-        d = cells.filter(F.col("term") == t).select("doc_id")
-        docs_all = (
-            d if docs_all is None
-            else docs_all.join(d, "doc_id", "left_semi")
+    # The pruned+decoded cells depend only on (relation, term set) —
+    # not on the window — so they are memoized on the source DataFrame
+    # object alongside the df lookup (same per-object cache, same
+    # batch shape: one compressed index, several phrase/proximity
+    # variants of the same terms, e.g. exact + sloppy over one query).
+    # The decoded relation is checkpointed (GC-scoped) so the second
+    # variant reuses the Arrow decode instead of re-running
+    # prune+decode.
+    memo_key = ("pruned_flat", tuple(sorted(uniq)))
+    cache = getattr(compressed_positional, "_luc4ir_df_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            compressed_positional._luc4ir_df_cache = cache
+        except AttributeError:
+            pass
+    flat = cache.get(memo_key)
+    if flat is None:
+        cells = compressed_positional.filter(
+            F.col("term").isin(uniq)
+        ).localCheckpoint(eager=False)
+        docs_all = None
+        for t in sorted(uniq, key=lambda t: (dfs[t], t)):
+            d = cells.filter(F.col("term") == t).select("doc_id")
+            docs_all = (
+                d if docs_all is None
+                else docs_all.join(d, "doc_id", "left_semi")
+            )
+        pruned = cells.join(docs_all, "doc_id", "left_semi")
+        flat = decode_positional_postings(pruned).localCheckpoint(
+            eager=False
         )
-    pruned = cells.join(docs_all, "doc_id", "left_semi")
-    flat = decode_positional_postings(pruned)
+        cache[memo_key] = flat
     # pass the spine dfs down — only the walk's join ORDER depends on
     # them, so the pre-prune values are safe and the flat walk skips
     # its own lookup job
