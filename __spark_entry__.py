@@ -13293,14 +13293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dup_clusters(spark, sf):
         # connected components over the near-dup pair graph (cluster
         # representative = min reachable doc_id)
-        pairs = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
-        return dd.duplicate_clusters(pairs)
+        return dd.duplicate_clusters(_jpairs(spark, sf))
 
     def dedup_corpus(spark, sf):
         # the deduplicated-corpus end artifact: min-doc_id
         # representative per near-dup component + untouched singletons
-        pairs = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
-        kept = dd.dedup_corpus(_docs(spark, sf), pairs)
+        kept = dd.dedup_corpus(_docs(spark, sf), _jpairs(spark, sf))
         return kept.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "lang",
@@ -13435,9 +13433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survivorship dedup: keep the LONGEST member per near-dup
         # component (n_chars quality, doc_id tie-break) — the
         # CCNet/RefinedWeb keep-best policy vs dedup_corpus's min-id
-        pairs = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
         kept = dd.dedup_corpus_survivor(
-            _docs(spark, sf), pairs, quality_col="n_chars"
+            _docs(spark, sf), _jpairs(spark, sf), quality_col="n_chars"
         )
         return kept.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -13543,6 +13540,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", simple_tokens("text").alias("tokens")
         )
 
+    # dup_clusters / dedup_corpus / dedup_survivors all consume the SAME
+    # jaccard near-dup pair graph — memoize the checkpointed pair
+    # relation per (session, sf) exactly like _index, so a full drive
+    # computes the candidate join + verify once instead of three times
+    # (the three gates were the drive's slowest — VERDICT r5 item 5)
+    _jpairs_cache: dict = {}
+
+    def _jpairs(spark, sf):
+        key = (id(spark), sf)
+        p = _jpairs_cache.get(key)
+        if p is None:
+            p = dd.jaccard_pairs(
+                _tokens(spark, sf), threshold=JACCARD_T
+            ).localCheckpoint(eager=False)
+            _jpairs_cache[key] = p
+        return p
+
     def _emb(spark, sf):
         return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
 
@@ -13560,7 +13574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def jaccard_pairs(spark, sf):
-        out = dd.jaccard_pairs(_tokens(spark, sf), threshold=JACCARD_T)
+        out = _jpairs(spark, sf)
         return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
     def containment_pairs(spark, sf):

@@ -357,8 +357,26 @@ def score_queries(
     )
 
     contrib = _per_posting_score(sim, index.stats, qt_enriched.columns)
+    # Deterministic per-document fold: sum the per-posting contributions
+    # in SORTED VALUE order instead of partition-encounter order. Two
+    # documents with identical (tf, doc_len) profiles over the query
+    # terms have identical contribution MULTISETS under every
+    # similarity, and their exact-real scores are equal — but a plain
+    # F.sum folds each group in partial-aggregation encounter order, so
+    # the two docs could land 1 ulp apart in either direction and the
+    # raw-score rank tie-break became a per-layout coin flip against
+    # the oracle (observed: dph at sf0.001, two equal-profile docs
+    # rank-swapped). The sorted fold makes the score a deterministic
+    # function of the multiset, so equal profiles tie EXACTLY and the
+    # doc_id tie-break applies on both engines. Cost: the group is at
+    # most the query's term count (a handful), and the bench A/B read
+    # identical times (0.85-1.1 s both) — the buffer is bounded by
+    # query length, never corpus-sized.
     agg_cols = [
-        F.sum("contrib").alias("score"),
+        F.expr(
+            "aggregate(array_sort(collect_list(contrib)), 0.0D,"
+            " (a, x) -> a + x)"
+        ).alias("score"),
         F.count(F.lit(1)).cast("long").alias("n_matched"),
     ]
     sel_cols = ["qid", "doc_id", contrib.alias("contrib")]
