@@ -10822,7 +10822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # built from page 1's last hit — must equal the rank-offset page
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        page1 = rt.score_queries(idx, qt, k=TOPK)
+        page1 = _base_run(spark, sf)
         cursor = page1.filter(F.col("rank") == TOPK).select(
             "qid",
             F.col("score").alias("after_score"),
@@ -11009,14 +11009,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cf").cast("long").alias("cf"),
         )
 
+    # ~60 gates consume the standard BM25 run over QUERY_SET (the
+    # eval/fusion/feedback families all start from it) and ~15 the
+    # bm25/lmdir pair; memoize the CHECKPOINTED runs per (session, sf)
+    # like _index so the drive scores each run once instead of once per
+    # consumer — run-sized (queries x k rows), never corpus-sized
+    _base_run_cache: dict = {}
+
+    def _base_run(spark, sf):
+        key = (id(spark), sf)
+        r = _base_run_cache.get(key)
+        if r is None:
+            idx = _index(spark, sf)
+            qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+            r = rt.score_queries(idx, qt, k=TOPK).localCheckpoint(
+                eager=False
+            )
+            _base_run_cache[key] = r
+        return r
+
+    _two_runs_cache: dict = {}
+
     def _two_runs(spark, sf):
-        idx = _index(spark, sf)
-        qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        r1 = rt.score_queries(idx, qt, k=TOPK)
-        r2 = rt.score_queries(
-            idx, qt, k=TOPK, sim=rt.Similarity(kind="lmdir")
-        )
-        return r1, r2
+        key = (id(spark), sf)
+        rr = _two_runs_cache.get(key)
+        if rr is None:
+            idx = _index(spark, sf)
+            qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
+            r1 = _base_run(spark, sf)
+            r2 = rt.score_queries(
+                idx, qt, k=TOPK, sim=rt.Similarity(kind="lmdir")
+            ).localCheckpoint(eager=False)
+            rr = (r1, r2)
+            _two_runs_cache[key] = rr
+        return rr
 
     def run_diff(spark, sf):
         # engine-regression diff between the bm25 and lmdir top-10s:
@@ -11029,7 +11055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # before the 1st and 2nd relevant — all-integer
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         return ev.expected_search_length(
@@ -11362,7 +11388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs: strict duel-win majority, wins − losses, all-integer
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        r1 = rt.score_queries(idx, qt, k=TOPK)
+        r1 = _base_run(spark, sf)
         r2 = rt.score_queries(
             idx, qt, k=TOPK,
             sim=rt.Similarity(kind="lmdir", mu=MU, lam=LAM),
@@ -11400,7 +11426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trec_eval-style macro row: MRR/MAP/GMAP/Success@5
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         pq = ev.per_query_metrics(run, _pseudo_qrels(spark, sf))
@@ -11445,7 +11471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from luc4ir_spark.functions.hashing import mix_id_expr
 
         r1, r2 = _two_runs(spark, sf)
-        inter = ev.interleave_team_draft(r1, r2, k=TOPK)
+        # the interleaved list feeds the click filter AND both branches
+        # of the credit operator — one applyInPandas draft, three
+        # consumers: materialize once (run-sized)
+        inter = ev.interleave_team_draft(r1, r2, k=TOPK).localCheckpoint(
+            eager=False
+        )
         clicks = inter.filter(
             F.pmod(
                 mix_id_expr(
@@ -11505,7 +11536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the deterministic pseudo qrels
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         pq = ev.extended_metrics(
@@ -11524,7 +11555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arithmetic aspect qrels (no ideal ranking needed)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         out = ev.intent_aware_metrics(
@@ -11542,7 +11573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arithmetic aspect qrels; greedy ideal unrolled 5 steps
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         out = ev.alpha_ndcg(
@@ -11560,7 +11591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Sakai's Q-measure (beta=1) over the BM25 run + pseudo qrels
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         out = ev.q_measure(run, _pseudo_qrels(spark, sf))
@@ -11574,7 +11605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in pure integer arithmetic on both engines
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         out = ev.iprec_at_recall(run, _pseudo_qrels(spark, sf))
@@ -11589,7 +11620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trec_eval Rprec: precision at rank R (total relevant count)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         out = ev.r_precision(run, _pseudo_qrels(spark, sf))
@@ -11727,7 +11758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1 + ln(1 + PageRank) over the synthetic graph
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         docs = _docs(spark, sf).select("doc_id")
         n = docs.count()
         edges = gr.synthetic_link_graph(docs, n)
@@ -12277,7 +12308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (reference: evaluator/* — AllRetrievedResults.java:58-118)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         qrels = _pseudo_qrels(spark, sf)
@@ -12404,7 +12435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the BM25 top-k hits (one overlapping range on purpose)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = rt.range_facet_counts(
             run, _docs(spark, sf), value_col="n_chars", ranges=_FACET_RANGES
         )
@@ -12553,7 +12584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix depth of the BM25 top-k run, one rollup pass
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = rt.facet_hierarchy(
             run, _docs(spark, sf), levels=["source", "lang"]
         )
@@ -12575,7 +12606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 qrels, p_at=5, ndcg_at=10,
             )
 
-        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pa = perq(_base_run(spark, sf))
         pb = perq(rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl))
         r = ev.risk_metric(pa, pb, metric_col="ap", alpha=1.0)
         return r.select(
@@ -12615,7 +12646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 top-FDBK_DOCS pool, rounded-weight truncation window
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = fb.bo1_expand(
             idx, run, num_top_docs=FDBK_DOCS, top_m=_BO1_M
         )
@@ -12628,7 +12659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feedback set vs the corpus LM
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = fb.significant_terms(
             idx, run, num_top_docs=FDBK_DOCS, top_m=_SIG_TOPM
         )
@@ -12755,7 +12786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Tao-Zhai MinDist proximity boost re-ranking the BM25 window
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         toks = ix.tokenize(
             _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
         )
@@ -12769,7 +12800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FVH-style multi-fragment highlighting over the BM25 run
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         toks = ix.tokenize(
             _docs(spark, sf), SIMPLE, id_col="doc_id", content_col="text"
         )
@@ -12932,7 +12963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
         qrels = _pseudo_qrels(spark, sf)
         pa = ev.per_query_metrics(
-            rt.score_queries(idx, qt, k=TOPK).withColumn(
+            _base_run(spark, sf).withColumn(
                 "docid", F.col("doc_id").cast("string")
             ),
             qrels, p_at=5, ndcg_at=10,
@@ -12964,7 +12995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 qrels, p_at=5, ndcg_at=10,
             )
 
-        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pa = perq(_base_run(spark, sf))
         pb = perq(
             rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
         )
@@ -12993,7 +13024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 qrels, p_at=5, ndcg_at=10,
             )
 
-        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pa = perq(_base_run(spark, sf))
         pb = perq(
             rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
         )
@@ -13131,7 +13162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES stats aggregation over the BM25 top-k hits (n_chars)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = rt.result_field_stats(
             run, _docs(spark, sf), value_col="n_chars"
         )
@@ -13175,7 +13206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evaluator/AllRetrievedResults.java:70-88)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         pq = ev.per_query_metrics(run, _pseudo_qrels(spark, sf))
@@ -13188,7 +13219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # default; reference feedback/RelevanceModelConditional.java:24-48)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         return rlm.select("qid", "term", F.round("wt", 4).alias("wt"))
 
@@ -13198,7 +13229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both the tf-pool and df-pool terms are exercised
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(
             idx, run, num_top_docs=FDBK_DOCS, lam=RM_IID_LAM,
             variant="rlm_iid",
@@ -13210,7 +13241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # centroid, centroid truncated on the 4dp grid
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = fb.rocchio_expand(
             idx, run, qt, num_top_docs=FDBK_DOCS,
             alpha=_ROC_A, beta=_ROC_B, top_m=_RM3_M,
@@ -13224,7 +13255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # original query MLE (Indri fbOrigWeight convention)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         out = fb.rm3_interpolate(
             rlm, qt, num_expansion_terms=_RM3_M, orig_weight=_RM3_LAM
@@ -13238,7 +13269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feedback/RelevanceModelIId.java:136-160)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         out = fb.query_clarity(rlm, idx.term_stats, idx.stats.total_tokens)
         return out.select("qid", F.round("clarity", 4).alias("clarity"))
@@ -13248,7 +13279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # models (reference retriever/TrecDocRetriever.java:109-175)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         out = fb.query_query_similarity(rlm, rlm)
         return out.select(
@@ -13260,7 +13291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (reference retriever/HyperbolicRetriever.java:29-226)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         out = fb.hyperbolic_rerank(idx, run, rlm, num_top_docs=FDBK_DOCS)
         return out.select(
@@ -13471,7 +13502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feedback/KLDivReranker.java:25-52; ascending KL)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         out = fb.kl_divergence_rerank(idx, run, rlm, num_top_docs=FDBK_DOCS)
         return out.select(
@@ -13485,7 +13516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-retrieval pass (feedback/RelevanceModelIId.java:164-235)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         rlm = fb.relevance_model(idx, run, num_top_docs=FDBK_DOCS, lam=1.0)
         out = fb.expand_query(
             rlm, qt, idx.term_stats, idx.stats.n_docs,
@@ -13513,7 +13544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 3-doc greedy loop stage by stage
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).filter(
+        run = _base_run(spark, sf).filter(
             F.col("rank") <= FDBK_DOCS
         )
         out = fb.diversity_rerank(idx, run, num_rerank=FDBK_DOCS)
@@ -13648,7 +13679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # qid i) fused by reciprocal rank — rank-only, scale-free
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        bm = rt.score_queries(idx, qt, k=TOPK)
+        bm = _base_run(spark, sf)
         emb = _emb(spark, sf)
         qmap = spark.createDataFrame(
             [(qid, i + 1) for i, (qid, _) in enumerate(QUERY_SET)],
@@ -13985,7 +14016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AP over the judged-only condensed list (Sakai AP')
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         out = ev.condensed_ap(run, _pseudo_qrels(spark, sf))
@@ -14109,7 +14140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         qids = spark.createDataFrame(
@@ -14155,7 +14186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top non-relevant docs
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         out = rt.mine_hard_negatives(
@@ -14622,7 +14653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the BM25 top-k run
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = rt.facet_counts(run, _docs(spark, sf), facet_col="source")
         return out.select("qid", "facet", "n_docs")
 
@@ -14631,7 +14662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lang=en; each dimension's counts drop its own filter
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = rt.drill_sideways(run, _docs(spark, sf), _DRILL)
         return out.select("qid", "dim", "value", "n_docs")
 
@@ -14694,7 +14725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouping-module parity: top-2 hits per source per query
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = rt.grouped_topk(
             run, _docs(spark, sf), group_col="source", k_per_group=2
         )
@@ -14758,7 +14789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 top-10 (max-gap rule; earliest-rank ties)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         return rt.score_gap_cutoff(run, max_k=TOPK)
 
     def assessor_kappa(spark, sf):
@@ -14799,7 +14830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the ROUNDED ap (hard = bucket 1)
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK).withColumn(
+        run = _base_run(spark, sf).withColumn(
             "docid", F.col("doc_id").cast("string")
         )
         qrels = _pseudo_qrels(spark, sf)
@@ -14840,7 +14871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 qrels, p_at=5, ndcg_at=10,
             )
 
-        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pa = perq(_base_run(spark, sf))
         pb = perq(
             rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
         )
@@ -14869,7 +14900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 qrels, p_at=5, ndcg_at=10,
             )
 
-        pa = perq(rt.score_queries(idx, qt, k=TOPK))
+        pa = perq(_base_run(spark, sf))
         pb = perq(
             rt.score_queries(idx, qt, k=TOPK, exclude_terms=excl)
         )
@@ -14895,7 +14926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         runs = [
-            ("bm25", perq(rt.score_queries(idx, qt, k=TOPK))),
+            ("bm25", perq(_base_run(spark, sf))),
             ("classic", perq(rt.score_queries(
                 idx, qt, k=TOPK,
                 sim=rt.Similarity(kind="classic", mu=MU, lam=LAM),
@@ -14973,7 +15004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occurrence in each BM25 hit
         idx = _index(spark, sf)
         qt = rt.queries_to_terms(spark, QUERY_SET, SIMPLE)
-        run = rt.score_queries(idx, qt, k=TOPK)
+        run = _base_run(spark, sf)
         out = rt.make_snippets(
             run, _docs(spark, sf), qt, width=30, content_col="text"
         )

@@ -608,9 +608,11 @@ def lsh_near_dup_pairs(
     )
     if log is not None:
         # materialize the candidate rows once so the evidence count and
-        # the verify below share the join (GC-scoped; the production
-        # log=None path stays a single lazy plan with no extra actions)
-        cand = cand.localCheckpoint()
+        # the verify below share the join (the production log=None path
+        # stays a single lazy plan with no extra actions); LAZY
+        # checkpoint — the count() is the materializing action, so
+        # diagnostics cost one job here instead of two
+        cand = cand.localCheckpoint(eager=False)
         log(f"lsh_near_dup_pairs: {cand.count()} candidate pairs")
     # verify INLINE in the joined row (replaces two corpus joins): the
     # dot product is an explicit element_at sum — same left-to-right

@@ -1379,18 +1379,26 @@ def duplicate_clusters(
         F.col(a_col).cast("long").alias("a"),
         F.col(b_col).cast("long").alias("b"),
     )
+    # Lazy checkpoints + a per-round plan that carries the OLD label:
+    # the eager-checkpoint-then-probe shape ran TWO jobs per round (a
+    # full materialization job, then the convergence probe over the
+    # cache); joining the old label into the round's result lets the
+    # probe's limit(1).count() BE the materializing action, so each
+    # round schedules one job (plus lazy back-fill of any partitions
+    # the early-exit limit skipped — same total work, half the job
+    # round-trips, which dominate at gate scale).
     sym = (
         edges.union(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr = sym.withColumnRenamed("a", "node").join(
@@ -1400,20 +1408,20 @@ def duplicate_clusters(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(
+            .join(
                 labels.select(
                     "node", F.col("cluster_id").alias("_old")
                 ),
                 "node",
             )
-            .filter(F.col("cluster_id") != F.col("_old"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.filter(F.col("cluster_id") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new
+        labels = new.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
