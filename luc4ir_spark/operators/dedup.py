@@ -266,12 +266,25 @@ def containment_pairs(
         cand_sh = sh.join(
             dfc.filter(F.col("sdf") <= max_shingle_df), "shingle"
         ).select("doc_id", "shingle")
-    a = cand_sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = cand_sh.select(F.col("doc_id").alias("b"), "shingle")
+    # balanced chunk-pair enumeration per shingle (same machinery as
+    # the LSH bucket joins — see the PAIR_CHUNK_ROWS note): a
+    # stop-shingle at the df cap otherwise enumerates its whole df^2
+    # candidate block in the one task owning that shingle's partition.
+    # The window pass also checkpoints, fixing a second pathology: the
+    # capped cand_sh was a join OUTPUT consumed by both sides of the
+    # alias self-join, so the sh x dfc join re-ran per side.
+    keyed = _windowed_bucket_chunks(
+        cand_sh.select("doc_id", "shingle").repartition("shingle"),
+        ["shingle"], "doc_id", None, None, "shingle_pairs",
+    )
+    L, R, on = _balanced_pair_sides(keyed, ["shingle"])
     cands = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        L.hint("merge")
+        .join(R.hint("merge"), on=on)
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
         .distinct()
     )
     shset = shingle_set_expr(tokens_col, shingle_size)
@@ -341,12 +354,25 @@ def jaccard_pairs(
         cand_sh = sh.join(
             dfc.filter(F.col("sdf") <= max_shingle_df), "shingle"
         ).select("doc_id", "shingle")
-    a = cand_sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = cand_sh.select(F.col("doc_id").alias("b"), "shingle")
+    # balanced chunk-pair enumeration per shingle (same machinery as
+    # the LSH bucket joins — see the PAIR_CHUNK_ROWS note): a
+    # stop-shingle at the df cap otherwise enumerates its whole df^2
+    # candidate block in the one task owning that shingle's partition.
+    # The window pass also checkpoints, fixing a second pathology: the
+    # capped cand_sh was a join OUTPUT consumed by both sides of the
+    # alias self-join, so the sh x dfc join re-ran per side.
+    keyed = _windowed_bucket_chunks(
+        cand_sh.select("doc_id", "shingle").repartition("shingle"),
+        ["shingle"], "doc_id", None, None, "shingle_pairs",
+    )
+    L, R, on = _balanced_pair_sides(keyed, ["shingle"])
     cands = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        L.hint("merge")
+        .join(R.hint("merge"), on=on)
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
         .distinct()
     )
     # verification always runs over the FULL sets (array_intersect per
