@@ -614,9 +614,11 @@ def _windowed_bucket_chunks(
     bucket size (_bn, for the cap) and id-ordered row number (_rn, for
     the balanced chunk index) share the same partitioning, then the
     relation is lazily localCheckpoint-ed BEFORE the optional
-    diagnostic count and the self-join fan-out (same sharing rationale
-    as ``_windowed_bucket_cap``). Returns rows with (_ci, _k) chunk
-    columns; ``drop_msg`` overrides the default drop-log line."""
+    diagnostic count and the self-join fan-out (a groupBy+join cap
+    subtree would get column-pruned below its own exchange and defeat
+    exchange sharing, and the signature pipeline would recompute per
+    consumer). Returns rows with (_ci, _k) chunk columns; ``drop_msg``
+    overrides the default drop-log line."""
     wb = Window.partitionBy(*bucket_cols)
     wr = wb.orderBy(id_col)
     out = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb)).withColumn(
@@ -682,32 +684,45 @@ def _balanced_pair_sides(
     return L, R, on
 
 
-def _windowed_bucket_cap(
-    keyed: DataFrame, max_bucket_size: int, log, label: str
-) -> DataFrame:
-    """Apply the per-(band, bucket) size cap as a WINDOW over the
-    already-repartitioned relation (a groupBy+join subtree gets
-    column-pruned below its own exchange, the exchanges stop being
-    identical, and the signature pipeline recomputes per consumer).
-    The counted relation is lazily localCheckpoint-ed here, BEFORE the
-    optional diagnostic count and the downstream self-join fan-out,
-    so the whole signature+window pipeline materializes exactly once
-    however many consumers follow."""
-    wb = Window.partitionBy("band", "bucket")
-    capped = keyed.withColumn("_bn", F.count(F.lit(1)).over(wb))
-    capped = capped.localCheckpoint(eager=False)
-    if log is not None:
-        n_dropped = (
-            capped.filter(F.col("_bn") > max_bucket_size)
-            .select("band", "bucket")
-            .distinct()
-            .count()
-        )
-        log(
-            f"{label}: max_bucket_size={max_bucket_size} "
-            f"dropped {n_dropped} band buckets from candidate generation"
-        )
-    return capped.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+def _balanced_cross_sides(
+    keyed_a: DataFrame,
+    keyed_b: DataFrame,
+    bucket_cols: list[str],
+) -> tuple[DataFrame, DataFrame, list]:
+    """Balanced CROSS-relation bucket join (the two-corpus analogue of
+    ``_balanced_pair_sides``): both inputs come from
+    ``_windowed_bucket_chunks`` (own chunk index ``_ci``, own chunk
+    count ``_k``, checkpointed). Each side learns the OTHER side's
+    chunk count per bucket from a one-row-per-bucket size table (a
+    distinct over the cached relation — ``_k`` is constant within a
+    bucket) and replicates its rows across the other side's chunk
+    range, so the join key gains ``(_ca, _cb)`` and a flooded bucket's
+    |A|×|B| candidate block spreads over ka·kb grid cells instead of
+    the bucket's single owning task. The size-table joins are INNER,
+    which also drops buckets present on only one side before any
+    replication (they can produce no pairs). Size tables are left
+    unhinted — AQE broadcasts them while bucket cardinality is small
+    and falls back to a shuffled join at scale.
+    Returns (L aliased 'l', R aliased 'r', join conditions)."""
+    ka = keyed_a.select(*bucket_cols, F.col("_k").alias("_ka")).distinct()
+    kb = keyed_b.select(*bucket_cols, F.col("_k").alias("_kb")).distinct()
+    base_a = [c for c in keyed_a.columns if c not in ("_ci", "_k")]
+    base_b = [c for c in keyed_b.columns if c not in ("_ci", "_k")]
+    lhs = keyed_a.join(kb, list(bucket_cols)).select(
+        *base_a,
+        F.col("_ci").alias("_ca"),
+        F.explode(F.sequence(F.lit(0), F.col("_kb") - 1)).alias("_cb"),
+    )
+    rhs = keyed_b.join(ka, list(bucket_cols)).select(
+        *base_b,
+        F.col("_ci").alias("_cb"),
+        F.explode(F.sequence(F.lit(0), F.col("_ka") - 1)).alias("_ca"),
+    )
+    keys = list(bucket_cols) + ["_ca", "_cb"]
+    L = lhs.repartition(*keys).alias("l")
+    R = rhs.repartition(*keys).alias("r")
+    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    return L, R, on
 
 
 def minhash_lsh_pairs(
@@ -877,14 +892,21 @@ def minhash_lsh_join(
     keyed_b, _ = _band_keyed(
         docs_b, tokens_col, num_hashes, band_size, shingle_size
     )
-    if max_bucket_size is not None:
-        keyed_a = _windowed_bucket_cap(
-            keyed_a, max_bucket_size, log, "minhash_lsh_join[a]"
-        )
-        keyed_b = _windowed_bucket_cap(
-            keyed_b, max_bucket_size, log, "minhash_lsh_join[b]"
-        )
-    L, R = keyed_a.alias("l"), keyed_b.alias("r")
+    # per-side cap + chunk geometry in one window pass each (same
+    # machinery as the self-join operators), then the balanced
+    # cross-grid join: a flooded (band, bucket) otherwise lands its
+    # whole |A_bucket| x |B_bucket| candidate block in one task
+    keyed_a = _windowed_bucket_chunks(
+        keyed_a, ["band", "bucket"], "doc_id", max_bucket_size, log,
+        "minhash_lsh_join[a]",
+    )
+    keyed_b = _windowed_bucket_chunks(
+        keyed_b, ["band", "bucket"], "doc_id", max_bucket_size, log,
+        "minhash_lsh_join[b]",
+    )
+    L, R, on = _balanced_cross_sides(
+        keyed_a, keyed_b, ["band", "bucket"]
+    )
     first_hit = F.lit(True)
     for i in range(n_bands - 1):
         first_hit = first_hit & (
@@ -897,13 +919,7 @@ def minhash_lsh_join(
     sa, sb = F.size(F.col("l._sids")), F.size(F.col("r._sids"))
     verified = (
         L.hint("merge")
-        .join(
-            R.hint("merge"),
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-            ],
-        )
+        .join(R.hint("merge"), on=on)
         .filter(first_hit)
         .filter(sb.cast("double") >= F.lit(threshold) * sa)
         .filter(sa.cast("double") >= F.lit(threshold) * sb)

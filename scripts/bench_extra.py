@@ -76,7 +76,9 @@ def main():
         def mh_keyed_only():
             sc.setJobDescription("minhash: banding+window+checkpoint")
             keyed, n_bands = dd._band_keyed(tokens, "tokens", 16, 8, 1)
-            capped = dd._windowed_bucket_cap(keyed, 100_000, None, "x")
+            capped = dd._windowed_bucket_chunks(
+                keyed, ["band", "bucket"], "doc_id", 100_000, None, "x"
+            )
             n = capped.count()
             sc.setJobDescription(None)
             return n

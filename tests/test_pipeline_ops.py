@@ -3406,3 +3406,25 @@ def test_vit_patch_plan_hand_computed(spark):
     assert (got[2]["pad_x"], got[2]["pad_y"]) == (15, 12)
     assert not got[2]["over_budget"]
     assert got[3]["n_patches"] == 64 * 64 and got[3]["over_budget"]
+
+
+def test_chunked_pair_joins_multi_chunk_exact(spark):
+    """Round-6 balanced chunk-pair machinery: with a bucket BIGGER than
+    one chunk (PAIR_CHUNK_ROWS = 256 -> 300 identical docs = 2 chunks
+    per bucket) the chunk-pair self-join and the cross-grid join must
+    reproduce the flat join's exact pair sets — C(300,2) within one
+    corpus, 300x300 across two — all at jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    from luc4ir_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"]) for i in range(300)],
+        "doc_id long, tokens array<string>",
+    )
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    assert out.count() == 300 * 299 // 2
+    assert out.filter(F.col("jaccard") != 1.0).count() == 0
+    B = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "tokens")
+    nj = dedup.minhash_lsh_join(docs, B, threshold=0.9).count()
+    assert nj == 300 * 300
