@@ -935,9 +935,12 @@ def retrieve_with_feedback(
     consume it, and since relevance_model itself checkpoints its
     feedback-set slices (round-6 sharing fix), relying on ReuseExchange
     alone would leave the checkpointed RM branch re-running the scoring
-    subtree while head/tail shared exchanges among themselves. The
-    checkpoint is dropped with the result DataFrame (GC-scoped — no
-    session-lifetime leak, unlike persist with no unpersist point)."""
+    subtree while head/tail shared exchanges among themselves. Note
+    the round-6 finding (CLAUDE.md): under pyspark's default
+    pin-thread gateway these checkpoints are session-pinned (py4j
+    never detaches), so treat them as BOUNDED run-sized cached
+    relations per call — the invariant
+    test_retrieve_with_feedback_bounded_cached_rdds asserts."""
     from .retrieval import score_queries
 
     first = score_queries(index, query_terms, k=k, sim=sim).localCheckpoint(
